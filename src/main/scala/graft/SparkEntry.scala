@@ -1,13 +1,186 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator has a `queries` entry; everything
+  * SQL-expressible also has a DuckDB-dialect `oracleSql` entry with
+  * IDENTICAL output column names and a total ORDER BY (the driver sorts
+  * columns by name and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.q05JoinAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (CoreQueries.q01FilterProject _),
+    "q02_hash_agg" -> (CoreQueries.q02HashAgg _),
+    "q03_pricing_summary" -> (CoreQueries.q03PricingSummary _),
+    "q04_in_between" -> (CoreQueries.q04InBetween _),
+    "q05_join_agg" -> (CoreQueries.q05JoinAgg _),
+    "q06_broadcast_dims" -> (CoreQueries.q06BroadcastDims _),
+    "q07_left_outer" -> (CoreQueries.q07LeftOuter _),
+    "q08_anti_join" -> (CoreQueries.q08AntiJoin _),
+    "q09_theta_residual" -> (CoreQueries.q09ThetaResidual _),
+    "q10_asof_latest" -> (CoreQueries.q10AsOfLatest _),
+    "q11_distinct" -> (CoreQueries.q11Distinct _),
+    "q12_distinct_card" -> (CoreQueries.q12DistinctCardinality _),
+    "q12_approx_distinct" -> (CoreQueries.q12ApproxDistinct _),
+    "q13_rollup" -> (CoreQueries.q13Rollup _),
+    "q14_rank_window" -> (CoreQueries.q14RankWindow _),
+    "q15_analytic_frame" -> (CoreQueries.q15AnalyticFrame _),
+    "q16_topk" -> (CoreQueries.q16TopK _),
+    "q17_intersect" -> (CoreQueries.q17Intersect _),
+    "q18_string_fns" -> (CoreQueries.q18StringFns _),
+    "q19_date_fns" -> (CoreQueries.q19DateFns _),
+    "q20_math_fns" -> (CoreQueries.q20MathFns _),
+    "q21_array_fns" -> (CoreQueries.q21ArrayFns _),
+    "q22_json" -> (CoreQueries.q22Json _),
+    "q23_tumbling_window" -> (CoreQueries.q23TumblingWindow _),
+    "q24_weighted_mean_udaf" -> (CoreQueries.q24WeightedMeanUdaf _),
+    "q25_dedup_exact" -> (CoreQueries.q25DedupExact _),
+    "q26_cosine_topk" -> (CoreQueries.q26CosineTopK _),
+    "q27_text_analysis" -> (CoreQueries.q27TextAnalysis _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_hash_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sq,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS ap
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS rev,
+        |  COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q04_in_between" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_join_agg" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS rev
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "q06_broadcast_dims" ->
+      """SELECT r_name, COUNT(*) AS suppliers FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q07_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY n_orders DESC, c_custkey LIMIT 100""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_theta_residual" ->
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |JOIN lineitem ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q10_asof_latest" ->
+      """SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q11_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS dc
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_distinct_card" ->
+      "SELECT COUNT(DISTINCT user_id) AS du FROM events",
+    "q13_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)
+        |ORDER BY nation, st""".stripMargin,
+    "q14_rank_window" ->
+      """SELECT n_name, c_custkey, rnk FROM (
+        |  SELECT n_name, c_custkey,
+        |    RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3 ORDER BY n_name, rnk, c_custkey""".stripMargin,
+    "q15_analytic_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(v - COALESCE(LAG(v, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS DOUBLE) AS delta,
+        |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |FROM (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM events WHERE user_id < 20) s
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q16_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q17_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin,
+    "q18_string_fns" ->
+      """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS u, CAST(LENGTH(p_name) AS BIGINT) AS l
+        |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin,
+    "q19_date_fns" ->
+      """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
+    "q20_math_fns" ->
+      """SELECT l_linenumber,
+        |  ROUND(SQRT(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)), 4) AS d
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    "q21_array_fns" ->
+      """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, COUNT(*) AS n
+        |FROM embeddings GROUP BY label, len(embedding) ORDER BY label, dim""".stripMargin,
+    "q22_json" ->
+      """SELECT event_type,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS ak
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_tumbling_window" ->
+      """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        |GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "q24_weighted_mean_udaf" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS wavg
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_dedup_exact" ->
+      """SELECT lang, source, COUNT(*) AS n FROM
+        |  (SELECT DISTINCT text, lang, source FROM documents) t
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q26_cosine_topk" ->
+      """WITH probe AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(e.embedding, p.tv),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(list_sum(list_transform(p.tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        |FROM embeddings e, probe p WHERE e.vec_id != 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q27_text_analysis" ->
+      """SELECT lang, ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+        |  ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Test-data catalog: registers the driver-generated parquet tables
+  * (TESTDATA.md) as temp views so queries can be written against bare
+  * table names.
+  *
+  * At cluster scale these would be external catalog tables (partitioned /
+  * bucketed parquet); the registration path is identical — only the
+  * location string changes. Reads go through the vectorized parquet
+  * reader; filters and column pruning are pushed into the scan by
+  * Catalyst (verify with `.explain("formatted")` → `PushedFilters`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; read it as raw nanos and truncate to microseconds — the same
+    // truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Idempotent: register all tables under `dir` as temp views. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory with the scale-oriented defaults used everywhere:
+  * UTC (hash-stable timestamps vs the oracle), AQE on (runtime shuffle
+  * coalescing + skew-join handling), 32 shuffle partitions for the
+  * local[32] harness (on a real cluster this would be set to ~2-3x the
+  * executor core count, or left to AQE's coalescing with a high initial
+  * value).
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.Aggregators
+
+/** The declared relational query surface (SURVEY.md §2.C, Q1–Q27), written
+  * DataFrame-first so Catalyst plans partial aggregation, join selection
+  * (broadcast for the small dims), predicate pushdown and column pruning.
+  *
+  * Hash-stability protocol vs the DuckDB oracle:
+  *  - money-like doubles in the test data are exact at 2 decimals, so sums
+  *    are computed over `DECIMAL(18,2)` casts → exact, order-independent,
+  *    bit-identical across engines regardless of partitioning;
+  *  - every aggregate/computed column is aliased identically in the
+  *    DataFrame code and the oracle SQL;
+  *  - results carry a total ORDER BY;
+  *  - INT-returning Spark functions that are BIGINT in DuckDB
+  *    (rank/size/length) are cast to LONG.
+  */
+object CoreQueries {
+
+  /** Exact 2-decimal view of a money-like double column. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- Q1
+  /** Projection + filter; both predicates and the 3-column projection push
+    * into the parquet scan. */
+  def q01FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- Q2
+  /** Hash aggregate with partial (map-side) aggregation planned by Catalyst. */
+  def q02HashAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(dec2(col("l_quantity"))), 2).cast(DoubleType).as("sq"),
+        round(sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 2).as("ap"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- Q3
+  /** TPC-H Q1 shape: scan-side timestamp filter + exact decimal revenue. */
+  def q03PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))), 2)
+          .cast(DoubleType).as("rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- Q4
+  def q04InBetween(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice").between(1000, 2000))
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- Q5
+  /** Multi-way equi join + agg. The fact-fact join (orders ⋈ lineitem)
+    * shuffles on the join key; nation/region are broadcast — at 100 TB the
+    * dims stay ~KB so the hint holds at any scale. */
+  def q05JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))), 2)
+        .cast(DoubleType).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- Q6
+  def q06BroadcastDims(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("suppliers"))
+      .orderBy("r_name")
+
+  // ---------------------------------------------------------------- Q7
+  def q07LeftOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+      .limit(100)
+
+  // ---------------------------------------------------------------- Q8
+  /** Anti join — Spark plans a broadcast/shuffled hash anti join directly
+    * instead of the NOT EXISTS subquery shape. */
+  def q08AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- Q9
+  /** Equi key + non-equi residual: Catalyst keeps the hash join on
+    * l_partkey=p_partkey and evaluates the range predicate as a residual —
+    * no nested-loop blowup at scale. */
+  def q09ThetaResidual(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem"),
+        col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  // ---------------------------------------------------------------- Q10
+  /** As-of: latest event per user before a cutoff, via ranking window. */
+  def q10AsOfLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- Q11
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("dc"))
+      .orderBy("o_orderstatus")
+
+  // ---------------------------------------------------------------- Q12
+  def q12DistinctCardinality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(countDistinct(col("user_id")).as("du"))
+
+  /** HLL++ sketch variant (no SQL oracle — rows-only check; the ScalaTest
+    * suite asserts |approx-exact|/exact < 0.05). At 100 TB this is the
+    * operator you actually run: fixed-size sketch, no distinct shuffle. */
+  def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("du_approx"))
+
+  // ---------------------------------------------------------------- Q13
+  /** ROLLUP → Catalyst Expand operator; one shuffle for all grouping sets.
+    * Written as SQL over temp views: Spark 4.1's DetectAmbiguousSelfJoin
+    * falsely flags the DataFrame `.rollup` after a join (Expand duplicates
+    * the tagged grouping attrs); the SQL path has no Dataset-id tags and
+    * plans the identical Expand + partial/final HashAggregate. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)
+        |ORDER BY nation, st""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q14
+  def q14RankWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("n_name", "c_custkey", "rnk")
+      .orderBy("n_name", "rnk", "c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q15
+  /** Analytic window with LAG + sliding frame; exact decimal arithmetic so
+    * the frame sum is order-independent. */
+  def q15AnalyticFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = ord.rowsBetween(-2, Window.currentRow)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .withColumn("v", dec2(col("value")))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (col("v") - coalesce(lag(col("v"), 1).over(ord), lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("delta"),
+        sum(col("v")).over(frame).cast(DoubleType).as("rsum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------- Q16
+  /** Top-k → TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def q16TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select("o_orderkey", "p")
+
+  // ---------------------------------------------------------------- Q17
+  def q17Intersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  // ---------------------------------------------------------------- Q18
+  def q18StringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("u"),
+        length(col("p_name")).cast(LongType).as("l"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- Q19
+  def q19DateFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("m")
+
+  // ---------------------------------------------------------------- Q20
+  /** Math fns over an exact decimal sum of squares (discounts are exact at
+    * 2 decimals, so dec*dec is exact at scale 4). */
+  def q20MathFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linenumber")
+      .agg(round(sqrt(sum(dec2(col("l_discount")) * dec2(col("l_discount"))).cast(DoubleType)), 4).as("d"))
+      .orderBy("l_linenumber")
+
+  // ---------------------------------------------------------------- Q21
+  def q21ArrayFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy(col("label"), size(col("embedding")).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
+  // ---------------------------------------------------------------- Q22
+  def q22Json(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(round(avg(get_json_object(col("props"), "$.k").cast(DoubleType)), 2).as("ak"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- Q23
+  /** Tumbling window, batch form (the streaming form with watermarks lives
+    * in graft.streaming and is exercised by ScalaTest). */
+  def q23TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(dec2(col("value"))), 2).cast(DoubleType).as("sv"))
+      .orderBy("w", "event_type")
+
+  // ---------------------------------------------------------------- Q24
+  /** Custom typed Aggregator (UDAF surface) — weighted mean with exact
+    * BigDecimal accumulation mirroring the decimal protocol. */
+  def q24WeightedMeanUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .agg(Aggregators.weightedMean.name("wavg"))
+      .toDF("l_returnflag", "wavg")
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q25
+  def q25DedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select("text", "lang", "source").distinct()
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "source")
+
+  // ---------------------------------------------------------------- Q26
+  /** Brute-force cosine top-k vs vec_id=0 using codegen'd higher-order
+    * functions (zip_with + aggregate), broadcast of the single probe row.
+    * The scale path (LSH-bucketed ANN) is graft.operators.Similarity. */
+  def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = broadcast(emb.filter(col("vec_id") === 0).select(col("v").as("tv")))
+    val dot = aggregate(zip_with(col("v"), col("tv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val na = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val nb = sqrt(aggregate(transform(col("tv"), x => x * x), lit(0.0), (a, x) => a + x))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(col("vec_id"), round(dot / (na * nb), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- Q27
+  def q27TextAnalysis(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        round(avg(col("n_chars").cast(DoubleType)), 2).as("avg_chars"),
+        round(avg(size(split(col("text"), " ")).cast(DoubleType)), 2).as("avg_tokens"))
+      .orderBy("lang")
+}
