@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,16 @@ object SparkEntry {
     "q24_weighted_mean_udaf" -> (CoreQueries.q24WeightedMeanUdaf _),
     "q25_dedup_exact" -> (CoreQueries.q25DedupExact _),
     "q26_cosine_topk" -> (CoreQueries.q26CosineTopK _),
-    "q27_text_analysis" -> (CoreQueries.q27TextAnalysis _)
+    "q27_text_analysis" -> (CoreQueries.q27TextAnalysis _),
+    "q28_token_stats" -> (PipelineQueries.q28TokenStats _),
+    "q29_lang_id" -> (PipelineQueries.q29LangId _),
+    "q30_quality" -> (PipelineQueries.q30Quality _),
+    "q31_fingerprint" -> (PipelineQueries.q31Fingerprint _),
+    "q32_jaccard_pairs" -> (PipelineQueries.q32JaccardPairs _),
+    "q33_minhash_lsh" -> (PipelineQueries.q33MinHashLsh _),
+    "q34_simhash_pairs" -> (PipelineQueries.q34SimHashPairs _),
+    "q35_embedding_neardup" -> (PipelineQueries.q35EmbeddingNearDup _),
+    "q36_ann_lsh" -> (PipelineQueries.q36AnnLsh _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -182,5 +191,5 @@ object SparkEntry {
       """SELECT lang, ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
         |  ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
-  )
+  ) ++ PipelineQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Two tiers:
+  *  - `cosineTopK`: brute-force exact scan — the correctness baseline.
+  *    One pass, codegen'd higher-order functions, broadcast probe; at
+  *    100 TB this is a full scan (fine for one-off probes, wrong for
+  *    high-QPS serving).
+  *  - `lshTopK`: random-hyperplane LSH. Vectors are bucketed by a b-bit
+  *    sign signature; a probe searches only its own bucket plus all
+  *    Hamming<=1 neighbor buckets (multiprobe). The bucket join is a hash
+  *    join on a short int key — candidate count ~ N * (b+1) / 2^b, which
+  *    at b=8 touches ~3.5% of the data, and the signature computation is
+  *    a shuffle-free projection. Recall is probabilistic; the ScalaTest
+  *    suite measures it against `cosineTopK` (IVF with learned centroids
+  *    is the next step up and shares this bucket-join shape).
+  *
+  * (No similarity surface exists in the reference; north-star addition
+  * per BASELINE.json.)
+  */
+object Similarity {
+
+  private def asDouble(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+
+  /** Exact cosine top-k against the probe vector `probeId` (excluded from
+    * results). TakeOrderedAndProject keeps the top-k per partition — no
+    * global sort materialization. */
+  def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val v = asDouble(emb)
+    val probe = broadcast(v.filter(col("vec_id") === probeId).select(col("e").as("pe")))
+    v.filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        round(dot(col("e"), col("pe")) / (norm(col("e")) * norm(col("pe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Fixed-seed random hyperplanes (unit-free gaussians are fine for sign
+    * tests). Deterministic across runs and executors. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** b-bit sign signature of the embedding under the given hyperplanes —
+    * a pure projection (no shuffle, no UDF). */
+  def signature(e: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(e, typedLit(p.toSeq))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k: candidates share the probe's bucket
+    * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates. */
+  def lshTopK(emb: DataFrame, probeId: Long, k: Int,
+              numPlanes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = asDouble(emb).withColumn("sig", signature(col("e"), planes))
+    val probeRow = v.filter(col("vec_id") === probeId)
+      .select(col("e").as("pe"), col("sig").as("psig"))
+    // multiprobe: the probe's signature and every 1-bit flip of it
+    val probeSigs = broadcast(
+      probeRow.select(col("pe"),
+        explode(array(col("psig") +: (0 until numPlanes)
+          .map(i => col("psig").bitwiseXOR(lit(1L << i))): _*)).as("sig")))
+    v.filter(col("vec_id") =!= probeId)
+      .join(probeSigs, "sig") // broadcast hash join on the bucket key
+      .select(col("vec_id"),
+        round(dot(col("e"), col("pe")) / (norm(col("e")) * norm(col("pe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All of these are pure per-row `Column` expressions over built-in
+  * functions — whole-stage-codegen'd projections with NO shuffle and no
+  * UDF boundary, so they stream through a 100 TB scan at parquet-read
+  * speed. (The reference has no text analytics at all — its closest
+  * analogue is the lazy per-access string typing of
+  * `wal/TableColumn.java:15-57`; these operators are the north-star
+  * additions named in BASELINE.json.)
+  *
+  * Cross-engine determinism: every formula here is mirrored 1:1 in the
+  * DuckDB oracle SQL (graft.SparkEntry.oracleSql) — integer counts,
+  * left-fold accumulation, and fixed-order double arithmetic, so results
+  * hash-match bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Single-space tokenizer, identical to DuckDB `string_split(text, ' ')`. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text)).cast(LongType)
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols — the shape of a byte-pair pre-tokenizer's
+    * initial split. Regex kept in the RE2-compatible subset so the DuckDB
+    * oracle (`regexp_extract_all`) matches exactly. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))).cast(LongType)
+
+  /** Language-characteristic function-word sets for the n-gram/stopword
+    * heuristic. Deterministic and SQL-expressible (list_filter + IN). */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est"),
+    "es" -> Seq("el", "los", "las", "y", "un", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  private def stopHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stops.map(lit): _*))).cast(LongType)
+
+  /** Stopword-count language ID: per-language hit counts over the token
+    * list, argmax with fixed priority order (en,de,fr,es,zh), 'und' when
+    * every score is zero. A scan-time projection — the 100 TB path is one
+    * pass, no state. */
+  def langId(text: Column): Column = {
+    val ws = words(lower(text))
+    val scores = StopWords.map { case (lang, stops) => lang -> stopHits(ws, stops) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val argmax = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), rest) =>
+        val geAll = scores.drop(i + 1).map { case (_, o) => s >= o }
+          .foldLeft(lit(true))(_ && _)
+        when(geAll, lit(lang)).otherwise(rest)
+    }
+    when(anyHit, argmax).otherwise(lit("und"))
+  }
+
+  /** Punctuation ratio: chars outside [a-z0-9 ] over total chars. */
+  def punctRatio(text: Column): Column = {
+    val t = lower(text)
+    (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast(DoubleType) /
+      greatest(length(t).cast(DoubleType), lit(1.0))
+  }
+
+  /** Stopword ratio over whitespace tokens (all languages' stopword sets). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(lower(text))
+    val all = StopWords.flatMap(_._2)
+    stopHits(ws, all).cast(DoubleType) / greatest(size(ws), lit(1)).cast(DoubleType)
+  }
+
+  /** Mean token length via left-fold over word lengths (mirrors DuckDB
+    * list_reduce with a prepended 0 accumulator). */
+  def meanWordLen(text: Column): Column = {
+    val ws = words(lower(text))
+    aggregate(ws, lit(0L), (a, w) => a + length(w)).cast(DoubleType) /
+      greatest(size(ws), lit(1)).cast(DoubleType)
+  }
+
+  /** Composite quality score in [0,1]: favors stopword presence (real
+    * prose), moderate word length, low symbol noise. Rounded at 4 so the
+    * per-doc value is exact and aggregation over DECIMAL(10,4) casts stays
+    * order-independent. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * stopwordRatio(text) +
+        lit(0.3) * least(meanWordLen(text) / 10.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatio(text)),
+      4)
+
+  /** Content-defined bag fingerprint: md5 over the sorted distinct token
+    * set — identical normalized content ⇒ identical fingerprint, robust to
+    * token order/duplication. md5 is bytewise-identical across engines. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(lower(text)))), " "))
+
+  /** Polynomial rolling hash over characters: fold acc = (acc*31 + ascii)
+    * mod 1e9+7. Runs over ASCII-sanitized lowercased text (Spark's ascii()
+    * is first-byte-based on multibyte chars while DuckDB's is
+    * codepoint-based — sanitizing keeps the two engines bit-identical).
+    * Exact integer arithmetic, left fold — mirrored in DuckDB via
+    * list_reduce over a 0-prepended ascii list. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Convenience: full per-document annotation (one codegen'd projection). */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", wsTokenCount(t))
+      .withColumn("bpe_tokens", bpeTokenCount(t))
+      .withColumn("pred_lang", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp", bagFingerprint(t))
+      .withColumn("rhash", rollingHash(t))
+  }
+
+  /** Exact 4-decimal view for order-independent averaging of scores. */
+  def dec4(c: Column): Column = c.cast(DecimalType(14, 4))
+}

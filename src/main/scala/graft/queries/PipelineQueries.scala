@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline query surface (dedup / similarity / text
+  * analysis) over the `documents` and `embeddings` tables — the
+  * north-star operators from BASELINE.json, declared as oracle-checked
+  * queries q28+. See the operator modules for the scale rationale.
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ------------------------------------------------------- token counting
+  /** Whitespace + BPE-ish token counts per language. Pure projection +
+    * one partial-aggregated groupBy. */
+  def q28TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), TA.wsTokenCount(col("text")).as("ws"), TA.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(
+        round(sum(col("ws")).cast(DoubleType) / count(lit(1)), 2).as("avg_ws"),
+        round(sum(col("bpe")).cast(DoubleType) / count(lit(1)), 2).as("avg_bpe"))
+      .orderBy("lang")
+
+  // ------------------------------------------------------- language ID
+  /** Confusion counts of the stopword-heuristic language ID vs the labeled
+    * lang column. */
+  def q29LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), TA.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  // ------------------------------------------------------- quality score
+  /** Mean quality score per source; per-doc scores are exact at 4 decimals
+    * so the DECIMAL-cast sum is order-independent. */
+  def q30Quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), TA.qualityScore(col("text")).cast(DecimalType(14, 4)).as("q"))
+      .groupBy("source")
+      .agg(round(sum(col("q")).cast(DoubleType) / count(lit(1)), 4).as("avg_q"))
+      .orderBy("source")
+
+  // ------------------------------------------------------- fingerprinting
+  /** Distinct bag-fingerprints and rolling-hash checksum per language —
+    * exercises both fingerprint functions end-to-end. */
+  def q31Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), TA.bagFingerprint(col("text")).as("fp"), TA.rollingHash(col("text")).as("rh"))
+      .groupBy("lang")
+      .agg(countDistinct(col("fp")).as("n_fp"), sum(col("rh")).as("rh_sum"))
+      .orderBy("lang")
+
+  // ------------------------------------------------------- dedup family
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index candidates). */
+  def q32JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents"), threshold = 0.5)
+
+  /** MinHash+LSH near-dup pairs — same oracle as q32 (candidates are
+    * exact-verified; LSH miss probability at the threshold ~1e-8). */
+  def q33MinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(t(spark, dir, "documents"), threshold = 0.5)
+
+  /** SimHash near-dup pairs (Hamming<=3). No SQL oracle (xxhash64 has no
+    * DuckDB equivalent) — rows-only check + ScalaTest cross-validation
+    * against the Jaccard pairs. */
+  def q34SimHashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 3)
+
+  /** Embedding-cosine near-dup pairs (exact, oracle-matched). */
+  def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
+
+  // ------------------------------------------------------- similarity
+  /** LSH-bucketed ANN top-10 for probe vec_id=0. Approximate — rows-only
+    * check; ScalaTest measures recall vs the exact q26 scan. */
+  def q36AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10)
+
+  // --------------------------------------------------------- oracle SQL
+  /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
+    * expressions above (left folds via list_reduce with prepended zero,
+    * global regexp_replace 'g', integer counts, round-then-filter). */
+  val oracles: Map[String, String] = {
+    val stopIn = TA.StopWords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+    }.toMap
+    val allStops = TA.StopWords.flatMap(_._2).map(w => s"'$w'").mkString("(", ",", ")")
+    val jaccardSql =
+      """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
+        |p AS (SELECT da, db,
+        |        ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) AS jac
+        |      FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id)
+        |SELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db""".stripMargin
+    Map(
+      "q28_token_stats" ->
+        s"""SELECT lang,
+           |  ROUND(SUM(len(string_split(text, ' ')))::DOUBLE / COUNT(*), 2) AS avg_ws,
+           |  ROUND(SUM(len(regexp_extract_all(lower(text), '${TA.BpeTokenPattern}')))::DOUBLE / COUNT(*), 2) AS avg_bpe
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "q29_lang_id" ->
+        s"""WITH s AS (SELECT lang,
+           |  len(list_filter(string_split(lower(text),' '), x -> x IN ${stopIn("en")})) AS s_en,
+           |  len(list_filter(string_split(lower(text),' '), x -> x IN ${stopIn("de")})) AS s_de,
+           |  len(list_filter(string_split(lower(text),' '), x -> x IN ${stopIn("fr")})) AS s_fr,
+           |  len(list_filter(string_split(lower(text),' '), x -> x IN ${stopIn("es")})) AS s_es,
+           |  len(list_filter(string_split(lower(text),' '), x -> x IN ${stopIn("zh")})) AS s_zh
+           |  FROM documents)
+           |SELECT lang,
+           |  CASE WHEN s_en + s_de + s_fr + s_es + s_zh = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+           |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+           |       WHEN s_es >= s_zh THEN 'es'
+           |       ELSE 'zh' END AS pred_lang,
+           |  COUNT(*) AS n
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q30_quality" ->
+        s"""WITH d AS (SELECT source, lower(text) AS t, string_split(lower(text),' ') AS w FROM documents),
+           |q AS (SELECT source, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM d)
+           |SELECT source, ROUND(SUM(q)::DOUBLE / COUNT(*), 4) AS avg_q
+           |FROM q GROUP BY source ORDER BY source""".stripMargin,
+      "q31_fingerprint" ->
+        """SELECT lang,
+          |  COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' '))) AS n_fp,
+          |  SUM(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''), x -> ascii(x)::BIGINT)),
+          |      (a, b) -> (a * 31 + b) % 1000000007)) AS rh_sum
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "q32_jaccard_pairs" -> jaccardSql,
+      "q33_minhash_lsh" -> jaccardSql,
+      "q35_embedding_neardup" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+          |  ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])), (x, y) -> x + y)
+          |    / (SQRT(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+          |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
+          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin)
+  }
+}
