@@ -1,0 +1,134 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PgFunctions
+import graft.wal.PgOutput.RelationMeta
+
+/** The generic change envelope — Spark-native counterpart of the
+  * reference's `TableRecord` (`wal/TableRecord.java:7-24`): row-oriented,
+  * name-addressed, everything-is-a-string-until-accessed
+  * (`wal/TableColumn.java:10-13`).
+  *
+  * Encoding of the three cell states (SURVEY.md §1.4, A10):
+  *  - present text value  -> key in `columns`;
+  *  - SQL NULL ('n')      -> name listed in `nulls` (maps with null values
+  *    don't round-trip Dataset encoders cleanly; an explicit name list
+  *    keeps NULL distinguishable from UNCHANGED);
+  *  - UNCHANGED/TOAST ('u') -> absent from both (the reference omits the
+  *    column from the record, `PgWalMessageDecoder.java:206-207`).
+  */
+final case class ChangeRecord(
+    op: String, // "I" | "U" | "D"
+    lsn: Long,
+    txid: Long,
+    schema: String,
+    table: String,
+    columns: Map[String, String],
+    nulls: Seq[String],
+    before: Map[String, String])
+
+object Envelope {
+
+  val schema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("txid", LongType, nullable = false),
+    StructField("schema", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("columns", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("nulls", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
+
+  /** PG type OID → Spark type for the typed-view projection. Mirrors the
+    * reference's accessor surface (`TableColumn.java:15-53`): int4/int8,
+    * varchar/text, bool, numeric→Decimal, the four array accessors
+    * (numeric[] parses to doubles there, so ArrayType(DoubleType) here);
+    * plus timestamp/date/float8, which the reference would leave as
+    * strings (SURVEY.md §1.2 "not supported") but a query layer needs. */
+  def sparkTypeFor(typeOid: Int, typeMod: Int): DataType = typeOid match {
+    case 16 => BooleanType // bool
+    case 21 => ShortType // int2
+    case 23 => IntegerType // int4
+    case 20 => LongType // int8
+    case 700 => FloatType // float4
+    case 701 => DoubleType // float8
+    case 1700 => // numeric(p,s) from typmod = ((p<<16)|s)+4
+      if (typeMod >= 4) {
+        val m = typeMod - 4
+        DecimalType(math.min((m >> 16) & 0xFFFF, 38), m & 0xFFFF)
+      } else DecimalType(38, 18)
+    case 25 | 1043 | 1042 => StringType // text, varchar, bpchar
+    case 1114 | 1184 => TimestampType // timestamp[tz]
+    case 1082 => DateType // date
+    case 1007 => ArrayType(IntegerType) // int4[]
+    case 1016 => ArrayType(LongType) // int8[]
+    case 1231 => ArrayType(DoubleType) // numeric[] (reference: asDoubleArray)
+    case 1009 | 1015 => ArrayType(StringType) // text[], varchar[]
+    case _ => StringType // unknown: pass through as text
+  }
+
+  /** Cell accessor honoring the NULL-vs-UNCHANGED distinction: NULL when
+    * the name is in `nulls` OR absent entirely (UNCHANGED surfaces as
+    * NULL in the typed view; callers can inspect the envelope if they
+    * need TOAST awareness). */
+  private def cell(name: String): Column =
+    when(array_contains(col("nulls"), name), lit(null).cast(StringType))
+      .otherwise(element_at(col("columns"), name))
+
+  /** Typed cast of one cell, with the reference's parse rules:
+    * boolean is `"t"` (case-insensitive) and NULL-as-false
+    * (`TableColumn.java:31-33`); arrays via the PgArrayLiteral-parity
+    * UDFs; scalars via Catalyst casts (strict upgrade over per-access
+    * parsing, SURVEY.md §3.3). */
+  def typedCell(name: String, t: DataType): Column = {
+    val v = cell(name)
+    t match {
+      case BooleanType => coalesce(lower(v) === "t", lit(false))
+      case ArrayType(LongType, _) => PgFunctions.from_pg_long_array(v)
+      case ArrayType(IntegerType, _) => PgFunctions.from_pg_int_array(v)
+      case ArrayType(DoubleType, _) => PgFunctions.from_pg_double_array(v)
+      case ArrayType(StringType, _) => PgFunctions.from_pg_string_array(v)
+      case other => v.cast(other)
+    }
+  }
+
+  /** Typed view of one relation's changes: filter to the table, project
+    * every relation column through its typed cast, keep the envelope
+    * metadata columns. Compiled once by Catalyst and codegen'd — replaces
+    * the reference's per-access parsing. */
+  def typedView(envelope: DataFrame, meta: RelationMeta): DataFrame = {
+    val dataCols = meta.columns.map { c =>
+      typedCell(c.name, sparkTypeFor(c.typeOid, c.typeMod)).as(c.name)
+    }
+    envelope
+      .filter(col("schema") === meta.schema && col("table") === meta.table)
+      .select(col("op") +: col("lsn") +: col("txid") +: dataCols: _*)
+  }
+
+  /** MERGE-style apply-changes: materialize I/U/D into a current-state
+    * table keyed by `keys` (the library op the reference leaves to
+    * consumers, SURVEY.md §4.3). Semantics:
+    *  - per key, only the HIGHEST-lsn change wins (whole-batch dedup makes
+    *    redelivered/overflow-flushed records idempotent — the reference's
+    *    at-least-once duplicate-tolerance, SURVEY.md §7.3.1);
+    *  - final op D deletes, I/U upserts.
+    * One shuffle on the key for the window + a key-join against current:
+    * at scale, `current` should be bucketed/partitioned by the same keys
+    * so the anti-join co-locates. */
+  def applyChanges(current: DataFrame, typedChanges: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("lsn").desc, col("op").desc) // same-lsn tiebreak: D < I < U deterministic
+    val latest = typedChanges
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val dataCols = current.columns.toSeq
+    val upserts = latest.filter(col("op") =!= "D").select(dataCols.map(col): _*)
+    val touchedKeys = latest.select(keys.map(col): _*)
+    current.join(touchedKeys, keys, "left_anti").unionByName(upserts)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.ChangeRecord
+import graft.wal.{FrameFile, PgOutput, PgOutputDecoder}
+
+/** Replay decode shared by the batch and streaming paths: one captured
+  * frame file/stream → ChangeRecords. Mirrors the reference's poll-loop
+  * semantics (`CdcEngine.java:89-138`): txid scoping from BEGIN/COMMIT,
+  * out-of-tx DML delivered standalone (txid = own lsn, the singleton path
+  * `CdcEngine.java:125-127`), dropped frame types skipped. */
+object ReplayDecode {
+
+  /** Decode frames [emitFrom, emitUntil) of a frame sequence. The decoder
+    * always consumes from frame 0 so the relation registry and txid state
+    * are complete regardless of the requested window (RELATION frames can
+    * long precede the DML referencing them). */
+  def decode(frames: Vector[(Long, Array[Byte])],
+             emitFrom: Int, emitUntil: Int): Iterator[ChangeRecord] = {
+    val decoder = new PgOutputDecoder
+    var txid = -1L
+    frames.iterator.take(emitUntil).zipWithIndex.flatMap { case ((lsn, bytes), idx) =>
+      decoder.decode(ByteBuffer.wrap(bytes)) match {
+        case Some(PgOutput.Begin) => txid = lsn; None
+        case Some(PgOutput.Commit) => txid = -1L; None
+        case Some(PgOutput.Change(op, meta, cells, before)) if idx >= emitFrom =>
+          Some(ChangeRecord(
+            op = op.toString,
+            lsn = lsn,
+            txid = if (txid >= 0) txid else lsn,
+            schema = meta.schema,
+            table = meta.table,
+            columns = cells.collect { case (k, Some(v)) => k -> v },
+            nulls = cells.collect { case (k, None) => k }.toVector.sorted,
+            before = before.collect { case (k, Some(v)) => k -> v }))
+        case _ => None
+      }
+    }
+  }
+
+  /** Distributed batch replay: files are the unit of parallelism (each
+    * captured WAL segment decodes independently — executors decode, the
+    * driver only lists files). */
+  def batch(spark: SparkSession, pathGlob: String): Dataset[ChangeRecord] = {
+    implicit val enc = Encoders.product[ChangeRecord]
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("content")
+      .as(Encoders.BINARY)
+      .mapPartitions(_.flatMap { bytes =>
+        val frames = FrameFile.read(bytes)
+        decode(frames, 0, frames.size)
+      })
+  }
+
+  def batchDf(spark: SparkSession, pathGlob: String): DataFrame = batch(spark, pathGlob).toDF()
+}
+
+/** DataSourceV2 streaming source replaying a captured pgoutput frame file
+  * as micro-batches — the Spark-native counterpart of the reference's
+  * poll loop + tx assembly (`CdcEngine.java:84-138`, A4/A11/A12):
+  *
+  *  - offsets are frame positions whose LSN is checkpointed by Spark's
+  *    offset log → restart resumes exactly where the last batch ended
+  *    (the reference's `setFlushedLSN` ack, upgraded to effective
+  *    exactly-once by the checkpoint, SURVEY.md §7.3.1);
+  *  - batch boundaries only land on transaction-safe points (no open tx),
+  *    so a micro-batch always contains whole transactions — the
+  *    reference's tx-atomic delivery (A11); `maxFramesPerTrigger` bounds
+  *    batch size like `maxBatchSize` bounds the reference's batches, but
+  *    snapped to the next safe point rather than mid-tx flushed;
+  *  - `commit(end)` is where a live source would advance the replication
+  *    slot's flushed LSN (A12); for replay it's a no-op.
+  *
+  * Usage: `spark.readStream.format("pgcdc-replay").option("path", f).load()`.
+  */
+class PgCdcReplayProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "pgcdc-replay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgCdcReplayTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new PgCdcReplayTable(properties.asScala.toMap)
+}
+
+object PgCdcReplayTable {
+  val schema: StructType = ExpressionEncoder[ChangeRecord]().schema
+}
+
+class PgCdcReplayTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"pgcdc-replay(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = PgCdcReplayTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PgCdcReplayTable.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PgCdcReplayStream(
+            options.getOrElse("path", sys.error("pgcdc-replay: 'path' option required")),
+            options.get("maxFramesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue))
+      }
+    }
+}
+
+final case class FrameOffset(frame: Int) extends Offset {
+  override def json(): String = s"""{"frame":$frame}"""
+}
+
+class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // Driver-side index: frame boundaries where no transaction is open —
+  // the only legal batch cut points (tx atomicity, A11). Cheap: one pass
+  // over frame headers + first bytes.
+  private lazy val frames: Vector[(Long, Array[Byte])] = FrameFile.readPath(path)
+  private lazy val safePoints: Vector[Int] = {
+    var open = false
+    val pts = Vector.newBuilder[Int]
+    pts += 0
+    frames.zipWithIndex.foreach { case ((_, bytes), i) =>
+      bytes(0).toChar match {
+        case 'B' => open = true
+        case 'C' => open = false
+        case _ => ()
+      }
+      if (!open) pts += (i + 1)
+    }
+    pts.result().distinct
+  }
+
+  override def initialOffset(): Offset = FrameOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    FrameOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFramesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxFramesPerTrigger.toLong)
+
+  /** Admission control: advance from `start` by the rate limit, snapped
+    * back to the furthest tx-safe point; when a single transaction
+    * exceeds the limit, advance to the NEXT safe point so the whole tx
+    * still ships in one batch (the reference instead mid-tx overflow
+    * flushes — `CdcEngine.java:121-124` — trading atomicity for memory;
+    * we keep atomicity and document the divergence). Stateless: restart
+    * recovery needs no driver state beyond the checkpointed offset. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FrameOffset].frame
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows().min(Int.MaxValue.toLong).toInt
+      case _ => Int.MaxValue
+    }
+    val target = math.min(frames.size.toLong, s.toLong + cap).toInt
+    val snapped = safePoints.filter(_ <= target).lastOption.getOrElse(0)
+    FrameOffset(if (snapped > s) snapped else safePoints.find(_ > s).getOrElse(s))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def reportLatestOffset(): Offset = FrameOffset(frames.size)
+
+  /** Replay files are immutable — nothing to snapshot for AvailableNow. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameOffset].frame
+    val e = end.asInstanceOf[FrameOffset].frame
+    Array(ReplayPartition(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[ReplayPartition]
+      new PartitionReader[InternalRow] {
+        private val serializer =
+          ExpressionEncoder[ChangeRecord]().createSerializer()
+        private val it = {
+          val fs = FrameFile.readPath(p.path)
+          ReplayDecode.decode(fs, p.from, p.until)
+        }
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+
+  /** Live-source analogue: advance the slot's flushed/applied LSN
+    * (`CdcEngine.java:132-137`). Replay keeps its progress in Spark's
+    * checkpoint, so nothing to do here. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+final case class ReplayPartition(path: String, from: Int, until: Int) extends InputPartition

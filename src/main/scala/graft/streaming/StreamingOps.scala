@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator surface over event/CDC streams: the
+  * reference's only streaming constructs are tx batching and ack
+  * (`CdcEngine.java:110-137`) — watermarks, windows, dedup, and custom
+  * state are the analytics-grade additions (SURVEY.md §2.B "Streaming").
+  *
+  * All helpers take an un-terminated streaming DataFrame and return one,
+  * so tests drive them with the replay/memory sources and assert sink
+  * contents; watermark columns ride along for late-data handling.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums with a watermark: append-mode safe.
+    * State per (window, key) is bounded by the watermark horizon. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("w"), col(keyCol), col("cnt"), col("sv"))
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 window_ : String = "1 hour", slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col(keyCol), col("cnt"))
+
+  /** Session windows (gap-based) — Catalyst's native session_window. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("s"), col("session_window.end").as("e"),
+        col(keyCol), col("cnt"))
+
+  /** Watermarked streaming dedup — state bounded by the watermark (exact
+    * dedup within the horizon; pair with batch Dedup for the backfill). */
+  def dedupeByKey(events: DataFrame, tsCol: String, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(idCols :+ tsCol)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user counters
+    * (the generalization of the reference's only state — the open-tx
+    * buffer, `CdcEngine.java:110-129`). Production deployments pass
+    * ProcessingTimeTimeout + state.setTimeoutDuration to expire idle
+    * keys; the default NoTimeout keeps test triggers quiescent. */
+  def runningUserTotals(events: Dataset[(Long, Double)],
+                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[UserRunning, UserRunning](timeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          }
+          val next = UserRunning(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** CDC end-to-end: replay envelope stream → tx-atomic batches applied
+    * to an in-memory "current state" via foreachBatch (the consumer
+    * callback surface, `CdcConsumer.java:6-12` → SURVEY §1.4). Returns
+    * the started query; caller stops it. */
+  def applyChangesSink(envelope: DataFrame, checkpoint: String)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(onBatch)
+      .start()
+}

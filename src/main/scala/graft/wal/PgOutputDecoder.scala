@@ -1,0 +1,204 @@
+package graft.wal
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** pgoutput (proto_version=1) binary frame model + decoder — a pure-Scala,
+  * Spark-free port of the reference's decode semantics
+  * (`PgWalMessageDecoder.java:42-266`), byte layouts per FIXTURES.md §2.
+  *
+  * Deliberate deviations from the reference (documented in SURVEY.md §7.3):
+  *  - RELATION column metadata is parsed from the message body itself
+  *    (protocol-correct) instead of a JDBC `DatabaseMetaData` round-trip
+  *    (`PgWalMessageDecoder.java:80-93`) — the sandbox has no live PG, and
+  *    the side lookup is also a per-RELATION latency cliff;
+  *  - UPDATE old/key tuples are decoded and RETAINED as `before` columns
+  *    (the reference skips them, `:162-167`) — a superset, flagged in
+  *    SURVEY §2.A A8.
+  *
+  * Faithful semantics kept: tuple sub-types `'t'` (length-prefixed UTF-8),
+  * `'n'` (SQL NULL), `'u'` (UNCHANGED/TOAST → column OMITTED from the
+  * record, not null — `:206-207`); unknown sub-type throws (`:208-211`);
+  * DML for an unregistered relation throws (`:109-111`); Y/O/T/M frames
+  * decode to None (`:60-61`); unknown type byte throws
+  * (`MessageType.java:30-36`).
+  */
+object PgOutput {
+
+  final case class RelationColumn(name: String, typeOid: Int, typeMod: Int, flags: Int)
+
+  final case class RelationMeta(id: Int, schema: String, table: String,
+                                columns: Vector[RelationColumn])
+
+  /** A decoded cell: Some(text) for 't', None for SQL NULL 'n'. UNCHANGED
+    * columns are absent from the map entirely. */
+  type Cells = Map[String, Option[String]]
+
+  sealed trait Message
+  case object Begin extends Message
+  case object Commit extends Message
+  final case class Relation(meta: RelationMeta) extends Message
+  final case class Change(op: Char, // 'I' | 'U' | 'D'
+                          meta: RelationMeta,
+                          cells: Cells,
+                          before: Cells) extends Message
+
+  val DroppedTypes: Set[Char] = Set('Y', 'O', 'T', 'M')
+  val KnownTypes: Set[Char] = Set('R', 'B', 'C', 'I', 'U', 'D') ++ DroppedTypes
+}
+
+/** Stateful decoder: the relation registry makes it order-dependent
+  * (RELATION precedes first DML — guaranteed by the protocol) exactly like
+  * the reference's `Map<Integer, Table>` (`PgWalMessageDecoder.java:39`).
+  * One instance per replay stream / partition reader; not thread-safe by
+  * design (readers are single-threaded). */
+final class PgOutputDecoder {
+  import PgOutput._
+
+  private val registry = scala.collection.mutable.Map.empty[Int, RelationMeta]
+
+  def relations: Map[Int, RelationMeta] = registry.toMap
+
+  /** Decode one frame. None for recognized-but-dropped types (Y/O/T/M). */
+  def decode(buf: ByteBuffer): Option[Message] = {
+    val tpe = buf.get().toChar
+    tpe match {
+      case 'B' => Some(Begin)
+      case 'C' => Some(Commit)
+      case 'R' => Some(Relation(readRelation(buf)))
+      case 'I' =>
+        val meta = relationFor(buf.getInt())
+        expect(buf, 'N')
+        Some(Change('I', meta, readTuple(buf, meta), Map.empty))
+      case 'U' =>
+        val meta = relationFor(buf.getInt())
+        val t = buf.get().toChar
+        val (before, newMarkerNeeded) = t match {
+          case 'O' | 'K' => (readTuple(buf, meta), true)
+          case 'N' => (Map.empty: Cells, false)
+          case c => throw new IllegalArgumentException(s"unexpected UPDATE tuple type '$c'")
+        }
+        if (newMarkerNeeded) expect(buf, 'N')
+        Some(Change('U', meta, readTuple(buf, meta), before))
+      case 'D' =>
+        val meta = relationFor(buf.getInt())
+        val t = buf.get().toChar
+        if (t != 'O' && t != 'K')
+          throw new IllegalArgumentException(s"unexpected DELETE tuple type '$t'")
+        Some(Change('D', meta, readTuple(buf, meta), Map.empty))
+      case c if PgOutput.DroppedTypes(c) => None
+      case c => throw new IllegalArgumentException(s"unknown pgoutput message type '$c'")
+    }
+  }
+
+  private def relationFor(id: Int): RelationMeta =
+    registry.getOrElse(id,
+      throw new IllegalStateException(s"DML for unregistered relation $id"))
+
+  private def expect(buf: ByteBuffer, c: Char): Unit = {
+    val got = buf.get().toChar
+    if (got != c) throw new IllegalArgumentException(s"expected '$c' marker, got '$got'")
+  }
+
+  private def readRelation(buf: ByteBuffer): RelationMeta = {
+    val id = buf.getInt()
+    val schema = readCString(buf)
+    val table = readCString(buf)
+    buf.get() // replica identity byte — skipped (PgWalMessageDecoder.java:72)
+    val nCols = buf.getShort().toInt
+    val cols = Vector.fill(nCols) {
+      val flags = buf.get().toInt
+      val name = readCString(buf)
+      val typeOid = buf.getInt()
+      val typeMod = buf.getInt()
+      RelationColumn(name, typeOid, typeMod, flags)
+    }
+    val meta = RelationMeta(id, schema, table, cols)
+    registry.update(id, meta)
+    meta
+  }
+
+  /** TupleData: int16 nColumns, then per column 't'/'n'/'u'. Positional
+    * match against the relation's column order. */
+  private def readTuple(buf: ByteBuffer, meta: PgOutput.RelationMeta): Cells = {
+    val n = buf.getShort().toInt
+    val out = Map.newBuilder[String, Option[String]]
+    var i = 0
+    while (i < n) {
+      val name = meta.columns(i).name
+      buf.get().toChar match {
+        case 't' =>
+          val len = buf.getInt()
+          val bytes = new Array[Byte](len)
+          buf.get(bytes)
+          out += name -> Some(new String(bytes, StandardCharsets.UTF_8))
+        case 'n' => out += name -> None
+        case 'u' => () // UNCHANGED (TOAST): omitted, not null
+        case c => throw new IllegalArgumentException(s"unknown tuple sub-type '$c'")
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def readCString(buf: ByteBuffer): String = {
+    val b = new scala.collection.mutable.ArrayBuffer[Byte]
+    var c = buf.get()
+    while (c != 0) { b += c; c = buf.get() }
+    new String(b.toArray, StandardCharsets.UTF_8)
+  }
+}
+
+/** Frame builder for fixtures, demos, and the file-replay source format.
+  * Layouts mirror what the decoder consumes (FIXTURES.md §2). */
+object PgOutputEncoder {
+  import PgOutput._
+
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+
+  def begin(): Array[Byte] = Array('B'.toByte)
+  def commit(): Array[Byte] = Array('C'.toByte)
+
+  def relation(meta: RelationMeta, replicaIdentity: Byte = 'd'.toByte): Array[Byte] = {
+    val cols = meta.columns.flatMap { c =>
+      Array(c.flags.toByte) ++ cstr(c.name) ++ int32(c.typeOid) ++ int32(c.typeMod)
+    }
+    Array('R'.toByte) ++ int32(meta.id) ++ cstr(meta.schema) ++ cstr(meta.table) ++
+      Array(replicaIdentity) ++ int16(meta.columns.size) ++ cols
+  }
+
+  /** values: one entry per relation column, in order.
+    * Some(text)=‘t’, None=‘n’, omit via `unchanged` indices=‘u’. */
+  def tuple(values: Seq[Option[String]], unchanged: Set[Int] = Set.empty): Array[Byte] =
+    int16(values.size) ++ values.zipWithIndex.flatMap { case (v, i) =>
+      if (unchanged(i)) Array('u'.toByte)
+      else v match {
+        case Some(s) =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          Array('t'.toByte) ++ int32(b.length) ++ b
+        case None => Array('n'.toByte)
+      }
+    }
+
+  def insert(relId: Int, values: Seq[Option[String]], unchanged: Set[Int] = Set.empty): Array[Byte] =
+    Array('I'.toByte) ++ int32(relId) ++ Array('N'.toByte) ++ tuple(values, unchanged)
+
+  def update(relId: Int, values: Seq[Option[String]],
+             old: Option[(Char, Seq[Option[String]])] = None,
+             unchanged: Set[Int] = Set.empty): Array[Byte] = {
+    val oldPart = old match {
+      case Some((t, ov)) => Array(t.toByte) ++ tuple(ov)
+      case None => Array.emptyByteArray
+    }
+    Array('U'.toByte) ++ int32(relId) ++ oldPart ++ Array('N'.toByte) ++ tuple(values, unchanged)
+  }
+
+  def delete(relId: Int, keyValues: Seq[Option[String]], tupleType: Char = 'K'): Array[Byte] =
+    Array('D'.toByte) ++ int32(relId) ++ Array(tupleType.toByte) ++ tuple(keyValues)
+
+  private def int32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v).array()
+  private def int16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).putShort(v.toShort).array()
+}

@@ -1,0 +1,142 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.ReplayDecode
+import graft.wal.{FrameFile, PgOutput, PgOutputEncoder}
+
+/** End-to-end CDC slice (SURVEY.md §7.2): encoded pgoutput frames →
+  * frame file → batch/streaming replay → envelope → typed view →
+  * apply-changes materialization. */
+class CdcReplaySpec extends SparkSpec {
+
+  import PgOutput._
+
+  private val rel = RelationMeta(1, "public", "accounts", Vector(
+    RelationColumn("id", 20, -1, 0), // int8
+    RelationColumn("name", 1043, -1, 0), // varchar
+    RelationColumn("active", 16, -1, 0), // bool
+    RelationColumn("balance", 1700, ((12 << 16) | 2) + 4, 0), // numeric(12,2)
+    RelationColumn("tags", 1009, -1, 0))) // text[]
+
+  /** tx1: insert 2 rows; tx2: update row 1 (with old tuple), delete row 2;
+    * plus one out-of-tx singleton insert (reference's CdcEngine.java:125-127). */
+  private def writeFixture(): String = {
+    val e = PgOutputEncoder
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(rel),
+      e.begin(),
+      e.insert(1, Seq(Some("1"), Some("alice"), Some("t"), Some("10.50"), Some("{a,b}"))),
+      e.insert(1, Seq(Some("2"), Some("bob"), Some("f"), None, Some("{}"))),
+      e.commit(),
+      e.begin(),
+      e.update(1, Seq(Some("1"), Some("alice2"), Some("t"), Some("99.99"), Some("{c}")),
+        old = Some(('O', Seq(Some("1"), Some("alice"), Some("t"), Some("10.50"), Some("{a,b}"))))),
+      e.delete(1, Seq(Some("2"), None, None, None, None)),
+      e.commit(),
+      e.insert(1, Seq(Some("3"), Some("carol"), Some("f"), Some("0.01"), Some("{x,\"y z\"}"))))
+    val path = Files.createTempDirectory("cdc").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (100L + i, f) })
+    path
+  }
+
+  test("batch replay produces the envelope with tx scoping") {
+    val path = writeFixture()
+    val env = ReplayDecode.batchDf(spark, path)
+    val rows = env.orderBy("lsn").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[String]("op")).toSeq === Seq("I", "I", "U", "D", "I"))
+    // tx1 = lsn of first BEGIN (101), tx2 = 105, singleton txid = own lsn (109)
+    assert(rows.map(_.getAs[Long]("txid")).toSeq === Seq(101L, 101L, 105L, 105L, 109L))
+    // NULL vs present: bob's balance is NULL
+    val bob = rows(1)
+    assert(bob.getAs[Seq[String]]("nulls") === Seq("balance"))
+    // UPDATE before-image retained
+    val upd = rows(2)
+    assert(upd.getAs[Map[String, String]]("before")("name") === "alice")
+  }
+
+  test("typed view casts per relation metadata (bool 't', numeric, arrays)") {
+    val path = writeFixture()
+    val env = ReplayDecode.batchDf(spark, path)
+    val typed = Envelope.typedView(env, rel).orderBy("lsn")
+    val rows = typed.collect()
+    assert(typed.schema("id").dataType.typeName === "long")
+    assert(typed.schema("balance").dataType.typeName === "decimal(12,2)")
+    val alice = rows(0)
+    assert(alice.getAs[Long]("id") === 1L)
+    assert(alice.getAs[Boolean]("active") === true)
+    assert(alice.getAs[java.math.BigDecimal]("balance").toPlainString === "10.50")
+    assert(alice.getAs[Seq[String]]("tags") === Seq("a", "b"))
+    val bob = rows(1)
+    assert(bob.getAs[Boolean]("active") === false)
+    assert(bob.getAs[java.math.BigDecimal]("balance") === null)
+    assert(bob.getAs[Seq[String]]("tags") === Seq.empty)
+    val carol = rows(4)
+    assert(carol.getAs[Seq[String]]("tags") === Seq("x", "y z"))
+  }
+
+  test("apply-changes materializes I/U/D into current state (idempotent merge)") {
+    val path = writeFixture()
+    val env = ReplayDecode.batchDf(spark, path)
+    val typed = Envelope.typedView(env, rel)
+    import spark.implicits._
+    val current = Seq.empty[(Long, String, Boolean)].toDF("id", "name", "active")
+      .withColumn("balance", lit(null).cast("decimal(12,2)"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .select("id", "name", "active", "balance", "tags")
+    val state = Envelope.applyChanges(current, typed, Seq("id"))
+      .orderBy("id").collect()
+    // row 1 upserted to alice2, row 2 deleted, row 3 inserted
+    assert(state.map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L))
+    assert(state(0).getAs[String]("name") === "alice2")
+    assert(state(1).getAs[String]("name") === "carol")
+    // re-applying the same changes is a no-op (at-least-once tolerance)
+    val again = Envelope.applyChanges(
+      spark.createDataFrame(spark.sparkContext.parallelize(state.toSeq), current.schema),
+      typed, Seq("id")).orderBy("id").collect()
+    assert(again.map(_.getAs[String]("name")).toSeq === Seq("alice2", "carol"))
+  }
+
+  test("streaming replay: tx-atomic micro-batches + restart from checkpoint") {
+    val path = writeFixture()
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, rows)
+    val txidsPerBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+
+    def run(): Unit = {
+      val q = spark.readStream.format("pgcdc-replay")
+        .option("path", path)
+        .option("maxFramesPerTrigger", 3) // forces multiple batches
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty) {
+            batches += ((id, rows.length.toLong))
+            txidsPerBatch += rows.map(_.getAs[Long]("txid")).toSet
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    run()
+    val totalRows = batches.map(_._2).sum
+    assert(totalRows === 5, s"got batches $batches")
+    assert(batches.length >= 2, "maxFramesPerTrigger=3 should split into multiple batches")
+    // tx atomicity: no txid may appear in two different micro-batches
+    val all = txidsPerBatch.flatten
+    assert(all.size === all.toSet.size, s"tx straddled batches: $txidsPerBatch")
+    // restart: nothing new to process
+    run()
+    assert(batches.map(_._2).sum === 5, "restart must not re-deliver committed offsets")
+  }
+}

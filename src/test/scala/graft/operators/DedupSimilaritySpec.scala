@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Cross-validation of the approximate dedup/similarity operators against
+  * their exact counterparts (the DuckDB oracle covers the exact ones;
+  * these assert the approximation contracts). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDirDocs, "documents")
+
+  test("minhash-LSH pairs equal exact jaccard pairs at the 0.5 threshold") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs are true near-dups (precision against jaccard >= 0.3)") {
+    val simPairs = Dedup.simHashPairs(docs, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs.nonEmpty)
+    val loose = Dedup.jaccardPairs(docs, 0.3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bad = simPairs -- loose
+    assert(bad.isEmpty, s"simhash produced non-near-dup pairs: $bad")
+  }
+
+  test("frequency-capped jaccard candidates still find the planted dups") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).collect().length
+    val capped = Dedup.jaccardPairs(docs, 0.5, maxShingleDocFreq = Some(50)).collect().length
+    assert(capped === exact) // planted dups share rare shingles, cap only drops boilerplate
+  }
+
+  test("LSH ANN achieves high recall on planted near neighbors") {
+    import spark.implicits._
+    // 200 random unit-ish vectors + 10 planted neighbors of vector 0
+    val dim = 16
+    val rnd = new scala.util.Random(1)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val rows =
+      (0 until 200).map { i =>
+        val e = if (i == 0) base
+        else if (i <= 10) base.map(x => x + 0.1f * rnd.nextGaussian().toFloat) // cos ~ 0.98
+        else vec()
+        (i.toLong, e)
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val exactTop = Similarity.cosineTopK(df, 0L, 10).collect().map(_.getLong(0)).toSet
+    val annTop = Similarity.lshTopK(df, 0L, 10, numPlanes = 8, dim = dim).collect().map(_.getLong(0)).toSet
+    val recall = (annTop & exactTop).size.toDouble / 10
+    assert(exactTop === (1L to 10L).toSet, "planted neighbors should be the exact top-10")
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2)
+    val a = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = Seq((0L, a), (1L, a.map(_ * 1.001f)), (2L, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val out = Dedup.embeddingNearDupPairs(rows.toDF("vec_id", "embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Smoke + spot checks of the core query surface at sf0.001 (the DuckDB
+  * oracle at sf0.01 is the authoritative gate — tools/check.py; this
+  * suite guards compile-to-result sanity in `sbt test`). */
+class CoreQueriesSpec extends SparkSpec {
+
+  test("every registered query executes and returns rows") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("every query with an oracle has matching column names (driver hashes by sorted name)") {
+    SparkEntry.oracleSql.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"oracle without query: $name")
+    }
+  }
+
+  test("q02 aggregates match hand-computed values") {
+    val rows = CoreQueries.q02HashAgg(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total === 6000L) // lineitem rows at sf0.001 (FIXTURES.md §3)
+  }
+
+  test("q12 approx distinct within 5% of exact") {
+    val exact = CoreQueries.q12DistinctCardinality(spark, sfDir)
+      .collect()(0).getAs[Long]("du").toDouble
+    val approx = CoreQueries.q12ApproxDistinct(spark, sfDir)
+      .collect()(0).getAs[Long]("du_approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("q16 top-k is ordered and bounded") {
+    val ps = CoreQueries.q16TopK(spark, sfDir).collect().map(_.getAs[Double]("p"))
+    assert(ps.length === 25)
+    assert(ps.sameElements(ps.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q13 rollup contains the grand total") {
+    val rows = CoreQueries.q13Rollup(spark, sfDir).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("cnt") === 1500L) // orders at sf0.001
+  }
+}

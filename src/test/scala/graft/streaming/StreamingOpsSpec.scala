@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+/** Streaming operator tests over MemoryStream (event-time semantics:
+  * watermarks, windows, dedup, custom state). */
+class StreamingOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("tumbling window agg with watermark (append mode after watermark passes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.tumblingAgg(events, "ts", "event_type",
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    in.addData((ts(1), "click", 1.0), (ts(5), "click", 2.0), (ts(11), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first two windows
+    in.addData((ts(59), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling").collect()
+    val clickW0 = rows.find(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Timestamp]("w") == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(clickW0.isDefined, s"rows: ${rows.mkString(",")}")
+    assert(clickW0.get.getAs[Long]("cnt") === 2L)
+    assert(clickW0.get.getAs[Double]("sv") === 3.0)
+  }
+
+  test("streaming dedupe drops exact duplicate events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "event_id", "value")
+    val out = StreamingOps.dedupeByKey(events, "ts", Seq("event_id"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    in.addData((ts(1), 1L, 1.0), (ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(1), 1L, 1.0))
+    runToCompletion(q)
+    assert(spark.table("dedup").count() === 2)
+  }
+
+  test("session window groups events by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "user", "value")
+    val out = StreamingOps.sessionAgg(events, "ts", "user", gap = "5 minutes",
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // two sessions for u1: (10:01,10:03) and (10:20); close them with a late tick
+    in.addData((ts(1), "u1", 1.0), (ts(3), "u1", 1.0), (ts(20), "u1", 1.0))
+    q.processAllAvailable()
+    in.addData((ts(59), "u2", 1.0))
+    runToCompletion(q)
+    val u1 = spark.table("sessions").filter(col("user") === "u1").collect()
+    assert(u1.length === 2, s"got: ${u1.mkString(",")}")
+    assert(u1.map(_.getAs[Long]("cnt")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamingOps.runningUserTotals(in.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    in.addData((1L, 4.0))
+    runToCompletion(q)
+    val last = spark.table("running").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .maxBy(_.getAs[Long]("n_events"))
+    assert(last.getAs[Long]("n_events") === 3L)
+    assert(last.getAs[Double]("total_value") === 7.0)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.wal
+
+import java.nio.ByteBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import PgOutput._
+
+/** Decoder unit tests against hand-built pgoutput frames (layouts per
+  * FIXTURES.md §2): every message type, tuple sub-types t/n/u, UPDATE
+  * O/K old tuples, DELETE key tuple, and the error paths. */
+class PgOutputDecoderSpec extends AnyFunSuite {
+
+  private val rel = RelationMeta(42, "public", "test", Vector(
+    RelationColumn("id", 20, -1, 0),
+    RelationColumn("name", 1043, -1, 0),
+    RelationColumn("tags", 1009, -1, 0)))
+
+  private def dec(d: PgOutputDecoder, bytes: Array[Byte]): Option[Message] =
+    d.decode(ByteBuffer.wrap(bytes))
+
+  test("RELATION registers schema from the message body") {
+    val d = new PgOutputDecoder
+    val msg = dec(d, PgOutputEncoder.relation(rel))
+    assert(msg === Some(Relation(rel)))
+    assert(d.relations(42).columns.map(_.name) === Seq("id", "name", "tags"))
+  }
+
+  test("BEGIN/COMMIT decode to tx markers") {
+    val d = new PgOutputDecoder
+    assert(dec(d, PgOutputEncoder.begin()) === Some(Begin))
+    assert(dec(d, PgOutputEncoder.commit()) === Some(Commit))
+  }
+
+  test("INSERT decodes positional tuple with t/n sub-types") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    val msg = dec(d, PgOutputEncoder.insert(42, Seq(Some("7"), None, Some("{a,b}"))))
+    val Some(Change('I', m, cells, before)) = msg
+    assert(m.table === "test")
+    assert(cells === Map("id" -> Some("7"), "name" -> None, "tags" -> Some("{a,b}")))
+    assert(before.isEmpty)
+  }
+
+  test("UNCHANGED ('u') columns are omitted, not null") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    val msg = dec(d, PgOutputEncoder.insert(42, Seq(Some("7"), Some("x"), Some("ignored")),
+      unchanged = Set(2)))
+    val Some(Change(_, _, cells, _)) = msg
+    assert(cells === Map("id" -> Some("7"), "name" -> Some("x")))
+    assert(!cells.contains("tags")) // absent, distinguishable from NULL
+  }
+
+  test("UPDATE with 'O' old tuple retains before-image") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    val msg = dec(d, PgOutputEncoder.update(42, Seq(Some("7"), Some("new"), None),
+      old = Some(('O', Seq(Some("7"), Some("old"), None)))))
+    val Some(Change('U', _, cells, before)) = msg
+    assert(cells("name") === Some("new"))
+    assert(before === Map("id" -> Some("7"), "name" -> Some("old"), "tags" -> None))
+  }
+
+  test("UPDATE with 'K' key tuple and with no old tuple") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    val k = dec(d, PgOutputEncoder.update(42, Seq(Some("8"), Some("v"), None),
+      old = Some(('K', Seq(Some("8"), None, None)))))
+    val Some(Change('U', _, _, beforeK)) = k
+    // K tuples carry NULL ('n') for non-key columns on the wire
+    assert(beforeK === Map("id" -> Some("8"), "name" -> None, "tags" -> None))
+    val n = dec(d, PgOutputEncoder.update(42, Seq(Some("9"), Some("w"), None)))
+    val Some(Change('U', _, cellsN, beforeN)) = n
+    assert(cellsN("id") === Some("9") && beforeN.isEmpty)
+  }
+
+  test("DELETE decodes the key tuple") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    val msg = dec(d, PgOutputEncoder.delete(42, Seq(Some("7"), None, None)))
+    val Some(Change('D', _, cells, _)) = msg
+    assert(cells === Map("id" -> Some("7"), "name" -> None, "tags" -> None))
+  }
+
+  test("DML before RELATION throws") {
+    val d = new PgOutputDecoder
+    intercept[IllegalStateException](dec(d, PgOutputEncoder.insert(42, Seq(Some("1")))))
+  }
+
+  test("Y/O/T/M frames are recognized and dropped") {
+    val d = new PgOutputDecoder
+    for (c <- Seq('Y', 'O', 'T', 'M'))
+      assert(dec(d, Array(c.toByte)) === None)
+  }
+
+  test("unknown top-level type byte throws") {
+    val d = new PgOutputDecoder
+    intercept[IllegalArgumentException](dec(d, Array('Z'.toByte)))
+  }
+
+  test("unknown tuple sub-type throws") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.relation(rel))
+    // hand-craft: INSERT with bad sub-type byte 'x'
+    val bad = Array('I'.toByte) ++
+      ByteBuffer.allocate(4).putInt(42).array() ++ Array('N'.toByte) ++
+      ByteBuffer.allocate(2).putShort(1).array() ++ Array('x'.toByte)
+    intercept[IllegalArgumentException](dec(d, bad))
+  }
+}
