@@ -1,50 +1,40 @@
 package graft
 
-import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
 
+/** Explain audit: dump formatted plans of representative queries and grep
+  * for the plan features the scale posture demands. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("scratch").master("local[4]").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    // library-consumer walkthrough: encode frames -> replay -> typed view -> apply
-    import graft.wal.{FrameFile, PgOutput, PgOutputEncoder => E}
-    val rel = PgOutput.RelationMeta(9, "public", "t", Vector(
-      PgOutput.RelationColumn("id", 20, -1, 0),
-      PgOutput.RelationColumn("v", 1700, ((10 << 16) | 2) + 4, 0)))
-    val frames = Seq(
-      E.relation(rel), E.begin(),
-      E.insert(9, Seq(Some("1"), Some("3.50"))),
-      E.insert(9, Seq(Some("2"), None)),
-      E.commit(), E.begin(),
-      E.update(9, Seq(Some("1"), Some("7.25"))),
-      E.delete(9, Seq(Some("2"), None)),
-      E.commit())
-    val dir = Files.createTempDirectory("scratch")
-    val path = dir.resolve("w.frames").toString
-    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (i.toLong, f) })
-
-    val env = graft.sources.ReplayDecode.batchDf(spark, path)
-    println("--- envelope:"); env.show(10, truncate = false)
-    val typed = graft.cdc.Envelope.typedView(env, rel)
-    println("--- typed:"); typed.show(10)
-    import spark.implicits._
-    val current = Seq((5L, new java.math.BigDecimal("1.00"))).toDF("id", "v")
-      .select($"id", $"v".cast("decimal(10,2)").as("v"))
-    val state = graft.cdc.Envelope.applyChanges(current, typed, Seq("id"))
-    println("--- applied state:"); state.orderBy("id").show()
-
-    // streaming through the registered short name
-    val ckpt = dir.resolve("ckpt").toString
-    val q = spark.readStream.format("pgcdc-replay")
-      .option("path", path).option("maxFramesPerTrigger", 4).load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-        println(s"--- stream batch $id: ${df.count()} rows"); ()
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String, df: org.apache.spark.sql.DataFrame, expect: Seq[String]): Unit = {
+      val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== $name")
+      expect.foreach { e =>
+        println(s"  ${if (plan.contains(e)) "OK  " else "MISS"} $e")
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(60000)
+      if (args.contains("-v")) println(plan)
+    }
+    audit("q01 pushdown", queries.CoreQueries.q01FilterProject(spark, dir),
+      Seq("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), EqualTo(l_returnflag,R), GreaterThan(l_quantity,45.0)]",
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"))
+    audit("q03 ts pushdown + partial agg", queries.CoreQueries.q03PricingSummary(spark, dir),
+      Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,", "HashAggregate", "WholeStageCodegen"))
+    audit("q05 broadcast dims", queries.CoreQueries.q05JoinAgg(spark, dir),
+      Seq("BroadcastHashJoin", "BroadcastExchange"))
+    audit("q16 top-k", queries.CoreQueries.q16TopK(spark, dir),
+      Seq("TakeOrderedAndProject"))
+    audit("q08 anti join", queries.CoreQueries.q08AntiJoin(spark, dir),
+      Seq("LeftAnti"))
+    audit("q09 theta residual stays hash join", queries.CoreQueries.q09ThetaResidual(spark, dir),
+      Seq("Join condition: (l_quantity", "HashJoin"))
+    audit("q25 dedup partial agg", queries.CoreQueries.q25DedupExact(spark, dir),
+      Seq("HashAggregate", "WholeStageCodegen"))
     spark.stop()
   }
 }
