@@ -54,7 +54,10 @@ object SparkEntry {
     "q33_minhash_lsh" -> (PipelineQueries.q33MinHashLsh _),
     "q34_simhash_pairs" -> (PipelineQueries.q34SimHashPairs _),
     "q35_embedding_neardup" -> (PipelineQueries.q35EmbeddingNearDup _),
-    "q36_ann_lsh" -> (PipelineQueries.q36AnnLsh _)
+    "q36_ann_lsh" -> (PipelineQueries.q36AnnLsh _),
+    "q37_cube" -> (CoreQueries.q37Cube _),
+    "q38_sessionize" -> (CoreQueries.q38Sessionize _),
+    "q39_percentiles" -> (CoreQueries.q39Percentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +193,31 @@ object SparkEntry {
     "q27_text_analysis" ->
       """SELECT lang, ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
         |  ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q37_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin,
+    "q38_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |c AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) ++ PipelineQueries.oracles
 }

@@ -319,6 +319,52 @@ object CoreQueries {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- Q37
+  /** CUBE over two dims — Expand with 4 grouping sets, one shuffle.
+    * SQL path for the same DetectAmbiguousSelfJoin reason as q13. */
+  def q37Cube(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q38
+  /** Batch sessionization (gaps-and-islands): a new session starts after
+    * a >30-minute gap; classic LAG + running-sum window pair. The
+    * streaming twin is StreamingOps.sessionAgg (session_window). */
+  def q38Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // cast-to-double = fractional epoch seconds, matching DuckDB epoch()
+    // (unix_timestamp would truncate to whole seconds)
+    val brk = when(
+      col("ts").cast(DoubleType) - lag(col("ts"), 1).over(byUser).cast(DoubleType) > 1800, 1)
+      .otherwise(0)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("brk", brk)
+      .withColumn("session_id", sum(col("brk")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_len"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- Q39
+  /** Exact percentiles (median + p90) per group. Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition. */
+  def q39Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- Q27
   def q27TextAnalysis(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

@@ -42,6 +42,28 @@ class CoreQueriesSpec extends SparkSpec {
     assert(ps.sameElements(ps.sorted(Ordering[Double].reverse)))
   }
 
+  test("set ops: UNION / UNION ALL / EXCEPT complement the declared INTERSECT") {
+    import org.apache.spark.sql.functions.col
+    val c = graft.Tables.load(spark, sfDir, "customer").select(col("c_nationkey").as("k"))
+    val s = graft.Tables.load(spark, sfDir, "supplier").select(col("s_nationkey").as("k"))
+    val union = c.union(s).distinct().count()
+    val unionAll = c.union(s).count()
+    val except = c.distinct().except(s.distinct()).count()
+    val intersect = c.intersect(s).count()
+    assert(unionAll === c.count() + s.count())
+    assert(union === except + intersect + s.distinct().except(c.distinct()).count())
+  }
+
+  test("map functions over the envelope-style MAP column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Map("a" -> "1", "b" -> "2"), Map("a" -> "3")).toDF("m")
+    assert(df.select(element_at(col("m"), "a")).as[String].collect().toSeq === Seq("1", "3"))
+    assert(df.select(size(map_keys(col("m")))).as[Int].collect().toSeq === Seq(2, 1))
+    val exploded = df.select(explode(col("m"))).collect()
+    assert(exploded.length === 3)
+  }
+
   test("q13 rollup contains the grand total") {
     val rows = CoreQueries.q13Rollup(spark, sfDir).collect()
     val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
