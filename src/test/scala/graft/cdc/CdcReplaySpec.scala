@@ -102,6 +102,31 @@ class CdcReplaySpec extends SparkSpec {
     assert(again.map(_.getAs[String]("name")).toSeq === Seq("alice2", "carol"))
   }
 
+  test("streaming apply-changes: envelope stream materializes current state (the reference's consumer loop)") {
+    val path = writeFixture()
+    val ckpt = Files.createTempDirectory("ckpt-apply").toString
+    import spark.implicits._
+    var state = Seq.empty[(Long, String)].toDF("id", "name")
+    val q = spark.readStream.format("pgcdc-replay")
+      .option("path", path).option("maxFramesPerTrigger", 4).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per micro-batch MERGE — the foreachBatch analogue of
+        // CdcConsumer.handleBatch applying each tx-atomic batch
+        val typed = Envelope.typedView(df, rel).select("op", "lsn", "txid", "id", "name")
+        state = Envelope.applyChanges(state, typed, Seq("id"))
+        state = spark.createDataFrame(
+          spark.sparkContext.parallelize(state.collect().toSeq), state.schema)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val finalState = state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(finalState.toSeq === Seq((1L, "alice2"), (3L, "carol")))
+  }
+
   test("streaming replay: tx-atomic micro-batches + restart from checkpoint") {
     val path = writeFixture()
     val ckpt = Files.createTempDirectory("ckpt").toString
