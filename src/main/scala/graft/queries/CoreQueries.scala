@@ -302,22 +302,12 @@ object CoreQueries {
       .orderBy("lang", "source")
 
   // ---------------------------------------------------------------- Q26
-  /** Brute-force cosine top-k vs vec_id=0 using codegen'd higher-order
-    * functions (zip_with + aggregate), broadcast of the single probe row.
-    * The scale path (LSH-bucketed ANN) is graft.operators.Similarity. */
-  def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val probe = broadcast(emb.filter(col("vec_id") === 0).select(col("v").as("tv")))
-    val dot = aggregate(zip_with(col("v"), col("tv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    val na = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
-    val nb = sqrt(aggregate(transform(col("tv"), x => x * x), lit(0.0), (a, x) => a + x))
-    emb.filter(col("vec_id") =!= 0)
-      .crossJoin(probe)
-      .select(col("vec_id"), round(dot / (na * nb), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
-  }
+  /** Brute-force cosine top-k vs vec_id=0 — broadcast probe + the native
+    * codegen vec_dot/vec_norm expressions (graft.functions), identical
+    * left-to-right accumulation to the oracle's list_reduce fold. The
+    * scale path (LSH-bucketed ANN) is graft.operators.Similarity. */
+  def q26CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10)
 
   // ---------------------------------------------------------------- Q37
   /** CUBE over two dims — Expand with 4 grouping sets, one shuffle.
