@@ -57,7 +57,8 @@ object SparkEntry {
     "q36_ann_lsh" -> (PipelineQueries.q36AnnLsh _),
     "q37_cube" -> (CoreQueries.q37Cube _),
     "q38_sessionize" -> (CoreQueries.q38Sessionize _),
-    "q39_percentiles" -> (CoreQueries.q39Percentiles _)
+    "q39_percentiles" -> (CoreQueries.q39Percentiles _),
+    "q40_asof_join" -> (CoreQueries.q40AsOfJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,6 +219,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q40_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE user_id < 30 AND event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+        |      WHERE user_id < 30 AND event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.event_id, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin
   ) ++ PipelineQueries.oracles
 }

@@ -63,6 +63,46 @@ object Similarity {
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to their
+    * nearest of `nLists` centroids (one pass, argmax over vec_dot with
+    * literal centroid arrays — codegen'd, zero shuffle); the probe scans
+    * only the `nProbe` nearest centroid lists. Candidate fraction ~
+    * nProbe/nLists of the data. Centroids here are deterministic data
+    * samples (first nLists by vec_id) — a production pipeline would
+    * k-means them; the bucket-join shape is identical.
+    * Assignment uses cosine (normalized dot) so clusters reflect angular
+    * proximity — the metric the search ranks by. */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    val v = asDouble(emb)
+    val centroids: Array[(Long, Array[Double])] = v
+      .orderBy("vec_id").limit(nLists)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosTo(c: Array[Double], e: Column): Column = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      vec_dot(e, typedLit(c.toSeq)) / (vec_norm(e) * lit(cn))
+    }
+    // argmax via struct ordering: array_max compares (cos, idx) lexicographically
+    val assign = array_max(array(centroids.zipWithIndex.map { case ((_, c), i) =>
+      struct(cosTo(c, col("e")).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+    val assigned = v.withColumn("list", assign)
+    val probeVec = v.filter(col("vec_id") === probeId).collect()(0).getSeq[Double](1).toArray
+    val probeNorm = math.sqrt(probeVec.map(x => x * x).sum)
+    val probeLists = centroids.zipWithIndex.map { case ((_, c), i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (c.zip(probeVec).map { case (x, y) => x * y }.sum / (cn * probeNorm), i)
+    }.sortBy(-_._1).take(nProbe).map(_._2)
+    assigned
+      .filter(col("vec_id") =!= probeId && col("list").isin(probeLists.toSeq: _*))
+      .select(col("vec_id"),
+        round(vec_dot(col("e"), typedLit(probeVec.toSeq)) /
+          (vec_norm(col("e")) * lit(probeNorm)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the probe's bucket
     * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates. */
   def lshTopK(emb: DataFrame, probeId: Long, k: Int,

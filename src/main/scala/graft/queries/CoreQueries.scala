@@ -355,6 +355,22 @@ object CoreQueries {
         round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- Q40
+  /** True as-of JOIN (graft.operators.AsOf): every purchase event joined
+    * to the user's latest click at-or-before it. Clicks pre-deduped to
+    * one per (user, ts) so the as-of pick is well-defined in both
+    * engines (DuckDB oracles this with its native ASOF LEFT JOIN). */
+  def q40AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 30)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsOf.joinLatest(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+      .select(col("user_id"), col("event_id"), col("asof_click_id").as("click_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ---------------------------------------------------------------- Q27
   def q27TextAnalysis(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

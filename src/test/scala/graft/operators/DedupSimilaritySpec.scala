@@ -55,6 +55,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN achieves high recall on planted near neighbors") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // ids 1..7 stay random (they seed the centroid sample); planted
+    // neighbors live at 100..109 so they cluster AROUND centroid 0, not
+    // AS centroids
+    val rows = (0 until 200).map { i =>
+      val e = if (i == 0) base
+      else if (i >= 100 && i < 110) base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exactTop = Similarity.cosineTopK(df, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivfTop = Similarity.ivfTopK(df, 0L, 10, nLists = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivfTop & exactTop).size.toDouble / 10
+    assert(exactTop === (100L to 109L).toSet)
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(2)
