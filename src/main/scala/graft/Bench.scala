@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // long many-query sessions accumulate shuffle files + broadcasts;
+      // frequent periodic GC keeps ContextCleaner work incremental instead
+      // of one mid-measurement storm
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -29,9 +33,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         timeOne(fn) // warmup (JIT + file listing + codegen caches)
-        val runs = Seq.fill(3)(timeOne(fn)).sorted
-        runs(1) // median
+        // median of 5: robust to the occasional driver-side cleanup stall
+        val runs = Seq.fill(5)(timeOne(fn)).sorted
+        runs(2)
       } catch { case _: Throwable => -1.0 }
+      // drain cleanup between queries so it doesn't land mid-measurement
+      System.gc(); Thread.sleep(300)
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

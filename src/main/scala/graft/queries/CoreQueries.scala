@@ -345,15 +345,31 @@ object CoreQueries {
   }
 
   // ---------------------------------------------------------------- Q39
-  /** Exact percentiles (median + p90) per group. Spark `percentile` and
-    * DuckDB `quantile_cont` share the linear-interpolation definition. */
-  def q39Percentiles(spark: SparkSession, dir: String): DataFrame =
+  /** Exact percentiles (median + p90) per group, computed as
+    * sort_array(collect_list(...)) + the linear-interpolation formula
+    * `lower + (higher-lower) * frac` shared by Spark `percentile` and
+    * DuckDB `quantile_cont`. The built-in `percentile` aggregate builds a
+    * value->count map per group, which thrashes GC on high-cardinality
+    * doubles; the sorted-array form is one shuffle and O(group) memory —
+    * at scale, groups beyond memory switch to approx_percentile. */
+  def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    def interp(v: Column, n: Column, q: Double): Column = {
+      val pos = (n - 1) * lit(q)
+      val lo = floor(pos)
+      val frac = pos - lo
+      val lower = element_at(v, (lo + 1).cast("int"))
+      val higher = element_at(v, (ceil(pos) + 1).cast("int"))
+      lower + (higher - lower) * frac
+    }
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("v"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      .select(col("l_returnflag"),
+        round(interp(col("v"), col("n"), 0.5), 2).as("p50"),
+        round(interp(col("v"), col("n"), 0.9), 2).as("p90"))
       .orderBy("l_returnflag")
+  }
 
   // ---------------------------------------------------------------- Q40
   /** True as-of JOIN (graft.operators.AsOf): every purchase event joined
