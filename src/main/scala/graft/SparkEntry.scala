@@ -58,7 +58,11 @@ object SparkEntry {
     "q37_cube" -> (CoreQueries.q37Cube _),
     "q38_sessionize" -> (CoreQueries.q38Sessionize _),
     "q39_percentiles" -> (CoreQueries.q39Percentiles _),
-    "q40_asof_join" -> (CoreQueries.q40AsOfJoin _)
+    "q40_asof_join" -> (CoreQueries.q40AsOfJoin _),
+    "q41_semi_join" -> (CoreQueries.q41SemiJoin _),
+    "q42_pivot" -> (CoreQueries.q42Pivot _),
+    "q43_explode" -> (CoreQueries.q43Explode _),
+    "q44_ntile" -> (CoreQueries.q44Ntile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,6 +231,31 @@ object SparkEntry {
         |      WHERE user_id < 30 AND event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.user_id, p.event_id, c.click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.user_id, p.event_id""".stripMargin
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q41_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q42_pivot" ->
+      """SELECT o_orderstatus AS st,
+        |  COUNT(*) FILTER (substr(o_orderpriority,1,1) = '1') AS p1,
+        |  COUNT(*) FILTER (substr(o_orderpriority,1,1) = '2') AS p2,
+        |  COUNT(*) FILTER (substr(o_orderpriority,1,1) = '3') AS p3,
+        |  COUNT(*) FILTER (substr(o_orderpriority,1,1) = '4') AS p4,
+        |  COUNT(*) FILTER (substr(o_orderpriority,1,1) = '5') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    "q43_explode" ->
+      """WITH e AS (SELECT unnest(range(len(embedding))) AS pos,
+        |                  unnest(embedding) AS x FROM embeddings)
+        |SELECT CAST(pos AS INT) AS pos, ROUND(AVG(CAST(x AS DOUBLE)), 4) AS ax
+        |FROM e GROUP BY 1 ORDER BY pos""".stripMargin,
+    "q44_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pr
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin
   ) ++ PipelineQueries.oracles
 }

@@ -387,6 +387,52 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- Q41
+  /** Left-semi join (the EXISTS twin of q08's anti join). */
+  def q41SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- Q42
+  /** PIVOT: order counts by status, one column per priority class.
+    * Explicit pivot values keep the plan a single pass (no distinct-scan
+    * planning step) — and make the CASE-based oracle identical. */
+  def q42Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      .groupBy("o_orderstatus")
+      .pivot("prio", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("st", "p1", "p2", "p3", "p4", "p5")
+      .orderBy("st")
+
+  // ---------------------------------------------------------------- Q43
+  /** Array explode/unnest with ordinality: per-position means over the
+    * embedding vectors (posexplode ↔ UNNEST WITH ORDINALITY). */
+  def q43Explode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(avg(col("x")), 4).as("ax"))
+      .orderBy("pos")
+
+  // ---------------------------------------------------------------- Q44
+  /** Distribution window functions: quartile bucket + percent_rank. */
+  def q44Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // ---------------------------------------------------------------- Q27
   def q27TextAnalysis(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
