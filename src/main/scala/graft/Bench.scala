@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Protocol per BASELINE.md:
-  * 1 warmup + median of 3 timed runs per query; the action is collect()
+  * 1 warmup + median of 5 timed runs per query (mirrored by
+  * tools/bench_duck.py); the action is collect()
   * (all declared queries return small results — aggregates, top-k, or
   * filtered rows — so collect measures full execution without letting
   * Catalyst prune work the way count() would). */

@@ -62,7 +62,8 @@ object SparkEntry {
     "q41_semi_join" -> (CoreQueries.q41SemiJoin _),
     "q42_pivot" -> (CoreQueries.q42Pivot _),
     "q43_explode" -> (CoreQueries.q43Explode _),
-    "q44_ntile" -> (CoreQueries.q44Ntile _)
+    "q44_ntile" -> (CoreQueries.q44Ntile _),
+    "q45_approx_percentiles" -> (CoreQueries.q45ApproxPercentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -387,6 +387,19 @@ object CoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- Q45
+  /** Sketch percentiles — the 100 TB path for q39: approx_percentile is a
+    * mergeable fixed-size sketch (one partial-agg shuffle, no per-group
+    * value materialization). Rows-only driver check; ScalaTest bounds the
+    * error against the exact q39. */
+  def q45ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50_approx"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90_approx"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- Q41
   /** Left-semi join (the EXISTS twin of q08's anti join). */
   def q41SemiJoin(spark: SparkSession, dir: String): DataFrame =

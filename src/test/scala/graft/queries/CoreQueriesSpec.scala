@@ -36,6 +36,16 @@ class CoreQueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("q45 approx percentiles within 1% of exact q39") {
+    val exact = CoreQueries.q39Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    CoreQueries.q45ApproxPercentiles(spark, sfDir).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.01)
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.01)
+    }
+  }
+
   test("q16 top-k is ordered and bounded") {
     val ps = CoreQueries.q16TopK(spark, sfDir).collect().map(_.getAs[Double]("p"))
     assert(ps.length === 25)

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """DuckDB baseline bench (dev-only): runs each oracle SQL at the given SF
-with 1 warmup + median of 3, mirroring graft.Bench's protocol.
+with 1 warmup + median of 5, mirroring graft.Bench's protocol.
 Usage: bench_duck.py <sfDir> <oracle_sql.json> [threads]
 """
 import json
@@ -26,7 +26,7 @@ def main(sf_dir, oracle_path, threads="8"):
         try:
             con.execute(sql).fetchall()  # warmup
             runs = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 runs.append(time.time() - t0)
