@@ -246,6 +246,39 @@ object Dedup {
     * oracle. At 100 TB the same kernel runs per LSH bucket
     * (Similarity.signature) instead of globally; driver-side collect of
     * the vectors is the test-SF shortcut for the broadcast. */
+  /** LSH-bucketed embedding near-dup — the 100 TB composition promised by
+    * `embeddingNearDupPairs`: vectors bucket by random-hyperplane sign
+    * signature (zero-shuffle projection), candidate pairs form inside
+    * buckets only (plus Hamming<=1 multiprobe for boundary-straddling
+    * pairs), and exact cosine verifies candidates. Near-identical vectors
+    * agree on (nearly) every hyperplane sign, so recall for
+    * high-threshold near-dups is ~1 while candidate volume scales with
+    * bucket occupancy, not N². */
+  def embeddingNearDupPairsLsh(emb: DataFrame, threshold: Double = 0.95,
+                               numPlanes: Int = 16, dim: Int = 64,
+                               seed: Long = 7L): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("sig", Similarity.signature(col("e"), planes))
+    // multiprobe: each vector posts its signature + every 1-bit flip;
+    // matching on the exact signature of the OTHER side keeps the
+    // candidate set symmetric without N x N probe expansion
+    val probes = v.select(col("vec_id"), col("e"),
+      explode(array(col("sig") +: (0 until numPlanes)
+        .map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+    val a = probes.select(col("bucket"), col("vec_id").as("va"), col("e").as("ea"))
+    val b = v.select(col("sig").as("bucket"), col("vec_id").as("vb"), col("e").as("eb"))
+    val dot = graft.functions.VectorExpressions.vec_dot(col("ea"), col("eb"))
+    val na = graft.functions.VectorExpressions.vec_norm(col("ea"))
+    val nb = graft.functions.VectorExpressions.vec_norm(col("eb"))
+    a.join(b, "bucket")
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), round(dot / (na * nb), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy("va", "vb")
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

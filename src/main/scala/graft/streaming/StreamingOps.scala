@@ -77,6 +77,56 @@ object StreamingOps {
       }
   }
 
+  final case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
+  // public: the state encoder's generated code must reach the accessors
+  final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Sessionization with flatMapGroupsWithState (SURVEY.md §7.1 M5):
+    * events accumulate per user; a session closes — and EMITS, the
+    * flatMap shape — either when a same-user event arrives past the gap,
+    * or when the WATERMARK passes last+gap (event-time timeout: closure
+    * is data-driven and replayable, no processing-time scheduling).
+    * The streaming twin of the batch gaps-and-islands q38. */
+  def sessionizeWithState(events: Dataset[(Long, java.sql.Timestamp)],
+                          gapSeconds: Long = 1800,
+                          watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.start, s.last))
+          } else {
+            val ts = rows.map(_._2.getTime / 1000).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) => // gap exceeded: close and start fresh
+                  closed += SessionOut(user, s.n, s.start, s.last)
+                  Some(SessionState(1, t, t))
+                case None => Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** CDC end-to-end: replay envelope stream → tx-atomic batches applied
     * to an in-memory "current state" via foreachBatch (the consumer
     * callback surface, `CdcConsumer.java:6-12` → SURVEY §1.4). Returns

@@ -78,6 +78,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
+  test("LSH-bucketed embedding near-dup matches the exact pairs for high thresholds") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // 3 planted near-dup pairs + noise
+    val bases = Seq.fill(3)(vec())
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i * 2L, b), (i * 2L + 1, b.map(_ * 1.0005f)))
+    } ++ (10 until 60).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(df, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(df, 0.99, numPlanes = 12, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(lsh === exact)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(2)

@@ -73,6 +73,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(u1.map(_.getAs[Long]("cnt")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState sessionization: gap closure and watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.sessionizeWithState(in.toDS(), gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("fmgws")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, ts(1)), (1L, ts(3)), (2L, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("fmgws").count() === 0) // all sessions open
+    // 11:00 is >30min past user 1's last event: same-user gap closure AND
+    // the watermark advance times out user 2's idle session
+    in.addData((1L, Timestamp.valueOf("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.processAllAvailable() // timeout fires on the batch after the watermark moves
+    q.stop()
+    val rows = spark.table("fmgws").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).sorted
+    assert(rows.toSeq === Seq((1L, 2L), (2L, 1L)), s"got ${rows.mkString(",")}")
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
