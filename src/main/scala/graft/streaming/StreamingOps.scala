@@ -77,6 +77,22 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream inner join with an event-time interval: left events
+    * join right events of the same key within [0, maxDelay] after them.
+    * Watermarks on BOTH sides bound the join state (Spark drops buffered
+    * rows once the watermark passes the interval). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String, tsL: String,
+                   tsR: String, maxDelay: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsL, watermark)
+    val r = right.withWatermark(tsR, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(tsR) >= l(tsL) &&
+        r(tsR) <= l(tsL) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   final case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
   // public: the state encoder's generated code must reach the accessors
   final case class SessionState(n: Long, start: Long, last: Long)

@@ -93,6 +93,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 2L), (2L, 1L)), s"got ${rows.mkString(",")}")
   }
 
+  test("stream-stream interval join pairs events within the delay window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user", "cts"), buys.toDF().toDF("user", "bts"),
+      "user", "cts", "bts", maxDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    buys.addData((1L, ts(20)), (2L, ts(59))) // u1 within 30min, u2 outside
+    runToCompletion(q)
+    val rows = spark.table("ssj").collect()
+    assert(rows.map(_.getAs[Long]("user")).toSeq === Seq(1L))
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
