@@ -22,18 +22,26 @@ object Tables {
   /** Small dimension tables that should always broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read it as raw nanos and truncate to microseconds — the same
-    // truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
-  }
+  // Memoized per (session, dir, table): DataFrame plans are immutable, and
+  // re-calling spark.read.parquet rebuilds the file index + re-reads the
+  // footer schema on every query — measurable fixed overhead when dozens
+  // of queries each touch several tables.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((String.valueOf(System.identityHashCode(spark)), dir, name), { _ =>
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read it as raw nanos and truncate to microseconds —
+      // the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case None => df
+      }
+    })
 
   /** Idempotent: register all tables under `dir` as temp views. */
   def register(spark: SparkSession, dir: String): Unit =
