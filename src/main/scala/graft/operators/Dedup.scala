@@ -72,39 +72,67 @@ object Dedup {
   private def jaccard(common: Column, na: Column, nb: Column): Column =
     round(common.cast(DoubleType) / (na + nb - common), 4)
 
+  /** Default document-frequency cap for candidate-generating shingles: a
+    * shingle shared by more than this many documents is boilerplate and is
+    * excluded from the inverted-index join (its pair contribution would be
+    * df^2 rows — the quadratic skew-killer at corpus scale). Correctness
+    * is preserved by the hot-adjustment in `jaccardPairs`: hot shingles
+    * still count toward `common` for every pair that shares at least one
+    * cold shingle. The only approximation is pairs whose ENTIRE overlap is
+    * boilerplate — at jac >= 0.5 that means a document that is >=50%
+    * boilerplate, which the cap deliberately treats as not-a-near-dup. */
+  val DefaultShingleDocFreqCap = 1000
+
   /** Exact n-gram Jaccard near-dup pairs (jac >= threshold). Candidates
     * come from an inverted-index join on shared shingles (a pair with
-    * jac>0 shares >=1 shingle — recall is exact); `common` falls straight
-    * out of that join as a pair count, so the whole operator is one wide
-    * shuffle on the shingle key + one pair aggregation. With
-    * `maxShingleDocFreq` (cap on a shingle's document frequency),
-    * boilerplate shingles are dropped from candidate generation and pairs
-    * are exact-verified against full shingle arrays instead. */
+    * jac>0 shares >=1 shingle); `common` falls straight out of that join
+    * as a pair count, so the whole operator is one wide shuffle on the
+    * shingle key + one pair aggregation.
+    *
+    * Skew protection is ON by default: shingles with document frequency
+    * above `maxShingleDocFreq` are dropped from candidate generation
+    * (bounding any shingle's pair contribution at cap^2), and their
+    * contribution to `common` is restored exactly via a per-document
+    * hot-shingle array intersect (hot shingles are few by Zipf, so the
+    * arrays are tiny and the hot set broadcasts). Output is identical to
+    * the uncapped join unless a qualifying pair shares ONLY hot shingles.
+    * Pass `maxShingleDocFreq = None` for the provably-exact uncapped join
+    * at small SF. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
-                   maxShingleDocFreq: Option[Int] = None): DataFrame = {
+                   maxShingleDocFreq: Option[Int] = Some(DefaultShingleDocFreqCap)): DataFrame = {
     val sh = withHashedShingles(docs, n)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    def finish(common: DataFrame): DataFrame = common
+      .join(counts.select(col("doc_id").as("da"), col("cnt").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("cnt").as("nb")), "db")
+      .select(col("da"), col("db"), jaccard(col("common"), col("na"), col("nb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy("da", "db")
     maxShingleDocFreq match {
       case None =>
-        val common = ex.select(col("sg"), col("doc_id").as("da"))
+        finish(ex.select(col("sg"), col("doc_id").as("da"))
           .join(ex.select(col("sg"), col("doc_id").as("db")), "sg")
           .filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("common"))
-        common
-          .join(counts.select(col("doc_id").as("da"), col("cnt").as("na")), "da")
-          .join(counts.select(col("doc_id").as("db"), col("cnt").as("nb")), "db")
-          .select(col("da"), col("db"), jaccard(col("common"), col("na"), col("nb")).as("jac"))
-          .filter(col("jac") >= threshold)
-          .orderBy("da", "db")
+          .groupBy("da", "db").agg(count(lit(1)).as("common")))
       case Some(cap) =>
-        val hot = ex.groupBy("sg").count().filter(col("count") > cap).select("sg")
-        val cold = ex.join(hot, Seq("sg"), "left_anti")
-        val cands = cold.select(col("sg"), col("doc_id").as("da"))
+        val hot = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sg"), lit(true).as("is_hot"))
+        val flagged = ex.join(broadcast(hot), Seq("sg"), "left")
+        val cold = flagged.filter(col("is_hot").isNull).select("doc_id", "sg")
+        val hotPerDoc = flagged.filter(col("is_hot"))
+          .groupBy("doc_id").agg(collect_list(col("sg")).as("hot_sg"))
+        val commonCold = cold.select(col("sg"), col("doc_id").as("da"))
           .join(cold.select(col("sg"), col("doc_id").as("db")), "sg")
           .filter(col("da") < col("db"))
-          .select("da", "db").distinct()
-        verifyJaccard(cands, sh, threshold)
+          .groupBy("da", "db").agg(count(lit(1)).as("cc"))
+        val none = array().cast("array<bigint>")
+        finish(commonCold
+          .join(hotPerDoc.select(col("doc_id").as("da"), col("hot_sg").as("ha")), Seq("da"), "left")
+          .join(hotPerDoc.select(col("doc_id").as("db"), col("hot_sg").as("hb")), Seq("db"), "left")
+          .select(col("da"), col("db"),
+            (col("cc") + size(array_intersect(coalesce(col("ha"), none), coalesce(col("hb"), none))))
+              .as("common")))
       }
   }
 
@@ -193,59 +221,83 @@ object Dedup {
     h
   }
 
-  /** 64-bit SimHash over 3-gram shingle hashes: per bit, sum +1/-1 votes
-    * of each shingle's fnv64 bit; sign -> bit. Fused per-document kernel,
-    * zero shuffle. Shingles (not words) keep the feature space wide
-    * enough to discriminate when the vocabulary is small. */
-  private val simHashUdf = udf((shingles: Seq[Long]) => {
-    val votes = new Array[Int](64)
-    shingles.foreach { h =>
+  /** splitmix64 finalizer — decorrelates the second 64 signature bits from
+    * the first (fnv64) so the 128 vote dimensions are independent. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 128-bit SimHash over 3-gram shingle hashes: per bit, sum +1/-1 votes
+    * of each shingle's hash bit (lo 64 bits from fnv64, hi 64 from its
+    * splitmix64 mix); sign -> bit. Fused per-document kernel, zero
+    * shuffle. 128 bits (vs the classic 64) buys 32-bit pigeonhole chunks
+    * in `simHashPairs` — candidate buckets of N/2^32 instead of N/2^16,
+    * which is the difference between quadratic candidate growth and
+    * near-dup-only candidates at corpus scale. */
+  private val simHash128Udf = udf((shingles: Seq[Long]) => {
+    val votes = new Array[Int](128)
+    shingles.foreach { lo =>
+      val hi = mix64(lo)
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      while (b < 64) {
+        if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((hi >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+        b += 1
+      }
     }
-    var out = 0L
+    var outLo = 0L; var outHi = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
+    while (b < 64) {
+      if (votes(b) > 0) outLo |= (1L << b)
+      if (votes(64 + b) > 0) outHi |= (1L << b)
+      b += 1
+    }
+    Array(outHi, outLo)
   })
 
+  /** (doc_id, sh_hi, sh_lo) — the 128-bit signature as two longs. */
   def simHash(docs: DataFrame, n: Int = 3): DataFrame =
-    withHashedShingles(docs, n).select(col("doc_id"), simHashUdf(col("shingles")).as("simhash"))
+    withHashedShingles(docs, n)
+      .select(col("doc_id"), simHash128Udf(col("shingles")).as("s"))
+      .select(col("doc_id"), col("s").getItem(0).as("sh_hi"), col("s").getItem(1).as("sh_lo"))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
-    * Candidates via the pigeonhole banding of the 64-bit signature into
-    * 4 x 16-bit chunks: any pair within Hamming 3 matches on >=1 chunk, so
-    * recall is exact; verification is bit_count(xor) <= k on the candidate
-    * set. The chunk join is a fixed-key hash join — scale-safe. */
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3)
+    * over the 128-bit signature. Candidates via pigeonhole banding into
+    * 4 x 32-bit chunks: a pair within Hamming 3 differs in at most 3
+    * chunks, so it matches exactly on >=1 — recall is exact for
+    * maxHamming <= 3. Verification is bit_count(xor) on the candidate set.
+    * Expected bucket occupancy is N/2^32 per chunk key, so candidate
+    * volume stays ~linear in N until corpora of billions of documents;
+    * the join key is fixed-width — scale-safe. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is only recall-exact for maxHamming <= 3")
     val sh = simHash(docs)
-    val chunks = (0 until 4).map { i =>
-      struct(lit(i).as("chunk"),
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))
-    }
-    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val cands = banded.select(col("chunk"), col("key"), col("doc_id").as("da"), col("simhash").as("ha"))
-      .join(banded.select(col("chunk"), col("key"), col("doc_id").as("db"), col("simhash").as("hb")),
-        Seq("chunk", "key"))
+    val chunks = Seq(
+      struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(0xFFFFFFFFL).as("key")),
+      struct(lit(1).as("chunk"), shiftrightunsigned(col("sh_lo"), 32).as("key")),
+      struct(lit(2).as("chunk"), col("sh_hi").bitwiseAND(0xFFFFFFFFL).as("key")),
+      struct(lit(3).as("chunk"), shiftrightunsigned(col("sh_hi"), 32).as("key")))
+    val banded = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("sh_hi"), col("sh_lo"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val cands = banded
+      .select(col("chunk"), col("key"), col("doc_id").as("da"),
+        col("sh_hi").as("ha_hi"), col("sh_lo").as("ha_lo"))
+      .join(banded.select(col("chunk"), col("key"), col("doc_id").as("db"),
+        col("sh_hi").as("hb_hi"), col("sh_lo").as("hb_lo")), Seq("chunk", "key"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+      .select(col("da"), col("db"), col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
     cands
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .withColumn("hamming", expr("bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
       .orderBy("da", "db")
   }
 
-  /** Embedding-cosine near-dup pairs (cos >= threshold), exact. The
-    * vector set is broadcast and each task sweeps a slice of the pair
-    * triangle with a fused primitive-array kernel — brute-force all-pairs
-    * is a dense compute problem, and the declarative forms (HOF folds or
-    * boxed UDF joins) profiled 10-30x slower. Left-to-right accumulation
-    * and HALF_UP rounding keep results bit-identical to the DuckDB
-    * oracle. At 100 TB the same kernel runs per LSH bucket
-    * (Similarity.signature) instead of globally; driver-side collect of
-    * the vectors is the test-SF shortcut for the broadcast. */
   /** LSH-bucketed embedding near-dup — the 100 TB composition promised by
     * `embeddingNearDupPairs`: vectors bucket by random-hyperplane sign
     * signature (zero-shuffle projection), candidate pairs form inside
@@ -279,40 +331,82 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  /** Embedding-cosine near-dup pairs (cos >= threshold), exact. The pair
+    * triangle is swept as a BLOCK triangle: vectors hash into `numBlocks`
+    * blocks (each block one row of packed primitive arrays), the B x (B+1)/2
+    * block pairs form via a broadcast self-join on `ba <= bb`, and each
+    * task runs the fused dot-product kernel over one block pair. Nothing
+    * is ever materialized on the driver — the only data movement is each
+    * block shuffling/broadcasting B times (N*B values total), and task
+    * memory is two blocks (~2 * N/B * dim doubles). At 100 TB the same
+    * kernel is composed per LSH bucket instead
+    * (`embeddingNearDupPairsLsh`); the all-pairs form is for when exact
+    * output at a low threshold is required. HALF_UP rounding keeps
+    * results bit-identical to the DuckDB oracle; brute-force declarative
+    * forms (HOF folds or boxed UDF joins) profiled 10-30x slower than the
+    * primitive kernel. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
+                            numBlocks: Int = 32): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val ids = vecs.map(_._1)
-    val es = vecs.map(_._2)
-    val norms = es.map { e =>
-      var s = 0.0; var i = 0
-      while (i < e.length) { s += e(i) * e(i); i += 1 }
-      math.sqrt(s)
-    }
-    val bc = spark.sparkContext.broadcast((ids, es, norms))
-    val nVec = ids.length
-    spark.range(nVec.toLong)
-      .flatMap { iL =>
-        val (bids, bes, bnorms) = bc.value
-        val i = iL.toInt
-        val a = bes(i)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = i + 1
-        while (j < bids.length) {
-          val b = bes(j)
-          var dot = 0.0
-          var k = 0
-          while (k < a.length) { dot += a(k) * b(k); k += 1 }
-          val cos = java.math.BigDecimal.valueOf(dot / (bnorms(i) * bnorms(j)))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= threshold) out += ((bids(i), bids(j), cos))
-          j += 1
+    // One row per block: sorted ids + packed vectors + precomputed norms.
+    // collect_list is non-deterministic in order, so sort by id inside the
+    // block kernel to keep the packing deterministic.
+    val blocks = emb
+      .select(pmod(col("vec_id"), lit(numBlocks.toLong)).as("blk"),
+        col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (blk, rows) =>
+        val vs = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val norms = vs.map { case (_, e) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * e(i); i += 1 }
+          math.sqrt(s)
+        }
+        (blk, vs.map(_._1), vs.map(_._2), norms)
+      }
+      .toDF("blk", "ids", "vecs", "norms")
+    val left = blocks.select(col("blk").as("ba"), col("ids").as("ia"),
+      col("vecs").as("ea"), col("norms").as("na"))
+    val right = blocks.select(col("blk").as("bb"), col("ids").as("ib"),
+      col("vecs").as("eb"), col("norms").as("nb"))
+    val pairSchema = Seq.empty[(Long, Long, Double)].toDF("va", "vb", "cos_sim").schema
+    import org.apache.spark.sql.Row
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(pairSchema)
+    left.join(broadcast(right), col("ba") <= col("bb"))
+      .repartition(math.max(numBlocks, spark.sparkContext.defaultParallelism))
+      .flatMap { r =>
+        val same = r.getLong(0) == r.getLong(4)
+        val ia = r.getSeq[Long](1).toArray
+        val ea = r.getSeq[scala.collection.Seq[Double]](2).map(_.toArray).toArray
+        val na = r.getSeq[Double](3).toArray
+        val ib = r.getSeq[Long](5).toArray
+        val eb = r.getSeq[scala.collection.Seq[Double]](6).map(_.toArray).toArray
+        val nb = r.getSeq[Double](7).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0
+        while (i < ia.length) {
+          val a = ea(i)
+          var j = if (same) i + 1 else 0
+          while (j < ib.length) {
+            val b = eb(j)
+            var dot = 0.0
+            var k = 0
+            while (k < a.length) { dot += a(k) * b(k); k += 1 }
+            val cos = java.math.BigDecimal.valueOf(dot / (na(i) * nb(j)))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) {
+              val (va, vb) = if (ia(i) < ib(j)) (ia(i), ib(j)) else (ib(j), ia(i))
+              out += Row(va, vb, cos)
+            }
+            j += 1
+          }
+          i += 1
         }
         out
       }
-      .toDF("va", "vb", "cos_sim")
       .orderBy("va", "vb")
   }
 }

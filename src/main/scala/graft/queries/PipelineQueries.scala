@@ -143,8 +143,10 @@ object PipelineQueries {
       "q31_fingerprint" ->
         """SELECT lang,
           |  COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' '))) AS n_fp,
-          |  SUM(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''), x -> ascii(x)::BIGINT)),
-          |      (a, b) -> (a * 31 + b) % 1000000007)) AS rh_sum
+          |  -- CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128), which the driver's
+          |  -- hasher renders differently from Spark's int64 even when values match.
+          |  CAST(SUM(list_reduce(list_prepend(0::BIGINT, list_transform(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''), x -> ascii(x)::BIGINT)),
+          |      (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS rh_sum
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "q32_jaccard_pairs" -> jaccardSql,
       "q33_minhash_lsh" -> jaccardSql,
