@@ -25,15 +25,29 @@ object Tables {
   // Memoized per (session, dir, table): DataFrame plans are immutable, and
   // re-calling spark.read.parquet rebuilds the file index + re-reads the
   // footer schema on every query — measurable fixed overhead when dozens
-  // of queries each touch several tables.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+  // of queries each touch several tables. The outer map holds the session
+  // WEAKLY by identity (SparkSession doesn't override equals): a stopped,
+  // unreferenced session's plans are GC'd instead of served to a colliding
+  // successor, which identityHashCode-keying allowed.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((String.valueOf(System.identityHashCode(spark)), dir, name), { _ =>
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read it as raw nanos and truncate to microseconds —
       // the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+      // (The conf is also set in GraftSession.builder; set here as well for
+      // sessions not built through it.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
@@ -42,6 +56,7 @@ object Tables {
         case None => df
       }
     })
+  }
 
   /** Idempotent: register all tables under `dir` as temp views. */
   def register(spark: SparkSession, dir: String): Unit =
@@ -62,6 +77,7 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts TIMESTAMP(NANOS)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -104,10 +104,24 @@ object Envelope {
     val dataCols = meta.columns.map { c =>
       typedCell(c.name, sparkTypeFor(c.typeOid, c.typeMod)).as(c.name)
     }
+    // UNCHANGED/TOAST indicator, distinct from NULL: for an UPDATE, a column
+    // absent from both `columns` and `nulls` was a 'u' cell — its current
+    // value must be preserved by applyChanges, not overwritten with NULL
+    // (the reference omits such columns from the record for the same
+    // reason, PgWalMessageDecoder.java:206-207).
+    val names = array(meta.columns.map(c => lit(c.name)): _*)
+    val unchanged = when(col("op") === "U",
+      filter(names, n => !map_contains_key(col("columns"), n) && !array_contains(col("nulls"), n)))
+      .otherwise(array().cast("array<string>")).as(UnchangedCol)
     envelope
       .filter(col("schema") === meta.schema && col("table") === meta.table)
-      .select(col("op") +: col("lsn") +: col("txid") +: dataCols: _*)
+      .select(col("op") +: col("lsn") +: col("txid") +: unchanged +: dataCols: _*)
   }
+
+  /** Name of the typed-view metadata column listing UPDATE columns that
+    * were UNCHANGED/TOAST in the WAL record (present in the view as NULL,
+    * but to be preserved — not nulled — on merge). */
+  val UnchangedCol = "__unchanged"
 
   /** MERGE-style apply-changes: materialize I/U/D into a current-state
     * table keyed by `keys` (the library op the reference leaves to
@@ -115,10 +129,14 @@ object Envelope {
     *  - per key, only the HIGHEST-lsn change wins (whole-batch dedup makes
     *    redelivered/overflow-flushed records idempotent — the reference's
     *    at-least-once duplicate-tolerance, SURVEY.md §7.3.1);
-    *  - final op D deletes, I/U upserts.
-    * One shuffle on the key for the window + a key-join against current:
-    * at scale, `current` should be bucketed/partitioned by the same keys
-    * so the anti-join co-locates. */
+    *  - final op D deletes, I/U upserts;
+    *  - an UPDATE column flagged UNCHANGED/TOAST (the typed view's
+    *    `__unchanged` list) keeps the current-state value — mirroring the
+    *    reference's omit-unchanged-columns contract so TOASTed values are
+    *    never nulled out by a merge.
+    * One shuffle on the key for the window + one key-partitioned full-outer
+    * join against current: at scale, `current` should be bucketed/
+    * partitioned by the same keys so the join co-locates. */
   def applyChanges(current: DataFrame, typedChanges: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("lsn").desc, col("op").desc) // same-lsn tiebreak: D < I < U deterministic
@@ -126,9 +144,24 @@ object Envelope {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    val hasUnchanged = latest.columns.contains(UnchangedCol)
     val dataCols = current.columns.toSeq
-    val upserts = latest.filter(col("op") =!= "D").select(dataCols.map(col): _*)
-    val touchedKeys = latest.select(keys.map(col): _*)
-    current.join(touchedKeys, keys, "left_anti").unionByName(upserts)
+    val nonKey = dataCols.filterNot(keys.contains)
+    val cur = current.select(
+      keys.map(col) ++ nonKey.map(c => col(c).as(s"__cur_$c")) :+ lit(true).as("__in_cur"): _*)
+    val joined = cur.join(latest, keys, "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D") // untouched current rows pass through; final D drops
+    val outCols = dataCols.map { c =>
+      if (keys.contains(c)) col(c) // USING-join key columns are side-coalesced
+      else {
+        val newV =
+          if (hasUnchanged)
+            when(array_contains(col(UnchangedCol), c) && col("__in_cur"), col(s"__cur_$c"))
+              .otherwise(col(c))
+          else col(c)
+        when(col("op").isNull, col(s"__cur_$c")).otherwise(newV).as(c)
+      }
+    }
+    joined.select(outCols: _*)
   }
 }

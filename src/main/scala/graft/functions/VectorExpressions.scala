@@ -27,13 +27,15 @@ object VectorExpressions {
     }
   }
 
-  /** Dot product of two double arrays (null if either side or length
-    * mismatch... lengths must match — mismatch throws, surfacing data
-    * bugs rather than silently truncating). */
+  /** Dot product of two double arrays. NULL input or a NULL element
+    * yields NULL (built-in SQL semantics — a NULL element must not read
+    * as 0.0); lengths must match — mismatch throws, surfacing data bugs
+    * rather than silently truncating. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with DoubleArrayInput {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // element-NULL propagates even on non-null inputs
     override def checkInputDataTypes(): TypeCheckResult =
       Seq(checkArray(left.dataType, "left"), checkArray(right.dataType, "right"))
         .find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
@@ -46,7 +48,10 @@ object VectorExpressions {
       var s = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
       s
     }
 
@@ -62,9 +67,10 @@ object VectorExpressions {
            |}
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $s += $x.getDouble($i) * $y.getDouble($i);
            |}
-           |${ev.value} = $s;
+           |if (!${ev.isNull}) { ${ev.value} = $s; }
          """.stripMargin
       })
 
@@ -73,10 +79,11 @@ object VectorExpressions {
     override def prettyName: String = "vec_dot"
   }
 
-  /** L2 norm of a double array. */
+  /** L2 norm of a double array. NULL input or a NULL element yields NULL. */
   case class VecNorm(child: Expression) extends UnaryExpression with DoubleArrayInput {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // element-NULL propagates even on non-null input
     override def checkInputDataTypes(): TypeCheckResult = checkArray(child.dataType, "input")
 
     override def nullSafeEval(a: Any): Any = {
@@ -84,7 +91,10 @@ object VectorExpressions {
       var s = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getDouble(i); s += v * v; i += 1
+      }
       math.sqrt(s)
     }
 
@@ -98,10 +108,11 @@ object VectorExpressions {
            |final int $n = $x.numElements();
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  final double $v = $x.getDouble($i);
            |  $s += $v * $v;
            |}
-           |${ev.value} = java.lang.Math.sqrt($s);
+           |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
          """.stripMargin
       })
 

@@ -29,23 +29,29 @@ object AsOf {
                  payload: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val leftCols = left.columns.toSeq
+    // The whole payload travels as ONE struct with a constant marker field:
+    // the struct of a right row is non-null even when every payload VALUE
+    // is SQL NULL, so last(ignoreNulls) carries the matched row's NULLs
+    // instead of skipping to an older non-null value (DuckDB ASOF
+    // contract). Left rows carry a null struct (skipped by ignoreNulls).
+    val pstruct = struct(lit(1).as("__m") +: payload.map(c => col(c).as(s"__p_$c")): _*)
     // tag: right=0 sorts before left=1 at equal ts -> simultaneous rows visible
     val taggedRight = right.select(
-      keyCols ++ Seq(col(ts), lit(0).as("__tag")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
+      keyCols ++ Seq(col(ts), lit(0).as("__tag"), pstruct.as("__ps")) ++
         leftCols.filterNot(keys.contains).filterNot(_ == ts).map(c => lit(null).as(c)): _*)
+    val psType = taggedRight.schema("__ps").dataType
     val taggedLeft = left.select(
-      keyCols ++ Seq(col(ts), lit(1).as("__tag")) ++
-        payload.map(c => lit(null).as(s"__p_$c")) ++
+      keyCols ++ Seq(col(ts), lit(1).as("__tag"), lit(null).cast(psType).as("__ps")) ++
         leftCols.filterNot(keys.contains).filterNot(_ == ts).map(col): _*)
+    // Final __ps sort key: among right rows at identical (key, ts) the
+    // struct-greatest payload wins deterministically (was: union order).
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(ts).asc, col("__tag").asc)
+      .orderBy(col(ts).asc, col("__tag").asc, col("__ps").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__ps", last(col("__ps"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__ps").getField(s"__p_$c").as(s"asof_$c")): _*)
   }
 }

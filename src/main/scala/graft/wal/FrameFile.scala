@@ -16,12 +16,22 @@ object FrameFile {
     } finally out.close()
   }
 
+  /** Thrown when a file ends mid-frame (truncated header or body) —
+    * corruption must not be silently masked as a clean end-of-stream. */
+  final class CorruptFrameException(msg: String) extends java.io.IOException(msg)
+
   def read(bytes: Array[Byte]): Vector[(Long, Array[Byte])] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = Vector.newBuilder[(Long, Array[Byte])]
-    while (buf.remaining() >= 12) {
+    while (buf.remaining() > 0) {
+      if (buf.remaining() < 12)
+        throw new CorruptFrameException(
+          s"truncated frame header: ${buf.remaining()} trailing bytes (need 12)")
       val lsn = buf.getLong()
       val len = buf.getInt()
+      if (buf.remaining() < len)
+        throw new CorruptFrameException(
+          s"truncated frame body at lsn=$lsn: need $len bytes, have ${buf.remaining()}")
       val frame = new Array[Byte](len)
       buf.get(frame)
       out += lsn -> frame
@@ -35,13 +45,22 @@ object FrameFile {
     try {
       var done = false
       while (!done) {
-        try {
-          val lsn = in.readLong()
-          val len = in.readInt()
-          val frame = new Array[Byte](len)
-          in.readFully(frame)
-          out += lsn -> frame
-        } catch { case _: EOFException => done = true }
+        // EOF is clean ONLY on the leading readLong (a frame boundary);
+        // EOF inside the header or body is a truncated capture and throws.
+        val lsn =
+          try Some(in.readLong())
+          catch { case _: EOFException => done = true; None }
+        lsn.foreach { l =>
+          try {
+            val len = in.readInt()
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            out += l -> frame
+          } catch {
+            case _: EOFException =>
+              throw new CorruptFrameException(s"truncated frame at lsn=$l in $path")
+          }
+        }
       }
     } finally in.close()
     out.result()

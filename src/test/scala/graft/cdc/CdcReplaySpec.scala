@@ -102,6 +102,86 @@ class CdcReplaySpec extends SparkSpec {
     assert(again.map(_.getAs[String]("name")).toSeq === Seq("alice2", "carol"))
   }
 
+  test("apply-changes preserves UNCHANGED/TOAST columns instead of nulling them") {
+    val e = PgOutputEncoder
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(rel),
+      e.begin(),
+      e.insert(1, Seq(Some("1"), Some("alice"), Some("t"), Some("10.50"), Some("{a,b}"))),
+      e.commit(),
+      e.begin(),
+      // name changes; balance (3) and tags (4) are TOAST-unchanged 'u' cells
+      e.update(1, Seq(Some("1"), Some("alice2"), Some("t"), None, None), unchanged = Set(3, 4)),
+      e.commit())
+    val path = Files.createTempDirectory("cdc-toast").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (100L + i, f) })
+    val typed = Envelope.typedView(ReplayDecode.batchDf(spark, path), rel)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Boolean)].toDF("id", "name", "active")
+      .withColumn("balance", lit(null).cast("decimal(12,2)"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .select("id", "name", "active", "balance", "tags")
+    // two micro-batches: the insert lands first, then the TOASTy update
+    val afterInsert = Envelope.applyChanges(empty, typed.filter(col("op") === "I"), Seq("id"))
+    val afterUpdate = Envelope.applyChanges(afterInsert, typed.filter(col("op") === "U"), Seq("id"))
+      .collect()
+    assert(afterUpdate.length === 1)
+    val row = afterUpdate(0)
+    assert(row.getAs[String]("name") === "alice2") // changed column applied
+    // unchanged TOAST columns keep their current-state values (the reference
+    // omits 'u' columns from the record for exactly this reason)
+    assert(row.getAs[java.math.BigDecimal]("balance").toPlainString === "10.50")
+    assert(row.getAs[Seq[String]]("tags") === Seq("a", "b"))
+  }
+
+  test("mid-stream schema drift: RELATION v2 (column added) across a micro-batch boundary") {
+    val e = PgOutputEncoder
+    val relV1 = RelationMeta(1, "public", "people", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0)))
+    val relV2 = RelationMeta(1, "public", "people", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0),
+      RelationColumn("age", 23, -1, 0)))
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(relV1),
+      e.begin(),
+      e.insert(1, Seq(Some("1"), Some("ann"))),
+      e.commit(),
+      e.relation(relV2), // schema drift mid-stream
+      e.begin(),
+      e.insert(1, Seq(Some("2"), Some("ben"), Some("30"))),
+      e.update(1, Seq(Some("2"), Some("ben2"), None), unchanged = Set(2)),
+      e.commit())
+    val path = Files.createTempDirectory("cdc-drift").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (100L + i, f) })
+
+    // stream with a small trigger budget so v1 DML and v2 DML land in
+    // DIFFERENT micro-batches (the drift risk in SURVEY §7.3.2)
+    val ckpt = Files.createTempDirectory("ckpt-drift").toString
+    val envBatches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("pgcdc-replay")
+      .option("path", path).option("maxFramesPerTrigger", 3).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        envBatches.synchronized { envBatches ++= df.collect() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(envBatches.length === 3)
+
+    // typed view re-resolves under the v2 relation: pre-drift rows surface
+    // NULL for the added column; post-drift rows carry it
+    val env = spark.createDataFrame(
+      spark.sparkContext.parallelize(envBatches.toSeq), Envelope.schema)
+    val typed = Envelope.typedView(env, relV2).orderBy("lsn").collect()
+    assert(typed.length === 3)
+    assert(typed(0).getAs[String]("name") === "ann")
+    assert(typed(0).isNullAt(typed(0).fieldIndex("age"))) // v1 row: no such cell
+    assert(typed(1).getAs[Int]("age") === 30)
+    // the update's 'u' (TOAST/unchanged) age cell is flagged, not NULLed
+    assert(typed(2).getAs[String]("name") === "ben2")
+    assert(typed(2).getAs[Seq[String]](Envelope.UnchangedCol) === Seq("age"))
+  }
+
   test("mid-stream kill + resume: no loss, no re-delivery (checkpoint recovery)") {
     val path = writeFixture()
     val ckpt = Files.createTempDirectory("ckpt-kill").toString

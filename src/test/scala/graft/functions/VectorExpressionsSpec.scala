@@ -39,6 +39,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("a NULL array ELEMENT yields NULL, not a silent 0.0") {
+    val withNullElem = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))
+      .toDF("id", "a", "b")
+    val r = withNullElem.select(
+      VectorExpressions.vec_dot(col("a"), col("b")).as("d"),
+      VectorExpressions.vec_norm(col("a")).as("n"),
+      VectorExpressions.vec_norm(col("b")).as("nb")).collect()(0)
+    assert(r.isNullAt(0), "vec_dot over a NULL element must be NULL")
+    assert(r.isNullAt(1), "vec_norm over a NULL element must be NULL")
+    assert(r.getDouble(2) === math.sqrt(3.0)) // null-free side still computes
+  }
+
   test("length mismatch throws rather than truncating") {
     val bad = Seq((1L, Array(1.0, 2.0), Array(1.0))).toDF("id", "a", "b")
     val e = intercept[Exception] {

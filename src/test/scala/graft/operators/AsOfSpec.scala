@@ -26,4 +26,29 @@ class AsOfSpec extends SparkSpec {
       (1L, "p2", 300L), // latest before 10:10
       (2L, "q1", null))) // key with no right rows at all
   }
+
+  test("a matched right row with SQL NULL payload yields NULL, not an older value") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts(2), Some(100L)),
+      (1L, ts(5), Option.empty[Long])) // the as-of match, payload legitimately NULL
+      .toDF("k", "ts", "state")
+    val out = AsOf.joinLatest(left, right, Seq("k"), "ts", Seq("state")).collect()
+    assert(out.length === 1)
+    // DuckDB ASOF contract: the 10:05 row matches; its NULL must survive,
+    // not be skipped in favor of the older 100
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_state")))
+  }
+
+  test("ties among right rows at identical (key, ts) resolve deterministically") {
+    val left = Seq((1L, ts(9), "p")).toDF("k", "ts", "name")
+    val right = Seq((1L, ts(5), 10L), (1L, ts(5), 30L), (1L, ts(5), 20L))
+      .toDF("k", "ts", "state")
+    val results = (1 to 5).map { _ =>
+      AsOf.joinLatest(left, right, Seq("k"), "ts", Seq("state"))
+        .collect()(0).getAs[Long]("asof_state")
+    }
+    // struct-greatest payload wins, every time
+    assert(results.distinct === Seq(30L))
+  }
 }

@@ -33,6 +33,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped === exact) // planted dups share rare shingles, cap only drops boilerplate
   }
 
+  test("hot-shingle cap bounds candidate generation while keeping jaccard exact") {
+    import spark.implicits._
+    // 60 docs all sharing a boilerplate sentence (its shingles have df=60,
+    // far above the cap) + unique tails; docs 0 and 1 are near-dups whose
+    // jaccard DEPENDS on the boilerplate shingles being counted in common.
+    val boiler = "terms of service apply to all users"
+    val fixture = (0 until 60).map { i =>
+      val tail =
+        if (i == 0) "alpha beta gamma delta epsilon zeta"
+        else if (i == 1) "alpha beta gamma delta epsilon eta"
+        else s"u$i a$i b$i c$i d$i e$i"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val uncapped = pairs(None)
+    val capped = pairs(Some(8))
+    assert(uncapped.nonEmpty && uncapped.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    // hot adjustment restores the boilerplate contribution exactly: same
+    // pairs AND same jaccard values as the uncapped join
+    assert(capped === uncapped)
+    // and candidate generation is actually bounded: only the cold (rare)
+    // shingles join, so the planted near-dup is the lone candidate pair —
+    // not the 60*59/2 all-pairs the boilerplate would produce uncapped
+    val sh = Dedup.withShingles(fixture).select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val dfBySg = sh.groupBy("sg").count()
+    val cold = sh.join(dfBySg.filter(col("count") <= 8), "sg")
+    val coldCands = cold.select(col("sg"), col("doc_id").as("da"))
+      .join(cold.select(col("sg"), col("doc_id").as("db")), "sg")
+      .filter(col("da") < col("db")).select("da", "db").distinct().count()
+    assert(coldCands === 1L)
+  }
+
   test("LSH ANN achieves high recall on planted near neighbors") {
     import spark.implicits._
     // 200 random unit-ish vectors + 10 planted neighbors of vector 0
