@@ -113,7 +113,8 @@ class PgCdcReplayTable(options: Map[String, String]) extends Table with Supports
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new PgCdcReplayStream(
             options.getOrElse("path", sys.error("pgcdc-replay: 'path' option required")),
-            options.get("maxFramesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue))
+            options.get("maxFramesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
+            options.get("allowMidTxFlush").exists(_.toBoolean))
       }
     }
 }
@@ -122,7 +123,8 @@ final case class FrameOffset(frame: Int) extends Offset {
   override def json(): String = s"""{"frame":$frame}"""
 }
 
-class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int) extends MicroBatchStream
+class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int,
+                        allowMidTxFlush: Boolean = false) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Driver-side index: frame boundaries where no transaction is open —
@@ -154,12 +156,17 @@ class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int) extends MicroBat
     else ReadLimit.maxRows(maxFramesPerTrigger.toLong)
 
   /** Admission control: advance from `start` by the rate limit, snapped
-    * back to the furthest tx-safe point; when a single transaction
-    * exceeds the limit, advance to the NEXT safe point so the whole tx
-    * still ships in one batch (the reference instead mid-tx overflow
-    * flushes — `CdcEngine.java:121-124` — trading atomicity for memory;
-    * we keep atomicity and document the divergence). Stateless: restart
-    * recovery needs no driver state beyond the checkpointed offset. */
+    * back to the furthest tx-safe point. When a single transaction
+    * exceeds the limit: by default advance to the NEXT safe point so the
+    * whole tx still ships in one batch (atomicity over memory);
+    * with `allowMidTxFlush=true`, cut AT the limit even mid-tx — the
+    * reference's overflow flush (`CdcEngine.java:121-124`), bounding
+    * batch memory for pathological transactions at the cost of
+    * batch-level atomicity for that tx (decode-from-0 keeps txids
+    * correct across the cut; at-least-once redelivery on a crash between
+    * the two halves is absorbed by the idempotent applyChanges MERGE).
+    * Stateless: restart recovery needs no driver state beyond the
+    * checkpointed offset. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FrameOffset].frame
     val cap = limit match {
@@ -168,7 +175,9 @@ class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int) extends MicroBat
     }
     val target = math.min(frames.size.toLong, s.toLong + cap).toInt
     val snapped = safePoints.filter(_ <= target).lastOption.getOrElse(0)
-    FrameOffset(if (snapped > s) snapped else safePoints.find(_ > s).getOrElse(s))
+    if (snapped > s) FrameOffset(snapped)
+    else if (allowMidTxFlush && target > s) FrameOffset(target)
+    else FrameOffset(safePoints.find(_ > s).getOrElse(s))
   }
 
   override def latestOffset(): Offset =

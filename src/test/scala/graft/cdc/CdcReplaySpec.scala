@@ -218,6 +218,61 @@ class CdcReplaySpec extends SparkSpec {
     assert(dups.toSet.subsetOf(killBatch), s"unexpected redelivery: $dups")
   }
 
+  test("opt-in mid-tx overflow flush: oversized tx splits across batches, kill-resume loses nothing") {
+    // one 8-row transaction: far over maxFramesPerTrigger=3, so atomic
+    // mode would ship it whole; overflow mode must cut mid-tx (the
+    // reference's maxBatchSize flush, CdcEngine.java:121-124)
+    val e = PgOutputEncoder
+    val n = 8
+    val frames: Seq[Array[Byte]] =
+      Seq(e.relation(rel), e.begin()) ++
+        (1 to n).map(i => e.insert(1, Seq(Some(i.toString), Some(s"u$i"), Some("t"), None, Some("{}")))) ++
+        Seq(e.commit())
+    val path = Files.createTempDirectory("cdc-ovf").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (100L + i, f) })
+    val ckpt = Files.createTempDirectory("ckpt-ovf").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (lsn, txid)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    def stream(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("pgcdc-replay")
+        .option("path", path).option("maxFramesPerTrigger", 3)
+        .option("allowMidTxFlush", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+          seen.synchronized {
+            seen ++= rows.map(r => (r.getAs[Long]("lsn"), r.getAs[Long]("txid")))
+            if (rows.nonEmpty) batchSizes += rows.length
+          }
+          ()
+        }
+        .trigger(trigger).start()
+
+    // kill after the first rate-limited batch, then resume to completion
+    val q1 = stream(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    val deadline = System.currentTimeMillis() + 60000
+    while (seen.synchronized(seen.isEmpty) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    val killBatch = seen.synchronized(seen.map(_._1).toSet)
+    assert(killBatch.nonEmpty && killBatch.size < n, s"kill point saw $killBatch")
+    val q2 = stream(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val all = seen.synchronized(seen.toVector)
+    // bounded memory: the tx really was flushed mid-stream in >1 batch
+    assert(batchSizes.length > 1, s"expected an overflow split, got batches $batchSizes")
+    // at-least-once: every row of the tx arrives; redelivery confined to
+    // the in-flight kill batch (idempotent applyChanges absorbs it)
+    assert(all.map(_._1).toSet === (102L until 102L + n).toSet, s"lsns=$all")
+    val dups = all.map(_._1).groupBy(identity).collect { case (l, occ) if occ.size > 1 => l }
+    assert(dups.toSet.subsetOf(killBatch), s"unexpected redelivery: $dups")
+    // txid scoping survives the mid-tx cut: every record carries the
+    // transaction's BEGIN lsn (decode always replays from frame 0)
+    assert(all.map(_._2).distinct === Vector(101L))
+  }
+
   test("streaming apply-changes: envelope stream materializes current state (the reference's consumer loop)") {
     val path = writeFixture()
     val ckpt = Files.createTempDirectory("ckpt-apply").toString
