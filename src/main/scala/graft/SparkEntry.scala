@@ -54,7 +54,7 @@ object SparkEntry {
     "q33_minhash_lsh" -> (PipelineQueries.q33MinHashLsh _),
     "q34_simhash_pairs" -> (PipelineQueries.q34SimHashPairs _),
     "q35_embedding_neardup" -> (PipelineQueries.q35EmbeddingNearDup _),
-    "q36_ann_lsh" -> (PipelineQueries.q36AnnLsh _),
+    "q36_ann" -> (PipelineQueries.q36Ann _),
     "q37_cube" -> (CoreQueries.q37Cube _),
     "q38_sessionize" -> (CoreQueries.q38Sessionize _),
     "q39_percentiles" -> (CoreQueries.q39Percentiles _),
@@ -63,7 +63,14 @@ object SparkEntry {
     "q42_pivot" -> (CoreQueries.q42Pivot _),
     "q43_explode" -> (CoreQueries.q43Explode _),
     "q44_ntile" -> (CoreQueries.q44Ntile _),
-    "q45_approx_percentiles" -> (CoreQueries.q45ApproxPercentiles _)
+    "q45_approx_percentiles" -> (CoreQueries.q45ApproxPercentiles _),
+    // _check queries: oracle-checkable bound contracts for the approximate
+    // operators (booleans computed in Spark vs their exact twins; constant
+    // truth on the DuckDB side). Excluded from Bench by the _check suffix.
+    "q12_check_hll" -> (CoreQueries.q12CheckHll _),
+    "q34_check_precision" -> (PipelineQueries.q34CheckPrecision _),
+    "q36_check_recall" -> (CoreQueries.q36CheckRecall _),
+    "q45_check_bound" -> (CoreQueries.q45CheckBound _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,7 +256,7 @@ object SparkEntry {
     "q43_explode" ->
       """WITH e AS (SELECT unnest(range(len(embedding))) AS pos,
         |                  unnest(embedding) AS x FROM embeddings)
-        |SELECT CAST(pos AS INT) AS pos, ROUND(AVG(CAST(x AS DOUBLE)), 4) AS ax
+        |SELECT CAST(pos AS INT) AS pos, ROUND(AVG(CAST(x AS DOUBLE)), 4) + 0.0 AS ax
         |FROM e GROUP BY 1 ORDER BY pos""".stripMargin,
     "q44_ntile" ->
       """SELECT c_mktsegment, c_custkey,
@@ -257,6 +264,14 @@ object SparkEntry {
         |  ROUND(PERCENT_RANK() OVER w, 4) AS pr
         |FROM customer WHERE c_custkey <= 200
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_mktsegment, c_custkey""".stripMargin
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q12_check_hll" ->
+      """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS within_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_check_recall" ->
+      "SELECT 10 AS k, CAST(1 AS BOOLEAN) AS recall_ok",
+    "q45_check_bound" ->
+      """SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ PipelineQueries.oracles
 }

@@ -104,7 +104,16 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates share the probe's bucket
-    * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates. */
+    * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates.
+    *
+    * Applicability: sign-LSH recalls HIGH-similarity neighbors (near-dup
+    * grade, cos >~ 0.8, where per-plane agreement is >~0.9). For
+    * moderate-similarity retrieval (cos 0.2-0.4 — e.g. nearest neighbors
+    * in a diffuse corpus) per-plane agreement is ~0.6 and recall collapses
+    * at any bucket width tight enough to prune; use `ivfTopK`, whose
+    * centroid lists follow the data's cluster structure, for that regime
+    * (measured: IVF recall 1.0 vs LSH 0.0-0.2 on the clustered test
+    * embeddings — the q36_check_recall contract pins the IVF path). */
   def lshTopK(emb: DataFrame, probeId: Long, k: Int,
               numPlanes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)

@@ -353,21 +353,25 @@ object CoreQueries {
     * doubles; the sorted-array form is one shuffle and O(group) memory —
     * at scale, groups beyond memory switch to approx_percentile. */
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    def interp(v: Column, n: Column, q: Double): Column = {
-      val pos = (n - 1) * lit(q)
-      val lo = floor(pos)
-      val frac = pos - lo
-      val lower = element_at(v, (lo + 1).cast("int"))
-      val higher = element_at(v, (ceil(pos) + 1).cast("int"))
-      lower + (higher - lower) * frac
+    // Exact quantile_cont WITHOUT materializing groups: rank each value
+    // with a window (one shuffle; window sort streams and spills), then
+    // pick the two rows flanking pos = (n-1)*q with conditional
+    // aggregates and interpolate. O(1) aggregation state per group — no
+    // collect_list buffer to overflow when a group has billions of rows.
+    val byFlag = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    def pick(q: Double, alias: String): Column = {
+      val pos = (col("n") - 1) * lit(q)
+      val lower = max(when(col("rn") === floor(pos) + 1, col("v")))
+      val higher = max(when(col("rn") === ceil(pos) + 1, col("v")))
+      val frac = max(pos - floor(pos)) // constant within the group
+      round(lower + (higher - lower) * frac, 2).as(alias)
     }
     t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(byFlag.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(byFlag).cast(DoubleType))
       .groupBy("l_returnflag")
-      .agg(sort_array(collect_list(col("l_extendedprice"))).as("v"),
-        count(lit(1)).cast(DoubleType).as("n"))
-      .select(col("l_returnflag"),
-        round(interp(col("v"), col("n"), 0.5), 2).as("p50"),
-        round(interp(col("v"), col("n"), 0.9), 2).as("p90"))
+      .agg(pick(0.5, "p50"), pick(0.9, "p90"))
       .orderBy("l_returnflag")
   }
 
@@ -400,6 +404,40 @@ object CoreQueries {
         round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90_approx"))
       .orderBy("l_returnflag")
 
+  // ------------------------------------------------- approximation checks
+  /** Driver-checkable contracts for the approximate operators (VERDICT r1
+    * #9): each emits booleans computed IN SPARK (approx vs its exact
+    * twin), oracled by constant-truth SQL over the same tables — an
+    * approximation regression flips the boolean and fails the hash gate.
+    * Excluded from Bench (they deliberately recompute the exact twin). */
+  def q12CheckHll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"),
+        countDistinct(col("o_custkey")).as("e"))
+      .select(col("o_orderstatus"),
+        (abs(col("a") - col("e")).cast(DoubleType) / col("e") <= 0.05).as("within_bound"))
+      .orderBy("o_orderstatus")
+
+  def q36CheckRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val exact = graft.operators.Similarity.cosineTopK(emb, probeId = 0L, k = 10).select("vec_id")
+    val ann = graft.operators.Similarity.ivfTopK(emb, probeId = 0L, k = 10).select("vec_id")
+    exact.join(ann, "vec_id")
+      .agg((count(lit(1)) >= 9).as("recall_ok")) // recall >= 0.9 at k=10
+      .select(lit(10).as("k"), col("recall_ok"))
+  }
+
+  def q45CheckBound(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q39Percentiles(spark, dir)
+    val approx = q45ApproxPercentiles(spark, dir)
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"),
+        ((abs(col("p50_approx") - col("p50")) / col("p50") <= 0.01) &&
+          (abs(col("p90_approx") - col("p90")) / col("p90") <= 0.01)).as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- Q41
   /** Left-semi join (the EXISTS twin of q08's anti join). */
   def q41SemiJoin(spark: SparkSession, dir: String): DataFrame =
@@ -431,7 +469,9 @@ object CoreQueries {
     t(spark, dir, "embeddings")
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy("pos")
-      .agg(round(avg(col("x")), 4).as("ax"))
+      // + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 == 0.0), which the
+      // two engines otherwise render differently when the mean rounds to 0
+      .agg((round(avg(col("x")), 4) + lit(0.0)).as("ax"))
       .orderBy("pos")
 
   // ---------------------------------------------------------------- Q44

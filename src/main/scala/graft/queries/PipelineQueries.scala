@@ -79,11 +79,31 @@ object PipelineQueries {
   def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
 
+  /** Driver-checkable precision contract for SimHash (no SQL analogue of
+    * the 128-bit signature exists): every Hamming<=3 pair must be a true
+    * near-dup (jaccard >= 0.3) and the fixture's planted dups must be
+    * found. Booleans computed in Spark, oracled by constant truth —
+    * excluded from Bench (recomputes the exact jaccard twin). */
+  def q34CheckPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sim = Dedup.simHashPairs(docs, maxHamming = 3).select("da", "db")
+    val loose = Dedup.jaccardPairs(docs, threshold = 0.3).select("da", "db")
+    val bad = sim.join(loose, Seq("da", "db"), "left_anti")
+    sim.agg(count(lit(1)).as("np")).crossJoin(bad.agg(count(lit(1)).as("nb")))
+      .select((col("np") > 0).as("pairs_found"), (col("nb") === 0).as("all_near_dups"))
+  }
+
   // ------------------------------------------------------- similarity
-  /** LSH-bucketed ANN top-10 for probe vec_id=0. Approximate — rows-only
-    * check; ScalaTest measures recall vs the exact q26 scan. */
-  def q36AnnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10)
+  /** IVF-bucketed ANN top-10 for probe vec_id=0. IVF is the registered
+    * ANN path for this corpus: the embeddings are label-clustered, and
+    * centroid lists recall moderate-similarity neighbors (cos 0.2-0.4)
+    * that sign-LSH provably cannot (at cos 0.3 the per-plane agreement is
+    * ~0.6, so any bucketing tight enough to prune is too tight to
+    * recall). `Similarity.lshTopK` remains the high-similarity
+    * (near-dup-grade) operator. Approximate — rows-only driver check;
+    * q36_check_recall bounds recall vs the exact q26 scan. */
+  def q36Ann(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10)
 
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
@@ -150,6 +170,8 @@ object PipelineQueries {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "q32_jaccard_pairs" -> jaccardSql,
       "q33_minhash_lsh" -> jaccardSql,
+      "q34_check_precision" ->
+        "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q35_embedding_neardup" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
