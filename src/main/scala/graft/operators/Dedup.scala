@@ -101,7 +101,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                    maxShingleDocFreq: Option[Int] = Some(DefaultShingleDocFreqCap)): DataFrame = {
     val sh = withHashedShingles(docs, n)
+    // repartition(sg) is a deliberate pinch-point: every consumer below
+    // (df aggregation, hot flagging, both self-join sides) needs sg-hash
+    // partitioning, and because the Exchange subtrees are identical,
+    // ReuseExchange computes the shingle UDF + explode ONCE and the
+    // self-join runs shuffle-free on the exchange output (~4 UDF passes
+    // collapsed to 1).
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .repartition(col("sg"))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     def finish(common: DataFrame): DataFrame = common
       .join(counts.select(col("doc_id").as("da"), col("cnt").as("na")), "da")
@@ -202,8 +209,12 @@ object Dedup {
     * 100 TB path. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                       p: MinHashParams = MinHashParams()): DataFrame = {
-    val sh = withHashedShingles(docs, n)
+    // Both repartitions are ReuseExchange pinch-points: the shingle UDF
+    // runs once (doc_id exchange feeds banding AND both verify sides) and
+    // the minhash kernel once (bk exchange feeds both bucket-join sides).
+    val sh = withHashedShingles(docs, n).repartition(col("doc_id"))
     val banded = sh.select(col("doc_id"), explode(bandKeysUdf(p)(col("shingles"))).as("bk"))
+      .repartition(col("bk"))
     val cands = banded.select(col("bk"), col("doc_id").as("da"))
       .join(banded.select(col("bk"), col("doc_id").as("db")), "bk")
       .filter(col("da") < col("db"))
@@ -280,9 +291,12 @@ object Dedup {
       struct(lit(1).as("chunk"), shiftrightunsigned(col("sh_lo"), 32).as("key")),
       struct(lit(2).as("chunk"), col("sh_hi").bitwiseAND(0xFFFFFFFFL).as("key")),
       struct(lit(3).as("chunk"), shiftrightunsigned(col("sh_hi"), 32).as("key")))
+    // repartition pinch-point: one simhash-kernel pass feeds both sides
+    // of the chunk join (identical Exchange subtrees → ReuseExchange).
     val banded = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("sh_hi"), col("sh_lo"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .repartition(col("chunk"), col("key"))
     val cands = banded
       .select(col("chunk"), col("key"), col("doc_id").as("da"),
         col("sh_hi").as("ha_hi"), col("sh_lo").as("ha_lo"))

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exact per-group percentiles with `quantile_cont` interpolation
+  * semantics (`lower + (higher - lower) * frac` at pos = (n-1)*q), shared
+  * by q39 and the q45 bound contract. Two scale tiers, identical output:
+  *
+  *  - `exactWindowed`: one streaming row_number window + a broadcast
+  *    count pre-scan. O(1) aggregation state, spills through the window
+  *    sort — safe for any group that fits a partition's SORT (disk-backed),
+  *    but each group ranks in a single task.
+  *  - `exactRangePartitioned`: range-partition on (group, value) so a
+  *    group SPANS partitions and the sort parallelizes across all cores;
+  *    global ranks come from broadcast per-(partition, group) prefix
+  *    offsets (a tiny count pass over the same shuffle) + a local running
+  *    index. The giant-group tier: no single task ever owns a whole
+  *    group. Costs one extra (tiny) job, so the windowed form wins below
+  *    ~10M rows/group.
+  *
+  * (Exact percentiles have no counterpart in the reference — north-star
+  * addition; the sketch tier is approx_percentile, q45.)
+  */
+object Percentiles {
+
+  private def pick(q: Double, alias: String): Column = {
+    val pos = (col("n") - 1) * lit(q)
+    val lower = max(when(col("rn") === floor(pos) + 1, col("v")))
+    val higher = max(when(col("rn") === ceil(pos) + 1, col("v")))
+    val frac = max(pos - floor(pos)) // constant within the group
+    round(lower + (higher - lower) * frac, 2).as(alias)
+  }
+
+  private def finish(ranked: DataFrame, group: String, qs: Seq[(Double, String)]): DataFrame =
+    ranked.groupBy(group)
+      .agg(pick(qs.head._1, qs.head._2), qs.tail.map(x => pick(x._1, x._2)): _*)
+      .orderBy(group)
+
+  /** Window tier: streaming row_number rank; group sizes from a cheap
+    * partial-aggregated pre-scan broadcast back (an unbounded window
+    * frame would buffer whole partitions). */
+  def exactWindowed(df: DataFrame, group: String, value: String,
+                    qs: Seq[(Double, String)]): DataFrame = {
+    val vals = df.select(col(group), col(value).cast(DoubleType).as("v"))
+    val counts = vals.groupBy(group).agg(count(lit(1)).cast(DoubleType).as("n"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(group).orderBy("v")))
+      .join(broadcast(counts), Seq(group))
+    finish(ranked, group, qs)
+  }
+
+  /** Range-partitioned tier: intra-group sort parallelism for groups too
+    * large to rank in one task. */
+  def exactRangePartitioned(df: DataFrame, group: String, value: String,
+                            qs: Seq[(Double, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(group), col(value).cast(DoubleType).as("v"))
+      .repartitionByRange(col(group), col("v"))
+      .sortWithinPartitions(group, "v")
+      .as[(String, Double)].rdd
+    val partCounts: Array[(Int, String, Long)] = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (f, _) => m.update(f, m.getOrElse(f, 0L) + 1L) }
+        m.iterator.map { case (f, c) => (pid, f, c) }
+      }.collect()
+    val byGroup = partCounts.groupBy(_._2)
+    val totals = byGroup.map { case (f, a) => f -> a.map(_._3).sum.toDouble }
+    val offsets = partCounts.map { case (pid, f, _) =>
+      (pid, f) -> byGroup(f).filter(_._1 < pid).map(_._3).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast((offsets, totals))
+    val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val (offs, tots) = bc.value
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (f, v) =>
+        val seen = local.getOrElse(f, 0L) + 1L
+        local.update(f, seen)
+        (f, v, offs((pid, f)) + seen, tots(f))
+      }
+    }.toDF(group, "v", "rn", "n")
+    finish(ranked, group, qs)
+  }
+}

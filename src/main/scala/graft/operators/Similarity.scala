@@ -76,9 +76,16 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     val v = asDouble(emb)
-    val centroids: Array[(Long, Array[Double])] = v
-      .orderBy("vec_id").limit(nLists)
+    // one driver job fetches centroids AND (when probeId is among them,
+    // the common point-query case) the probe vector
+    val head: Array[(Long, Array[Double])] = v
+      .filter(col("vec_id") < nLists || col("vec_id") === probeId)
+      .orderBy("vec_id").limit(nLists + 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids =
+      if (head.count(_._1 < nLists) == nLists) head.filter(_._1 < nLists)
+      else v.orderBy("vec_id").limit(nLists) // sparse vec_ids: full take-ordered
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     def cosTo(c: Array[Double], e: Column): Column = {
       val cn = math.sqrt(c.map(x => x * x).sum)
       vec_dot(e, typedLit(c.toSeq)) / (vec_norm(e) * lit(cn))
@@ -88,7 +95,8 @@ object Similarity {
       struct(cosTo(c, col("e")).as("d"), lit(i).as("i"))
     }: _*)).getField("i")
     val assigned = v.withColumn("list", assign)
-    val probeVec = v.filter(col("vec_id") === probeId).collect()(0).getSeq[Double](1).toArray
+    val probeVec = head.find(_._1 == probeId).map(_._2).getOrElse(
+      v.filter(col("vec_id") === probeId).collect()(0).getSeq[Double](1).toArray)
     val probeNorm = math.sqrt(probeVec.map(x => x * x).sum)
     val probeLists = centroids.zipWithIndex.map { case ((_, c), i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)

@@ -345,34 +345,19 @@ object CoreQueries {
   }
 
   // ---------------------------------------------------------------- Q39
-  /** Exact percentiles (median + p90) per group, computed as
-    * sort_array(collect_list(...)) + the linear-interpolation formula
-    * `lower + (higher-lower) * frac` shared by Spark `percentile` and
-    * DuckDB `quantile_cont`. The built-in `percentile` aggregate builds a
-    * value->count map per group, which thrashes GC on high-cardinality
-    * doubles; the sorted-array form is one shuffle and O(group) memory —
-    * at scale, groups beyond memory switch to approx_percentile. */
+  /** Exact percentiles (median + p90) per group with DuckDB
+    * `quantile_cont` interpolation — see graft.operators.Percentiles for
+    * the two scale tiers (streaming-window rank here; range-partitioned
+    * ranks for giant groups; approx_percentile sketch is q45). */
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
     // Exact quantile_cont WITHOUT materializing groups: rank each value
     // with a window (one shuffle; window sort streams and spills), then
     // pick the two rows flanking pos = (n-1)*q with conditional
     // aggregates and interpolate. O(1) aggregation state per group — no
     // collect_list buffer to overflow when a group has billions of rows.
-    val byFlag = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
-    def pick(q: Double, alias: String): Column = {
-      val pos = (col("n") - 1) * lit(q)
-      val lower = max(when(col("rn") === floor(pos) + 1, col("v")))
-      val higher = max(when(col("rn") === ceil(pos) + 1, col("v")))
-      val frac = max(pos - floor(pos)) // constant within the group
-      round(lower + (higher - lower) * frac, 2).as(alias)
-    }
-    t(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .withColumn("rn", row_number().over(byFlag.orderBy("v")))
-      .withColumn("n", count(lit(1)).over(byFlag).cast(DoubleType))
-      .groupBy("l_returnflag")
-      .agg(pick(0.5, "p50"), pick(0.9, "p90"))
-      .orderBy("l_returnflag")
+    graft.operators.Percentiles.exactWindowed(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
   }
 
   // ---------------------------------------------------------------- Q40

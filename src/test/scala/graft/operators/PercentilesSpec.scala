@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Both exact-percentile tiers must return identical results — the
+  * range-partitioned tier exists for groups too large to rank in one
+  * task, not for different semantics. */
+class PercentilesSpec extends SparkSpec {
+
+  private val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+
+  test("windowed and range-partitioned tiers agree on the lineitem fixture") {
+    val li = Tables.load(spark, sfDirDocs, "lineitem")
+    val w = Percentiles.exactWindowed(li, "l_returnflag", "l_extendedprice", qs).collect()
+    val r = Percentiles.exactRangePartitioned(li, "l_returnflag", "l_extendedprice", qs).collect()
+    assert(w.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    assert(w.nonEmpty)
+  }
+
+  test("tiers agree on a skewed fixture (one giant group, one tiny)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50000).map(_ => ("big", rnd.nextDouble() * 1000)) ++
+      Seq(("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0))
+    val df = rows.toDF("g", "x").repartition(16)
+    val w = Percentiles.exactWindowed(df, "g", "x", qs).collect()
+    val r = Percentiles.exactRangePartitioned(df, "g", "x", qs).collect()
+    assert(w.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    // tiny group sanity: median of {1,2,3} is 2, p90 interpolates to 2.8
+    val tiny = w.find(_.getString(0) == "tiny").get
+    assert(tiny.getDouble(1) === 2.0)
+    assert(tiny.getDouble(2) === 2.8)
+  }
+}
