@@ -79,6 +79,14 @@ object PipelineQueries {
   def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
 
+  /** Near-dup clustering: connected components over the exact jaccard
+    * pair graph; one row per duplicate family with canonical id, size,
+    * member list. The step a dedup pipeline runs after pair generation
+    * (see graft.operators.Clustering for the scale shape). */
+  def q46NearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.nearDupClusters(
+      Dedup.jaccardPairs(t(spark, dir, "documents"), threshold = 0.5))
+
   /** Driver-checkable precision contract for SimHash (no SQL analogue of
     * the 128-bit signature exists): every Hamming<=3 pair must be a true
     * near-dup (jaccard >= 0.3) and the fixture's planted dups must be
@@ -114,8 +122,8 @@ object PipelineQueries {
       l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
     }.toMap
     val allStops = TA.StopWords.flatMap(_._2).map(w => s"'$w'").mkString("(", ",", ")")
-    val jaccardSql =
-      """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+    val jaccardCtes =
+      """w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
         |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
@@ -124,8 +132,23 @@ object PipelineQueries {
         |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
         |p AS (SELECT da, db,
         |        ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) AS jac
-        |      FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id)
-        |SELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db""".stripMargin
+        |      FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id)""".stripMargin
+    val jaccardSql =
+      s"WITH $jaccardCtes\nSELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db"
+    // transitive closure of the pair graph via recursive min-label
+    // propagation — the SQL mirror of Clustering.connectedComponents
+    val clusterSql =
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pr AS (SELECT da, db FROM p WHERE jac >= 0.5),
+         |edges AS (SELECT da AS u, db AS v FROM pr UNION SELECT db AS u, da AS v FROM pr),
+         |cc(node, comp) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+         |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
+         |SELECT comp AS cluster_id, COUNT(*) AS n_docs,
+         |       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin
     Map(
       "q28_token_stats" ->
         s"""SELECT lang,
@@ -172,6 +195,7 @@ object PipelineQueries {
       "q33_minhash_lsh" -> jaccardSql,
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
+      "q46_neardup_clusters" -> clusterSql,
       "q35_embedding_neardup" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
