@@ -65,6 +65,7 @@ object SparkEntry {
     "q44_ntile" -> (CoreQueries.q44Ntile _),
     "q45_approx_percentiles" -> (CoreQueries.q45ApproxPercentiles _),
     "q46_neardup_clusters" -> (PipelineQueries.q46NearDupClusters _),
+    "q47_pipeline_e2e" -> (PipelineQueries.q47PipelineE2e _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

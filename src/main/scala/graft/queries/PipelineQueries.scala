@@ -79,13 +79,31 @@ object PipelineQueries {
   def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
 
-  /** Near-dup clustering: connected components over the exact jaccard
-    * pair graph; one row per duplicate family with canonical id, size,
-    * member list. The step a dedup pipeline runs after pair generation
-    * (see graft.operators.Clustering for the scale shape). */
+  /** Near-dup clustering: connected components over the near-dup pair
+    * graph; one row per duplicate family with canonical id, size, member
+    * list. Pair generation is the MinHash-LSH path — the at-scale
+    * pipeline composition, and exact-verified so its pairs EQUAL the
+    * jaccard join's (which is what the recursive-CTE oracle computes).
+    * See graft.operators.Clustering for the CC scale shape. */
   def q46NearDupClusters(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Clustering.nearDupClusters(
-      Dedup.jaccardPairs(t(spark, dir, "documents"), threshold = 0.5))
+      Dedup.minHashLshPairs(t(spark, dir, "documents"), threshold = 0.5))
+
+  /** Composed training-data pipeline in one query — the shape a real
+    * corpus-prep job runs: quality-score filter → exact dedup on content →
+    * per-language token statistics. Everything is projections + one
+    * distinct + one aggregation; at 100 TB this is a single scan-shuffle-
+    * agg pipeline with all filters pushed to the scan. */
+  def q47PipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TA.qualityScore(col("text")).cast(DecimalType(14, 4)).as("q"))
+      .filter(col("q") >= 0.5)
+      .select(col("lang"), col("text")).distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.wsTokenCount(col("text"))).as("total_tokens"))
+      .orderBy("lang")
 
   /** Driver-checkable precision contract for SimHash (no SQL analogue of
     * the 128-bit signature exists): every Hamming<=3 pair must be a true
@@ -196,6 +214,19 @@ object PipelineQueries {
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,
+      "q47_pipeline_e2e" ->
+        s"""WITH d AS (SELECT lang, text, lower(text) AS t, string_split(lower(text),' ') AS w FROM documents),
+           |q AS (SELECT lang, text, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM d),
+           |f AS (SELECT DISTINCT lang, text FROM q WHERE q >= 0.5)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
       "q35_embedding_neardup" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -67,6 +67,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(coldCands === 1L)
   }
 
+  test("dedup joins reuse the shingle exchange (kernel computed once, not per consumer)") {
+    // the repartition pinch-points exist so ReuseExchange collapses the
+    // per-doc kernels to one pass; assert the executed plan proves it
+    def reuses(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // AQE finalizes the plan on execution
+      df.queryExecution.executedPlan.toString.contains("ReusedExchange")
+    }
+    assert(reuses(Dedup.jaccardPairs(docs, 0.5)), "q32 self-join should reuse the sg exchange")
+    assert(reuses(Dedup.minHashLshPairs(docs, 0.5)), "q33 bucket join should reuse the bk exchange")
+    assert(reuses(Dedup.simHashPairs(docs, 3)), "q34 chunk join should reuse the chunk exchange")
+  }
+
   test("LSH ANN achieves high recall on planted near neighbors") {
     import spark.implicits._
     // 200 random unit-ish vectors + 10 planted neighbors of vector 0
