@@ -67,6 +67,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(coldCands === 1L)
   }
 
+  test("cap's documented divergence: pairs sharing ONLY boilerplate are dropped, not mis-scored") {
+    import spark.implicits._
+    // docs 0 and 1 are identical PURE boilerplate (jac 1.0 through hot
+    // shingles alone); 40 more docs carry the same boilerplate plus unique
+    // tails. The cap treats all-boilerplate overlap as not-a-near-dup —
+    // that pair disappears (the ONLY divergence mode); it is never
+    // emitted with a wrong score.
+    val boiler = "all rights reserved contact us for details"
+    val fixture = ((0 to 1).map(i => (i.toLong, boiler)) ++
+      (2 until 42).map(i => (i.toLong, s"$boiler tail$i x$i y$i z$i w$i v$i"))).toDF("doc_id", "text")
+    def ids(cap: Option[Int]) = Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(None).contains((0L, 1L)))
+    assert(!ids(Some(8)).contains((0L, 1L)))
+    // every pair the capped join DOES emit scores identically to uncapped
+    def scored(cap: Option[Int]) = Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (u, c) = (scored(None), scored(Some(8)))
+    c.foreach { case (k, jac) => assert(u(k) === jac, s"capped mis-scored $k") }
+  }
+
   test("dedup joins reuse the shingle exchange (kernel computed once, not per consumer)") {
     // the repartition pinch-points exist so ReuseExchange collapses the
     // per-doc kernels to one pass; assert the executed plan proves it

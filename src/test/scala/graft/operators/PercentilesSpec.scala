@@ -19,6 +19,20 @@ class PercentilesSpec extends SparkSpec {
     assert(w.nonEmpty)
   }
 
+  test("quantile_cont semantics match Spark's built-in exact percentile on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 10000).map(_ => (if (rnd.nextBoolean()) "a" else "b", rnd.nextGaussian() * 100))
+      .toDF("g", "x")
+    val ours = Percentiles.exactWindowed(df, "g", "x", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val builtin = df.groupBy("g")
+      .agg(round(expr("percentile(x, 0.5)"), 2).as("p50"), round(expr("percentile(x, 0.9)"), 2).as("p90"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(ours === builtin)
+  }
+
   test("tiers agree on a skewed fixture (one giant group, one tiny)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
