@@ -359,15 +359,26 @@ object Dedup {
     * results bit-identical to the DuckDB oracle; brute-force declarative
     * forms (HOF folds or boxed UDF joins) profiled 10-30x slower than the
     * primitive kernel. */
+  /** @param numBlocks 0 (default) auto-sizes from a count so one block
+    *                   stays ~4k vectors (a bounded-memory row) while
+    *                   keeping at least one block pair per core; fix it
+    *                   explicitly to skip the count job. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
-                            numBlocks: Int = 32): DataFrame = {
+                            numBlocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val blocks0 =
+      if (numBlocks > 0) numBlocks
+      else {
+        val n = emb.count()
+        math.max(spark.sparkContext.defaultParallelism,
+          math.ceil(n / 4096.0).toInt).max(1)
+      }
     // One row per block: sorted ids + packed vectors + precomputed norms.
     // collect_list is non-deterministic in order, so sort by id inside the
     // block kernel to keep the packing deterministic.
     val blocks = emb
-      .select(pmod(col("vec_id"), lit(numBlocks.toLong)).as("blk"),
+      .select(pmod(col("vec_id"), lit(blocks0.toLong)).as("blk"),
         col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .as[(Long, Long, Array[Double])]
       .groupByKey(_._1)
@@ -390,7 +401,7 @@ object Dedup {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(pairSchema)
     left.join(broadcast(right), col("ba") <= col("bb"))
-      .repartition(math.max(numBlocks, spark.sparkContext.defaultParallelism))
+      .repartition(math.max(blocks0, spark.sparkContext.defaultParallelism))
       .flatMap { r =>
         val same = r.getLong(0) == r.getLong(4)
         val ia = r.getSeq[Long](1).toArray

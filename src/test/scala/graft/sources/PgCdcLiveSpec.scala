@@ -201,6 +201,46 @@ class PgCdcLiveSpec extends SparkSpec {
     assert(dups.toSet.subsetOf(firstSeen.toSet), s"unexpected duplicates: $dups")
   }
 
+  test("streaming TOAST e2e: live envelope -> typedView -> applyChanges keeps unchanged columns") {
+    val relP = RelationMeta(1, "public", "docs", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0),
+      RelationColumn("payload", 25, -1, 0))) // the TOAST-able column
+    val fs: Seq[(Long, Array[Byte])] = Seq(
+      e.relation(relP),
+      e.begin(),
+      e.insert(1, Seq(Some("1"), Some("a"), Some("big-toast-value"))),
+      e.commit(),
+      e.begin(),
+      // UPDATE changes name; payload arrives as a 'u' (unchanged) cell
+      e.update(1, Seq(Some("1"), Some("a2"), None), unchanged = Set(2)),
+      e.commit()).zipWithIndex.map { case (f, i) => (100L + i, f) }
+    val id = s"toast${System.nanoTime()}"
+    ScriptedFrameSource.register(id, fs)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-live-toast").toString
+    import spark.implicits._
+    var state = Seq.empty[(Long, String, String)].toDF("id", "name", "payload")
+    val q = spark.readStream.format("pgcdc-live")
+      .option("frameSource.class", classOf[ScriptedFrameSource].getName)
+      .option("fixtureId", id)
+      .option("maxBatchRecords", 1) // insert and update land in DIFFERENT batches
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = Envelope.typedView(df, relP)
+        state = Envelope.applyChanges(state, typed, Seq("id"))
+        state = spark.createDataFrame( // materialize per batch (the consumer's table)
+          spark.sparkContext.parallelize(state.collect().toSeq), state.schema)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = state.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("name") === "a2")
+    // the TOASTed payload must survive the merge, not become NULL
+    assert(rows(0).getAs[String]("payload") === "big-toast-value")
+  }
+
   test("typed view works over the live envelope (same schema as replay)") {
     val id = s"tv${System.nanoTime()}"
     ScriptedFrameSource.register(id, frames())
