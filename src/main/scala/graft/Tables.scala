@@ -25,16 +25,21 @@ object Tables {
   // Memoized per (session, dir, table): DataFrame plans are immutable, and
   // re-calling spark.read.parquet rebuilds the file index + re-reads the
   // footer schema on every query — measurable fixed overhead when dozens
-  // of queries each touch several tables. The outer map holds the session
-  // WEAKLY by identity (SparkSession doesn't override equals): a stopped,
-  // unreferenced session's plans are GC'd instead of served to a colliding
-  // successor, which identityHashCode-keying allowed.
+  // of queries each touch several tables. Keyed by session identity
+  // (SparkSession doesn't override equals), so a colliding successor is
+  // never served a stopped session's plans. Weak keys alone can NOT
+  // reclaim entries here — the cached DataFrames strongly reference their
+  // session, so the value pins the key (the WeakHashMap value→key leak);
+  // instead, entries for stopped sessions are pruned eagerly on every
+  // access (O(#sessions), trivially small).
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

@@ -350,12 +350,15 @@ object CoreQueries {
     * the two scale tiers (streaming-window rank here; range-partitioned
     * ranks for giant groups; approx_percentile sketch is q45). */
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    // Exact quantile_cont WITHOUT materializing groups: rank each value
-    // with a window (one shuffle; window sort streams and spills), then
-    // pick the two rows flanking pos = (n-1)*q with conditional
+    // Exact quantile_cont WITHOUT materializing groups: rank each value,
+    // then pick the two rows flanking pos = (n-1)*q with conditional
     // aggregates and interpolate. O(1) aggregation state per group — no
     // collect_list buffer to overflow when a group has billions of rows.
-    graft.operators.Percentiles.exactWindowed(
+    // Tier choice is automatic (Percentiles.exactAuto): ordinary groups
+    // take the streaming-window ranker; any group past ~10M rows
+    // dispatches to the range-partitioned ranker so no single task ever
+    // sorts a whole giant group.
+    graft.operators.Percentiles.exactAuto(
       t(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
       Seq(0.5 -> "p50", 0.9 -> "p90"))
   }

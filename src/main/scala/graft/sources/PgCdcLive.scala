@@ -43,7 +43,19 @@ import graft.wal.{PgOutput, PgOutputDecoder}
   * }}}
   */
 trait ReplicationFrameSource extends AutoCloseable {
-  /** Non-blocking: the next (lsn, pgoutput frame) if one is pending. */
+  /** Non-blocking: the next (lsn, pgoutput frame) if one is pending.
+    *
+    * Delivery contract (what pgjdbc's `PGReplicationStream` provides):
+    *  - LSNs are NON-DECREASING — consecutive frames MAY report the same
+    *    LSN (`getLastReceiveLSN` can repeat for RELATION/BEGIN messages
+    *    sharing a WAL position); the stream keys such frames by a
+    *    per-LSN arrival sequence, so equal-LSN frames are retained;
+    *  - each frame is delivered once per connection; after a reconnect
+    *    the server resends everything past the last `advance`d LSN in
+    *    the ORIGINAL ORDER (so the arrival-sequence keying is stable
+    *    across redelivery);
+    *  - frames with an LSN strictly below an already-delivered one are
+    *    treated as redelivery and dropped by the stream. */
   def poll(): Option[(Long, Array[Byte])]
   /** Confirm everything at or below `lsn` durably consumed (slot flush). */
   def advance(lsn: Long): Unit
@@ -101,17 +113,45 @@ class PgCdcLiveTable(options: Map[String, String]) extends Table with SupportsRe
             maxBatchRecords =
               options.get("maxBatchRecords").map(_.toInt).getOrElse(Int.MaxValue),
             allowMidTxFlush =
-              options.get("allowMidTxFlush").exists(_.toBoolean))
+              options.get("allowMidTxFlush").exists(_.toBoolean),
+            restartFillTimeoutMs =
+              options.get("restartFillTimeoutMs").map(_.toLong).getOrElse(60000L))
       }
     }
 }
 
-/** LSN offset (monotone; PostgreSQL LSNs are 64-bit). */
-final case class LsnOffset(lsn: Long) extends Offset {
-  override def json(): String = s"""{"lsn":$lsn}"""
+/** Composite offset: (lsn, per-LSN arrival sequence). PostgreSQL LSNs
+  * are 64-bit and non-decreasing but NOT strictly monotone across
+  * pgoutput messages — consecutive frames can share a WAL position — so
+  * the LSN alone is an ambiguous batch boundary. `seq` numbers frames
+  * within an equal-LSN run (0-based, stable across slot redelivery
+  * because the server resends in the original order). `seq =
+  * Long.MaxValue` means "every frame at this LSN is consumed" — the
+  * initial offset, and the meaning of a pre-composite checkpoint that
+  * carries only an lsn. */
+final case class LsnOffset(lsn: Long, seq: Long = Long.MaxValue) extends Offset {
+  override def json(): String = s"""{"lsn":$lsn,"seq":$seq}"""
+  /** Frame key (l, s) is strictly after this offset (not yet consumed). */
+  def admits(l: Long, s: Long): Boolean =
+    l > lsn || (l == lsn && seq != Long.MaxValue && s > seq)
+  /** Frame key (l, s) is at or before this offset (consumed by it). */
+  def covers(l: Long, s: Long): Boolean = !admits(l, s)
+}
+
+object LsnOffset {
+  private val LsnRe = """"lsn"\s*:\s*(\d+)""".r.unanchored
+  private val SeqRe = """"seq"\s*:\s*(\d+)""".r.unanchored
+  def parse(json: String): LsnOffset = {
+    val lsn = json match { case LsnRe(v) => v.toLong; case _ => 0L }
+    val seq = json match { case SeqRe(v) => v.toLong; case _ => Long.MaxValue }
+    LsnOffset(lsn, seq)
+  }
 }
 
 object PgCdcLiveStream {
+  /** A polled pgoutput frame keyed by (lsn, per-LSN arrival seq). */
+  private[sources] final case class Frame(lsn: Long, seq: Long, bytes: Array[Byte])
+
   /** Reflective factory: `frameSource.class` names a
     * ReplicationFrameSource with a `(Map[String, String])` or no-arg
     * constructor — the seam that lets a pgjdbc-backed implementation plug
@@ -130,22 +170,25 @@ object PgCdcLiveStream {
 
 class PgCdcLiveStream(source: ReplicationFrameSource,
                       maxBatchRecords: Int = Int.MaxValue,
-                      allowMidTxFlush: Boolean = false)
+                      allowMidTxFlush: Boolean = false,
+                      restartFillTimeoutMs: Long = 60000L)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // AvailableNow: snapshot the socket's high-water mark at trigger start;
   // batches pace toward it under the admission cap and never pass it.
-  private var availableNowTarget: Long = Long.MaxValue
+  private var availableNowTarget: LsnOffset = LsnOffset(Long.MaxValue)
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     drain()
-    availableNowTarget = lastPolledLsn
+    availableNowTarget = LsnOffset(lastPolledLsn, lastPolledSeq)
   }
+
+  import PgCdcLiveStream.Frame
 
   // Driver-side frame buffer between socket and batch planning. Frames
   // stay buffered until commit(end) acks them to the slot — a crash loses
   // only unacked frames, which PostgreSQL redelivers.
-  private val buffer = mutable.ArrayDeque.empty[(Long, Array[Byte])]
+  private val buffer = mutable.ArrayDeque.empty[Frame]
   // Latest RELATION frame per relation OID, prepended to every batch so
   // executors can decode without history (PostgreSQL sends RELATION once
   // per session, not per batch — the registry is driver state, mirroring
@@ -154,23 +197,30 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
   // txid open at each buffered frame boundary, for mid-tx batch starts.
   private var openTxidAtBufferHead: Long = -1L
   private var lastPolledLsn: Long = 0L
+  private var lastPolledSeq: Long = 0L
 
   private def isRelation(bytes: Array[Byte]): Boolean = bytes.nonEmpty && bytes(0) == 'R'.toByte
+  private def isChange(bytes: Array[Byte]): Boolean = bytes.nonEmpty &&
+    (bytes(0) == 'I'.toByte || bytes(0) == 'U'.toByte || bytes(0) == 'D'.toByte)
 
   /** Pull pending frames off the socket into the buffer (bounded per call
-    * to keep latestOffset prompt). */
+    * to keep latestOffset prompt). Equal-LSN frames are RETAINED and
+    * keyed by arrival sequence (the ReplicationFrameSource contract makes
+    * that keying stable across redelivery); only frames with an LSN
+    * strictly below the high-water mark are dropped as redelivery. */
   private def drain(maxPull: Int = 65536): Unit = synchronized {
     var pulled = 0
     var more = true
     while (more && pulled < maxPull) {
       source.poll() match {
-        case Some((lsn, bytes)) if lsn > lastPolledLsn =>
-          lastPolledLsn = lsn
+        case Some((lsn, bytes)) if lsn >= lastPolledLsn =>
+          if (lsn > lastPolledLsn) { lastPolledLsn = lsn; lastPolledSeq = 0L }
+          else lastPolledSeq += 1L
           if (isRelation(bytes)) {
             val oid = ByteBuffer.wrap(bytes, 1, 4).getInt
             relationFrames(oid) = (lsn, bytes)
           }
-          buffer.append((lsn, bytes))
+          buffer.append(Frame(lsn, lastPolledSeq, bytes))
           pulled += 1
         case Some(_) => () // redelivered below-watermark frame: drop
         case None => more = false
@@ -180,59 +230,61 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
 
   override def initialOffset(): Offset = LsnOffset(0L)
 
-  override def deserializeOffset(json: String): Offset =
-    LsnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = LsnOffset.parse(json)
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxBatchRecords == Int.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxBatchRecords.toLong)
 
   /** Advance from `start` by the admission limit, snapped to a tx-safe
-    * LSN; an oversized open tx either extends the batch to its COMMIT
+    * point; an oversized open tx either extends the batch to its COMMIT
     * (atomic mode, the default) or — with allowMidTxFlush — cuts at the
-    * cap (the reference's overflow flush). */
+    * cap (the reference's overflow flush). Only CHANGE frames (I/U/D)
+    * count against `ReadMaxRows` — control frames (BEGIN/COMMIT/RELATION)
+    * are not rows, so `maxBatchRecords = n` admits n data rows, matching
+    * Spark's rows-based ReadLimit semantics. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     drain()
-    val s = start.asInstanceOf[LsnOffset].lsn
+    val s = start.asInstanceOf[LsnOffset]
     val cap = limit match {
       case r: ReadMaxRows => r.maxRows().min(Int.MaxValue.toLong).toInt
       case _ => Int.MaxValue
     }
     val pending = buffer.iterator
-      .filter { case (lsn, _) => lsn > s && lsn <= availableNowTarget }.toVector
-    if (pending.isEmpty) return LsnOffset(s)
+      .filter(f => s.admits(f.lsn, f.seq) && availableNowTarget.covers(f.lsn, f.seq)).toVector
+    if (pending.isEmpty) return s
     var open = openTxidAt(s) >= 0
-    var safeWithinCap = -1L // furthest tx-safe lsn in the first `cap` frames
-    var firstSafeBeyond = -1L // first tx-safe lsn past the cap (atomic fallback)
-    var atCap = -1L // lsn of the cap'th frame (overflow cut point)
-    var n = 0
-    pending.foreach { case (lsn, bytes) =>
-      n += 1
-      bytes.headOption.map(_.toChar) match {
+    var safeWithinCap: LsnOffset = null // furthest tx-safe point within `cap` rows
+    var firstSafeBeyond: LsnOffset = null // first tx-safe point past the cap (atomic fallback)
+    var atCap: LsnOffset = null // key of the cap'th data row (overflow cut point)
+    var rows = 0
+    pending.foreach { f =>
+      if (isChange(f.bytes)) rows += 1
+      f.bytes.headOption.map(_.toChar) match {
         case Some('B') => open = true
         case Some('C') => open = false
         case _ => ()
       }
       if (!open) {
-        if (n <= cap) safeWithinCap = lsn
-        else if (firstSafeBeyond < 0) firstSafeBeyond = lsn
+        if (rows <= cap) safeWithinCap = LsnOffset(f.lsn, f.seq)
+        else if (firstSafeBeyond == null) firstSafeBeyond = LsnOffset(f.lsn, f.seq)
       }
-      if (n == cap) atCap = lsn
+      if (rows == cap && atCap == null) atCap = LsnOffset(f.lsn, f.seq)
     }
-    if (safeWithinCap >= 0) LsnOffset(safeWithinCap) // atomic batch within the cap
-    else if (allowMidTxFlush && atCap >= 0) LsnOffset(atCap) // overflow flush: cut mid-tx
-    else if (firstSafeBeyond >= 0) LsnOffset(firstSafeBeyond) // extend to the tx's COMMIT
-    else LsnOffset(s) // tx open beyond everything buffered: wait for more
+    if (safeWithinCap != null) safeWithinCap // atomic batch within the cap
+    else if (allowMidTxFlush && atCap != null) atCap // overflow flush: cut mid-tx
+    else if (firstSafeBeyond != null) firstSafeBeyond // extend to the tx's COMMIT
+    else s // tx open beyond everything buffered: wait for more
   }
 
-  /** txid of the transaction open just after LSN `at` (scan of the buffer
-    * head — frames below the committed watermark are released, so this is
-    * O(buffered)). -1 when no tx is open. */
-  private def openTxidAt(at: Long): Long = {
+  /** txid of the transaction open just after offset `at` (scan of the
+    * buffer head — frames below the committed watermark are released, so
+    * this is O(buffered)). -1 when no tx is open. */
+  private def openTxidAt(at: LsnOffset): Long = {
     var txid = openTxidAtBufferHead
-    buffer.iterator.takeWhile(_._1 <= at).foreach { case (lsn, bytes) =>
-      bytes.headOption.map(_.toChar) match {
-        case Some('B') => txid = lsn
+    buffer.iterator.takeWhile(f => at.covers(f.lsn, f.seq)).foreach { f =>
+      f.bytes.headOption.map(_.toChar) match {
+        case Some('B') => txid = f.lsn
         case Some('C') => txid = -1L
         case _ => ()
       }
@@ -244,18 +296,39 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
 
-  override def reportLatestOffset(): Offset = synchronized { LsnOffset(lastPolledLsn) }
+  override def reportLatestOffset(): Offset =
+    synchronized { LsnOffset(lastPolledLsn, lastPolledSeq) }
+
+  /** True when the source has delivered every frame at or before `e`. */
+  private def filledTo(e: LsnOffset): Boolean =
+    lastPolledLsn > e.lsn ||
+      (lastPolledLsn == e.lsn && (e.seq == Long.MaxValue || lastPolledSeq >= e.seq))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
-    val s = start.asInstanceOf[LsnOffset].lsn
-    val e = end.asInstanceOf[LsnOffset].lsn
-    // On restart the buffer may not yet hold (s, e]: drain until it does
-    // (PostgreSQL resends everything after the slot's flushed LSN).
-    var tries = 0
-    while (lastPolledLsn < e && tries < 1000) { drain(); tries += 1 }
-    val slice = buffer.iterator.filter { case (lsn, _) => lsn > s && lsn <= e }.toVector
+    val s = start.asInstanceOf[LsnOffset]
+    val e = end.asInstanceOf[LsnOffset]
+    // On restart the buffer may not yet hold (s, e] — PostgreSQL resends
+    // everything after the slot's flushed LSN, but at socket pace. Wait
+    // with backoff until the range is filled; NEVER plan a partial slice:
+    // a batch missing frames that later commits would ack the slot past
+    // them and lose rows permanently. If the source cannot supply the
+    // range in time, fail the batch — Spark retries it, nothing is acked.
+    val deadline = System.nanoTime() + restartFillTimeoutMs * 1000000L
+    drain()
+    while (!filledTo(e) && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      drain()
+    }
+    if (!filledTo(e))
+      throw new IllegalStateException(
+        s"pgcdc-live: replication source did not redeliver frames up to $e within " +
+          s"${restartFillTimeoutMs}ms (reached lsn=$lastPolledLsn seq=$lastPolledSeq); " +
+          "failing the batch so it is retried — the slot is not acked, nothing is lost")
+    val slice = buffer.iterator
+      .filter(f => s.admits(f.lsn, f.seq) && e.covers(f.lsn, f.seq))
+      .map(f => (f.lsn, f.bytes)).toVector
     // Relation registry snapshot for frames the slice can reference.
-    val rels = relationFrames.values.filter(_._1 <= e).toVector
+    val rels = relationFrames.values.filter(_._1 <= e.lsn).toVector
     Array(LivePartition(rels, slice, openTxidAt(s)))
   }
 
@@ -274,12 +347,19 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
     }
 
   /** Slot ack (A12): everything at or below `end` is durably processed —
-    * advance the slot's flushed LSN and release the driver buffer. */
+    * advance the slot's flushed LSN and release the driver buffer. The
+    * slot ack is LSN-granular while offsets are (lsn, seq): if the batch
+    * boundary cuts an equal-LSN run mid-way (or more frames at that LSN
+    * could still arrive), ack only up to the PREVIOUS lsn so the server
+    * still redelivers the partially-consumed run after a crash — the
+    * leftover duplicates are filtered by the composite offset. */
   override def commit(end: Offset): Unit = synchronized {
-    val e = end.asInstanceOf[LsnOffset].lsn
-    source.advance(e)
+    val e = end.asInstanceOf[LsnOffset]
     openTxidAtBufferHead = openTxidAt(e)
-    while (buffer.nonEmpty && buffer.head._1 <= e) buffer.removeHead()
+    while (buffer.nonEmpty && e.covers(buffer.head.lsn, buffer.head.seq)) buffer.removeHead()
+    val runComplete = e.seq == Long.MaxValue ||
+      (lastPolledLsn > e.lsn && !buffer.exists(_.lsn == e.lsn))
+    source.advance(if (runComplete) e.lsn else e.lsn - 1)
   }
 
   override def stop(): Unit = source.close()

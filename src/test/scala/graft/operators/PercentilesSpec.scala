@@ -33,6 +33,24 @@ class PercentilesSpec extends SparkSpec {
     assert(ours === builtin)
   }
 
+  test("exactAuto dispatches on group size and all tiers agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 2 fat groups + 500 small ones; a tiny giant threshold forces every
+    // dispatch branch through the same fixture
+    val fat = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 100)).toDF("g", "x")
+    val small = (1 to 10000).map(i => (s"g${i % 500}", rnd.nextDouble() * 100)).toDF("g", "x")
+    for (df <- Seq(fat, small)) {
+      val w = Percentiles.exactWindowed(df, "g", "x", qs).collect()
+      // giant branch: threshold below the fat group size -> range tier
+      val giant = Percentiles.exactAuto(df, "g", "x", qs, giantGroupThreshold = 100).collect()
+      // ordinary branch: threshold above the total -> windowed, no pre-scan
+      val ord = Percentiles.exactAuto(df, "g", "x", qs, giantGroupThreshold = 1000000).collect()
+      for (r <- Seq(giant, ord))
+        assert(w.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    }
+  }
+
   test("tiers agree on a skewed fixture (one giant group, one tiny)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

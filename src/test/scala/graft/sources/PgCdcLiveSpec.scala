@@ -76,13 +76,19 @@ class PgCdcLiveSpec extends SparkSpec {
       .asInstanceOf[LsnOffset].lsn
 
   test("offsets snap to tx-safe LSNs under the admission cap (atomic mode)") {
+    // The cap counts DATA rows (I/U/D) only — BEGIN/COMMIT/RELATION are
+    // not rows (ReadMaxRows semantics): cap 1 admits one insert.
     val (stream, _) = newStream(cap = 4)
-    // cap 4 from 0: frames 100..103 end mid-tx1 -> snap back to 100 (R is safe)
-    assert(end(stream, 0L, 4) === 100L)
-    // cap 5: tx1's COMMIT at 104 is in reach
-    assert(end(stream, 0L, 5) === 104L)
-    // from 104, cap 5: tx2's COMMIT at 109
-    assert(end(stream, 104L, 5) === 109L)
+    // cap 1 from 0: tx1 has 2 rows -> snap back to 100 (R is safe)
+    assert(end(stream, 0L, 1) === 100L)
+    // cap 2: exactly tx1's rows -> its COMMIT at 104
+    assert(end(stream, 0L, 2) === 104L)
+    // cap 4: tx2 (3 more rows) would exceed -> still 104
+    assert(end(stream, 0L, 4) === 104L)
+    // cap 5: both txs' 5 rows -> tx2's COMMIT at 109
+    assert(end(stream, 0L, 5) === 109L)
+    // from 104, cap 3: tx2's COMMIT at 109; the singleton would exceed
+    assert(end(stream, 104L, 3) === 109L)
     // from 109: the singleton is its own safe point
     assert(end(stream, 109L, 5) === 110L)
   }
@@ -97,7 +103,7 @@ class PgCdcLiveSpec extends SparkSpec {
   test("allowMidTxFlush cuts an oversized transaction at the cap and keeps txids") {
     val (stream, _) = newStream(cap = 2, overflow = true)
     val cut = end(stream, 104L, 2)
-    assert(cut === 106L) // BEGIN(105) + first insert(106): mid-tx overflow flush
+    assert(cut === 107L) // tx2's first two rows (106, 107): mid-tx overflow flush
     // decode both halves through planInputPartitions: txid must stay 105
     val p1 = stream.planInputPartitions(LsnOffset(104L), LsnOffset(cut))(0)
       .asInstanceOf[LivePartition]
@@ -106,16 +112,17 @@ class PgCdcLiveSpec extends SparkSpec {
       .asInstanceOf[LivePartition]
     val recs1 = LiveDecode.decode(p1.relationFrames, p1.frames, p1.openTxid).toVector
     val recs2 = LiveDecode.decode(p2.relationFrames, p2.frames, p2.openTxid).toVector
-    assert(recs1.map(_.columns("id")) === Vector("3"))
-    assert(recs2.map(_.columns("id")) === Vector("4", "5", "6"))
+    assert(recs1.map(_.columns("id")) === Vector("3", "4"))
+    assert(recs2.map(_.columns("id")) === Vector("5", "6"))
     // the overflowed tail keeps the transaction's txid (BEGIN lsn = 105)
-    assert((recs1 ++ recs2.take(2)).map(_.txid).distinct === Vector(105L))
+    assert((recs1 ++ recs2.take(1)).map(_.txid).distinct === Vector(105L))
     assert(recs2.last.txid === 110L) // singleton: txid = own lsn
   }
 
   test("commit(end) advances the slot and releases the buffer; relations survive") {
     val (stream, feed) = newStream(cap = 5)
-    val e1 = end(stream, 0L, 5)
+    val e1 = end(stream, 0L, 2)
+    assert(e1 === 104L)
     stream.commit(LsnOffset(e1))
     assert(feed.advanced.asScala.toSeq === Seq(104L))
     // next batch plans AFTER the buffer release; the RELATION frame (lsn
@@ -129,6 +136,31 @@ class PgCdcLiveSpec extends SparkSpec {
     assert(feed.advanced.asScala.toSeq === Seq(104L, e2))
     stream.stop()
     assert(feed.closed.get())
+  }
+
+  test("equal-LSN frames are retained, keyed by arrival seq, and ack stays conservative") {
+    // RELATION, BEGIN, and the first INSERT all report LSN 100 (pgjdbc's
+    // getLastReceiveLSN can repeat across consecutive pgoutput messages);
+    // the INSERT at 101 shares its LSN with the COMMIT. Every frame must
+    // survive; the pre-composite stream dropped all but the first of each.
+    val fs: Seq[(Long, Array[Byte])] = Seq(
+      (100L, e.relation(rel)), (100L, e.begin()),
+      (100L, e.insert(1, Seq(Some("1"), Some("a")))),
+      (101L, e.insert(1, Seq(Some("2"), Some("b")))),
+      (101L, e.commit()))
+    val (stream, feed) = newStream(cap = Int.MaxValue, fs = fs)
+    val eo = stream.latestOffset(LsnOffset(0L), ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    assert(eo === LsnOffset(101L, 1L)) // tx-safe point: the COMMIT's composite key
+    val p = stream.planInputPartitions(LsnOffset(0L), eo)(0).asInstanceOf[LivePartition]
+    val recs = LiveDecode.decode(p.relationFrames, p.frames, p.openTxid).toVector
+    assert(recs.map(_.columns("id")) === Vector("1", "2"))
+    assert(recs.map(_.txid).distinct === Vector(100L)) // both rows in tx BEGIN@100
+    // ack is LSN-granular: more frames at lsn 101 could still arrive, so
+    // the slot advances only to 100 — the 101-run redelivers after a crash
+    // and the composite offset filters the duplicates
+    stream.commit(eo)
+    assert(feed.advanced.asScala.toSeq === Seq(100L))
   }
 
   test("end-to-end: readStream pgcdc-live delivers every record with tx scoping") {
