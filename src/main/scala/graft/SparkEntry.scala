@@ -72,7 +72,8 @@ object SparkEntry {
     "q12_check_hll" -> (CoreQueries.q12CheckHll _),
     "q34_check_precision" -> (PipelineQueries.q34CheckPrecision _),
     "q36_check_recall" -> (CoreQueries.q36CheckRecall _),
-    "q45_check_bound" -> (CoreQueries.q45CheckBound _)
+    "q45_check_bound" -> (CoreQueries.q45CheckBound _),
+    "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -274,6 +275,9 @@ object SparkEntry {
       "SELECT 10 AS k, CAST(1 AS BOOLEAN) AS recall_ok",
     "q45_check_bound" ->
       """SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_bound
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_check_lsh_neardup" ->
+      """SELECT CAST(x AS BIGINT) AS va, CAST(1 AS BOOLEAN) AS found
+        |FROM generate_series(0, 9) AS t(x) ORDER BY va""".stripMargin
   ) ++ PipelineQueries.oracles
 }

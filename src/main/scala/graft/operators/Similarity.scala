@@ -63,44 +63,104 @@ object Similarity {
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Spherical k-means centroids over a bounded sample (VERDICT r2 #5 —
+    * replaces the first-N-by-id placeholder, whose quality depended on
+    * id order happening to cover the corpus's clusters).
+    *
+    * Scale contract: ONE distributed pass takes a deterministic,
+    * id-order-independent sample (top `sampleSize` by `xxhash64(vec_id)`
+    * — a TakeOrdered, no sort materialization, unbiased w.r.t. both id
+    * assignment and physical row order); Lloyd then iterates on the
+    * driver over that bounded sample (`sampleSize`×dim doubles, ~2 MB at
+    * the defaults — NOT the corpus). Assignments use cosine, means are
+    * renormalized each step (spherical k-means), empty clusters keep
+    * their previous centroid, and seeds are the sample's hash-order head
+    * — fully deterministic for a given corpus. */
+  def kmeansCentroids(emb: DataFrame, nLists: Int, iters: Int = 5,
+                      sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = asDouble(emb)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= nLists, s"need >= $nLists vectors, got ${sample.length}")
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    val points = sample.map(unit)
+    // farthest-point seeding (deterministic k-means++ analogue): each
+    // seed is the point least similar to its nearest existing seed, so
+    // seeds spread across the corpus's clusters instead of landing
+    // wherever the sample head happens to sit (a head of near-duplicate
+    // points would otherwise spawn duplicate centroids and halve the
+    // effective list count)
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    val nearestSeedDot = points.map(p => p.zip(points(0)).map { case (a, b) => a * b }.sum)
+    while (seedIdx.length < nLists) {
+      var far = 0; var farDot = Double.MaxValue
+      var i = 0
+      while (i < points.length) {
+        if (nearestSeedDot(i) < farDot) { farDot = nearestSeedDot(i); far = i }
+        i += 1
+      }
+      seedIdx += far
+      val s = points(far)
+      i = 0
+      while (i < points.length) {
+        var d = 0.0; var j = 0
+        while (j < s.length) { d += points(i)(j) * s(j); j += 1 }
+        if (d > nearestSeedDot(i)) nearestSeedDot(i) = d
+        i += 1
+      }
+    }
+    var centroids = seedIdx.toArray.map(points(_).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nLists)(new Array[Double](points(0).length))
+      val counts = new Array[Long](nLists)
+      points.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else unit(sums(c))
+      }
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k: vectors are assigned to their
     * nearest of `nLists` centroids (one pass, argmax over vec_dot with
     * literal centroid arrays — codegen'd, zero shuffle); the probe scans
     * only the `nProbe` nearest centroid lists. Candidate fraction ~
-    * nProbe/nLists of the data. Centroids here are deterministic data
-    * samples (first nLists by vec_id) — a production pipeline would
-    * k-means them; the bucket-join shape is identical.
-    * Assignment uses cosine (normalized dot) so clusters reflect angular
-    * proximity — the metric the search ranks by. */
+    * nProbe/nLists of the data. Centroids come from `kmeansCentroids`
+    * (spherical k-means over a bounded deterministic sample; unit-norm,
+    * so cos(e, c) = dot(e, c)/|e|). Assignment uses cosine so clusters
+    * reflect angular proximity — the metric the search ranks by. */
   def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     val v = asDouble(emb)
-    // one driver job fetches centroids AND (when probeId is among them,
-    // the common point-query case) the probe vector
-    val head: Array[(Long, Array[Double])] = v
-      .filter(col("vec_id") < nLists || col("vec_id") === probeId)
-      .orderBy("vec_id").limit(nLists + 1)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val centroids =
-      if (head.count(_._1 < nLists) == nLists) head.filter(_._1 < nLists)
-      else v.orderBy("vec_id").limit(nLists) // sparse vec_ids: full take-ordered
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def cosTo(c: Array[Double], e: Column): Column = {
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      vec_dot(e, typedLit(c.toSeq)) / (vec_norm(e) * lit(cn))
-    }
+    val centroids = kmeansCentroids(emb, nLists)
     // argmax via struct ordering: array_max compares (cos, idx) lexicographically
-    val assign = array_max(array(centroids.zipWithIndex.map { case ((_, c), i) =>
-      struct(cosTo(c, col("e")).as("d"), lit(i).as("i"))
+    val assign = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("d"),
+        lit(i).as("i"))
     }: _*)).getField("i")
     val assigned = v.withColumn("list", assign)
-    val probeVec = head.find(_._1 == probeId).map(_._2).getOrElse(
-      v.filter(col("vec_id") === probeId).collect()(0).getSeq[Double](1).toArray)
+    val probeVec = v.filter(col("vec_id") === probeId)
+      .collect()(0).getSeq[Double](1).toArray
     val probeNorm = math.sqrt(probeVec.map(x => x * x).sum)
-    val probeLists = centroids.zipWithIndex.map { case ((_, c), i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (c.zip(probeVec).map { case (x, y) => x * y }.sum / (cn * probeNorm), i)
+    val probeLists = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(probeVec).map { case (x, y) => x * y }.sum / probeNorm, i)
     }.sortBy(-_._1).take(nProbe).map(_._2)
     assigned
       .filter(col("vec_id") =!= probeId && col("list").isin(probeLists.toSeq: _*))

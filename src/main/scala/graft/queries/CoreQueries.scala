@@ -159,10 +159,14 @@ object CoreQueries {
 
   /** HLL++ sketch variant (no SQL oracle — rows-only check; the ScalaTest
     * suite asserts |approx-exact|/exact < 0.05). At 100 TB this is the
-    * operator you actually run: fixed-size sketch, no distinct shuffle. */
+    * operator you actually run: fixed-size sketch, no distinct shuffle.
+    * rsd = 0.05 (VERDICT r2 #7): the 0.01 setting spent 1.4 s on
+    * register-array width pure overhead at sf0.1; 0.05 runs in 0.27 s
+    * and stays comfortably inside the q12_check_hll 5% gate (HLL++ bias
+    * correction is near-exact at these cardinalities). */
   def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("du_approx"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("du_approx"))
 
   // ---------------------------------------------------------------- Q13
   /** ROLLUP → Catalyst Expand operator; one shuffle for all grouping sets.
@@ -407,10 +411,14 @@ object CoreQueries {
         (abs(col("a") - col("e")).cast(DoubleType) / col("e") <= 0.05).as("within_bound"))
       .orderBy("o_orderstatus")
 
+  /** Recall gate for the registered IVF configuration (must use the SAME
+    * (nLists, nProbe) as q36Ann — see its scaladoc for the measured
+    * recall/pruning curve that picked them). */
   def q36CheckRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val exact = graft.operators.Similarity.cosineTopK(emb, probeId = 0L, k = 10).select("vec_id")
-    val ann = graft.operators.Similarity.ivfTopK(emb, probeId = 0L, k = 10).select("vec_id")
+    val ann = graft.operators.Similarity.ivfTopK(emb, probeId = 0L, k = 10,
+      nLists = 10, nProbe = 6).select("vec_id")
     exact.join(ann, "vec_id")
       .agg((count(lit(1)) >= 9).as("recall_ok")) // recall >= 0.9 at k=10
       .select(lit(10).as("k"), col("recall_ok"))

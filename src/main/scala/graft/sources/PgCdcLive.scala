@@ -19,29 +19,15 @@ import graft.cdc.ChangeRecord
 import graft.wal.{PgOutput, PgOutputDecoder}
 
 /** Where live pgoutput frames come from — the seam between the engine and
-  * the PostgreSQL wire. A deployment implements this over pgjdbc's
-  * `PGReplicationStream` (no JDBC driver ships in this library):
-  *
-  * {{{
-  * class PgJdbcFrameSource(opts: Map[String, String]) extends ReplicationFrameSource {
-  *   private val conn = DriverManager.getConnection(opts("url"),
-  *     props(LivePgBootstrap.replicationProperties()))          // A1
-  *   // slot/publication bootstrap via LivePgBootstrap.*Sql     // A2, A3
-  *   private val stream = conn.unwrap(classOf[PGConnection]).getReplicationAPI
-  *     .replicationStream().logical().withSlotName(opts("slot"))
-  *     .withSlotOptions(LivePgBootstrap.slotOptions(opts("publication")))
-  *     .start()                                                  // CdcEngine.java:68-84
-  *   def poll() = Option(stream.readPending())
-  *     .map(b => (stream.getLastReceiveLSN.asLong, toBytes(b)))
-  *   def advance(lsn: Long) = {                                  // A12
-  *     stream.setFlushedLSN(LogSequenceNumber.valueOf(lsn))
-  *     stream.setAppliedLSN(LogSequenceNumber.valueOf(lsn))
-  *     stream.forceUpdateStatus()                                // CdcEngine.java:132-137
-  *   }
-  *   def close() = { stream.close(); conn.close() }
-  * }
-  * }}}
-  */
+  * the PostgreSQL wire. The shipped implementation is
+  * [[PgWireFrameSource]], a dependency-free v3 wire-protocol walsender
+  * client (startup/auth, LivePgBootstrap catalog SQL, START_REPLICATION
+  * CopyBoth streaming — see PgWireReplication.scala). The seam stays
+  * public so a deployment that prefers pgjdbc's `PGReplicationStream`
+  * can plug its own adapter (`poll` = `readPending` +
+  * `getLastReceiveLSN`; `advance` = `setFlushedLSN`/`setAppliedLSN` +
+  * `forceUpdateStatus` — the reference's lifecycle,
+  * `CdcEngine.java:68-84,132-137`). */
 trait ReplicationFrameSource extends AutoCloseable {
   /** Non-blocking: the next (lsn, pgoutput frame) if one is pending.
     *
@@ -179,7 +165,25 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
   private var availableNowTarget: LsnOffset = LsnOffset(Long.MaxValue)
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    drain()
+    // Settle loop rather than a single drain: a socket-backed source
+    // (PgWireFrameSource) delivers frames asynchronously, so an
+    // immediate snapshot at trigger start would freeze the high-water
+    // mark at zero and make the AvailableNow run a no-op. Drain until
+    // the source goes quiet for a beat (or a hard cap for sources with
+    // continuous traffic).
+    val capNanos = 3000L * 1000000L
+    val quietNanos = 200L * 1000000L
+    val start = System.nanoTime()
+    var lastProgress = start
+    var done = false
+    while (!done) {
+      val before = (lastPolledLsn, lastPolledSeq)
+      drain()
+      val now = System.nanoTime()
+      if ((lastPolledLsn, lastPolledSeq) != before) lastProgress = now
+      if (now - lastProgress > quietNanos || now - start > capNanos) done = true
+      else Thread.sleep(10)
+    }
     availableNowTarget = LsnOffset(lastPolledLsn, lastPolledSeq)
   }
 

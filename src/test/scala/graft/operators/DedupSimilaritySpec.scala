@@ -134,9 +134,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val dim = 16
     val rnd = new scala.util.Random(3)
     val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
-    // ids 1..7 stay random (they seed the centroid sample); planted
-    // neighbors live at 100..109 so they cluster AROUND centroid 0, not
-    // AS centroids
+    // planted neighbors live at 100..109 so they cluster AROUND the
+    // probe, and centroid quality comes from k-means, not id placement
     val rows = (0 until 200).map { i =>
       val e = if (i == 0) base
       else if (i >= 100 && i < 110) base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
@@ -150,6 +149,33 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (ivfTop & exactTop).size.toDouble / 10
     assert(exactTop === (100L to 109L).toSet)
     assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
+  test("IVF recall survives shuffled vec_id labels (centroids are k-means, not id-order)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val raw = (0 until 200).map { i =>
+      val e = if (i == 0) base
+      else if (i >= 100 && i < 110) base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, e)
+    }
+    // adversarial relabeling: a fixed permutation scatters the cluster
+    // across the id space (the old first-N-by-id sampling would have
+    // seeded centroids purely by luck of the permutation)
+    val perm = new scala.util.Random(99).shuffle((0 until 200).toVector)
+    val relabeled = raw.map { case (id, e) => (perm(id.toInt).toLong, e) }
+    val probeId = perm(0).toLong
+    val plantedIds = (100 until 110).map(i => perm(i).toLong).toSet
+    val df = relabeled.toDF("vec_id", "embedding")
+    val exactTop = Similarity.cosineTopK(df, probeId, 10).collect().map(_.getLong(0)).toSet
+    val ivfTop = Similarity.ivfTopK(df, probeId, 10, nLists = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactTop === plantedIds)
+    val recall = (ivfTop & exactTop).size.toDouble / 10
+    assert(recall >= 0.9, s"IVF recall too low after relabeling: $recall")
   }
 
   test("LSH-bucketed embedding near-dup matches the exact pairs for high thresholds") {

@@ -1,0 +1,322 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import javax.crypto.{Mac, SecretKeyFactory}
+import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.wal.{PgOutput, PgOutputEncoder}
+
+/** In-process scripted walsender: speaks enough of the v3 protocol to
+  * exercise PgWireConnection/PgWireFrameSource end-to-end — startup,
+  * the four auth modes, LivePgBootstrap catalog SQL, START_REPLICATION
+  * CopyBoth streaming, keepalives, and standby status updates. */
+class FakeWalsender(authMode: String, expectPassword: Option[String],
+                    frames: Seq[(Long, Array[Byte])],
+                    var slotExists: Boolean = true, var pubExists: Boolean = true) {
+  val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+  val acks = new ConcurrentLinkedQueue[Long]()
+  val ddl = new ConcurrentLinkedQueue[String]()
+  val sawReplicationParam = new ConcurrentLinkedQueue[String]()
+  val keepaliveAcked = new CountDownLatch(1)
+  @volatile var sendKeepaliveWithReply = false
+
+  private val acceptor = new Thread(() => {
+    try while (!server.isClosed) {
+      val s = server.accept()
+      val t = new Thread(() => handle(s))
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: IOException => () }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = server.close()
+
+  // ------------------------------------------------------------ codec
+  private def send(out: DataOutputStream, tag: Char, body: Array[Byte]): Unit =
+    out.synchronized {
+      out.writeByte(tag); out.writeInt(body.length + 4); out.write(body); out.flush()
+    }
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+  private def bytes(f: DataOutputStream => Unit): Array[Byte] = {
+    val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b); f(d); b.toByteArray
+  }
+  private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(msg.getBytes(UTF_8))
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    def readMsg(): (Char, Array[Byte]) = {
+      val tag = in.readByte().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4); in.readFully(body); (tag, body)
+    }
+    try {
+      // startup message: Int32 len, Int32 proto, (k\0v\0)* \0
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4); in.readFully(body)
+      val params = new String(body, 4, body.length - 5, UTF_8).split("\u0000")
+        .grouped(2).collect { case Array(k, v) => k -> v }.toMap
+      params.get("replication").foreach(sawReplicationParam.add)
+
+      // authentication
+      authMode match {
+        case "trust" => send(out, 'R', bytes(_.writeInt(0)))
+        case "cleartext" =>
+          send(out, 'R', bytes(_.writeInt(3)))
+          val (_, pw) = readMsg()
+          if (new String(pw.dropRight(1), UTF_8) != expectPassword.get) {
+            send(out, 'E',
+              bytes { d => d.write(cstr("SFATAL")); d.write(cstr("Mauth failed")); d.writeByte(0) })
+            return
+          }
+          send(out, 'R', bytes(_.writeInt(0)))
+        case "md5" =>
+          val salt = Array[Byte](1, 2, 3, 4)
+          send(out, 'R', bytes { d => d.writeInt(5); d.write(salt) })
+          val (_, pw) = readMsg()
+          val expected = PgWire.md5Password(params("user"), expectPassword.get, salt)
+          if (new String(pw.dropRight(1), UTF_8) != expected) {
+            send(out, 'E',
+              bytes { d => d.write(cstr("SFATAL")); d.write(cstr("Mauth failed")); d.writeByte(0) })
+            return
+          }
+          send(out, 'R', bytes(_.writeInt(0)))
+        case "scram" =>
+          send(out, 'R', bytes { d => d.writeInt(10); d.write(cstr("SCRAM-SHA-256")); d.writeByte(0) })
+          val (_, init) = readMsg() // mech\0 + int32 + client-first
+          val mechEnd = init.indexOf(0)
+          assert(new String(init, 0, mechEnd, UTF_8) == "SCRAM-SHA-256")
+          val clientFirst = new String(init, mechEnd + 5, init.length - mechEnd - 5, UTF_8)
+          val clientFirstBare = clientFirst.stripPrefix("n,,")
+          val clientNonce = clientFirstBare.split(",").collectFirst {
+            case kv if kv.startsWith("r=") => kv.drop(2)
+          }.get
+          val serverNonce = clientNonce + "SRVNONCE"
+          val salt = "saltysalt".getBytes(UTF_8)
+          val iterations = 4096
+          val serverFirst =
+            s"r=$serverNonce,s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"
+          send(out, 'R', bytes { d => d.writeInt(11); d.write(serverFirst.getBytes(UTF_8)) })
+          val (_, finalMsg) = readMsg()
+          val clientFinal = new String(finalMsg, UTF_8)
+          val noProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+          val proof = Base64.getDecoder.decode(clientFinal.drop(clientFinal.indexOf(",p=") + 3))
+          val spec = new PBEKeySpec(expectPassword.get.toCharArray, salt, iterations, 256)
+          val salted = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+            .generateSecret(spec).getEncoded
+          val clientKey = hmac(salted, "Client Key")
+          val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
+          val authMessage = s"$clientFirstBare,$serverFirst,$noProof"
+          val sig = hmac(storedKey, authMessage)
+          val recoveredKey = proof.zip(sig).map { case (a, b) => (a ^ b).toByte }
+          assert(java.security.MessageDigest.getInstance("SHA-256").digest(recoveredKey)
+            .sameElements(storedKey), "SCRAM proof mismatch")
+          val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+          send(out, 'R', bytes { d =>
+            d.writeInt(12)
+            d.write(s"v=${Base64.getEncoder.encodeToString(serverSig)}".getBytes(UTF_8))
+          })
+          send(out, 'R', bytes(_.writeInt(0)))
+      }
+      send(out, 'S', cstr("server_version") ++ cstr("16.0"))
+      send(out, 'Z', Array('I'.toByte))
+
+      // query loop
+      while (true) readMsg() match {
+        case ('X', _) => sock.close(); return
+        case ('Q', b) =>
+          val sql = new String(b.dropRight(1), UTF_8)
+          if (sql.startsWith("START_REPLICATION")) {
+            send(out, 'W', bytes { d => d.writeByte(0); d.writeShort(0) })
+            frames.foreach { case (lsn, payload) =>
+              send(out, 'd', bytes { d =>
+                d.writeByte('w'); d.writeLong(lsn); d.writeLong(lsn); d.writeLong(0L)
+                d.write(payload)
+              })
+            }
+            if (sendKeepaliveWithReply)
+              send(out, 'd', bytes { d =>
+                d.writeByte('k'); d.writeLong(0L); d.writeLong(0L); d.writeByte(1)
+              })
+            // keep reading standby status updates until the socket closes
+            while (true) readMsg() match {
+              case ('d', sb) if sb(0) == 'r'.toByte =>
+                val flushed = java.nio.ByteBuffer.wrap(sb, 9, 8).getLong
+                acks.add(flushed)
+                if (sendKeepaliveWithReply) keepaliveAcked.countDown()
+              case ('X', _) => sock.close(); return
+              case _ => ()
+            }
+          } else {
+            val existsAnswer: Option[String] =
+              if (sql.contains("pg_replication_slots")) Some(if (slotExists) "t" else "f")
+              else if (sql.contains("pg_publication ")) Some(if (pubExists) "t" else "f")
+              else None
+            if (sql.startsWith("CREATE PUBLICATION")) { pubExists = true; ddl.add(sql) }
+            if (sql.contains("pg_create_logical_replication_slot")) { slotExists = true; ddl.add(sql) }
+            existsAnswer.foreach { ans =>
+              send(out, 'T', bytes { d =>
+                d.writeShort(1); d.write(cstr("exists")); d.writeInt(0); d.writeShort(0)
+                d.writeInt(16); d.writeShort(1); d.writeInt(-1); d.writeShort(0)
+              })
+              send(out, 'D', bytes { d =>
+                d.writeShort(1); d.writeInt(1); d.write(ans.getBytes(UTF_8))
+              })
+            }
+            send(out, 'C', cstr("SELECT 1"))
+            send(out, 'Z', Array('I'.toByte))
+          }
+        case _ => ()
+      }
+    } catch { case _: IOException => () }
+    finally { try sock.close() catch { case _: IOException => () } }
+  }
+}
+
+class PgWireReplicationSpec extends SparkSpec {
+
+  import PgOutput._
+  private val e = PgOutputEncoder
+  private val rel = RelationMeta(1, "public", "accounts", Vector(
+    RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0)))
+
+  private def cdcFrames(): Seq[(Long, Array[Byte])] = Seq(
+    e.relation(rel), e.begin(),
+    e.insert(1, Seq(Some("1"), Some("a"))),
+    e.insert(1, Seq(Some("2"), Some("b"))),
+    e.commit()).zipWithIndex.map { case (f, i) => (100L + i, f) }
+
+  private def opts(ws: FakeWalsender, extra: (String, String)*): Map[String, String] = Map(
+    "host" -> "localhost", "port" -> ws.port.toString, "user" -> "graft",
+    "database" -> "db", "slot" -> "s1", "publication" -> "p1") ++ extra
+
+  private def drainAll(src: PgWireFrameSource, n: Int,
+                       timeoutMs: Long = 10000): Vector[(Long, Array[Byte])] = {
+    val got = Vector.newBuilder[(Long, Array[Byte])]
+    var count = 0
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (count < n && System.currentTimeMillis() < deadline) {
+      src.poll() match {
+        case Some(f) => got += f; count += 1
+        case None => Thread.sleep(5)
+      }
+    }
+    got.result()
+  }
+
+  test("trust auth: bootstrap creates missing slot+publication, frames stream, advance acks") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), slotExists = false, pubExists = false)
+    try {
+      val src = new PgWireFrameSource(opts(ws))
+      val got = drainAll(src, 5)
+      assert(got.map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      assert(got.head._2(0) === 'R'.toByte)
+      // A2/A3 idempotent bootstrap ran exactly the two creates
+      assert(ws.ddl.asScala.toSeq.count(_.startsWith("CREATE PUBLICATION")) === 1)
+      assert(ws.ddl.asScala.toSeq.count(_.contains("pg_create_logical")) === 1)
+      // the replication connection declared walsender mode
+      assert(ws.sawReplicationParam.asScala.toSeq === Seq("database"))
+      src.advance(104L)
+      val deadline = System.currentTimeMillis() + 5000
+      while (ws.acks.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(5)
+      // status updates carry the exclusive upper bound (lsn + 1)
+      assert(ws.acks.asScala.toSeq === Seq(105L))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("existing slot/publication: bootstrap issues no DDL") {
+    val ws = new FakeWalsender("trust", None, cdcFrames())
+    try {
+      val src = new PgWireFrameSource(opts(ws))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.ddl.isEmpty)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("md5 auth succeeds with the right password and fails loudly with the wrong one") {
+    val ws = new FakeWalsender("md5", Some("sekret"), cdcFrames())
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "sekret"))
+      assert(drainAll(src, 5).size === 5)
+      src.close()
+      val ex = intercept[IOException](new PgWireFrameSource(opts(ws, "password" -> "wrong")))
+      assert(ex.getMessage.contains("auth failed"))
+    } finally ws.close()
+  }
+
+  test("SCRAM-SHA-256: full RFC 5802 exchange with mutual verification") {
+    val ws = new FakeWalsender("scram", Some("tops3cret"), cdcFrames())
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "tops3cret"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("missing password for an auth-requiring server raises a clear error") {
+    val ws = new FakeWalsender("md5", Some("x"), cdcFrames())
+    try {
+      val ex = intercept[IOException](new PgWireFrameSource(opts(ws)))
+      assert(ex.getMessage.contains("none was configured"))
+    } finally ws.close()
+  }
+
+  test("keepalive with reply-requested is auto-acked with the flushed watermark") {
+    val ws = new FakeWalsender("trust", None, cdcFrames())
+    ws.sendKeepaliveWithReply = true
+    try {
+      val src = new PgWireFrameSource(opts(ws))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.keepaliveAcked.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("e2e: readStream pgcdc-live over the wire source delivers decoded rows") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames())
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt-wire").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = spark.readStream.format("pgcdc-live")
+        .option("frameSource.class", classOf[PgWireFrameSource].getName)
+        .options(opts(ws, "password" -> "pw"))
+        // two batches: commit(end) — and so the wire ack — fires when the
+        // second batch starts (Spark commits batch N as N+1 begins)
+        .option("maxBatchRecords", 1)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.collect().map(r =>
+              (r.getAs[Long]("lsn"), r.getAs[Map[String, String]]("columns")("id")))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = seen.synchronized(seen.sortBy(_._1).toVector)
+      assert(got.map(_._2) === Vector("1", "2"))
+      // the slot was acked over the wire as batches committed (the ack
+      // bytes race query shutdown — allow the fake a beat to record them)
+      val deadline = System.currentTimeMillis() + 5000
+      while (ws.acks.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(ws.acks.asScala.nonEmpty)
+    } finally ws.close()
+  }
+}
