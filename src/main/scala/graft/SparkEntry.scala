@@ -66,6 +66,7 @@ object SparkEntry {
     "q45_approx_percentiles" -> (CoreQueries.q45ApproxPercentiles _),
     "q46_neardup_clusters" -> (PipelineQueries.q46NearDupClusters _),
     "q47_pipeline_e2e" -> (PipelineQueries.q47PipelineE2e _),
+    "q49_embedding_clusters" -> (PipelineQueries.q49EmbeddingClusters _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -126,6 +126,18 @@ object PipelineQueries {
       .select((col("np") > 0).as("pairs_found"), (col("nb") === 0).as("all_near_dups"))
   }
 
+  /** Near-dup clustering over the EMBEDDING modality (r3): the same
+    * distributed connected-components operator as q46, fed by the exact
+    * block-triangle cosine pairs instead of text-shingle pairs — one
+    * pair generator swap turns text dedup into semantic dedup, which is
+    * the point of keeping pair generation and clustering as separate
+    * composable operators. Oracle: recursive-CTE transitive closure over
+    * the same all-pairs cosine graph. */
+  def q49EmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.nearDupClusters(
+      Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
+        .select(col("va").as("da"), col("vb").as("db")))
+
   /** Planted-dup recovery contract for the LSH-bucketed embedding
     * near-dup tier (VERDICT r2 #8 — makes the 100 TB tier of q35
     * driver-visible next to the exact block-triangle tier). Ten planted
@@ -276,6 +288,23 @@ object PipelineQueries {
           |    / (SQRT(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)), (x, y) -> x + y))
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-          |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin)
+          |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q49_embedding_clusters" ->
+        """WITH RECURSIVE vec AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+          |  ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])), (x, y) -> x + y)
+          |    / (SQRT(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+          |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
+          |  FROM vec a JOIN vec b ON a.vec_id < b.vec_id),
+          |pr AS (SELECT va, vb FROM p WHERE cos_sim >= 0.4),
+          |edges AS (SELECT va AS u, vb AS v FROM pr UNION SELECT vb AS u, va AS v FROM pr),
+          |cc(node, comp) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+          |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
+          |SELECT comp AS cluster_id, COUNT(*) AS n_docs,
+          |       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+          |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin)
   }
 }
