@@ -143,6 +143,60 @@ object StreamingOps {
       }
   }
 
+  final case class TableStats(schema: String, table: String, net_rows: Long,
+                              n_insert: Long, n_update: Long, n_delete: Long)
+
+  /** Per-table live statistics over the CDC envelope via Spark 4's
+    * `transformWithState` (the successor of mapGroupsWithState:
+    * named/typed state cells, timers, TTL, RocksDB-backed). Maintains a
+    * net row count (+insert, -delete) and per-op totals per
+    * (schema, table) in a single ValueState cell; every micro-batch
+    * emits each touched table's updated stats (Update mode). The query
+    * must run with the RocksDB state-store provider —
+    * `transformWithStateSessionConfs` has the settings. */
+  class TableStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, String), (String, String, String), TableStats] {
+    @transient private var stats: org.apache.spark.sql.streaming.ValueState[TableStats] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stats = getHandle.getValueState[TableStats]("stats", Encoders.product[TableStats],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (String, String),
+                                 rows: Iterator[(String, String, String)],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TableStats] = {
+      var s = if (stats.exists()) stats.get()
+      else TableStats(key._1, key._2, 0L, 0L, 0L, 0L)
+      rows.foreach { case (_, _, op) =>
+        op match {
+          case "I" => s = s.copy(net_rows = s.net_rows + 1, n_insert = s.n_insert + 1)
+          case "U" => s = s.copy(n_update = s.n_update + 1)
+          case "D" => s = s.copy(net_rows = s.net_rows - 1, n_delete = s.n_delete + 1)
+          case _ => ()
+        }
+      }
+      stats.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** Session configs `transformWithState` requires (RocksDB provider —
+    * the HDFS-backed default store does not support the operator). */
+  val transformWithStateSessionConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** envelope (op, schema, table, ...) → live per-table stats stream. */
+  def tableStats(envelope: DataFrame): Dataset[TableStats] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    envelope.selectExpr("schema", "table", "op").as[(String, String, String)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new TableStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** CDC end-to-end: replay envelope stream → tx-atomic batches applied
     * to an in-memory "current state" via foreachBatch (the consumer
     * callback surface, `CdcConsumer.java:6-12` → SURVEY §1.4). Returns

@@ -109,6 +109,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("user")).toSeq === Seq(1L))
   }
 
+  test("transformWithState tracks per-table CDC stats across batches (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamingOps.transformWithStateSessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val in = MemoryStream[(String, String, String)]
+      val envelope = in.toDF().toDF("op", "schema", "table")
+      val out = StreamingOps.tableStats(envelope)
+      val ckpt = Files.createTempDirectory("ckpt-tws").toString
+      val q = out.writeStream.format("memory").queryName("tstats")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+      in.addData(("I", "public", "accounts"), ("I", "public", "accounts"),
+        ("I", "public", "orders"))
+      q.processAllAvailable()
+      // state survives into the next batch: update + delete land on top
+      in.addData(("U", "public", "accounts"), ("D", "public", "accounts"))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tstats").collect()
+        .filter(_.getAs[String]("table") == "accounts")
+        .maxBy(r => r.getAs[Long]("n_insert") + r.getAs[Long]("n_update") +
+          r.getAs[Long]("n_delete"))
+      assert(last.getAs[Long]("net_rows") === 1L) // 2 inserts - 1 delete
+      assert(last.getAs[Long]("n_insert") === 2L)
+      assert(last.getAs[Long]("n_update") === 1L)
+      assert(last.getAs[Long]("n_delete") === 1L)
+      val orders = spark.table("tstats").collect()
+        .filter(_.getAs[String]("table") == "orders")
+      assert(orders.nonEmpty && orders.forall(_.getAs[Long]("net_rows") == 1L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
