@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_neardup_clusters" -> (PipelineQueries.q46NearDupClusters _),
     "q47_pipeline_e2e" -> (PipelineQueries.q47PipelineE2e _),
     "q49_embedding_clusters" -> (PipelineQueries.q49EmbeddingClusters _),
+    "q50_token_topk" -> (PipelineQueries.q50TokenTopK _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -28,6 +29,27 @@ object PipelineQueries {
         round(sum(col("ws")).cast(DoubleType) / count(lit(1)), 2).as("avg_ws"),
         round(sum(col("bpe")).cast(DoubleType) / count(lit(1)), 2).as("avg_bpe"))
       .orderBy("lang")
+
+  /** Frequent-vocabulary analysis (r3): top-10 tokens per language by
+    * document frequency-weighted count — the corpus-composition probe a
+    * data-prep pipeline runs before building tokenizers or stopword
+    * lists. Shape at scale: explode + partial-aggregated count (map-side
+    * combine collapses each partition's token counts before the
+    * shuffle) + a per-language rank window over the aggregated (tiny)
+    * token table — the wide shuffle carries (lang, token) counts, never
+    * raw tokens. Deterministic tiebreak (count desc, token asc). */
+  def q50TokenTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "rk", "tok", "cnt")
+      .orderBy("lang", "rk")
+  }
 
   // ------------------------------------------------------- language ID
   /** Confusion counts of the stopword-heuristic language ID vs the labeled
@@ -289,6 +311,13 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q50_token_topk" ->
+        """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY lang, tok),
+          |r AS (SELECT lang, tok, cnt,
+          |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+          |      FROM c)
+          |SELECT lang, rk, tok, cnt FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
       "q49_embedding_clusters" ->
         """WITH RECURSIVE vec AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
