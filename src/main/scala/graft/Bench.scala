@@ -57,6 +57,10 @@ object Bench {
           Left(e.toString.replaceAll("[\"\\\\\n]", " ").take(180))
       }
       // drain cleanup between queries so it doesn't land mid-measurement
+      // deterministic storage release between queries: drop the dedup
+      // kernels' checkpointed generations explicitly instead of waiting
+      // for the ContextCleaner to notice them after a GC
+      graft.operators.Dedup.releaseCheckpoints()
       System.gc(); Thread.sleep(300)
       name -> r
     }
