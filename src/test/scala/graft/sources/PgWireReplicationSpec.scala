@@ -260,6 +260,46 @@ class PgWireReplicationSpec extends SparkSpec {
     } finally ws.close()
   }
 
+  test("ScramClient reproduces the RFC 7677 section 3 test vector exactly") {
+    // user=user password=pencil, fixed client nonce from the RFC example
+    val c = new PgWire.ScramClient("pencil", "rOprNGfwEbeRWgbNEkqO")
+    // (PostgreSQL sends n= empty — the server takes the user from startup —
+    // so only the nonce part of client-first-bare must match the RFC)
+    assert(c.clientFirstMessage === "n,,n=,r=rOprNGfwEbeRWgbNEkqO")
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val clientFinal = c.clientFinalMessage(serverFirst)
+    // the RFC's proof is for client-first-bare "n=user,r=..."; ours differs
+    // only in the n= field, so recompute the expected proof for n= empty
+    // with the RFC's salt/iterations/nonces via an independent
+    // implementation of the RFC formulas:
+    import javax.crypto.Mac
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+    def hmac(key: Array[Byte], msg: String) = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(msg.getBytes("UTF-8"))
+    }
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val salted = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new PBEKeySpec("pencil".toCharArray, salt, 4096, 256)).getEncoded
+    // RFC check: SaltedPassword only depends on password/salt/i — compare
+    // ClientKey -> StoredKey -> Signature chain end-to-end through our client
+    val clientKey = hmac(salted, "Client Key")
+    val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
+    val authMsg = "n=,r=rOprNGfwEbeRWgbNEkqO," + serverFirst +
+      ",c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val sig = hmac(storedKey, authMsg)
+    val proof = clientKey.zip(sig).map { case (a, b) => (a ^ b).toByte }
+    assert(clientFinal ===
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        s"p=${Base64.getEncoder.encodeToString(proof)}")
+    // and the server signature our client will accept
+    val serverKey = hmac(salted, "Server Key")
+    val serverSig = Base64.getEncoder.encodeToString(hmac(serverKey, authMsg))
+    c.verifyServerFinal(s"v=$serverSig") // must not throw
+    intercept[java.io.IOException](c.verifyServerFinal("v=AAAA"))
+  }
+
   test("SCRAM-SHA-256: full RFC 5802 exchange with mutual verification") {
     val ws = new FakeWalsender("scram", Some("tops3cret"), cdcFrames())
     try {
