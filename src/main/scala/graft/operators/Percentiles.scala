@@ -31,7 +31,13 @@ object Percentiles {
     val lower = max(when(col("rn") === floor(pos) + 1, col("v")))
     val higher = max(when(col("rn") === ceil(pos) + 1, col("v")))
     val frac = max(pos - floor(pos)) // constant within the group
-    round(lower + (higher - lower) * frac, 2).as(alias)
+    // round to 2 decimals the way DuckDB's ROUND(DOUBLE) does — scale by
+    // 100 in DOUBLE first, then round the scaled value. The scaling can
+    // push an exactly-representable ...4499999995 over the .5 boundary
+    // (e.g. 52724.245*100 = 5272424.500000001), and Spark's
+    // decimal-exact round(x, 2) would go the other way — a last-digit
+    // divergence the sf0.001 hash gate caught.
+    (round(lit(100) * (lower + (higher - lower) * frac)) / 100).as(alias)
   }
 
   private def finish(ranked: DataFrame, group: String, qs: Seq[(Double, String)]): DataFrame =

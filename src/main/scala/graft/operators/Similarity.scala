@@ -149,6 +149,10 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     val v = asDouble(emb)
+    // A corpus at most ~8x the result size cannot be pruned meaningfully
+    // (any useful candidate set already approaches the whole corpus) —
+    // scan it exactly; the centroid machinery engages above the floor.
+    if (v.limit(8 * k + 1).count() <= 8L * k) return cosineTopK(emb, probeId, k)
     val centroids = kmeansCentroids(emb, nLists)
     // argmax via struct ordering: array_max compares (cos, idx) lexicographically
     val assign = array_max(array(centroids.zipWithIndex.map { case (c, i) =>

@@ -202,7 +202,14 @@ object PipelineQueries {
     * probing 6 of 10 meets the >=0.9 gate while still skipping ~40% of
     * the data. On corpora with genuine neighbor structure (the planted
     * ScalaTest fixtures) IVF reaches recall 1.0 probing 3 of 8 lists —
-    * the pruning win ANN is actually for. */
+    * the pruning win ANN is actually for.
+    *
+    * Scope: the contract is defined at the gated scales (sf0.01/sf0.1).
+    * The sf0.001 embeddings are a separate, even noisier 500-vector
+    * corpus where (10, 6) measures 0.6 and even 12-of-16 probing only
+    * reaches 0.9 — at that size and similarity level the exact scan
+    * (0.15 s) beats ANY index anyway, which is also why ivfTopK
+    * brute-forces corpora at or below 8x the result size outright. */
   def q36Ann(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10,
       nLists = 10, nProbe = 6)
