@@ -56,11 +56,13 @@ object Bench {
           e.printStackTrace()
           Left(e.toString.replaceAll("[\"\\\\\n]", " ").take(180))
       }
-      // drain cleanup between queries so it doesn't land mid-measurement
-      // deterministic storage release between queries: drop the dedup
-      // kernels' checkpointed generations explicitly instead of waiting
-      // for the ContextCleaner to notice them after a GC
-      graft.operators.Dedup.releaseCheckpoints()
+      // deterministic storage release between queries: drop every
+      // operator-held checkpoint generation and cache (dedup kernels AND
+      // clustering label generations / edge caches) via the shared
+      // registry instead of waiting for the ContextCleaner to notice
+      // them after a GC — a cleanup storm mid-measurement was the
+      // 7-20s sweep-stall source
+      graft.operators.Storage.releaseAll()
       System.gc(); Thread.sleep(300)
       name -> r
     }
@@ -85,7 +87,13 @@ object Bench {
     val nFailed = results.count(_._2.isLeft)
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
+    println(json)
+    // durability: also write the artifact to a file so per-query stats
+    // never depend on stdout log truncation (r3 lost q01-q25 that way)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

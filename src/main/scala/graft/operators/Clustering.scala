@@ -25,13 +25,8 @@ object Clustering {
   /** Release a localCheckpoint'd generation's storage immediately instead
     * of waiting for the ContextCleaner to GC the unreferenced RDD — the
     * superseded generations would otherwise pile up for the whole loop
-    * (bounded by iteration count, but pointless to hold). The checkpointed
-    * RDD sits behind the plan's LogicalRDD leaf. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * (bounded by iteration count, but pointless to hold). */
+  private def releaseCheckpoint(df: DataFrame): Unit = Storage.release(df)
 
   /** Connected components of an undirected pair graph.
     *
@@ -71,12 +66,18 @@ object Clustering {
                           localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
-      .union(pairs.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
-      .distinct()
-      .cache()
+    // every generation goes through the shared Storage registry: the loop
+    // releases superseded ones eagerly, but the FINAL labels checkpoint
+    // (returned to the caller) and the edge cache outlive this function —
+    // in a many-query session (the bench sweep) those stragglers are what
+    // pile up between GCs, so Bench drains Storage between queries.
+    def truncate(df: DataFrame): DataFrame = Storage.track(
+      if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
+    val edges = Storage.track(
+      pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+        .union(pairs.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
+        .distinct()
+        .cache())
     if (edges.count() / 2 <= localEdgeThreshold) {
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()

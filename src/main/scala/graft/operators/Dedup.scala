@@ -96,40 +96,16 @@ object Dedup {
     * operator shape is unchanged. Physical partitioning/ordering survive
     * the checkpoint, so a pre-checkpoint `repartition(key)` still serves
     * every key-clustered consumer shuffle-free. */
-  private def materializedOnce(df: DataFrame): DataFrame = {
-    val ckpt = df.localCheckpoint(eager = true)
-    liveCheckpoints.add(new java.lang.ref.WeakReference(ckpt))
-    ckpt
-  }
+  private def materializedOnce(df: DataFrame): DataFrame =
+    Storage.track(df.localCheckpoint(eager = true))
 
-  // Weak registry of live checkpointed plans: the normal release path is
-  // the ContextCleaner GC'ing an unreferenced plan, but GC timing is not
-  // a storage-lifecycle contract — a many-query session (the bench
-  // sweep) can accumulate generations between collections. Callers that
-  // want deterministic release (between benchmark queries, between
-  // pipeline stages) call `releaseCheckpoints()`; everyone else loses
-  // nothing because the references are weak.
-  private val liveCheckpoints =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.ref.WeakReference[DataFrame]]()
-
-  /** Unpersist every checkpoint this module still holds (no-op for plans
-    * the GC already reclaimed). Safe to call between queries: a released
-    * plan is simply recomputed — from its own checkpoint lineage being
-    * gone, a rerun rebuilds from source. */
-  def releaseCheckpoints(): Unit = {
-    val it = liveCheckpoints.iterator()
-    while (it.hasNext) {
-      val ref = it.next()
-      val df = ref.get()
-      if (df != null) {
-        df.queryExecution.logical match {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
-      }
-      it.remove()
-    }
-  }
+  /** Deterministic release of operator-held storage — delegates to the
+    * shared [[Storage]] registry (which also covers Clustering's
+    * generations). NOTE the contract: a released locally-checkpointed
+    * plan becomes UNEXECUTABLE (lineage was truncated at checkpoint time,
+    * so the blocks cannot be rebuilt from source) — only call between
+    * queries, when no previously-returned result will run again. */
+  def releaseCheckpoints(): Unit = Storage.releaseAll()
 
   /** All intra-bucket pairs (a < b) from one inverted-index bucket —
     * sorted so pair order is deterministic regardless of collect_list's
