@@ -93,7 +93,13 @@ object PgWire {
       val cp = norm.codePointAt(i)
       val prohibited =
         Character.isISOControl(cp) ||                        // C.2.1/C.2.2 (controls)
+        // U+2028/29 are RFC 3454 C.2.2 (non-ASCII *controls*), NOT C.1.2
+        // spaces (C.1.2 = 00A0, 1680, 2000-200B, 202F, 205F, 3000) — so
+        // they are prohibited, not mapped; pgjdbc's stringprep agrees.
         (cp >= 0x2028 && cp <= 0x2029) ||                    // line/para separators (C.2.2)
+        cp == 0x06dd || cp == 0x070f || cp == 0x180e ||      // C.2.2 format controls
+        (cp >= 0x2061 && cp <= 0x2063) ||                    // C.2.2 invisible operators
+        (cp >= 0x1d173 && cp <= 0x1d17a) ||                  // C.2.2 musical controls
         (cp >= 0x200e && cp <= 0x200f) || (cp >= 0x202a && cp <= 0x202e) ||
         (cp >= 0x206a && cp <= 0x206f) ||                    // C.2.2/C.8 format controls
         Character.getType(cp) == Character.PRIVATE_USE ||    // C.3
@@ -183,6 +189,44 @@ object PgWire {
   }
 }
 
+/** TLS context construction for the two encrypted `sslmode`s. */
+object PgTls {
+  /** libpq `require` parity: encrypt, trust any chain. */
+  def trustAllContext(): SSLContext = {
+    val c = SSLContext.getInstance("TLS")
+    val trustAll = new X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    c.init(null, Array(trustAll), null)
+    c
+  }
+
+  /** libpq `verify-ca` parity: the server chain must verify against the
+    * certificate(s) in `rootCertPath` (PEM or DER, like `sslrootcert`).
+    * No hostname check (that is verify-full; use a caller `sslContext`
+    * with endpoint identification for it). */
+  def verifyCaContext(rootCertPath: String): SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(rootCertPath))
+    val certs = try cf.generateCertificates(in) finally in.close()
+    if (certs.isEmpty)
+      throw new PgWire.ProtocolException(s"sslrootcert '$rootCertPath' contains no certificates")
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"root-$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val c = SSLContext.getInstance("TLS")
+    c.init(null, tmf.getTrustManagers, null)
+    c
+  }
+}
+
 /** A single frontend connection (regular or walsender). Not thread-safe
   * except where noted; the replication reader thread owns the input
   * stream once `startReplication` returns.
@@ -196,15 +240,18 @@ object PgWire {
   *    which under require-semantics is fatal. Like libpq's `require`
   *    (and unlike verify-ca/verify-full), the server certificate is NOT
   *    verified — the mode buys encryption, not endpoint authentication,
-  *    so self-signed managed-PG certs work out of the box. A
-  *    custom-truststore verify mode would slot in via `sslContext`.
-  * `sslContext` overrides the TLS context — a caller wanting real
-  * certificate verification passes a context built over its truststore.
+  *    so self-signed managed-PG certs work out of the box;
+  *  - "verify-ca": same preamble, but the server's chain must verify
+  *    against the root certificate(s) in `sslRootCert` (a PEM/DER file,
+  *    libpq's `sslrootcert`). Encryption AND endpoint authentication.
+  * `sslContext` overrides the TLS context entirely — the escape hatch
+  * for verify-full-style hostname checks or hardware keystores.
   */
 class PgWireConnection(host: String, port: Int, user: String, database: String,
                        password: Option[String], replication: Boolean,
                        connectTimeoutMs: Int = 10000, sslMode: String = "disable",
-                       sslContext: Option[SSLContext] = None) extends AutoCloseable {
+                       sslContext: Option[SSLContext] = None,
+                       sslRootCert: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
   private val socket: Socket = {
@@ -213,7 +260,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
     raw.setTcpNoDelay(true)
     sslMode match {
       case "disable" => raw
-      case "require" =>
+      case "require" | "verify-ca" =>
         // SSLRequest preamble: a startup-packet-shaped probe (no tag byte)
         // with the magic code 80877103; the reply is ONE raw byte, not a
         // framed message.
@@ -221,26 +268,29 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
         o.writeInt(8); o.writeInt(80877103); o.flush()
         raw.getInputStream.read() match {
           case 'S' =>
-            val ctx = sslContext.getOrElse {
-              val c = SSLContext.getInstance("TLS")
-              // require-mode trust: accept any chain (libpq `require` parity)
-              val trustAll = new X509TrustManager {
-                override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-                override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-                override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+            // From here any failure (context build, createSocket,
+            // handshake) must not leak the raw TCP socket.
+            try {
+              val ctx = sslContext.getOrElse {
+                if (sslMode == "verify-ca") PgTls.verifyCaContext(sslRootCert.getOrElse(
+                  throw new ProtocolException(
+                    "sslmode=verify-ca requires 'sslrootcert' (or a caller sslContext)")))
+                else PgTls.trustAllContext()
               }
-              c.init(null, Array(trustAll), null)
-              c
+              val ssl = ctx.getSocketFactory
+                .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
+              ssl.setUseClientMode(true)
+              ssl.startHandshake()
+              ssl
+            } catch {
+              case t: Throwable =>
+                try raw.close() catch { case _: IOException => () }
+                throw t
             }
-            val ssl = ctx.getSocketFactory
-              .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
-            ssl.setUseClientMode(true)
-            ssl.startHandshake()
-            ssl
           case 'N' =>
             raw.close()
             throw new ProtocolException(
-              "sslmode=require but the server refused SSL (answered 'N')")
+              s"sslmode=$sslMode but the server refused SSL (answered 'N')")
           case other =>
             raw.close()
             throw new ProtocolException(s"unexpected SSLRequest reply byte $other")
@@ -248,7 +298,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
       case other =>
         raw.close()
         throw new IllegalArgumentException(
-          s"unsupported sslmode '$other' (supported: disable, require)")
+          s"unsupported sslmode '$other' (supported: disable, require, verify-ca)")
     }
   }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
@@ -467,7 +517,9 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   * Options: `host` (default localhost), `port` (5432), `user`,
   * `password` (optional), `database`, `slot`, `publication`,
   * `bootstrap` ("true": create slot/publication if missing, A2–A3),
-  * `sslmode` ("disable" | "require" — see [[PgWireConnection]]).
+  * `sslmode` ("disable" | "require" | "verify-ca"), `sslrootcert`
+  * (PEM/DER root-certificate path for verify-ca) — see
+  * [[PgWireConnection]].
   *
   * A control connection runs the LivePgBootstrap catalog SQL, then a
   * walsender connection streams pgoutput frames; a daemon reader thread
@@ -486,6 +538,7 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   private val slot = opt("slot", "graft_slot")
   private val publication = opt("publication", "graft_pub")
   private val sslMode = opt("sslmode", "disable")
+  private val sslRootCert = options.get("sslrootcert")
   // validate config-sourced identifiers ONCE, before any SQL/commands
   // are built from them (LivePgBootstrap.requireIdent re-checks, but
   // START_REPLICATION splices `slot` outside that path)
@@ -497,7 +550,7 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   // A2/A3: idempotent bootstrap over a regular connection.
   if (opt("bootstrap", "true").toBoolean) {
     val control = new PgWireConnection(host, port, user, database, password,
-      replication = false, sslMode = sslMode)
+      replication = false, sslMode = sslMode, sslRootCert = sslRootCert)
     try {
       def exists(sql: String): Boolean =
         control.simpleQuery(sql).headOption.flatMap(_.headOption.flatten).contains("t")
@@ -509,7 +562,7 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   }
 
   private val conn = new PgWireConnection(host, port, user, database, password,
-    replication = true, sslMode = sslMode)
+    replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
   private val flushedLsn = new AtomicLong(0L)
   private val queue = new ConcurrentLinkedQueue[(Long, Array[Byte])]()
   private val closed = new AtomicBoolean(false)

@@ -16,17 +16,22 @@ import graft.wal.{PgOutput, PgOutputEncoder}
 
 /** In-process scripted walsender: speaks enough of the v3 protocol to
   * exercise PgWireConnection/PgWireFrameSource end-to-end — startup,
-  * the four auth modes, LivePgBootstrap catalog SQL, START_REPLICATION
-  * CopyBoth streaming, keepalives, and standby status updates. */
+  * the four auth modes, the SSLRequest preamble + TLS handshake
+  * (`tlsMode` = "none" | "accept" | "refuse" | "garbage", served from
+  * the checked-in self-signed test keystore), LivePgBootstrap catalog
+  * SQL, START_REPLICATION CopyBoth streaming, keepalives, and standby
+  * status updates. */
 class FakeWalsender(authMode: String, expectPassword: Option[String],
                     frames: Seq[(Long, Array[Byte])],
-                    var slotExists: Boolean = true, var pubExists: Boolean = true) {
+                    var slotExists: Boolean = true, var pubExists: Boolean = true,
+                    tlsMode: String = "none") {
   val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
   val acks = new ConcurrentLinkedQueue[Long]()
   val ddl = new ConcurrentLinkedQueue[String]()
   val sawReplicationParam = new ConcurrentLinkedQueue[String]()
   val keepaliveAcked = new CountDownLatch(1)
+  val sslRequests = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var sendKeepaliveWithReply = false
 
   private val acceptor = new Thread(() => {
