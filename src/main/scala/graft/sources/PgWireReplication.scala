@@ -205,8 +205,8 @@ object PgTls {
 
   /** libpq `verify-ca` parity: the server chain must verify against the
     * certificate(s) in `rootCertPath` (PEM or DER, like `sslrootcert`).
-    * No hostname check (that is verify-full; use a caller `sslContext`
-    * with endpoint identification for it). */
+    * No hostname check here — `sslmode=verify-full` layers JSSE endpoint
+    * identification on this same context ([[PgWireConnection]]). */
   def verifyCaContext(rootCertPath: String): SSLContext = {
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(rootCertPath))
@@ -244,8 +244,12 @@ object PgTls {
   *  - "verify-ca": same preamble, but the server's chain must verify
   *    against the root certificate(s) in `sslRootCert` (a PEM/DER file,
   *    libpq's `sslrootcert`). Encryption AND endpoint authentication.
+  *  - "verify-full": verify-ca plus hostname verification — the server
+  *    certificate must name `host` (SAN dNSName/iPAddress, RFC 6125
+  *    rules via the JSSE "HTTPS" endpoint-identification algorithm).
   * `sslContext` overrides the TLS context entirely — the escape hatch
-  * for verify-full-style hostname checks or hardware keystores.
+  * for hardware keystores or custom trust policies (endpoint
+  * identification is still applied when sslMode is "verify-full").
   */
 class PgWireConnection(host: String, port: Int, user: String, database: String,
                        password: Option[String], replication: Boolean,
@@ -260,7 +264,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
     raw.setTcpNoDelay(true)
     sslMode match {
       case "disable" => raw
-      case "require" | "verify-ca" =>
+      case "require" | "verify-ca" | "verify-full" =>
         // SSLRequest preamble: a startup-packet-shaped probe (no tag byte)
         // with the magic code 80877103; the reply is ONE raw byte, not a
         // framed message.
@@ -272,14 +276,23 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
             // handshake) must not leak the raw TCP socket.
             try {
               val ctx = sslContext.getOrElse {
-                if (sslMode == "verify-ca") PgTls.verifyCaContext(sslRootCert.getOrElse(
-                  throw new ProtocolException(
-                    "sslmode=verify-ca requires 'sslrootcert' (or a caller sslContext)")))
+                if (sslMode == "verify-ca" || sslMode == "verify-full")
+                  PgTls.verifyCaContext(sslRootCert.getOrElse(
+                    throw new ProtocolException(
+                      s"sslmode=$sslMode requires 'sslrootcert' (or a caller sslContext)")))
                 else PgTls.trustAllContext()
               }
               val ssl = ctx.getSocketFactory
                 .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
               ssl.setUseClientMode(true)
+              if (sslMode == "verify-full") {
+                // libpq verify-full parity: the chain check alone accepts ANY
+                // certificate the CA signed — hostname binding is what stops a
+                // MITM presenting a different server's valid cert.
+                val p = ssl.getSSLParameters
+                p.setEndpointIdentificationAlgorithm("HTTPS")
+                ssl.setSSLParameters(p)
+              }
               ssl.startHandshake()
               ssl
             } catch {
@@ -298,7 +311,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
       case other =>
         raw.close()
         throw new IllegalArgumentException(
-          s"unsupported sslmode '$other' (supported: disable, require, verify-ca)")
+          s"unsupported sslmode '$other' (supported: disable, require, verify-ca, verify-full)")
     }
   }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
@@ -517,9 +530,9 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   * Options: `host` (default localhost), `port` (5432), `user`,
   * `password` (optional), `database`, `slot`, `publication`,
   * `bootstrap` ("true": create slot/publication if missing, A2–A3),
-  * `sslmode` ("disable" | "require" | "verify-ca"), `sslrootcert`
-  * (PEM/DER root-certificate path for verify-ca) — see
-  * [[PgWireConnection]].
+  * `sslmode` ("disable" | "require" | "verify-ca" | "verify-full"),
+  * `sslrootcert` (PEM/DER root-certificate path for verify-ca and
+  * verify-full) — see [[PgWireConnection]].
   *
   * A control connection runs the LivePgBootstrap catalog SQL, then a
   * walsender connection streams pgoutput frames; a daemon reader thread

@@ -61,7 +61,59 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
     m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(msg.getBytes(UTF_8))
   }
 
-  private def handle(sock: Socket): Unit = {
+  /** Server-side SSLContext loaded from the checked-in self-signed
+    * PKCS12 keystore (alias graft-test, CN=localhost,
+    * SAN dns:localhost + ip:127.0.0.1). */
+  private def tlsServerContext(): javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val res = getClass.getResourceAsStream("/graft-test-tls.p12")
+    try ks.load(res, "graftpw".toCharArray) finally res.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graftpw".toCharArray)
+    val c = javax.net.ssl.SSLContext.getInstance("TLS")
+    c.init(kmf.getKeyManagers, null, null)
+    c
+  }
+
+  private def handle(rawSock: Socket): Unit = {
+    // TLS stage: a client in any ssl mode opens with the 8-byte SSLRequest
+    // probe (Int32 8, Int32 80877103); answer one raw byte per tlsMode and
+    // for "accept" continue the normal script over the handshaken socket.
+    val sock: Socket =
+      if (tlsMode == "none") rawSock
+      else {
+        val staged: Option[Socket] =
+          try {
+            val din = new DataInputStream(rawSock.getInputStream)
+            val dout = new DataOutputStream(rawSock.getOutputStream)
+            val len = din.readInt()
+            val code = din.readInt()
+            assert(len == 8 && code == 80877103, s"expected SSLRequest, got len=$len code=$code")
+            sslRequests.incrementAndGet()
+            tlsMode match {
+              case "refuse" => dout.write('N'); dout.flush(); None
+              case "garbage" => dout.write('!'); dout.flush(); None
+              case "accept" =>
+                dout.write('S'); dout.flush()
+                val ssl = tlsServerContext().getSocketFactory
+                  .createSocket(rawSock, null, rawSock.getPort, true)
+                  .asInstanceOf[javax.net.ssl.SSLSocket]
+                ssl.setUseClientMode(false)
+                // a client that distrusts our chain/hostname aborts mid-
+                // handshake (the verify-ca/full reject specs) — that is the
+                // client's test assertion, not a server error
+                ssl.startHandshake()
+                Some(ssl)
+            }
+          } catch { case _: IOException => None }
+        staged match {
+          case Some(s) => s
+          case None =>
+            try rawSock.close() catch { case _: IOException => () }
+            return
+        }
+      }
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     def readMsg(): (Char, Array[Byte]) = {
@@ -330,6 +382,185 @@ class PgWireReplicationSpec extends SparkSpec {
       assert(drainAll(src, 5).size === 5)
       assert(ws.keepaliveAcked.await(5, java.util.concurrent.TimeUnit.SECONDS))
       src.close()
+    } finally ws.close()
+  }
+
+  // ------------------------------------------------------------- TLS
+  private def pemPath(name: String): String = getClass.getResource("/" + name).getPath
+
+  test("sslmode=require: SSLRequest preamble + handshake, frames stream over TLS") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "require"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      // both the bootstrap control connection and the replication
+      // connection sent the SSLRequest probe and handshook
+      assert(ws.sslRequests.get() === 2)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=require: server refusing SSL ('N') is fatal") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "refuse")
+    try {
+      val ex = intercept[IOException](
+        new PgWireFrameSource(opts(ws, "sslmode" -> "require")))
+      assert(ex.getMessage.contains("refused SSL"))
+      assert(ws.sslRequests.get() === 1)
+    } finally ws.close()
+  }
+
+  test("sslmode=require: a non-protocol reply byte to SSLRequest is fatal") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "garbage")
+    try {
+      val ex = intercept[IOException](
+        new PgWireFrameSource(opts(ws, "sslmode" -> "require")))
+      assert(ex.getMessage.contains("unexpected SSLRequest reply"))
+    } finally ws.close()
+  }
+
+  test("sslmode=verify-ca: accepts when the server chain matches sslrootcert") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "sslmode" -> "verify-ca",
+        "sslrootcert" -> pemPath("graft-test-tls.pem")))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.sslRequests.get() === 2)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=verify-ca: rejects a server chain signed by a different root") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      // the fake serves the graft-test certificate; trusting only
+      // graft-other must abort the handshake (untrusted chain = MITM)
+      intercept[javax.net.ssl.SSLHandshakeException](
+        new PgWireFrameSource(opts(ws, "sslmode" -> "verify-ca",
+          "sslrootcert" -> pemPath("graft-other-tls.pem"))))
+    } finally ws.close()
+  }
+
+  test("sslmode=verify-ca without sslrootcert is rejected up front") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      val ex = intercept[IOException](
+        new PgWireFrameSource(opts(ws, "sslmode" -> "verify-ca")))
+      assert(ex.getMessage.contains("requires 'sslrootcert'"))
+    } finally ws.close()
+  }
+
+  test("sslmode=verify-full: accepts when the certificate names the host") {
+    // graft-test-tls has SAN dns:localhost — endpoint identification passes
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "sslmode" -> "verify-full",
+        "sslrootcert" -> pemPath("graft-test-tls.pem")))
+      assert(drainAll(src, 5).size === 5)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=verify-full: rejects a trusted chain that does not name the host") {
+    // connect via 127.0.0.2 (loopback, but NOT in the certificate's SAN:
+    // dns:localhost + ip:127.0.0.1) — verify-ca accepts the same setup,
+    // verify-full must reject it: the delta IS endpoint identification
+    val wsOk = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(wsOk, "host" -> "127.0.0.2",
+        "sslmode" -> "verify-ca", "sslrootcert" -> pemPath("graft-test-tls.pem")))
+      assert(drainAll(src, 5).size === 5)
+      src.close()
+    } finally wsOk.close()
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    try {
+      intercept[javax.net.ssl.SSLHandshakeException](
+        new PgWireFrameSource(opts(ws, "host" -> "127.0.0.2",
+          "sslmode" -> "verify-full", "sslrootcert" -> pemPath("graft-test-tls.pem"))))
+    } finally ws.close()
+  }
+
+  test("e2e: readStream pgcdc-live over TLS (sslmode=require) delivers decoded rows") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt-wire-tls").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("pgcdc-live")
+        .option("frameSource.class", classOf[PgWireFrameSource].getName)
+        .options(opts(ws, "password" -> "pw", "sslmode" -> "require"))
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.collect().map(_.getAs[Long]("lsn")) }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // only the two INSERT frames surface as change rows (R/B/C are metadata)
+      assert(seen.synchronized(seen.sorted.toVector) === Vector(102L, 103L))
+      assert(ws.sslRequests.get() === 2)
+    } finally ws.close()
+  }
+
+  // -------------------------------------------------------- SASLprep
+  test("saslPrep: RFC 4013 §3 mapping/normalization vectors") {
+    import PgWire.saslPrep
+    assert(saslPrep("I­X") === "IX")      // soft hyphen mapped to nothing
+    assert(saslPrep("user") === "user")
+    assert(saslPrep("USER") === "USER")
+    assert(saslPrep("ª") === "a")         // ª → a (NFKC)
+    assert(saslPrep("Ⅸ") === "IX")        // Ⅸ → IX (NFKC)
+    // ASCII printable strings take the identity fast path — same instance
+    val ascii = "correct horse battery staple"
+    assert(saslPrep(ascii) eq ascii)
+    // B.1 commonly-mapped-to-nothing: ZWSP dropped
+    assert(saslPrep("a​b") === "ab")
+    // non-ASCII space separators (C.1.2) map to U+0020
+    assert(saslPrep("a b") === "a b")
+  }
+
+  test("saslPrep: prohibited code points are rejected, not silently sent") {
+    import PgWire.{saslPrep, ProtocolException}
+    // RFC 4013 §3 example: a control character
+    intercept[ProtocolException](saslPrep("ok"))
+    // the C.2.2 format controls added in r5
+    intercept[ProtocolException](saslPrep("x۝x"))        // arabic end of ayah
+    intercept[ProtocolException](saslPrep("x⁡x"))        // function application
+    intercept[ProtocolException](saslPrep("x" + new String(Character.toChars(0x1D173)) + "x")) // musical control
+    // non-characters, tagging, private use, unpaired surrogate
+    intercept[ProtocolException](saslPrep("x﷐x"))
+    intercept[ProtocolException](saslPrep("x￾x"))
+    intercept[ProtocolException](saslPrep("x" + new String(Character.toChars(0xE0001)) + "x"))
+    intercept[ProtocolException](saslPrep("xx"))
+    intercept[ProtocolException](saslPrep("x\uD800x"))
+  }
+
+  test("saslPrep: RFC 3454 §6 bidi rules") {
+    import PgWire.{saslPrep, ProtocolException}
+    // RFC 4013 §3 example: RandALCat char followed by LCat-neutral digit
+    intercept[ProtocolException](saslPrep("ا1"))      // ا1 — must end RandAL
+    assert(saslPrep("ا1ب") === "ا1ب") // ا1ب — legal
+    intercept[ProtocolException](saslPrep("aاa"))          // L and RandAL mixed
+  }
+
+  test("SCRAM e2e: non-ASCII password is SASLprep'd before key derivation") {
+    // "pªssword" NFKC-normalizes to "password"; the server only ever
+    // stores the prepped form, so the exchange succeeds iff the client
+    // ran SASLprep before PBKDF2
+    val ws = new FakeWalsender("scram", Some("password"), cdcFrames())
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pªssword"))
+      assert(drainAll(src, 5).size === 5)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("SCRAM e2e: a SASLprep-prohibited password fails loudly before hitting the wire") {
+    val ws = new FakeWalsender("scram", Some("whatever"), cdcFrames())
+    try {
+      val ex = intercept[IOException](
+        new PgWireFrameSource(opts(ws, "password" -> "badpw")))
+      assert(ex.getMessage.contains("SASLprep-prohibited"))
     } finally ws.close()
   }
 
