@@ -34,10 +34,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** Post-drain storage gauge: (tracked persistent RDDs, block-manager
+      * bytes in use). A non-zero RDD count or growing byte gauge after an
+      * iteration's drain means a generation escaped the Storage registry —
+      * exactly the leak shape behind the r4-r6 nomadic sweep stalls. */
+    def storageGauge(): (Int, Long) = {
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val used = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+      (rdds, used)
+    }
+
+    /** One timed run. The drain runs AFTER the clock stops: checkpoint
+      * generations from iteration k must not be lying around for the
+      * ContextCleaner to collect mid-iteration k+1 — that cleanup storm
+      * (not the query) produced the 6-20 s outliers that corrupted q49's
+      * r6 median. Each call to `fn` builds a fresh kernel, so releasing
+      * between iterations is safe per the Storage contract. */
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int, Long) = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).collect()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.operators.Storage.releaseAll()
+      val (rdds, used) = storageGauge()
+      (t, rdds, used)
     }
 
     // _check queries are correctness contracts that deliberately recompute
@@ -46,22 +66,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("_check"))
       .sortBy(_._1).map { case (name, fn) =>
-      val r: Either[String, Seq[Double]] = try {
+      val r: Either[String, Seq[(Double, Int, Long)]] = try {
         timeOne(fn) // warmup (JIT + file listing + codegen caches)
-        // median of 5: robust to the occasional driver-side cleanup stall
-        Right(Seq.fill(5)(timeOne(fn)).sorted)
+        // median of 5, iteration order preserved for the artifact
+        Right(Seq.fill(5)(timeOne(fn)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] QUERY FAILED: $name — $e")
           e.printStackTrace()
           Left(e.toString.replaceAll("[\"\\\\\n]", " ").take(180))
       }
-      // deterministic storage release between queries: drop every
-      // operator-held checkpoint generation and cache (dedup kernels AND
-      // clustering label generations / edge caches) via the shared
-      // registry instead of waiting for the ContextCleaner to notice
-      // them after a GC — a cleanup storm mid-measurement was the
-      // 7-20s sweep-stall source
+      // between queries additionally give the JVM a breather so one
+      // query's GC debt doesn't land in the next query's first iteration
       graft.operators.Storage.releaseAll()
       System.gc(); Thread.sleep(300)
       name -> r
@@ -77,13 +93,22 @@ object Bench {
 
     def j(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = j(results.map { case (k, v) => k -> v.fold(_ => "-1", r => r(2).toString) })
+    def med(r: Seq[(Double, Int, Long)]): Double = r.map(_._1).sorted.apply(2)
+    val qs = j(results.map { case (k, v) => k -> v.fold(_ => "-1", r => med(r).toString) })
     val stats = j(results.collect { case (k, Right(r)) =>
-      k -> j(Seq("min" -> r.head.toString, "med" -> r(2).toString, "max" -> r.last.toString))
+      val ts = r.map(_._1)
+      k -> j(Seq(
+        "min" -> ts.min.toString, "med" -> med(r).toString, "max" -> ts.max.toString,
+        // per-iteration evidence: raw timings in arrival order plus the
+        // post-drain storage gauges (tracked RDDs / BM bytes) — a stall
+        // with a flat gauge is environmental, a rising gauge is a leak
+        "iters" -> ts.mkString("[", ",", "]"),
+        "rdds" -> r.map(_._2).mkString("[", ",", "]"),
+        "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]")))
     })
     val failed = j(results.collect { case (k, Left(msg)) => k -> ("\"" + msg + "\"") })
     val sites = j(udfSites.map { case (k, v) => k -> v.toString })
-    val total = results.collect { case (_, Right(r)) => r(2) }.sum
+    val total = results.collect { case (_, Right(r)) => med(r) }.sum
     val nFailed = results.count(_._2.isLeft)
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
