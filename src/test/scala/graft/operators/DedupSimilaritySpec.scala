@@ -178,6 +178,81 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall too low after relabeling: $recall")
   }
 
+  test("IVF index builds once and serves many probes (no re-assignment per probe)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // 3 planted clusters of 11 members + 150 noise vectors
+    val bases = Seq.fill(3)(vec())
+    val rows = bases.zipWithIndex.flatMap { case (b, c) =>
+      (0 until 11).map(i => ((c * 100 + i).toLong, b.map(x => x + 0.1f * rnd.nextGaussian().toFloat)))
+    } ++ (1000 until 1150).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(df, nLists = 8)
+    // the pinned assignment is a LogicalRDD leaf: lineage was truncated
+    // at build, so NO probe can re-run centroid sampling or assignment —
+    // one assignment pass serves every probe below, structurally
+    assert(index.assigned.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    for (c <- 0 until 3) {
+      val pid = (c * 100).toLong
+      val probeVec = rows.find(_._1 == pid).get._2.map(_.toDouble)
+      val got = Similarity.probeIvf(index, probeVec, 10, nProbe = 3, excludeId = Some(pid))
+      // plan evidence: the probe reads the pinned blocks, never the source
+      val phys = got.queryExecution.executedPlan.toString
+      assert(phys.contains("ExistingRDD"), s"probe $c plan does not read the pinned index")
+      assert(!phys.contains("LocalTableScan"), s"probe $c plan re-scans the source")
+      val exact = Similarity.cosineTopK(df, pid, 10).collect().map(_.getLong(0)).toSet
+      val ivf = got.collect().map(_.getLong(0)).toSet
+      val recall = (ivf & exact).size.toDouble / 10
+      assert(recall >= 0.9, s"probe $c recall too low: $recall")
+    }
+  }
+
+  test("embedding near-dup auto-dispatch: exact tier below the corpus limit, LSH tier above") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(3)(vec())
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i * 2L, b), (i * 2L + 1, b.map(_ * 1.0005f)))
+    } ++ (10 until 60).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val expected = Set((0L, 1L), (2L, 3L), (4L, 5L))
+    // 56 vectors <= 1000 -> exact block triangle
+    val small = Dedup.embeddingNearDupPairsAuto(df, 0.99, exactMaxVectors = 1000,
+      numPlanes = 12, dim = dim)
+    // forced over the limit -> LSH bucket join; same pairs at a high threshold
+    val big = Dedup.embeddingNearDupPairsAuto(df, 0.99, exactMaxVectors = 10,
+      numPlanes = 12, dim = dim)
+    assert(small.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    // tier evidence: only the exact tier carries the block-triangle
+    // object kernel (SerializeFromObject); the LSH tier is a pure
+    // expression-and-join plan
+    assert(small.queryExecution.executedPlan.toString.contains("SerializeFromObject"))
+    assert(!big.queryExecution.executedPlan.toString.contains("SerializeFromObject"))
+  }
+
+  test("q32 skew-probe verdict is cached per (input, n, cap)") {
+    import spark.implicits._
+    val fixture = (0 until 40).map(i =>
+      (i.toLong, s"skew cache fixture doc $i alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    val before = Dedup.skewProbeRuns.get()
+    val r1 = Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = Some(7)).collect()
+    assert(Dedup.skewProbeRuns.get() === before + 1)
+    // same (input, n, cap): verdict served from cache, probe not re-run
+    val r2 = Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = Some(7)).collect()
+    assert(Dedup.skewProbeRuns.get() === before + 1)
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // a different cap is a different dispatch question — probed afresh
+    Dedup.jaccardPairs(fixture, 0.5, maxShingleDocFreq = Some(8)).collect()
+    assert(Dedup.skewProbeRuns.get() === before + 2)
+  }
+
   test("LSH-bucketed embedding near-dup matches the exact pairs for high thresholds") {
     import spark.implicits._
     val dim = 8

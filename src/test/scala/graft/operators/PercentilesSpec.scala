@@ -51,6 +51,27 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("giant-group tier is key-generic: long and date group keys match the windowed tier") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val longs = (1 to 20000).map(i => (i % 7L, rnd.nextDouble() * 100)).toDF("g", "x")
+    val w = Percentiles.exactWindowed(longs, "g", "x", qs).collect()
+    val r = Percentiles.exactRangePartitioned(longs, "g", "x", qs).collect()
+    assert(w.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    assert(w.length === 7)
+    // exactAuto's giant branch must route long keys through the range tier
+    val auto = Percentiles.exactAuto(longs, "g", "x", qs, giantGroupThreshold = 100).collect()
+    assert(w.map(_.toSeq).toSeq === auto.map(_.toSeq).toSeq)
+    // date keys: a non-primitive external type (java.sql.Date) as the
+    // broadcast offset-map key
+    val dates = (1 to 5000).map(i =>
+      (java.sql.Date.valueOf(s"2024-01-0${i % 5 + 1}"), rnd.nextDouble() * 10)).toDF("d", "x")
+    val wd = Percentiles.exactWindowed(dates, "d", "x", qs).collect()
+    val rd = Percentiles.exactRangePartitioned(dates, "d", "x", qs).collect()
+    assert(wd.map(_.toSeq).toSeq === rd.map(_.toSeq).toSeq)
+    assert(wd.length === 5)
+  }
+
   test("tiers agree on a skewed fixture (one giant group, one tiny)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
