@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_pipeline_e2e" -> (PipelineQueries.q47PipelineE2e _),
     "q49_embedding_clusters" -> (PipelineQueries.q49EmbeddingClusters _),
     "q50_token_topk" -> (PipelineQueries.q50TokenTopK _),
+    "q51_knn_join" -> (PipelineQueries.q51KnnJoin _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.
@@ -75,7 +76,8 @@ object SparkEntry {
     "q34_check_precision" -> (PipelineQueries.q34CheckPrecision _),
     "q36_check_recall" -> (CoreQueries.q36CheckRecall _),
     "q45_check_bound" -> (CoreQueries.q45CheckBound _),
-    "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _)
+    "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _),
+    "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 
 /** Typed UDAFs (the reference's only extension point is a consumer
   * callback — `CdcConsumer.java:6-12`; aggregation is absent there, so
@@ -36,4 +36,51 @@ object Aggregators {
 
   def weightedMean: TypedColumn[(String, Double, Double), Double] =
     new WeightedMean().toColumn
+
+  /** Bounded top-k buffer: `sims`/`ids` are parallel rank-ordered lists
+    * (sim desc, id asc), never longer than k. What shuffles per group is
+    * this fixed-size buffer — NOT the candidate set — which is what makes
+    * the kNN join's aggregation scale like any hash agg: partial top-k
+    * map-side, k rows per group per partition into the exchange. */
+  case class TopKBuf(sims: Seq[Double], ids: Seq[Long])
+
+  /** Rank-ordered hits, as parallel arrays (a Product encoder can carry
+    * Seq fields where it cannot carry Seq-of-tuple outputs directly). */
+  case class TopKHits(ids: Seq[Long], sims: Seq[Double])
+
+  /** Exact bounded top-k over (sim, id) rows: keeps the k best under
+    * (sim desc, id asc). Insertion is O(k) with an O(1) reject fast path
+    * (the common case once the buffer saturates); merge folds one bounded
+    * buffer into the other, so the result is independent of partitioning
+    * and merge order — ScalaCheck'd in KnnJoinSpec. Callers round `sim`
+    * BEFORE aggregation so the ordering (and k-boundary tie-breaks) match
+    * an oracle ranking rounded values. */
+  class CosineTopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKHits] {
+    require(k > 0, s"k must be positive, got $k")
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    def zero: TopKBuf = TopKBuf(Vector.empty, Vector.empty)
+    private def insert(b: TopKBuf, s: Double, id: Long): TopKBuf = {
+      val n = b.ids.length
+      if (n == k && !better(s, id, b.sims(n - 1), b.ids(n - 1))) b
+      else {
+        var pos = 0
+        while (pos < n && better(b.sims(pos), b.ids(pos), s, id)) pos += 1
+        TopKBuf(((b.sims.take(pos) :+ s) ++ b.sims.drop(pos)).take(k),
+          ((b.ids.take(pos) :+ id) ++ b.ids.drop(pos)).take(k))
+      }
+    }
+    def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = insert(b, in._1, in._2)
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      b.sims.lazyZip(b.ids).foldLeft(a) { case (acc, (s, id)) => insert(acc, s, id) }
+    def finish(b: TopKBuf): TopKHits = TopKHits(b.ids, b.sims)
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+  }
+
+  /** Untyped-DataFrame handle: `cosineTopK(k)(col("cos_sim"), col("vec_id"))`
+    * aggregates to a struct(ids, sims) of the k best rows per group. */
+  def cosineTopK(k: Int): UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new CosineTopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
 }

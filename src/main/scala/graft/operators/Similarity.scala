@@ -208,6 +208,76 @@ object Similarity {
     probeIvf(index, probeVec, k, nProbe, excludeId = Some(probeId))
   }
 
+  /** Rank-ordered finish for a batch kNN join: bounded top-k per query
+    * (graft.functions.Aggregators.CosineTopK — fixed-size buffers with
+    * map-side partial combine; only k rows per query per partition reach
+    * the exchange, never the candidate set), then posexplode back to one
+    * row per (qid, rank). */
+  private def finishTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.Aggregators.cosineTopK(k)
+    scored.groupBy("qid")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("h"))
+      .select(col("qid"), col("h.sims").as("sims"), posexplode(col("h.ids")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("vec_id"),
+        element_at(col("sims"), (col("pos") + 1).cast("int")).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Exact batch kNN join: for EVERY query vector, the k nearest corpus
+    * vectors by cosine (self-matches on vec_id excluded) — the shape a
+    * training pipeline actually runs (dedup against a reference set,
+    * retrieval labeling), vs the single-probe `cosineTopK`. The query
+    * side broadcasts (BroadcastNestedLoopJoin — no shuffle of the
+    * corpus); scoring is the codegen'd vec_dot kernel; ranking is the
+    * bounded-heap aggregation, so the M×N candidate stream is pipelined
+    * and pruned map-side, never materialized or shuffled. Cosine is
+    * rounded at 4 decimals BEFORE ranking (ties at the k boundary then
+    * break by vec_id asc) — deterministic and oracle-matched. At 100 TB
+    * this is one full corpus scan for the whole query batch; for query
+    * sets too large to broadcast, route through `knnJoinIvf`. */
+  def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = asDouble(corpus)
+    val q = broadcast(asDouble(queries)
+      .select(col("vec_id").as("qid"), col("e").as("qe")))
+    finishTopK(
+      c.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
+            .as("cos_sim")),
+      k)
+  }
+
+  /** IVF-batched kNN join: every query routes to its `nProbe` nearest
+    * centroid lists via a pure projection over the broadcast centroids
+    * (argsort of (−cos, i) structs — no shuffle, no driver loop), then a
+    * hash join on the short `list` key pairs queries with ONLY the
+    * assigned candidates in probed lists (~nProbe/nLists of the corpus
+    * per query) before the same bounded top-k finish as `knnJoinExact`.
+    * One built index serves the whole batch — the assignment scan never
+    * re-runs (`IvfIndex` contract). Recall follows the per-query probed
+    * fraction; q51_check_knn_ivf pins it against the exact tier. */
+  def knnJoinIvf(index: IvfIndex, queries: DataFrame, k: Int,
+                 nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    require(nProbe <= index.nLists, s"nProbe $nProbe > nLists ${index.nLists}")
+    val ranked = array_sort(array(index.centroids.zipWithIndex.map { case (cv, i) =>
+      struct((-vec_dot(col("qe"), typedLit(cv.toSeq)) / vec_norm(col("qe"))).as("nd"),
+        lit(i).as("i"))
+    }: _*))
+    val q = asDouble(queries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("list", explode(transform(slice(ranked, 1, nProbe), s => s.getField("i"))))
+    finishTopK(
+      index.assigned.join(broadcast(q), "list")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(vec_dot(col("e"), col("qe")) / (vec_norm(col("e")) * vec_norm(col("qe"))), 4)
+            .as("cos_sim")),
+      k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the probe's bucket
     * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates.
     *

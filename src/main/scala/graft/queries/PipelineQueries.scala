@@ -219,6 +219,37 @@ object PipelineQueries {
     Similarity.ivfTopK(t(spark, dir, "embeddings"), probeId = 0L, k = 10,
       nLists = 10, nProbe = 6)
 
+  /** Exact batch kNN join: top-5 corpus neighbors for each of the 8
+    * query vectors, in one pass (broadcast queries × corpus scan,
+    * bounded-heap top-k per query). Hard oracle — DuckDB ranks the same
+    * rounded cosines with a window. */
+  def q51KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.knnJoinExact(emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+
+  /** Recall contract for the IVF-batched kNN join vs the exact tier:
+    * per query, >=4 of the exact top-5 recovered. (10, 8) is a MEASURED
+    * operating point on this corpus (q36Ann's note applies: neighbors sit
+    * at noise-level similarity, so recall tracks the probed fraction —
+    * measured per-query minima by nProbe at sf0.01/sf0.1: 6 -> 4/3,
+    * 7 -> 4/3, 8 -> 4/4, 9 -> 5/5; 8-of-10 is the first point where the
+    * >=4 bar holds at BOTH gated scales, still skipping ~20%). The
+    * genuine-pruning evidence for the operator lives in KnnJoinSpec's
+    * clustered fixture: recall 1.0 probing 3 of 8 lists. */
+  def q51CheckKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.knnJoinExact(emb, queries, k = 5).select("qid", "vec_id")
+    val index = Similarity.buildIvfIndex(emb, nLists = 10)
+    val ivf = Similarity.knnJoinIvf(index, queries, k = 5, nProbe = 8)
+      .select(col("qid"), col("vec_id").as("ivf_id"))
+    exact.join(ivf, exact("qid") === ivf("qid") && col("vec_id") === col("ivf_id"), "left")
+      .groupBy(exact("qid"))
+      .agg((count(col("ivf_id")) >= 4).as("recall_ok"))
+      .orderBy("qid")
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -323,6 +354,22 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q51_knn_join" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+          |s AS (SELECT q.qid, e.vec_id,
+          |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qe),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          |    / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |     * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+          |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+          |r AS (SELECT qid, vec_id, cos_sim,
+          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+          |      FROM s)
+          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos_sim
+          |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+      "q51_check_knn_ivf" ->
+        """SELECT CAST(x AS BIGINT) AS qid, CAST(1 AS BOOLEAN) AS recall_ok
+          |FROM generate_series(0, 7) AS t(x) ORDER BY qid""".stripMargin,
       "q50_token_topk" ->
         """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
           |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY lang, tok),
