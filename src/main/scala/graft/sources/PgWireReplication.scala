@@ -227,13 +227,53 @@ object PgTls {
   }
 }
 
+/** Negotiating factory for the two libpq sslmodes that may take TWO
+  * connection attempts ("prefer" and "allow" — libpq: "first try an SSL
+  * connection; if that fails, try a non-SSL connection", and the
+  * reverse). The single-attempt modes pass straight through to the
+  * constructor. */
+object PgWireConnection {
+  def connect(host: String, port: Int, user: String, database: String,
+              password: Option[String], replication: Boolean,
+              connectTimeoutMs: Int = 10000, sslMode: String = "disable",
+              sslContext: Option[SSLContext] = None,
+              sslRootCert: Option[String] = None): PgWireConnection = {
+    def attempt(mode: String) = new PgWireConnection(host, port, user, database,
+      password, replication, connectTimeoutMs, mode, sslContext, sslRootCert)
+    sslMode match {
+      case "prefer" =>
+        // 'N' refusal already falls back in-connection; only a FAILED
+        // handshake (after 'S') warrants the plaintext retry
+        try attempt("prefer")
+        catch { case _: javax.net.ssl.SSLException => attempt("disable") }
+      case "allow" =>
+        // plaintext first; any protocol-level startup/auth failure (the
+        // interesting case: a hostssl-only pg_hba rejecting the plaintext
+        // startup with ErrorResponse) retries over SSL — libpq likewise
+        // retries allow/prefer on ANY failure of the first attempt. A
+        // failure that isn't TLS-related (bad password) fails again
+        // identically and propagates from the second attempt.
+        try attempt("disable")
+        catch { case _: PgWire.ProtocolException => attempt("require") }
+      case _ => attempt(sslMode)
+    }
+  }
+}
+
 /** A single frontend connection (regular or walsender). Not thread-safe
   * except where noted; the replication reader thread owns the input
   * stream once `startReplication` returns.
   *
-  * `sslMode` follows libpq's ladder at its two ends (pgjdbc negotiates
-  * the same preamble, `PgConnectionFactory.java:22-42` rides it):
+  * `sslMode` follows libpq's ladder (pgjdbc negotiates the same
+  * preamble, `PgConnectionFactory.java:22-42` rides it):
   *  - "disable": plaintext (default — matches the reference's tests);
+  *  - "prefer": send SSLRequest; 'S' → TLS without certificate
+  *    verification (as "require"), 'N' → continue plaintext on the same
+  *    connection (libpq semantics). A handshake that FAILS after 'S' is
+  *    retried without SSL by `PgWireConnection.connect` — constructing
+  *    directly gets the single-attempt behavior;
+  *  - "allow": factory-only (`PgWireConnection.connect`) — plaintext
+  *    first, SSL retry if the server rejects the plaintext startup;
   *  - "require": send SSLRequest (Int32 8, Int32 80877103) before
   *    startup; server answers a single byte — 'S' means proceed with a
   *    TLS handshake over the same socket, 'N' means the server cannot,
@@ -264,7 +304,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
     raw.setTcpNoDelay(true)
     sslMode match {
       case "disable" => raw
-      case "require" | "verify-ca" | "verify-full" =>
+      case "prefer" | "require" | "verify-ca" | "verify-full" =>
         // SSLRequest preamble: a startup-packet-shaped probe (no tag byte)
         // with the magic code 80877103; the reply is ONE raw byte, not a
         // framed message.
@@ -300,6 +340,10 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
                 try raw.close() catch { case _: IOException => () }
                 throw t
             }
+          case 'N' if sslMode == "prefer" =>
+            // libpq prefer parity: a server without SSL answers 'N' and
+            // awaits the plaintext startup on the SAME connection
+            raw
           case 'N' =>
             raw.close()
             throw new ProtocolException(
@@ -311,7 +355,8 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
       case other =>
         raw.close()
         throw new IllegalArgumentException(
-          s"unsupported sslmode '$other' (supported: disable, require, verify-ca, verify-full)")
+          s"unsupported sslmode '$other' (constructor-supported: disable, prefer, " +
+            "require, verify-ca, verify-full; 'allow' negotiates via PgWireConnection.connect)")
     }
   }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
@@ -530,7 +575,8 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   * Options: `host` (default localhost), `port` (5432), `user`,
   * `password` (optional), `database`, `slot`, `publication`,
   * `bootstrap` ("true": create slot/publication if missing, A2–A3),
-  * `sslmode` ("disable" | "require" | "verify-ca" | "verify-full"),
+  * `sslmode` ("disable" | "allow" | "prefer" | "require" | "verify-ca" |
+  * "verify-full"),
   * `sslrootcert` (PEM/DER root-certificate path for verify-ca and
   * verify-full) — see [[PgWireConnection]].
   *
@@ -562,7 +608,7 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
 
   // A2/A3: idempotent bootstrap over a regular connection.
   if (opt("bootstrap", "true").toBoolean) {
-    val control = new PgWireConnection(host, port, user, database, password,
+    val control = PgWireConnection.connect(host, port, user, database, password,
       replication = false, sslMode = sslMode, sslRootCert = sslRootCert)
     try {
       def exists(sql: String): Boolean =
@@ -574,7 +620,7 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
     } finally control.close()
   }
 
-  private val conn = new PgWireConnection(host, port, user, database, password,
+  private val conn = PgWireConnection.connect(host, port, user, database, password,
     replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
   private val flushedLsn = new AtomicLong(0L)
   private val queue = new ConcurrentLinkedQueue[(Long, Array[Byte])]()

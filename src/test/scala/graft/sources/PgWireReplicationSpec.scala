@@ -25,6 +25,9 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
                     frames: Seq[(Long, Array[Byte])],
                     var slotExists: Boolean = true, var pubExists: Boolean = true,
                     tlsMode: String = "none") {
+  /** hostssl-only pg_hba analogue: reject any plaintext startup with an
+    * ErrorResponse (the sslmode=allow retry trigger). */
+  @volatile var requireTls = false
   val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
   val acks = new ConcurrentLinkedQueue[Long]()
@@ -77,9 +80,13 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
   }
 
   private def handle(rawSock: Socket): Unit = {
-    // TLS stage: a client in any ssl mode opens with the 8-byte SSLRequest
-    // probe (Int32 8, Int32 80877103); answer one raw byte per tlsMode and
-    // for "accept" continue the normal script over the handshaken socket.
+    // TLS stage: a client in an SSL-capable mode opens with the 8-byte
+    // SSLRequest probe (Int32 8, Int32 80877103); answer one raw byte per
+    // tlsMode and for "accept" continue the normal script over the
+    // handshaken socket. A client in a negotiable mode (allow, or prefer's
+    // plaintext retry) may instead open with the startup packet directly —
+    // carry the two already-consumed ints into the startup read below.
+    var preStartup: Option[(Int, Int)] = None // (len, protocol) if startup already begun
     val sock: Socket =
       if (tlsMode == "none") rawSock
       else {
@@ -89,22 +96,34 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
             val dout = new DataOutputStream(rawSock.getOutputStream)
             val len = din.readInt()
             val code = din.readInt()
-            assert(len == 8 && code == 80877103, s"expected SSLRequest, got len=$len code=$code")
-            sslRequests.incrementAndGet()
-            tlsMode match {
-              case "refuse" => dout.write('N'); dout.flush(); None
-              case "garbage" => dout.write('!'); dout.flush(); None
-              case "accept" =>
-                dout.write('S'); dout.flush()
-                val ssl = tlsServerContext().getSocketFactory
-                  .createSocket(rawSock, null, rawSock.getPort, true)
-                  .asInstanceOf[javax.net.ssl.SSLSocket]
-                ssl.setUseClientMode(false)
-                // a client that distrusts our chain/hostname aborts mid-
-                // handshake (the verify-ca/full reject specs) — that is the
-                // client's test assertion, not a server error
-                ssl.startHandshake()
-                Some(ssl)
+            if (code != 80877103) {
+              preStartup = Some((len, code))
+              Some(rawSock)
+            } else {
+              sslRequests.incrementAndGet()
+              tlsMode match {
+                case "refuse" =>
+                  // a real server without SSL answers 'N' and awaits the
+                  // plaintext startup on the SAME connection — required for
+                  // the sslmode=prefer in-connection fallback
+                  dout.write('N'); dout.flush(); Some(rawSock)
+                case "garbage" => dout.write('!'); dout.flush(); None
+                case "accept-broken" =>
+                  // advertise SSL, then kill the connection before the
+                  // handshake — exercises prefer's plaintext-retry path
+                  dout.write('S'); dout.flush(); None
+                case "accept" =>
+                  dout.write('S'); dout.flush()
+                  val ssl = tlsServerContext().getSocketFactory
+                    .createSocket(rawSock, null, rawSock.getPort, true)
+                    .asInstanceOf[javax.net.ssl.SSLSocket]
+                  ssl.setUseClientMode(false)
+                  // a client that distrusts our chain/hostname aborts mid-
+                  // handshake (the verify-ca/full reject specs) — that is the
+                  // client's test assertion, not a server error
+                  ssl.startHandshake()
+                  Some(ssl)
+              }
             }
           } catch { case _: IOException => None }
         staged match {
@@ -123,11 +142,28 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
     }
     try {
       // startup message: Int32 len, Int32 proto, (k\0v\0)* \0
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4); in.readFully(body)
+      // (len + proto may already be consumed by the TLS-stage peek)
+      val body = preStartup match {
+        case Some((len, _)) =>
+          val rest = new Array[Byte](len - 8); in.readFully(rest)
+          new Array[Byte](4) ++ rest // 4-byte pad where proto sat; params parse below is offset-based
+        case None =>
+          val len = in.readInt()
+          val b = new Array[Byte](len - 4); in.readFully(b)
+          b
+      }
       val params = new String(body, 4, body.length - 5, UTF_8).split("\u0000")
         .grouped(2).collect { case Array(k, v) => k -> v }.toMap
       params.get("replication").foreach(sawReplicationParam.add)
+      if (requireTls && !sock.isInstanceOf[javax.net.ssl.SSLSocket]) {
+        // hostssl-only pg_hba analogue: reject the plaintext startup --
+        // the sslmode=allow SSL-retry trigger
+        send(out, 'E', bytes { d =>
+          d.write(cstr("SFATAL")); d.write(cstr("Mno pg_hba.conf entry: SSL required"))
+          d.writeByte(0)
+        })
+        sock.close(); return
+      }
 
       // authentication
       authMode match {
@@ -477,6 +513,62 @@ class PgWireReplicationSpec extends SparkSpec {
       intercept[javax.net.ssl.SSLHandshakeException](
         new PgWireFrameSource(opts(ws, "host" -> "127.0.0.2",
           "sslmode" -> "verify-full", "sslrootcert" -> pemPath("graft-test-tls.pem"))))
+    } finally ws.close()
+  }
+
+  test("sslmode=prefer: server accepts SSL — frames stream over TLS") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "prefer"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      assert(ws.sslRequests.get() === 2) // both connections probed and handshook
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=prefer: server answers 'N' — plaintext continues on the SAME connection") {
+    val ws = new FakeWalsender("cleartext", Some("pw"), cdcFrames(), tlsMode = "refuse")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "prefer"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      // the probe was sent (and refused) once per connection; auth then
+      // ran in the clear over the same sockets — libpq prefer semantics
+      assert(ws.sslRequests.get() === 2)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=prefer: a FAILED handshake after 'S' is retried without SSL") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept-broken")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "sslmode" -> "prefer"))
+      assert(drainAll(src, 5).size === 5)
+      // first attempt per connection probed (then died mid-handshake);
+      // the retry opened with the startup packet directly
+      assert(ws.sslRequests.get() === 2)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=allow: plaintext first — no SSLRequest when the server accepts it") {
+    val ws = new FakeWalsender("cleartext", Some("pw"), cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "allow"))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.sslRequests.get() === 0) // never probed: plaintext sufficed
+      src.close()
+    } finally ws.close()
+  }
+
+  test("sslmode=allow: server rejecting the plaintext startup triggers the SSL retry") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept")
+    ws.requireTls = true
+    try {
+      val src = new PgWireFrameSource(opts(ws, "sslmode" -> "allow"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      // each connection: plaintext attempt rejected, SSL attempt probed
+      assert(ws.sslRequests.get() === 2)
+      src.close()
     } finally ws.close()
   }
 
