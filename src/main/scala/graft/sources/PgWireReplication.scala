@@ -131,12 +131,48 @@ object PgWire {
     norm
   }
 
-  /** SCRAM-SHA-256 client state machine (RFC 5802 with the SHA-256
-    * parameters of RFC 7677; gs2 header "n,," — no channel binding).
+  /** RFC 5929 `tls-server-end-point` channel-binding data: a hash of the
+    * server's end-entity certificate (DER form) using the hash of the
+    * certificate's signature algorithm, with MD5 and SHA-1 normalized up
+    * to SHA-256 per the RFC. This is what SCRAM-SHA-256-PLUS binds the
+    * authentication exchange to — a MITM terminating TLS presents a
+    * different certificate, the hashes disagree, and the server rejects
+    * the proof even though the attacker relayed every SCRAM message. */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase.replace("-", "")
+    val hash =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256" // incl. the RFC's MD5/SHA-1 -> SHA-256 normalization
+    java.security.MessageDigest.getInstance(hash).digest(cert.getEncoded)
+  }
+
+  /** SCRAM-SHA-256(-PLUS) client state machine (RFC 5802 with the
+    * SHA-256 parameters of RFC 7677). The gs2 flag follows libpq
+    * (`fe-auth-scram.c` build_client_first_message):
+    *  - "p" + channelBinding: SCRAM-SHA-256-PLUS, c= carries
+    *    gs2-header ++ cb-data (RFC 5929 tls-server-end-point);
+    *  - "y": client supports channel binding, server did not advertise
+    *    -PLUS — sent over TLS so a binding-capable server can detect a
+    *    MITM stripping the -PLUS mechanism (downgrade protection);
+    *  - "n" (default): no channel binding (plaintext connections).
     * The password is SASLprep'd (RFC 4013) before key derivation. */
-  final class ScramClient(rawPassword: String, nonce: String) {
+  final class ScramClient(rawPassword: String, nonce: String,
+                          gs2Flag: String = "n",
+                          channelBinding: Option[Array[Byte]] = None) {
+    require(gs2Flag != "p" || channelBinding.isDefined,
+      "SCRAM: gs2 flag 'p' requires channel-binding data")
+    require(gs2Flag == "p" || channelBinding.isEmpty,
+      s"SCRAM: channel-binding data requires gs2 flag 'p', got '$gs2Flag'")
     private val password = saslPrep(rawPassword)
-    private val gs2 = "n,,"
+    private val gs2 = gs2Flag match {
+      case "p" => "p=tls-server-end-point,,"
+      case "y" => "y,,"
+      case "n" => "n,,"
+      case other => throw new IllegalArgumentException(s"SCRAM: bad gs2 flag '$other'")
+    }
+    private val cbInput: Array[Byte] =
+      gs2.getBytes(UTF_8) ++ channelBinding.getOrElse(Array.emptyByteArray)
     val clientFirstBare = s"n=,r=$nonce"
     def clientFirstMessage: String = gs2 + clientFirstBare
 
@@ -168,7 +204,7 @@ object PgWire {
       val clientKey = hmac(saltedPassword, "Client Key")
       val storedKey = sha256(clientKey)
       clientFinalNoProof =
-        s"c=${Base64.getEncoder.encodeToString(gs2.getBytes(UTF_8))},r=$serverNonce"
+        s"c=${Base64.getEncoder.encodeToString(cbInput)},r=$serverNonce"
       val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
       val clientSignature = hmac(storedKey, authMessage)
       val proof = clientKey.zip(clientSignature).map { case (a, b) => (a ^ b).toByte }
@@ -430,7 +466,7 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
           case 5 => // md5(salt)
             val salt = new Array[Byte](4); buf.get(salt)
             send('p', cstring(md5Password(user, requirePassword(), salt)))
-          case 10 => // SASL: pick SCRAM-SHA-256
+          case 10 => // SASL: prefer SCRAM-SHA-256-PLUS when TLS makes binding possible
             val mechs = new String(b, 4, b.length - 4, UTF_8).split("\u0000").filter(_.nonEmpty)
             if (!mechs.contains("SCRAM-SHA-256"))
               throw new ProtocolException(s"no supported SASL mechanism in ${mechs.mkString(",")}")
@@ -439,11 +475,24 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
               new java.security.SecureRandom().nextBytes(raw)
               Base64.getEncoder.encodeToString(raw)
             }
-            scram = new ScramClient(requirePassword(), nonce)
+            // mechanism + gs2 policy (libpq parity, fe-auth-scram.c): over
+            // TLS take -PLUS when advertised (bind to the cert we actually
+            // handshook with); over TLS without -PLUS advertise our support
+            // ("y") so a binding-capable server detects mechanism-stripping;
+            // plaintext has nothing to bind ("n")
+            val (mech, gs2Flag, cb) = socket match {
+              case ssl: SSLSocket if mechs.contains("SCRAM-SHA-256-PLUS") =>
+                val cert = ssl.getSession.getPeerCertificates()(0)
+                  .asInstanceOf[java.security.cert.X509Certificate]
+                ("SCRAM-SHA-256-PLUS", "p", Some(tlsServerEndPoint(cert)))
+              case _: SSLSocket => ("SCRAM-SHA-256", "y", None)
+              case _ => ("SCRAM-SHA-256", "n", None)
+            }
+            scram = new ScramClient(requirePassword(), nonce, gs2Flag, cb)
             val first = scram.clientFirstMessage.getBytes(UTF_8)
             val body = new ByteArrayOutputStream()
             val d = new DataOutputStream(body)
-            d.write(cstring("SCRAM-SHA-256"))
+            d.write(cstring(mech))
             d.writeInt(first.length)
             d.write(first)
             send('p', body.toByteArray)

@@ -28,6 +28,21 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
   /** hostssl-only pg_hba analogue: reject any plaintext startup with an
     * ErrorResponse (the sslmode=allow retry trigger). */
   @volatile var requireTls = false
+  /** Advertise SCRAM-SHA-256-PLUS on TLS connections (real-PG default);
+    * disable to exercise the client's "y" downgrade-signal gs2 flag. */
+  @volatile var advertisePlus = true
+  val chosenScramMech = new ConcurrentLinkedQueue[String]()
+  val sawGs2 = new ConcurrentLinkedQueue[String]()
+
+  /** The end-entity certificate served by `tlsServerContext` — the
+    * channel-binding reference for the c= check. */
+  private lazy val serverCert: java.security.cert.X509Certificate = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val res = getClass.getResourceAsStream("/graft-test-tls.p12")
+    try ks.load(res, "graftpw".toCharArray) finally res.close()
+    val alias = ks.aliases().asScala.find(ks.isKeyEntry).get
+    ks.getCertificate(alias).asInstanceOf[java.security.cert.X509Certificate]
+  }
   val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
   val acks = new ConcurrentLinkedQueue[Long]()
@@ -189,12 +204,34 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
           }
           send(out, 'R', bytes(_.writeInt(0)))
         case "scram" =>
-          send(out, 'R', bytes { d => d.writeInt(10); d.write(cstr("SCRAM-SHA-256")); d.writeByte(0) })
+          // real PG advertises SCRAM-SHA-256-PLUS alongside SCRAM-SHA-256
+          // on TLS connections (channel binding is only possible there)
+          val overTls = sock.isInstanceOf[javax.net.ssl.SSLSocket]
+          send(out, 'R', bytes { d =>
+            d.writeInt(10)
+            if (overTls && advertisePlus) d.write(cstr("SCRAM-SHA-256-PLUS"))
+            d.write(cstr("SCRAM-SHA-256")); d.writeByte(0)
+          })
           val (_, init) = readMsg() // mech\0 + int32 + client-first
           val mechEnd = init.indexOf(0)
-          assert(new String(init, 0, mechEnd, UTF_8) == "SCRAM-SHA-256")
+          val mech = new String(init, 0, mechEnd, UTF_8)
+          assert(mech == "SCRAM-SHA-256" || mech == "SCRAM-SHA-256-PLUS", mech)
+          chosenScramMech.add(mech)
           val clientFirst = new String(init, mechEnd + 5, init.length - mechEnd - 5, UTF_8)
-          val clientFirstBare = clientFirst.stripPrefix("n,,")
+          // gs2 header: "n,," | "y,," | "p=tls-server-end-point,,"
+          val (gs2, clientFirstBare) =
+            if (clientFirst.startsWith("p=")) {
+              val i = clientFirst.indexOf(",,")
+              (clientFirst.take(i + 2), clientFirst.drop(i + 2))
+            } else (clientFirst.take(3), clientFirst.drop(3))
+          sawGs2.add(gs2)
+          assert((mech == "SCRAM-SHA-256-PLUS") == gs2.startsWith("p="),
+            s"mech $mech vs gs2 $gs2")
+          // expected c= — THE channel-binding check: gs2 header bytes,
+          // plus (for -PLUS) the RFC 5929 hash of OUR certificate
+          val expectedC = Base64.getEncoder.encodeToString(
+            gs2.getBytes(UTF_8) ++ (if (gs2.startsWith("p="))
+              PgWire.tlsServerEndPoint(serverCert) else Array.emptyByteArray))
           val clientNonce = clientFirstBare.split(",").collectFirst {
             case kv if kv.startsWith("r=") => kv.drop(2)
           }.get
@@ -207,6 +244,11 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
           val (_, finalMsg) = readMsg()
           val clientFinal = new String(finalMsg, UTF_8)
           val noProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+          val cAttr = noProof.split(",").collectFirst {
+            case kv if kv.startsWith("c=") => kv.drop(2)
+          }.get
+          assert(cAttr == expectedC,
+            s"channel-binding c= mismatch: got $cAttr want $expectedC (gs2 $gs2)")
           val proof = Base64.getDecoder.decode(clientFinal.drop(clientFinal.indexOf(",p=") + 3))
           val spec = new PBEKeySpec(expectPassword.get.toCharArray, salt, iterations, 256)
           val salted = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
@@ -570,6 +612,56 @@ class PgWireReplicationSpec extends SparkSpec {
       assert(ws.sslRequests.get() === 2)
       src.close()
     } finally ws.close()
+  }
+
+  test("SCRAM-SHA-256-PLUS: channel binding selected and verified over TLS") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "require"))
+      assert(drainAll(src, 5).size === 5)
+      // both connections picked -PLUS; the fake asserted the c= attribute
+      // carries base64("p=tls-server-end-point,," ++ sha256(server cert))
+      assert(ws.chosenScramMech.asScala.toSet === Set("SCRAM-SHA-256-PLUS"))
+      assert(ws.sawGs2.asScala.forall(_ == "p=tls-server-end-point,,"))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("SCRAM over TLS without -PLUS advertised: client signals binding support with gs2 'y'") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    ws.advertisePlus = false
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "require"))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.chosenScramMech.asScala.toSet === Set("SCRAM-SHA-256"))
+      // "y,," = downgrade signal: a binding-capable real server would now
+      // reject the exchange as MITM-stripped (RFC 5802 §6)
+      assert(ws.sawGs2.asScala.toSet === Set("y,,"))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("SCRAM on plaintext connections keeps gs2 'n' (nothing to bind)") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames())
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw"))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.chosenScramMech.asScala.toSet === Set("SCRAM-SHA-256"))
+      assert(ws.sawGs2.asScala.toSet === Set("n,,"))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("tlsServerEndPoint: SHA-256 of the DER certificate for SHA-256-family signatures") {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val res = getClass.getResourceAsStream("/graft-test-tls.p12")
+    try ks.load(res, "graftpw".toCharArray) finally res.close()
+    val alias = ks.aliases().asScala.find(ks.isKeyEntry).get
+    val cert = ks.getCertificate(alias).asInstanceOf[java.security.cert.X509Certificate]
+    // self-signed test cert uses a SHA-256-family signature — RFC 5929
+    // maps it (and MD5/SHA-1) to a SHA-256 digest of the DER encoding
+    val want = java.security.MessageDigest.getInstance("SHA-256").digest(cert.getEncoded)
+    assert(PgWire.tlsServerEndPoint(cert).toSeq === want.toSeq)
   }
 
   test("e2e: readStream pgcdc-live over TLS (sslmode=require) delivers decoded rows") {
