@@ -27,10 +27,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // long many-query sessions accumulate shuffle files + broadcasts;
-      // frequent periodic GC keeps ContextCleaner work incremental instead
-      // of one mid-measurement storm
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // long many-query sessions accumulate shuffle files + broadcasts.
+      // Cleanup GC is driven DETERMINISTICALLY: an explicit System.gc()
+      // in the between-queries breather (clock stopped), so ContextCleaner
+      // debt collects at query boundaries. The periodic timer stays only
+      // as a far-out safety net — at 30s (r3-r6) its full-GC pause landed
+      // mid-iteration ~10% of the time, the residual 1-3.5 s spikes in the
+      // r7 per-iteration stats (rdds=0, stor_mb=0 — not a storage leak).
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -55,7 +59,15 @@ object Bench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).collect()
       val t = (System.nanoTime() - t0) / 1e9
-      graft.operators.Storage.releaseAll()
+      // blocking: the gauge below must observe the post-drain state, not
+      // race the async unpersist (drain runs after the clock stops)
+      val drained = graft.operators.Storage.releaseAll(blocking = true)
+      // storage-holding queries are the kernel-allocation-heavy ones
+      // (packed block arrays, exploded indexes) — collect their debt NOW,
+      // clock stopped, instead of letting a major GC land in a later
+      // timed iteration (the r7c residual: q35/q46 3-5 s one-iteration
+      // spikes with clean storage gauges). Cheap queries never pay this.
+      if (drained > 0) System.gc()
       val (rdds, used) = storageGauge()
       (t, rdds, used)
     }

@@ -27,35 +27,67 @@ import org.apache.spark.sql.DataFrame
   */
 object Storage {
 
-  private val live =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.ref.WeakReference[DataFrame]]()
+  /** One registered plan. The DataFrame reference is WEAK (the registry
+    * must not keep results alive in long-running apps), so a minor GC
+    * between an operator returning and the next drain can clear it — for
+    * checkpointed plans the blocks would then linger until the
+    * ContextCleaner got around to them (the flat 1-2 phantom residents in
+    * the r7 gauge stats). `rddId` is the durable handle for exactly that
+    * case: the checkpoint RDD can still be found (if yet unreleased) in
+    * `sc.getPersistentRDDs` and dropped deterministically. -1 for plain
+    * cached plans, whose storage recomputes and is CacheManager-owned. */
+  private final case class Entry(df: java.lang.ref.WeakReference[DataFrame],
+                                 sc: org.apache.spark.SparkContext, rddId: Int)
+
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Entry]()
 
   /** Register a checkpointed or cached plan for deterministic release.
     * Returns the argument for call-site chaining. */
   def track(df: DataFrame): DataFrame = {
-    live.add(new java.lang.ref.WeakReference(df))
+    val rddId = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case _ => -1
+    }
+    live.add(Entry(new java.lang.ref.WeakReference(df),
+      df.sparkSession.sparkContext, rddId))
     df
   }
 
   /** Free one plan's storage immediately: checkpoint blocks for
     * `LogicalRDD` leaves (the shape `localCheckpoint` returns), the
-    * CacheManager entry otherwise. No-op if nothing is persisted. */
-  def release(df: DataFrame): Unit =
+    * CacheManager entry otherwise. No-op if nothing is persisted.
+    * `blocking = true` waits for block removal — callers that read a
+    * storage gauge right after (the bench's per-iteration evidence) need
+    * it, or the gauge races the async unpersist and reports phantom
+    * residents (the flat rdds=2-3 rows in the r7 sweep stats). */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => df.unpersist(blocking = false)
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => df.unpersist(blocking)
     }
 
   /** Unpersist every plan the registry still holds (no-op for plans the
     * GC already reclaimed) and clear the registry. See the class contract:
     * released CHECKPOINTED plans become unexecutable — call between
-    * queries, not while a returned result is still live. */
-  def releaseAll(): Unit = {
+    * queries, not while a returned result is still live.
+    * @return the number of entries drained — callers pacing JVM cleanup
+    *         (the bench) use a non-zero count as "this query holds
+    *         storage / allocates kernel-heavy" signal. */
+  def releaseAll(blocking: Boolean = false): Int = {
+    var n = 0
     val it = live.iterator()
     while (it.hasNext) {
-      val df = it.next().get()
-      if (df != null) release(df)
+      val e = it.next()
+      val df = e.df.get()
+      if (df != null) release(df, blocking)
+      else if (e.rddId >= 0)
+        // plan object already GC'd: reach the checkpoint blocks through
+        // the context's persistent-RDD registry instead (no-op if the
+        // ContextCleaner won the race)
+        e.sc.getPersistentRDDs.get(e.rddId).foreach(_.unpersist(blocking))
       it.remove()
+      n += 1
     }
+    n
   }
 }

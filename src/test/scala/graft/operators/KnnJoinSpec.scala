@@ -119,6 +119,18 @@ class KnnJoinSpec extends SparkSpec {
     } finally Storage.releaseAll()
   }
 
+  test("knnJoinExact plan: broadcast queries + two-phase bounded top-k aggregation") {
+    val df = clustered(4, 12, seed = 61L)
+    val plan = Similarity.knnJoinExact(df, df.filter(col("vec_id") < 2), k = 3)
+      .queryExecution.executedPlan.toString
+    // corpus never shuffles into the join — the query side broadcasts
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast join:\n$plan")
+    // the bounded-heap UDAF must run partial (map-side) + final — k rows
+    // per query per partition into the exchange, not the candidate set
+    assert("ObjectHashAggregate".r.findAllMatchIn(plan).size >= 2,
+      s"expected two-phase ObjectHashAggregate:\n$plan")
+  }
+
   test("knnJoinIvf probes a built index without re-running assignment") {
     val df = clustered(4, 8, seed = 53L)
     val index = Similarity.buildIvfIndex(df, nLists = 4)
