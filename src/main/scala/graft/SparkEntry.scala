@@ -69,6 +69,8 @@ object SparkEntry {
     "q49_embedding_clusters" -> (PipelineQueries.q49EmbeddingClusters _),
     "q50_token_topk" -> (PipelineQueries.q50TokenTopK _),
     "q51_knn_join" -> (PipelineQueries.q51KnnJoin _),
+    "q52_pii_redact" -> (PipelineQueries.q52PiiRedact _),
+    "q53_decontaminate" -> (PipelineQueries.q53Decontaminate _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -597,4 +597,35 @@ object Dedup {
       }
       .orderBy("va", "vb")
   }
+
+  // -------------------------------------------------- decontamination
+  /** Benchmark decontamination: per corpus document, the number of
+    * DISTINCT word n-gram shingles shared with ANY document of a
+    * benchmark/eval set, plus a `contaminated` flag at `minShared`. The
+    * pipeline op behind "drop training documents that leak the test set".
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents against a 100 TB corpus — so its distinct-shingle set is
+    * explicitly `broadcast`: the corpus-side explode streams through a
+    * broadcast hash semi-join with NO corpus shuffle, and the per-doc
+    * count is a map-side-combinable hash agg keyed by doc_id. Shingles
+    * compare as fnv64 longs (same collision analysis as `jaccardPairs`);
+    * the DuckDB oracle mirrors the formula on string shingles. Benchmark
+    * members present in the corpus are scored like any other doc —
+    * exclude them upstream if self-matches are unwanted (q53 does). */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                          minShared: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d = withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val b = broadcast(withHashedShingles(benchmark, n)
+      .select(explode(col("shingles")).as("sg")).distinct())
+    val hits = d.join(b, "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared")) // sg pre-distinct per doc (shingleSet)
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("shared"), lit(0L)).as("shared"))
+      .withColumn("contaminated", col("shared") >= minShared)
+      .orderBy("doc_id")
+  }
 }

@@ -114,6 +114,34 @@ object TextAnalysis {
     aggregate(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
 
+  // -------------------------------------------------------- PII scrub
+  /** Redaction patterns, kept in the construct subset where Java regex
+    * (Spark's engine) and RE2 (DuckDB's) agree exactly: character
+    * classes, bounded repetition, grouping — no backrefs, no lookaround.
+    * Phone requires a leading '+' so the IP and phone patterns cannot
+    * overlap; replacement tokens contain no digits so chained passes
+    * cannot re-match each other's output. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9-]{6,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction for training corpora: emails, then E.164-style phone
+    * numbers, then IPv4 literals, each replaced by a typed token. A pure
+    * chained-regexp_replace projection — codegen'd, zero shuffle, streams
+    * at scan speed; mirrored 1:1 by DuckDB regexp_replace(..., 'g'). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII hit counts (pre-redaction evidence columns). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast(LongType),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast(LongType),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast(LongType))
+
   /** Convenience: full per-document annotation (one codegen'd projection). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -250,6 +250,37 @@ object PipelineQueries {
       .orderBy("qid")
   }
 
+  /** PII redaction audit over deterministic synthesized contact blocks
+    * (the corpus text is synthetic word soup with no PII, so the query
+    * plants one email + phone + IP per document from doc_id — identically
+    * in both engines — and proves the scrub on them): per-doc hit counts
+    * and the md5 of the redacted text. Hard oracle. */
+  def q52PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      lit("reach "), col("source"), lit(" at user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".1 re: "), substring(col("text"), 1, 40))
+    val counts = TA.piiCounts(synth).map { case (name, c) => c.as(name) }
+    t(spark, dir, "documents")
+      .select(Seq(col("doc_id")) ++ counts :+
+        md5(TA.redactPii(synth)).as("redacted_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: every 50th document plays the eval set;
+    * the rest of the corpus is scored by distinct shared 3-gram shingles
+    * (broadcast semi-join + per-doc count — no corpus shuffle). Hard
+    * oracle via the q32 string-shingle CTEs. */
+  def q53Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationScores(
+      docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+      n = 3, minShared = 3L)
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -354,6 +385,33 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q52_pii_redact" ->
+        """WITH s AS (SELECT doc_id,
+          |  'reach ' || source || ' at user' || CAST(doc_id AS VARCHAR) ||
+          |  '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 re: ' || substr(text, 1, 40) AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9-]{6,}')) AS BIGINT) AS n_phones,
+          |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+[0-9][0-9-]{6,}', '<PHONE>', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "q53_decontaminate" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
+          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+          |b AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 50 = 0),
+          |e AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 50 != 0),
+          |hits AS (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN b USING (sg) GROUP BY e.doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(h.shared, 0) AS BIGINT) AS shared,
+          |  COALESCE(h.shared, 0) >= 3 AS contaminated
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+          |LEFT JOIN hits h USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       "q51_knn_join" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
           |s AS (SELECT q.qid, e.vec_id,

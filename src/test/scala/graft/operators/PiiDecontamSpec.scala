@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PII redaction + benchmark decontamination. */
+class PiiDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redactOne(s: String): String =
+    Seq(s).toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].head()
+
+  test("redactPii replaces emails, phones, and IPv4 literals with typed tokens") {
+    val got = redactOne(
+      "mail a.user+tag@sub.example.org call +44-20-7946-0958 host 192.168.0.255 done")
+    assert(got === "mail <EMAIL> call <PHONE> host <IP> done")
+  }
+
+  test("redactPii is idempotent and leaves clean text untouched") {
+    val clean = "just ordinary prose with numbers 42 and a trailing dot."
+    assert(redactOne(clean) === clean)
+    val once = redactOne("x user@example.com +1-555-0100 10.0.0.1")
+    assert(redactOne(once) === once)
+  }
+
+  test("piiCounts reports per-type hit counts") {
+    val df = Seq("a@b.io c@d.io +1-555-0100 10.0.0.1 10.0.0.2 10.0.0.3").toDF("text")
+    val row = df.select(TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2L, 1L, 3L)))
+  }
+
+  test("contaminationScores counts distinct shared shingles and keeps zero-score docs") {
+    // benchmark doc: trigrams of "the quick brown fox jumps" =
+    //   {the quick brown, quick brown fox, brown fox jumps}
+    val bench = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),          // all 3 shingles shared
+      (2L, "a b the quick brown c d"),            // exactly 1 shared
+      (3L, "completely different words here now") // 0 shared — must still appear
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(corpus, bench, n = 3, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 3L, true), (2L, 1L, false), (3L, 0L, false)))
+  }
+
+  test("contamination plan broadcasts the benchmark side") {
+    val bench = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val plan = Dedup.contaminationScores(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast (corpus side never shuffles into the join):\n$plan")
+  }
+}
