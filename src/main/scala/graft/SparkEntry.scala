@@ -71,6 +71,8 @@ object SparkEntry {
     "q51_knn_join" -> (PipelineQueries.q51KnnJoin _),
     "q52_pii_redact" -> (PipelineQueries.q52PiiRedact _),
     "q53_decontaminate" -> (PipelineQueries.q53Decontaminate _),
+    "q54_pack" -> (PipelineQueries.q54Pack _),
+    "q55_sample" -> (PipelineQueries.q55Sample _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators: deterministic sequence packing and
+  * stable hash-based sampling. (No analogue in the reference — its unit
+  * of work is a CDC transaction, `CdcEngine.java:96-118`; these are the
+  * north-star pipeline additions.)
+  */
+object Packing {
+
+  /** Streaming sequence packing: documents fill bins of `capacity`
+    * tokens in a deterministic order, a new bin starting whenever the
+    * running total would overflow. This is the greedy streaming pack LLM
+    * data loaders actually use (not optimal bin-packing, which is
+    * NP-hard and order-unstable).
+    *
+    * Scale shape: packing runs INSIDE each `shardCol` group — one window
+    * per shard, so shards pack in parallel and no global sort exists
+    * (the 100 TB layout: one shard ≈ one output file of a few hundred MB
+    * → thousands of independent windows). A document longer than
+    * `capacity` occupies a bin alone (the loader's truncate/split is a
+    * separate concern).
+    *
+    * Bin assignment is a running-total recurrence, not a plain cumsum
+    * (the remainder resets at each bin break), expressed as: bin break
+    * at doc i iff cum(i-1) mod'd-down ... — to keep the formula
+    * SQL-mirrorable AND O(1) per row, the bin id is computed from the
+    * cumulative token count as floor((cum - tokens) / capacity) vs
+    * floor-boundary crossing: a doc starts a new bin when its span
+    * [cum - tokens, cum) crosses a capacity boundary. This "boundary
+    * pack" admits bins up to capacity + one doc's overflow spill; the
+    * deterministic mirror is exact in both engines. */
+  def packByTokenBudget(docs: DataFrame, capacity: Long,
+                        shardCol: Column, tokenCol: Column,
+                        orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    docs
+      .withColumn("shard", shardCol)
+      .withColumn("cum", sum(tokenCol).over(w))
+      .withColumn("bin", floor((col("cum") - tokenCol) / lit(capacity)))
+  }
+
+  /** Per-bin packing summary (the shape a loader manifest needs):
+    * documents per bin, token fill, fill ratio at `capacity`. */
+  def packSummary(docs: DataFrame, capacity: Long,
+                  shardCol: Column, tokenCol: Column,
+                  orderCol: Column): DataFrame =
+    packByTokenBudget(docs, capacity, shardCol, tokenCol, orderCol)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCol).as("tokens"))
+      .withColumn("fill", round(col("tokens") / lit(capacity.toDouble), 4))
+      .orderBy("shard", "bin")
+
+  /** 4-hex-digit cutoff for a keep-percentage over the uniform 16-bit
+    * md5 prefix: P(keep) = round(pct/100 * 65536) / 65536. Precomputed
+    * driver-side so no engine-dependent rounding exists in the plan.
+    * pct=100 maps to "g": every hex digit sorts below 'g', so the
+    * keep-all cutoff stays a valid STRING comparison (the naive "10000"
+    * is 5 chars and sorts BELOW "ffff" lexicographically). */
+  def pctCutoffHex(pct: Double): String = {
+    val n = math.min(math.round(pct / 100.0 * 65536.0), 65536L)
+    if (n >= 65536L) "g" else f"$n%04x"
+  }
+
+  /** Stable hash sampling: keep a row iff the first 4 md5 hex digits of
+    * its key sort lexicographically below the cutoff. md5 is
+    * bytewise-identical across engines and platforms and fixed-width
+    * lowercase-hex prefixes compare identically as strings, so the SAME
+    * rows are selected everywhere, forever — reproducible subsets
+    * without seeds, resumable across reruns, shardable. The predicate is
+    * a pure projection: at 100 TB it rides the scan with zero shuffle. */
+  def hashSampleCond(key: Column, pct: Double): Column =
+    substring(md5(key.cast("string")), 1, 4) < lit(pctCutoffHex(pct))
+
+  /** Stratified stable sampling: per-stratum keep percentages (e.g.
+    * up-sample a rare language, down-sample boilerplate-heavy sources).
+    * Strata absent from `rates` keep `defaultPct`. Cutoffs are literal
+    * hex strings baked into one codegen'd CASE — no join, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double],
+                           defaultPct: Double = 100.0): DataFrame = {
+    val cutoff = rates.toSeq.sortBy(_._1).foldLeft(lit(pctCutoffHex(defaultPct))) {
+      case (acc, (s, p)) => when(stratum === s, lit(pctCutoffHex(p))).otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 4) < cutoff)
+  }
+}

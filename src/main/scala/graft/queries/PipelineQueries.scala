@@ -281,6 +281,29 @@ object PipelineQueries {
       n = 3, minShared = 3L)
   }
 
+  /** Sequence-packing manifest: documents stream into 2000-token bins
+    * inside 8 independent shards (per-shard windows — packing
+    * parallelizes by shard, no global sort). Hard oracle: the running
+    * total and boundary-cross bin id are exact in both engines. */
+  def q54Pack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSummary(
+      t(spark, dir, "documents"), capacity = 2000L,
+      shardCol = pmod(col("doc_id"), lit(8)),
+      tokenCol = TA.wsTokenCount(col("text")),
+      orderCol = col("doc_id"))
+
+  /** Stratified stable sampling by language: md5-prefix cutoffs keep 25%
+    * of en, 50% of de, all of zh, 75% of everything else — the SAME
+    * rows in any engine (md5 is bytewise-portable; fixed-width hex
+    * prefixes compare as strings). Hard oracle over the kept set. */
+  def q55Sample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.stratifiedHashSample(
+      t(spark, dir, "documents"), key = col("doc_id"), stratum = col("lang"),
+      rates = Map("en" -> 25.0, "de" -> 50.0, "zh" -> 100.0), defaultPct = 75.0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -385,6 +408,24 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q54_pack" ->
+        """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+          |c AS (SELECT shard, doc_id, tokens,
+          |        SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |      FROM d)
+          |SELECT shard, CAST(FLOOR((cum - tokens) / 2000.0) AS BIGINT) AS bin,
+          |       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
+          |       ROUND(SUM(tokens) / 2000.0, 4) AS fill
+          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q55_sample" ->
+        """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+          |            WHEN 'zh' THEN 'g' ELSE 'c000' END
+          |GROUP BY lang ORDER BY lang""".stripMargin,
       "q52_pii_redact" ->
         """WITH s AS (SELECT doc_id,
           |  'reach ' || source || ' at user' || CAST(doc_id AS VARCHAR) ||

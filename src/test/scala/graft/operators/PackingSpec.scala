@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing + stable hash sampling. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByTokenBudget: bins break at capacity boundaries, per shard") {
+    // one shard; tokens 800,800,800,1500,600 over capacity 2000:
+    // cum-before = 0,800,1600,2400,3900 -> bins 0,0,0,1,1
+    val docs = Seq((0L, 800L), (1L, 800L), (2L, 800L), (3L, 1500L), (4L, 600L))
+      .toDF("doc_id", "tokens")
+    val got = Packing.packByTokenBudget(docs, 2000L,
+        shardCol = lit(0), tokenCol = col("tokens"), orderCol = col("doc_id"))
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packByTokenBudget: an oversize document occupies bins alone, stream continues") {
+    val docs = Seq((0L, 500L), (1L, 5000L), (2L, 500L)).toDF("doc_id", "tokens")
+    val got = Packing.packByTokenBudget(docs, 2000L,
+        shardCol = lit(0), tokenCol = col("tokens"), orderCol = col("doc_id"))
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // cum-before: 0, 500, 5500 -> bins 0, 0, 2 (the giant doc spills
+    // past bins 1-2; the next doc starts where the stream is)
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
+  test("packing is shard-local: same docs in different shards bin independently") {
+    val docs = Seq((0L, 0, 1500L), (1L, 0, 1500L), (2L, 1, 1500L), (3L, 1, 1500L))
+      .toDF("doc_id", "shard_in", "tokens")
+    val got = Packing.packByTokenBudget(docs, 2000L,
+        shardCol = col("shard_in"), tokenCol = col("tokens"), orderCol = col("doc_id"))
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // each shard starts its own running total at 0
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("hashSampleCond: deterministic, repartition-invariant, ~pct of rows") {
+    val df = spark.range(0, 10000).select(col("id").as("doc_id"))
+    val kept1 = df.filter(Packing.hashSampleCond(col("doc_id"), 20.0))
+      .as[Long].collect().toSet
+    val kept2 = df.repartition(7).filter(Packing.hashSampleCond(col("doc_id"), 20.0))
+      .as[Long].collect().toSet
+    assert(kept1 === kept2, "sampling must not depend on partitioning")
+    assert(math.abs(kept1.size - 2000) < 200, s"~20% expected, got ${kept1.size}")
+    // nested property: a 10% sample is a subset of the 20% sample
+    // (cutoff monotonicity — what makes hash sampling resumable)
+    val kept10 = df.filter(Packing.hashSampleCond(col("doc_id"), 10.0))
+      .as[Long].collect().toSet
+    assert(kept10.subsetOf(kept1))
+  }
+
+  test("pctCutoffHex edge cases: 0% keeps nothing, 100% keeps everything") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"))
+    assert(df.filter(Packing.hashSampleCond(col("doc_id"), 0.0)).count() === 0L)
+    assert(df.filter(Packing.hashSampleCond(col("doc_id"), 100.0)).count() === 1000L)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val df = spark.range(0, 6000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("s"))
+    val kept = Packing.stratifiedHashSample(df, col("doc_id"), col("s"),
+        rates = Map("a" -> 100.0, "b" -> 0.0))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("a" -> 3000L)) // all of a, none of b
+  }
+}
