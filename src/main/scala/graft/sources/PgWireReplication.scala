@@ -227,15 +227,33 @@ object PgWire {
 
 /** TLS context construction for the two encrypted `sslmode`s. */
 object PgTls {
-  /** libpq `require` parity: encrypt, trust any chain. */
-  def trustAllContext(): SSLContext = {
+  /** Client-identity KeyManagers from a PKCS12 keystore (`sslcert` +
+    * `sslpassword` options) — the client half of mutual TLS, which PG
+    * `cert` authentication and `clientcert=verify-*` pg_hba lines
+    * require. libpq carries the identity as separate PEM/DER files
+    * (`sslcert`/`sslkey`); the JSSE-native container is a keystore, so
+    * this client takes one PKCS12 holding both key and certificate. */
+  def clientKeyManagers(p12Path: String, password: String): Array[javax.net.ssl.KeyManager] = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p12Path))
+    try ks.load(in, password.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    kmf.getKeyManagers
+  }
+
+  /** libpq `require` parity: encrypt, trust any chain. `keyManagers`
+    * (nullable) supplies a client certificate when the server demands
+    * one — mutual TLS composes with every sslmode. */
+  def trustAllContext(keyManagers: Array[javax.net.ssl.KeyManager] = null): SSLContext = {
     val c = SSLContext.getInstance("TLS")
     val trustAll = new X509TrustManager {
       override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
       override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
       override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
     }
-    c.init(null, Array(trustAll), null)
+    c.init(keyManagers, Array(trustAll), null)
     c
   }
 
@@ -243,7 +261,8 @@ object PgTls {
     * certificate(s) in `rootCertPath` (PEM or DER, like `sslrootcert`).
     * No hostname check here — `sslmode=verify-full` layers JSSE endpoint
     * identification on this same context ([[PgWireConnection]]). */
-  def verifyCaContext(rootCertPath: String): SSLContext = {
+  def verifyCaContext(rootCertPath: String,
+                      keyManagers: Array[javax.net.ssl.KeyManager] = null): SSLContext = {
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(rootCertPath))
     val certs = try cf.generateCertificates(in) finally in.close()
@@ -258,7 +277,7 @@ object PgTls {
       javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
     tmf.init(ks)
     val c = SSLContext.getInstance("TLS")
-    c.init(null, tmf.getTrustManagers, null)
+    c.init(keyManagers, tmf.getTrustManagers, null)
     c
   }
 }
@@ -273,9 +292,12 @@ object PgWireConnection {
               password: Option[String], replication: Boolean,
               connectTimeoutMs: Int = 10000, sslMode: String = "disable",
               sslContext: Option[SSLContext] = None,
-              sslRootCert: Option[String] = None): PgWireConnection = {
+              sslRootCert: Option[String] = None,
+              sslCert: Option[String] = None,
+              sslPassword: Option[String] = None): PgWireConnection = {
     def attempt(mode: String) = new PgWireConnection(host, port, user, database,
-      password, replication, connectTimeoutMs, mode, sslContext, sslRootCert)
+      password, replication, connectTimeoutMs, mode, sslContext, sslRootCert,
+      sslCert, sslPassword)
     sslMode match {
       case "prefer" =>
         // 'N' refusal already falls back in-connection; only a FAILED
@@ -331,7 +353,9 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
                        password: Option[String], replication: Boolean,
                        connectTimeoutMs: Int = 10000, sslMode: String = "disable",
                        sslContext: Option[SSLContext] = None,
-                       sslRootCert: Option[String] = None) extends AutoCloseable {
+                       sslRootCert: Option[String] = None,
+                       sslCert: Option[String] = None,
+                       sslPassword: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
   private val socket: Socket = {
@@ -352,11 +376,17 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
             // handshake) must not leak the raw TCP socket.
             try {
               val ctx = sslContext.getOrElse {
+                // mutual TLS: a client identity (sslcert PKCS12) rides
+                // along in ANY encrypted mode — presented only when the
+                // server requests certificate authentication
+                val kms = sslCert
+                  .map(p => PgTls.clientKeyManagers(p, sslPassword.getOrElse("")))
+                  .orNull
                 if (sslMode == "verify-ca" || sslMode == "verify-full")
                   PgTls.verifyCaContext(sslRootCert.getOrElse(
                     throw new ProtocolException(
-                      s"sslmode=$sslMode requires 'sslrootcert' (or a caller sslContext)")))
-                else PgTls.trustAllContext()
+                      s"sslmode=$sslMode requires 'sslrootcert' (or a caller sslContext)")), kms)
+                else PgTls.trustAllContext(kms)
               }
               val ssl = ctx.getSocketFactory
                 .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
@@ -627,7 +657,9 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   * `sslmode` ("disable" | "allow" | "prefer" | "require" | "verify-ca" |
   * "verify-full"),
   * `sslrootcert` (PEM/DER root-certificate path for verify-ca and
-  * verify-full) — see [[PgWireConnection]].
+  * verify-full), `sslcert` + `sslpassword` (PKCS12 client identity for
+  * mutual TLS — servers with `cert` auth or `clientcert=` pg_hba
+  * lines) — see [[PgWireConnection]].
   *
   * A control connection runs the LivePgBootstrap catalog SQL, then a
   * walsender connection streams pgoutput frames; a daemon reader thread
@@ -647,6 +679,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   private val publication = opt("publication", "graft_pub")
   private val sslMode = opt("sslmode", "disable")
   private val sslRootCert = options.get("sslrootcert")
+  private val sslCert = options.get("sslcert")
+  private val sslPassword = options.get("sslpassword")
   // validate config-sourced identifiers ONCE, before any SQL/commands
   // are built from them (LivePgBootstrap.requireIdent re-checks, but
   // START_REPLICATION splices `slot` outside that path)
@@ -658,7 +692,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   // A2/A3: idempotent bootstrap over a regular connection.
   if (opt("bootstrap", "true").toBoolean) {
     val control = PgWireConnection.connect(host, port, user, database, password,
-      replication = false, sslMode = sslMode, sslRootCert = sslRootCert)
+      replication = false, sslMode = sslMode, sslRootCert = sslRootCert,
+      sslCert = sslCert, sslPassword = sslPassword)
     try {
       def exists(sql: String): Boolean =
         control.simpleQuery(sql).headOption.flatMap(_.headOption.flatten).contains("t")
@@ -670,7 +705,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   }
 
   private val conn = PgWireConnection.connect(host, port, user, database, password,
-    replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
+    replication = true, sslMode = sslMode, sslRootCert = sslRootCert,
+    sslCert = sslCert, sslPassword = sslPassword)
   private val flushedLsn = new AtomicLong(0L)
   private val queue = new ConcurrentLinkedQueue[(Long, Array[Byte])]()
   private val closed = new AtomicBoolean(false)

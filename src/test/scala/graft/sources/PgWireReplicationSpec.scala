@@ -81,16 +81,33 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
 
   /** Server-side SSLContext loaded from the checked-in self-signed
     * PKCS12 keystore (alias graft-test, CN=localhost,
-    * SAN dns:localhost + ip:127.0.0.1). */
-  private def tlsServerContext(): javax.net.ssl.SSLContext = {
+    * SAN dns:localhost + ip:127.0.0.1). With `mutual`, trust is pinned
+    * to the checked-in client certificate (graft-client-tls.pem) — the
+    * clientcert-verifying pg_hba analogue. */
+  private def tlsServerContext(mutual: Boolean = false): javax.net.ssl.SSLContext = {
     val ks = java.security.KeyStore.getInstance("PKCS12")
     val res = getClass.getResourceAsStream("/graft-test-tls.p12")
     try ks.load(res, "graftpw".toCharArray) finally res.close()
     val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
       javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(ks, "graftpw".toCharArray)
+    val tms: Array[javax.net.ssl.TrustManager] =
+      if (!mutual) null
+      else {
+        val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+        val in = getClass.getResourceAsStream("/graft-client-tls.pem")
+        val cert = try cf.generateCertificate(in) finally in.close()
+        val ts = java.security.KeyStore.getInstance(
+          java.security.KeyStore.getDefaultType)
+        ts.load(null, null)
+        ts.setCertificateEntry("client", cert)
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ts)
+        tmf.getTrustManagers
+      }
     val c = javax.net.ssl.SSLContext.getInstance("TLS")
-    c.init(kmf.getKeyManagers, null, null)
+    c.init(kmf.getKeyManagers, tms, null)
     c
   }
 
@@ -127,15 +144,18 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
                   // advertise SSL, then kill the connection before the
                   // handshake — exercises prefer's plaintext-retry path
                   dout.write('S'); dout.flush(); None
-                case "accept" =>
+                case "accept" | "accept-mutual" =>
                   dout.write('S'); dout.flush()
-                  val ssl = tlsServerContext().getSocketFactory
+                  val mutual = tlsMode == "accept-mutual"
+                  val ssl = tlsServerContext(mutual).getSocketFactory
                     .createSocket(rawSock, null, rawSock.getPort, true)
                     .asInstanceOf[javax.net.ssl.SSLSocket]
                   ssl.setUseClientMode(false)
-                  // a client that distrusts our chain/hostname aborts mid-
-                  // handshake (the verify-ca/full reject specs) — that is the
-                  // client's test assertion, not a server error
+                  if (mutual) ssl.setNeedClientAuth(true)
+                  // a client that distrusts our chain/hostname (or, in
+                  // mutual mode, presents no/an untrusted certificate)
+                  // aborts mid-handshake — that is the client's test
+                  // assertion, not a server error
                   ssl.startHandshake()
                   Some(ssl)
               }
@@ -610,6 +630,38 @@ class PgWireReplicationSpec extends SparkSpec {
       assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
       // each connection: plaintext attempt rejected, SSL attempt probed
       assert(ws.sslRequests.get() === 2)
+      src.close()
+    } finally ws.close()
+  }
+
+  test("mutual TLS: client certificate from sslcert PKCS12 satisfies a cert-demanding server") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept-mutual")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw",
+        "sslmode" -> "require",
+        "sslcert" -> pemPath("graft-client-tls.p12"), "sslpassword" -> "graftpw"))
+      assert(drainAll(src, 5).map(_._1) === Vector(100L, 101L, 102L, 103L, 104L))
+      // channel binding composes with client certs: still -PLUS
+      assert(ws.chosenScramMech.asScala.toSet === Set("SCRAM-SHA-256-PLUS"))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("mutual TLS: a cert-demanding server rejects a client without one") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept-mutual")
+    try {
+      intercept[IOException](
+        new PgWireFrameSource(opts(ws, "sslmode" -> "require")))
+    } finally ws.close()
+  }
+
+  test("mutual TLS composes with verify-ca (both sides authenticate)") {
+    val ws = new FakeWalsender("trust", None, cdcFrames(), tlsMode = "accept-mutual")
+    try {
+      val src = new PgWireFrameSource(opts(ws, "sslmode" -> "verify-ca",
+        "sslrootcert" -> pemPath("graft-test-tls.pem"),
+        "sslcert" -> pemPath("graft-client-tls.p12"), "sslpassword" -> "graftpw"))
+      assert(drainAll(src, 5).size === 5)
       src.close()
     } finally ws.close()
   }
