@@ -304,6 +304,26 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
       .orderBy("lang")
 
+  /** Int8 quantization audit over the embeddings table: the exact
+    * quantized-value checksum (proves both engines produce the SAME int8
+    * codes), the max round-trip reconstruction error, and the scale/2
+    * error-bound contract. Hard oracle — the affine floor-arithmetic
+    * formula is mirrored literally (floor(y+0.5), never round()). */
+  def q56Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val emb = t(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val packed = Quantize.int8(col("e"))
+    emb.select(
+        aggregate(packed.getField("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        Quantize.maxAbsError(col("e")).as("err"),
+        (Quantize.maxAbsError(col("e")) - Quantize.errorBound(col("e"))).as("slack"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("qsum")).cast("long").as("q_checksum"),
+        round(max(col("err")), 6).as("max_err"),
+        (max(col("slack")) <= 0.0).as("within_bound"))
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -408,6 +428,23 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q56_quantize" ->
+        """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+          |p AS (SELECT e, list_min(e) AS mn, (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),
+          |q AS (SELECT e, mn, sc,
+          |        CASE WHEN sc = 0 THEN list_transform(e, x -> -128)
+          |             ELSE list_transform(e, x -> CAST(FLOOR((x - mn) / sc + 0.5) AS INTEGER) - 128)
+          |        END AS qq
+          |      FROM p),
+          |r AS (SELECT sc,
+          |        list_sum(list_transform(qq, x -> CAST(x AS BIGINT))) AS qsum,
+          |        list_max(list_transform(list_zip(qq, e),
+          |          z -> ABS((CAST(z[1] AS DOUBLE) + 128) * sc + mn - z[2]))) AS err
+          |      FROM q)
+          |SELECT COUNT(*) AS n_vectors, CAST(SUM(qsum) AS BIGINT) AS q_checksum,
+          |       ROUND(MAX(err), 6) AS max_err,
+          |       MAX(err - (sc / 2 + 1e-9)) <= 0 AS within_bound
+          |FROM r""".stripMargin,
       "q54_pack" ->
         """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
