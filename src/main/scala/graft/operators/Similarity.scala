@@ -278,6 +278,31 @@ object Similarity {
       k)
   }
 
+  /** Quantized brute-force top-k: the corpus is scanned as int8 codes
+    * (`Quantize.int8` — 4× less data than float32) and ranked by the
+    * integer-dot cosine identity (`Quantize.cosine`). The approximation
+    * error is the quantization error only (bounded by scale/2 per
+    * element), so ranking matches the exact scan except among near-ties
+    * (which it may legitimately reorder) — QuantizeSpec pins
+    * cluster-recall on a separated fixture and the cosine identity
+    * itself to 1e-9.
+    * On a real deployment the packed codes are the STORED layout
+    * (written once via `Quantize.int8`, scanned many times); quantizing
+    * inside the query, as here, still exercises the exact ranking path. */
+  def cosineTopKQuantized(emb: DataFrame, probeId: Long, k: Int,
+                          dim: Int = 64): DataFrame = {
+    val packed = asDouble(emb).select(col("vec_id"),
+      graft.operators.Quantize.int8(col("e")).as("p"))
+    val probe = broadcast(packed.filter(col("vec_id") === probeId)
+      .select(col("p").as("pp")))
+    packed.filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        round(graft.operators.Quantize.cosine(col("p"), col("pp"), dim), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the probe's bucket
     * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates.
     *

@@ -37,6 +37,42 @@ class QuantizeSpec extends SparkSpec {
     assert(got._2 === Seq(2.5, 2.5, 2.5))
   }
 
+  test("integer-dot cosine identity equals the dequantized cosine") {
+    val rnd = new scala.util.Random(13)
+    val vs = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian()))
+    val pairs = df(vs).select(Quantize.int8(col("e")).as("pa"))
+      .crossJoin(df(vs.reverse).select(Quantize.int8(col("e")).as("pb")).limit(1))
+    val viaIdentity = pairs.select(Quantize.cosine(col("pa"), col("pb"), 16)).as[Double].collect()
+    val viaDequant = pairs.select {
+      import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+      val (a, b) = (Quantize.dequantize(col("pa")), Quantize.dequantize(col("pb")))
+      vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    }.as[Double].collect()
+    viaIdentity.zip(viaDequant).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"$x vs $y")
+    }
+  }
+
+  test("cosineTopKQuantized recalls the probe's cluster on a separated corpus") {
+    // within a cluster every mate is a near-tie (cos ~0.9999), so exact
+    // id-parity with the float scan is NOT the contract — quantization
+    // noise may reorder ties. The contract is structural: cluster
+    // separation dwarfs the scale/2 quantization error, so every
+    // selected neighbor must be a cluster-mate of the probe.
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val vs = for (c <- 0 until 4; _ <- 0 until 12)
+      yield centers(c).map(_ + rnd.nextGaussian() * 0.01)
+    val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val quant = Similarity.cosineTopKQuantized(emb, probeId = 0L, k = 5, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.forall(id => id >= 1L && id <= 11L),
+      s"every neighbor must come from the probe's cluster (ids 1-11): $quant")
+    assert(quant.size === 5)
+  }
+
   test("quantization is a pure projection: no shuffle in the plan") {
     val plan = df(Seq(Array(0.0, 1.0)))
       .select(Quantize.int8(col("e")))
