@@ -119,6 +119,13 @@ class KnnJoinSpec extends SparkSpec {
     } finally Storage.releaseAll()
   }
 
+  test("knnJoinExact with an empty query set returns an empty, well-typed result") {
+    val df = clustered(2, 5, seed = 71L)
+    val got = Similarity.knnJoinExact(df, df.filter(col("vec_id") < 0), k = 3)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === Seq("qid", "rank", "vec_id", "cos_sim"))
+  }
+
   test("knnJoinExact plan: broadcast queries + two-phase bounded top-k aggregation") {
     val df = clustered(4, 12, seed = 61L)
     val plan = Similarity.knnJoinExact(df, df.filter(col("vec_id") < 2), k = 3)

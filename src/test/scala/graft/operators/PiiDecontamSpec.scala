@@ -44,6 +44,14 @@ class PiiDecontamSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, true), (2L, 1L, false), (3L, 0L, false)))
   }
 
+  test("contaminationScores with an empty benchmark scores every doc zero") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "some words here"), (2L, "other words there")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 0L, false), (2L, 0L, false)))
+  }
+
   test("contamination plan broadcasts the benchmark side") {
     val bench = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
