@@ -82,7 +82,8 @@ object SparkEntry {
     "q36_check_recall" -> (CoreQueries.q36CheckRecall _),
     "q45_check_bound" -> (CoreQueries.q45CheckBound _),
     "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _),
-    "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _)
+    "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _),
+    "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _)
   )
 
   def oracleSql: Map[String, String] = Map(

