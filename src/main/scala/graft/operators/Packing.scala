@@ -21,8 +21,10 @@ object Packing {
     * per shard, so shards pack in parallel and no global sort exists
     * (the 100 TB layout: one shard ≈ one output file of a few hundred MB
     * → thousands of independent windows). A document longer than
-    * `capacity` occupies a bin alone (the loader's truncate/split is a
-    * separate concern).
+    * `capacity` spills past intermediate bins; it may share its STARTING
+    * bin with earlier small documents (the boundary-pack formula below
+    * assigns by span start), and the loader's truncate/split is a
+    * separate concern.
     *
     * Bin assignment is a running-total recurrence, not a plain cumsum
     * (the remainder resets at each bin break), expressed as: bin break

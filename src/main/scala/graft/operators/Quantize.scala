@@ -61,8 +61,13 @@ object Quantize {
     * scan, int multiplies in codegen); the float corrections are O(1)
     * per pair from per-vector sums. Equal to
     * cosine(dequantize(a), dequantize(b)) up to float error —
-    * property-tested in QuantizeSpec. */
-  def cosine(pa: Column, pb: Column, dim: Int): Column = {
+    * property-tested in QuantizeSpec.
+    *
+    * The dimensionality for the d·mn correction terms is DERIVED from
+    * the code array itself (`size(q)`) — a caller-supplied dim that
+    * disagreed with the actual vector length would silently skew every
+    * cosine (ADVICE r7). */
+  def cosine(pa: Column, pb: Column): Column = {
     def shifted(p: Column): Column =
       transform(p.getField("q"), q => (q + 128).cast("long"))
     def isum(xs: Column): Column = aggregate(xs, lit(0L), _ + _)
@@ -73,7 +78,7 @@ object Quantize {
     val intDot = isum(zip_with(qa, qb, _ * _)).cast("double")
     val (sqA, sqB) = (isum(zip_with(qa, qa, _ * _)).cast("double"),
       isum(zip_with(qb, qb, _ * _)).cast("double"))
-    val d = lit(dim.toDouble)
+    val d = size(pa.getField("q")).cast("double")
     val dot = sa * sb * intDot + sa * mnb * sumA + sb * mna * sumB + d * mna * mnb
     val na = sqrt(sa * sa * sqA + lit(2.0) * sa * mna * sumA + d * mna * mna)
     val nb = sqrt(sb * sb * sqB + lit(2.0) * sb * mnb * sumB + d * mnb * mnb)

@@ -289,8 +289,7 @@ object Similarity {
     * On a real deployment the packed codes are the STORED layout
     * (written once via `Quantize.int8`, scanned many times); quantizing
     * inside the query, as here, still exercises the exact ranking path. */
-  def cosineTopKQuantized(emb: DataFrame, probeId: Long, k: Int,
-                          dim: Int = 64): DataFrame = {
+  def cosineTopKQuantized(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val packed = asDouble(emb).select(col("vec_id"),
       graft.operators.Quantize.int8(col("e")).as("p"))
     val probe = broadcast(packed.filter(col("vec_id") === probeId)
@@ -298,7 +297,7 @@ object Similarity {
     packed.filter(col("vec_id") =!= probeId)
       .crossJoin(probe)
       .select(col("vec_id"),
-        round(graft.operators.Quantize.cosine(col("p"), col("pp"), dim), 4).as("cos_sim"))
+        round(graft.operators.Quantize.cosine(col("p"), col("pp")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

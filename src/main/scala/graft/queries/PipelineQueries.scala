@@ -337,7 +337,7 @@ object PipelineQueries {
     val probe = broadcast(emb.filter(col("vec_id") === 0)
       .select(col("e").as("pe"), Quantize.int8(col("e")).as("pp")))
     emb.filter(col("vec_id") =!= 0).crossJoin(probe)
-      .select(abs(Quantize.cosine(Quantize.int8(col("e")), col("pp"), 64) -
+      .select(abs(Quantize.cosine(Quantize.int8(col("e")), col("pp")) -
         vec_dot(col("e"), col("pe")) / (vec_norm(col("e")) * vec_norm(col("pe")))).as("d"))
       .agg(lit(64).as("dim"), (max(col("d")) <= 0.01).as("within_bound"))
   }

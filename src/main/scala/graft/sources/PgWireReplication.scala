@@ -141,7 +141,28 @@ object PgWire {
   def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
     val sig = cert.getSigAlgName.toUpperCase.replace("-", "")
     val hash =
-      if (sig.contains("SHA384")) "SHA-384"
+      if (sig == "RSASSAPSS") {
+        // RSASSA-PSS names no digest in the algorithm id — it lives in
+        // the PSS AlgorithmParameters (getSigAlgParams); substring
+        // matching the name would silently fall back to SHA-256 and fail
+        // channel binding against a compliant server (ADVICE r7). Same
+        // resolution libpq performs in be_tls_get_certificate_hash.
+        val p = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+        p.init(cert.getSigAlgParams)
+        val digest = p.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
+          .getDigestAlgorithm.toUpperCase.replace("-", "")
+        if (digest.contains("SHA384")) "SHA-384"
+        else if (digest.contains("SHA512")) "SHA-512"
+        else "SHA-256"
+      } else if (sig.contains("ED25519") || sig.contains("ED448") || sig.contains("EDDSA")) {
+        // RFC 5929 keys the binding hash off the certificate's signature
+        // digest, which EdDSA does not expose — fail closed with a
+        // diagnosable error instead of binding with a silently wrong
+        // digest (libpq likewise errors when it cannot resolve one).
+        throw new ProtocolException("tls-server-end-point: no RFC 5929 digest defined for " +
+          s"${cert.getSigAlgName} server certificates — use SCRAM-SHA-256 without binding")
+      }
+      else if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"
       else "SHA-256" // incl. the RFC's MD5/SHA-1 -> SHA-256 normalization
     java.security.MessageDigest.getInstance(hash).digest(cert.getEncoded)
@@ -498,7 +519,11 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
             send('p', cstring(md5Password(user, requirePassword(), salt)))
           case 10 => // SASL: prefer SCRAM-SHA-256-PLUS when TLS makes binding possible
             val mechs = new String(b, 4, b.length - 4, UTF_8).split("\u0000").filter(_.nonEmpty)
-            if (!mechs.contains("SCRAM-SHA-256"))
+            // a -PLUS-only advertisement (channel-binding-requiring server
+            // config) is fine over TLS — the client fully supports binding;
+            // without TLS there is nothing to bind, so it stays an error
+            if (!mechs.contains("SCRAM-SHA-256") &&
+                !(socket.isInstanceOf[SSLSocket] && mechs.contains("SCRAM-SHA-256-PLUS")))
               throw new ProtocolException(s"no supported SASL mechanism in ${mechs.mkString(",")}")
             val nonce = {
               val raw = new Array[Byte](18)

@@ -72,6 +72,42 @@ class PercentilesSpec extends SparkSpec {
     assert(wd.length === 5)
   }
 
+  test("exactAuto dispatch gate is bounded: the first job never full-scans (VERDICT r7 #3)") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    val path = java.nio.file.Files.createTempDirectory("pctl-gate").toString
+    (1 to 200000).map(i => (s"g${i % 5}", i.toDouble)).toDF("g", "x")
+      .repartition(4).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val readByJob = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    @volatile var firstJob = Int.MaxValue
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        firstJob = math.min(firstJob, js.jobId)
+        js.stageIds.foreach(s => stageToJob.put(s, js.jobId))
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val job = stageToJob.getOrDefault(sc.stageInfo.stageId, -1)
+        readByJob.merge(job, sc.stageInfo.taskMetrics.inputMetrics.recordsRead, _ + _)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 200k rows, threshold 100: the gate must answer "above threshold"
+      // from a limit(101)-bounded count, NOT a 200k-row full scan
+      Percentiles.exactAuto(df, "g", "x", qs, giantGroupThreshold = 100).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (!readByJob.containsKey(firstJob) && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val gateRead = readByJob.getOrDefault(firstJob, -1L)
+      assert(gateRead >= 0L, "listener never saw the dispatch job")
+      // vectorized-reader batch granularity gives slack; a full scan is 200k
+      assert(gateRead < 50000L,
+        s"dispatch gate read $gateRead records — looks like a full-scan count")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("tiers agree on a skewed fixture (one giant group, one tiny)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

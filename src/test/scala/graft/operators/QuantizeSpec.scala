@@ -42,7 +42,7 @@ class QuantizeSpec extends SparkSpec {
     val vs = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian()))
     val pairs = df(vs).select(Quantize.int8(col("e")).as("pa"))
       .crossJoin(df(vs.reverse).select(Quantize.int8(col("e")).as("pb")).limit(1))
-    val viaIdentity = pairs.select(Quantize.cosine(col("pa"), col("pb"), 16)).as[Double].collect()
+    val viaIdentity = pairs.select(Quantize.cosine(col("pa"), col("pb"))).as[Double].collect()
     val viaDequant = pairs.select {
       import graft.functions.VectorExpressions.{vec_dot, vec_norm}
       val (a, b) = (Quantize.dequantize(col("pa")), Quantize.dequantize(col("pb")))
@@ -66,7 +66,7 @@ class QuantizeSpec extends SparkSpec {
       yield centers(c).map(_ + rnd.nextGaussian() * 0.01)
     val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
-    val quant = Similarity.cosineTopKQuantized(emb, probeId = 0L, k = 5, dim = dim)
+    val quant = Similarity.cosineTopKQuantized(emb, probeId = 0L, k = 5)
       .select("vec_id").as[Long].collect().toSet
     assert(quant.forall(id => id >= 1L && id <= 11L),
       s"every neighbor must come from the probe's cluster (ids 1-11): $quant")

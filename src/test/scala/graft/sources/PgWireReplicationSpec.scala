@@ -31,6 +31,9 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
   /** Advertise SCRAM-SHA-256-PLUS on TLS connections (real-PG default);
     * disable to exercise the client's "y" downgrade-signal gs2 flag. */
   @volatile var advertisePlus = true
+  /** Advertise ONLY SCRAM-SHA-256-PLUS (a channel-binding-requiring
+    * server config): acceptable over TLS, nothing to bind without. */
+  @volatile var plusOnly = false
   val chosenScramMech = new ConcurrentLinkedQueue[String]()
   val sawGs2 = new ConcurrentLinkedQueue[String]()
 
@@ -229,8 +232,12 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
           val overTls = sock.isInstanceOf[javax.net.ssl.SSLSocket]
           send(out, 'R', bytes { d =>
             d.writeInt(10)
-            if (overTls && advertisePlus) d.write(cstr("SCRAM-SHA-256-PLUS"))
-            d.write(cstr("SCRAM-SHA-256")); d.writeByte(0)
+            if (plusOnly) d.write(cstr("SCRAM-SHA-256-PLUS"))
+            else {
+              if (overTls && advertisePlus) d.write(cstr("SCRAM-SHA-256-PLUS"))
+              d.write(cstr("SCRAM-SHA-256"))
+            }
+            d.writeByte(0)
           })
           val (_, init) = readMsg() // mech\0 + int32 + client-first
           val mechEnd = init.indexOf(0)
@@ -702,6 +709,46 @@ class PgWireReplicationSpec extends SparkSpec {
       assert(ws.sawGs2.asScala.toSet === Set("n,,"))
       src.close()
     } finally ws.close()
+  }
+
+  test("SASL: a -PLUS-only advertisement authenticates over TLS (ADVICE r7)") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames(), tlsMode = "accept")
+    ws.plusOnly = true
+    try {
+      val src = new PgWireFrameSource(opts(ws, "password" -> "pw", "sslmode" -> "require"))
+      assert(drainAll(src, 5).size === 5)
+      assert(ws.chosenScramMech.asScala.toSet === Set("SCRAM-SHA-256-PLUS"))
+      src.close()
+    } finally ws.close()
+  }
+
+  test("SASL: a -PLUS-only advertisement on plaintext is rejected (nothing to bind)") {
+    val ws = new FakeWalsender("scram", Some("pw"), cdcFrames())
+    ws.plusOnly = true
+    try {
+      val ex = intercept[IOException](new PgWireFrameSource(opts(ws, "password" -> "pw")))
+      assert(ex.getMessage.contains("no supported SASL mechanism"))
+    } finally ws.close()
+  }
+
+  test("tlsServerEndPoint: RSASSA-PSS digest from PSS params; EdDSA fails closed (ADVICE r7)") {
+    def certFrom(res: String) = {
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val in = getClass.getResourceAsStream("/" + res)
+      try cf.generateCertificate(in).asInstanceOf[java.security.cert.X509Certificate]
+      finally in.close()
+    }
+    // self-signed PSS fixture with SHA-384 parameters: the digest must
+    // come from the AlgorithmParameters, not getSigAlgName (which says
+    // just "RSASSA-PSS" and would substring-fall-back to SHA-256)
+    val pss = certFrom("graft-pss384-tls.pem")
+    assert(pss.getSigAlgName.toUpperCase.replace("-", "") === "RSASSAPSS")
+    val want = java.security.MessageDigest.getInstance("SHA-384").digest(pss.getEncoded)
+    assert(PgWire.tlsServerEndPoint(pss).toSeq === want.toSeq)
+    // Ed25519 defines no RFC 5929 digest: error, never a wrong binding
+    val ed = certFrom("graft-ed25519-tls.pem")
+    val ex = intercept[PgWire.ProtocolException](PgWire.tlsServerEndPoint(ed))
+    assert(ex.getMessage.contains("no RFC 5929 digest"))
   }
 
   test("tlsServerEndPoint: SHA-256 of the DER certificate for SHA-256-family signatures") {
