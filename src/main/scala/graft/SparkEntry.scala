@@ -83,7 +83,8 @@ object SparkEntry {
     "q45_check_bound" -> (CoreQueries.q45CheckBound _),
     "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _),
     "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _),
-    "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _)
+    "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _),
+    "q58_check_ivf_store" -> (PipelineQueries.q58CheckIvfStore _)
   )
 
   def oracleSql: Map[String, String] = Map(

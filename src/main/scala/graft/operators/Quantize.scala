@@ -35,6 +35,20 @@ object Quantize {
     struct(q.as("q"), mn.as("mn"), sc.as("scale"))
   }
 
+  /** Driver-side twin of [[int8]] for quantizing a single probe vector
+    * (the stored-index serving path quantizes ONE query on the driver and
+    * scans the stored codes — no quantize expressions reach the plan).
+    * Bit-identical to the column form: same floor(y+0.5) arithmetic on
+    * doubles, same scale-0 rule. Parity is property-tested. */
+  def int8Local(e: Array[Double]): (Array[Int], Double, Double) = {
+    val mn = e.min
+    val sc = (e.max - mn) / 255.0
+    val q =
+      if (sc == 0.0) Array.fill(e.length)(-128)
+      else e.map(x => (math.floor((x - mn) / sc + 0.5) - 128).toInt)
+    (q, mn, sc)
+  }
+
   /** Inverse of [[int8]]: array<double> reconstruction. */
   def dequantize(packed: Column): Column =
     transform(packed.getField("q"),

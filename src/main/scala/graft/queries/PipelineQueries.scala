@@ -342,6 +342,39 @@ object PipelineQueries {
       .agg(lit(64).as("dim"), (max(col("d")) <= 0.01).as("within_bound"))
   }
 
+  /** Disk round-trip contract for the persisted IVF index (VERDICT r7
+    * #1/#8): build → write (partitioned by list, packed codes stored) →
+    * FRESH read → (a) float probe recall vs the exact scan at the q36
+    * operating point (same centroids, same ranking — the round-trip must
+    * not cost recall), (b) the quantized stored-codes tier's cosine
+    * deviation vs the float scores within the q57 bound (0.01; measured
+    * max 0.0033 at sf0.1 — same arithmetic, codes read from disk).
+    * Booleans computed in Spark, oracled by constant truth. */
+  def q58CheckIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    import graft.operators.{Quantize, Similarity}
+    val emb = t(spark, dir, "embeddings")
+    val built = Similarity.buildIvfIndex(emb, nLists = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    Similarity.writeIvfIndex(built, tmp)
+    val stored = Similarity.readIvfIndex(spark, tmp)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = Similarity.cosineTopK(emb, probeId = 0L, k = 10).select("vec_id")
+    val ivf = Similarity.probeIvf(stored, probeVec, k = 10, nProbe = 6, excludeId = Some(0L))
+      .select(col("vec_id").as("ivf_id"))
+    val recall = exact.join(ivf, col("vec_id") === col("ivf_id"), "left")
+      .agg((count(col("ivf_id")) >= 9).as("recall_ok")) // q36's bar: >= 0.9 at k=10
+    val (q, mn, sc) = Quantize.int8Local(probeVec)
+    val probePacked = struct(typedLit(q.toSeq).as("q"), lit(mn).as("mn"), lit(sc).as("scale"))
+    val pn = math.sqrt(probeVec.map(x => x * x).sum)
+    val dev = stored.assigned.filter(col("vec_id") =!= 0)
+      .select(abs(Quantize.cosine(col("p"), probePacked) -
+        vec_dot(col("e"), typedLit(probeVec.toSeq)) / (vec_norm(col("e")) * lit(pn))).as("d"))
+      .agg((max(col("d")) <= 0.01).as("quant_dev_ok"))
+    recall.crossJoin(dev).select(lit(10).as("k"), col("recall_ok"), col("quant_dev_ok"))
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
@@ -448,6 +481,9 @@ object PipelineQueries {
           |SELECT va, vb, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
       "q57_check_quant_cos" ->
         "SELECT 64 AS dim, CAST(1 AS BOOLEAN) AS within_bound",
+      "q58_check_ivf_store" ->
+        ("SELECT 10 AS k, CAST(1 AS BOOLEAN) AS recall_ok, " +
+          "CAST(1 AS BOOLEAN) AS quant_dev_ok"),
       "q56_quantize" ->
         """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
           |p AS (SELECT e, list_min(e) AS mn, (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),

@@ -73,6 +73,21 @@ class QuantizeSpec extends SparkSpec {
     assert(quant.size === 5)
   }
 
+  test("int8Local (driver-side probe quantizer) matches the column form bit-for-bit") {
+    val rnd = new scala.util.Random(41)
+    val vs = Seq.fill(100)(Array.fill(24)(rnd.nextGaussian() * (rnd.nextInt(5) + 1))) ++
+      Seq(Array.fill(8)(3.14)) // constant vector: the scale-0 rule
+    val colForm = df(vs)
+      .select(col("vec_id"), Quantize.int8(col("e")).as("p"))
+      .select(col("vec_id"), col("p.q"), col("p.mn"), col("p.scale"))
+      .as[(Long, Seq[Int], Double, Double)].collect().sortBy(_._1)
+    colForm.zip(vs).foreach { case ((_, q, mn, sc), v) =>
+      val (lq, lmn, lsc) = Quantize.int8Local(v)
+      assert(q === lq.toSeq)
+      assert(mn === lmn && sc === lsc)
+    }
+  }
+
   test("quantization is a pure projection: no shuffle in the plan") {
     val plan = df(Seq(Array(0.0, 1.0)))
       .select(Quantize.int8(col("e")))
