@@ -298,7 +298,10 @@ object Similarity {
     * rounded at 4 decimals BEFORE ranking (ties at the k boundary then
     * break by vec_id asc) — deterministic and oracle-matched. At 100 TB
     * this is one full corpus scan for the whole query batch; for query
-    * sets too large to broadcast, route through `knnJoinIvf`. */
+    * sets too large to broadcast, route through `knnJoinGrid` (NOT
+    * `knnJoinIvf`, which also broadcasts the query side — nProbe× of it
+    * after the per-probe explode; IVF reduces each query's candidate
+    * scan, never the broadcast size). `knnJoinAuto` dispatches. */
   def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = asDouble(corpus)
     val q = broadcast(asDouble(queries)
@@ -312,6 +315,43 @@ object Similarity {
       k)
   }
 
+  /** Exact batch kNN join for query sets TOO LARGE TO BROADCAST: the
+    * shuffle-replicate nested-loop grid (corpus-block × query-chunk).
+    * Each task scores one corpus partition against one query partition
+    * and the bounded-heap aggregation prunes to k rows per query
+    * map-side before the exchange — the M×N candidate stream still never
+    * materializes or shuffles; what the grid pays, vs the broadcast
+    * tier, is replicating each side across the other's partitions
+    * (Spark's `shuffle_replicate_nl`). Identical output to
+    * `knnJoinExact`: same rounded scores, and CosineTopK's merge-order
+    * invariance (ScalaCheck'd) makes the ranking independent of which
+    * tier's task grid produced the partials. */
+  def knnJoinGrid(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = asDouble(corpus)
+    val q = asDouble(queries).select(col("vec_id").as("qid"), col("e").as("qe"))
+    finishTopK(
+      c.hint("shuffle_replicate_nl").crossJoin(q.hint("shuffle_replicate_nl"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
+            .as("cos_sim")),
+      k)
+  }
+
+  /** Size-dispatched exact kNN join (the q51 registered path — mirrors
+    * `Dedup.embeddingNearDupPairsAuto`): a cheap BOUNDED count
+    * (`limit(n+1).count`, never a full scan) routes query sets that fit
+    * a broadcast (default 100k vectors ≈ 50 MB at 64 dims) through the
+    * broadcast tier and everything larger through the grid. Both tiers
+    * are exact and return identical rows — dispatch is a pure plan
+    * choice, asserted by KnnJoinSpec's parity case. */
+  def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  broadcastableQueries: Long = 100000L): DataFrame = {
+    val n = queries.limit((broadcastableQueries + 1).toInt).count()
+    if (n <= broadcastableQueries) knnJoinExact(corpus, queries, k)
+    else knnJoinGrid(corpus, queries, k)
+  }
+
   /** IVF-batched kNN join: every query routes to its `nProbe` nearest
     * centroid lists via a pure projection over the broadcast centroids
     * (argsort of (−cos, i) structs — no shuffle, no driver loop), then a
@@ -320,7 +360,11 @@ object Similarity {
     * per query) before the same bounded top-k finish as `knnJoinExact`.
     * One built index serves the whole batch — the assignment scan never
     * re-runs (`IvfIndex` contract). Recall follows the per-query probed
-    * fraction; q51_check_knn_ivf pins it against the exact tier. */
+    * fraction; q51_check_knn_ivf pins it against the exact tier.
+    * NOTE: the query side broadcasts here too — nProbe× its rows after
+    * the per-probe explode — so this tier reduces each query's CANDIDATE
+    * SCAN, never the broadcast size; query sets too large to broadcast
+    * go through `knnJoinGrid`. */
   def knnJoinIvf(index: IvfIndex, queries: DataFrame, k: Int,
                  nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}

@@ -138,6 +138,40 @@ class KnnJoinSpec extends SparkSpec {
       s"expected two-phase ObjectHashAggregate:\n$plan")
   }
 
+  test("knnJoinGrid (non-broadcastable-queries tier) matches knnJoinExact row-for-row") {
+    val df = clustered(4, 12, seed = 83L)
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.knnJoinExact(df, queries, k = 5).collect().toSeq
+    val grid = Similarity.knnJoinGrid(df, queries, k = 5).collect().toSeq
+    assert(grid == exact)
+    // tier choice survives repartitioning (merge-order invariance)
+    val gridParts = Similarity.knnJoinGrid(df.repartition(7), queries.repartition(3), k = 5)
+      .collect().toSeq
+    assert(gridParts == exact)
+  }
+
+  test("knnJoinGrid plan: shuffle-replicate cartesian grid, no broadcast of either side") {
+    val df = clustered(3, 8, seed = 89L)
+    val plan = Similarity.knnJoinGrid(df, df.filter(col("vec_id") < 2), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"), s"expected the task grid:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"grid tier must not broadcast:\n$plan")
+  }
+
+  test("knnJoinAuto dispatches on a bounded query count and both routes agree") {
+    val df = clustered(3, 8, seed = 101L)
+    val queries = df.filter(col("vec_id") < 4)
+    val base = Similarity.knnJoinExact(df, queries, k = 3).collect().toSeq
+    // above the threshold: broadcast tier
+    val bc = Similarity.knnJoinAuto(df, queries, k = 3, broadcastableQueries = 100L)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(bc.collect().toSeq == base)
+    // forced tiny threshold: grid tier, identical rows (VERDICT r7 #7 parity)
+    val grid = Similarity.knnJoinAuto(df, queries, k = 3, broadcastableQueries = 2L)
+    assert(grid.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(grid.collect().toSeq == base)
+  }
+
   test("knnJoinIvf probes a built index without re-running assignment") {
     val df = clustered(4, 8, seed = 53L)
     val index = Similarity.buildIvfIndex(df, nLists = 4)
