@@ -22,7 +22,7 @@ import graft.wal.PgOutput.RelationMeta
   *    column from the record, `PgWalMessageDecoder.java:206-207`).
   */
 final case class ChangeRecord(
-    op: String, // "I" | "U" | "D"
+    op: String, // "I" | "U" | "D" | "T" (truncate marker, no cells)
     lsn: Long,
     txid: Long,
     schema: String,
@@ -123,9 +123,16 @@ object Envelope {
     * but to be preserved — not nulled — on merge). */
   val UnchangedCol = "__unchanged"
 
-  /** MERGE-style apply-changes: materialize I/U/D into a current-state
+  /** MERGE-style apply-changes: materialize I/U/D/T into a current-state
     * table keyed by `keys` (the library op the reference leaves to
     * consumers, SURVEY.md §4.3). Semantics:
+    *  - a TRUNCATE marker (op 'T', VERDICT r7 #4) wipes the table: every
+    *    pre-existing `current` row is dropped and only changes with lsn
+    *    STRICTLY AFTER the latest truncate survive to be applied — so a
+    *    truncated table serves zero rows and post-truncate inserts
+    *    repopulate it. The truncate watermark is a one-row broadcast
+    *    aggregate over the (batch-sized) change set — no extra pass over
+    *    `current`;
     *  - per key, only the HIGHEST-lsn change wins (whole-batch dedup makes
     *    redelivered/overflow-flushed records idempotent — the reference's
     *    at-least-once duplicate-tolerance, SURVEY.md §7.3.1);
@@ -138,16 +145,24 @@ object Envelope {
     * join against current: at scale, `current` should be bucketed/
     * partitioned by the same keys so the join co-locates. */
   def applyChanges(current: DataFrame, typedChanges: DataFrame, keys: Seq[String]): DataFrame = {
+    // truncate watermark: null when the batch carries no 'T' marker —
+    // then both filters below are pass-throughs
+    val tmax = typedChanges.agg(max(when(col("op") === "T", col("lsn"))).as("__tmax"))
+    val cur0 = current.crossJoin(broadcast(tmax))
+      .filter(col("__tmax").isNull).drop("__tmax")
+    val changes = typedChanges.crossJoin(broadcast(tmax))
+      .filter(col("op") =!= "T" && (col("__tmax").isNull || col("lsn") > col("__tmax")))
+      .drop("__tmax")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("lsn").desc, col("op").desc) // same-lsn tiebreak: D < I < U deterministic
-    val latest = typedChanges
+    val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     val hasUnchanged = latest.columns.contains(UnchangedCol)
     val dataCols = current.columns.toSeq
     val nonKey = dataCols.filterNot(keys.contains)
-    val cur = current.select(
+    val cur = cur0.select(
       keys.map(col) ++ nonKey.map(c => col(c).as(s"__cur_$c")) :+ lit(true).as("__in_cur"): _*)
     val joined = cur.join(latest, keys, "full_outer")
       .filter(col("op").isNull || col("op") =!= "D") // untouched current rows pass through; final D drops

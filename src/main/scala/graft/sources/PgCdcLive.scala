@@ -205,7 +205,8 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
 
   private def isRelation(bytes: Array[Byte]): Boolean = bytes.nonEmpty && bytes(0) == 'R'.toByte
   private def isChange(bytes: Array[Byte]): Boolean = bytes.nonEmpty &&
-    (bytes(0) == 'I'.toByte || bytes(0) == 'U'.toByte || bytes(0) == 'D'.toByte)
+    (bytes(0) == 'I'.toByte || bytes(0) == 'U'.toByte || bytes(0) == 'D'.toByte ||
+      bytes(0) == 'T'.toByte) // TRUNCATE emits rows too (one per relation)
 
   /** Pull pending frames off the socket into the buffer (bounded per call
     * to keep latestOffset prompt). Equal-LSN frames are RETAINED and
@@ -385,10 +386,10 @@ object LiveDecode {
     var txid = initialTxid
     frames.iterator.flatMap { case (lsn, bytes) =>
       decoder.decode(ByteBuffer.wrap(bytes)) match {
-        case Some(PgOutput.Begin) => txid = lsn; None
-        case Some(PgOutput.Commit) => txid = -1L; None
+        case Some(PgOutput.Begin) => txid = lsn; Nil
+        case Some(PgOutput.Commit) => txid = -1L; Nil
         case Some(PgOutput.Change(op, meta, cells, before)) =>
-          Some(ChangeRecord(
+          Seq(ChangeRecord(
             op = op.toString,
             lsn = lsn,
             txid = if (txid >= 0) txid else lsn,
@@ -397,7 +398,13 @@ object LiveDecode {
             columns = cells.collect { case (k, Some(v)) => k -> v },
             nulls = cells.collect { case (k, None) => k }.toVector.sorted,
             before = before.collect { case (k, Some(v)) => k -> v }))
-        case _ => None
+        case Some(PgOutput.Truncate(metas, _, _)) =>
+          // op='T' per truncated relation — see ReplayDecode
+          metas.map(meta => ChangeRecord(
+            op = "T", lsn = lsn, txid = if (txid >= 0) txid else lsn,
+            schema = meta.schema, table = meta.table,
+            columns = Map.empty, nulls = Vector.empty, before = Map.empty))
+        case _ => Nil
       }
     }
   }

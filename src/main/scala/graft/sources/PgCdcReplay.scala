@@ -35,10 +35,10 @@ object ReplayDecode {
     var txid = -1L
     frames.iterator.take(emitUntil).zipWithIndex.flatMap { case ((lsn, bytes), idx) =>
       decoder.decode(ByteBuffer.wrap(bytes)) match {
-        case Some(PgOutput.Begin) => txid = lsn; None
-        case Some(PgOutput.Commit) => txid = -1L; None
+        case Some(PgOutput.Begin) => txid = lsn; Nil
+        case Some(PgOutput.Commit) => txid = -1L; Nil
         case Some(PgOutput.Change(op, meta, cells, before)) if idx >= emitFrom =>
-          Some(ChangeRecord(
+          Seq(ChangeRecord(
             op = op.toString,
             lsn = lsn,
             txid = if (txid >= 0) txid else lsn,
@@ -47,7 +47,14 @@ object ReplayDecode {
             columns = cells.collect { case (k, Some(v)) => k -> v },
             nulls = cells.collect { case (k, None) => k }.toVector.sorted,
             before = before.collect { case (k, Some(v)) => k -> v }))
-        case _ => None
+        case Some(PgOutput.Truncate(metas, _, _)) if idx >= emitFrom =>
+          // one op='T' record per truncated relation (no cells) — the
+          // table-wide wipe marker applyChanges honors
+          metas.map(meta => ChangeRecord(
+            op = "T", lsn = lsn, txid = if (txid >= 0) txid else lsn,
+            schema = meta.schema, table = meta.table,
+            columns = Map.empty, nulls = Vector.empty, before = Map.empty))
+        case _ => Nil
       }
     }
   }

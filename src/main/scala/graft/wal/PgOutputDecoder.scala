@@ -14,12 +14,15 @@ import java.nio.charset.StandardCharsets
   *    the side lookup is also a per-RELATION latency cliff;
   *  - UPDATE old/key tuples are decoded and RETAINED as `before` columns
   *    (the reference skips them, `:162-167`) — a superset, flagged in
-  *    SURVEY §2.A A8.
+  *    SURVEY §2.A A8;
+  *  - TRUNCATE ('T') frames are DECODED into [[PgOutput.Truncate]] (the
+  *    reference drops them, `:60-61`) — surfaced as envelope `op='T'`
+  *    rows so applyChanges can honor the wipe (VERDICT r7 #4).
   *
   * Faithful semantics kept: tuple sub-types `'t'` (length-prefixed UTF-8),
   * `'n'` (SQL NULL), `'u'` (UNCHANGED/TOAST → column OMITTED from the
   * record, not null — `:206-207`); unknown sub-type throws (`:208-211`);
-  * DML for an unregistered relation throws (`:109-111`); Y/O/T/M frames
+  * DML for an unregistered relation throws (`:109-111`); Y/O/M frames
   * decode to None (`:60-61`); unknown type byte throws
   * (`MessageType.java:30-36`).
   */
@@ -42,9 +45,15 @@ object PgOutput {
                           meta: RelationMeta,
                           cells: Cells,
                           before: Cells) extends Message
+  /** TRUNCATE frame: the listed relations were truncated in this tx.
+    * DELIBERATE DEVIATION from the reference, which drops 'T' frames
+    * (`PgWalMessageDecoder.java:60-61`) — an applyChanges consumer that
+    * misses a truncate serves deleted rows forever (VERDICT r7 #4). */
+  final case class Truncate(metas: Vector[RelationMeta],
+                            cascade: Boolean, restartIdentity: Boolean) extends Message
 
-  val DroppedTypes: Set[Char] = Set('Y', 'O', 'T', 'M')
-  val KnownTypes: Set[Char] = Set('R', 'B', 'C', 'I', 'U', 'D') ++ DroppedTypes
+  val DroppedTypes: Set[Char] = Set('Y', 'O', 'M')
+  val KnownTypes: Set[Char] = Set('R', 'B', 'C', 'I', 'U', 'D', 'T') ++ DroppedTypes
 }
 
 /** Stateful decoder: the relation registry makes it order-dependent
@@ -86,6 +95,14 @@ final class PgOutputDecoder {
         if (t != 'O' && t != 'K')
           throw new IllegalArgumentException(s"unexpected DELETE tuple type '$t'")
         Some(Change('D', meta, readTuple(buf, meta), Map.empty))
+      case 'T' =>
+        // Byte1('T'), Int32 nRelations, Int8 option bits (1 = CASCADE,
+        // 2 = RESTART IDENTITY), Int32 relation OID × nRelations
+        // (PostgreSQL docs, "Logical Replication Message Formats")
+        val n = buf.getInt()
+        val opts = buf.get().toInt
+        val metas = Vector.fill(n)(relationFor(buf.getInt()))
+        Some(Truncate(metas, cascade = (opts & 1) != 0, restartIdentity = (opts & 2) != 0))
       case c if PgOutput.DroppedTypes(c) => None
       case c => throw new IllegalArgumentException(s"unknown pgoutput message type '$c'")
     }
@@ -196,6 +213,12 @@ object PgOutputEncoder {
 
   def delete(relId: Int, keyValues: Seq[Option[String]], tupleType: Char = 'K'): Array[Byte] =
     Array('D'.toByte) ++ int32(relId) ++ Array(tupleType.toByte) ++ tuple(keyValues)
+
+  def truncate(relIds: Seq[Int], cascade: Boolean = false,
+               restartIdentity: Boolean = false): Array[Byte] =
+    Array('T'.toByte) ++ int32(relIds.size) ++
+      Array(((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0)).toByte) ++
+      relIds.flatMap(int32)
 
   private def int32(v: Int): Array[Byte] =
     ByteBuffer.allocate(4).putInt(v).array()

@@ -102,6 +102,53 @@ class CdcReplaySpec extends SparkSpec {
     assert(again.map(_.getAs[String]("name")).toSeq === Seq("alice2", "carol"))
   }
 
+  test("TRUNCATE e2e: op='T' surfaces in the envelope and applyChanges wipes the table") {
+    import spark.implicits._
+    val e = PgOutputEncoder
+    // pre-truncate insert, TRUNCATE, post-truncate insert — all one stream
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(rel),
+      e.begin(),
+      e.insert(1, Seq(Some("10"), Some("doomed"), Some("t"), None, None)),
+      e.commit(),
+      e.begin(),
+      e.truncate(Seq(1)),
+      e.commit(),
+      e.begin(),
+      e.insert(1, Seq(Some("11"), Some("phoenix"), Some("t"), None, None)),
+      e.commit())
+    val path = Files.createTempDirectory("cdc-trunc").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (200L + i, f) })
+    val env = ReplayDecode.batchDf(spark, path)
+    // the marker surfaces: op='T' for the relation, no cells
+    val t = env.filter(col("op") === "T").collect()
+    assert(t.length === 1)
+    assert(t(0).getAs[String]("table") === "accounts")
+    assert(t(0).getAs[Map[String, String]]("columns").isEmpty)
+
+    val typed = Envelope.typedView(env, rel)
+    val current = Seq((1L, "pre-existing", true)).toDF("id", "name", "active")
+      .withColumn("balance", lit(null).cast("decimal(12,2)"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .select("id", "name", "active", "balance", "tags")
+    val state = Envelope.applyChanges(current, typed, Seq("id")).orderBy("id").collect()
+    // pre-existing row AND the pre-truncate insert are wiped; only the
+    // post-truncate insert survives
+    assert(state.map(_.getAs[Long]("id")).toSeq === Seq(11L))
+    assert(state(0).getAs[String]("name") === "phoenix")
+
+    // a batch whose LAST change is the truncate serves zero rows
+    val uptoTrunc = Envelope.applyChanges(current,
+      typed.filter(col("lsn") <= 205L), Seq("id")).collect()
+    assert(uptoTrunc.isEmpty)
+
+    // and a batch with NO truncate is unaffected by the new watermark path
+    val noTrunc = Envelope.applyChanges(current,
+      typed.filter(col("op") =!= "T" && col("lsn") < 205L), Seq("id"))
+      .orderBy("id").collect()
+    assert(noTrunc.map(_.getAs[Long]("id")).toSeq === Seq(1L, 10L))
+  }
+
   test("apply-changes preserves UNCHANGED/TOAST columns instead of nulling them") {
     val e = PgOutputEncoder
     val frames: Seq[Array[Byte]] = Seq(

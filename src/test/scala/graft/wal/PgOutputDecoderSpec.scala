@@ -88,10 +88,29 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     intercept[IllegalStateException](dec(d, PgOutputEncoder.insert(42, Seq(Some("1")))))
   }
 
-  test("Y/O/T/M frames are recognized and dropped") {
+  test("Y/O/M frames are recognized and dropped") {
     val d = new PgOutputDecoder
-    for (c <- Seq('Y', 'O', 'T', 'M'))
+    for (c <- Seq('Y', 'O', 'M'))
       assert(dec(d, Array(c.toByte)) === None)
+  }
+
+  test("TRUNCATE decodes the relation-OID list and option bits") {
+    val d = new PgOutputDecoder
+    val rel2 = rel.copy(id = 43, table = "test2")
+    dec(d, PgOutputEncoder.relation(rel))
+    dec(d, PgOutputEncoder.relation(rel2))
+    val Some(Truncate(metas, cascade, restart)) =
+      dec(d, PgOutputEncoder.truncate(Seq(42, 43), cascade = true))
+    assert(metas.map(_.table) === Vector("test", "test2"))
+    assert(cascade && !restart)
+    val Some(Truncate(_, c2, r2)) =
+      dec(d, PgOutputEncoder.truncate(Seq(42), restartIdentity = true))
+    assert(!c2 && r2)
+  }
+
+  test("TRUNCATE for an unregistered relation throws") {
+    val d = new PgOutputDecoder
+    intercept[IllegalStateException](dec(d, PgOutputEncoder.truncate(Seq(99))))
   }
 
   test("unknown top-level type byte throws") {
