@@ -22,7 +22,7 @@ import graft.wal.PgOutput.RelationMeta
   *    column from the record, `PgWalMessageDecoder.java:206-207`).
   */
 final case class ChangeRecord(
-    op: String, // "I" | "U" | "D" | "T" (truncate marker, no cells)
+    op: String, // "I" | "U" | "D" | "T" (truncate marker) | "R" (snapshot read)
     lsn: Long,
     txid: Long,
     schema: String,

@@ -55,6 +55,31 @@ object LivePgBootstrap {
   def createSlotSql(slot: String): String =
     s"SELECT pg_create_logical_replication_slot('${requireIdent(slot)}', 'pgoutput')"
 
+  /** Replication-command form of slot creation (walsender connections
+    * only): returns (slot_name, consistent_point, snapshot_name,
+    * output_plugin) and EXPORTS the snapshot the slot was created under —
+    * the consistency anchor for initial backfill ([[PgSnapshot]]). The
+    * snapshot stays importable only while the creating connection lives. */
+  def createSlotCommand(slot: String): String =
+    s"CREATE_REPLICATION_SLOT ${requireIdent(slot)} LOGICAL pgoutput EXPORT_SNAPSHOT"
+
+  /** Import the slot-creation snapshot into a REPEATABLE READ reader tx:
+    * every SELECT then sees exactly the consistent point's state.
+    * PostgreSQL snapshot names are hex-and-dash tokens; enforce that so a
+    * config-sourced name can't smuggle SQL. */
+  def setSnapshotSql(snapshotName: String): String = {
+    require(snapshotName.nonEmpty && snapshotName.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'), s"invalid snapshot name: '$snapshotName'")
+    s"SET TRANSACTION SNAPSHOT '$snapshotName'"
+  }
+
+  /** Full-table snapshot read. At 100 TB the same exported snapshot can
+    * be imported by MANY parallel reader connections, each with a
+    * key-range predicate appended — this builder is the single-connection
+    * base form. */
+  def snapshotSelectSql(schema: String, table: String): String =
+    s"SELECT * FROM ${requireIdent(schema)}.${requireIdent(table)}"
+
   /** Idempotency probe (reference: `CdcEngine.java:192-199`). */
   def publicationExistsSql(publication: String): String =
     s"SELECT EXISTS(SELECT 1 FROM pg_publication WHERE pubname = '${requireIdent(publication)}')"

@@ -574,13 +574,40 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   /** Run one SQL statement via the simple-query protocol; returns the
     * DataRow values (None = SQL NULL). Used for the LivePgBootstrap
     * catalog statements — walsender connections accept simple queries. */
-  def simpleQuery(sql: String): Seq[Seq[Option[String]]] = {
+  def simpleQuery(sql: String): Seq[Seq[Option[String]]] = simpleQueryWithMeta(sql)._2
+
+  /** One field of a RowDescription: (name, type OID, type modifier) —
+    * exactly the triple a RelationMeta column needs, so a snapshot SELECT
+    * doubles as schema discovery ([[PgSnapshot]]). */
+  type FieldMeta = (String, Int, Int)
+
+  /** [[simpleQuery]] plus the RowDescription ('T') field metadata. */
+  def simpleQueryWithMeta(sql: String): (Vector[FieldMeta], Seq[Seq[Option[String]]]) = {
     send('Q', cstring(sql))
     val rows = Vector.newBuilder[Seq[Option[String]]]
+    var fields = Vector.empty[FieldMeta]
     var err: String = null
     var ready = false
     while (!ready) readMessage() match {
       case Msg('Z', _) => ready = true
+      case Msg('T', b) =>
+        val buf = java.nio.ByteBuffer.wrap(b)
+        val n = buf.getShort.toInt
+        fields = Vector.fill(n) {
+          val name = {
+            val sb = new java.io.ByteArrayOutputStream()
+            var c = buf.get()
+            while (c != 0) { sb.write(c); c = buf.get() }
+            new String(sb.toByteArray, UTF_8)
+          }
+          buf.getInt // table OID
+          buf.getShort // column attnum
+          val typeOid = buf.getInt
+          buf.getShort // typlen
+          val typeMod = buf.getInt
+          buf.getShort // format code
+          (name, typeOid, typeMod)
+        }
       case Msg('D', b) =>
         val buf = java.nio.ByteBuffer.wrap(b)
         val n = buf.getShort.toInt
@@ -593,11 +620,11 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
           }
         }
       case Msg('E', b) => err = errorText(b)
-      case Msg('T', _) | Msg('C', _) | Msg('N', _) | Msg('I', _) => ()
+      case Msg('C', _) | Msg('N', _) | Msg('I', _) => ()
       case Msg(t, _) => throw new ProtocolException(s"unexpected '$t' in query response")
     }
     if (err != null) throw new ProtocolException(err)
-    rows.result()
+    (fields, rows.result())
   }
 
   // ------------------------------------------------------ replication

@@ -33,4 +33,23 @@ class LivePgBootstrapSpec extends AnyFunSuite {
     assert(LivePgBootstrap.advanceSlotSql("s", "0/16B3748").contains("pg_replication_slot_advance"))
     intercept[IllegalArgumentException](LivePgBootstrap.advanceSlotSql("s", "nonsense"))
   }
+
+  test("snapshot builders: slot command, snapshot import, select — all validated") {
+    assert(LivePgBootstrap.createSlotCommand("s1") ===
+      "CREATE_REPLICATION_SLOT s1 LOGICAL pgoutput EXPORT_SNAPSHOT")
+    assert(LivePgBootstrap.setSnapshotSql("00000003-0000001B-1") ===
+      "SET TRANSACTION SNAPSHOT '00000003-0000001B-1'")
+    assert(LivePgBootstrap.snapshotSelectSql("public", "accounts") ===
+      "SELECT * FROM public.accounts")
+    intercept[IllegalArgumentException](LivePgBootstrap.createSlotCommand("x; DROP"))
+    intercept[IllegalArgumentException](LivePgBootstrap.setSnapshotSql("x'; DROP TABLE t;--"))
+    intercept[IllegalArgumentException](LivePgBootstrap.snapshotSelectSql("public", "t; --"))
+  }
+
+  test("LSN text parsing round-trips the 64-bit form") {
+    assert(graft.sources.PgSnapshot.lsnFromText("0/96") === 150L)
+    assert(graft.sources.PgSnapshot.lsnFromText("16B3748/FFFFFFFF") ===
+      ((0x16B3748L << 32) | 0xFFFFFFFFL))
+    intercept[IllegalArgumentException](graft.sources.PgSnapshot.lsnFromText("junk"))
+  }
 }

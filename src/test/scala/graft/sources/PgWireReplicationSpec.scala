@@ -24,7 +24,12 @@ import graft.wal.{PgOutput, PgOutputEncoder}
 class FakeWalsender(authMode: String, expectPassword: Option[String],
                     frames: Seq[(Long, Array[Byte])],
                     var slotExists: Boolean = true, var pubExists: Boolean = true,
-                    tlsMode: String = "none") {
+                    tlsMode: String = "none",
+                    seedTables: Map[String, (PgOutput.RelationMeta, Seq[Seq[Option[String]]])] = Map.empty,
+                    snapshotLsn: Long = 0L) {
+  /** SET TRANSACTION SNAPSHOT statements seen — proves the snapshot reads
+    * imported the slot-creation snapshot. */
+  val sawSetSnapshot = new ConcurrentLinkedQueue[String]()
   /** hostssl-only pg_hba analogue: reject any plaintext startup with an
     * ErrorResponse (the sslmode=allow retry trigger). */
   @volatile var requireTls = false
@@ -80,6 +85,20 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
   private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
     val m = Mac.getInstance("HmacSHA256")
     m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(msg.getBytes(UTF_8))
+  }
+  private def rowDesc(cols: Seq[(String, Int, Int)]): Array[Byte] = bytes { d =>
+    d.writeShort(cols.size)
+    cols.foreach { case (n, oid, mod) =>
+      d.write(cstr(n)); d.writeInt(0); d.writeShort(0); d.writeInt(oid)
+      d.writeShort(-1); d.writeInt(mod); d.writeShort(0)
+    }
+  }
+  private def dataRow(vals: Seq[Option[String]]): Array[Byte] = bytes { d =>
+    d.writeShort(vals.size)
+    vals.foreach {
+      case Some(s) => val b = s.getBytes(UTF_8); d.writeInt(b.length); d.write(b)
+      case None => d.writeInt(-1)
+    }
   }
 
   /** Server-side SSLContext loaded from the checked-in self-signed
@@ -304,7 +323,14 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
           val sql = new String(b.dropRight(1), UTF_8)
           if (sql.startsWith("START_REPLICATION")) {
             send(out, 'W', bytes { d => d.writeByte(0); d.writeShort(0) })
-            frames.foreach { case (lsn, payload) =>
+            // honor the requested start position (a real walsender only
+            // replays changes past it — the snapshot-handoff contract)
+            val startLsn = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r
+              .findFirstMatchIn(sql)
+              .map(m => (java.lang.Long.parseLong(m.group(1), 16) << 32) |
+                java.lang.Long.parseLong(m.group(2), 16))
+              .getOrElse(0L)
+            frames.filter(_._1 >= startLsn).foreach { case (lsn, payload) =>
               send(out, 'd', bytes { d =>
                 d.writeByte('w'); d.writeLong(lsn); d.writeLong(lsn); d.writeLong(0L)
                 d.write(payload)
@@ -323,7 +349,29 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
               case ('X', _) => sock.close(); return
               case _ => ()
             }
+          } else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+            // replication-command slot creation: returns the consistent
+            // point + exported snapshot name (the PgSnapshot anchor)
+            slotExists = true; ddl.add(sql)
+            val slotName = sql.split("\\s+")(1)
+            val lsnText = f"${snapshotLsn >>> 32}%X/${snapshotLsn & 0xffffffffL}%X"
+            send(out, 'T', rowDesc(Seq(("slot_name", 25, -1), ("consistent_point", 25, -1),
+              ("snapshot_name", 25, -1), ("output_plugin", 25, -1))))
+            send(out, 'D', dataRow(Seq(Some(slotName), Some(lsnText),
+              Some("fake_snap_1"), Some("pgoutput"))))
+            send(out, 'C', cstr("CREATE_REPLICATION_SLOT"))
+            send(out, 'Z', Array('I'.toByte))
+          } else if (sql.startsWith("SELECT * FROM ") &&
+              seedTables.contains(sql.stripPrefix("SELECT * FROM ").trim.split("\\.").last)) {
+            // snapshot read of a seeded table, served with real field
+            // metadata so RowDescription doubles as schema discovery
+            val (meta, rows) = seedTables(sql.stripPrefix("SELECT * FROM ").trim.split("\\.").last)
+            send(out, 'T', rowDesc(meta.columns.map(c => (c.name, c.typeOid, c.typeMod))))
+            rows.foreach(r => send(out, 'D', dataRow(r)))
+            send(out, 'C', cstr(s"SELECT ${rows.size}"))
+            send(out, 'Z', Array('I'.toByte))
           } else {
+            if (sql.startsWith("SET TRANSACTION SNAPSHOT")) sawSetSnapshot.add(sql)
             val existsAnswer: Option[String] =
               if (sql.contains("pg_replication_slots")) Some(if (slotExists) "t" else "f")
               else if (sql.contains("pg_publication ")) Some(if (pubExists) "t" else "f")
@@ -782,6 +830,73 @@ class PgWireReplicationSpec extends SparkSpec {
       // only the two INSERT frames surface as change rows (R/B/C are metadata)
       assert(seen.synchronized(seen.sorted.toVector) === Vector(102L, 103L))
       assert(ws.sslRequests.get() === 2)
+    } finally ws.close()
+  }
+
+  // ---------------------------------------------- snapshot + backfill
+  test("snapshotAndStream: consistent-LSN backfill, exact handoff, no dupes or gaps") {
+    import org.apache.spark.sql.functions.col
+    import graft.cdc.Envelope
+    val e = PgOutputEncoder
+    val seeded = Seq(Seq(Some("1"), Some("alice")), Seq(Some("2"), Some("bob")))
+    val relSnap = RelationMeta(1, "public", "accounts", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0)))
+    // pre-snapshot WAL (the tx that created the seed rows — already IN the
+    // snapshot, must NOT stream) + post-snapshot tx (update 1, insert 3)
+    val pre = Seq(e.relation(relSnap), e.begin(),
+      e.insert(1, Seq(Some("1"), Some("alice"))),
+      e.insert(1, Seq(Some("2"), Some("bob"))),
+      e.commit()).zipWithIndex.map { case (f, i) => (100L + i, f) }
+    val post = Seq(e.relation(relSnap), e.begin(),
+      e.update(1, Seq(Some("1"), Some("alice2"))),
+      e.insert(1, Seq(Some("3"), Some("carol"))),
+      e.commit()).zipWithIndex.map { case (f, i) => (200L + i, f) }
+    val ws = new FakeWalsender("trust", None, pre ++ post,
+      slotExists = false, pubExists = false,
+      seedTables = Map("accounts" -> (relSnap, seeded)), snapshotLsn = 150L)
+    try {
+      val res = PgSnapshot.snapshotAndStream(spark, opts(ws), Seq(("public", "accounts")))
+      assert(res.consistentLsn === 150L)
+      assert(ws.sawSetSnapshot.asScala.toSeq === Seq("SET TRANSACTION SNAPSHOT 'fake_snap_1'"))
+      // schema discovered from the SELECT's RowDescription
+      val meta = res.relations(("public", "accounts"))
+      assert(meta.columns.map(c => (c.name, c.typeOid)) === Vector(("id", 20), ("name", 1043)))
+      // snapshot rows: op='R' at exactly the consistent point
+      val snap = res.envelope.collect()
+      assert(snap.length === 2)
+      assert(snap.forall(r => r.getAs[String]("op") == "R" && r.getAs[Long]("lsn") == 150L))
+
+      import spark.implicits._
+      val empty = Seq.empty[(Long, String)].toDF("id", "name")
+      var state = Envelope.applyChanges(empty,
+        Envelope.typedView(res.envelope, meta), Seq("id"))
+      assert(state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "alice"), (2L, "bob")))
+
+      // stream from the handoff options: only post-snapshot changes arrive
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt-snap").toString
+      def runStream(): Unit = {
+        val q = spark.readStream.format("pgcdc-live")
+          .options(res.streamOptions).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val typed = Envelope.typedView(df, meta)
+            state = Envelope.applyChanges(state, typed, Seq("id"))
+              .localCheckpoint(true)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(60000))
+      }
+      runStream()
+      val fin = state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // alice updated, bob untouched, carol inserted; seed tx NOT re-applied
+      assert(fin === Seq((1L, "alice2"), (2L, "bob"), (3L, "carol")))
+      // kill-resume: a fresh run over the same checkpoint redelivers
+      // nothing even though the fake resends everything past startLsn —
+      // the composite offset filters it (no dupes across restart)
+      runStream()
+      assert(state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq === fin)
     } finally ws.close()
   }
 
