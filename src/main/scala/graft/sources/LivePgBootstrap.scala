@@ -35,10 +35,14 @@ object LivePgBootstrap {
     "assumeMinServerVersion" -> minServerVersion)
 
   /** pgoutput plugin options for the START_REPLICATION slot stream
-    * (reference: `CdcEngine.java:61-65`). */
+    * (reference: `CdcEngine.java:61-65` — which pins proto_version=1).
+    * protoVersion >= 2 also enables `streaming 'on'`: large in-progress
+    * transactions then arrive as interleaved S..E segments instead of
+    * buffering whole on the server (PG 14+). */
   def slotOptions(publication: String, protoVersion: Int = 1): Map[String, String] = Map(
     "proto_version" -> protoVersion.toString,
-    "publication_names" -> publication)
+    "publication_names" -> publication) ++
+    (if (protoVersion >= 2) Map("streaming" -> "on") else Map.empty)
 
   private def requireIdent(s: String): String = {
     require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_'),

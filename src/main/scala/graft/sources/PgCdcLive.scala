@@ -259,25 +259,41 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
       .filter(f => s.admits(f.lsn, f.seq) && availableNowTarget.covers(f.lsn, f.seq)).toVector
     if (pending.isEmpty) return s
     var open = openTxidAt(s) >= 0
+    // proto v2: streamed txns open from 'S' until their 'c'/whole-tx 'A';
+    // a batch must never split one (its early frames would be acked and
+    // released before the commit arrives — losing records), so they gate
+    // safe points AND veto the overflow cut
+    val streamed = scala.collection.mutable.Set.empty[Int]
     var safeWithinCap: LsnOffset = null // furthest tx-safe point within `cap` rows
     var firstSafeBeyond: LsnOffset = null // first tx-safe point past the cap (atomic fallback)
     var atCap: LsnOffset = null // key of the cap'th data row (overflow cut point)
+    var atCapStreamedOpen = false
     var rows = 0
     pending.foreach { f =>
       if (isChange(f.bytes)) rows += 1
       f.bytes.headOption.map(_.toChar) match {
         case Some('B') => open = true
         case Some('C') => open = false
+        case Some('S') => streamed += ByteBuffer.wrap(f.bytes, 1, 4).getInt
+        case Some('c') => streamed -= ByteBuffer.wrap(f.bytes, 1, 4).getInt
+        case Some('A') =>
+          val top = ByteBuffer.wrap(f.bytes, 1, 4).getInt
+          if (ByteBuffer.wrap(f.bytes, 5, 4).getInt == top) streamed -= top
         case _ => ()
       }
-      if (!open) {
+      if (!open && streamed.isEmpty) {
         if (rows <= cap) safeWithinCap = LsnOffset(f.lsn, f.seq)
         else if (firstSafeBeyond == null) firstSafeBeyond = LsnOffset(f.lsn, f.seq)
       }
-      if (rows == cap && atCap == null) atCap = LsnOffset(f.lsn, f.seq)
+      if (rows == cap && atCap == null) {
+        atCap = LsnOffset(f.lsn, f.seq)
+        atCapStreamedOpen = streamed.nonEmpty
+      }
     }
     if (safeWithinCap != null) safeWithinCap // atomic batch within the cap
-    else if (allowMidTxFlush && atCap != null) atCap // overflow flush: cut mid-tx
+    // overflow flush: cut mid-tx — v1 txns only (a streamed tx's buffered
+    // frames would be lost across the cut)
+    else if (allowMidTxFlush && atCap != null && !atCapStreamedOpen) atCap
     else if (firstSafeBeyond != null) firstSafeBeyond // extend to the tx's COMMIT
     else s // tx open beyond everything buffered: wait for more
   }
@@ -384,26 +400,45 @@ object LiveDecode {
     val decoder = new PgOutputDecoder
     relationFrames.foreach { case (_, bytes) => decoder.decode(ByteBuffer.wrap(bytes)) }
     var txid = initialTxid
+    // proto v2 streamed-tx assembly (same shape as ReplayDecode): batch
+    // boundaries never split a streamed tx (latestOffset keeps streamed
+    // txns open until their stream commit), so the buffers resolve
+    // within the slice
+    val pending = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
+    def changeRec(op: Char, lsn: Long, tx: Long, meta: PgOutput.RelationMeta,
+                  cells: PgOutput.Cells, before: PgOutput.Cells): ChangeRecord =
+      ChangeRecord(
+        op = op.toString, lsn = lsn, txid = tx,
+        schema = meta.schema, table = meta.table,
+        columns = cells.collect { case (k, Some(v)) => k -> v },
+        nulls = cells.collect { case (k, None) => k }.toVector.sorted,
+        before = before.collect { case (k, Some(v)) => k -> v })
+    def truncRecs(lsn: Long, tx: Long, metas: Vector[PgOutput.RelationMeta]): Seq[ChangeRecord] =
+      metas.map(m => ChangeRecord("T", lsn, tx, m.schema, m.table,
+        Map.empty, Vector.empty, Map.empty))
     frames.iterator.flatMap { case (lsn, bytes) =>
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
         case Some(PgOutput.Change(op, meta, cells, before)) =>
-          Seq(ChangeRecord(
-            op = op.toString,
-            lsn = lsn,
-            txid = if (txid >= 0) txid else lsn,
-            schema = meta.schema,
-            table = meta.table,
-            columns = cells.collect { case (k, Some(v)) => k -> v },
-            nulls = cells.collect { case (k, None) => k }.toVector.sorted,
-            before = before.collect { case (k, Some(v)) => k -> v }))
+          Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) =>
-          // op='T' per truncated relation — see ReplayDecode
-          metas.map(meta => ChangeRecord(
-            op = "T", lsn = lsn, txid = if (txid >= 0) txid else lsn,
-            schema = meta.schema, table = meta.table,
-            columns = Map.empty, nulls = Vector.empty, before = Map.empty))
+          truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
+        case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((msgXid, changeRec(op, lsn, top.toLong & 0xffffffffL, meta, cells, before)))
+          Nil
+        case Some(PgOutput.Streamed(top, msgXid, PgOutput.Truncate(metas, _, _))) =>
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) ++=
+            truncRecs(lsn, top.toLong & 0xffffffffL, metas).map((msgXid, _))
+          Nil
+        case Some(PgOutput.StreamCommit(top, _, _)) =>
+          pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
+        case Some(PgOutput.StreamAbort(top, sub)) =>
+          if (sub == top) pending.remove(top)
+          else pending.get(top).foreach(_.filterInPlace(_._1 != sub))
+          Nil
         case _ => Nil
       }
     }

@@ -26,34 +26,58 @@ import graft.wal.{FrameFile, PgOutput, PgOutputDecoder}
 object ReplayDecode {
 
   /** Decode frames [emitFrom, emitUntil) of a frame sequence. The decoder
-    * always consumes from frame 0 so the relation registry and txid state
-    * are complete regardless of the requested window (RELATION frames can
-    * long precede the DML referencing them). */
+    * always consumes from frame 0 so the relation registry, txid state,
+    * and streamed-transaction buffers are complete regardless of the
+    * requested window (RELATION frames can long precede the DML
+    * referencing them; a proto-v2 streamed tx's segments can long precede
+    * its stream commit). */
   def decode(frames: Vector[(Long, Array[Byte])],
              emitFrom: Int, emitUntil: Int): Iterator[ChangeRecord] = {
     val decoder = new PgOutputDecoder
     var txid = -1L
+    // proto v2 streamed-tx assembly: per top-level xid, buffered
+    // (msgXid, record) pairs — resolved at StreamCommit (emit, in the
+    // batch containing the commit frame) or StreamAbort (discard;
+    // sub != top discards just the subtransaction's records)
+    val pending = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
+    def changeRec(op: Char, lsn: Long, tx: Long, meta: PgOutput.RelationMeta,
+                  cells: PgOutput.Cells, before: PgOutput.Cells): ChangeRecord =
+      ChangeRecord(
+        op = op.toString, lsn = lsn, txid = tx,
+        schema = meta.schema, table = meta.table,
+        columns = cells.collect { case (k, Some(v)) => k -> v },
+        nulls = cells.collect { case (k, None) => k }.toVector.sorted,
+        before = before.collect { case (k, Some(v)) => k -> v })
+    // one op='T' record per truncated relation (no cells) — the
+    // table-wide wipe marker applyChanges honors
+    def truncRecs(lsn: Long, tx: Long, metas: Vector[PgOutput.RelationMeta]): Seq[ChangeRecord] =
+      metas.map(m => ChangeRecord("T", lsn, tx, m.schema, m.table,
+        Map.empty, Vector.empty, Map.empty))
     frames.iterator.take(emitUntil).zipWithIndex.flatMap { case ((lsn, bytes), idx) =>
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
         case Some(PgOutput.Change(op, meta, cells, before)) if idx >= emitFrom =>
-          Seq(ChangeRecord(
-            op = op.toString,
-            lsn = lsn,
-            txid = if (txid >= 0) txid else lsn,
-            schema = meta.schema,
-            table = meta.table,
-            columns = cells.collect { case (k, Some(v)) => k -> v },
-            nulls = cells.collect { case (k, None) => k }.toVector.sorted,
-            before = before.collect { case (k, Some(v)) => k -> v }))
+          Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) if idx >= emitFrom =>
-          // one op='T' record per truncated relation (no cells) — the
-          // table-wide wipe marker applyChanges honors
-          metas.map(meta => ChangeRecord(
-            op = "T", lsn = lsn, txid = if (txid >= 0) txid else lsn,
-            schema = meta.schema, table = meta.table,
-            columns = Map.empty, nulls = Vector.empty, before = Map.empty))
+          truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
+        case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
+          // buffered regardless of the emit window — the commit decides
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((msgXid, changeRec(op, lsn, top.toLong & 0xffffffffL, meta, cells, before)))
+          Nil
+        case Some(PgOutput.Streamed(top, msgXid, PgOutput.Truncate(metas, _, _))) =>
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) ++=
+            truncRecs(lsn, top.toLong & 0xffffffffL, metas).map((msgXid, _))
+          Nil
+        case Some(PgOutput.StreamCommit(top, _, _)) =>
+          val recs = pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
+          if (idx >= emitFrom) recs else Nil
+        case Some(PgOutput.StreamAbort(top, sub)) =>
+          if (sub == top) pending.remove(top)
+          else pending.get(top).foreach(_.filterInPlace(_._1 != sub))
+          Nil
         case _ => Nil
       }
     }
@@ -140,15 +164,24 @@ class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int,
   private lazy val frames: Vector[(Long, Array[Byte])] = FrameFile.readPath(path)
   private lazy val safePoints: Vector[Int] = {
     var open = false
+    // proto v2: a streamed tx stays open from its first 'S' segment until
+    // its stream commit 'c' (or whole-tx abort) — a safe point requires
+    // no open v1 tx AND no unresolved streamed tx
+    val streamed = scala.collection.mutable.Set.empty[Int]
     val pts = Vector.newBuilder[Int]
     pts += 0
     frames.zipWithIndex.foreach { case ((_, bytes), i) =>
       bytes(0).toChar match {
         case 'B' => open = true
         case 'C' => open = false
+        case 'S' => streamed += ByteBuffer.wrap(bytes, 1, 4).getInt
+        case 'c' => streamed -= ByteBuffer.wrap(bytes, 1, 4).getInt
+        case 'A' =>
+          val top = ByteBuffer.wrap(bytes, 1, 4).getInt
+          if (ByteBuffer.wrap(bytes, 5, 4).getInt == top) streamed -= top
         case _ => ()
       }
-      if (!open) pts += (i + 1)
+      if (!open && streamed.isEmpty) pts += (i + 1)
     }
     pts.result().distinct
   }

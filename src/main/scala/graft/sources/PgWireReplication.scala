@@ -705,6 +705,8 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   *
   * Options: `host` (default localhost), `port` (5432), `user`,
   * `password` (optional), `database`, `slot`, `publication`,
+  * `protoVersion` ("1"; "2" negotiates `streaming 'on'` — in-progress
+  * transactions arrive as S..E segments, assembled by the source),
   * `bootstrap` ("true": create slot/publication if missing, A2–A3),
   * `sslmode` ("disable" | "allow" | "prefer" | "require" | "verify-ca" |
   * "verify-full"),
@@ -765,7 +767,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   @volatile private var readerFailure: Throwable = _
 
   conn.startReplication(slot, options.get("startLsn").map(_.toLong).getOrElse(0L),
-    LivePgBootstrap.slotOptions(publication))
+    LivePgBootstrap.slotOptions(publication,
+      protoVersion = opt("protoVersion", "1").toInt))
 
   private val reader = new Thread(() => {
     try while (!closed.get())

@@ -52,8 +52,28 @@ object PgOutput {
   final case class Truncate(metas: Vector[RelationMeta],
                             cascade: Boolean, restartIdentity: Boolean) extends Message
 
+  // ------------------------------- proto_version=2 streaming (PG 14+)
+  // A large in-progress transaction streams as interleaved S..E segments
+  // tagged with the TOP-LEVEL xid; DML inside a segment carries its own
+  // Int32 xid prefix (the SUBTRANSACTION's xid when applicable). The
+  // transaction resolves at 'c' (commit: apply) or 'A' (abort: discard).
+  // The reference pins proto_version=1 (`CdcEngine.java:31,62-65`) and a
+  // bulk-load transaction then buffers entirely server-side — v2 is the
+  // at-scale fix (VERDICT r7 #5).
+  final case class StreamStart(xid: Int, firstSegment: Boolean) extends Message
+  case object StreamStop extends Message
+  final case class StreamCommit(xid: Int, commitLsn: Long, endLsn: Long) extends Message
+  /** subXid == xid aborts the whole transaction; otherwise only the
+    * subtransaction's changes are discarded. */
+  final case class StreamAbort(xid: Int, subXid: Int) extends Message
+  /** A message decoded inside a streamed segment: `xid` is the enclosing
+    * segment's top-level transaction, `msgXid` the message's own prefix
+    * (differs under subtransactions — the StreamAbort discard key). */
+  final case class Streamed(xid: Int, msgXid: Int, inner: Message) extends Message
+
   val DroppedTypes: Set[Char] = Set('Y', 'O', 'M')
-  val KnownTypes: Set[Char] = Set('R', 'B', 'C', 'I', 'U', 'D', 'T') ++ DroppedTypes
+  val KnownTypes: Set[Char] =
+    Set('R', 'B', 'C', 'I', 'U', 'D', 'T', 'S', 'E', 'c', 'A') ++ DroppedTypes
 }
 
 /** Stateful decoder: the relation registry makes it order-dependent
@@ -68,9 +88,23 @@ final class PgOutputDecoder {
 
   def relations: Map[Int, RelationMeta] = registry.toMap
 
-  /** Decode one frame. None for recognized-but-dropped types (Y/O/T/M). */
+  /** Top-level xid of the open streamed segment, if any: between
+    * StreamStart and StreamStop every R/I/U/D/T/Y/M message carries an
+    * Int32 xid prefix (proto_version=2 framing). */
+  private var streamXid: Option[Int] = None
+
+  /** Decode one frame. None for recognized-but-dropped types (Y/O/M). */
   def decode(buf: ByteBuffer): Option[Message] = {
     val tpe = buf.get().toChar
+    streamXid match {
+      case Some(top) if "RIUDTYM".indexOf(tpe) >= 0 =>
+        val msgXid = buf.getInt()
+        decodeBody(tpe, buf).map(Streamed(top, msgXid, _))
+      case _ => decodeBody(tpe, buf)
+    }
+  }
+
+  private def decodeBody(tpe: Char, buf: ByteBuffer): Option[Message] = {
     tpe match {
       case 'B' => Some(Begin)
       case 'C' => Some(Commit)
@@ -103,6 +137,25 @@ final class PgOutputDecoder {
         val opts = buf.get().toInt
         val metas = Vector.fill(n)(relationFor(buf.getInt()))
         Some(Truncate(metas, cascade = (opts & 1) != 0, restartIdentity = (opts & 2) != 0))
+      case 'S' =>
+        // Int32 xid, Int8 first-segment flag
+        val xid = buf.getInt()
+        val first = buf.get() != 0
+        streamXid = Some(xid)
+        Some(StreamStart(xid, first))
+      case 'E' =>
+        streamXid = None
+        Some(StreamStop)
+      case 'c' =>
+        // Int32 xid, Int8 flags, Int64 commit lsn, Int64 end lsn, Int64 ts
+        val xid = buf.getInt()
+        buf.get() // flags (unused, 0)
+        val commitLsn = buf.getLong()
+        val endLsn = buf.getLong()
+        buf.getLong() // commit timestamp
+        Some(StreamCommit(xid, commitLsn, endLsn))
+      case 'A' =>
+        Some(StreamAbort(buf.getInt(), buf.getInt()))
       case c if PgOutput.DroppedTypes(c) => None
       case c => throw new IllegalArgumentException(s"unknown pgoutput message type '$c'")
     }
@@ -219,6 +272,27 @@ object PgOutputEncoder {
     Array('T'.toByte) ++ int32(relIds.size) ++
       Array(((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0)).toByte) ++
       relIds.flatMap(int32)
+
+  // ------------------------------------------ proto_version=2 framing
+  def streamStart(xid: Int, firstSegment: Boolean = true): Array[Byte] =
+    Array('S'.toByte) ++ int32(xid) ++ Array((if (firstSegment) 1 else 0).toByte)
+
+  def streamStop(): Array[Byte] = Array('E'.toByte)
+
+  def streamCommit(xid: Int, commitLsn: Long = 0L, endLsn: Long = 0L): Array[Byte] =
+    Array('c'.toByte) ++ int32(xid) ++ Array(0.toByte) ++
+      int64(commitLsn) ++ int64(endLsn) ++ int64(0L)
+
+  def streamAbort(xid: Int, subXid: Int): Array[Byte] =
+    Array('A'.toByte) ++ int32(xid) ++ int32(subXid)
+
+  /** v2 per-message xid prefix: Byte1(type), Int32 xid, original body —
+    * how DML/RELATION/TRUNCATE frames look inside a streamed segment. */
+  def streamed(msgXid: Int, inner: Array[Byte]): Array[Byte] =
+    Array(inner.head) ++ int32(msgXid) ++ inner.tail
+
+  private def int64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
 
   private def int32(v: Int): Array[Byte] =
     ByteBuffer.allocate(4).putInt(v).array()

@@ -149,6 +149,49 @@ class CdcReplaySpec extends SparkSpec {
     assert(noTrunc.map(_.getAs[Long]("id")).toSeq === Seq(1L, 10L))
   }
 
+  test("proto v2: interleaved streamed txns assemble at commit; aborts discard; batches never split") {
+    val e = PgOutputEncoder
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(rel), // 300
+      e.streamStart(500), // 301: tx 500, segment 1
+      e.streamed(500, e.insert(1, Seq(Some("20"), Some("s-a"), Some("t"), None, None))), // 302
+      e.streamed(505, e.insert(1, Seq(Some("22"), Some("sub"), Some("t"), None, None))), // 303: subxact 505
+      e.streamStop(), // 304
+      e.streamStart(600), // 305: tx 600 interleaves
+      e.streamed(600, e.insert(1, Seq(Some("30"), Some("doomed"), Some("t"), None, None))), // 306
+      e.streamStop(), // 307
+      e.streamStart(500, firstSegment = false), // 308: tx 500, segment 2
+      e.streamed(500, e.insert(1, Seq(Some("21"), Some("s-b"), Some("t"), None, None))), // 309
+      e.streamStop(), // 310
+      e.streamAbort(500, 505), // 311: subxact abort — only row 22 dies
+      e.streamCommit(500), // 312: rows 20, 21 emit, txid 500
+      e.streamAbort(600, 600)) // 313: whole-tx abort — row 30 dies
+    val path = Files.createTempDirectory("cdc-v2").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (300L + i, f) })
+
+    // batch decode: only tx 500's surviving rows, tagged with the real xid
+    val rows = ReplayDecode.batchDf(spark, path).orderBy("lsn").collect()
+    assert(rows.map(r => (r.getAs[String]("op"),
+      r.getAs[Map[String, String]]("columns")("id"), r.getAs[Long]("txid"))).toSeq ===
+      Seq(("I", "20", 500L), ("I", "21", 500L)))
+
+    // streaming replay with a tiny trigger: batch boundaries must not
+    // split the streamed block (all records arrive in ONE batch)
+    val ckpt = Files.createTempDirectory("ckpt-v2").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("pgcdc-replay")
+      .option("path", path).option("maxFramesPerTrigger", "3").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.collect().map(_.getAs[Map[String, String]]("columns")("id")).toSeq
+        if (ids.nonEmpty) batches.synchronized { batches += ids }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    assert(batches.synchronized(batches.toSeq) === Seq(Seq("20", "21")))
+  }
+
   test("apply-changes preserves UNCHANGED/TOAST columns instead of nulling them") {
     val e = PgOutputEncoder
     val frames: Seq[Array[Byte]] = Seq(

@@ -119,6 +119,37 @@ class PgCdcLiveSpec extends SparkSpec {
     assert(recs2.last.txid === 110L) // singleton: txid = own lsn
   }
 
+  test("proto v2 streamed txns: batches never split them; overflow cut is vetoed; assembly at commit") {
+    val v2: Seq[(Long, Array[Byte])] = Seq(
+      e.relation(rel), // 200
+      e.streamStart(700), // 201: tx 700, segment 1
+      e.streamed(700, e.insert(1, Seq(Some("10"), Some("x")))), // 202
+      e.streamStop(), // 203
+      e.streamStart(700, firstSegment = false), // 204: segment 2
+      e.streamed(700, e.insert(1, Seq(Some("11"), Some("y")))), // 205
+      e.streamStop(), // 206
+      e.streamCommit(700), // 207
+      e.insert(1, Seq(Some("12"), Some("z"))) // 208: singleton
+    ).zipWithIndex.map { case (f, i) => (200L + i, f) }
+    // atomic mode, cap below the tx's rows: the only safe point within the
+    // cap precedes the stream (the tx stays open from S to c)
+    val (atom, _) = newStream(cap = 4, fs = v2)
+    assert(end(atom, 0L, 1) === 200L)
+    // cap covering the tx: the batch extends exactly to the stream commit
+    assert(end(atom, 0L, 2) === 207L)
+    // overflow mode, starting past the relation frame so no safe point
+    // exists within the cap: the mid-tx cut would land inside the
+    // streamed block — vetoed (buffered segments would be acked away);
+    // extend to the stream commit instead
+    val (over, _) = newStream(cap = 1, overflow = true, fs = v2)
+    assert(end(over, 200L, 1) === 207L)
+    // assembly: both segments' rows emit once, tagged with the real xid
+    val p = atom.planInputPartitions(LsnOffset(0L), LsnOffset(207L))(0)
+      .asInstanceOf[LivePartition]
+    val recs = LiveDecode.decode(p.relationFrames, p.frames, p.openTxid).toVector
+    assert(recs.map(r => (r.columns("id"), r.txid)) === Vector(("10", 700L), ("11", 700L)))
+  }
+
   test("commit(end) advances the slot and releases the buffer; relations survive") {
     val (stream, feed) = newStream(cap = 5)
     val e1 = end(stream, 0L, 2)

@@ -113,6 +113,42 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     intercept[IllegalStateException](dec(d, PgOutputEncoder.truncate(Seq(99))))
   }
 
+  test("proto v2: streamed segments wrap xid-prefixed DML; E resets; c/A decode") {
+    val e = PgOutputEncoder
+    val d = new PgOutputDecoder
+    dec(d, e.relation(rel))
+    // S opens a segment for top-level xid 900
+    assert(dec(d, e.streamStart(900)) === Some(StreamStart(900, firstSegment = true)))
+    // inside: DML carries an Int32 xid prefix (here a subxact, 901)
+    val Some(Streamed(900, 901, Change('I', m, cells, _))) =
+      dec(d, e.streamed(901, e.insert(42, Seq(Some("1"), Some("x"), None))))
+    assert(m.table === "test" && cells("id") === Some("1"))
+    // streamed RELATION updates the registry and wraps
+    val rel2 = rel.copy(id = 44, table = "test3")
+    val Some(Streamed(900, 900, Relation(meta2))) = dec(d, e.streamed(900, e.relation(rel2)))
+    assert(meta2.table === "test3" && d.relations.contains(44))
+    // streamed TRUNCATE wraps too
+    val Some(Streamed(900, 900, Truncate(ms, _, _))) =
+      dec(d, e.streamed(900, e.truncate(Seq(42))))
+    assert(ms.map(_.table) === Vector("test"))
+    // E closes the segment: plain (un-prefixed) v1 framing resumes
+    assert(dec(d, e.streamStop()) === Some(StreamStop))
+    val Some(Change('I', _, cells2, _)) = dec(d, e.insert(42, Seq(Some("2"), None, None)))
+    assert(cells2("id") === Some("2"))
+    // stream commit / abort resolve by top-level xid
+    assert(dec(d, e.streamCommit(900, 7L, 9L)) === Some(StreamCommit(900, 7L, 9L)))
+    assert(dec(d, e.streamAbort(902, 903)) === Some(StreamAbort(902, 903)))
+  }
+
+  test("proto v2: second segment of the same tx carries firstSegment=false") {
+    val e = PgOutputEncoder
+    val d = new PgOutputDecoder
+    assert(dec(d, e.streamStart(77)) === Some(StreamStart(77, firstSegment = true)))
+    assert(dec(d, e.streamStop()) === Some(StreamStop))
+    assert(dec(d, e.streamStart(77, firstSegment = false)) ===
+      Some(StreamStart(77, firstSegment = false)))
+  }
+
   test("unknown top-level type byte throws") {
     val d = new PgOutputDecoder
     intercept[IllegalArgumentException](dec(d, Array('Z'.toByte)))
