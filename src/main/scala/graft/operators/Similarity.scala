@@ -376,8 +376,19 @@ object Similarity {
     val q = asDouble(queries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .withColumn("list", explode(transform(slice(ranked, 1, nProbe), s => s.getField("i"))))
+    // static partition pruning for disk-backed indexes: the union of
+    // probed lists across the batch is bounded by nLists, so collect it
+    // (a tiny job over the broadcast-sized query side — never corpus
+    // data) and filter the assignment scan with literals. A stored index
+    // (writeIvfIndex, partitioned by list) then reads only the probed
+    // lists' partition directories — the same PartitionFilters pruning
+    // probeIvf gets; for the in-memory index it's a cheap scan predicate.
+    val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
+    val candidates =
+      if (probedLists.isEmpty) index.assigned.filter(lit(false))
+      else index.assigned.filter(col("list").isin(probedLists: _*))
     finishTopK(
-      index.assigned.join(broadcast(q), "list")
+      candidates.join(broadcast(q), "list")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(vec_dot(col("e"), col("qe")) / (vec_norm(col("e")) * vec_norm(col("qe"))), 4)

@@ -42,10 +42,18 @@ class IvfStoreSpec extends SparkSpec {
   }
 
   private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    df.queryExecution.executedPlan
-      .collect { case f: FileSourceScanExec => f }
-      .map(_.metrics("numFiles").value).sum
+    // AQE wraps the final plan in AdaptiveSparkPlanExec and hides shuffle
+    // subtrees inside leaf QueryStageExec nodes — unwrap both
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
   }
 
   test("round-trip: fresh read-back probeIvf matches the exact scan on separated clusters") {
@@ -108,5 +116,19 @@ class IvfStoreSpec extends SparkSpec {
     val ivf = Similarity.knnJoinIvf(index, queries, k = 5, nProbe = 3)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact === ivf)
+  }
+
+  test("batch kNN join over a stored index prunes to the union of probed lists") {
+    val (df, index, _) = fixture
+    // two queries from the same cluster probe overlapping lists — the
+    // static union filter must reach PartitionFilters and skip files
+    val join = Similarity.knnJoinIvf(index, df.filter(col("vec_id") < 2), k = 3, nProbe = 2)
+    val plan = join.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"expected the probed-list union inside PartitionFilters:\n$plan")
+    val probed = filesRead(join)
+    val total = filesRead(index.assigned.select("vec_id", "list"))
+    assert(probed > 0 && probed < total,
+      s"batch join read $probed of $total files — expected partition pruning")
   }
 }
