@@ -16,32 +16,39 @@ import graft.wal.PgOutput.{RelationColumn, RelationMeta}
   *  1. on a walsender connection, `CREATE_REPLICATION_SLOT ... LOGICAL
   *     pgoutput EXPORT_SNAPSHOT` → (consistent_point LSN, snapshot name).
   *     The slot starts retaining WAL at exactly that point;
-  *  2. on a regular connection, `BEGIN ISOLATION LEVEL REPEATABLE READ;
-  *     SET TRANSACTION SNAPSHOT '<name>'` — SELECTs now see the table
-  *     exactly as of the consistent point: every row the slot will NOT
-  *     replay, and none it will;
+  *  2. readers import that snapshot (`BEGIN ISOLATION LEVEL REPEATABLE
+  *     READ; SET TRANSACTION SNAPSHOT '<name>'`) — SELECTs then see the
+  *     table exactly as of the consistent point: every row the slot will
+  *     NOT replay, and none it will;
   *  3. stream from consistent_point. Snapshot rows are tagged `op='R'`
   *     at `lsn = consistent_point`; the first streamed change has a
   *     higher LSN, so `Envelope.applyChanges` merges the two phases with
   *     no dupes and no gaps — an 'R' row is just an upsert that any
   *     later change outranks.
   *
-  * The exported snapshot is only importable while the creating walsender
-  * connection stays open — the slot connection is held across the reads.
+  * Scale contract: the snapshot reads are DISTRIBUTED — PostgreSQL lets
+  * ANY number of connections import the same exported snapshot while the
+  * creating walsender connection stays open, so each Spark task opens
+  * its own reader connection, imports the snapshot, and reads its
+  * tables. Table-level parallelism here (one task per table — the
+  * multi-table pipeline shape); a single 100 TB table additionally
+  * splits by key-range predicates appended to `snapshotSelectSql`, same
+  * snapshot name, same guarantee. Rows never pass through the driver:
+  * they materialize straight to executors (eager localCheckpoint), or to
+  * parquet when `materializePath` is given — the durable form a real
+  * backfill wants.
   *
-  * Scale contract: the snapshot reads ride ONE connection here (the
-  * sandbox shape). At 100 TB, import the SAME snapshot name from many
-  * parallel reader connections, each `snapshotSelectSql` + a key-range
-  * predicate, and union the envelopes — consistency is carried by the
-  * snapshot, not the connection count. The streaming half is unchanged.
+  * The exported snapshot is only importable while the slot connection
+  * lives; materialization is forced EAGERLY inside this call, and the
+  * slot connection is closed before returning.
   */
 object PgSnapshot {
 
   /** What provisioning hands back: the snapshot envelope (op='R' rows at
-    * the consistent LSN), per-table relation metadata for
-    * `Envelope.typedView` (from each SELECT's RowDescription), and the
-    * ready-to-use `pgcdc-live` options with `startLsn` pinned to the
-    * consistent point. */
+    * the consistent LSN, already materialized), per-table relation
+    * metadata for `Envelope.typedView` (from the snapshot SELECTs'
+    * RowDescriptions), and the ready-to-use `pgcdc-live` options with
+    * `startLsn` pinned to the consistent point. */
   final case class SnapshotResult(
       consistentLsn: Long,
       envelope: DataFrame,
@@ -57,25 +64,56 @@ object PgSnapshot {
       java.lang.Long.parseLong(s.substring(i + 1), 16)
   }
 
-  /** Provision `tables` (as (schema, table)) for CDC: create slot +
-    * publication, materialize the consistent snapshot, return the stream
-    * handoff. Options are the `PgWireFrameSource` set (host/port/user/
-    * password/database/slot/publication/sslmode/...). */
-  def snapshotAndStream(spark: SparkSession, options: Map[String, String],
-                        tables: Seq[(String, String)]): SnapshotResult = {
+  private def connect(options: Map[String, String], replication: Boolean): PgWireConnection = {
     def opt(k: String, default: => String): String = options.getOrElse(k, default)
-    val slot = opt("slot", "graft_slot")
-    val publication = opt("publication", "graft_pub")
-    def connect(replication: Boolean) = PgWireConnection.connect(
+    PgWireConnection.connect(
       opt("host", "localhost"), opt("port", "5432").toInt,
       opt("user", sys.error("snapshot: 'user' option required")),
       opt("database", sys.error("snapshot: 'database' option required")),
       options.get("password"), replication = replication,
       sslMode = opt("sslmode", "disable"), sslRootCert = options.get("sslrootcert"),
       sslCert = options.get("sslcert"), sslPassword = options.get("sslpassword"))
+  }
+
+  /** Read one table under an imported snapshot on an already-open
+    * reader connection. */
+  private def readTable(reader: PgWireConnection, schema: String, table: String,
+                        lsn: Long, limitZero: Boolean): (Vector[(String, Int, Int)], Seq[ChangeRecord]) = {
+    val sql = LivePgBootstrap.snapshotSelectSql(schema, table) +
+      (if (limitZero) " LIMIT 0" else "")
+    val (fields, rows) = reader.simpleQueryWithMeta(sql)
+    val names = fields.map(_._1)
+    val recs = rows.map { r =>
+      ChangeRecord(op = "R", lsn = lsn, txid = lsn, schema = schema, table = table,
+        columns = names.zip(r).collect { case (n, Some(v)) => n -> v }.toMap,
+        nulls = names.zip(r).collect { case (n, None) => n }.sorted,
+        before = Map.empty)
+    }
+    (fields, recs)
+  }
+
+  private def importSnapshot(reader: PgWireConnection, snapshotName: String): Unit = {
+    reader.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    reader.simpleQuery(LivePgBootstrap.setSnapshotSql(snapshotName))
+  }
+
+  /** Provision `tables` (as (schema, table)) for CDC: create slot +
+    * publication, materialize the consistent snapshot (distributed,
+    * eager), return the stream handoff. Options are the
+    * `PgWireFrameSource` set (host/port/user/password/database/slot/
+    * publication/sslmode/...). `materializePath`: when given, the
+    * snapshot is written there as parquet and the envelope reads it back
+    * (durable — survives the session; the default eager localCheckpoint
+    * is session-scoped). */
+  def snapshotAndStream(spark: SparkSession, options: Map[String, String],
+                        tables: Seq[(String, String)],
+                        materializePath: Option[String] = None): SnapshotResult = {
+    def opt(k: String, default: => String): String = options.getOrElse(k, default)
+    val slot = opt("slot", "graft_slot")
+    val publication = opt("publication", "graft_pub")
 
     // publication first — the slot only captures published tables (A3)
-    val control = connect(replication = false)
+    val control = connect(options, replication = false)
     try {
       def exists(sql: String): Boolean =
         control.simpleQuery(sql).headOption.flatMap(_.headOption.flatten).contains("t")
@@ -83,10 +121,11 @@ object PgSnapshot {
         control.simpleQuery(LivePgBootstrap.createPublicationSql(publication))
     } finally control.close()
 
-    // the slot is the consistency anchor; its connection must outlive the
-    // snapshot reads (the exported snapshot dies with it)
-    val repl = connect(replication = true)
-    val (consistentLsn, records, metas) =
+    // the slot is the consistency anchor; its connection must outlive
+    // every snapshot import (the exported snapshot dies with it), so the
+    // distributed read is forced EAGERLY inside this block
+    val repl = connect(options, replication = true)
+    val (consistentLsn, envelope, metas) =
       try {
         val row = repl.simpleQuery(LivePgBootstrap.createSlotCommand(slot)).headOption
           .getOrElse(throw new PgWire.ProtocolException(
@@ -95,32 +134,53 @@ object PgSnapshot {
           throw new PgWire.ProtocolException("CREATE_REPLICATION_SLOT: null consistent_point")))
         val snapName = row(2).getOrElse(
           throw new PgWire.ProtocolException("CREATE_REPLICATION_SLOT: null snapshot_name"))
-        val reader = connect(replication = false)
-        try {
-          reader.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
-          reader.simpleQuery(LivePgBootstrap.setSnapshotSql(snapName))
-          val perTable = tables.map { case (schema, table) =>
-            val (fields, rows) =
-              reader.simpleQueryWithMeta(LivePgBootstrap.snapshotSelectSql(schema, table))
-            val meta = RelationMeta(0, schema, table,
-              fields.map { case (n, oid, mod) => RelationColumn(n, oid, mod, 0) })
-            val names = fields.map(_._1)
-            val recs = rows.map { r =>
-              ChangeRecord(op = "R", lsn = lsn, txid = lsn, schema = schema, table = table,
-                columns = names.zip(r).collect { case (n, Some(v)) => n -> v }.toMap,
-                nulls = names.zip(r).collect { case (n, None) => n }.sorted,
-                before = Map.empty)
+
+        // schema discovery driver-side: LIMIT 0 under the same snapshot —
+        // RowDescription carries (name, type OID, typmod) per column
+        val metaConn = connect(options, replication = false)
+        val relMetas =
+          try {
+            importSnapshot(metaConn, snapName)
+            val ms = tables.map { case (schema, table) =>
+              val (fields, _) = readTable(metaConn, schema, table, lsn, limitZero = true)
+              (schema, table) -> RelationMeta(0, schema, table,
+                fields.map { case (n, oid, mod) => RelationColumn(n, oid, mod, 0) })
+            }.toMap
+            metaConn.simpleQuery("COMMIT")
+            ms
+          } finally metaConn.close()
+
+        // distributed snapshot read: one task per table; EACH TASK opens
+        // its own connection and imports the same snapshot — rows go
+        // straight to executors, never through the driver
+        val optsSer = options // serializable closure capture
+        import spark.implicits._
+        val rows = spark.createDataset(tables.toVector)
+          .repartition(tables.size)
+          .mapPartitions { it =>
+            it.flatMap { case (schema, table) =>
+              val reader = connect(optsSer, replication = false)
+              try {
+                importSnapshot(reader, snapName)
+                val (_, recs) = readTable(reader, schema, table, lsn, limitZero = false)
+                reader.simpleQuery("COMMIT")
+                recs
+              } finally reader.close()
             }
-            ((schema, table) -> meta, recs)
-          }
-          reader.simpleQuery("COMMIT")
-          (lsn, perTable.flatMap(_._2), perTable.map(_._1).toMap)
-        } finally reader.close()
+          }(Encoders.product[ChangeRecord])
+        val env = materializePath match {
+          case Some(path) =>
+            rows.toDF().write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          case None =>
+            rows.toDF().localCheckpoint(eager = true)
+        }
+        (lsn, env, relMetas)
       } finally repl.close()
 
     SnapshotResult(
       consistentLsn = consistentLsn,
-      envelope = spark.createDataset(records)(Encoders.product[ChangeRecord]).toDF(),
+      envelope = envelope,
       relations = metas,
       streamOptions = options ++ Map(
         "frameSource.class" -> classOf[PgWireFrameSource].getName,

@@ -361,14 +361,21 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
               Some("fake_snap_1"), Some("pgoutput"))))
             send(out, 'C', cstr("CREATE_REPLICATION_SLOT"))
             send(out, 'Z', Array('I'.toByte))
-          } else if (sql.startsWith("SELECT * FROM ") &&
-              seedTables.contains(sql.stripPrefix("SELECT * FROM ").trim.split("\\.").last)) {
-            // snapshot read of a seeded table, served with real field
-            // metadata so RowDescription doubles as schema discovery
-            val (meta, rows) = seedTables(sql.stripPrefix("SELECT * FROM ").trim.split("\\.").last)
+          } else if (sql.startsWith("SELECT * FROM ") && {
+              val q = sql.stripPrefix("SELECT * FROM ").stripSuffix(" LIMIT 0").trim
+              seedTables.contains(q.split("\\.").last)
+            }) {
+            // snapshot read of a seeded table (LIMIT 0 = schema-discovery
+            // variant), served with real field metadata so RowDescription
+            // doubles as schema discovery
+            val limitZero = sql.endsWith(" LIMIT 0")
+            val name = sql.stripPrefix("SELECT * FROM ").stripSuffix(" LIMIT 0")
+              .trim.split("\\.").last
+            val (meta, rows) = seedTables(name)
             send(out, 'T', rowDesc(meta.columns.map(c => (c.name, c.typeOid, c.typeMod))))
-            rows.foreach(r => send(out, 'D', dataRow(r)))
-            send(out, 'C', cstr(s"SELECT ${rows.size}"))
+            val served = if (limitZero) Nil else rows
+            served.foreach(r => send(out, 'D', dataRow(r)))
+            send(out, 'C', cstr(s"SELECT ${served.size}"))
             send(out, 'Z', Array('I'.toByte))
           } else {
             if (sql.startsWith("SET TRANSACTION SNAPSHOT")) sawSetSnapshot.add(sql)
@@ -857,7 +864,11 @@ class PgWireReplicationSpec extends SparkSpec {
     try {
       val res = PgSnapshot.snapshotAndStream(spark, opts(ws), Seq(("public", "accounts")))
       assert(res.consistentLsn === 150L)
-      assert(ws.sawSetSnapshot.asScala.toSeq === Seq("SET TRANSACTION SNAPSHOT 'fake_snap_1'"))
+      // TWO snapshot imports: the driver's schema-discovery reader and
+      // the executor task's distributed read — both under the slot's
+      // exported snapshot (rows never pass through the driver)
+      assert(ws.sawSetSnapshot.asScala.toSet === Set("SET TRANSACTION SNAPSHOT 'fake_snap_1'"))
+      assert(ws.sawSetSnapshot.size >= 2)
       // schema discovered from the SELECT's RowDescription
       val meta = res.relations(("public", "accounts"))
       assert(meta.columns.map(c => (c.name, c.typeOid)) === Vector(("id", 20), ("name", 1043)))
@@ -897,6 +908,29 @@ class PgWireReplicationSpec extends SparkSpec {
       // the composite offset filters it (no dupes across restart)
       runStream()
       assert(state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq === fin)
+    } finally ws.close()
+  }
+
+  test("snapshotAndStream with materializePath: snapshot lands as parquet, survives re-read") {
+    import org.apache.spark.sql.functions.col
+    val relSnap = RelationMeta(1, "public", "accounts", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("name", 1043, -1, 0)))
+    val seeded = Seq(Seq(Some("1"), Some("alice")), Seq(Some("2"), None))
+    val ws = new FakeWalsender("trust", None, Seq.empty, slotExists = false,
+      seedTables = Map("accounts" -> (relSnap, seeded)), snapshotLsn = 0x2000L)
+    try {
+      val path = java.nio.file.Files.createTempDirectory("snap-parquet").toString + "/snap"
+      val res = PgSnapshot.snapshotAndStream(spark, opts(ws), Seq(("public", "accounts")),
+        materializePath = Some(path))
+      assert(res.consistentLsn === 0x2000L)
+      // the envelope IS the parquet read-back — durable across sessions
+      val fresh = spark.read.parquet(path)
+      assert(fresh.count() === 2L)
+      val rows = fresh.orderBy(col("lsn")).collect()
+      assert(rows.forall(_.getAs[String]("op") == "R"))
+      // NULL cell rides in `nulls`, absent from `columns`
+      val bob = rows.find(_.getAs[Map[String, String]]("columns")("id") == "2").get
+      assert(bob.getAs[Seq[String]]("nulls") === Seq("name"))
     } finally ws.close()
   }
 
