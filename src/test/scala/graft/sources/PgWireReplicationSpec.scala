@@ -56,6 +56,7 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
   val acks = new ConcurrentLinkedQueue[Long]()
   val ddl = new ConcurrentLinkedQueue[String]()
   val sawReplicationParam = new ConcurrentLinkedQueue[String]()
+  val sawStartReplication = new ConcurrentLinkedQueue[String]()
   val keepaliveAcked = new CountDownLatch(1)
   val sslRequests = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var sendKeepaliveWithReply = false
@@ -322,6 +323,7 @@ class FakeWalsender(authMode: String, expectPassword: Option[String],
         case ('Q', b) =>
           val sql = new String(b.dropRight(1), UTF_8)
           if (sql.startsWith("START_REPLICATION")) {
+            sawStartReplication.add(sql)
             send(out, 'W', bytes { d => d.writeByte(0); d.writeShort(0) })
             // honor the requested start position (a real walsender only
             // replays changes past it — the snapshot-handoff contract)
@@ -837,6 +839,49 @@ class PgWireReplicationSpec extends SparkSpec {
       // only the two INSERT frames surface as change rows (R/B/C are metadata)
       assert(seen.synchronized(seen.sorted.toVector) === Vector(102L, 103L))
       assert(ws.sslRequests.get() === 2)
+    } finally ws.close()
+  }
+
+  test("e2e: proto v2 streamed tx over the wire — negotiated options, assembled rows") {
+    import org.apache.spark.sql.functions.col
+    val v2Frames: Seq[(Long, Array[Byte])] = Seq(
+      e.relation(rel),
+      e.streamStart(4242),
+      e.streamed(4242, e.insert(1, Seq(Some("100"), Some("big-a")))),
+      e.streamStop(),
+      e.streamStart(4243),
+      e.streamed(4243, e.insert(1, Seq(Some("200"), Some("aborted")))),
+      e.streamStop(),
+      e.streamStart(4242, firstSegment = false),
+      e.streamed(4242, e.insert(1, Seq(Some("101"), Some("big-b")))),
+      e.streamStop(),
+      e.streamCommit(4242),
+      e.streamAbort(4243, 4243)
+    ).zipWithIndex.map { case (f, i) => (400L + i, f) }
+    val ws = new FakeWalsender("trust", None, v2Frames)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt-wire-v2").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = spark.readStream.format("pgcdc-live")
+        .option("frameSource.class", classOf[PgWireFrameSource].getName)
+        .options(opts(ws, "protoVersion" -> "2"))
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.collect().map(r =>
+              (r.getAs[Map[String, String]]("columns")("id"), r.getAs[Long]("txid")))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+      // tx 4242's two segments assemble (real xid as txid); 4243 aborted
+      assert(seen.synchronized(seen.sortBy(_._1).toVector) ===
+        Vector(("100", 4242L), ("101", 4242L)))
+      // v2 was actually negotiated on the wire
+      val start = ws.sawStartReplication.asScala.head
+      assert(start.contains("proto_version '2'") && start.contains("streaming 'on'"), start)
     } finally ws.close()
   }
 
