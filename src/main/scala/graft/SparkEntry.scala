@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_pack" -> (PipelineQueries.q54Pack _),
     "q55_sample" -> (PipelineQueries.q55Sample _),
     "q56_quantize" -> (PipelineQueries.q56Quantize _),
+    "q59_dedup_corpus" -> (PipelineQueries.q59DedupCorpus _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

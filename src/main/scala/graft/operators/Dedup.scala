@@ -628,4 +628,31 @@ object Dedup {
       .withColumn("contaminated", col("shared") >= minShared)
       .orderBy("doc_id")
   }
+
+  /** Materialized deduplication — the end-cap of the dedup pipeline
+    * (pairs → families → DROP the losers): keeps exactly one survivor
+    * per near-dup family (highest `quality`; ties by lowest `id`) plus
+    * every document in no family. The output is the deduplicated corpus
+    * with `docs`' full schema.
+    *
+    * Scale shape: family labels come from connected components over the
+    * PAIR GRAPH (edges between near-duplicates — metadata-sized, not the
+    * corpus), so both the keep-rule join and the survivors' anti-join
+    * BROADCAST the labels and the corpus never shuffles; the keep-rule
+    * window ranks only the labeled docs (the duplicate fraction). At
+    * 100 TB this is two broadcast-joined corpus scans + a window over
+    * the duplicates. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, quality: Column,
+                    id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val labels = Clustering.connectedComponents(pairs)
+    val w = Window.partitionBy("comp").orderBy(quality.desc, col(id))
+    val survivors = docs.join(broadcast(labels), docs(id) === labels("node"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "node", "comp")
+    docs.join(broadcast(labels), docs(id) === labels("node"), "left_anti")
+      .unionByName(survivors)
+  }
 }

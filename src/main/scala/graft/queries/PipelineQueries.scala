@@ -345,6 +345,20 @@ object PipelineQueries {
       .agg(lit(64).as("dim"), (max(col("d")) <= 0.01).as("within_bound"))
   }
 
+  /** Materialized corpus dedup (the dedup pipeline's end-cap): near-dup
+    * pairs (MinHash-LSH, exact-verified) → connected-component families →
+    * keep the highest-quality member of each family (ties by lowest
+    * doc_id) plus all unclustered docs. Output = the surviving doc_ids.
+    * Hard oracle: DuckDB mirrors pairs (recursive-CTE closure), the q30
+    * quality formula, and the keep-rule window. */
+  def q59DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5).select("da", "db")
+    Dedup.keepCanonical(docs, pairs,
+      TA.qualityScore(col("text")).cast(DecimalType(14, 4)))
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Disk round-trip contract for the persisted IVF index (VERDICT r7
     * #1/#8): build → write (partitioned by list, packed codes stored) →
     * FRESH read → (a) float probe recall vs the exact scan at the q36
@@ -461,6 +475,29 @@ object PipelineQueries {
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,
+      "q59_dedup_corpus" ->
+        s"""WITH RECURSIVE $jaccardCtes,
+           |pr AS (SELECT da, db FROM p WHERE jac >= 0.5),
+           |edges AS (SELECT da AS u, db AS v FROM pr UNION SELECT db AS u, da AS v FROM pr),
+           |cc(node, comp) AS (
+           |  SELECT u, u FROM edges
+           |  UNION
+           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+           |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+           |qd AS (SELECT doc_id, lower(text) AS t, string_split(lower(text),' ') AS wl FROM documents),
+           |qs AS (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(wl, x -> x IN $allStops))::DOUBLE / greatest(len(wl), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(wl, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(wl), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM qd),
+           |ranked AS (SELECT lab.node AS doc_id,
+           |             ROW_NUMBER() OVER (PARTITION BY lab.comp ORDER BY qs.q DESC, lab.node) AS rn
+           |           FROM lab JOIN qs ON lab.node = qs.doc_id)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM lab)
+           |UNION ALL SELECT doc_id FROM ranked WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin,
       "q47_pipeline_e2e" ->
         s"""WITH d AS (SELECT lang, text, lower(text) AS t, string_split(lower(text),' ') AS w FROM documents),
            |q AS (SELECT lang, text, CAST(ROUND(

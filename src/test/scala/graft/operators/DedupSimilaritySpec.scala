@@ -12,6 +12,26 @@ class DedupSimilaritySpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sfDirDocs, "documents")
 
+  test("keepCanonical: one survivor per family (best quality, ties by id), unclustered pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.50), (2L, 0.90), (3L, 0.90), // family {1,2,3}: 2 and 3 tie on quality -> keep 2
+      (4L, 0.10),                          // unclustered
+      (5L, 0.30), (6L, 0.70),              // family {5,6}: keep 6
+      (7L, 0.99)                           // unclustered
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val kept = Dedup.keepCanonical(docs, pairs, col("q"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 6L, 7L))
+    // full input schema survives dedup
+    assert(kept.columns.toSeq === Seq("doc_id", "q"))
+    // plan shape: labels broadcast on both the keep-rule and anti joins —
+    // the corpus is never shuffled into a join
+    val plan = kept.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2, s"labels must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$plan")
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at the 0.5 threshold") {
     val exact = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashLshPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
