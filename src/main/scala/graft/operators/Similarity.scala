@@ -347,8 +347,9 @@ object Similarity {
     * choice, asserted by KnnJoinSpec's parity case. */
   def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   broadcastableQueries: Long = 100000L): DataFrame = {
-    val n = queries.limit((broadcastableQueries + 1).toInt).count()
-    if (n <= broadcastableQueries) knnJoinExact(corpus, queries, k)
+    val bound = math.min(broadcastableQueries, Int.MaxValue - 1L).toInt
+    val n = queries.limit(bound + 1).count()
+    if (n <= bound) knnJoinExact(corpus, queries, k)
     else knnJoinGrid(corpus, queries, k)
   }
 
