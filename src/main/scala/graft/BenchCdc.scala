@@ -43,6 +43,34 @@ object BenchCdc {
     frames.result().zipWithIndex.map { case (f, i) => (i.toLong, f) }
   }
 
+  /** v2 twin of [[segment]]: the same rows arrive as STREAMED
+    * transactions (S + xid-prefixed inserts + E + stream commit) —
+    * measures what the proto-v2 segment framing and per-tx buffering
+    * cost relative to plain v1 decode. */
+  private def segmentV2(rows: Int, seed: Int): Seq[(Long, Array[Byte])] = {
+    val rnd = new scala.util.Random(seed)
+    val frames = Seq.newBuilder[Array[Byte]]
+    frames += E.relation(rel)
+    var emitted = 0
+    var xid = 1000
+    while (emitted < rows) {
+      frames += E.streamStart(xid)
+      val n = math.min(100, rows - emitted)
+      (0 until n).foreach { i =>
+        frames += E.streamed(xid, E.insert(1, Seq(
+          Some((emitted + i).toString),
+          Some("name-" + rnd.nextInt(1000000)),
+          Some(f"${rnd.nextDouble() * 1000}%.2f"),
+          Some(s"{a${rnd.nextInt(100)},b${rnd.nextInt(100)}}"))))
+      }
+      frames += E.streamStop()
+      frames += E.streamCommit(xid)
+      emitted += n
+      xid += 1
+    }
+    frames.result().zipWithIndex.map { case (f, i) => (i.toLong, f) }
+  }
+
   def main(args: Array[String]): Unit = {
     val rowsPerFile = 100000
     val nFiles = 8
@@ -50,6 +78,8 @@ object BenchCdc {
     (0 until nFiles).foreach { i =>
       FrameFile.write(dir.resolve(f"wal$i%02d.frames").toString, segment(rowsPerFile, i))
     }
+    val v2Path = dir.resolve("wal_v2.frames").toString
+    FrameFile.write(v2Path, segmentV2(rowsPerFile, 99))
 
     // single-thread decode (the reference's execution model)
     val frames0 = FrameFile.readPath(dir.resolve("wal00.frames").toString)
@@ -69,6 +99,22 @@ object BenchCdc {
     val n1 = decodeAll()
     val singleRate = n1 / ((System.nanoTime() - t0) / 1e9)
 
+    // assembled-path twins (ReplayDecode: frame decode + ChangeRecord
+    // construction; v2 additionally buffers per xid and emits at each
+    // stream commit) — compare these two to price the v2 framing, not
+    // v2 against the raw decode-only number above
+    def assembled(fs: Vector[(Long, Array[Byte])]): Long =
+      graft.sources.ReplayDecode.decode(fs, 0, fs.size).size.toLong
+    assembled(frames0) // warm
+    val tA = System.nanoTime()
+    val nA = assembled(frames0)
+    val v1AssembledRate = nA / ((System.nanoTime() - tA) / 1e9)
+    val framesV2 = FrameFile.readPath(v2Path)
+    assembled(framesV2) // warm
+    val t2 = System.nanoTime()
+    val n2 = assembled(framesV2)
+    val v2Rate = n2 / ((System.nanoTime() - t2) / 1e9)
+
     // distributed batch replay (8 files, local[8])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -82,7 +128,10 @@ object BenchCdc {
     val distRate = total / ((System.nanoTime() - t1) / 1e9)
 
     println(s"""{"metric":"cdc_decode","unit":"records_per_sec",""" +
-      s""""single_thread":${singleRate.round},"distributed_8_files":${distRate.round},""" +
+      s""""single_thread":${singleRate.round},""" +
+      s""""single_thread_assembled":${v1AssembledRate.round},""" +
+      s""""single_thread_v2_streamed":${v2Rate.round},""" +
+      s""""distributed_8_files":${distRate.round},""" +
       s""""rows":${nFiles * rowsPerFile}}""")
     spark.stop()
   }
