@@ -314,17 +314,25 @@ object PipelineQueries {
     * formula is mirrored literally (floor(y+0.5), never round()). */
   def q56Quantize(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantize
+    // quantize ONCE per vector: the naive form re-evaluated int8(e)
+    // inside every derived expression (codes, two maxAbsError calls, the
+    // bound) and CollapseProject happily inlines the alias — pinning the
+    // packed struct behind a per-row explode-of-one barrier is ugly, so
+    // instead each derived value reads the SHARED packed column from a
+    // separate projection stage and reuses its stored scale for the
+    // bound (scale/2 + eps) rather than recomputing min/max
     val emb = t(spark, dir, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
-    val packed = Quantize.int8(col("e"))
-    emb.select(
-        aggregate(packed.getField("q"), lit(0L), (a, x) => a + x).as("qsum"),
-        Quantize.maxAbsError(col("e")).as("err"),
-        (Quantize.maxAbsError(col("e")) - Quantize.errorBound(col("e"))).as("slack"))
+    val staged = emb.select(col("e"), Quantize.int8(col("e")).as("p"))
+    staged.select(
+        aggregate(col("p").getField("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        array_max(zip_with(col("e"), Quantize.dequantize(col("p")),
+          (a, b) => abs(a - b))).as("err"),
+        (col("p").getField("scale") / 2.0 + lit(1e-9)).as("bound"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("qsum")).cast("long").as("q_checksum"),
         round(max(col("err")), 6).as("max_err"),
-        (max(col("slack")) <= 0.0).as("within_bound"))
+        (max(col("err") - col("bound")) <= 0.0).as("within_bound"))
   }
 
   /** Quantized-cosine deviation contract: over every corpus vector vs
