@@ -22,7 +22,7 @@ import graft.wal.PgOutput.RelationMeta
   *    column from the record, `PgWalMessageDecoder.java:206-207`).
   */
 final case class ChangeRecord(
-    op: String, // "I" | "U" | "D" | "T" (truncate marker) | "R" (snapshot read)
+    op: String, // "I" | "U" | "D" | "T" (truncate marker) | "R" (snapshot read) | "M" (logical decoding message)
     lsn: Long,
     txid: Long,
     schema: String,
@@ -70,6 +70,32 @@ object Envelope {
     case 1009 | 1015 => ArrayType(StringType) // text[], varchar[]
     case _ => StringType // unknown: pass through as text
   }
+
+  /** Envelope encoding of a logical decoding message ('M',
+    * `pg_logical_emit_message` — dropped by the reference,
+    * `PgWalMessageDecoder.java:60-61`): no relation, so schema/table are
+    * empty (typed views filter on schema+table and never see them) and
+    * the payload rides the `columns` map — content base64'd because it
+    * is arbitrary bytes and the map is String→String. [[messages]]
+    * decodes the typed view. */
+  def messageRecord(lsn: Long, txid: Long, m: graft.wal.PgOutput.LogicalMessage): ChangeRecord =
+    ChangeRecord("M", lsn, txid, "", "",
+      Map("prefix" -> m.prefix,
+          "content" -> java.util.Base64.getEncoder.encodeToString(m.content),
+          "transactional" -> (if (m.transactional) "t" else "f"),
+          "message_lsn" -> m.msgLsn.toString),
+      Vector.empty, Map.empty)
+
+  /** Typed view of the logical decoding messages in an envelope stream:
+    * (lsn, txid, transactional, message_lsn, prefix, content as binary),
+    * in stream order. The consumer-side pair of [[messageRecord]]. */
+  def messages(envelope: DataFrame): DataFrame =
+    envelope.filter(col("op") === "M").select(
+      col("lsn"), col("txid"),
+      (element_at(col("columns"), "transactional") === "t").as("transactional"),
+      element_at(col("columns"), "message_lsn").cast(LongType).as("message_lsn"),
+      element_at(col("columns"), "prefix").as("prefix"),
+      unbase64(element_at(col("columns"), "content")).as("content"))
 
   /** Cell accessor honoring the NULL-vs-UNCHANGED distinction: NULL when
     * the name is in `nulls` OR absent entirely (UNCHANGED surfaces as

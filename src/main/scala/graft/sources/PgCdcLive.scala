@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.ChangeRecord
+import graft.cdc.{ChangeRecord, Envelope}
 import graft.wal.{PgOutput, PgOutputDecoder}
 
 /** Where live pgoutput frames come from — the seam between the engine and
@@ -425,6 +425,9 @@ object LiveDecode {
           Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) =>
           truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
+        case Some(m: PgOutput.LogicalMessage) =>
+          Seq(Envelope.messageRecord(lsn,
+            if (m.transactional && txid >= 0) txid else lsn, m))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
             ((msgXid, changeRec(op, lsn, top.toLong & 0xffffffffL, meta, cells, before)))
@@ -433,6 +436,12 @@ object LiveDecode {
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) ++=
             truncRecs(lsn, top.toLong & 0xffffffffL, metas).map((msgXid, _))
           Nil
+        case Some(PgOutput.Streamed(top, msgXid, m: PgOutput.LogicalMessage)) =>
+          if (m.transactional) {
+            pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m)))
+            Nil
+          } else Seq(Envelope.messageRecord(lsn, lsn, m))
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
         case Some(PgOutput.StreamAbort(top, sub)) =>

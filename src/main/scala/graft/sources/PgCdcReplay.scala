@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.ChangeRecord
+import graft.cdc.{ChangeRecord, Envelope}
 import graft.wal.{FrameFile, PgOutput, PgOutputDecoder}
 
 /** Replay decode shared by the batch and streaming paths: one captured
@@ -62,6 +62,12 @@ object ReplayDecode {
           Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) if idx >= emitFrom =>
           truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
+        case Some(m: PgOutput.LogicalMessage) if idx >= emitFrom =>
+          // transactional: scoped to the enclosing tx; non-transactional:
+          // standalone at its own position (txid = own lsn, like the
+          // out-of-tx DML singleton path)
+          Seq(Envelope.messageRecord(lsn,
+            if (m.transactional && txid >= 0) txid else lsn, m))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           // buffered regardless of the emit window — the commit decides
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -71,6 +77,15 @@ object ReplayDecode {
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) ++=
             truncRecs(lsn, top.toLong & 0xffffffffL, metas).map((msgXid, _))
           Nil
+        case Some(PgOutput.Streamed(top, msgXid, m: PgOutput.LogicalMessage)) =>
+          // transactional messages ride the streamed tx (and vanish with
+          // its abort); non-transactional ones bypass the buffer
+          if (m.transactional) {
+            pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m)))
+            Nil
+          } else if (idx >= emitFrom) Seq(Envelope.messageRecord(lsn, lsn, m))
+          else Nil
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           val recs = pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
           if (idx >= emitFrom) recs else Nil

@@ -149,6 +149,39 @@ class CdcReplaySpec extends SparkSpec {
     assert(noTrunc.map(_.getAs[Long]("id")).toSeq === Seq(1L, 10L))
   }
 
+  test("logical decoding messages ('M') surface as op='M' envelope rows") {
+    val e = PgOutputEncoder
+    val frames: Seq[Array[Byte]] = Seq(
+      e.relation(rel),
+      e.begin(), // lsn 101 → txid of the enclosing tx
+      e.insert(1, Seq(Some("1"), Some("a"), Some("t"), None, None)),
+      e.logicalMessage("fence", Array[Byte](1, 2, -1), msgLsn = 55L), // transactional
+      e.commit(),
+      e.logicalMessage("tick", "t0".getBytes, transactional = false), // standalone, lsn 105
+      // a streamed tx that aborts: its transactional message must vanish
+      e.streamStart(700),
+      e.streamed(700, e.logicalMessage("doomed", "x".getBytes)),
+      e.streamStop(),
+      e.streamAbort(700, 700))
+    val path = Files.createTempDirectory("cdc-msg").resolve("wal0.frames").toString
+    FrameFile.write(path, frames.zipWithIndex.map { case (f, i) => (100L + i, f) })
+    val env = ReplayDecode.batchDf(spark, path)
+    val msgs = Envelope.messages(env).orderBy("lsn").collect()
+    assert(msgs.length === 2) // fence + tick; "doomed" discarded by the abort
+    val fence = msgs(0)
+    assert(fence.getAs[Long]("txid") === 101L) // scoped to its tx
+    assert(fence.getAs[Boolean]("transactional"))
+    assert(fence.getAs[Long]("message_lsn") === 55L)
+    assert(fence.getAs[String]("prefix") === "fence")
+    assert(fence.getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, -1)) // binary survives base64
+    val tick = msgs(1)
+    assert(!tick.getAs[Boolean]("transactional"))
+    assert(tick.getAs[Long]("txid") === tick.getAs[Long]("lsn")) // standalone
+    assert(new String(tick.getAs[Array[Byte]]("content")) === "t0")
+    // relation-typed views never see message rows (schema/table are empty)
+    assert(Envelope.typedView(env, rel).filter(col("op") === "M").count() === 0)
+  }
+
   test("proto v2: interleaved streamed txns assemble at commit; aborts discard; batches never split") {
     val e = PgOutputEncoder
     val frames: Seq[Array[Byte]] = Seq(

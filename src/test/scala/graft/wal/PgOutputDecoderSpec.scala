@@ -88,10 +88,31 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     intercept[IllegalStateException](dec(d, PgOutputEncoder.insert(42, Seq(Some("1")))))
   }
 
-  test("Y/O/M frames are recognized and dropped") {
+  test("Y/O frames are recognized and dropped") {
     val d = new PgOutputDecoder
-    for (c <- Seq('Y', 'O', 'M'))
+    for (c <- Seq('Y', 'O'))
       assert(dec(d, Array(c.toByte)) === None)
+  }
+
+  test("logical decoding message ('M') round-trips, binary content intact") {
+    val d = new PgOutputDecoder
+    val payload = Array[Byte](0, -1, 127, -128, 42) // not valid UTF-8 — bytes must survive
+    val Some(LogicalMessage(trans, msgLsn, prefix, content)) =
+      dec(d, PgOutputEncoder.logicalMessage("graft.fence", payload, transactional = true, msgLsn = 77L))
+    assert(trans && msgLsn === 77L && prefix === "graft.fence")
+    assert(content.toSeq === payload.toSeq)
+    val Some(LogicalMessage(trans2, _, prefix2, content2)) =
+      dec(d, PgOutputEncoder.logicalMessage("tick", Array.emptyByteArray, transactional = false))
+    assert(!trans2 && prefix2 === "tick" && content2.isEmpty)
+  }
+
+  test("'M' inside a streamed segment carries the v2 xid prefix") {
+    val d = new PgOutputDecoder
+    dec(d, PgOutputEncoder.streamStart(900))
+    val Some(Streamed(900, 901, LogicalMessage(true, _, "mark", _))) =
+      dec(d, PgOutputEncoder.streamed(901,
+        PgOutputEncoder.logicalMessage("mark", "x".getBytes)))
+    dec(d, PgOutputEncoder.streamStop())
   }
 
   test("TRUNCATE decodes the relation-OID list and option bits") {
