@@ -75,6 +75,7 @@ object SparkEntry {
     "q55_sample" -> (PipelineQueries.q55Sample _),
     "q56_quantize" -> (PipelineQueries.q56Quantize _),
     "q59_dedup_corpus" -> (PipelineQueries.q59DedupCorpus _),
+    "q60_cross_dedup" -> (PipelineQueries.q60CrossDedup _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -655,4 +655,54 @@ object Dedup {
     docs.join(broadcast(labels), docs(id) === labels("node"), "left_anti")
       .unionByName(survivors)
   }
+
+  /** Exact cross-corpus near-dup probe — the INCREMENTAL ingestion
+    * pattern: which documents of a new batch are near-dups (n-gram
+    * Jaccard >= threshold) of SOME document in the standing corpus,
+    * without re-pairing the corpus with itself. Returns
+    * (corpus_id, inc_id, jac), one row per qualifying cross pair.
+    *
+    * Asymmetric by construction — NOT `jaccardPairs(corpus ∪ increment)`
+    * filtered to cross pairs, which would pay the corpus's own quadratic
+    * intra-bucket expansion just to discard it:
+    *  - the increment's exploded shingle index is `broadcast` (an ingest
+    *    batch is bounded); the corpus's explode streams through the
+    *    broadcast hash join with NO corpus shuffle — only rows matching
+    *    an increment shingle reach the pair aggregation;
+    *  - `common` is the match count per (corpus_id, inc_id), map-side
+    *    combined; set sizes ride the exploded rows (`first` in the same
+    *    agg), so there is no corpus-sized count join;
+    *  - at 100 TB: one corpus scan + one candidate-pair-sized shuffle.
+    * Same fnv64 shingle hashing (and collision analysis) as
+    * [[jaccardPairs]]; documents shorter than n words never match. */
+  def crossDupPairs(corpus: DataFrame, increment: DataFrame,
+                    threshold: Double = 0.5, n: Int = 3): DataFrame =
+    crossDup0(corpus, increment, threshold, n).orderBy("corpus_id", "inc_id")
+
+  private def crossDup0(corpus: DataFrame, increment: DataFrame,
+                        threshold: Double, n: Int): DataFrame = {
+    val exc = withHashedShingles(corpus, n).select(
+      col("doc_id").as("corpus_id"), size(col("shingles")).cast("long").as("nc"),
+      explode(col("shingles")).as("sg"))
+    val exi = withHashedShingles(increment, n).select(
+      col("doc_id").as("inc_id"), size(col("shingles")).cast("long").as("ni"),
+      explode(col("shingles")).as("sg"))
+    exc.join(broadcast(exi), "sg")
+      .groupBy("corpus_id", "inc_id")
+      .agg(count(lit(1)).as("common"), first("nc").as("nc"), first("ni").as("ni"))
+      .select(col("corpus_id"), col("inc_id"),
+        jaccard(col("common"), col("nc"), col("ni")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Increment survivors: documents of `increment` that are NOT a
+    * near-dup of any corpus document — what actually gets ingested.
+    * The flagged-id set is bounded by the increment, so the anti join
+    * broadcasts it; `increment`'s full rows never shuffle. */
+  def dedupAgainstCorpus(corpus: DataFrame, increment: DataFrame,
+                         threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val dup = crossDup0(corpus, increment, threshold, n)
+      .select(col("inc_id").as("doc_id")).distinct()
+    increment.join(broadcast(dup), Seq("doc_id"), "left_anti")
+  }
 }

@@ -367,6 +367,17 @@ object PipelineQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** q60: incremental dedup — probe the odd-doc_id half of `documents`
+    * (the "new ingest batch") against the even half (the "standing
+    * corpus"). Cross pairs only: the corpus never pairs with itself.
+    * Hard oracle: DuckDB mirrors the asymmetric inverted-index join. */
+  def q60CrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.crossDupPairs(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), threshold = 0.5, n = 3)
+  }
+
   /** Disk round-trip contract for the persisted IVF index (VERDICT r7
     * #1/#8): build → write (partitioned by list, packed codes stored) →
     * FRESH read → (a) float probe recall vs the exact scan at the q36
@@ -422,6 +433,22 @@ object PipelineQueries {
         |      FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id)""".stripMargin
     val jaccardSql =
       s"WITH $jaccardCtes\nSELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db"
+    // asymmetric variant for q60: candidate join crosses the corpus
+    // (even doc_ids) with the increment (odd doc_ids) — no intra-side pairs
+    val crossDedupSql =
+      """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
+        |c AS (SELECT a.doc_id AS corpus_id, b.doc_id AS inc_id, COUNT(*) AS common
+        |      FROM e a JOIN e b ON a.sg = b.sg
+        |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
+        |p AS (SELECT corpus_id, inc_id,
+        |        ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) AS jac
+        |      FROM c JOIN n na ON corpus_id = na.doc_id JOIN n nb ON inc_id = nb.doc_id)
+        |SELECT corpus_id, inc_id, jac FROM p WHERE jac >= 0.5
+        |ORDER BY corpus_id, inc_id""".stripMargin
     // transitive closure of the pair graph via recursive min-label
     // propagation — the SQL mirror of Clustering.connectedComponents
     val clusterSql =
@@ -480,6 +507,7 @@ object PipelineQueries {
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "q32_jaccard_pairs" -> jaccardSql,
       "q33_minhash_lsh" -> jaccardSql,
+      "q60_cross_dedup" -> crossDedupSql,
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,

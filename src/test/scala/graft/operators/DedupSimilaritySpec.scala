@@ -32,6 +32,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$plan")
   }
 
+  test("crossDupPairs equals jaccardPairs restricted to cross-side pairs; survivors anti-match") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    // reference: symmetric pairs over everything, kept only when the two
+    // sides straddle the split (jaccardPairs emits da < db; reorient)
+    val expected = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (a, b, j)
+        case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (b, a, j)
+      }.toSet
+    val cross = Dedup.crossDupPairs(corpus, inc, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(cross === expected)
+    // survivors = increment minus flagged inc ids, schema preserved
+    val flagged = cross.map(_._2)
+    val survivors = Dedup.dedupAgainstCorpus(corpus, inc, 0.5)
+    assert(survivors.columns.toSeq === inc.columns.toSeq)
+    val got = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = inc.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(got === want)
+    // plan shape: the increment side broadcasts into the candidate join —
+    // the corpus must stream through it, never sort-merge
+    val plan = Dedup.crossDupPairs(corpus, inc, 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"increment index must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into the join:\n$plan")
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at the 0.5 threshold") {
     val exact = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashLshPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
