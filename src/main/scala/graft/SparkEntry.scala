@@ -76,6 +76,7 @@ object SparkEntry {
     "q56_quantize" -> (PipelineQueries.q56Quantize _),
     "q59_dedup_corpus" -> (PipelineQueries.q59DedupCorpus _),
     "q60_cross_dedup" -> (PipelineQueries.q60CrossDedup _),
+    "q61_mix" -> (PipelineQueries.q61Mix _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -89,4 +89,67 @@ object Packing {
     }
     df.filter(substring(md5(key.cast("string")), 1, 4) < cutoff)
   }
+
+  /** Deterministic data-mixture construction: per-source token budgets
+    * over a stable hash order — "a 60/30/10 web/code/books mix totalling
+    * N tokens" as a reproducible, engine-portable selection. Per source,
+    * documents are ordered by (md5(key), key) — the same seedless order
+    * [[hashSampleCond]] samples by — and a document is kept while the
+    * running token total BEFORE it is under the source's budget (so the
+    * document that crosses the budget is the last one in, and a source
+    * with fewer tokens than its budget is kept whole). Sources without a
+    * budget entry are dropped: the mixture is exactly what was asked
+    * for. Output schema = input schema.
+    *
+    * Scale shape — the naive form is one global cumulative window per
+    * source, which serializes a source through ONE task (sources are
+    * few; a window partition would be terabytes). Instead the order
+    * key's first hex byte pre-buckets each source into 256 hash-ordered
+    * slices, turning the selection into:
+    *  (1) per (source, bucket) token sums — a map-side-combined agg down
+    *      to a sources x 256 table;
+    *  (2) a running bucket-prefix window per source over that TINY
+    *      table — the only cross-partition cumulation, at driver scale;
+    *  (3) broadcast the classified buckets back onto the corpus: a
+    *      fully-funded bucket (prefix + bucket total <= budget) keeps
+    *      every row with NO window at all; a drained bucket (prefix >=
+    *      budget) drops every row; only the single BOUNDARY bucket per
+    *      source runs the fine cumulative window — over 1/256th of one
+    *      source.
+    * The selected set equals the naive global window's exactly: a doc's
+    * global running-before = its bucket's prefix + its in-bucket
+    * running-before (the bucket id is the order key's leading byte, so
+    * bucket order IS hash order). */
+  def mixToBudgets(docs: DataFrame, budgets: Map[String, Long],
+                   sourceCol: Column, tokenCol: Column, key: Column): DataFrame = {
+    require(budgets.nonEmpty, "mixToBudgets: empty budget map")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s, b)) => when(sourceCol === s, lit(b)).otherwise(acc)
+    }
+    val helper = Seq("__src", "__budget", "__h", "__bkt", "__tok",
+      "__before", "__all", "__touch")
+    val base = docs
+      .withColumn("__src", sourceCol)
+      .withColumn("__budget", budget)
+      .filter(col("__budget") >= 0L)
+      .withColumn("__h", md5(key.cast("string")))
+      .withColumn("__bkt", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__tok", tokenCol.cast("long"))
+    val wB = Window.partitionBy("__src").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = base.groupBy("__src", "__bkt")
+      .agg(sum("__tok").as("__btok"), first("__budget").as("__b"))
+      .withColumn("__before", coalesce(sum(col("__btok")).over(wB), lit(0L)))
+      .select(col("__src"), col("__bkt"), col("__before"),
+        (col("__before") + col("__btok") <= col("__b")).as("__all"),
+        (col("__before") < col("__b")).as("__touch"))
+    val joined = base.join(broadcast(buckets), Seq("__src", "__bkt"))
+    val full = joined.filter(col("__all"))
+    val wF = Window.partitionBy("__src", "__bkt").orderBy(col("__h"), key)
+    val boundary = joined.filter(!col("__all") && col("__touch"))
+      .withColumn("__cum", sum(col("__tok")).over(wF))
+      .filter(col("__before") + col("__cum") - col("__tok") < col("__budget"))
+      .drop("__cum")
+    full.unionByName(boundary).drop(helper: _*)
+  }
 }

@@ -378,6 +378,22 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 2 === 1), threshold = 0.5, n = 3)
   }
 
+  /** q61: deterministic data-mixture construction — four sources funded
+    * with different token budgets, selected in stable md5 order; the
+    * summary proves the same documents were chosen in both engines.
+    * Hard oracle: DuckDB mirrors the naive per-source global window
+    * (the operator's bucketed plan selects the identical set). */
+  def q61Mix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.mixToBudgets(
+      t(spark, dir, "documents"),
+      budgets = Map("src1" -> 600L, "src3" -> 400L, "src5" -> 800L, "src7" -> 500L),
+      sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
+      key = col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.wsTokenCount(col("text")).cast("long")).as("tokens"))
+      .orderBy("source")
+
   /** Disk round-trip contract for the persisted IVF index (VERDICT r7
     * #1/#8): build → write (partitioned by list, packed codes stored) →
     * FRESH read → (a) float probe recall vs the exact scan at the q36
@@ -508,6 +524,20 @@ object PipelineQueries {
       "q32_jaccard_pairs" -> jaccardSql,
       "q33_minhash_lsh" -> jaccardSql,
       "q60_cross_dedup" -> crossDedupSql,
+      "q61_mix" ->
+        """WITH d AS (SELECT source, doc_id,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |             md5(CAST(doc_id AS VARCHAR)) AS h
+          |           FROM documents WHERE source IN ('src1','src3','src5','src7')),
+          |c AS (SELECT source, tok,
+          |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+          |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
+          |      FROM d),
+          |k AS (SELECT source, tok FROM c
+          |      WHERE bef < CASE source WHEN 'src1' THEN 600 WHEN 'src3' THEN 400
+          |                              WHEN 'src5' THEN 800 ELSE 500 END)
+          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+          |FROM k GROUP BY source ORDER BY source""".stripMargin,
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,

@@ -67,4 +67,39 @@ class PackingSpec extends SparkSpec {
       .groupBy("s").count().as[(String, Long)].collect().toMap
     assert(kept === Map("a" -> 3000L)) // all of a, none of b
   }
+
+  /** 600 docs over 3 sources with varied token sizes — big enough that
+    * every budget's boundary falls inside a multi-doc md5 bucket. */
+  private def mixFixture = spark.range(0, 600).select(
+    col("id").as("doc_id"),
+    concat(lit("s"), col("id") % 3).as("source"),
+    (col("id") % 97 + 5).cast("long").as("tokens"))
+
+  test("mixToBudgets selects exactly the naive per-source global-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = Map("s0" -> 2000L, "s1" -> 5000L) // s2 unfunded -> dropped
+    val got = Packing.mixToBudgets(mixFixture, budgets,
+        sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"))
+    assert(got.columns.toSeq === mixFixture.columns.toSeq) // schema preserved
+    // reference: the naive single-window-per-source form
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = mixFixture
+      .filter(col("source").isin(budgets.keys.toSeq: _*))
+      .withColumn("__bef", sum(col("tokens")).over(w) - col("tokens"))
+      .filter(col("__bef") < when(col("source") === "s0", 2000L).otherwise(5000L))
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ===
+      naive.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the budget actually bites: kept tokens reach the budget but the
+    // running total before the last kept doc is under it
+    val toks = got.groupBy("source").agg(sum("tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(toks("s0") >= 2000L && toks("s1") >= 5000L)
+  }
+
+  test("mixToBudgets keeps an underfunded source whole") {
+    val got = Packing.mixToBudgets(mixFixture, Map("s1" -> 1000000L),
+        sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"))
+    assert(got.count() === mixFixture.filter(col("source") === "s1").count())
+  }
 }
