@@ -77,6 +77,7 @@ object SparkEntry {
     "q59_dedup_corpus" -> (PipelineQueries.q59DedupCorpus _),
     "q60_cross_dedup" -> (PipelineQueries.q60CrossDedup _),
     "q61_mix" -> (PipelineQueries.q61Mix _),
+    "q62_repetition" -> (PipelineQueries.q62Repetition _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

@@ -156,4 +156,56 @@ object TextAnalysis {
 
   /** Exact 4-decimal view for order-independent averaging of scores. */
   def dec4(c: Column): Column = c.cast(DecimalType(14, 4))
+
+  /** Fraction of word instances that repeat an earlier word:
+    * 1 - distinct/total. A pure array projection — rides the scan. */
+  def dupWordFrac(text: Column): Column = {
+    val ws = words(lower(text))
+    dec4(round(lit(1.0) - size(array_distinct(ws)).cast(DoubleType)
+      / greatest(size(ws), lit(1)), 4))
+  }
+
+  /** Per-document repetition signals — the published "repetitious text"
+    * quality rules (duplicate-fraction + top-n-gram mass), adapted to
+    * word streams:
+    *  - `dup_word_frac`: fraction of word instances repeating an earlier
+    *    word ([[dupWordFrac]]; a zero-shuffle array expression);
+    *  - `top_bigram_frac`: share of ALL word bigrams taken by the single
+    *    most frequent one (a run-on or boilerplate loop pushes this up).
+    * The bigram mode needs per-document counting, so it is NOT a pure
+    * projection; the shape is explode → two-level hash agg, both levels
+    * map-side combinable, with `carry` columns riding the aggregation as
+    * `first()` so NO corpus-sized join re-attaches metadata. Bigrams
+    * group by their xxhash64 (fixed-width shuffle keys; a collision
+    * could only merge two bigrams WITHIN one document — vanishing odds,
+    * same analysis as Dedup's fnv64 shingles). Documents with fewer than
+    * two words survive via `explode_outer` (top_bigram_frac = 0).
+    * Fractions are 4-decimal DECIMAL so aggregates of them are
+    * order-independent across engines. */
+  def repetitionSignals(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val ws = words(lower(col("text")))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val base = docs
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+ ws.as("ws"): _*)
+      .withColumn("dup_word_frac",
+        dec4(round(lit(1.0) - size(array_distinct(col("ws"))).cast(DoubleType)
+          / greatest(size(col("ws")), lit(1)), 4)))
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(col("dup_word_frac"),
+        explode_outer(bigrams).as("bg")): _*)
+    val carried = first(col("dup_word_frac")).as("dup_word_frac") +:
+      carry.map(c => first(col(c)).as(c))
+    val perBigram = base
+      .groupBy(col("doc_id"), when(col("bg").isNotNull, xxhash64(col("bg"))).as("bh"))
+      .agg(count(col("bg")).as("c"), carried: _*)
+    perBigram
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("topc"), (sum(col("c")).as("nb") +: carried): _*)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(col("dup_word_frac"),
+        dec4(coalesce(when(col("nb") > 0,
+          round(col("topc").cast(DoubleType) / col("nb"), 4)), lit(0.0)))
+          .as("top_bigram_frac")): _*)
+  }
 }

@@ -394,6 +394,21 @@ object PipelineQueries {
         sum(TA.wsTokenCount(col("text")).cast("long")).as("tokens"))
       .orderBy("source")
 
+  /** q62: repetition-based quality filters (the published repetitious-
+    * text rules adapted to word streams): per-source counts of documents
+    * flagged repetitive (top bigram takes >= 10% of bigrams, or >= 80%
+    * of word instances repeat) plus decimal-exact signal averages.
+    * Hard oracle: DuckDB mirrors both signals and the flag rule. */
+  def q62Repetition(spark: SparkSession, dir: String): DataFrame =
+    TA.repetitionSignals(t(spark, dir, "documents"), carry = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top_bigram_frac") >= 0.1 || col("dup_word_frac") >= 0.8, 1L)
+          .otherwise(0L)).as("n_repetitive"),
+        round(sum(col("dup_word_frac")).cast(DoubleType) / count(lit(1)), 4).as("avg_dup_word"),
+        round(sum(col("top_bigram_frac")).cast(DoubleType) / count(lit(1)), 4).as("avg_top_bigram"))
+      .orderBy("source")
+
   /** Disk round-trip contract for the persisted IVF index (VERDICT r7
     * #1/#8): build → write (partitioned by list, packed codes stored) →
     * FRESH read → (a) float probe recall vs the exact scan at the q36
@@ -538,6 +553,24 @@ object PipelineQueries {
           |                              WHEN 'src5' THEN 800 ELSE 500 END)
           |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
           |FROM k GROUP BY source ORDER BY source""".stripMargin,
+      "q62_repetition" ->
+        """WITH w AS (SELECT doc_id, source, string_split(lower(text),' ') AS w FROM documents),
+          |d AS (SELECT doc_id, source,
+          |        CAST(ROUND(1.0 - len(list_distinct(w))::DOUBLE / greatest(len(w), 1), 4)
+          |             AS DECIMAL(14,4)) AS dwf,
+          |        list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1]) AS bgs
+          |      FROM w),
+          |e AS (SELECT doc_id, unnest(bgs) AS b FROM d),
+          |c AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+          |t AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM c GROUP BY 1),
+          |j AS (SELECT d.doc_id, d.source, d.dwf,
+          |        CAST(COALESCE(ROUND(t.topc::DOUBLE / t.nb, 4), 0) AS DECIMAL(14,4)) AS tbf
+          |      FROM d LEFT JOIN t ON d.doc_id = t.doc_id)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN tbf >= 0.1 OR dwf >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+          |  ROUND(SUM(dwf)::DOUBLE / COUNT(*), 4) AS avg_dup_word,
+          |  ROUND(SUM(tbf)::DOUBLE / COUNT(*), 4) AS avg_top_bigram
+          |FROM j GROUP BY source ORDER BY source""".stripMargin,
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,
