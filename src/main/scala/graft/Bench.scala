@@ -95,7 +95,10 @@ object Bench {
       name -> r
     }
     // single-pass audit of the dedup kernels (see PlanAudit scaladoc)
-    val udfSites = Seq("q32_jaccard_pairs", "q33_minhash_lsh", "q34_simhash_pairs")
+    // (q60's expected count is 2: the corpus and increment sides each
+    // run the shingle kernel once — two distinct inputs, both live)
+    val udfSites = Seq("q32_jaccard_pairs", "q33_minhash_lsh", "q34_simhash_pairs",
+        "q60_cross_dedup")
       .map { name =>
         val n = try graft.operators.PlanAudit.scalaUdfSites(
           SparkEntry.queries(name)(spark, sfDir))

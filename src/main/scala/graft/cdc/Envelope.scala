@@ -51,6 +51,7 @@ object Envelope {
     * strings (SURVEY.md §1.2 "not supported") but a query layer needs. */
   def sparkTypeFor(typeOid: Int, typeMod: Int): DataType = typeOid match {
     case 16 => BooleanType // bool
+    case 17 => BinaryType // bytea (hex wire text, PG >= 9.0 default)
     case 21 => ShortType // int2
     case 23 => IntegerType // int4
     case 20 => LongType // int8
@@ -114,6 +115,12 @@ object Envelope {
     val v = cell(name)
     t match {
       case BooleanType => coalesce(lower(v) === "t", lit(false))
+      case BinaryType =>
+        // bytea arrives as PG hex output ("\x0a1b…", the server default
+        // since 9.0); the legacy escape format (octal backslashes) is
+        // not produced by modern servers and decodes to NULL here.
+        when(v.startsWith("\\x"), unhex(v.substr(lit(3), length(v))))
+          .otherwise(lit(null).cast(BinaryType))
       case ArrayType(LongType, _) => PgFunctions.from_pg_long_array(v)
       case ArrayType(IntegerType, _) => PgFunctions.from_pg_int_array(v)
       case ArrayType(DoubleType, _) => PgFunctions.from_pg_double_array(v)

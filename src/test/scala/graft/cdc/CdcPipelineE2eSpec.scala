@@ -72,6 +72,20 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(tx1.count() === 3L && tx1.select("text").distinct().count() === 2L)
   }
 
+  test("incremental ingest: CDC-materialized batch dedups against a standing corpus") {
+    import spark.implicits._
+    // the CDC stream delivers the ingest increment; the standing corpus
+    // already contains doc 1's text under another id — dedupAgainstCorpus
+    // must drop the near-dup and admit the rest (the q60 daily pattern)
+    val corpus = Seq((100L, dupText + " end")).toDF("doc_id", "text")
+    val increment = materialized()
+    val survivors = Dedup.dedupAgainstCorpus(corpus, increment, threshold = 0.5, n = 3)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L))
+    val flagged = Dedup.crossDupPairs(corpus, increment, 0.5)
+      .select("inc_id").as[Long].collect().toSeq
+    assert(flagged === Seq(1L))
+  }
+
   test("text analysis and decontamination run on the CDC-materialized table") {
     val docs = materialized()
     val annotated = docs.select(col("doc_id"),

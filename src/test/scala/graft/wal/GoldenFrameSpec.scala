@@ -29,7 +29,7 @@ class GoldenFrameSpec extends SparkSpec {
 
   test("golden frames decode message-by-message (multi-relation, TOAST, arrays, v2, truncate)") {
     val frames = FrameFile.read(goldenBytes)
-    assert(frames.size === 21)
+    assert(frames.size === 34)
     val d = new PgOutputDecoder
     val msgs = frames.map { case (_, b) => d.decode(ByteBuffer.wrap(b)) }
 
@@ -81,6 +81,31 @@ class GoldenFrameSpec extends SparkSpec {
     assert(tMetas.map(_.table) === Vector("widgets", "gadgets"))
     assert(cascade && !restart)
     assert(msgs(20) === Some(Commit))
+
+    // logical decoding messages: transactional in-txn, standalone
+    // non-transactional, streamed-then-aborted
+    assert(msgs(21) === Some(Begin))
+    val Some(LogicalMessage(mt, mLsn, mPrefix, mContent)) = msgs(22)
+    assert(mt && mLsn === 0x01000410L && mPrefix === "golden.fence")
+    assert(mContent.toSeq === Seq[Byte](0, -1, 0x7f) ++ " seq=1".getBytes("UTF-8").toSeq)
+    assert(msgs(23) === Some(Commit))
+    val Some(LogicalMessage(nt, _, "golden.tick", empty)) = msgs(24)
+    assert(!nt && empty.isEmpty)
+    assert(msgs(25) === Some(StreamStart(1500, firstSegment = true)))
+    val Some(Streamed(1500, 1500, LogicalMessage(true, _, "golden.doomed", _))) = msgs(26)
+    assert(msgs(27) === Some(StreamStop))
+    assert(msgs(28) === Some(StreamAbort(1500, 1500)))
+
+    // bytea relation: hex wire text decodes via the typed view (below);
+    // at the frame level it is ordinary 't' cell text
+    val Some(Relation(blobs)) = msgs(29)
+    assert(blobs.table === "blobs" && blobs.columns.map(_.typeOid) === Vector(20, 17))
+    assert(msgs(30) === Some(Begin))
+    val Some(Change('I', _, bCells, _)) = msgs(31)
+    assert(bCells("data") === Some("\\x00ff10ab"))
+    val Some(Change('I', _, b2Cells, _)) = msgs(32)
+    assert(b2Cells("data") === None)
+    assert(msgs(33) === Some(Commit))
   }
 
   test("golden file end-to-end: replay -> typed view -> applyChanges") {
@@ -90,11 +115,36 @@ class GoldenFrameSpec extends SparkSpec {
     val env = ReplayDecode.batchDf(spark, path.toString)
     val rows = env.orderBy("lsn").collect()
     // I I U D (txn 1234 -> txid = BEGIN frame lsn), streamed I (real xid
-    // 999; txn 1001 aborted), T+T (truncate txn)
-    assert(rows.map(_.getAs[String]("op")).toSeq === Seq("I", "I", "U", "D", "I", "T", "T"))
+    // 999; txn 1001 aborted), T+T (truncate txn), M+M (transactional
+    // fence + standalone tick; the streamed-aborted message discarded),
+    // I+I (bytea txn)
+    assert(rows.map(_.getAs[String]("op")).toSeq ===
+      Seq("I", "I", "U", "D", "I", "T", "T", "M", "M", "I", "I"))
     assert(rows(4).getAs[Long]("txid") === 999L)
     assert(rows.map(_.getAs[String]("table")).toSeq ===
-      Seq("widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets"))
+      Seq("widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets",
+        "", "", "blobs", "blobs"))
+
+    // message view: fence scoped to its txn, tick standalone
+    val msgs = Envelope.messages(env).orderBy("lsn").collect()
+    assert(msgs.length === 2)
+    assert(msgs(0).getAs[String]("prefix") === "golden.fence")
+    assert(msgs(0).getAs[Boolean]("transactional"))
+    assert(msgs(0).getAs[Long]("message_lsn") === 0x01000410L)
+    assert(msgs(0).getAs[Array[Byte]]("content").take(3).toSeq === Seq[Byte](0, -1, 0x7f))
+    assert(msgs(1).getAs[String]("prefix") === "golden.tick")
+    assert(!msgs(1).getAs[Boolean]("transactional"))
+    assert(msgs(1).getAs[Array[Byte]]("content").isEmpty)
+
+    // bytea typed view: hex wire text -> binary, NULL preserved
+    val blobs = RelationMeta(5003, "public", "blobs", Vector(
+      RelationColumn("id", 20, -1, 1), RelationColumn("data", 17, -1, 0)))
+    val bTyped = Envelope.typedView(env, blobs)
+    assert(bTyped.schema("data").dataType.typeName === "binary")
+    val b1 = bTyped.filter(col("id") === 1L).head()
+    assert(b1.getAs[Array[Byte]]("data").toSeq ===
+      Seq(0x00, 0xff, 0x10, 0xab).map(_.toByte))
+    assert(bTyped.filter(col("id") === 2L).head().getAs[Array[Byte]]("data") === null)
 
     val widgets = RelationMeta(5001, "public", "widgets", Vector(
       RelationColumn("id", 20, -1, 1), RelationColumn("price", 1700, ((10 << 16) | 2) + 4, 0),

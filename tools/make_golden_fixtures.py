@@ -95,6 +95,10 @@ def stream_abort(xid, subxid):
 def streamed(xid, inner):
     return inner[:1] + i32(xid) + inner[1:]
 
+def message(prefix, content, transactional, lsn):
+    return (b"M" + i8(1 if transactional else 0) + i64(lsn)
+            + cstr(prefix) + i32(len(content)) + content)
+
 
 NUMERIC_10_2 = ((10 << 16) | 2) + 4
 
@@ -139,6 +143,26 @@ frames = [
     begin(0x0100_0300, 1300),
     truncate([5001, 5002], 1),
     commit(0x0100_0300, 0x0100_0301),
+    # logical decoding messages (pg_logical_emit_message): transactional
+    # inside a txn, non-transactional standalone, streamed-then-aborted
+    # (must be discarded); content is raw bytes incl. NUL and 0xff
+    begin(0x0100_0400, 1400),
+    message("golden.fence", b"\x00\xff\x7f seq=1", True, 0x0100_0410),
+    commit(0x0100_0400, 0x0100_0401),
+    message("golden.tick", b"", False, 0x0100_0500),
+    stream_start(1500, True),
+    streamed(1500, message("golden.doomed", b"zz", True, 0x0100_0600)),
+    stream_stop(),
+    stream_abort(1500, 1500),
+    # bytea column: hex wire format (server default since 9.0)
+    relation(5003, "public", "blobs", [
+        (1, "id", 20, -1),
+        (0, "data", 17, -1),          # bytea
+    ]),
+    begin(0x0100_0700, 1700),
+    insert(5003, [("t", "1"), ("t", "\\x00ff10ab")]),
+    insert(5003, [("t", "2"), ("n",)]),
+    commit(0x0100_0700, 0x0100_0701),
 ]
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/golden_pgoutput.bin"
