@@ -681,10 +681,18 @@ object Dedup {
 
   private def crossDup0(corpus: DataFrame, increment: DataFrame,
                         threshold: Double, n: Int): DataFrame = {
-    val exc = withHashedShingles(corpus, n).select(
+    // materializedOnce on both shingle tables for the same reason
+    // jaccardPairs pins `sh`: explode's inferred empty/null pre-filter
+    // is pushed below the shingle projection and RE-EXPANDS a live
+    // kernel — measured 3 UDF sites per side (project + twice in the
+    // pushed filter) and ~2x the kernel cost at sf0.1. The checkpoint
+    // pins the arrays; the plan reads blocks and the kernel runs once.
+    val shc = materializedOnce(withHashedShingles(corpus, n))
+    val shi = materializedOnce(withHashedShingles(increment, n))
+    val exc = shc.select(
       col("doc_id").as("corpus_id"), size(col("shingles")).cast("long").as("nc"),
       explode(col("shingles")).as("sg"))
-    val exi = withHashedShingles(increment, n).select(
+    val exi = shi.select(
       col("doc_id").as("inc_id"), size(col("shingles")).cast("long").as("ni"),
       explode(col("shingles")).as("sg"))
     exc.join(broadcast(exi), "sg")

@@ -59,6 +59,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = Dedup.crossDupPairs(corpus, inc, 0.5).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"increment index must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into the join:\n$plan")
+    // single-pass by construction: both shingle kernels ran at
+    // materialization; the serving plan reads checkpointed blocks (the
+    // un-pinned form measured 3 live UDF sites per side — explode's
+    // inferred pre-filter re-expands the kernel below the projection)
+    assert(PlanAudit.scalaUdfSites(Dedup.crossDupPairs(corpus, inc, 0.5)) === 0)
   }
 
   test("minhash-LSH pairs equal exact jaccard pairs at the 0.5 threshold") {
