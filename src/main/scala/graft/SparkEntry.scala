@@ -78,6 +78,7 @@ object SparkEntry {
     "q60_cross_dedup" -> (PipelineQueries.q60CrossDedup _),
     "q61_mix" -> (PipelineQueries.q61Mix _),
     "q62_repetition" -> (PipelineQueries.q62Repetition _),
+    "q63_containment" -> (PipelineQueries.q63Containment _),
     // _check queries: oracle-checkable bound contracts for the approximate
     // operators (booleans computed in Spark vs their exact twins; constant
     // truth on the DuckDB side). Excluded from Bench by the _check suffix.

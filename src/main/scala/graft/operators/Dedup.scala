@@ -703,6 +703,40 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** One-sided n-gram containment pairs: (inner_id, outer_id,
+    * containment) where containment = |S_inner ∩ S_outer| / |S_inner| >=
+    * threshold — the QUOTE/PREFIX duplicate detector. Jaccard misses a
+    * short document wholly embedded in a long one (the union term
+    * swamps the overlap); containment normalizes by the inner side
+    * only, so a fully-quoted document scores 1.0 regardless of how much
+    * the outer adds. Both directions are emitted and filtered
+    * independently (two near-identical docs contain each other).
+    *
+    * Scale shape: identical candidate machinery to [[jaccardPairs]]'s
+    * uncapped path — one pinned shingle kernel, intra-bucket pair
+    * expansion of the inverted index, one pair aggregation; the only
+    * addition is a 2-way unpivot of each unordered pair into its two
+    * directions (a pure projection on the candidate-pair-sized side).
+    * Documents shorter than n words have no shingles and never pair. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9, n: Int = 3): DataFrame = {
+    val sh = materializedOnce(withHashedShingles(docs, n))
+    val counts = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val sized = bucketPairs(ex, Seq("sg"), "doc_id")
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(counts.select(col("doc_id").as("da"), col("cnt").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("cnt").as("nb")), "db")
+    sized.select(explode(array(
+        struct(col("da").as("inner_id"), col("db").as("outer_id"),
+          round(col("common").cast(DoubleType) / col("na"), 4).as("containment")),
+        struct(col("db").as("inner_id"), col("da").as("outer_id"),
+          round(col("common").cast(DoubleType) / col("nb"), 4).as("containment")))).as("p"))
+      .select(col("p.inner_id").as("inner_id"), col("p.outer_id").as("outer_id"),
+        col("p.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** Increment survivors: documents of `increment` that are NOT a
     * near-dup of any corpus document — what actually gets ingested.
     * The flagged-id set is bounded by the increment, so the anti join

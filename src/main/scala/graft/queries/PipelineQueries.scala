@@ -409,6 +409,14 @@ object PipelineQueries {
         round(sum(col("top_bigram_frac")).cast(DoubleType) / count(lit(1)), 4).as("avg_top_bigram"))
       .orderBy("source")
 
+  /** q63: containment duplicate detection — documents whose shingle set
+    * is >= 90% covered by another document's (quotes, prefixes,
+    * wrapped boilerplate), the one-sided overlap Jaccard misses.
+    * Hard oracle: DuckDB mirrors the unordered-pair counts unpivoted
+    * into both directions. */
+  def q63Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, dir, "documents"), threshold = 0.9, n = 3)
+
   /** Disk round-trip contract for the persisted IVF index (VERDICT r7
     * #1/#8): build → write (partitioned by list, packed codes stored) →
     * FRESH read → (a) float probe recall vs the exact scan at the q36
@@ -539,6 +547,15 @@ object PipelineQueries {
       "q32_jaccard_pairs" -> jaccardSql,
       "q33_minhash_lsh" -> jaccardSql,
       "q60_cross_dedup" -> crossDedupSql,
+      "q63_containment" ->
+        s"""WITH $jaccardCtes,
+           |s2 AS (SELECT da, db, common, na.cnt AS na, nb.cnt AS nb
+           |       FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id),
+           |b AS (SELECT da AS inner_id, db AS outer_id,
+           |        ROUND(common::DOUBLE / na, 4) AS containment FROM s2
+           |      UNION ALL SELECT db, da, ROUND(common::DOUBLE / nb, 4) FROM s2)
+           |SELECT inner_id, outer_id, containment FROM b WHERE containment >= 0.9
+           |ORDER BY inner_id, outer_id""".stripMargin,
       "q61_mix" ->
         """WITH d AS (SELECT source, doc_id,
           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,

@@ -66,6 +66,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(PlanAudit.scalaUdfSites(Dedup.crossDupPairs(corpus, inc, 0.5)) === 0)
   }
 
+  test("containmentPairs: prefix-embedded doc scores 1.0 one-way; both directions filtered independently") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e"),             // 3 shingles, all inside doc 2's
+      (2L, "a b c d e f g h"),       // 6 shingles
+      (3L, "x y z w v u t s")        // unrelated
+    ).toDF("doc_id", "text")
+    val strict = Dedup.containmentPairs(fixture, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(strict === Seq((1L, 2L, 1.0))) // 1 is fully contained in 2; 2 is not in 1
+    val loose = Dedup.containmentPairs(fixture, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(loose === Seq((1L, 2L, 1.0), (2L, 1L, 0.5))) // 3/6 the other way
+    // jaccard misses the embedding at any near-dup threshold: 3/6 overall
+    val jac = Dedup.jaccardPairs(fixture, 0.6).collect()
+    assert(jac.isEmpty)
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at the 0.5 threshold") {
     val exact = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashLshPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
