@@ -177,6 +177,31 @@ object Envelope {
     * One shuffle on the key for the window + one key-partitioned full-outer
     * join against current: at scale, `current` should be bucketed/
     * partitioned by the same keys so the join co-locates. */
+  /** An empty current-state table with `meta`'s typed schema — the
+    * bootstrap input for [[applyChanges]] on a previously-unseen
+    * relation. */
+  def emptyFor(spark: org.apache.spark.sql.SparkSession, meta: RelationMeta): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(meta.columns.map(c =>
+        StructField(c.name, sparkTypeFor(c.typeOid, c.typeMod)))))
+
+  /** Materialize EVERY relation of a decoded envelope in one call: per
+    * relation, [[typedView]] + [[applyChanges]] keyed by its
+    * replica-identity columns (RELATION column flag bit 1 — what the
+    * publisher actually keys U/D tuples by), falling back to the first
+    * column for replica identity DEFAULT on keyless tables. `current`
+    * supplies existing state per table (absent tables start empty).
+    * Returns table name -> materialized state. The reference leaves this
+    * whole layer to consumers (`CdcConsumer.java:6-12`). */
+  def applyAll(envelope: DataFrame, metas: Seq[RelationMeta],
+               current: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
+    metas.map { m =>
+      val identity = m.columns.filter(c => (c.flags & 1) != 0).map(_.name)
+      val keys = if (identity.nonEmpty) identity else Seq(m.columns.head.name)
+      val cur = current.getOrElse(m.table, emptyFor(envelope.sparkSession, m))
+      m.table -> applyChanges(cur, typedView(envelope, m), keys)
+    }.toMap
+
   def applyChanges(current: DataFrame, typedChanges: DataFrame, keys: Seq[String]): DataFrame = {
     // truncate watermark: null when the batch carries no 'T' marker —
     // then both filters below are pass-throughs

@@ -208,4 +208,23 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(onBatch)
       .start()
+
+  /** Streaming incremental ingest — the cross-corpus dedup pattern as a
+    * sink: per micro-batch, documents that are near-dups of the standing
+    * corpus are dropped (`Dedup.dedupAgainstCorpus`: the corpus streams
+    * through a broadcast probe and never self-pairs) and only the
+    * SURVIVORS reach `onBatch`, which is expected to append them to the
+    * corpus store — so the next batch dedups against the grown corpus.
+    * `corpus` is a thunk re-evaluated per batch for exactly that reason
+    * (pass a closure reading the store, not a captured DataFrame). */
+  def dedupedIngestSink(docs: DataFrame, corpus: () => DataFrame,
+                        checkpoint: String, threshold: Double = 0.5, n: Int = 3)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(graft.operators.Dedup.dedupAgainstCorpus(corpus(), batch, threshold, n), id)
+      }
+      .start()
 }

@@ -55,6 +55,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("dedupedIngestSink: batches dedup against the GROWING corpus across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // corpus store the sink appends survivors to; the thunk re-reads it
+    var store = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ck").toString
+    val q = StreamingOps.dedupedIngestSink(docs, () => store, ckpt, threshold = 0.5) {
+      (survivors, _) =>
+        val s = survivors.collect() // test-sized; real sinks append to the store
+        if (s.nonEmpty)
+          store = store.unionByName(
+            spark.createDataFrame(java.util.Arrays.asList(s: _*), survivors.schema))
+    }
+    // batch 1: doc 1 near-dups the seeded corpus doc -> dropped; doc 2 admitted
+    in.addData((1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "totally fresh words appear in this one"))
+    q.processAllAvailable()
+    assert(store.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 100L))
+    // batch 2: doc 3 near-dups the batch-1 SURVIVOR (now in the corpus) -> dropped
+    in.addData((3L, "totally fresh words appear in this two"),
+      (4L, "and another unrelated document body here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 100L))
+  }
+
   test("session window groups events by gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]

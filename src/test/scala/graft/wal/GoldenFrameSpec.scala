@@ -162,6 +162,18 @@ class GoldenFrameSpec extends SparkSpec {
     assert(w2.getAs[Seq[String]]("tags") === Seq.empty)
     assert(w2.getAs[String]("note") === null)
 
+    // applyAll: every registered relation materializes by its replica
+    // identity in one call — widgets/gadgets wiped by the truncate,
+    // blobs carries both rows
+    val d2 = new PgOutputDecoder
+    FrameFile.read(goldenBytes).foreach { case (_, b) =>
+      d2.decode(java.nio.ByteBuffer.wrap(b))
+    }
+    val states = Envelope.applyAll(env, d2.relations.values.toSeq)
+    assert(states.keySet === Set("widgets", "gadgets", "blobs"))
+    assert(states("widgets").count() === 0L && states("gadgets").count() === 0L)
+    assert(states("blobs").select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+
     // applyChanges conformance: the trailing truncate wipes widgets...
     val empty = Seq.empty[(Long, java.math.BigDecimal)].toDF("id", "price")
       .withColumn("price", col("price").cast("decimal(10,2)"))
