@@ -674,7 +674,10 @@ object Dedup {
     *    agg), so there is no corpus-sized count join;
     *  - at 100 TB: one corpus scan + one candidate-pair-sized shuffle.
     * Same fnv64 shingle hashing (and collision analysis) as
-    * [[jaccardPairs]]; documents shorter than n words never match. */
+    * [[jaccardPairs]]; documents shorter than n words never match.
+    * An increment too large to broadcast splits into chunks looped
+    * through this op — per-document verdicts are independent of the
+    * rest of the increment, so chunking changes nothing. */
   def crossDupPairs(corpus: DataFrame, increment: DataFrame,
                     threshold: Double = 0.5, n: Int = 3): DataFrame =
     crossDup0(corpus, increment, threshold, n).orderBy("corpus_id", "inc_id")
