@@ -202,8 +202,16 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
   private var openTxidAtBufferHead: Long = -1L
   private var lastPolledLsn: Long = 0L
   private var lastPolledSeq: Long = 0L
+  // proto v2: between 'S' (stream start) and 'E' (stream stop) every
+  // frame carries an Int32 xid right after the type byte — a streamed
+  // RELATION's OID sits at offset 5, not 1, and the registry cache must
+  // hold the body with that prefix STRIPPED: LiveDecode replays cached
+  // relation frames through a fresh decoder with no open segment, so a
+  // prefixed copy would misparse (xid read as OID, body misaligned).
+  // Segments never straddle an ack boundary (latestOffset keeps streamed
+  // txns open until their commit), so this flag is safe across restarts.
+  private var drainInSegment: Boolean = false
 
-  private def isRelation(bytes: Array[Byte]): Boolean = bytes.nonEmpty && bytes(0) == 'R'.toByte
   private def isChange(bytes: Array[Byte]): Boolean = bytes.nonEmpty &&
     (bytes(0) == 'I'.toByte || bytes(0) == 'U'.toByte || bytes(0) == 'D'.toByte ||
       bytes(0) == 'T'.toByte) // TRUNCATE emits rows too (one per relation)
@@ -221,9 +229,16 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
         case Some((lsn, bytes)) if lsn >= lastPolledLsn =>
           if (lsn > lastPolledLsn) { lastPolledLsn = lsn; lastPolledSeq = 0L }
           else lastPolledSeq += 1L
-          if (isRelation(bytes)) {
-            val oid = ByteBuffer.wrap(bytes, 1, 4).getInt
-            relationFrames(oid) = (lsn, bytes)
+          bytes.headOption.map(_.toChar) match {
+            case Some('S') => drainInSegment = true
+            case Some('E') => drainInSegment = false
+            case Some('R') if drainInSegment =>
+              val oid = ByteBuffer.wrap(bytes, 5, 4).getInt
+              relationFrames(oid) = (lsn, bytes.patch(1, Nil, 4)) // strip the xid prefix
+            case Some('R') =>
+              val oid = ByteBuffer.wrap(bytes, 1, 4).getInt
+              relationFrames(oid) = (lsn, bytes)
+            case _ => ()
           }
           buffer.append(Frame(lsn, lastPolledSeq, bytes))
           pulled += 1

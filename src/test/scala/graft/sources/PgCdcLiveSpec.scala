@@ -150,6 +150,41 @@ class PgCdcLiveSpec extends SparkSpec {
     assert(recs.map(r => (r.columns("id"), r.txid)) === Vector(("10", 700L), ("11", 700L)))
   }
 
+  test("a RELATION announced inside a streamed segment decodes then and in later batches") {
+    // Real servers re-send RELATION inside every streamed transaction,
+    // xid-prefixed ('R' + Int32 xid + body). The registry cache must
+    // strip the prefix: it replays through a fresh decoder with no
+    // stream context (ADVICE r8 high).
+    val rel2 = RelationMeta(2, "public", "orders2", Vector(
+      RelationColumn("id", 20, -1, 0), RelationColumn("v", 1043, -1, 0)))
+    val v2: Seq[(Long, Array[Byte])] = Seq(
+      e.streamStart(900), // 300: tx 900 opens
+      e.streamed(900, e.relation(rel2)), // 301: relation announced INSIDE the segment
+      e.streamed(900, e.insert(2, Seq(Some("1"), Some("a")))), // 302
+      e.streamStop(), // 303
+      e.streamCommit(900), // 304
+      e.insert(2, Seq(Some("2"), Some("b"))) // 305: singleton in a LATER batch
+    ).zipWithIndex.map { case (f, i) => (300L + i, f) }
+    val (stream, _) = newStream(cap = Int.MaxValue, fs = v2)
+    // batch 1: exactly the streamed tx (safe point = the stream commit)
+    val e1 = end(stream, 0L, 1)
+    assert(e1 === 304L)
+    val p1 = stream.planInputPartitions(LsnOffset(0L), LsnOffset(e1))(0)
+      .asInstanceOf[LivePartition]
+    val recs1 = LiveDecode.decode(p1.relationFrames, p1.frames, p1.openTxid).toVector
+    assert(recs1.map(r => (r.table, r.columns("id"), r.txid)) ===
+      Vector(("orders2", "1", 900L)))
+    // release the buffer (the streamed RELATION frame is gone from it);
+    // batch 2's DML must decode via the cached, xid-stripped registry frame
+    stream.commit(LsnOffset(e1))
+    val e2 = end(stream, e1, 10)
+    assert(e2 === 305L)
+    val p2 = stream.planInputPartitions(LsnOffset(e1), LsnOffset(e2))(0)
+      .asInstanceOf[LivePartition]
+    val recs2 = LiveDecode.decode(p2.relationFrames, p2.frames, p2.openTxid).toVector
+    assert(recs2.map(r => (r.table, r.columns("id"))) === Vector(("orders2", "2")))
+  }
+
   test("commit(end) advances the slot and releases the buffer; relations survive") {
     val (stream, feed) = newStream(cap = 5)
     val e1 = end(stream, 0L, 2)
