@@ -29,7 +29,13 @@ final case class ChangeRecord(
     table: String,
     columns: Map[String, String],
     nulls: Seq[String],
-    before: Map[String, String])
+    before: Map[String, String],
+    // Arrival sequence within an equal-LSN frame run (LSNs are
+    // non-decreasing but NOT strictly monotone across pgoutput messages).
+    // (lsn, seq) totally orders records, which applyChanges needs: a
+    // truncate and a post-truncate insert can share a WAL position, and
+    // a strictly-lsn watermark would silently drop the insert.
+    seq: Long = 0L)
 
 object Envelope {
 
@@ -41,7 +47,8 @@ object Envelope {
     StructField("table", StringType, nullable = false),
     StructField("columns", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
     StructField("nulls", ArrayType(StringType, containsNull = false), nullable = false),
-    StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
+    StructField("before", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("seq", LongType, nullable = false)))
 
   /** PG type OID → Spark type for the typed-view projection. Mirrors the
     * reference's accessor surface (`TableColumn.java:15-53`): int4/int8,
@@ -79,13 +86,14 @@ object Envelope {
     * the payload rides the `columns` map — content base64'd because it
     * is arbitrary bytes and the map is String→String. [[messages]]
     * decodes the typed view. */
-  def messageRecord(lsn: Long, txid: Long, m: graft.wal.PgOutput.LogicalMessage): ChangeRecord =
+  def messageRecord(lsn: Long, txid: Long, m: graft.wal.PgOutput.LogicalMessage,
+                    seq: Long = 0L): ChangeRecord =
     ChangeRecord("M", lsn, txid, "", "",
       Map("prefix" -> m.prefix,
           "content" -> java.util.Base64.getEncoder.encodeToString(m.content),
           "transactional" -> (if (m.transactional) "t" else "f"),
           "message_lsn" -> m.msgLsn.toString),
-      Vector.empty, Map.empty)
+      Vector.empty, Map.empty, seq)
 
   /** Typed view of the logical decoding messages in an envelope stream:
     * (lsn, txid, transactional, message_lsn, prefix, content as binary),
@@ -146,9 +154,16 @@ object Envelope {
     val unchanged = when(col("op") === "U",
       filter(names, n => !map_contains_key(col("columns"), n) && !array_contains(col("nulls"), n)))
       .otherwise(array().cast("array<string>")).as(UnchangedCol)
+    // seq rides along when the envelope carries it (decoder-produced
+    // streams do; hand-built change sets may not) so applyChanges can
+    // order equal-LSN frames.
+    val metaCols =
+      if (envelope.columns.contains("seq"))
+        Seq(col("op"), col("lsn"), col("seq"), col("txid"))
+      else Seq(col("op"), col("lsn"), col("txid"))
     envelope
       .filter(col("schema") === meta.schema && col("table") === meta.table)
-      .select(col("op") +: col("lsn") +: col("txid") +: unchanged +: dataCols: _*)
+      .select(metaCols ++ (unchanged +: dataCols): _*)
   }
 
   /** Name of the typed-view metadata column listing UPDATE columns that
@@ -190,29 +205,37 @@ object Envelope {
     * replica-identity columns (RELATION column flag bit 1 — what the
     * publisher actually keys U/D tuples by), falling back to the first
     * column for replica identity DEFAULT on keyless tables. `current`
-    * supplies existing state per table (absent tables start empty).
-    * Returns table name -> materialized state. The reference leaves this
-    * whole layer to consumers (`CdcConsumer.java:6-12`). */
+    * supplies existing state per (schema, table) — the full relation
+    * identity, so same-named tables in different schemas never collide
+    * (absent tables start empty). Returns (schema, table) ->
+    * materialized state. The reference leaves this whole layer to
+    * consumers (`CdcConsumer.java:6-12`). */
   def applyAll(envelope: DataFrame, metas: Seq[RelationMeta],
-               current: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
+               current: Map[(String, String), DataFrame] = Map.empty): Map[(String, String), DataFrame] =
     metas.map { m =>
       val identity = m.columns.filter(c => (c.flags & 1) != 0).map(_.name)
       val keys = if (identity.nonEmpty) identity else Seq(m.columns.head.name)
-      val cur = current.getOrElse(m.table, emptyFor(envelope.sparkSession, m))
-      m.table -> applyChanges(cur, typedView(envelope, m), keys)
+      val cur = current.getOrElse((m.schema, m.table), emptyFor(envelope.sparkSession, m))
+      (m.schema, m.table) -> applyChanges(cur, typedView(envelope, m), keys)
     }.toMap
 
   def applyChanges(current: DataFrame, typedChanges: DataFrame, keys: Seq[String]): DataFrame = {
+    // (lsn, seq) totally orders the batch: LSNs repeat across consecutive
+    // pgoutput frames, and a strictly-lsn truncate watermark would drop a
+    // post-truncate insert sharing the truncate frame's WAL position.
+    // Hand-built change sets without a seq column order by lsn alone.
+    val seqC = if (typedChanges.columns.contains("seq")) col("seq") else lit(0L)
+    val pos = struct(col("lsn"), seqC) // structs compare lexicographically
     // truncate watermark: null when the batch carries no 'T' marker —
     // then both filters below are pass-throughs
-    val tmax = typedChanges.agg(max(when(col("op") === "T", col("lsn"))).as("__tmax"))
+    val tmax = typedChanges.agg(max(when(col("op") === "T", pos)).as("__tmax"))
     val cur0 = current.crossJoin(broadcast(tmax))
       .filter(col("__tmax").isNull).drop("__tmax")
     val changes = typedChanges.crossJoin(broadcast(tmax))
-      .filter(col("op") =!= "T" && (col("__tmax").isNull || col("lsn") > col("__tmax")))
+      .filter(col("op") =!= "T" && (col("__tmax").isNull || pos > col("__tmax")))
       .drop("__tmax")
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("lsn").desc, col("op").desc) // same-lsn tiebreak: D < I < U deterministic
+      .orderBy(col("lsn").desc, seqC.desc, col("op").desc) // same-lsn tiebreak: D < I < U deterministic
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

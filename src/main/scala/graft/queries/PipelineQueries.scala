@@ -424,30 +424,41 @@ object PipelineQueries {
     * not cost recall), (b) the quantized stored-codes tier's cosine
     * deviation vs the float scores within the q57 bound (0.01; measured
     * max 0.0033 at sf0.1 — same arithmetic, codes read from disk).
-    * Booleans computed in Spark, oracled by constant truth. */
+    * Booleans computed in Spark, oracled by constant truth. The
+    * round-trip store is a temp directory deleted before returning
+    * (ADVICE r8: repeated correctness runs must not leak disk), so the
+    * check is evaluated EAGERLY and the result returned as literals. */
   def q58CheckIvfStore(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     import graft.operators.{Quantize, Similarity}
     val emb = t(spark, dir, "embeddings")
     val built = Similarity.buildIvfIndex(emb, nLists = 10)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
-    Similarity.writeIvfIndex(built, tmp)
-    val stored = Similarity.readIvfIndex(spark, tmp)
-    val probeVec = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-    val exact = Similarity.cosineTopK(emb, probeId = 0L, k = 10).select("vec_id")
-    val ivf = Similarity.probeIvf(stored, probeVec, k = 10, nProbe = 6, excludeId = Some(0L))
-      .select(col("vec_id").as("ivf_id"))
-    val recall = exact.join(ivf, col("vec_id") === col("ivf_id"), "left")
-      .agg((count(col("ivf_id")) >= 9).as("recall_ok")) // q36's bar: >= 0.9 at k=10
-    val (q, mn, sc) = Quantize.int8Local(probeVec)
-    val probePacked = struct(typedLit(q.toSeq).as("q"), lit(mn).as("mn"), lit(sc).as("scale"))
-    val pn = math.sqrt(probeVec.map(x => x * x).sum)
-    val dev = stored.assigned.filter(col("vec_id") =!= 0)
-      .select(abs(Quantize.cosine(col("p"), probePacked) -
-        vec_dot(col("e"), typedLit(probeVec.toSeq)) / (vec_norm(col("e")) * lit(pn))).as("d"))
-      .agg((max(col("d")) <= 0.01).as("quant_dev_ok"))
-    recall.crossJoin(dev).select(lit(10).as("k"), col("recall_ok"), col("quant_dev_ok"))
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-ivf-store")
+    val row = try {
+      Similarity.writeIvfIndex(built, tmpPath.toString)
+      val stored = Similarity.readIvfIndex(spark, tmpPath.toString)
+      val probeVec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val exact = Similarity.cosineTopK(emb, probeId = 0L, k = 10).select("vec_id")
+      val ivf = Similarity.probeIvf(stored, probeVec, k = 10, nProbe = 6, excludeId = Some(0L))
+        .select(col("vec_id").as("ivf_id"))
+      val recall = exact.join(ivf, col("vec_id") === col("ivf_id"), "left")
+        .agg((count(col("ivf_id")) >= 9).as("recall_ok")) // q36's bar: >= 0.9 at k=10
+      val (q, mn, sc) = Quantize.int8Local(probeVec)
+      val probePacked = struct(typedLit(q.toSeq).as("q"), lit(mn).as("mn"), lit(sc).as("scale"))
+      val pn = math.sqrt(probeVec.map(x => x * x).sum)
+      val dev = stored.assigned.filter(col("vec_id") =!= 0)
+        .select(abs(Quantize.cosine(col("p"), probePacked) -
+          vec_dot(col("e"), typedLit(probeVec.toSeq)) / (vec_norm(col("e")) * lit(pn))).as("d"))
+        .agg((max(col("d")) <= 0.01).as("quant_dev_ok"))
+      recall.crossJoin(dev).select(col("recall_ok"), col("quant_dev_ok")).head()
+    } finally {
+      java.nio.file.Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+    import spark.implicits._
+    Seq((10, row.getBoolean(0), row.getBoolean(1)))
+      .toDF("k", "recall_ok", "quant_dev_ok")
   }
 
   // --------------------------------------------------------- oracle SQL

@@ -362,7 +362,7 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
           "failing the batch so it is retried — the slot is not acked, nothing is lost")
     val slice = buffer.iterator
       .filter(f => s.admits(f.lsn, f.seq) && e.covers(f.lsn, f.seq))
-      .map(f => (f.lsn, f.bytes)).toVector
+      .map(f => (f.lsn, f.seq, f.bytes)).toVector
     // Relation registry snapshot for frames the slice can reference.
     val rels = relationFrames.values.filter(_._1 <= e.lsn).toVector
     Array(LivePartition(rels, slice, openTxidAt(s)))
@@ -402,15 +402,17 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
 }
 
 final case class LivePartition(relationFrames: Vector[(Long, Array[Byte])],
-                               frames: Vector[(Long, Array[Byte])],
+                               frames: Vector[(Long, Long, Array[Byte])],
                                openTxid: Long) extends InputPartition
 
 /** Decode for live slices: relation registry seeded from the snapshot,
   * txid seeded from the open transaction at the slice start (so an
-  * overflow-flushed tx's tail records keep their txid). */
+  * overflow-flushed tx's tail records keep their txid). Slice frames are
+  * (lsn, seq, bytes) — the buffer's composite key rides into the records
+  * so applyChanges can order equal-LSN frames. */
 object LiveDecode {
   def decode(relationFrames: Vector[(Long, Array[Byte])],
-             frames: Vector[(Long, Array[Byte])],
+             frames: Vector[(Long, Long, Array[Byte])],
              initialTxid: Long): Iterator[ChangeRecord] = {
     val decoder = new PgOutputDecoder
     relationFrames.foreach { case (_, bytes) => decoder.decode(ByteBuffer.wrap(bytes)) }
@@ -421,42 +423,43 @@ object LiveDecode {
     // within the slice
     val pending = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
-    def changeRec(op: Char, lsn: Long, tx: Long, meta: PgOutput.RelationMeta,
+    def changeRec(op: Char, lsn: Long, seq: Long, tx: Long, meta: PgOutput.RelationMeta,
                   cells: PgOutput.Cells, before: PgOutput.Cells): ChangeRecord =
       ChangeRecord(
         op = op.toString, lsn = lsn, txid = tx,
         schema = meta.schema, table = meta.table,
         columns = cells.collect { case (k, Some(v)) => k -> v },
         nulls = cells.collect { case (k, None) => k }.toVector.sorted,
-        before = before.collect { case (k, Some(v)) => k -> v })
-    def truncRecs(lsn: Long, tx: Long, metas: Vector[PgOutput.RelationMeta]): Seq[ChangeRecord] =
+        before = before.collect { case (k, Some(v)) => k -> v },
+        seq = seq)
+    def truncRecs(lsn: Long, seq: Long, tx: Long, metas: Vector[PgOutput.RelationMeta]): Seq[ChangeRecord] =
       metas.map(m => ChangeRecord("T", lsn, tx, m.schema, m.table,
-        Map.empty, Vector.empty, Map.empty))
-    frames.iterator.flatMap { case (lsn, bytes) =>
+        Map.empty, Vector.empty, Map.empty, seq))
+    frames.iterator.flatMap { case (lsn, seq, bytes) =>
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
         case Some(PgOutput.Change(op, meta, cells, before)) =>
-          Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
+          Seq(changeRec(op, lsn, seq, if (txid >= 0) txid else lsn, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) =>
-          truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
+          truncRecs(lsn, seq, if (txid >= 0) txid else lsn, metas)
         case Some(m: PgOutput.LogicalMessage) =>
           Seq(Envelope.messageRecord(lsn,
-            if (m.transactional && txid >= 0) txid else lsn, m))
+            if (m.transactional && txid >= 0) txid else lsn, m, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
-            ((msgXid, changeRec(op, lsn, top.toLong & 0xffffffffL, meta, cells, before)))
+            ((msgXid, changeRec(op, lsn, seq, top.toLong & 0xffffffffL, meta, cells, before)))
           Nil
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Truncate(metas, _, _))) =>
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) ++=
-            truncRecs(lsn, top.toLong & 0xffffffffL, metas).map((msgXid, _))
+            truncRecs(lsn, seq, top.toLong & 0xffffffffL, metas).map((msgXid, _))
           Nil
         case Some(PgOutput.Streamed(top, msgXid, m: PgOutput.LogicalMessage)) =>
           if (m.transactional) {
             pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
-              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m)))
+              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m, seq)))
             Nil
-          } else Seq(Envelope.messageRecord(lsn, lsn, m))
+          } else Seq(Envelope.messageRecord(lsn, lsn, m, seq))
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
         case Some(PgOutput.StreamAbort(top, sub)) =>

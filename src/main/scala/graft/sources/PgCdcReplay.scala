@@ -41,6 +41,10 @@ object ReplayDecode {
     // sub != top discards just the subtransaction's records)
     val pending = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
+    // per-frame arrival seq within an equal-LSN run — (lsn, seq) totally
+    // orders records (LSNs repeat across consecutive pgoutput frames)
+    var seqLsn = Long.MinValue
+    var seq = 0L
     def changeRec(op: Char, lsn: Long, tx: Long, meta: PgOutput.RelationMeta,
                   cells: PgOutput.Cells, before: PgOutput.Cells): ChangeRecord =
       ChangeRecord(
@@ -48,13 +52,15 @@ object ReplayDecode {
         schema = meta.schema, table = meta.table,
         columns = cells.collect { case (k, Some(v)) => k -> v },
         nulls = cells.collect { case (k, None) => k }.toVector.sorted,
-        before = before.collect { case (k, Some(v)) => k -> v })
+        before = before.collect { case (k, Some(v)) => k -> v },
+        seq = seq)
     // one op='T' record per truncated relation (no cells) — the
     // table-wide wipe marker applyChanges honors
     def truncRecs(lsn: Long, tx: Long, metas: Vector[PgOutput.RelationMeta]): Seq[ChangeRecord] =
       metas.map(m => ChangeRecord("T", lsn, tx, m.schema, m.table,
-        Map.empty, Vector.empty, Map.empty))
+        Map.empty, Vector.empty, Map.empty, seq))
     frames.iterator.take(emitUntil).zipWithIndex.flatMap { case ((lsn, bytes), idx) =>
+      if (lsn == seqLsn) seq += 1L else { seqLsn = lsn; seq = 0L }
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
@@ -67,7 +73,7 @@ object ReplayDecode {
           // standalone at its own position (txid = own lsn, like the
           // out-of-tx DML singleton path)
           Seq(Envelope.messageRecord(lsn,
-            if (m.transactional && txid >= 0) txid else lsn, m))
+            if (m.transactional && txid >= 0) txid else lsn, m, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           // buffered regardless of the emit window — the commit decides
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -82,9 +88,9 @@ object ReplayDecode {
           // its abort); non-transactional ones bypass the buffer
           if (m.transactional) {
             pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
-              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m)))
+              ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m, seq)))
             Nil
-          } else if (idx >= emitFrom) Seq(Envelope.messageRecord(lsn, lsn, m))
+          } else if (idx >= emitFrom) Seq(Envelope.messageRecord(lsn, lsn, m, seq))
           else Nil
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           val recs = pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)

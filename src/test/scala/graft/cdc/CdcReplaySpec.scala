@@ -149,6 +149,36 @@ class CdcReplaySpec extends SparkSpec {
     assert(noTrunc.map(_.getAs[Long]("id")).toSeq === Seq(1L, 10L))
   }
 
+  test("a post-truncate insert sharing the truncate frame's LSN survives the wipe") {
+    // LSNs repeat across consecutive pgoutput frames (ADVICE r8): the
+    // truncate watermark must order by (lsn, seq), not strict lsn — a
+    // strictly-lsn filter silently drops the equal-LSN insert.
+    import spark.implicits._
+    val e = PgOutputEncoder
+    val frames: Seq[(Long, Array[Byte])] = Seq(
+      (300L, e.relation(rel)),
+      (301L, e.begin()),
+      (301L, e.insert(1, Seq(Some("1"), Some("doomed"), Some("t"), None, None))),
+      (305L, e.truncate(Seq(1))), // seq 0 at 305
+      (305L, e.insert(1, Seq(Some("2"), Some("phoenix"), Some("t"), None, None))), // seq 1 at 305
+      (305L, e.commit()))
+    val recs = ReplayDecode.decode(frames.toVector, 0, frames.size).toVector
+    assert(recs.filter(_.lsn == 305L).map(r => (r.op, r.seq)) ===
+      Vector(("T", 0L), ("I", 1L)))
+    val env = spark.createDataFrame(
+      spark.sparkContext.parallelize(recs.map(r => org.apache.spark.sql.Row(
+        r.op, r.lsn, r.txid, r.schema, r.table, r.columns, r.nulls, r.before, r.seq))),
+      Envelope.schema)
+    val typed = Envelope.typedView(env, rel)
+    val current = Seq((9L, "pre-existing", true)).toDF("id", "name", "active")
+      .withColumn("balance", lit(null).cast("decimal(12,2)"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .select("id", "name", "active", "balance", "tags")
+    val state = Envelope.applyChanges(current, typed, Seq("id")).orderBy("id").collect()
+    assert(state.map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    assert(state(0).getAs[String]("name") === "phoenix")
+  }
+
   test("logical decoding messages ('M') surface as op='M' envelope rows") {
     val e = PgOutputEncoder
     val frames: Seq[Array[Byte]] = Seq(

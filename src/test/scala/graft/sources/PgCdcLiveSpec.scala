@@ -350,7 +350,7 @@ class PgCdcLiveSpec extends SparkSpec {
     val recs = LiveDecode.decode(p.relationFrames, p.frames, p.openTxid).toVector
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(recs.map(r => org.apache.spark.sql.Row(
-        r.op, r.lsn, r.txid, r.schema, r.table, r.columns, r.nulls, r.before))),
+        r.op, r.lsn, r.txid, r.schema, r.table, r.columns, r.nulls, r.before, r.seq))),
       Envelope.schema)
     val typed = Envelope.typedView(df, rel).orderBy("lsn").collect()
     assert(typed.map(_.getAs[Long]("id")).toVector === Vector(1L, 2L, 3L, 4L, 5L, 6L))

@@ -170,9 +170,9 @@ class GoldenFrameSpec extends SparkSpec {
       d2.decode(java.nio.ByteBuffer.wrap(b))
     }
     val states = Envelope.applyAll(env, d2.relations.values.toSeq)
-    assert(states.keySet === Set("widgets", "gadgets", "blobs"))
-    assert(states("widgets").count() === 0L && states("gadgets").count() === 0L)
-    assert(states("blobs").select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(states.keySet === Set(("public", "widgets"), ("public", "gadgets"), ("public", "blobs")))
+    assert(states(("public", "widgets")).count() === 0L && states(("public", "gadgets")).count() === 0L)
+    assert(states(("public", "blobs")).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
 
     // applyChanges conformance: the trailing truncate wipes widgets...
     val empty = Seq.empty[(Long, java.math.BigDecimal)].toDF("id", "price")
