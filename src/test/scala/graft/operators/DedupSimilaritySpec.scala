@@ -32,6 +32,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$plan")
   }
 
+  test("keepCanonical size dispatch: oversized label sets take shuffle hash joins, same rows") {
+    // On a 30-50%-near-dup crawl corpus the label set is a constant
+    // fraction of the corpus — broadcasting it would OOM at scale. A
+    // forced tiny threshold must route BOTH label joins through shuffle
+    // hash joins (no broadcast of labels, no sort of the corpus) and
+    // return exactly the broadcast tier's rows.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.50), (2L, 0.90), (3L, 0.90),
+      (4L, 0.10), (5L, 0.30), (6L, 0.70), (7L, 0.99)
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val kept = Dedup.keepCanonical(docs, pairs, col("q"), broadcastableLabels = 1L)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 6L, 7L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllMatchIn(plan).size >= 2,
+      s"oversized labels must shuffle-hash-join on both joins:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"oversized labels must not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the corpus must not be sorted into a join:\n$plan")
+  }
+
+  test("dedupAgainstCorpus size dispatch: oversized increments take a shuffle hash anti join") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // near-dup of corpus doc 1
+      (11L, "totally different content here now")
+    ).toDF("doc_id", "text")
+    val small = Dedup.dedupAgainstCorpus(corpus, inc, 0.5)
+    val big = Dedup.dedupAgainstCorpus(corpus, inc, 0.5, broadcastableFlagged = 1L)
+    assert(small.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    assert(big.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    val plan = big.queryExecution.executedPlan.toString
+    // the flagged-id ANTI join must be a shuffle hash join; the candidate
+    // probe inside crossDup0 still broadcasts the increment index
+    assert(plan.contains("ShuffledHashJoin LeftAnti") ||
+      ("ShuffledHashJoin".r.findAllMatchIn(plan).nonEmpty && !plan.contains("BroadcastHashJoin LeftAnti")),
+      s"oversized flagged set must shuffle-hash anti join:\n$plan")
+  }
+
   test("crossDupPairs equals jaccardPairs restricted to cross-side pairs; survivors anti-match") {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val inc = docs.filter(col("doc_id") % 2 === 1)
@@ -64,6 +104,24 @@ class DedupSimilaritySpec extends SparkSpec {
     // un-pinned form measured 3 live UDF sites per side — explode's
     // inferred pre-filter re-expands the kernel below the projection)
     assert(PlanAudit.scalaUdfSites(Dedup.crossDupPairs(corpus, inc, 0.5)) === 0)
+  }
+
+  test("crossDupPairsAuto: forced chunking equals the single-pass probe exactly") {
+    // bound 2 on an increment of ~hundreds of docs forces the chunk loop
+    // (many chunks); per-document independence means the union over
+    // chunks must equal crossDupPairs row-for-row.
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val single = Dedup.crossDupPairs(corpus, inc, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val chunked = Dedup.crossDupPairsAuto(corpus, inc, 0.5, broadcastableIncrement = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(single.nonEmpty)
+    assert(chunked === single)
+    // below the bound the dispatch is crossDupPairs verbatim
+    val auto = Dedup.crossDupPairsAuto(corpus, inc, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === single)
   }
 
   test("containmentPairs: prefix-embedded doc scores 1.0 one-way; both directions filtered independently") {
