@@ -89,7 +89,8 @@ object SparkEntry {
     "q48_check_lsh_neardup" -> (PipelineQueries.q48CheckLshNearDup _),
     "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _),
     "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _),
-    "q58_check_ivf_store" -> (PipelineQueries.q58CheckIvfStore _)
+    "q58_check_ivf_store" -> (PipelineQueries.q58CheckIvfStore _),
+    "q64_check_cross_vectors" -> (PipelineQueries.q64CheckCrossVectors _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +295,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_check_lsh_neardup" ->
       """SELECT CAST(x AS BIGINT) AS va, CAST(1 AS BOOLEAN) AS found
-        |FROM generate_series(0, 9) AS t(x) ORDER BY va""".stripMargin
+        |FROM generate_series(0, 9) AS t(x) ORDER BY va""".stripMargin,
+    "q64_check_cross_vectors" ->
+      """SELECT CAST(1 AS BOOLEAN) AS planted_ok, CAST(1 AS BOOLEAN) AS recall_ok,
+        |CAST(1 AS BOOLEAN) AS precision_ok, CAST(1 AS BOOLEAN) AS survivors_ok""".stripMargin
   ) ++ PipelineQueries.oracles
 }

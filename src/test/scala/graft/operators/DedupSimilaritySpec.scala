@@ -402,6 +402,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("crossDupVectors: planted cross dups recovered through a persisted index; survivors anti-match") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // corpus 0..99 with 5 bases; increment 1000..1019 where the first 5
+    // are near-dups of corpus 0..4 — the daily-ingest pattern
+    val bases = Seq.fill(5)(vec())
+    val corpus = (bases.zipWithIndex.map { case (b, i) => (i.toLong, b) } ++
+      (5 until 100).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val inc = (bases.zipWithIndex.map { case (b, i) =>
+      ((1000 + i).toLong, b.map(x => x + 0.005f * rnd.nextGaussian().toFloat))
+    } ++ (1005 until 1020).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-crossdup").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(corpus, nLists = 8), tmp)
+    val stored = Similarity.readIvfIndex(spark, tmp)
+    val pairs = Dedup.crossDupVectors(stored, inc, threshold = 0.99, nProbe = 3)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0 until 5).map(i => (i.toLong, (1000 + i).toLong)).toSet)
+    // the probe over the disk-backed index is partition-pruned: the list
+    // filter must reach PartitionFilters, not a post-scan predicate
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"expected the probed lists inside PartitionFilters:\n$plan")
+    // survivors: exactly the unflagged increment rows, schema preserved
+    val surv = Dedup.dedupVectorsAgainstCorpus(stored, inc, 0.99, nProbe = 3)
+    assert(surv.columns.toSeq === inc.columns.toSeq)
+    assert(surv.select("vec_id").as[Long].collect().sorted.toSeq ===
+      (1005L until 1020L).toSeq)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(2)
