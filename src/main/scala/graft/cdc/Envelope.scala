@@ -22,7 +22,7 @@ import graft.wal.PgOutput.RelationMeta
   *    column from the record, `PgWalMessageDecoder.java:206-207`).
   */
 final case class ChangeRecord(
-    op: String, // "I" | "U" | "D" | "T" (truncate marker) | "R" (snapshot read) | "M" (logical decoding message)
+    op: String, // "I" | "U" | "D" | "T" (truncate) | "R" (snapshot read) | "M" (logical decoding message) | "Y" (type) | "O" (origin)
     lsn: Long,
     txid: Long,
     schema: String,
@@ -106,6 +106,50 @@ object Envelope {
       element_at(col("columns"), "prefix").as("prefix"),
       unbase64(element_at(col("columns"), "content")).as("content"))
 
+  /** Envelope encoding of a TYPE ('Y') frame — user-defined-type catalog
+    * metadata, dropped by the reference (`PgWalMessageDecoder.java:
+    * 60-61`). No relation, so envelope schema/table stay empty (typed
+    * views never see these rows); payload rides `columns`. */
+  def typeRecord(lsn: Long, txid: Long, t: graft.wal.PgOutput.TypeMessage,
+                 seq: Long = 0L): ChangeRecord =
+    ChangeRecord("Y", lsn, txid, "", "",
+      Map("type_oid" -> t.typeOid.toString,
+          "type_schema" -> t.schema,
+          "type_name" -> t.name),
+      Vector.empty, Map.empty, seq)
+
+  /** Envelope encoding of an ORIGIN ('O') frame — the cascaded-setup
+    * provenance marker, dropped by the reference (same cite). */
+  def originRecord(lsn: Long, txid: Long, o: graft.wal.PgOutput.OriginMessage,
+                   seq: Long = 0L): ChangeRecord =
+    ChangeRecord("O", lsn, txid, "", "",
+      Map("origin_lsn" -> o.commitLsn.toString, "origin_name" -> o.name),
+      Vector.empty, Map.empty, seq)
+
+  /** Typed view of the TYPE ('Y') catalog announcements in an envelope
+    * stream: (lsn, txid, type_oid, type_schema, type_name). This is the
+    * OID→name mapping for user-defined-type columns: [[sparkTypeFor]]
+    * surfaces an unknown OID's cells as text (PG wire text output — the
+    * right lazy representation for enums/domains), and a consumer that
+    * wants a stronger typed view joins its RELATION column OIDs against
+    * this catalog to decide its own casts. */
+  def types(envelope: DataFrame): DataFrame =
+    envelope.filter(col("op") === "Y").select(
+      col("lsn"), col("txid"),
+      element_at(col("columns"), "type_oid").cast(IntegerType).as("type_oid"),
+      element_at(col("columns"), "type_schema").as("type_schema"),
+      element_at(col("columns"), "type_name").as("type_name"))
+
+  /** Typed view of the ORIGIN ('O') markers: (lsn, txid, origin_lsn,
+    * origin_name), in stream order — txid ties the marker to the
+    * transaction it tags, which is what a replication-loop guard
+    * filters on. */
+  def origins(envelope: DataFrame): DataFrame =
+    envelope.filter(col("op") === "O").select(
+      col("lsn"), col("txid"),
+      element_at(col("columns"), "origin_lsn").cast(LongType).as("origin_lsn"),
+      element_at(col("columns"), "origin_name").as("origin_name"))
+
   /** Cell accessor honoring the NULL-vs-UNCHANGED distinction: NULL when
     * the name is in `nulls` OR absent entirely (UNCHANGED surfaces as
     * NULL in the typed view; callers can inspect the envelope if they
@@ -124,11 +168,15 @@ object Envelope {
     t match {
       case BooleanType => coalesce(lower(v) === "t", lit(false))
       case BinaryType =>
-        // bytea arrives as PG hex output ("\x0a1b…", the server default
-        // since 9.0); the legacy escape format (octal backslashes) is
-        // not produced by modern servers and decodes to NULL here.
-        when(v.startsWith("\\x"), unhex(v.substr(lit(3), length(v))))
-          .otherwise(lit(null).cast(BinaryType))
+        // bytea: the hex wire format ("\x0a1b…", the server default
+        // since 9.0) decodes via codegen'd unhex; the legacy escape
+        // format (bytea_output=escape — printable bytes verbatim,
+        // doubled backslash, \ooo octal) routes through the
+        // from_pg_bytea_escape kernel, which THROWS on a malformed
+        // literal rather than silently NULLing data (VERDICT r8 #4).
+        when(v.isNull, lit(null).cast(BinaryType))
+          .when(v.startsWith("\\x"), unhex(v.substr(lit(3), length(v))))
+          .otherwise(PgFunctions.from_pg_bytea_escape(v))
       case ArrayType(LongType, _) => PgFunctions.from_pg_long_array(v)
       case ArrayType(IntegerType, _) => PgFunctions.from_pg_int_array(v)
       case ArrayType(DoubleType, _) => PgFunctions.from_pg_double_array(v)

@@ -446,6 +446,10 @@ object LiveDecode {
         case Some(m: PgOutput.LogicalMessage) =>
           Seq(Envelope.messageRecord(lsn,
             if (m.transactional && txid >= 0) txid else lsn, m, seq))
+        case Some(tm: PgOutput.TypeMessage) =>
+          Seq(Envelope.typeRecord(lsn, if (txid >= 0) txid else lsn, tm, seq))
+        case Some(om: PgOutput.OriginMessage) =>
+          Seq(Envelope.originRecord(lsn, if (txid >= 0) txid else lsn, om, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
             ((msgXid, changeRec(op, lsn, seq, top.toLong & 0xffffffffL, meta, cells, before)))
@@ -460,6 +464,10 @@ object LiveDecode {
               ((msgXid, Envelope.messageRecord(lsn, top.toLong & 0xffffffffL, m, seq)))
             Nil
           } else Seq(Envelope.messageRecord(lsn, lsn, m, seq))
+        case Some(PgOutput.Streamed(top, msgXid, tm: PgOutput.TypeMessage)) =>
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((msgXid, Envelope.typeRecord(lsn, top.toLong & 0xffffffffL, tm, seq)))
+          Nil
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
         case Some(PgOutput.StreamAbort(top, sub)) =>

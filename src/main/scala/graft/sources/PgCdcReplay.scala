@@ -74,6 +74,12 @@ object ReplayDecode {
           // out-of-tx DML singleton path)
           Seq(Envelope.messageRecord(lsn,
             if (m.transactional && txid >= 0) txid else lsn, m, seq))
+        case Some(tm: PgOutput.TypeMessage) if idx >= emitFrom =>
+          Seq(Envelope.typeRecord(lsn, if (txid >= 0) txid else lsn, tm, seq))
+        case Some(om: PgOutput.OriginMessage) if idx >= emitFrom =>
+          // ORIGIN tags the enclosing transaction (sent just after BEGIN
+          // in cascaded setups) — scope it like transactional messages
+          Seq(Envelope.originRecord(lsn, if (txid >= 0) txid else lsn, om, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           // buffered regardless of the emit window — the commit decides
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -92,6 +98,11 @@ object ReplayDecode {
             Nil
           } else if (idx >= emitFrom) Seq(Envelope.messageRecord(lsn, lsn, m, seq))
           else Nil
+        case Some(PgOutput.Streamed(top, msgXid, tm: PgOutput.TypeMessage)) =>
+          // type announcements inside a streamed tx vanish with its abort
+          pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((msgXid, Envelope.typeRecord(lsn, top.toLong & 0xffffffffL, tm, seq)))
+          Nil
         case Some(PgOutput.StreamCommit(top, _, _)) =>
           val recs = pending.remove(top).map(_.map(_._2).toSeq).getOrElse(Nil)
           if (idx >= emitFrom) recs else Nil

@@ -26,9 +26,12 @@ import java.nio.charset.StandardCharsets
   * Faithful semantics kept: tuple sub-types `'t'` (length-prefixed UTF-8),
   * `'n'` (SQL NULL), `'u'` (UNCHANGED/TOAST → column OMITTED from the
   * record, not null — `:206-207`); unknown sub-type throws (`:208-211`);
-  * DML for an unregistered relation throws (`:109-111`); Y/O frames
-  * decode to None (`:60-61`); unknown type byte throws
-  * (`MessageType.java:30-36`).
+  * DML for an unregistered relation throws (`:109-111`); unknown type
+  * byte throws (`MessageType.java:30-36`). TYPE ('Y') and ORIGIN ('O')
+  * frames — dropped by the reference (`:60-61`) — are DECODED into
+  * [[PgOutput.TypeMessage]]/[[PgOutput.OriginMessage]] and surfaced as
+  * envelope `op='Y'`/`op='O'` rows (same argument as 'T'/'M': dropped
+  * frames lose consumer-relevant facts).
   */
 object PgOutput {
 
@@ -55,6 +58,23 @@ object PgOutput {
     * misses a truncate serves deleted rows forever (VERDICT r7 #4). */
   final case class Truncate(metas: Vector[RelationMeta],
                             cascade: Boolean, restartIdentity: Boolean) extends Message
+
+  /** TYPE ('Y') frame: catalog metadata for a user-defined type that a
+    * later RELATION column references by OID. DELIBERATE DEVIATION from
+    * the reference, which drops 'Y' frames (`PgWalMessageDecoder.java:
+    * 60-61`): `Envelope.sparkTypeFor` falls back to StringType for
+    * unknown OIDs, and the surfaced TYPE record is what lets a consumer
+    * map that OID to its qualified name (enum/domain/composite) instead
+    * of guessing. */
+  final case class TypeMessage(typeOid: Int, schema: String, name: String) extends Message
+
+  /** ORIGIN ('O') frame: in a cascaded setup, the transaction originated
+    * on another replication node (name + its commit LSN there).
+    * DELIBERATE DEVIATION from the reference (drops 'O', same cite): a
+    * consumer filtering out re-replicated transactions — the standard
+    * bidirectional-replication loop guard — needs the origin marker
+    * delivered in order with the transaction it tags. */
+  final case class OriginMessage(commitLsn: Long, name: String) extends Message
 
   /** Logical decoding message ('M', `pg_logical_emit_message`): the
     * application side-channel multiplexed into the WAL stream — schema-
@@ -88,9 +108,14 @@ object PgOutput {
     * (differs under subtransactions — the StreamAbort discard key). */
   final case class Streamed(xid: Int, msgXid: Int, inner: Message) extends Message
 
-  val DroppedTypes: Set[Char] = Set('Y', 'O')
+  /** Empty since round 9: every recognized frame type is decoded ('Y'
+    * and 'O' were the last dropped ones — the reference drops Y/O/T/M,
+    * `PgWalMessageDecoder.java:60-61`). Kept so the "recognized but
+    * dropped" seam stays explicit if a future protocol version adds
+    * frames worth skipping. */
+  val DroppedTypes: Set[Char] = Set.empty
   val KnownTypes: Set[Char] =
-    Set('R', 'B', 'C', 'I', 'U', 'D', 'T', 'M', 'S', 'E', 'c', 'A') ++ DroppedTypes
+    Set('R', 'B', 'C', 'I', 'U', 'D', 'T', 'M', 'Y', 'O', 'S', 'E', 'c', 'A')
 }
 
 /** Stateful decoder: the relation registry makes it order-dependent
@@ -181,6 +206,13 @@ final class PgOutputDecoder {
         val endLsn = buf.getLong()
         buf.getLong() // commit timestamp
         Some(StreamCommit(xid, commitLsn, endLsn))
+      case 'Y' =>
+        // Byte1('Y'), Int32 type OID, String namespace, String name
+        // (PostgreSQL docs, "Logical Replication Message Formats")
+        Some(TypeMessage(buf.getInt(), readCString(buf), readCString(buf)))
+      case 'O' =>
+        // Byte1('O'), Int64 origin commit LSN, String origin name
+        Some(OriginMessage(buf.getLong(), readCString(buf)))
       case 'A' =>
         Some(StreamAbort(buf.getInt(), buf.getInt()))
       case c if PgOutput.DroppedTypes(c) => None
@@ -304,6 +336,12 @@ object PgOutputEncoder {
                      transactional: Boolean = true, msgLsn: Long = 0L): Array[Byte] =
     Array('M'.toByte, (if (transactional) 1 else 0).toByte) ++
       int64(msgLsn) ++ cstr(prefix) ++ int32(content.length) ++ content
+
+  def typeMessage(typeOid: Int, schema: String, name: String): Array[Byte] =
+    Array('Y'.toByte) ++ int32(typeOid) ++ cstr(schema) ++ cstr(name)
+
+  def originMessage(commitLsn: Long, name: String): Array[Byte] =
+    Array('O'.toByte) ++ int64(commitLsn) ++ cstr(name)
 
   // ------------------------------------------ proto_version=2 framing
   def streamStart(xid: Int, firstSegment: Boolean = true): Array[Byte] =

@@ -29,7 +29,7 @@ class GoldenFrameSpec extends SparkSpec {
 
   test("golden frames decode message-by-message (multi-relation, TOAST, arrays, v2, truncate)") {
     val frames = FrameFile.read(goldenBytes)
-    assert(frames.size === 34)
+    assert(frames.size === 37)
     val d = new PgOutputDecoder
     val msgs = frames.map { case (_, b) => d.decode(ByteBuffer.wrap(b)) }
 
@@ -43,8 +43,10 @@ class GoldenFrameSpec extends SparkSpec {
     val Some(Relation(gadgets)) = msgs(1)
     assert(gadgets.id === 5002 && gadgets.columns.map(_.name) === Vector("id", "payload"))
 
-    // TYPE and ORIGIN: recognized, dropped, bodies (typoid+names, lsn+name) ignored
-    assert(msgs(2).isEmpty && msgs(3).isEmpty)
+    // TYPE and ORIGIN: decoded with their full real bodies (the
+    // reference drops both; surfaced since r9)
+    assert(msgs(2) === Some(TypeMessage(600001, "public", "mood")))
+    assert(msgs(3) === Some(OriginMessage(0x01000000L, "origin_node_1")))
 
     // the real 17-byte BEGIN body must not leak into the next read
     assert(msgs(4) === Some(Begin))
@@ -106,6 +108,13 @@ class GoldenFrameSpec extends SparkSpec {
     val Some(Change('I', _, b2Cells, _)) = msgs(32)
     assert(b2Cells("data") === None)
     assert(msgs(33) === Some(Commit))
+
+    // bytea legacy ESCAPE format: frame text is the raw escape literal
+    // (octal + doubled backslash); the typed view decodes it (below)
+    assert(msgs(34) === Some(Begin))
+    val Some(Change('I', _, b3Cells, _)) = msgs(35)
+    assert(b3Cells("data") === Some("\\000\\\\A\\377"))
+    assert(msgs(36) === Some(Commit))
   }
 
   test("golden file end-to-end: replay -> typed view -> applyChanges") {
@@ -114,16 +123,29 @@ class GoldenFrameSpec extends SparkSpec {
     java.nio.file.Files.write(path, goldenBytes)
     val env = ReplayDecode.batchDf(spark, path.toString)
     val rows = env.orderBy("lsn").collect()
+    // Y+O (catalog/origin markers, out-of-tx -> txid = own lsn), then
     // I I U D (txn 1234 -> txid = BEGIN frame lsn), streamed I (real xid
     // 999; txn 1001 aborted), T+T (truncate txn), M+M (transactional
     // fence + standalone tick; the streamed-aborted message discarded),
     // I+I (bytea txn)
     assert(rows.map(_.getAs[String]("op")).toSeq ===
-      Seq("I", "I", "U", "D", "I", "T", "T", "M", "M", "I", "I"))
-    assert(rows(4).getAs[Long]("txid") === 999L)
+      Seq("Y", "O", "I", "I", "U", "D", "I", "T", "T", "M", "M", "I", "I", "I"))
+    assert(rows(6).getAs[Long]("txid") === 999L)
     assert(rows.map(_.getAs[String]("table")).toSeq ===
-      Seq("widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets",
-        "", "", "blobs", "blobs"))
+      Seq("", "", "widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets",
+        "", "", "blobs", "blobs", "blobs"))
+
+    // typed catalog views: the Y row maps the user-type OID to its name;
+    // the O row carries the origin node and its commit LSN
+    val types = Envelope.types(env).collect()
+    assert(types.length === 1)
+    assert(types(0).getAs[Int]("type_oid") === 600001)
+    assert(types(0).getAs[String]("type_schema") === "public")
+    assert(types(0).getAs[String]("type_name") === "mood")
+    val origins = Envelope.origins(env).collect()
+    assert(origins.length === 1)
+    assert(origins(0).getAs[Long]("origin_lsn") === 0x01000000L)
+    assert(origins(0).getAs[String]("origin_name") === "origin_node_1")
 
     // message view: fence scoped to its txn, tick standalone
     val msgs = Envelope.messages(env).orderBy("lsn").collect()
@@ -145,6 +167,10 @@ class GoldenFrameSpec extends SparkSpec {
     assert(b1.getAs[Array[Byte]]("data").toSeq ===
       Seq(0x00, 0xff, 0x10, 0xab).map(_.toByte))
     assert(bTyped.filter(col("id") === 2L).head().getAs[Array[Byte]]("data") === null)
+    // legacy escape format decodes too: \000, doubled backslash, 'A', \377
+    val b3 = bTyped.filter(col("id") === 3L).head()
+    assert(b3.getAs[Array[Byte]]("data").toSeq ===
+      Seq(0x00, 0x5c, 0x41, 0xff).map(_.toByte))
 
     val widgets = RelationMeta(5001, "public", "widgets", Vector(
       RelationColumn("id", 20, -1, 1), RelationColumn("price", 1700, ((10 << 16) | 2) + 4, 0),
@@ -172,7 +198,7 @@ class GoldenFrameSpec extends SparkSpec {
     val states = Envelope.applyAll(env, d2.relations.values.toSeq)
     assert(states.keySet === Set(("public", "widgets"), ("public", "gadgets"), ("public", "blobs")))
     assert(states(("public", "widgets")).count() === 0L && states(("public", "gadgets")).count() === 0L)
-    assert(states(("public", "blobs")).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(states(("public", "blobs")).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
 
     // applyChanges conformance: the trailing truncate wipes widgets...
     val empty = Seq.empty[(Long, java.math.BigDecimal)].toDF("id", "price")

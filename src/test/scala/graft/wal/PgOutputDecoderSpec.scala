@@ -88,10 +88,14 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     intercept[IllegalStateException](dec(d, PgOutputEncoder.insert(42, Seq(Some("1")))))
   }
 
-  test("Y/O frames are recognized and dropped") {
+  test("Y (TYPE) and O (ORIGIN) frames decode to typed catalog messages") {
     val d = new PgOutputDecoder
-    for (c <- Seq('Y', 'O'))
-      assert(dec(d, Array(c.toByte)) === None)
+    val Some(TypeMessage(oid, sch, nm)) =
+      dec(d, PgOutputEncoder.typeMessage(600001, "public", "mood"))
+    assert(oid === 600001 && sch === "public" && nm === "mood")
+    val Some(OriginMessage(olsn, oname)) =
+      dec(d, PgOutputEncoder.originMessage(0x01000000L, "origin_node_1"))
+    assert(olsn === 0x01000000L && oname === "origin_node_1")
   }
 
   test("logical decoding message ('M') round-trips, binary content intact") {

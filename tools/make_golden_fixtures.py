@@ -163,6 +163,12 @@ frames = [
     insert(5003, [("t", "1"), ("t", "\\x00ff10ab")]),
     insert(5003, [("t", "2"), ("n",)]),
     commit(0x0100_0700, 0x0100_0701),
+    # bytea LEGACY escape format (bytea_output=escape, pre-9.0 default):
+    # bytes [0x00, 0x5c, 0x41, 0xff] -> "\000" + doubled backslash + "A"
+    # + "\377" (printables verbatim, backslash doubled, rest 3-digit octal)
+    begin(0x0100_0800, 1800),
+    insert(5003, [("t", "3"), ("t", "\\000\\\\A\\377")]),
+    commit(0x0100_0800, 0x0100_0801),
 ]
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/golden_pgoutput.bin"
