@@ -128,9 +128,13 @@ object Bench {
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
-    println(json)
-    // durability: also write the artifact to a file so per-query stats
-    // never depend on stdout log truncation (r3 lost q01-q25 that way)
+    // stdout gets a COMPACT line (medians only, no per-iteration stats):
+    // the driver's artifact keeps a bounded tail of stdout, and the full
+    // stats line overflowed it in r8 (BENCH_r08.json parsed: null). The
+    // full artifact goes to the file below — per-query min/med/max/iters
+    // never depend on stdout truncation (r3 lost q01-q25 that way).
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":$nFailed,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
+    println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

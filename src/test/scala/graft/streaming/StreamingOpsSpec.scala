@@ -83,6 +83,75 @@ class StreamingOpsSpec extends SparkSpec {
     assert(store.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 100L))
   }
 
+  test("dedupedIngestToStore: crash replay never double-admits or loses survivors") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("ingest-in")
+    val store = java.nio.file.Files.createTempDirectory("ingest-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-store-ck").toString
+    def writeInput(name: String, mtime: Long, docs: Seq[(Long, String)]): Unit = {
+      val f = inDir.resolve(name)
+      val lines = docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      // FileStreamSource orders by modification time — make it explicit
+      assert(f.toFile.setLastModified(mtime))
+    }
+    // two input files = two micro-batches (maxFilesPerTrigger=1)
+    val t0 = System.currentTimeMillis() - 60000
+    writeInput("0.json", t0, Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "totally fresh words appear in this one")))
+    writeInput("1.json", t0 + 30000, Seq(
+      (20L, "alpha beta gamma delta epsilon eta"), // near-dup of batch-0 survivor 10
+      (21L, "and another unrelated document body here")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.dedupedIngestToStore(docs, store, ckpt, threshold = 0.5)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    // batch 0 admits both (empty corpus); batch 1 drops the near-dup of
+    // doc 10 and admits doc 21
+    val expected = Seq((10L, 0L), (11L, 0L), (21L, 1L))
+    assert(storeRows() === expected)
+
+    // crash AFTER the batch-1 append but BEFORE its checkpoint commit:
+    // drop commits/1 and restart — Spark replays batch 1 (same id). The
+    // corpus view excludes __ingest_batch >= 1, so the replay recomputes
+    // the identical survivors and the partition overwrite is a no-op.
+    // (the local-FS .crc sibling must go with the file — a ChecksumFS
+    // rename onto a stale crc throws; HDFS has no client-side siblings)
+    def dropCommit1(): Unit = {
+      assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+      ()
+    }
+    dropCommit1()
+    run()
+    assert(storeRows() === expected)
+
+    // crash BETWEEN dedup and append: the partition never landed AND the
+    // commit is missing — replay must rebuild it exactly
+    dropCommit1()
+    val part1 = new java.io.File(s"$store/${StreamingOps.IngestBatchCol}=1")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(part1)
+    assert(!part1.exists)
+    run()
+    assert(storeRows() === expected)
+  }
+
   test("session window groups events by gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
