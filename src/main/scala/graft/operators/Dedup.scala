@@ -702,15 +702,14 @@ object Dedup {
     // kernel — measured 3 UDF sites per side (project + twice in the
     // pushed filter) and ~2x the kernel cost at sf0.1. The checkpoint
     // pins the arrays; the plan reads blocks and the kernel runs once.
-    crossDupFromShingles(materializedOnce(withHashedShingles(corpus, n)),
-      increment, threshold, n)
+    crossDupPinned(materializedOnce(withHashedShingles(corpus, n)),
+      materializedOnce(withHashedShingles(increment, n)), threshold)
 
-  /** Core of the asymmetric probe over PRE-PINNED corpus shingles —
-    * split out so [[crossDupPairsAuto]]'s chunk loop runs the corpus
-    * shingle kernel once, not once per chunk. */
-  private def crossDupFromShingles(shc: DataFrame, increment: DataFrame,
-                                   threshold: Double, n: Int): DataFrame = {
-    val shi = materializedOnce(withHashedShingles(increment, n))
+  /** Core of the asymmetric probe over PRE-PINNED shingle tables — split
+    * out so [[crossDupPairsAuto]] pins each kernel exactly once across
+    * its dispatch probe and chunk loop. */
+  private def crossDupPinned(shc: DataFrame, shi: DataFrame,
+                             threshold: Double): DataFrame = {
     val exc = shc.select(
       col("doc_id").as("corpus_id"), size(col("shingles")).cast("long").as("nc"),
       explode(col("shingles")).as("sg"))
@@ -731,26 +730,30 @@ object Dedup {
     * hash of doc_id and looped through the asymmetric probe. Per-document
     * verdicts are independent of the rest of the increment (each pair's
     * jaccard uses only the two documents' shingle sets), so the union
-    * over chunks equals the single-pass result exactly. The corpus
-    * shingle kernel is pinned ONCE and every chunk reads the
-    * checkpointed blocks — k chunks cost k passes over the pinned
-    * shingles (map-side filtered by each chunk's broadcast index), never
-    * k corpus kernel runs and never a corpus-side shuffle. Below the
-    * bound this is `crossDupPairs` verbatim. */
+    * over chunks equals the single-pass result exactly.
+    *
+    * Both shingle kernels are pinned ONCE — the increment's pinned table
+    * feeds the dispatch count (a pass over checkpointed blocks, not a
+    * second source scan; the kernel work is needed by every route
+    * anyway) and, on the chunk route, every chunk's broadcast index —
+    * so k chunks cost k passes over the pinned corpus shingles
+    * (map-side filtered by each chunk's broadcast), never k kernel runs
+    * and never a corpus-side shuffle. Below the bound the plan is
+    * [[crossDupPairs]]'s verbatim. */
   def crossDupPairsAuto(corpus: DataFrame, increment: DataFrame,
                         threshold: Double = 0.5, n: Int = 3,
                         broadcastableIncrement: Long = 1000000L): DataFrame = {
     val bound = math.min(broadcastableIncrement, Int.MaxValue - 1L).toInt
-    if (increment.limit(bound + 1).count() <= bound)
-      crossDupPairs(corpus, increment, threshold, n)
+    val shc = materializedOnce(withHashedShingles(corpus, n))
+    val shi = materializedOnce(withHashedShingles(increment, n))
+    val total = shi.count()
+    if (total <= bound) crossDupPinned(shc, shi, threshold)
+      .orderBy("corpus_id", "inc_id")
     else {
-      val total = increment.count()
       val nChunks = ((total + bound - 1) / bound).toInt
-      val shc = materializedOnce(withHashedShingles(corpus, n))
       (0 until nChunks).map { i =>
-        crossDupFromShingles(shc,
-          increment.filter(pmod(hash(col("doc_id")), lit(nChunks)) === i),
-          threshold, n)
+        crossDupPinned(shc,
+          shi.filter(pmod(hash(col("doc_id")), lit(nChunks)) === i), threshold)
       }.reduce(_ unionByName _).orderBy("corpus_id", "inc_id")
     }
   }

@@ -370,10 +370,16 @@ object PipelineQueries {
   /** q60: incremental dedup — probe the odd-doc_id half of `documents`
     * (the "new ingest batch") against the even half (the "standing
     * corpus"). Cross pairs only: the corpus never pairs with itself.
+    * Registered through the SIZE-DISPATCHED entry point (the q35
+    * pattern): at the gated SFs the increment is broadcast-sized so the
+    * plan IS the single-pass asymmetric probe and the oracle
+    * hash-matches; the same registered call chunks an increment too
+    * large to broadcast (per-document verdicts are independent —
+    * DedupSimilaritySpec's forced-chunk parity case).
     * Hard oracle: DuckDB mirrors the asymmetric inverted-index join. */
   def q60CrossDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    Dedup.crossDupPairs(
+    Dedup.crossDupPairsAuto(
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1), threshold = 0.5, n = 3)
   }
