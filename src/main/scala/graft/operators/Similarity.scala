@@ -162,16 +162,22 @@ object Similarity {
     * sample; unit-norm, so cos(e, c) = dot(e, c)/|e|). Assignment uses
     * cosine so lists reflect angular proximity — the metric probes rank
     * by. */
-  def buildIvfIndex(emb: DataFrame, nLists: Int = 16): IvfIndex = {
+  /** Nearest-centroid assignment as a pure projection — argmax via
+    * struct ordering (array_max compares (cos, idx) lexicographically).
+    * Shared by the index build and incremental appends so new vectors
+    * land in exactly the list a fresh build would give them. */
+  private def assignExpr(centroids: Array[Array[Double]]): Column = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
-    val centroids = kmeansCentroids(emb, nLists)
-    // argmax via struct ordering: array_max compares (cos, idx) lexicographically
-    val assign = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
       struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("d"),
         lit(i).as("i"))
     }: _*)).getField("i")
+  }
+
+  def buildIvfIndex(emb: DataFrame, nLists: Int = 16): IvfIndex = {
+    val centroids = kmeansCentroids(emb, nLists)
     val assigned = Storage.track(
-      asDouble(emb).withColumn("list", assign).localCheckpoint(eager = true))
+      asDouble(emb).withColumn("list", assignExpr(centroids)).localCheckpoint(eager = true))
     IvfIndex(centroids, assigned, nLists)
   }
 
@@ -206,16 +212,45 @@ object Similarity {
     * quantize expressions. At 100 TB each list partition splits into
     * many parquet files; probes read nProbe/nLists of the data and the
     * planner never lists the rest. */
+  /** Partition column recording which ingest batch added a row to a
+    * persisted index: the base build writes batch -1; streaming appends
+    * ([[appendIvfBatch]]) write their micro-batch id. Same name and
+    * crash-replay role as the text corpus store's
+    * `StreamingOps.IngestBatchCol`. */
+  val IngestBatchCol = "__ingest_batch"
+
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("i", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // two partition levels: __ingest_batch (base = -1; incremental
+    // appends use their batch id — the idempotent-replay key) then list
+    // (the probe-pruning key). Probes filter `list` only, which prunes
+    // at the second level just the same.
     index.assigned
       .withColumn("p", graft.operators.Quantize.int8(col("e")))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$path/assigned")
+      .withColumn(IngestBatchCol, lit(-1L))
+      .write.mode("overwrite").partitionBy(IngestBatchCol, "list").parquet(s"$path/assigned")
   }
+
+  /** Incrementally add vectors to a PERSISTED index (standard IVF
+    * insert: centroids stay fixed, lists grow): assign each vector to
+    * its nearest centroid with the same projection the build uses,
+    * store the int8 packed codes alongside (the quantized-probe layout),
+    * and OVERWRITE the batch's own `__ingest_batch=<id>` partition — so
+    * an at-least-once replay of the same batch id is idempotent, the
+    * contract [[graft.streaming.StreamingOps]]'s vector ingest sink
+    * builds on. The write touches only the new batch's files; existing
+    * partitions are never rewritten. */
+  def appendIvfBatch(index: IvfIndex, vectors: DataFrame, path: String,
+                     batchId: Long): Unit =
+    asDouble(vectors)
+      .withColumn("list", assignExpr(index.centroids))
+      .withColumn("p", graft.operators.Quantize.int8(col("e")))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$path/assigned/$IngestBatchCol=$batchId")
 
   /** Re-open a persisted index. The centroids sidecar is metadata-sized
     * (nLists rows); assignments stay a lazy partitioned scan — nothing

@@ -292,4 +292,41 @@ object StreamingOps {
           .parquet(s"$storePath/$IngestBatchCol=$id")
       }
       .start()
+
+  /** Vector-side [[dedupedIngestToStore]] — the embedding ingest
+    * end-state: the standing corpus IS a persisted, GROWING IVF index
+    * (`Similarity.writeIvfIndex` base + `appendIvfBatch` increments).
+    * Per micro-batch:
+    *
+    *  1. re-open the index and restrict the assignment scan to batches
+    *     strictly before this one (`__ingest_batch < id` — partition-
+    *     pruned), so a replayed batch never probes its own half-written
+    *     rows;
+    *  2. `Dedup.dedupVectorsAgainstCorpus` drops vectors whose exact
+    *     cosine against any indexed vector in the probed lists reaches
+    *     `threshold` (the q64 contract);
+    *  3. survivors are assigned to the FIXED centroids and overwrite
+    *     the batch's own index partition (`appendIvfBatch`) — the same
+    *     idempotent-replay argument as the text store, so a crash at
+    *     any point between dedup and checkpoint commit neither
+    *     double-admits nor loses rows.
+    *
+    * Centroids never move; at 100 TB each batch costs one pruned probe
+    * of ~nProbe/nLists of the index plus a write bounded by the batch.
+    * Rebuild the index offline when drift degrades the recall gate. */
+  def dedupedVectorIngestToStore(vectors: DataFrame, indexPath: String, checkpoint: String,
+                                 threshold: Double = 0.95, nProbe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.operators.{Dedup, Similarity}
+        val spark = batch.sparkSession
+        val idx = Similarity.readIvfIndex(spark, indexPath)
+        val asOf = idx.copy(assigned = idx.assigned
+          .filter(org.apache.spark.sql.functions.col(Similarity.IngestBatchCol) < id))
+        val survivors = Dedup.dedupVectorsAgainstCorpus(asOf, batch, threshold, nProbe)
+        Similarity.appendIvfBatch(idx, survivors, indexPath, id)
+      }
+      .start()
 }

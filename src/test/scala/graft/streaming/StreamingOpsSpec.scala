@@ -152,6 +152,76 @@ class StreamingOpsSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("dedupedVectorIngestToStore: growing IVF index, crash replay idempotent") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(b: Array[Float]) = b.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+    // base corpus: 5 bases + noise, indexed once
+    val bases = Seq.fill(5)(vec())
+    val corpus = (bases.zipWithIndex.map { case (b, i) => (i.toLong, b) } ++
+      (5 until 100).map(i => (i.toLong, vec()))).toDF("vec_id", "embedding")
+    val indexPath = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    graft.operators.Similarity.writeIvfIndex(
+      graft.operators.Similarity.buildIvfIndex(corpus, nLists = 8), indexPath)
+    graft.operators.Storage.releaseAll()
+    // batch 0: 1000 near-dups base vector 0 (dropped), 1001 fresh (admitted)
+    // batch 1: 2000 near-dups the batch-0 SURVIVOR 1001 (dropped — proves
+    // the index grew), 2001 fresh (admitted)
+    val fresh1001 = vec()
+    val fresh2001 = vec()
+    val inDir = java.nio.file.Files.createTempDirectory("vec-in")
+    def writeInput(name: String, mtime: Long, rows: Seq[(Long, Array[Float])]): Unit = {
+      val lines = rows.map { case (id, e) =>
+        s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+      }
+      val f = inDir.resolve(name)
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      assert(f.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeInput("0.json", t0, Seq((1000L, near(bases(0))), (1001L, fresh1001)))
+    writeInput("1.json", t0 + 30000, Seq((2000L, near(fresh1001)), (2001L, fresh2001)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val ckpt = java.nio.file.Files.createTempDirectory("vec-ck").toString
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.dedupedVectorIngestToStore(in, indexPath, ckpt,
+        threshold = 0.99, nProbe = 3)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    import graft.operators.Similarity
+    def indexRows(): Seq[(Long, Long)] = Similarity.readIvfIndex(spark, indexPath)
+      .assigned.filter(col(Similarity.IngestBatchCol) >= 0L)
+      .select(col("vec_id"), col(Similarity.IngestBatchCol).cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((1001L, 0L), (2001L, 1L))
+    assert(indexRows() === expected)
+    assert(Similarity.readIvfIndex(spark, indexPath).assigned.count() === 102L)
+
+    // crash after the batch-1 append but before its checkpoint commit
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(indexRows() === expected)
+    assert(Similarity.readIvfIndex(spark, indexPath).assigned.count() === 102L)
+
+    // the grown index serves probes: a near-dup of the batch-1 survivor
+    // is found by the vector cross-dup probe
+    val probeBatch = Seq((9000L, near(fresh2001))).toDF("vec_id", "embedding")
+    val hits = graft.operators.Dedup.crossDupVectors(
+      Similarity.readIvfIndex(spark, indexPath), probeBatch, threshold = 0.99, nProbe = 3)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits.contains(2001L))
+  }
+
   test("session window groups events by gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
