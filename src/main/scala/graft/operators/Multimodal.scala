@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   *    RIFF chunk parser (the format is a public spec and ~40 lines);
   *    features are a 12-slice RMS energy envelope + global RMS,
   *    zero-crossing rate, peak, and duration.
-  *  - VIDEO decode needs a codec stack the JDK does not ship — that path
-  *    remains a documented fallback (L1-normalized 16-bin byte
-  *    histogram), as does any image/audio payload the parsers reject.
-  *    Swapping the fallback for a JNI/ffmpeg decoder changes ONE
+  *  - VIDEO containers (MP4/ISO-BMFF, a public spec) are REALLY parsed:
+  *    `decodeMp4Meta` reads duration/timescale (mvhd), track dimensions
+  *    (tkhd 16.16 fixed), codec fourcc (stsd) and sample/sync counts
+  *    (stts/stss) by walking boxes, and `sampleFrames` extracts the
+  *    actual CODED SAMPLES through the stsz/stsc/stco tables — the
+  *    pre-decode pipeline stages (duration gates, resolution buckets,
+  *    codec allow-lists, keyframe budgets, frame shipping) all run for
+  *    real. Only the entropy DECODE of those samples needs a codec
+  *    stack the JDK does not ship — that single step (and any payload
+  *    the parsers reject) keeps the L1-normalized 16-bin byte-histogram
+  *    fallback. Swapping it for a JNI/ffmpeg decoder changes ONE
   *    function; the Spark-side contract (schema, binary batching,
   *    partitioning, `mapPartitions`-over-typed-rows — Scala's analogue
   *    of an Arrow `mapInPandas` batch UDF) is unchanged.
@@ -176,10 +183,192 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------- video (ISO-BMFF)
+  /** Parsed MP4/ISO-BMFF container metadata — everything a pipeline's
+    * video pre-filter reads (duration gates, resolution buckets, codec
+    * allow-lists, frame budgets) WITHOUT any codec: the container layout
+    * is a public spec (ISO/IEC 14496-12) of length-prefixed boxes, so
+    * duration (mvhd), track dimensions (tkhd, 16.16 fixed point), codec
+    * fourcc (stsd) and sample/sync-sample counts (stts/stss) are plain
+    * byte walking. Only the entropy DECODE of coded samples needs a
+    * codec stack the JDK does not ship — that single step remains the
+    * documented fallback. */
+  final case class Mp4Meta(timescale: Long, durationSec: Double,
+                           width: Int, height: Int, codec: String,
+                           sampleCount: Long, syncSampleCount: Long)
+
+  /** Iterate the top-level boxes of `bytes` in [from, until): yields
+    * (type, payloadFrom, payloadUntil). Handles 64-bit largesize and
+    * size==0 (box extends to the end). Malformed sizes end iteration. */
+  private def boxes(bytes: Array[Byte], from: Int, until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = from
+      def hasNext: Boolean = pos + 8 <= until
+      def next(): (String, Int, Int) = {
+        val b = java.nio.ByteBuffer.wrap(bytes, pos, until - pos)
+        val size32 = b.getInt().toLong & 0xffffffffL
+        val tpe = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (payloadFrom, boxEnd) =
+          if (size32 == 1L) { // 64-bit largesize follows the type
+            val large = java.nio.ByteBuffer.wrap(bytes, pos + 8, 8).getLong()
+            (pos + 16, pos + large)
+          } else if (size32 == 0L) (pos + 8, until.toLong) // to end of file
+          else (pos + 8, pos + size32)
+        val end = math.min(boxEnd, until.toLong).toInt
+        val out = (tpe, math.min(payloadFrom.toLong, end.toLong).toInt, end)
+        pos = if (end < pos + 8) until else end // size < 8 is malformed: stop
+        out
+      }
+    }
+
+  private def findBox(bytes: Array[Byte], from: Int, until: Int, tpe: String): Option[(Int, Int)] =
+    boxes(bytes, from, until).collectFirst { case (`tpe`, f, u) => (f, u) }
+
+  /** Container-level metadata of an MP4/ISO-BMFF payload; None when the
+    * bytes are not a parseable container (no moov). See [[Mp4Meta]]. */
+  private[operators] def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    val moov = findBox(bytes, 0, bytes.length, "moov")
+    moov.map { case (mf, mu) =>
+      val (timescale, duration) = findBox(bytes, mf, mu, "mvhd").map { case (f, _) =>
+        val b = java.nio.ByteBuffer.wrap(bytes, f, mu - f)
+        val version = b.get()
+        b.position(b.position() + 3) // flags
+        if (version == 1) {
+          b.position(b.position() + 16) // creation + modification (u64 x2)
+          val ts = b.getInt().toLong & 0xffffffffL
+          (ts, b.getLong())
+        } else {
+          b.position(b.position() + 8) // creation + modification (u32 x2)
+          val ts = b.getInt().toLong & 0xffffffffL
+          (ts, b.getInt().toLong & 0xffffffffL)
+        }
+      }.getOrElse((0L, 0L))
+      // first video track: tkhd carries 16.16 fixed-point w/h as the
+      // LAST 8 payload bytes in both versions
+      val trak = findBox(bytes, mf, mu, "trak")
+      val (w, h) = trak.flatMap { case (tf, tu) => findBox(bytes, tf, tu, "tkhd") }
+        .map { case (f, u) =>
+          val b = java.nio.ByteBuffer.wrap(bytes, u - 8, 8)
+          (b.getInt() >>> 16, b.getInt() >>> 16)
+        }.getOrElse((0, 0))
+      val stbl = for {
+        (tf, tu) <- trak
+        (df, du) <- findBox(bytes, tf, tu, "mdia")
+        (nf, nu) <- findBox(bytes, df, du, "minf")
+        s <- findBox(bytes, nf, nu, "stbl")
+      } yield s
+      val codec = stbl.flatMap { case (f, u) => findBox(bytes, f, u, "stsd") }
+        .filter { case (f, u) => u - f >= 16 }
+        .map { case (f, _) =>
+          new String(bytes, f + 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        }.getOrElse("")
+      val samples = stbl.flatMap { case (f, u) => findBox(bytes, f, u, "stts") }
+        .map { case (f, _) =>
+          val b = java.nio.ByteBuffer.wrap(bytes, f + 4, 4) // skip ver+flags
+          val n = b.getInt()
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            total += java.nio.ByteBuffer.wrap(bytes, f + 8 + i * 8, 4).getInt().toLong
+            i += 1
+          }
+          total
+        }.getOrElse(0L)
+      // stss lists sync samples (keyframes); absent = every sample syncs
+      val sync = stbl.flatMap { case (f, u) => findBox(bytes, f, u, "stss") }
+        .map { case (f, _) => java.nio.ByteBuffer.wrap(bytes, f + 4, 4).getInt().toLong }
+        .getOrElse(samples)
+      Mp4Meta(timescale,
+        if (timescale > 0) duration.toDouble / timescale else 0.0,
+        w, h, codec, samples, sync)
+    }
+  }
+
+  /** Per-sample byte ranges of an MP4's (single-track) media data, from
+    * the sample tables alone: stsz sizes, stsc sample→chunk runs, stco/
+    * co64 chunk offsets. This is real frame EXTRACTION — each returned
+    * range is one coded sample (e.g. an H.264 access unit), which is
+    * exactly what a pre-decode pipeline stage ships to the decoder. */
+  private[operators] def mp4SampleRanges(bytes: Array[Byte]): Option[Array[(Long, Int)]] = {
+    val stbl = for {
+      (mf, mu) <- findBox(bytes, 0, bytes.length, "moov")
+      (tf, tu) <- findBox(bytes, mf, mu, "trak")
+      (df, du) <- findBox(bytes, tf, tu, "mdia")
+      (nf, nu) <- findBox(bytes, df, du, "minf")
+      s <- findBox(bytes, nf, nu, "stbl")
+    } yield s
+    stbl.flatMap { case (sf, su) =>
+      for {
+        (zf, _) <- findBox(bytes, sf, su, "stsz")
+        (cf, _) <- findBox(bytes, sf, su, "stsc")
+        (of, ou) <- findBox(bytes, sf, su, "stco")
+          .orElse(findBox(bytes, sf, su, "co64"))
+      } yield {
+        val co64 = findBox(bytes, sf, su, "stco").isEmpty
+        val zb = java.nio.ByteBuffer.wrap(bytes, zf, su - zf)
+        zb.position(zb.position() + 4) // ver+flags
+        val fixedSize = zb.getInt()
+        val nSamples = zb.getInt()
+        val sizes = Array.tabulate(nSamples)(i =>
+          if (fixedSize != 0) fixedSize
+          else java.nio.ByteBuffer.wrap(bytes, zf + 12 + i * 4, 4).getInt())
+        val cb = java.nio.ByteBuffer.wrap(bytes, cf, su - cf)
+        cb.position(cb.position() + 4)
+        val nRuns = cb.getInt()
+        val runs = Array.tabulate(nRuns) { i =>
+          val b = java.nio.ByteBuffer.wrap(bytes, cf + 8 + i * 12, 12)
+          (b.getInt(), b.getInt()) // (first_chunk 1-based, samples_per_chunk)
+        }
+        val ob = java.nio.ByteBuffer.wrap(bytes, of, ou - of)
+        ob.position(ob.position() + 4)
+        val nChunks = ob.getInt()
+        val chunkOffsets = Array.tabulate(nChunks)(i =>
+          if (co64) java.nio.ByteBuffer.wrap(bytes, of + 8 + i * 8, 8).getLong()
+          else java.nio.ByteBuffer.wrap(bytes, of + 8 + i * 4, 4).getInt().toLong & 0xffffffffL)
+        // walk chunks in order, expanding each stsc run until the next
+        val out = new Array[(Long, Int)](nSamples)
+        var sample = 0
+        var chunk = 0
+        while (chunk < nChunks && sample < nSamples) {
+          var run = 0
+          while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1) run += 1
+          val perChunk = runs(run)._2
+          var off = chunkOffsets(chunk)
+          var i = 0
+          while (i < perChunk && sample < nSamples) {
+            out(sample) = (off, sizes(sample))
+            off += sizes(sample)
+            sample += 1
+            i += 1
+          }
+          chunk += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Typed container metadata for the video rows of a media set —
+    * (media_id, parseable, timescale, duration_sec, width, height,
+    * codec, sample_count, sync_sample_count). Zero-shuffle projection;
+    * non-video or unparseable rows report parseable = false. */
+  def videoMetadata(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Boolean, Long, Double, Int, Int, String, Long, Long)]
+    media.mapPartitions(_.map { m =>
+      decodeMp4Meta(m.bytes) match {
+        case Some(x) if m.kind == "video" =>
+          (m.media_id, true, x.timescale, x.durationSec, x.width, x.height,
+            x.codec, x.sampleCount, x.syncSampleCount)
+        case _ => (m.media_id, false, 0L, 0.0, 0, 0, "", 0L, 0L)
+      }
+    }).toDF("media_id", "parseable", "timescale", "duration_sec", "width", "height",
+      "codec", "sample_count", "sync_sample_count")
+  }
+
   // -------------------------------------------------------- fallback
-  /** Opaque-format fallback (and the video path until a codec stack is
-    * plugged in): 16-bin byte histogram, L1-normalized — deterministic,
-    * content-sensitive, feature-shaped. */
+  /** Opaque-format fallback (for payloads no parser recognizes): 16-bin
+    * byte histogram, L1-normalized — deterministic, content-sensitive,
+    * feature-shaped. */
   private[operators] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
@@ -232,17 +421,32 @@ object Multimodal {
     })
   }
 
-  /** FRAME-SAMPLE (video fallback): split the payload into n equal chunks
-    * ("frames"); a real impl seeks keyframes. Explodes rows — still
-    * shuffle-free. */
+  /** FRAME-SAMPLE: a parseable MP4 container yields n CODED SAMPLES,
+    * evenly spaced across its sample table — REAL extraction through
+    * stsz/stsc/stco byte ranges (each emitted frame is one coded access
+    * unit, exactly what a pre-decode pipeline stage ships onward); any
+    * other payload falls back to n equal byte chunks. Explodes rows —
+    * still shuffle-free. */
   def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
     implicit val enc = Encoders.product[MediaFrame]
     media.flatMap { m =>
-      val chunk = math.max(m.bytes.length / math.max(n, 1), 1)
-      (0 until n).iterator.map { i =>
-        val from = math.min(i * chunk, m.bytes.length)
-        val until = if (i == n - 1) m.bytes.length else math.min((i + 1) * chunk, m.bytes.length)
-        MediaFrame(m.media_id, i, java.util.Arrays.copyOfRange(m.bytes, from, until))
+      mp4SampleRanges(m.bytes) match {
+        case Some(ranges) if ranges.nonEmpty =>
+          val take = math.min(math.max(n, 1), ranges.length)
+          (0 until take).iterator.map { i =>
+            val idx = if (take == 1) 0 else (i.toLong * (ranges.length - 1) / (take - 1)).toInt
+            val (off, len) = ranges(idx)
+            val from = math.min(math.max(off, 0L), m.bytes.length.toLong).toInt
+            val until = math.min(off + len, m.bytes.length.toLong).toInt
+            MediaFrame(m.media_id, i, java.util.Arrays.copyOfRange(m.bytes, from, until))
+          }
+        case _ =>
+          val chunk = math.max(m.bytes.length / math.max(n, 1), 1)
+          (0 until n).iterator.map { i =>
+            val from = math.min(i * chunk, m.bytes.length)
+            val until = if (i == n - 1) m.bytes.length else math.min((i + 1) * chunk, m.bytes.length)
+            MediaFrame(m.media_id, i, java.util.Arrays.copyOfRange(m.bytes, from, until))
+          }
       }
     }
   }
@@ -269,11 +473,65 @@ object Multimodal {
           val bytes = syntheticWav(id, 16000, 1600)
           MediaRecord(id, "audio", bytes, 0, 0, 16000, "wav")
         case _ =>
-          val rnd = new scala.util.Random(id)
-          val bytes = Array.fill(seedBytes + (id % 7).toInt * 32)(rnd.nextInt(256).toByte)
-          MediaRecord(id, "video", bytes, 32, 32, 0, "raw")
+          val bytes = syntheticMp4(id)
+          MediaRecord(id, "video", bytes, 64, 48, 0, "mp4")
       }
     }
+  }
+
+  // ------------------------------------- synthetic ISO-BMFF container
+  private def u32be(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  private def bmffBox(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.toArray.flatten
+    u32be(body.length + 8) ++
+      tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  /** Deterministic byte j of synthetic sample i for `seed` — shared with
+    * the spec so frame extraction can be verified content-for-content. */
+  private[operators] def syntheticMp4SampleByte(seed: Long, i: Int, j: Int): Byte =
+    ((seed * 7 + i * 31 + j) & 0xff).toByte
+
+  private[operators] def syntheticMp4SampleLen(seed: Long, i: Int): Int =
+    24 + (((seed + i) % 13L).toInt + 13) % 13
+
+  /** Minimal but SPEC-CORRECT ISO-BMFF container: ftyp + mdat (4 coded
+    * samples of deterministic content) + moov(mvhd, trak(tkhd,
+    * mdia(minf(stbl(stsd avc1, stts, stss, stsz, stsc, stco))))).
+    * timescale 600, duration 1200 (2 s), 64x48, 2 sync samples. Built
+    * box-by-box from ISO/IEC 14496-12 like the golden pgoutput frames —
+    * the parser and this builder share only the published layout. */
+  private[operators] def syntheticMp4(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val samples = Array.tabulate(4)(i =>
+      Array.tabulate(syntheticMp4SampleLen(seed, i))(j => syntheticMp4SampleByte(seed, i, j)))
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII), u32be(0))
+    val mdat = bmffBox("mdat", samples.flatten)
+    val mdatPayloadOffset = ftyp.length + 8
+    val mvhd = bmffBox("mvhd", u32be(0) /* v0 + flags */,
+      u32be(0), u32be(0) /* creation, modification */,
+      u32be(600) /* timescale */, u32be(1200) /* duration */,
+      new Array[Byte](80) /* rate..next_track_ID */)
+    val tkhd = bmffBox("tkhd", u32be(0), u32be(0), u32be(0),
+      u32be(1) /* track id */, u32be(0), u32be(1200) /* duration */,
+      new Array[Byte](52) /* reserved..matrix */,
+      u32be(w << 16), u32be(h << 16) /* 16.16 fixed */)
+    val stsd = bmffBox("stsd", u32be(0), u32be(1) /* entries */,
+      u32be(16), "avc1".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      new Array[Byte](8))
+    val stts = bmffBox("stts", u32be(0), u32be(1), u32be(4), u32be(300))
+    val stss = bmffBox("stss", u32be(0), u32be(2), u32be(1), u32be(3))
+    val stsz = bmffBox("stsz", u32be(0), u32be(0) /* per-sample */,
+      u32be(4), samples.flatMap(s => u32be(s.length)))
+    val stsc = bmffBox("stsc", u32be(0), u32be(1),
+      u32be(1), u32be(4), u32be(1))
+    val stco = bmffBox("stco", u32be(0), u32be(1), u32be(mdatPayloadOffset))
+    val stbl = bmffBox("stbl", stsd, stts, stss, stsz, stsc, stco)
+    val moov = bmffBox("moov", mvhd,
+      bmffBox("trak", tkhd, bmffBox("mdia", bmffBox("minf", stbl))))
+    ftyp ++ mdat ++ moov
   }
 
   /** Seeded 32x32 PNG: horizontal luma gradient + per-pixel noise. */

@@ -92,14 +92,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).bytes.length === 256)
   }
 
-  test("frame sampling splits payload without losing bytes") {
+  test("frame sampling: chunk fallback conserves bytes; MP4 rows yield coded samples") {
     val frames = Multimodal.sampleFrames(media, 4).collect()
     assert(frames.length === 200)
     val byId = frames.groupBy(_.media_id)
-    val orig = media.collect().map(m => m.media_id -> m.bytes.length).toMap
-    byId.foreach { case (id, fs) =>
-      assert(fs.map(_.bytes.length).sum === orig(id), s"media $id lost bytes")
+    val orig: Map[Long, (String, Int)] =
+      media.collect().map(m => m.media_id -> (m.kind, m.bytes.length)).toMap
+    byId.foreach { case (id: Long, fs) =>
+      orig(id) match {
+        case ("video", _) =>
+          // MP4 rows: 4 frames = the 4 coded samples, content verified
+          // against the deterministic sample formula
+          assert(fs.length === 4)
+          fs.sortBy(_.frame_idx).zipWithIndex.foreach { case (f, i) =>
+            val want = Array.tabulate(Multimodal.syntheticMp4SampleLen(id, i))(
+              j => Multimodal.syntheticMp4SampleByte(id, i, j))
+            assert(f.bytes.toSeq === want.toSeq, s"media $id sample $i content mismatch")
+          }
+        case (_, len) =>
+          assert(fs.map(_.bytes.length).sum === len, s"media $id lost bytes")
+      }
     }
+  }
+
+  test("MP4 container metadata parses without a codec") {
+    val bytes = Multimodal.syntheticMp4(7L)
+    val meta = Multimodal.decodeMp4Meta(bytes).get
+    assert(meta.timescale === 600L)
+    assert(meta.durationSec === 2.0)
+    assert(meta.width === 64 && meta.height === 48)
+    assert(meta.codec === "avc1")
+    assert(meta.sampleCount === 4L && meta.syncSampleCount === 2L)
+    // non-container payloads parse to None, never throw
+    assert(Multimodal.decodeMp4Meta(Array.fill[Byte](64)(9)).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Multimodal.syntheticPng(1L, 8, 8)).isEmpty)
+  }
+
+  test("videoMetadata surfaces typed container facts per media row") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.videoMetadata(media).collect()
+    assert(rows.length === 50)
+    val vids = rows.filter(_.getAs[Boolean]("parseable"))
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      assert(r.getAs[Double]("duration_sec") === 2.0)
+      assert(r.getAs[Int]("width") === 64 && r.getAs[Int]("height") === 48)
+      assert(r.getAs[String]("codec") === "avc1")
+      assert(r.getAs[Long]("sample_count") === 4L)
+      assert(r.getAs[Long]("sync_sample_count") === 2L)
+    }
+    // only video rows parse as containers
+    val parseableIds = vids.map(_.getAs[Long]("media_id")).toSet
+    val videoIds = media.collect().filter(_.kind == "video").map(_.media_id).toSet
+    assert(parseableIds === videoIds)
   }
 
   test("media features flow into the similarity surface") {
