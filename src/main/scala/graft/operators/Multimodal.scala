@@ -30,13 +30,19 @@ import org.apache.spark.sql.functions._
   *    actual CODED SAMPLES through the stsz/stsc/stco tables — the
   *    pre-decode pipeline stages (duration gates, resolution buckets,
   *    codec allow-lists, keyframe budgets, frame shipping) all run for
-  *    real. Only the entropy DECODE of those samples needs a codec
-  *    stack the JDK does not ship — that single step (and any payload
-  *    the parsers reject) keeps the L1-normalized 16-bin byte-histogram
-  *    fallback. Swapping it for a JNI/ffmpeg decoder changes ONE
-  *    function; the Spark-side contract (schema, binary batching,
-  *    partitioning, `mapPartitions`-over-typed-rows — Scala's analogue
-  *    of an Arrow `mapInPandas` batch UDF) is unchanged.
+  *    real. For Motion-JPEG tracks (sample-entry `jpeg`/`mjpa`/`mjpb` —
+  *    every coded sample is a complete JPEG image) the entropy decode
+  *    is ALSO real: sampled frames go through the JDK's ImageIO JPEG
+  *    codec and video features are temporal-pooled PIXEL features
+  *    (mean per-frame 4x4 luma thumbnail), end-to-end with zero
+  *    external libraries. Only inter-frame codecs the JDK does not
+  *    ship (H.264/VP9/AV1) — and any payload the parsers reject — keep
+  *    the L1-normalized 16-bin byte-histogram fallback. Swapping that
+  *    for a JNI/ffmpeg decoder changes ONE function
+  *    (`decodeSampleImage`); the Spark-side contract (schema, binary
+  *    batching, partitioning, `mapPartitions`-over-typed-rows —
+  *    Scala's analogue of an Arrow `mapInPandas` batch UDF) is
+  *    unchanged.
   *
   * Scale notes: media bytes dominate row size, so ops here avoid shuffles
   * entirely (pure per-partition transforms); `repartitionForDecode` sizes
@@ -348,6 +354,52 @@ object Multimodal {
     }
   }
 
+  /** Indices of up to n evenly spaced picks over `total` samples. */
+  private def spacedIdx(total: Int, n: Int): Array[Int] = {
+    val take = math.min(math.max(n, 1), total)
+    Array.tabulate(take)(i => if (take == 1) 0 else (i.toLong * (total - 1) / (take - 1)).toInt)
+  }
+
+  /** Entropy decode of ONE coded sample. Real for intra-coded tracks the
+    * JDK ships a codec for — Motion-JPEG (`jpeg`/`mjpa`/`mjpb` sample
+    * entries), where every coded sample is a complete JPEG image — and
+    * None for inter-frame codecs (H.264/VP9/AV1). This is the single
+    * function a JNI/ffmpeg decoder would replace. */
+  private[operators] def decodeSampleImage(sample: Array[Byte]): Option[BufferedImage] =
+    decodeImage(sample)
+
+  /** Up to n evenly spaced REALLY-DECODED frames of an MP4 payload:
+    * container sample ranges → coded samples → ImageIO decode. Empty
+    * when the container is unparseable or the codec undecodable. */
+  private[operators] def decodedFrames(bytes: Array[Byte], n: Int): Array[BufferedImage] =
+    mp4SampleRanges(bytes) match {
+      case Some(ranges) if ranges.nonEmpty =>
+        spacedIdx(ranges.length, n).iterator.flatMap { idx =>
+          val (off, len) = ranges(idx)
+          val from = math.min(math.max(off, 0L), bytes.length.toLong).toInt
+          val until = math.min(off + len, bytes.length.toLong).toInt
+          decodeSampleImage(java.util.Arrays.copyOfRange(bytes, from, until))
+        }.toArray
+      case _ => Array.empty
+    }
+
+  /** Temporal-pooled PIXEL feature of a video payload: the mean 4x4 luma
+    * thumbnail over up to 4 sampled, really-decoded frames. None when no
+    * frame decodes (unparseable container or codec the JDK lacks). */
+  private[operators] def videoFeature(bytes: Array[Byte]): Option[Array[Float]] = {
+    val frames = decodedFrames(bytes, 4)
+    if (frames.isEmpty) None
+    else {
+      val acc = new Array[Float](16)
+      frames.foreach { f =>
+        val ft = imageFeature(f)
+        var i = 0
+        while (i < 16) { acc(i) += ft(i); i += 1 }
+      }
+      Some(acc.map(_ / frames.length))
+    }
+  }
+
   /** Typed container metadata for the video rows of a media set —
     * (media_id, parseable, timescale, duration_sec, width, height,
     * codec, sample_count, sync_sample_count). Zero-shuffle projection;
@@ -390,6 +442,7 @@ object Multimodal {
       val feature = m.kind match {
         case "image" => decodeImage(m.bytes).map(imageFeature).getOrElse(byteHistogram(m.bytes))
         case "audio" => decodeWav(m.bytes).map(audioFeature).getOrElse(byteHistogram(m.bytes))
+        case "video" => videoFeature(m.bytes).getOrElse(byteHistogram(m.bytes))
         case _ => byteHistogram(m.bytes)
       }
       MediaFeature(m.media_id, m.kind, m.bytes.length.toLong, feature)
@@ -432,9 +485,7 @@ object Multimodal {
     media.flatMap { m =>
       mp4SampleRanges(m.bytes) match {
         case Some(ranges) if ranges.nonEmpty =>
-          val take = math.min(math.max(n, 1), ranges.length)
-          (0 until take).iterator.map { i =>
-            val idx = if (take == 1) 0 else (i.toLong * (ranges.length - 1) / (take - 1)).toInt
+          spacedIdx(ranges.length, n).iterator.zipWithIndex.map { case (idx, i) =>
             val (off, len) = ranges(idx)
             val from = math.min(math.max(off, 0L), m.bytes.length.toLong).toInt
             val until = math.min(off + len, m.bytes.length.toLong).toInt
@@ -457,10 +508,11 @@ object Multimodal {
   def asEmbeddings(features: Dataset[MediaFeature]): DataFrame =
     features.toDF().select(col("media_id").as("vec_id"), col("feature").as("embedding"))
 
-  /** Deterministic synthetic media for tests/demos — REAL payloads where
-    * the codec is real: images are encoded PNGs (per-id seeded RGB
-    * noise over a gradient), audio rows are RIFF/WAVE 16-bit PCM sine
-    * tones (frequency varies by id), video rows remain opaque bytes. */
+  /** Deterministic synthetic media for tests/demos — ALL payloads real:
+    * images are encoded PNGs (per-id seeded RGB noise over a gradient),
+    * audio rows are RIFF/WAVE 16-bit PCM sine tones (frequency varies
+    * by id), video rows are Motion-JPEG MP4s (4 JPEG-coded frames in a
+    * spec-correct ISO-BMFF container). */
   def syntheticMedia(spark: SparkSession, n: Int, seedBytes: Int = 256): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     import spark.implicits._
@@ -473,7 +525,7 @@ object Multimodal {
           val bytes = syntheticWav(id, 16000, 1600)
           MediaRecord(id, "audio", bytes, 0, 0, 16000, "wav")
         case _ =>
-          val bytes = syntheticMp4(id)
+          val bytes = syntheticMjpegMp4(id)
           MediaRecord(id, "video", bytes, 64, 48, 0, "mp4")
       }
     }
@@ -497,15 +549,13 @@ object Multimodal {
   private[operators] def syntheticMp4SampleLen(seed: Long, i: Int): Int =
     24 + (((seed + i) % 13L).toInt + 13) % 13
 
-  /** Minimal but SPEC-CORRECT ISO-BMFF container: ftyp + mdat (4 coded
-    * samples of deterministic content) + moov(mvhd, trak(tkhd,
-    * mdia(minf(stbl(stsd avc1, stts, stss, stsz, stsc, stco))))).
-    * timescale 600, duration 1200 (2 s), 64x48, 2 sync samples. Built
-    * box-by-box from ISO/IEC 14496-12 like the golden pgoutput frames —
-    * the parser and this builder share only the published layout. */
-  private[operators] def syntheticMp4(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] = {
-    val samples = Array.tabulate(4)(i =>
-      Array.tabulate(syntheticMp4SampleLen(seed, i))(j => syntheticMp4SampleByte(seed, i, j)))
+  /** Minimal but SPEC-CORRECT ISO-BMFF container around `samples`: ftyp
+    * + mdat + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd `codec`, stts,
+    * stss, stsz, stsc, stco))))). timescale 600, duration 1200 (2 s),
+    * 2 sync samples. Built box-by-box from ISO/IEC 14496-12 like the
+    * golden pgoutput frames — the parser and this builder share only
+    * the published layout. */
+  private def buildMp4(samples: Array[Array[Byte]], codec: String, w: Int, h: Int): Array[Byte] = {
     val ftyp = bmffBox("ftyp",
       "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII), u32be(0))
     val mdat = bmffBox("mdat", samples.flatten)
@@ -519,20 +569,63 @@ object Multimodal {
       new Array[Byte](52) /* reserved..matrix */,
       u32be(w << 16), u32be(h << 16) /* 16.16 fixed */)
     val stsd = bmffBox("stsd", u32be(0), u32be(1) /* entries */,
-      u32be(16), "avc1".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      u32be(16), codec.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
       new Array[Byte](8))
-    val stts = bmffBox("stts", u32be(0), u32be(1), u32be(4), u32be(300))
+    val stts = bmffBox("stts", u32be(0), u32be(1), u32be(samples.length), u32be(300))
     val stss = bmffBox("stss", u32be(0), u32be(2), u32be(1), u32be(3))
     val stsz = bmffBox("stsz", u32be(0), u32be(0) /* per-sample */,
-      u32be(4), samples.flatMap(s => u32be(s.length)))
+      u32be(samples.length), samples.flatMap(s => u32be(s.length)))
     val stsc = bmffBox("stsc", u32be(0), u32be(1),
-      u32be(1), u32be(4), u32be(1))
+      u32be(1), u32be(samples.length), u32be(1))
     val stco = bmffBox("stco", u32be(0), u32be(1), u32be(mdatPayloadOffset))
     val stbl = bmffBox("stbl", stsd, stts, stss, stsz, stsc, stco)
     val moov = bmffBox("moov", mvhd,
       bmffBox("trak", tkhd, bmffBox("mdia", bmffBox("minf", stbl))))
     ftyp ++ mdat ++ moov
   }
+
+  /** avc1-tagged container with 4 deterministic OPAQUE coded samples
+    * (the formula above) — exercises container parsing and byte-exact
+    * sample extraction for a codec the JDK cannot decode. */
+  private[operators] def syntheticMp4(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] =
+    buildMp4(
+      Array.tabulate(4)(i =>
+        Array.tabulate(syntheticMp4SampleLen(seed, i))(j => syntheticMp4SampleByte(seed, i, j))),
+      "avc1", w, h)
+
+  /** Seeded frame i: horizontal luma gradient plus a bright block that
+    * moves with the frame index, so decoded-pixel features vary across
+    * frames and seeds. */
+  private[operators] def syntheticVideoFrame(seed: Long, i: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val blockW = w / 4
+    val blockX = ((seed + i) % 4).toInt * blockW
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 160 * x / math.max(w - 1, 1)
+        val v = if (x >= blockX && x < blockX + blockW && y >= h / 4 && y < 3 * h / 4) 255
+        else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Motion-JPEG container: every coded sample is a complete JPEG image
+    * (ImageIO-encoded), sample entry `jpeg` — the video fixture the
+    * WHOLE pipeline really decodes, container through pixels. */
+  private[operators] def syntheticMjpegMp4(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] =
+    buildMp4(
+      Array.tabulate(4) { i =>
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(syntheticVideoFrame(seed, i, w, h), "jpg", baos)
+        baos.toByteArray
+      },
+      "jpeg", w, h)
 
   /** Seeded 32x32 PNG: horizontal luma gradient + per-pixel noise. */
   private[operators] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
