@@ -90,7 +90,8 @@ object SparkEntry {
     "q51_check_knn_ivf" -> (PipelineQueries.q51CheckKnnIvf _),
     "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _),
     "q58_check_ivf_store" -> (PipelineQueries.q58CheckIvfStore _),
-    "q64_check_cross_vectors" -> (PipelineQueries.q64CheckCrossVectors _)
+    "q64_check_cross_vectors" -> (PipelineQueries.q64CheckCrossVectors _),
+    "q65_check_bloom_decontam" -> (PipelineQueries.q65CheckBloomDecontam _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -298,6 +299,9 @@ object SparkEntry {
         |FROM generate_series(0, 9) AS t(x) ORDER BY va""".stripMargin,
     "q64_check_cross_vectors" ->
       """SELECT CAST(1 AS BOOLEAN) AS planted_ok, CAST(1 AS BOOLEAN) AS recall_ok,
-        |CAST(1 AS BOOLEAN) AS precision_ok, CAST(1 AS BOOLEAN) AS survivors_ok""".stripMargin
+        |CAST(1 AS BOOLEAN) AS precision_ok, CAST(1 AS BOOLEAN) AS survivors_ok""".stripMargin,
+    "q65_check_bloom_decontam" ->
+      """SELECT CAST(1 AS BOOLEAN) AS planted_ok, CAST(1 AS BOOLEAN) AS superset_ok,
+        |CAST(1 AS BOOLEAN) AS inflation_ok""".stripMargin
   ) ++ PipelineQueries.oracles
 }

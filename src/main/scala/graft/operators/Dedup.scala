@@ -629,6 +629,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter tier of [[contaminationScores]] — the 100 TB shape for
+    * a benchmark suite whose exact distinct-shingle set is too large to
+    * broadcast comfortably (50M shingles ≈ 400+ MB as a hash set; a
+    * Bloom filter at fpp=0.01 is ~1.2 bytes/item ≈ 60 MB, and the size
+    * is a KNOB, not a function of the corpus).
+    *
+    * Semantics: a Bloom filter has NO false negatives, so the flagged
+    * set is provably a SUPERSET of the exact operator's — decontamination
+    * never misses a leaked document; false positives over-drop clean
+    * docs at ≈`fpp` per probed shingle (`shared` is an upper bound of
+    * the exact count). That direction of error is the safe one for
+    * test-set hygiene. One benchmark-side pass sizes and builds the
+    * filter (`df.stat.bloomFilter`, a distributed agg over the
+    * eval-suite side only); the corpus side then streams through a
+    * partition-local membership probe — no join at all, strictly less
+    * machinery than the exact tier's broadcast hash join. */
+  def contaminationScoresBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                               minShared: Long = 3L, fpp: Double = 0.01): DataFrame = {
+    val bsg = withHashedShingles(benchmark, n)
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val expected = math.max(bsg.count(), 1L) // benchmark-sized job, not corpus
+    val bloom = bsg.stat.bloomFilter("sg", expected, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((sg: Long) => bc.value.mightContainLong(sg))
+    val hits = withHashedShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .filter(mightContain(col("sg")))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("shared"), lit(0L)).as("shared"))
+      .withColumn("contaminated", col("shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** Materialized deduplication — the end-cap of the dedup pipeline
     * (pairs → families → DROP the losers): keeps exactly one survivor
     * per near-dup family (highest `quality`; ties by lowest `id`) plus

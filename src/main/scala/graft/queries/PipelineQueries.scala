@@ -518,6 +518,47 @@ object PipelineQueries {
       .toDF("planted_ok", "recall_ok", "precision_ok", "survivors_ok")
   }
 
+  /** q65: Bloom-tier decontamination contract — the 100 TB shape of q53
+    * (a fixed-size Bloom filter broadcast instead of the exact distinct-
+    * shingle set; see `Dedup.contaminationScoresBloom`). Same
+    * corpus/benchmark split as q53. Contracts, all computed distributed
+    * and collapsed to counts:
+    *  - planted_ok: the exact operator flags at least one doc, so the
+    *    superset claim is not vacuous;
+    *  - superset_ok: per doc, bloom `shared` >= exact `shared`, and
+    *    every exact-contaminated doc is bloom-contaminated — the
+    *    no-false-negatives Bloom guarantee, verified row-by-row;
+    *  - inflation_ok: total extra hits (bloom minus exact, summed) stay
+    *    within 5x the fpp expectation over an upper bound of probed
+    *    shingles (+10 slack for tiny fixtures) — i.e. the filter
+    *    FILTERS; a degenerate always-true filter would inflate by the
+    *    full shingle count, orders of magnitude past this bound.
+    * Booleans oracled by constant truth. */
+  def q65CheckBloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val fpp = 0.01
+    val exact = Dedup.contaminationScores(corpus, bench, n = 3, minShared = 3L)
+      .select(col("doc_id"), col("shared").as("xs"), col("contaminated").as("xc"))
+    val bloom = Dedup.contaminationScoresBloom(corpus, bench, n = 3, minShared = 3L, fpp = fpp)
+      .select(col("doc_id"), col("shared").as("bs"), col("contaminated").as("bc"))
+    val joined = exact.join(bloom, "doc_id").agg(
+      sum(when(col("xc"), 1L).otherwise(0L)).as("n_exact_flagged"),
+      sum(when(col("bs") < col("xs") || (col("xc") && !col("bc")), 1L).otherwise(0L))
+        .as("n_violations"),
+      sum(col("bs") - col("xs")).as("inflation"))
+    val probeUpper = corpus
+      .select(greatest(size(split(lower(col("text")), " ")) - 2, lit(1)).as("np"))
+      .agg(sum(col("np")).as("total")).head().getLong(0)
+    val row = joined.head()
+    import spark.implicits._
+    Seq((row.getLong(0) > 0L, row.getLong(1) == 0L,
+      row.getLong(2).toDouble <= 5.0 * fpp * probeUpper + 10.0))
+      .toDF("planted_ok", "superset_ok", "inflation_ok")
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,

@@ -60,4 +60,31 @@ class PiiDecontamSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingles must broadcast (corpus side never shuffles into the join):\n$plan")
   }
+
+  test("bloom tier: superset of the exact scores, exact on the planted fixture") {
+    val bench = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a b the quick brown c d"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScoresBloom(corpus, bench, n = 3, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // at this scale (3 benchmark shingles, fpp 1%) false positives are
+    // ~never hit, so the bloom tier reproduces the exact scores; the
+    // superset guarantee is asserted in general at q65's oracle contract
+    assert(got === Seq((1L, 3L, true), (2L, 1L, false), (3L, 0L, false)))
+  }
+
+  test("bloom tier plan has NO join: corpus streams through a membership filter") {
+    val bench = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationScoresBloom(corpus, bench)
+    val plan = hits.queryExecution.executedPlan.toString
+    // the only join is the final left join re-attaching zero-score docs
+    // (tiny: doc_id against doc_id); the contamination probe itself is
+    // a partition-local filter — no shingle-keyed join anywhere
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom probe must not shuffle-join on shingles:\n$plan")
+  }
 }
