@@ -91,7 +91,9 @@ object SparkEntry {
     "q57_check_quant_cos" -> (PipelineQueries.q57CheckQuantCos _),
     "q58_check_ivf_store" -> (PipelineQueries.q58CheckIvfStore _),
     "q64_check_cross_vectors" -> (PipelineQueries.q64CheckCrossVectors _),
-    "q65_check_bloom_decontam" -> (PipelineQueries.q65CheckBloomDecontam _)
+    "q65_check_bloom_decontam" -> (PipelineQueries.q65CheckBloomDecontam _),
+    "q66_topics" -> (PipelineQueries.q66Topics _),
+    "q66_check_topics" -> (PipelineQueries.q66CheckTopics _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,6 +304,11 @@ object SparkEntry {
         |CAST(1 AS BOOLEAN) AS precision_ok, CAST(1 AS BOOLEAN) AS survivors_ok""".stripMargin,
     "q65_check_bloom_decontam" ->
       """SELECT CAST(1 AS BOOLEAN) AS planted_ok, CAST(1 AS BOOLEAN) AS superset_ok,
-        |CAST(1 AS BOOLEAN) AS inflation_ok""".stripMargin
+        |CAST(1 AS BOOLEAN) AS inflation_ok""".stripMargin,
+    // q66_topics itself is rows-only (assignment depends on
+    // Spark-computed centroids); this is its hard contract
+    "q66_check_topics" ->
+      """SELECT CAST(1 AS BOOLEAN) AS assigned_ok, CAST(1 AS BOOLEAN) AS optimal_ok,
+        |CAST(1 AS BOOLEAN) AS used_ok, CAST(1 AS BOOLEAN) AS deterministic_ok""".stripMargin
   ) ++ PipelineQueries.oracles
 }

@@ -137,6 +137,30 @@ object Similarity {
     centroids
   }
 
+  /** Semantic topic assignment — the curation op behind "balance the
+    * mixture by topic, not just by source": spherical k-means topics
+    * over the embedding column, each vector labeled with its
+    * nearest-centroid topic and the cosine to it (cohesion).
+    *
+    * Scale shape: centroids come from [[kmeansCentroids]] (one bounded
+    * deterministic sample + driver Lloyd — ~2 MB, never the corpus);
+    * assignment is then a PURE PROJECTION — argmax over k codegen'd
+    * vec_dot calls against literal centroid arrays, zero shuffle, zero
+    * joins — so topic labeling streams at scan speed over 100 TB
+    * exactly like the IVF list assignment it shares machinery with.
+    * Centroids are unit-norm, so cos(e, c) = dot(e, c)/|e|. */
+  def assignTopics(emb: DataFrame, k: Int, iters: Int = 5,
+                   sampleSize: Int = 4096): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    val centroids = kmeansCentroids(emb, k, iters, sampleSize)
+    val best = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("cos"),
+        lit(i).as("topic"))
+    }: _*))
+    asDouble(emb).select(col("vec_id"),
+      best.getField("topic").as("topic"), best.getField("cos").as("cohesion"))
+  }
+
   /** A built IVF index: unit-norm centroids + the assigned corpus. Build
     * once (one assignment scan — the expensive pass), probe many: every
     * `probeIvf` call reads `assigned` without re-running centroid

@@ -559,6 +559,67 @@ object PipelineQueries {
       .toDF("planted_ok", "superset_ok", "inflation_ok")
   }
 
+  /** q66: semantic topic composition — `Similarity.assignTopics` (k=8
+    * spherical k-means topics, pure-projection assignment) joined back
+    * to the embedding labels and rolled up per topic: size, mean
+    * cohesion, and the majority label with its share (two-level
+    * map-side-combinable agg; the majority pick is a max over
+    * (count, -label) structs — deterministic tiebreak, no window).
+    * Assignment depends on Spark-computed centroids, so the row is
+    * rows-only for the driver; q66_check_topics carries the hard
+    * contract. */
+  def q66Topics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val assigned = Similarity.assignTopics(emb, k = 8)
+    val byTopicLabel = assigned
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("topic", "label")
+      .agg(count(lit(1)).as("n"), sum(col("cohesion")).as("coh"))
+    byTopicLabel.groupBy("topic").agg(
+      sum(col("n")).as("n_vecs"),
+      round(sum(col("coh")) / sum(col("n")), 4).as("avg_cohesion"),
+      max(struct(col("n").as("n"), (-col("label")).as("nl"), col("label").as("label")))
+        .getField("label").as("top_label"),
+      round(max(struct(col("n").as("n"), (-col("label")).as("nl"), col("label").as("label")))
+        .getField("n").cast("double") / sum(col("n")), 4).as("top_label_frac"))
+      .orderBy("topic")
+  }
+
+  /** q66 contract: (a) assigned_ok — every vector gets exactly one
+    * topic; (b) optimal_ok — each vector's stored cohesion is the true
+    * max cosine over ALL centroids (recomputed independently from the
+    * deterministic `kmeansCentroids`; violations counted distributed,
+    * tolerance 1e-9); (c) used_ok — at least 2 topics are non-empty (a
+    * degenerate all-one-topic clustering fails); (d) deterministic_ok —
+    * a second full assignment run agrees vector-by-vector. Booleans
+    * oracled by constant truth. */
+  def q66CheckTopics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val k = 8
+    val assigned = Similarity.assignTopics(emb, k)
+    val centroids = Similarity.kmeansCentroids(emb, k)
+    val withBest = assigned
+      .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")), "vec_id")
+      .select(col("vec_id"), col("topic"), col("cohesion"),
+        greatest(centroids.map(c =>
+          vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))): _*).as("best"))
+    val agg = withBest.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("best") > col("cohesion") + lit(1e-9), 1L).otherwise(0L)).as("viol"),
+      countDistinct(col("topic")).as("used")).head()
+    val again = Similarity.assignTopics(emb, k)
+      .select(col("vec_id"), col("topic").as("topic2"))
+    val mismatches = assigned.join(again, "vec_id")
+      .filter(col("topic") =!= col("topic2")).count()
+    import spark.implicits._
+    Seq((agg.getLong(0) == emb.count(), agg.getLong(1) == 0L,
+      agg.getLong(2) >= 2L, mismatches == 0L))
+      .toDF("assigned_ok", "optimal_ok", "used_ok", "deterministic_ok")
+  }
+
   // --------------------------------------------------------- oracle SQL
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,

@@ -442,4 +442,30 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((0L, 1L)))
   }
+
+  test("assignTopics: planted clusters separate; assignment is a zero-shuffle projection") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 120).map { i =>
+      val center = if (i % 2 == 0) a else b
+      (i.toLong, center.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val assigned = Similarity.assignTopics(df, k = 2, iters = 8)
+    val got = assigned.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length === 120)
+    // the two planted clusters land in two distinct topics, cleanly
+    val evenTopics = got.filter(_._1 % 2 == 0).map(_._2).toSet
+    val oddTopics = got.filter(_._1 % 2 == 1).map(_._2).toSet
+    assert(evenTopics.size === 1 && oddTopics.size === 1 && evenTopics != oddTopics,
+      s"clusters mixed: even=$evenTopics odd=$oddTopics")
+    // tight clusters: cosine to own centroid is near 1
+    assert(got.forall(_._3 > 0.9), s"low cohesion: ${got.map(_._3).min}")
+    // assignment is a pure projection over literal centroids
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
+  }
 }
