@@ -78,7 +78,8 @@ object Multimodal {
     * None when the payload is not a readable image. */
   private[operators] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None } // corrupt crawl
+  // payloads surface as undecodable, never as an executor crash
 
   /** 4x4 grayscale thumbnail (16 dims in [0,1]): per grid cell, the mean
     * Rec.601 luma of its pixel block — deterministic area averaging. */
@@ -231,8 +232,16 @@ object Multimodal {
     boxes(bytes, from, until).collectFirst { case (`tpe`, f, u) => (f, u) }
 
   /** Container-level metadata of an MP4/ISO-BMFF payload; None when the
-    * bytes are not a parseable container (no moov). See [[Mp4Meta]]. */
-  private[operators] def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    * bytes are not a parseable container (no moov) — INCLUDING
+    * malformed/truncated/adversarial containers (crawl data is
+    * untrusted: every structural read is clamped to the payload and any
+    * residual parse explosion degrades to None, never an executor
+    * crash). See [[Mp4Meta]]. */
+  private[operators] def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] =
+    try decodeMp4Meta0(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeMp4Meta0(bytes: Array[Byte]): Option[Mp4Meta] = {
     val moov = findBox(bytes, 0, bytes.length, "moov")
     moov.map { case (mf, mu) =>
       val (timescale, duration) = findBox(bytes, mf, mu, "mvhd").map { case (f, _) =>
@@ -269,9 +278,10 @@ object Multimodal {
           new String(bytes, f + 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
         }.getOrElse("")
       val samples = stbl.flatMap { case (f, u) => findBox(bytes, f, u, "stts") }
-        .map { case (f, _) =>
+        .map { case (f, u) =>
           val b = java.nio.ByteBuffer.wrap(bytes, f + 4, 4) // skip ver+flags
-          val n = b.getInt()
+          // a lying entry count can't walk past the box payload
+          val n = math.min(b.getInt().toLong, ((u - f - 8) / 8).toLong).toInt
           var total = 0L
           var i = 0
           while (i < n) {
@@ -294,8 +304,16 @@ object Multimodal {
     * the sample tables alone: stsz sizes, stsc sample→chunk runs, stco/
     * co64 chunk offsets. This is real frame EXTRACTION — each returned
     * range is one coded sample (e.g. an H.264 access unit), which is
-    * exactly what a pre-decode pipeline stage ships to the decoder. */
-  private[operators] def mp4SampleRanges(bytes: Array[Byte]): Option[Array[(Long, Int)]] = {
+    * exactly what a pre-decode pipeline stage ships to the decoder.
+    * Untrusted-input hardened like [[decodeMp4Meta]]: declared entry
+    * counts clamp to the box payload actually present (a corrupt stsz
+    * claiming 2^31 samples must not allocate a 2^31 array), and any
+    * residual parse explosion returns None. */
+  private[operators] def mp4SampleRanges(bytes: Array[Byte]): Option[Array[(Long, Int)]] =
+    try mp4SampleRanges0(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def mp4SampleRanges0(bytes: Array[Byte]): Option[Array[(Long, Int)]] = {
     val stbl = for {
       (mf, mu) <- findBox(bytes, 0, bytes.length, "moov")
       (tf, tu) <- findBox(bytes, mf, mu, "trak")
@@ -305,29 +323,37 @@ object Multimodal {
     } yield s
     stbl.flatMap { case (sf, su) =>
       for {
-        (zf, _) <- findBox(bytes, sf, su, "stsz")
-        (cf, _) <- findBox(bytes, sf, su, "stsc")
+        (zf, zu) <- findBox(bytes, sf, su, "stsz")
+        (cf, cu) <- findBox(bytes, sf, su, "stsc")
         (of, ou) <- findBox(bytes, sf, su, "stco")
           .orElse(findBox(bytes, sf, su, "co64"))
       } yield {
         val co64 = findBox(bytes, sf, su, "stco").isEmpty
         val zb = java.nio.ByteBuffer.wrap(bytes, zf, su - zf)
         zb.position(zb.position() + 4) // ver+flags
-        val fixedSize = zb.getInt()
-        val nSamples = zb.getInt()
+        val fixedSize = math.max(zb.getInt(), 0)
+        // declared counts clamp to what the payload can actually hold:
+        // per-sample sizes to the stsz entries present, fixed-size
+        // samples to the whole payload's capacity at that size
+        val declared = zb.getInt().toLong
+        val nSamples = math.max(0L, math.min(declared,
+          if (fixedSize != 0) bytes.length.toLong / fixedSize + 1
+          else (zu - zf - 12).toLong / 4)).toInt
         val sizes = Array.tabulate(nSamples)(i =>
           if (fixedSize != 0) fixedSize
-          else java.nio.ByteBuffer.wrap(bytes, zf + 12 + i * 4, 4).getInt())
+          else math.max(java.nio.ByteBuffer.wrap(bytes, zf + 12 + i * 4, 4).getInt(), 0))
         val cb = java.nio.ByteBuffer.wrap(bytes, cf, su - cf)
         cb.position(cb.position() + 4)
-        val nRuns = cb.getInt()
+        val nRuns = math.max(0L, math.min(cb.getInt().toLong, (cu - cf - 8).toLong / 12)).toInt
         val runs = Array.tabulate(nRuns) { i =>
           val b = java.nio.ByteBuffer.wrap(bytes, cf + 8 + i * 12, 12)
           (b.getInt(), b.getInt()) // (first_chunk 1-based, samples_per_chunk)
         }
         val ob = java.nio.ByteBuffer.wrap(bytes, of, ou - of)
         ob.position(ob.position() + 4)
-        val nChunks = ob.getInt()
+        val entryW = if (co64) 8 else 4
+        val nChunks = math.max(0L,
+          math.min(ob.getInt().toLong, (ou - of - 8).toLong / entryW)).toInt
         val chunkOffsets = Array.tabulate(nChunks)(i =>
           if (co64) java.nio.ByteBuffer.wrap(bytes, of + 8 + i * 8, 8).getLong()
           else java.nio.ByteBuffer.wrap(bytes, of + 8 + i * 4, 4).getInt().toLong & 0xffffffffL)
@@ -335,7 +361,7 @@ object Multimodal {
         val out = new Array[(Long, Int)](nSamples)
         var sample = 0
         var chunk = 0
-        while (chunk < nChunks && sample < nSamples) {
+        while (chunk < nChunks && sample < nSamples && runs.nonEmpty) {
           var run = 0
           while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1) run += 1
           val perChunk = runs(run)._2
@@ -349,7 +375,9 @@ object Multimodal {
           }
           chunk += 1
         }
-        out
+        // a truncated walk (fewer chunks than declared samples) must not
+        // leak null slots to callers
+        if (sample < nSamples) out.take(sample) else out
       }
     }
   }

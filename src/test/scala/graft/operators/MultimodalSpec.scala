@@ -192,6 +192,44 @@ class MultimodalSpec extends SparkSpec {
     assert(parseableIds === videoIds)
   }
 
+  test("MP4 parsing never throws on malformed input (crawl data is untrusted)") {
+    val valid = Multimodal.syntheticMjpegMp4(3L)
+    def exercise(bytes: Array[Byte]): Unit = {
+      Multimodal.decodeMp4Meta(bytes) // must not throw
+      Multimodal.mp4SampleRanges(bytes).foreach { rs =>
+        rs.foreach(r => assert(r != null, "sample ranges must never contain null slots"))
+      }
+      Multimodal.videoFeature(bytes) // decode path end-to-end
+    }
+    // random garbage at several sizes
+    val rnd = new scala.util.Random(42)
+    for (len <- Seq(0, 7, 8, 64, 1024)) exercise(Array.fill[Byte](len)(rnd.nextInt.toByte))
+    // truncations of a valid container at every box-ish boundary
+    for (cut <- 0 until valid.length by 13) exercise(valid.take(cut))
+    // single-byte corruptions sweeping the whole container (hits box
+    // sizes, entry counts, offsets — the adversarial-count clamps)
+    for (pos <- valid.indices by 3; flip <- Seq(0x80.toByte, 0x7f.toByte)) {
+      val mutated = valid.clone()
+      mutated(pos) = (mutated(pos) ^ flip).toByte
+      exercise(mutated)
+    }
+    // a lying stsz: patch the declared sample count to Int.MaxValue —
+    // must clamp, not allocate 2^31 entries (would OOM before throwing)
+    val stszAt = {
+      var i = valid.indexOfSlice("stsz".getBytes)
+      i
+    }
+    assert(stszAt > 0)
+    val lying = valid.clone()
+    // payload: ver+flags(4) + fixedSize(4) + nSamples(4) — patch nSamples
+    val nsOff = stszAt + 4 + 8
+    lying(nsOff) = 0x7f.toByte; lying(nsOff + 1) = 0xff.toByte
+    lying(nsOff + 2) = 0xff.toByte; lying(nsOff + 3) = 0xff.toByte
+    exercise(lying)
+    // and the clamped parse still extracts the 4 REAL samples
+    assert(Multimodal.mp4SampleRanges(lying).get.length === 4)
+  }
+
   test("media features flow into the similarity surface") {
     val emb = Multimodal.asEmbeddings(Multimodal.extractFeatures(media))
     val top = Similarity.cosineTopK(emb, 0L, 5).collect()
