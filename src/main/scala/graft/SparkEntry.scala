@@ -93,7 +93,8 @@ object SparkEntry {
     "q64_check_cross_vectors" -> (PipelineQueries.q64CheckCrossVectors _),
     "q65_check_bloom_decontam" -> (PipelineQueries.q65CheckBloomDecontam _),
     "q66_topics" -> (PipelineQueries.q66Topics _),
-    "q66_check_topics" -> (PipelineQueries.q66CheckTopics _)
+    "q66_check_topics" -> (PipelineQueries.q66CheckTopics _),
+    "q67_surprisal" -> (PipelineQueries.q67Surprisal _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -208,4 +208,40 @@ object TextAnalysis {
           round(col("topc").cast(DoubleType) / col("nb"), 4)), lit(0.0)))
           .as("top_bigram_frac")): _*)
   }
+
+  /** Per-document mean unigram surprisal against the corpus's OWN
+    * unigram distribution — the corpus-statistics quality filter
+    * behind "rare-token soup scores high, boilerplate scores low": each
+    * token instance t contributes -ln(c(t)/N); the doc score is the
+    * mean over its instances (4 decimals), with the instance count
+    * alongside.
+    *
+    * Scale shape: ONE distributed token count builds the vocabulary (a
+    * map-side-combinable hash agg, pinned as a localCheckpoint
+    * pinch-point so both consumers read it without re-scanning the
+    * corpus). The instance→count join is Zipf-skewed by nature — the
+    * head of the vocabulary carries most instances — so it splits two
+    * ways: the top `hotVocab` tokens by count are a BOUNDED broadcast
+    * covering the bulk of instances with a map-side join (the corpus
+    * never shuffles for them), and only the rare-token tail
+    * shuffle-joins (small by Zipf, and per-key balanced since no tail
+    * token is frequent). N rides a one-row broadcast. The split is a
+    * pure plan choice — scores are identical whichever side a token
+    * lands on. */
+  def unigramSurprisal(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(lower(col("text")))).as("tok"))
+    val vocab = Storage.track(
+      toks.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint(true))
+    val total = vocab.agg(sum(col("c")).cast(DoubleType).as("n"))
+    val hot = vocab.orderBy(col("c").desc, col("tok")).limit(hotVocab)
+    toks.join(broadcast(hot), Seq("tok"))
+      .unionByName(
+        toks.join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
+          .join(vocab.hint("shuffle_hash"), Seq("tok")))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c").cast(DoubleType) / col("n"))), 4).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

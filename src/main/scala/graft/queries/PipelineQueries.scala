@@ -586,6 +586,14 @@ object PipelineQueries {
       .orderBy("topic")
   }
 
+  /** q67: corpus-statistics quality scoring — per-doc mean unigram
+    * surprisal against the corpus's own token distribution
+    * (`TextAnalysis.unigramSurprisal`: bounded hot-vocab broadcast for
+    * the Zipf head, shuffle join only for the rare tail). Hard oracle:
+    * the -ln(c/N) mean is formula-mirrored at 4 decimals. */
+  def q67Surprisal(spark: SparkSession, dir: String): DataFrame =
+    TA.unigramSurprisal(t(spark, dir, "documents"))
+
   /** q66 contract: (a) assigned_ok — every vector gets exactly one
     * topic; (b) optimal_ok — each vector's stored cohesion is the true
     * max cosine over ALL centroids (recomputed independently from the
@@ -758,6 +766,14 @@ object PipelineQueries {
           |  ROUND(SUM(dwf)::DOUBLE / COUNT(*), 4) AS avg_dup_word,
           |  ROUND(SUM(tbf)::DOUBLE / COUNT(*), 4) AS avg_top_bigram
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
+      "q67_surprisal" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+          |vc AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY 1),
+          |tot AS (SELECT COUNT(*)::DOUBLE AS n FROM w)
+          |SELECT w.doc_id, ROUND(AVG(-ln(vc.c::DOUBLE / tot.n)), 4) AS surprisal,
+          |  COUNT(*) AS n_tokens
+          |FROM w JOIN vc USING (tok) CROSS JOIN tot
+          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
       "q34_check_precision" ->
         "SELECT CAST(1 AS BOOLEAN) AS pairs_found, CAST(1 AS BOOLEAN) AS all_near_dups",
       "q46_neardup_clusters" -> clusterSql,

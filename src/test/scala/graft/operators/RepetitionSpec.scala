@@ -35,4 +35,28 @@ class RepetitionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"signals must not join metadata back:\n$plan")
   }
+
+  test("unigramSurprisal: hand-computed scores against the corpus distribution") {
+    // vocab: a:2, b:1, c:1; N=4
+    // doc 1 = [a a b]: mean(-ln(2/4), -ln(2/4), -ln(1/4)) = 0.9242
+    // doc 2 = [c]:     -ln(1/4)                           = 1.3863
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 0.9242, 3L), (2L, 1.3863, 1L)))
+  }
+
+  test("unigramSurprisal: hot/tail split is a pure plan choice (scores identical)") {
+    val docs = Seq(
+      (1L, "the the the the rare"), (2L, "the of of words"), (3L, "rare of the")
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.unigramSurprisal(docs, hotVocab = 1024).collect().toSeq
+    val split = TextAnalysis.unigramSurprisal(docs, hotVocab = 1).collect().toSeq
+    assert(all === split, "forcing most tokens onto the shuffle tail must not change scores")
+    // the forced split really routes the tail through a shuffle hash join
+    val plan = TextAnalysis.unigramSurprisal(docs, hotVocab = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"tail must shuffle-hash join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"hot head must broadcast:\n$plan")
+  }
 }
