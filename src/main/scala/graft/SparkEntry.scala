@@ -94,7 +94,10 @@ object SparkEntry {
     "q65_check_bloom_decontam" -> (PipelineQueries.q65CheckBloomDecontam _),
     "q66_topics" -> (PipelineQueries.q66Topics _),
     "q66_check_topics" -> (PipelineQueries.q66CheckTopics _),
-    "q67_surprisal" -> (PipelineQueries.q67Surprisal _)
+    "q67_surprisal" -> (PipelineQueries.q67Surprisal _),
+    "q68_curate" -> (PipelineQueries.q68Curate _),
+    "q69_check_bpe" -> (PipelineQueries.q69CheckBpe _),
+    "q70_clean" -> (PipelineQueries.q70Clean _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,6 +313,12 @@ object SparkEntry {
     // Spark-computed centroids); this is its hard contract
     "q66_check_topics" ->
       """SELECT CAST(1 AS BOOLEAN) AS assigned_ok, CAST(1 AS BOOLEAN) AS optimal_ok,
-        |CAST(1 AS BOOLEAN) AS used_ok, CAST(1 AS BOOLEAN) AS deterministic_ok""".stripMargin
+        |CAST(1 AS BOOLEAN) AS used_ok, CAST(1 AS BOOLEAN) AS deterministic_ok""".stripMargin,
+    // BPE's merge loop has no tractable SQL twin; this is its audited
+    // replay contract (argmax/monotonic/encode/determinism)
+    "q69_check_bpe" ->
+      """SELECT CAST(1 AS BOOLEAN) AS trained_ok, CAST(1 AS BOOLEAN) AS argmax_ok,
+        |CAST(1 AS BOOLEAN) AS monotonic_ok, CAST(1 AS BOOLEAN) AS encode_ok,
+        |CAST(1 AS BOOLEAN) AS deterministic_ok""".stripMargin
   ) ++ PipelineQueries.oracles
 }

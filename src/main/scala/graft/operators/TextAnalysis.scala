@@ -244,4 +244,23 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Markup cleaning for crawl-shaped corpora: drop <script>/<style>
+    * blocks wholesale, strip remaining tags, decode the common HTML
+    * entities, and normalize whitespace. A pure codegen'd projection —
+    * zero shuffle, streams at scan speed, the first stage of any
+    * web-crawl ingest. Regexes stay in the RE2-compatible subset
+    * (inline (?is) flags, lazy .*?, plain character classes) so an
+    * engine-independent oracle can mirror them byte-for-byte; `&amp;`
+    * decodes LAST so literal entity text (`&amp;lt;`) survives as
+    * `&lt;` rather than double-decoding. */
+  def cleanMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "[ \\t\\n\\r]+", " "))
+  }
 }

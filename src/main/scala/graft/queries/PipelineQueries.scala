@@ -594,6 +594,90 @@ object PipelineQueries {
   def q67Surprisal(spark: SparkSession, dir: String): DataFrame =
     TA.unigramSurprisal(t(spark, dir, "documents"))
 
+  /** q68: the COMPOSED curation pipeline — `Curation.curate` over the
+    * q53 corpus/benchmark split, returning the per-stage manifest
+    * (stage, docs_in, docs_out). Hard oracle: every stage mirrors an
+    * already-oracled operator formula and the manifest compares as
+    * INTEGERS — the end-to-end "run my whole pipeline" row. */
+  def q68Curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (_, manifest) = graft.operators.Curation.curate(
+      docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+    manifest.orderBy("stage")
+  }
+
+  /** q70: markup cleaning over a crawl-shaped wrapping of the corpus —
+    * the query deterministically embeds each document in an HTML
+    * shell (head/style block, attributed tags, a script with a '<'
+    * inside, literal entities) and `cleanMarkup` must recover exactly
+    * `<&' + text + '& >&nbsp; done` semantics. Hard oracle: DuckDB
+    * mirrors the same RE2-subset regex chain byte-for-byte. */
+  def q70Clean(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = concat(
+      lit("<html><head><style type=\"text/css\">p { color: red; }</style></head>" +
+        "<body>\n<h1 id=\"t\">&lt;Title&gt;</h1>\n<p class=\"doc\">"),
+      col("text"),
+      lit("</p>\n<script>if (1 < 2) { emit(\"&amp;\"); }</script>" +
+        "\n<p>&amp;lt; stays &quot;encoded&quot;&nbsp;&#39;done&#39;</p></body></html>"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TA.cleanMarkup(wrapped).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q69 contract: distributed BPE tokenizer training. BPE has no
+    * tractable SQL twin (the merge loop is inherently iterative), so
+    * the contract replays and audits training independently:
+    *  - trained_ok: the corpus supports the full requested merge count;
+    *  - argmax_ok: step by step from a FRESH word table (none of
+    *    training's pinned state), the chosen pair's total equals the
+    *    step's max total and no equal-total pair sorts lexicographically
+    *    earlier — the greedy invariant that defines BPE;
+    *  - monotonic_ok: each merge strictly shrinks the weighted total
+    *    token count of the word table;
+    *  - encode_ok: freshly encoding the corpus with the learned merges
+    *    yields exactly the training-final token count (train-time state
+    *    and serve-time tokenizer agree);
+    *  - deterministic_ok: a second training run returns the identical
+    *    merge list. Booleans oracled by constant truth. */
+  def q69CheckBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = t(spark, dir, "documents")
+    val m = 8
+    val merges = Bpe.train(docs, numMerges = m)
+    val trainedOk = merges.size == m
+
+    var words = Bpe.wordTable(docs).localCheckpoint(true)
+    var argmaxOk = true
+    var monotonicOk = true
+    var prevTotal = words.agg(sum(expr("size(syms) * count"))).head().getLong(0)
+    merges.foreach { mg =>
+      val pc = Bpe.pairCounts(words).localCheckpoint(true)
+      val mx = pc.agg(max("total")).head().getLong(0)
+      val chosen = pc.filter(col("left") === mg.left && col("right") === mg.right)
+        .select("total").head().getLong(0)
+      val earlier = pc.filter(col("total") === mx &&
+        (col("left") < mg.left ||
+          (col("left") === mg.left && col("right") < mg.right))).count()
+      argmaxOk &&= chosen == mx && earlier == 0L
+      words = words.withColumn("syms", Bpe.applyMerge(col("syms"), mg.left, mg.right))
+        .localCheckpoint(true)
+      val total = words.agg(sum(expr("size(syms) * count"))).head().getLong(0)
+      monotonicOk &&= total < prevTotal
+      prevTotal = total
+    }
+
+    val encTotal = Bpe.encode(docs, merges)
+      .agg(sum("token_count")).head().getLong(0)
+    val encodeOk = encTotal == prevTotal
+    val deterministicOk = Bpe.train(docs, numMerges = m) == merges
+
+    import spark.implicits._
+    Seq((trainedOk, argmaxOk, monotonicOk, encodeOk, deterministicOk))
+      .toDF("trained_ok", "argmax_ok", "monotonic_ok", "encode_ok", "deterministic_ok")
+  }
+
   /** q66 contract: (a) assigned_ok — every vector gets exactly one
     * topic; (b) optimal_ok — each vector's stored cohesion is the true
     * max cosine over ALL centroids (recomputed independently from the
@@ -766,6 +850,86 @@ object PipelineQueries {
           |  ROUND(SUM(dwf)::DOUBLE / COUNT(*), 4) AS avg_dup_word,
           |  ROUND(SUM(tbf)::DOUBLE / COUNT(*), 4) AS avg_top_bigram
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
+      "q68_curate" ->
+        s"""WITH RECURSIVE
+           |base AS (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS wl
+           |         FROM documents WHERE doc_id % 50 != 0),
+           |qs AS (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(wl, x -> x IN $allStops))::DOUBLE / greatest(len(wl), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(wl, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(wl), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM base),
+           |s1 AS (SELECT base.* FROM base JOIN qs USING (doc_id) WHERE qs.q >= 0.44),
+           |rd AS (SELECT doc_id,
+           |        CAST(ROUND(1.0 - len(list_distinct(wl))::DOUBLE / greatest(len(wl), 1), 4)
+           |             AS DECIMAL(14,4)) AS dwf,
+           |        list_transform(range(1, greatest(len(wl), 1)), i -> wl[i] || ' ' || wl[i+1]) AS bgs
+           |      FROM s1),
+           |re AS (SELECT doc_id, unnest(bgs) AS b FROM rd),
+           |rc AS (SELECT doc_id, b, COUNT(*) AS c FROM re GROUP BY 1, 2),
+           |rt AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM rc GROUP BY 1),
+           |rj AS (SELECT rd.doc_id, rd.dwf,
+           |        CAST(COALESCE(ROUND(rt.topc::DOUBLE / rt.nb, 4), 0) AS DECIMAL(14,4)) AS tbf
+           |      FROM rd LEFT JOIN rt ON rd.doc_id = rt.doc_id),
+           |s2 AS (SELECT s1.* FROM s1 JOIN rj USING (doc_id)
+           |       WHERE NOT (rj.tbf >= 0.1 OR rj.dwf >= 0.8)),
+           |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY t)),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wl)-1,1)),
+           |         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS s FROM s3),
+           |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+           |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
+           |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+           |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS (SELECT da, db FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
+           |      WHERE ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) >= 0.5),
+           |edges AS (SELECT da AS u, db AS v FROM p UNION SELECT db AS u, da AS v FROM p),
+           |cc(node, comp) AS (
+           |  SELECT u, u FROM edges
+           |  UNION
+           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+           |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+           |ranked AS (SELECT lab.node AS doc_id,
+           |             ROW_NUMBER() OVER (PARTITION BY lab.comp ORDER BY qs.q DESC, lab.node) AS rn
+           |           FROM lab JOIN qs ON lab.node = qs.doc_id),
+           |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT node FROM lab)
+           |       UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
+           |bw AS (SELECT string_split(lower(text),' ') AS wl FROM documents WHERE doc_id % 50 = 0),
+           |bsh AS (SELECT DISTINCT sg FROM (SELECT unnest(list_distinct(list_transform(
+           |          range(1, greatest(len(wl)-1,1)),
+           |          i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))) AS sg FROM bw)),
+           |hits AS (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN bsh USING (sg)
+           |         WHERE e.doc_id IN (SELECT doc_id FROM s4) GROUP BY 1),
+           |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN hits USING (doc_id)
+           |       WHERE COALESCE(hits.shared, 0) < 3),
+           |k AS (SELECT (SELECT COUNT(*) FROM base) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
+           |             (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3,
+           |             (SELECT COUNT(*) FROM s4) AS n4, (SELECT COUNT(*) FROM s5) AS n5)
+           |SELECT stage, docs_in, docs_out FROM (
+           |  SELECT '1_quality' AS stage, n0 AS docs_in, n1 AS docs_out FROM k
+           |  UNION ALL SELECT '2_repetition', n1, n2 FROM k
+           |  UNION ALL SELECT '3_exact', n2, n3 FROM k
+           |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
+           |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
+           |ORDER BY stage""".stripMargin,
+      "q70_clean" ->
+        """WITH w AS (SELECT doc_id,
+          |  '<html><head><style type="text/css">p { color: red; }</style></head><body>'
+          |  || chr(10) || '<h1 id="t">&lt;Title&gt;</h1>' || chr(10) || '<p class="doc">'
+          |  || text ||
+          |  '</p>' || chr(10) || '<script>if (1 < 2) { emit("&amp;"); }</script>'
+          |  || chr(10) || '<p>&amp;lt; stays &quot;encoded&quot;&nbsp;&#39;done&#39;</p></body></html>'
+          |  AS h FROM documents),
+          |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM w),
+          |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+          |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s2),
+          |e AS (SELECT doc_id,
+          |  replace(replace(replace(replace(replace(replace(replace(h,
+          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |    '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS h FROM s3)
+          |SELECT doc_id, trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS clean_text
+          |FROM e ORDER BY doc_id""".stripMargin,
       "q67_surprisal" ->
         """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
           |vc AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY 1),

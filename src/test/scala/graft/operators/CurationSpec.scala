@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end curation pipeline (q68): a planted fixture where every
+  * stage drops exactly one designed document, so the manifest counts
+  * and the survivor set are fully hand-verifiable. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1: clean survivor (near-dup family winner by id tiebreak)
+  // 2: near-dup of 1 (same word lengths -> identical quality -> id breaks the tie)
+  // 3: exact duplicate of 1 (dropped at the exact stage, before pairing)
+  // 4: punctuation soup (fails the quality gate)
+  // 5: pure repetition with high-quality tokens (passes quality, fails repetition)
+  // 6: contains the benchmark verbatim (dropped at decontamination)
+  // 7: clean survivor
+  // docs are 14+ words so the q62 top-bigram rule (>= 0.1) only fires on
+  // genuine repetition, as it does on real corpus lengths
+  private val corpus = Seq(
+    (1L, "the cat and the dog walk to the old mouse near a very tall green tree"),
+    (2L, "the cat and the dog walk to the old moose near a very tall green tree"),
+    (3L, "the cat and the dog walk to the old mouse near a very tall green tree"),
+    (4L, "!!! ??? !!!"),
+    (5L, "the the the the the the"),
+    (6L, "the quick brown fox jumps over the lazy dog today in bright morning light"),
+    (7L, "a bright green garden grows by the quiet river bank under heavy summer rain")
+  ).toDF("doc_id", "text")
+
+  private val bench =
+    Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+
+  test("curate: every stage bites exactly as designed; manifest counts are exact") {
+    // fixture preconditions, asserted so drift is self-explanatory
+    val q = corpus.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(4L) < 0.44, s"doc 4 must fail the quality gate: ${q(4L)}")
+    Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach(id =>
+      assert(q(id) >= 0.44, s"doc $id must pass the quality gate: ${q(id)}"))
+    assert(q(1L) === q(2L), "near-dup pair must tie on quality so the id tiebreak decides")
+
+    val (survivors, manifest) = Curation.curate(corpus, bench)
+    val rows = manifest.orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      ("1_quality", 7L, 6L),
+      ("2_repetition", 6L, 5L),
+      ("3_exact", 5L, 4L),
+      ("4_neardup", 4L, 3L),
+      ("5_decontam", 3L, 2L)))
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L))
+    // the pipeline preserves the input schema on survivors
+    assert(survivors.columns.toSeq === corpus.columns.toSeq)
+  }
+
+  test("curate: clean corpus passes every stage untouched") {
+    val clean = Seq(
+      (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
+      (2L, "the old sailor tells a long story about distant winter storms near rocky shores")
+    ).toDF("doc_id", "text")
+    val (survivors, manifest) = Curation.curate(clean, bench)
+    manifest.collect().foreach(r =>
+      assert(r.getLong(1) === r.getLong(2), s"stage ${r.getString(0)} dropped rows"))
+    assert(survivors.count() === 2L)
+  }
+}
