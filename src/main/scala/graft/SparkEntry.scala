@@ -97,7 +97,8 @@ object SparkEntry {
     "q67_surprisal" -> (PipelineQueries.q67Surprisal _),
     "q68_curate" -> (PipelineQueries.q68Curate _),
     "q69_check_bpe" -> (PipelineQueries.q69CheckBpe _),
-    "q70_clean" -> (PipelineQueries.q70Clean _)
+    "q70_clean" -> (PipelineQueries.q70Clean _),
+    "q71_project" -> (PipelineQueries.q71Project _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -408,7 +408,7 @@ object Multimodal {
           val until = math.min(off + len, bytes.length.toLong).toInt
           decodeSampleImage(java.util.Arrays.copyOfRange(bytes, from, until))
         }.toArray
-      case _ => Array.empty
+      case _ => gifDecodedFrames(bytes, n) // animated GIF: the other fully-decodable container
     }
 
   /** Temporal-pooled PIXEL feature of a video payload: the mean 4x4 luma
@@ -439,11 +439,157 @@ object Multimodal {
         case Some(x) if m.kind == "video" =>
           (m.media_id, true, x.timescale, x.durationSec, x.width, x.height,
             x.codec, x.sampleCount, x.syncSampleCount)
-        case _ => (m.media_id, false, 0L, 0.0, 0, 0, "", 0L, 0L)
+        case _ =>
+          decodeGifMeta(m.bytes) match {
+            // GIF delays tick in centiseconds -> timescale 100
+            case Some(gf) if m.kind == "video" =>
+              (m.media_id, true, 100L, gf.durationSec, gf.width, gf.height,
+                "gif", gf.frames.length.toLong, gf.syncFrameCount)
+            case _ => (m.media_id, false, 0L, 0.0, 0, 0, "", 0L, 0L)
+          }
       }
     }).toDF("media_id", "parseable", "timescale", "duration_sec", "width", "height",
       "codec", "sample_count", "sync_sample_count")
   }
+
+  // -------------------------------------------------------- GIF video
+  /** One GIF frame's container record: byte range of the coded image
+    * segment (image separator through the last data sub-block), its
+    * placement rectangle on the logical screen, its display delay
+    * (centiseconds, from the preceding Graphic Control Extension) and
+    * its disposal method (0/1 leave, 2 restore-to-background,
+    * 3 restore-to-previous). */
+  final case class GifFrame(rangeFrom: Int, rangeUntil: Int,
+                            left: Int, top: Int, w: Int, h: Int,
+                            delayCs: Int, disposal: Int)
+
+  /** Animated-GIF container metadata (GIF87a/89a, a public spec like
+    * ISO-BMFF): logical screen dims + the per-frame table. */
+  final case class GifMeta(width: Int, height: Int, frames: Array[GifFrame]) {
+    def durationSec: Double = frames.map(_.delayCs.toLong).sum / 100.0
+    /** Frames that repaint the full logical screen and leave it in
+      * place — independently renderable, the GIF notion of a sync
+      * sample. */
+    def syncFrameCount: Long = frames.count(f =>
+      f.left == 0 && f.top == 0 && f.w == width && f.h == height && f.disposal <= 1).toLong
+  }
+
+  private def u16le(bytes: Array[Byte], o: Int): Int =
+    (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+
+  private[operators] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** Byte-walk the GIF block structure (same philosophy as the MP4
+    * parser: typed metadata and REAL coded-segment ranges from a
+    * length-prefixed public container format, untrusted input degrades
+    * to None — never an executor crash). */
+  private[operators] def decodeGifMeta(bytes: Array[Byte]): Option[GifMeta] =
+    try decodeGifMeta0(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeGifMeta0(bytes: Array[Byte]): Option[GifMeta] = {
+    if (!isGif(bytes)) return None
+    val w = u16le(bytes, 6)
+    val h = u16le(bytes, 8)
+    val packed = bytes(10) & 0xff
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    // skip length-prefixed sub-blocks from p0 through the 0 terminator
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while (p < bytes.length && bytes(p) != 0) p += 1 + (bytes(p) & 0xff)
+      p + 1
+    }
+    val frames = Array.newBuilder[GifFrame]
+    var delay = 0
+    var disposal = 0
+    var done = false
+    while (!done && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          if (pos + 2 >= bytes.length) done = true
+          else {
+            if ((bytes(pos + 1) & 0xff) == 0xf9 && pos + 6 < bytes.length &&
+              (bytes(pos + 2) & 0xff) >= 4) { // Graphic Control Extension
+              disposal = ((bytes(pos + 3) & 0xff) >> 2) & 7
+              delay = u16le(bytes, pos + 4)
+            }
+            pos = skipSubBlocks(pos + 2)
+          }
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) done = true
+          else {
+            val left = u16le(bytes, pos + 1)
+            val top = u16le(bytes, pos + 3)
+            val fw = u16le(bytes, pos + 5)
+            val fh = u16le(bytes, pos + 7)
+            val fpacked = bytes(pos + 9) & 0xff
+            var p = pos + 10 +
+              (if ((fpacked & 0x80) != 0) 3 * (1 << ((fpacked & 7) + 1)) else 0)
+            p += 1 // LZW minimum code size
+            val end = math.min(skipSubBlocks(p), bytes.length)
+            frames += GifFrame(pos, end, left, top, fw, fh, delay, disposal)
+            delay = 0
+            disposal = 0
+            pos = end
+          }
+        case 0x3b => done = true // trailer
+        case _ => done = true // unknown block type: malformed, stop
+      }
+    }
+    val fr = frames.result()
+    if (fr.isEmpty) None else Some(GifMeta(w, h, fr))
+  }
+
+  /** Up to n evenly spaced COMPOSITED frames of an animated GIF:
+    * ImageIO decodes each frame patch (the JDK ships a full GIF
+    * codec), and the logical-screen canvas honors per-frame placement
+    * and disposal (leave / restore-to-background / restore-to-
+    * previous) — so sampled frames are what a viewer would show, not
+    * raw patches. GIF is the inter-frame format the JDK CAN fully
+    * decode end-to-end. */
+  private[operators] def gifDecodedFrames(bytes: Array[Byte], n: Int): Array[BufferedImage] =
+    try {
+      decodeGifMeta(bytes) match {
+        case Some(meta) if meta.frames.nonEmpty && meta.width > 0 && meta.height > 0 =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Array.empty
+          val reader = readers.next()
+          reader.setInput(iis, false, true)
+          val wanted = spacedIdx(meta.frames.length, n)
+          val wantSet = wanted.toSet
+          val canvas = new BufferedImage(meta.width, meta.height, BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          def snapshot(): BufferedImage = {
+            val c = new BufferedImage(meta.width, meta.height, BufferedImage.TYPE_INT_RGB)
+            val cg = c.createGraphics(); cg.drawImage(canvas, 0, 0, null); cg.dispose()
+            c
+          }
+          val out = Array.newBuilder[BufferedImage]
+          try {
+            var i = 0
+            val last = wanted.max
+            while (i <= last && i < meta.frames.length) {
+              val f = meta.frames(i)
+              val saved = if (f.disposal == 3) snapshot() else null
+              g.drawImage(reader.read(i), f.left, f.top, null)
+              if (wantSet(i)) out += snapshot()
+              f.disposal match {
+                case 2 => // restore to background: clear the frame rect
+                  g.setColor(java.awt.Color.BLACK)
+                  g.fillRect(f.left, f.top, f.w, f.h)
+                case 3 => if (saved != null) g.drawImage(saved, 0, 0, null)
+                case _ => ()
+              }
+              i += 1
+            }
+          } finally { g.dispose(); reader.dispose() }
+          out.result()
+        case _ => Array.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Array.empty }
 
   // -------------------------------------------------------- fallback
   /** Opaque-format fallback (for payloads no parser recognizes): 16-bin
@@ -518,6 +664,14 @@ object Multimodal {
             val from = math.min(math.max(off, 0L), m.bytes.length.toLong).toInt
             val until = math.min(off + len, m.bytes.length.toLong).toInt
             MediaFrame(m.media_id, i, java.util.Arrays.copyOfRange(m.bytes, from, until))
+          }
+        case _ if decodeGifMeta(m.bytes).isDefined =>
+          // GIF coded segments: image separator through last data sub-block
+          val frames = decodeGifMeta(m.bytes).get.frames
+          spacedIdx(frames.length, n).iterator.zipWithIndex.map { case (idx, i) =>
+            val f = frames(idx)
+            MediaFrame(m.media_id, i,
+              java.util.Arrays.copyOfRange(m.bytes, f.rangeFrom, f.rangeUntil))
           }
         case _ =>
           val chunk = math.max(m.bytes.length / math.max(n, 1), 1)
@@ -654,6 +808,39 @@ object Multimodal {
         baos.toByteArray
       },
       "jpeg", w, h)
+
+  /** Seeded animated GIF (same moving-block frames as the MJPEG
+    * fixture): written with the JDK's own GIF sequence writer —
+    * full-screen frames, disposal none, 5 cs delay each. */
+  private[operators] def syntheticGif(seed: Long, w: Int = 64, h: Int = 48,
+                                      nFrames: Int = 4): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = syntheticVideoFrame(seed, i, w, h)
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "5")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    baos.toByteArray
+  }
 
   /** Seeded 32x32 PNG: horizontal luma gradient + per-pixel noise. */
   private[operators] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {

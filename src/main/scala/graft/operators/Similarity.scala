@@ -509,4 +509,29 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by a DETERMINISTIC
+    * dense ±1 sign matrix (Achlioptas 2003, "Database-friendly random
+    * projections"): out[j] = Σ_i emb[i]·s(i,j) / √k with
+    * s(i,j) = 1 − 2·((i·1103515245 + j·12345) mod 97 mod 2). The sign
+    * is pure integer arithmetic so any engine reproduces the exact
+    * matrix — no RNG state, no shipped matrix, nothing to persist: the
+    * formula IS the projection. A pure codegen'd projection (nested
+    * higher-order functions, no UDF): zero shuffle, streams at scan
+    * speed, and LINEAR — exact duplicates stay exact duplicates, and
+    * downstream IVF/kNN over the reduced column run on k-dim vectors
+    * (the 100 TB play: project once at ingest, index and search at a
+    * fraction of the width). Output values round to 4 decimals so
+    * hash-gated engine comparison is exact. */
+  def randomProjection(emb: DataFrame, outDim: Int,
+                       inCol: String = "embedding",
+                       outCol: String = "reduced"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    emb.withColumn(outCol, expr(
+      s"""transform(sequence(0, ${outDim - 1}), j ->
+         |  round(aggregate(
+         |    transform($inCol, (x, i) ->
+         |      cast(x as double) * (1.0d - 2.0d * cast((cast(i as bigint) * 1103515245 + cast(j as bigint) * 12345) % 97 % 2 as double))),
+         |    cast(0.0 as double), (acc, v) -> acc + v) / sqrt(cast($outDim as double)), 4))""".stripMargin))
+  }
 }

@@ -626,6 +626,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q71: JL random projection of the embedding column to 8 dims via
+    * the deterministic ±1 sign formula — the matrix is pure integer
+    * arithmetic, so DuckDB reproduces it exactly and the reduced
+    * vectors hash-match at 4 decimals. */
+  def q71Project(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity
+      .randomProjection(t(spark, dir, "embeddings"), outDim = 8)
+      .select("vec_id", "reduced")
+      .orderBy("vec_id")
+
   /** q69 contract: distributed BPE tokenizer training. BPE has no
     * tractable SQL twin (the merge loop is inherently iterative), so
     * the contract replays and audits training independently:
@@ -913,6 +923,14 @@ object PipelineQueries {
            |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
            |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
            |ORDER BY stage""".stripMargin,
+      "q71_project" ->
+        """SELECT vec_id,
+          |  list_transform(range(0, 8), j ->
+          |    round(list_sum(list_transform(range(0, len(embedding)), i ->
+          |      embedding[i + 1]::DOUBLE *
+          |        (1 - 2 * ((i * 1103515245 + j * 12345) % 97 % 2))::DOUBLE))
+          |      / sqrt(8::DOUBLE), 4)) AS reduced
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
       "q70_clean" ->
         """WITH w AS (SELECT doc_id,
           |  '<html><head><style type="text/css">p { color: red; }</style></head><body>'
