@@ -98,7 +98,8 @@ object SparkEntry {
     "q68_curate" -> (PipelineQueries.q68Curate _),
     "q69_check_bpe" -> (PipelineQueries.q69CheckBpe _),
     "q70_clean" -> (PipelineQueries.q70Clean _),
-    "q71_project" -> (PipelineQueries.q71Project _)
+    "q71_project" -> (PipelineQueries.q71Project _),
+    "q72_bigram_nll" -> (PipelineQueries.q72BigramNll _)
   )
 
   def oracleSql: Map[String, String] = Map(

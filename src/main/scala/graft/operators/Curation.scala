@@ -48,6 +48,32 @@ object Curation {
       minShared: Long = 3L,
       broadcastableIds: Long = 5000000L)
 
+  /** The per-increment gate prefix of [[curate]] for micro-batch /
+    * incremental use: optional markup cleaning, then quality gate →
+    * repetition gate → exact within-increment dedup. No manifest
+    * counts and no pinning (an increment is broadcast-sized by
+    * definition; the near-dup and decontamination stages belong to the
+    * CROSS-CORPUS probe the caller composes next — see
+    * `StreamingOps.curatedIngestToStore`). Deterministic per input, so
+    * an at-least-once replay of the same batch recomputes identical
+    * survivors. */
+  def gateBatch(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
+                cleanMarkupFirst: Boolean = false): DataFrame = {
+    val cleaned =
+      if (cleanMarkupFirst)
+        docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      else docs
+    val s1 = cleaned.filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+    val flagged = TextAnalysis.repetitionSignals(s1)
+      .filter(col("top_bigram_frac") >= cfg.maxTopBigramFrac ||
+        col("dup_word_frac") >= cfg.maxDupWordFrac)
+      .select("doc_id")
+    val s2 = s1.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
+    s2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Runs the pipeline over `docs` (schema incl. doc_id, text) against a
     * held-out `benchmark`; returns (survivors, manifest). The manifest
     * has one row per stage: (stage, docs_in, docs_out), counted on the

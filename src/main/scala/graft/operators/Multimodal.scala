@@ -190,6 +190,56 @@ object Multimodal {
     out
   }
 
+  /** 16-bin log-spaced power spectrum of a PCM clip — REAL frequency-
+    * domain DSP with no external libs: Goertzel filters (the single-
+    * frequency DFT, O(n) per bin) over up to `window` centered
+    * samples, Hann-windowed, power in dB-ish log scale, L∞-normalized.
+    * Bin k targets frequency fMin·(fMax/fMin)^(k/15) with fMin=100 Hz,
+    * fMax=min(8000, Nyquist) — the layout a cheap audio-content filter
+    * (speech/music/tone discrimination) reads. */
+  private[operators] def spectralFeature(wav: WavPcm, window: Int = 4096): Array[Float] = {
+    val s = wav.samples
+    val n = math.min(s.length, window)
+    val out = new Array[Float](16)
+    if (n < 16 || wav.sampleRate <= 0) return out
+    val from = (s.length - n) / 2
+    val fMin = 100.0
+    val fMax = math.min(8000.0, wav.sampleRate / 2.0)
+    var k = 0
+    while (k < 16) {
+      val f = fMin * math.pow(fMax / fMin, k / 15.0)
+      val w = 2.0 * math.Pi * f / wav.sampleRate
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < n) {
+        // Hann window keeps spectral leakage from smearing tones
+        val hann = 0.5 * (1 - math.cos(2.0 * math.Pi * i / (n - 1)))
+        s0 = s(from + i) * hann + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      out(k) = math.log1p(math.max(power, 0.0)).toFloat
+      k += 1
+    }
+    val mx = out.max
+    if (mx > 0f) { var i = 0; while (i < 16) { out(i) /= mx; i += 1 } }
+    out
+  }
+
+  /** Spectral features of the decodable audio rows: (media_id,
+    * spectrum: 16 floats). Partition-local Goertzel DSP — zero
+    * shuffle; undecodable rows are absent. Compose with
+    * `asEmbeddings`-style selects for audio-content dedup/search. */
+  def spectralFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Float])]
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind == "audio") decodeWav(m.bytes).map(w => (m.media_id, spectralFeature(w)))
+      else None
+    }).toDF("media_id", "spectrum")
+  }
+
   // ------------------------------------------------- video (ISO-BMFF)
   /** Parsed MP4/ISO-BMFF container metadata — everything a pipeline's
     * video pre-filter reads (duration gates, resolution buckets, codec
@@ -451,6 +501,54 @@ object Multimodal {
     }).toDF("media_id", "parseable", "timescale", "duration_sec", "width", "height",
       "codec", "sample_count", "sync_sample_count")
   }
+
+  // -------------------------------------------------- image near-dup
+  /** 64-bit difference hash (dHash) of an image: bilinear downscale to
+    * 9x8 grayscale, bit (y*8+x) set iff luma(x+1,y) > luma(x,y).
+    * Robust to re-encoding, rescaling and mild noise — the standard
+    * perceptual signature for image near-duplicate detection; pair via
+    * `Dedup.hamming64Pairs` (4 x 16-bit pigeonhole). */
+  private[operators] def dHash(img: BufferedImage): Long = {
+    val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val rgb = small.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual signatures of the decodable image rows: (media_id,
+    * dhash). Partition-local decode + hash — zero shuffle; rows that
+    * do not decode are absent. Feed `Dedup.hamming64Pairs` for the
+    * image near-duplicate pairs. */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind == "image") decodeImage(m.bytes).map(img => (m.media_id, dHash(img)))
+      else None
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs end-to-end: decode → dHash → banded
+    * Hamming pairing. */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      imageHashes(media), idCol = "media_id", hashCol = "dhash", maxHamming = maxHamming)
 
   // -------------------------------------------------------- GIF video
   /** One GIF frame's container record: byte range of the coded image
@@ -863,8 +961,13 @@ object Multimodal {
   }
 
   /** 16-bit mono PCM sine tone at 220*(1+id%5) Hz, amplitude 0.5. */
-  private[operators] def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
-    val freq = 220.0 * (1 + (seed % 5))
+  private[operators] def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] =
+    syntheticWavAt(seed, sampleRate, nSamples, 220.0 * (1 + (seed % 5)))
+
+  /** Sine tone at an explicit frequency (Hz) — for spectral tests. */
+  private[operators] def syntheticWavAt(seed: Long, sampleRate: Int, nSamples: Int,
+                                        freqHz: Double): Array[Byte] = {
+    val freq = freqHz
     val dataLen = nSamples * 2
     val out = new ByteArrayOutputStream(44 + dataLen)
     def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))

@@ -245,6 +245,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model fluency scoring: each document's mean
+    * negative log-likelihood under an add-one-smoothed bigram model
+    * trained on the corpus's OWN text —
+    * nll(doc) = mean_i -ln( (c(w_{i-1},w_i)+1) / (c(w_{i-1}·)+V) ),
+    * the classic self-scored LM filter (word-salad scores high even
+    * when every individual token is common — the signal unigram
+    * surprisal cannot see). Documents with fewer than two tokens have
+    * no bigrams and are absent from the output.
+    *
+    * Scale shape extends [[unigramSurprisal]]'s: bigrams are derived
+    * POSITIONALLY from the split array (a pure projection — no
+    * self-join to pair neighbors), ONE distributed bigram count feeds
+    * both the numerator table and (re-aggregated by first token) the
+    * denominator table, and both instance joins split on the Zipf
+    * head: the top `hotVocab` bigrams/contexts broadcast, only the
+    * rare tails shuffle-join. V rides a one-row broadcast. The split
+    * is a pure plan choice — scores are identical whichever side an
+    * instance lands on. */
+  def bigramNll(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(lower(col("text"))).as("ws"))
+    val bg = toks.select(col("doc_id"), explode(expr(
+      "filter(transform(ws, (w, i) -> struct(w AS prev, try_element_at(ws, i + 2) AS cur)), p -> p.cur IS NOT NULL)"))
+      .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bc = Storage.track(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")).localCheckpoint(true))
+    val cc = Storage.track(
+      bc.groupBy("prev").agg(sum(col("c2")).as("c1")).localCheckpoint(true))
+    val v = docs.select(explode(words(lower(col("text")))).as("tok"))
+      .agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
+    val hotBc = bc.orderBy(col("c2").desc, col("prev"), col("cur")).limit(hotVocab)
+    val hotCc = cc.orderBy(col("c1").desc, col("prev")).limit(hotVocab)
+    val withC2 = bg.join(broadcast(hotBc), Seq("prev", "cur"))
+      .unionByName(
+        bg.join(broadcast(hotBc.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+          .join(bc.hint("shuffle_hash"), Seq("prev", "cur")))
+    val withBoth = withC2.join(broadcast(hotCc), Seq("prev"))
+      .unionByName(
+        withC2.join(broadcast(hotCc.select("prev")), Seq("prev"), "left_anti")
+          .join(cc.hint("shuffle_hash"), Seq("prev")))
+    withBoth.crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(round(avg(-log((col("c2").cast(DoubleType) + 1.0) /
+        (col("c1").cast(DoubleType) + col("v")))), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Markup cleaning for crawl-shaped corpora: drop <script>/<style>
     * blocks wholesale, strip remaining tags, decode the common HTML
     * entities, and normalize whitespace. A pure codegen'd projection —

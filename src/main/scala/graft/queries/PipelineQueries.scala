@@ -636,6 +636,14 @@ object PipelineQueries {
       .select("vec_id", "reduced")
       .orderBy("vec_id")
 
+  /** q72: self-scored bigram-LM fluency — add-one-smoothed NLL of each
+    * document under the corpus's own bigram distribution (word salad
+    * scores high even when every token is common). Hard oracle: the
+    * smoothing formula mirrors exactly; integer counts + 4-decimal
+    * rounded doubles hash-match. */
+  def q72BigramNll(spark: SparkSession, dir: String): DataFrame =
+    TA.bigramNll(t(spark, dir, "documents"))
+
   /** q69 contract: distributed BPE tokenizer training. BPE has no
     * tractable SQL twin (the merge loop is inherently iterative), so
     * the contract replays and audits training independently:
@@ -923,6 +931,22 @@ object PipelineQueries {
            |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
            |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
            |ORDER BY stage""".stripMargin,
+      "q72_bigram_nll" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
+          |e AS (SELECT doc_id,
+          |        unnest(list_transform(range(1, greatest(len(wl), 1)),
+          |          i -> {'prev': wl[i], 'cur': wl[i+1]})) AS b
+          |      FROM w),
+          |bg AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM e),
+          |bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+          |cc AS (SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY 1),
+          |v AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v
+          |      FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents))
+          |SELECT bg.doc_id,
+          |  ROUND(AVG(-ln((bc.c2::DOUBLE + 1) / (cc.c1::DOUBLE + v.v))), 4) AS nll,
+          |  COUNT(*) AS n_bigrams
+          |FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q71_project" ->
         """SELECT vec_id,
           |  list_transform(range(0, 8), j ->

@@ -293,6 +293,41 @@ object StreamingOps {
       }
       .start()
 
+  /** [[dedupedIngestToStore]] with the FULL curation gate in front —
+    * the streaming end-state of `Curation.curate`: each micro-batch is
+    * markup-cleaned (optional), quality-gated, repetition-gated and
+    * exact-deduped WITHIN the batch (`Curation.gateBatch` — all
+    * increment-local, no corpus access), and only the gated survivors
+    * run the cross-corpus near-dup probe against the store-as-of and
+    * land in the batch's own partition. The replay-idempotence
+    * argument is unchanged: the gates are deterministic per batch, the
+    * probe reads `__ingest_batch < id` only, and the partition
+    * overwrite is exact — crash anywhere, replay admits the identical
+    * set. At 100 TB the gates are pure projections/window over the
+    * increment; the corpus is touched only by the q60-shaped
+    * broadcast probe. */
+  def curatedIngestToStore(docs: DataFrame, storePath: String, checkpoint: String,
+                           cfg: graft.operators.Curation.CurationConfig =
+                             graft.operators.Curation.CurationConfig(),
+                           cleanMarkupFirst: Boolean = false,
+                           threshold: Double = 0.5, n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val gated = graft.operators.Curation.gateBatch(batch, cfg, cleanMarkupFirst)
+        val corpus = readCorpusStore(spark, storePath)
+          .map(_.filter(org.apache.spark.sql.functions.col(IngestBatchCol) < id)
+            .drop(IngestBatchCol))
+          .getOrElse(spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema))
+        graft.operators.Dedup.dedupAgainstCorpus(corpus, gated, threshold, n)
+          .write.mode("overwrite")
+          .parquet(s"$storePath/$IngestBatchCol=$id")
+      }
+      .start()
+
   /** Vector-side [[dedupedIngestToStore]] — the embedding ingest
     * end-state: the standing corpus IS a persisted, GROWING IVF index
     * (`Similarity.writeIvfIndex` base + `appendIvfBatch` increments).

@@ -55,6 +55,24 @@ class CurationSpec extends SparkSpec {
     assert(survivors.columns.toSeq === corpus.columns.toSeq)
   }
 
+  test("curate: drop-set joins route to shuffle hash join when labels exceed the bound") {
+    // broadcastableIds = 0 forces every size dispatch down the shuffle
+    // path; results must be identical to the broadcast route. pin =
+    // identity keeps the full lineage in one plan (the default
+    // localCheckpoint pinch would truncate it to a checkpoint scan).
+    val cfgShuffle = Curation.CurationConfig(broadcastableIds = 0L)
+    val (survivors, manifest) = Curation.curate(corpus, bench, cfgShuffle, pin = identity)
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"drop-set anti join must take the shuffle route at bound 0:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the routed drop-set join is an anti join:\n$plan")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L))
+    assert(manifest.orderBy("stage").collect().map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("1_quality", 6L), ("2_repetition", 5L), ("3_exact", 4L),
+        ("4_neardup", 3L), ("5_decontam", 2L)))
+  }
+
   test("curate: clean corpus passes every stage untouched") {
     val clean = Seq(
       (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),

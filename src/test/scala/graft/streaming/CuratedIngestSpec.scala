@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming curated ingest: the full curation gate (quality /
+  * repetition / exact dedup, optional markup clean) in front of the
+  * cross-corpus dedup store — every stage exercised across
+  * micro-batches, plus the crash-replay idempotence inherited from the
+  * partition-overwrite contract. */
+class CuratedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  private def writeInput(dir: java.nio.file.Path, name: String, mtime: Long,
+                         docs: Seq[(Long, String)]): Unit = {
+    val f = dir.resolve(name)
+    val lines = docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    assert(f.toFile.setLastModified(mtime))
+  }
+
+  test("curatedIngestToStore: every gate bites across micro-batches; replay idempotent") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur-in")
+    val store = java.nio.file.Files.createTempDirectory("cur-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    writeInput(inDir, "0.json", t0, Seq(
+      (10L, "the cat and the dog walk to the old mouse near a very tall green tree"),
+      (11L, "!!! ??? !!!"), // quality gate
+      (12L, "the cat and the dog walk to the old mouse near a very tall green tree"), // exact dup of 10
+      (13L, "a bright green garden grows by the quiet river bank under heavy summer rain")))
+    writeInput(inDir, "1.json", t0 + 30000, Seq(
+      (20L, "the cat and the dog walk to the old moose near a very tall green tree"), // near-dup of 10
+      (21L, "the the the the the the"), // repetition gate
+      (22L, "the old sailor tells a long story about distant winter storms near rocky shores")))
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((10L, 0L), (13L, 0L), (22L, 1L))
+    assert(storeRows() === expected)
+
+    // crash after the batch-1 write but before its checkpoint commit:
+    // replay must recompute the identical gated+deduped survivors
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expected)
+  }
+
+  test("curatedIngestToStore: cleanMarkupFirst strips crawl HTML before the gates") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur2-in")
+    val store = java.nio.file.Files.createTempDirectory("cur2-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur2-ck").toString
+    writeInput(inDir, "0.json", System.currentTimeMillis() - 60000, Seq(
+      (30L, "<p>a bright green garden grows by the quiet river bank under heavy summer rain</p><script>x<y</script>")))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir.toString)
+    val q = StreamingOps.curatedIngestToStore(docs, store, ckpt, cleanMarkupFirst = true)
+    q.processAllAvailable()
+    q.stop()
+    val rows = StreamingOps.readCorpusStore(spark, store).get
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(rows === Seq(
+      (30L, "a bright green garden grows by the quiet river bank under heavy summer rain")))
+  }
+}
