@@ -99,7 +99,8 @@ object SparkEntry {
     "q69_check_bpe" -> (PipelineQueries.q69CheckBpe _),
     "q70_clean" -> (PipelineQueries.q70Clean _),
     "q71_project" -> (PipelineQueries.q71Project _),
-    "q72_bigram_nll" -> (PipelineQueries.q72BigramNll _)
+    "q72_bigram_nll" -> (PipelineQueries.q72BigramNll _),
+    "q73_zorder" -> (PipelineQueries.q73Zorder _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -46,4 +46,42 @@ object Layout {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Spread the low 16 bits of `x` to the even bit positions of a
+    * 32-bit lane (the classic magic-constant bit dilation — public
+    * domain "Interleave bits by binary magic numbers" from the
+    * Stanford Bit Twiddling Hacks). Pure integer arithmetic on longs,
+    * codegen'd, reproducible by any engine. */
+  private def spreadBits16(x: Column): Column = {
+    val m0 = x.bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) value of two 16-bit dimensions: bit-interleave
+    * a and b (a in even positions). Sorting by this value clusters
+    * rows that are close in BOTH dimensions, so contiguous file
+    * splits carry narrow min/max ranges on every interleaved column —
+    * multi-dimensional scan pruning from a single sort, the layout
+    * trick single-column sorting cannot give (sorting by a leaves b's
+    * per-file span at full width). */
+  def zValue(a: Column, b: Column): Column =
+    spreadBits16(a).bitwiseOR(shiftleft(spreadBits16(b), 1))
+
+  /** Write `df` Z-ordered on two (16-bit-bucketized) dimensions:
+    * range-partition by the interleaved value, sort within partitions,
+    * one file per range — every file then spans a narrow rectangle of
+    * (a, b) space, and parquet min/max stats prune scans filtered on
+    * EITHER dimension. The write is one range shuffle, same cost as
+    * any global sort. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+                    files: Int = 16): Unit = {
+    val z = df.withColumn("__z", zValue(col(a), col(b)))
+    z.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -257,10 +257,11 @@ object TextAnalysis {
     * Scale shape extends [[unigramSurprisal]]'s: bigrams are derived
     * POSITIONALLY from the split array (a pure projection — no
     * self-join to pair neighbors), ONE distributed bigram count feeds
-    * both the numerator table and (re-aggregated by first token) the
-    * denominator table, and both instance joins split on the Zipf
-    * head: the top `hotVocab` bigrams/contexts broadcast, only the
-    * rare tails shuffle-join. V rides a one-row broadcast. The split
+    * the model, and the context totals FOLD INTO the bigram table
+    * before any instance join — (prev, cur, c2, c1) is one
+    * vocab-sized stats table, so corpus instances join ONCE, split on
+    * the Zipf head: the top `hotVocab` bigrams broadcast, only the
+    * rare tail shuffle-joins. V rides a one-row broadcast. The split
     * is a pure plan choice — scores are identical whichever side an
     * instance lands on. */
   def bigramNll(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
@@ -269,22 +270,18 @@ object TextAnalysis {
       "filter(transform(ws, (w, i) -> struct(w AS prev, try_element_at(ws, i + 2) AS cur)), p -> p.cur IS NOT NULL)"))
       .as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val bc = Storage.track(
-      bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")).localCheckpoint(true))
-    val cc = Storage.track(
-      bc.groupBy("prev").agg(sum(col("c2")).as("c1")).localCheckpoint(true))
+    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    // numerator + denominator in ONE stats table: instances join once
+    val st = Storage.track(
+      bc.join(cc, Seq("prev")).localCheckpoint(true))
     val v = docs.select(explode(words(lower(col("text")))).as("tok"))
       .agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
-    val hotBc = bc.orderBy(col("c2").desc, col("prev"), col("cur")).limit(hotVocab)
-    val hotCc = cc.orderBy(col("c1").desc, col("prev")).limit(hotVocab)
-    val withC2 = bg.join(broadcast(hotBc), Seq("prev", "cur"))
+    val hot = st.orderBy(col("c2").desc, col("prev"), col("cur")).limit(hotVocab)
+    val withBoth = bg.join(broadcast(hot), Seq("prev", "cur"))
       .unionByName(
-        bg.join(broadcast(hotBc.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
-          .join(bc.hint("shuffle_hash"), Seq("prev", "cur")))
-    val withBoth = withC2.join(broadcast(hotCc), Seq("prev"))
-      .unionByName(
-        withC2.join(broadcast(hotCc.select("prev")), Seq("prev"), "left_anti")
-          .join(cc.hint("shuffle_hash"), Seq("prev")))
+        bg.join(broadcast(hot.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
+          .join(st.hint("shuffle_hash"), Seq("prev", "cur")))
     withBoth.crossJoin(broadcast(v))
       .groupBy("doc_id")
       .agg(round(avg(-log((col("c2").cast(DoubleType) + 1.0) /

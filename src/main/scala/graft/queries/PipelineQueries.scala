@@ -644,6 +644,22 @@ object PipelineQueries {
   def q72BigramNll(spark: SparkSession, dir: String): DataFrame =
     TA.bigramNll(t(spark, dir, "documents"))
 
+  /** q73: Z-order (Morton) interleave of (customer, order-date) — the
+    * layout key `Layout.writeZOrdered` sorts by. Pure integer bit
+    * dilation (Bit Twiddling Hacks magic constants), so DuckDB
+    * reproduces the value exactly — the oracle proves the interleave
+    * arithmetic; the locality payoff is plan/file-asserted in
+    * LayoutSpec. */
+  def q73Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    t(spark, dir, "orders").select(col("o_orderkey"),
+      Layout.zValue(
+        col("o_custkey").cast("long"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+        .as("zval"))
+      .orderBy("o_orderkey")
+  }
+
   /** q69 contract: distributed BPE tokenizer training. BPE has no
     * tractable SQL twin (the merge loop is inherently iterative), so
     * the contract replays and audits training independently:
@@ -931,6 +947,21 @@ object PipelineQueries {
            |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
            |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
            |ORDER BY stage""".stripMargin,
+      "q73_zorder" ->
+        """WITH base AS (SELECT o_orderkey,
+          |  CAST(o_custkey AS BIGINT) & 65535 AS a,
+          |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) & 65535 AS b
+          |  FROM orders),
+          |s1 AS (SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a,
+          |                          (b | (b << 8)) & 16711935 AS b FROM base),
+          |s2 AS (SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a,
+          |                          (b | (b << 4)) & 252645135 AS b FROM s1),
+          |s3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a,
+          |                          (b | (b << 2)) & 858993459 AS b FROM s2),
+          |s4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a,
+          |                          (b | (b << 1)) & 1431655765 AS b FROM s3)
+          |SELECT o_orderkey, (a | (b << 1))::BIGINT AS zval
+          |FROM s4 ORDER BY o_orderkey""".stripMargin,
       "q72_bigram_nll" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
           |e AS (SELECT doc_id,
