@@ -100,7 +100,8 @@ object SparkEntry {
     "q70_clean" -> (PipelineQueries.q70Clean _),
     "q71_project" -> (PipelineQueries.q71Project _),
     "q72_bigram_nll" -> (PipelineQueries.q72BigramNll _),
-    "q73_zorder" -> (PipelineQueries.q73Zorder _)
+    "q73_zorder" -> (PipelineQueries.q73Zorder _),
+    "q74_split" -> (PipelineQueries.q74Split _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -90,6 +90,40 @@ object Packing {
     df.filter(substring(md5(key.cast("string")), 1, 4) < cutoff)
   }
 
+  /** Deterministic train/val/test split assignment: label each row by
+    * where its 16-bit md5 prefix falls among CUMULATIVE weight cutoffs
+    * (train < c1, val in [c1,c2), ... last split takes the rest) — the
+    * same seedless primitive [[hashSampleCond]] keeps/drops by, so split
+    * membership is engine-portable and reproducible forever. `salt`
+    * re-deals the assignment (a different eval fold) without touching
+    * the weights.
+    *
+    * Properties that matter at 100 TB, all by construction:
+    *  - pure codegen'd projection (one CASE over a hash prefix): zero
+    *    shuffle, zero state, rides the scan;
+    *  - row-independent: a document keeps its split when the corpus
+    *    grows, shrinks, or is re-sharded — no leakage between a
+    *    yesterday-train and a today-test set;
+    *  - stratified for free: the hash is uniform WITHIN any stratum, so
+    *    every language/source/domain splits at the same ratios with no
+    *    per-stratum bookkeeping;
+    *  - disjoint and exhaustive: cutoffs are cumulative, the last split
+    *    is the CASE's else branch. */
+  def assignSplits(df: DataFrame, key: Column,
+                   splits: Seq[(String, Double)],
+                   salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: empty split list")
+    require(math.abs(splits.map(_._2).sum - 100.0) < 1e-6,
+      s"assignSplits: weights must sum to 100, got ${splits.map(_._2).sum}")
+    val h = substring(md5(concat(key.cast("string"), lit(salt))), 1, 4)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cpct), acc) =>
+        when(h < lit(pctCutoffHex(cpct)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic data-mixture construction: per-source token budgets
     * over a stable hash order — "a 60/30/10 web/code/books mix totalling
     * N tokens" as a reproducible, engine-portable selection. Per source,

@@ -307,6 +307,19 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
       .orderBy("lang")
 
+  /** q74: deterministic 90/5/5 train/val/test split over documents —
+    * per-doc labels from cumulative md5-prefix cutoffs (the q55
+    * primitive extended from keep/drop to multi-way). Hard per-row
+    * oracle: DuckDB computes the identical md5 prefix and CASE chain,
+    * so every single assignment must match. */
+  def q74Split(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.assignSplits(
+      t(spark, dir, "documents"),
+      key = col("doc_id"),
+      splits = Seq("train" -> 90.0, "val" -> 5.0, "test" -> 5.0))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+
   /** Int8 quantization audit over the embeddings table: the exact
     * quantized-value checksum (proves both engines produce the SAME int8
     * codes), the max round-trip reconstruction error, and the scale/2
@@ -1091,6 +1104,14 @@ object PipelineQueries {
           |       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
           |       ROUND(SUM(tokens) / 2000.0, 4) AS fill
           |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q74_split" ->
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |         '${graft.operators.Packing.pctCutoffHex(90.0)}' THEN 'train'
+           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |         '${graft.operators.Packing.pctCutoffHex(95.0)}' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin,
       "q55_sample" ->
         """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
           |FROM documents

@@ -102,4 +102,50 @@ class PackingSpec extends SparkSpec {
         sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"))
     assert(got.count() === mixFixture.filter(col("source") === "s1").count())
   }
+
+  test("assignSplits: disjoint, exhaustive, ~weighted, stratified for free") {
+    val df = spark.range(0, 10000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+    val got = Packing.assignSplits(df, col("doc_id"),
+      Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0))
+    // exhaustive (every row labeled) + disjoint (one label per row) by
+    // construction; check the global ratios land near the weights
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000) < 150, s"test=${counts("test")}")
+    // stratification is free: each lang splits at the same ratios
+    val byLang = got.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        val m = rows.map(r => r._2 -> r._3).toMap
+        l -> m("train").toDouble / m.values.sum }
+    byLang.values.foreach(f => assert(math.abs(f - 0.8) < 0.03, s"strata $byLang"))
+  }
+
+  test("assignSplits: row-independent (stable under corpus growth), salt re-deals") {
+    val small = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val big = spark.range(0, 5000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 90.0, "test" -> 10.0)
+    def asMap(df: org.apache.spark.sql.DataFrame, salt: String = "") =
+      Packing.assignSplits(df, col("doc_id"), splits, salt)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s = asMap(small); val b = asMap(big)
+    s.foreach { case (id, sp) => assert(b(id) === sp,
+      s"doc $id flipped split when the corpus grew") }
+    // a salt re-deals assignments without moving the ratios much
+    val salted = asMap(big, salt = ":fold2")
+    assert(salted !== b)
+    val kept = salted.values.count(_ == "train")
+    assert(math.abs(kept - 4500) < 200, s"salted train=$kept")
+  }
+
+  test("assignSplits is a pure projection: no shuffle in the plan") {
+    val df = spark.range(0, 100).select(col("id").as("doc_id"))
+    val plan = Packing.assignSplits(df, col("doc_id"),
+        Seq("train" -> 90.0, "val" -> 10.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must ride the scan:\n$plan")
+  }
 }
