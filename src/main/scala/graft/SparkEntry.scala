@@ -101,7 +101,9 @@ object SparkEntry {
     "q71_project" -> (PipelineQueries.q71Project _),
     "q72_bigram_nll" -> (PipelineQueries.q72BigramNll _),
     "q73_zorder" -> (PipelineQueries.q73Zorder _),
-    "q74_split" -> (PipelineQueries.q74Split _)
+    "q74_split" -> (PipelineQueries.q74Split _),
+    "q75_funnel" -> (PipelineQueries.q75Funnel _),
+    "q76_retention" -> (PipelineQueries.q76Retention _)
   )
 
   def oracleSql: Map[String, String] = Map(

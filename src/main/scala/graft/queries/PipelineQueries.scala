@@ -320,6 +320,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy("doc_id")
 
+  /** q75: per-user funnel over the events stream — greedy-earliest
+    * view→click→purchase with strictly increasing timestamps. Hard
+    * per-row oracle: the fold's greedy witness equals the per-stage
+    * min-timestamp chain, which DuckDB computes as three cascaded
+    * min-aggregations (provably the same chain — each greedy prefix
+    * ends no later than any alternative's). */
+  def q75Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelStages(
+      t(spark, dir, "events"), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** q76: cohort retention over the events stream — epoch-week cohorts
+    * by first activity, distinct active users per (cohort, offset)
+    * cell. Hard oracle: DuckDB mirrors the integer week arithmetic and
+    * the naive cohort-join formulation; the Spark side's join-free
+    * explode plan must produce the identical grid. */
+  def q76Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(t(spark, dir, "events"))
+      .orderBy("cohort_week", "week_offset")
+
   /** Int8 quantization audit over the embeddings table: the exact
     * quantized-value checksum (proves both engines produce the SAME int8
     * codes), the max round-trip reconstruction error, and the scale/2
@@ -1104,6 +1124,34 @@ object PipelineQueries {
           |       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
           |       ROUND(SUM(tokens) / 2000.0, 4) AS fill
           |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q76_retention" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk FROM events),
+          |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+          |SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+          |       COUNT(*) AS n_users
+          |FROM uw JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q75_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |            WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN s1 USING (user_id)
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |       JOIN s2 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+          |u AS (SELECT DISTINCT user_id FROM events
+          |      WHERE event_type IN ('view', 'click', 'purchase'))
+          |SELECT u.user_id,
+          |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+          |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+          |  CASE WHEN t3 IS NOT NULL
+          |       THEN CAST(floor((epoch_us(t3) - epoch_us(t1)) / 1000000.0) AS BIGINT)
+          |  END AS conv_s
+          |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+          |       LEFT JOIN s3 USING (user_id)
+          |ORDER BY u.user_id""".stripMargin,
       "q74_split" ->
         s"""SELECT doc_id, lang,
            |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
