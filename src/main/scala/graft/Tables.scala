@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-data catalog: registers the driver-generated parquet tables
   * (TESTDATA.md) as temp views so queries can be written against bare
@@ -55,13 +55,29 @@ object Tables {
       // sessions not built through it.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) =>
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None => df
+        // Plain `timestamp[us]` parquet (no timezone) arrives as
+        // TIMESTAMP_NTZ — the most common flavor in the wild. Normalize to
+        // session-local TIMESTAMP once at the catalog boundary: the session
+        // timezone is pinned UTC (GraftSession), so the instant is
+        // unchanged and oracle hashes stay stable, and every downstream
+        // epoch derivation (unix_micros, cast-to-double) stays legal.
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
       }
     })
   }
+
+  /** Exact integer epoch microseconds from a timestamp of EITHER flavor
+    * (TIMESTAMP or TIMESTAMP_NTZ — `unix_micros` alone rejects NTZ; the
+    * cast interprets NTZ in the session timezone, pinned UTC, and is a
+    * no-op on LTZ). Operators that take a raw events DataFrame route
+    * through this so they stay portable even when the caller bypasses
+    * [[Tables.load]]'s boundary normalization. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Idempotent: register all tables under `dir` as temp views. */
   def register(spark: SparkSession, dir: String): Unit =

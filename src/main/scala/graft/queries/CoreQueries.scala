@@ -332,10 +332,12 @@ object CoreQueries {
     * streaming twin is StreamingOps.sessionAgg (session_window). */
   def q38Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    // cast-to-double = fractional epoch seconds, matching DuckDB epoch()
-    // (unix_timestamp would truncate to whole seconds)
+    // Gap in exact integer microseconds (epochMicros works on both
+    // timestamp flavors; CAST(ts AS DOUBLE) is illegal on TIMESTAMP_NTZ
+    // and loses sub-second precision to the double mantissa besides).
+    val em = graft.Tables.epochMicros(col("ts"))
     val brk = when(
-      col("ts").cast(DoubleType) - lag(col("ts"), 1).over(byUser).cast(DoubleType) > 1800, 1)
+      em - lag(em, 1).over(byUser) > 1800L * 1000000L, 1)
       .otherwise(0)
     t(spark, dir, "events")
       .filter(col("user_id") < 50)

@@ -919,58 +919,58 @@ object PipelineQueries {
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
       "q68_curate" ->
         s"""WITH RECURSIVE
-           |base AS (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS wl
+           |base AS MATERIALIZED (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS wl
            |         FROM documents WHERE doc_id % 50 != 0),
-           |qs AS (SELECT doc_id, CAST(ROUND(
+           |qs AS MATERIALIZED (SELECT doc_id, CAST(ROUND(
            |    0.4 * (len(list_filter(wl, x -> x IN $allStops))::DOUBLE / greatest(len(wl), 1)::DOUBLE)
            |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(wl, x -> len(x))), (a,b) -> a + b)::DOUBLE
            |                 / greatest(len(wl), 1)::DOUBLE) / 10.0, 1.0)
            |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
            |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
            |  FROM base),
-           |s1 AS (SELECT base.* FROM base JOIN qs USING (doc_id) WHERE qs.q >= 0.44),
-           |rd AS (SELECT doc_id,
+           |s1 AS MATERIALIZED (SELECT base.* FROM base JOIN qs USING (doc_id) WHERE qs.q >= 0.44),
+           |rd AS MATERIALIZED (SELECT doc_id,
            |        CAST(ROUND(1.0 - len(list_distinct(wl))::DOUBLE / greatest(len(wl), 1), 4)
            |             AS DECIMAL(14,4)) AS dwf,
            |        list_transform(range(1, greatest(len(wl), 1)), i -> wl[i] || ' ' || wl[i+1]) AS bgs
            |      FROM s1),
-           |re AS (SELECT doc_id, unnest(bgs) AS b FROM rd),
-           |rc AS (SELECT doc_id, b, COUNT(*) AS c FROM re GROUP BY 1, 2),
-           |rt AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM rc GROUP BY 1),
-           |rj AS (SELECT rd.doc_id, rd.dwf,
+           |re AS MATERIALIZED (SELECT doc_id, unnest(bgs) AS b FROM rd),
+           |rc AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM re GROUP BY 1, 2),
+           |rt AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM rc GROUP BY 1),
+           |rj AS MATERIALIZED (SELECT rd.doc_id, rd.dwf,
            |        CAST(COALESCE(ROUND(rt.topc::DOUBLE / rt.nb, 4), 0) AS DECIMAL(14,4)) AS tbf
            |      FROM rd LEFT JOIN rt ON rd.doc_id = rt.doc_id),
-           |s2 AS (SELECT s1.* FROM s1 JOIN rj USING (doc_id)
+           |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN rj USING (doc_id)
            |       WHERE NOT (rj.tbf >= 0.1 OR rj.dwf >= 0.8)),
-           |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY t)),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wl)-1,1)),
+           |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY t)),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wl)-1,1)),
            |         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS s FROM s3),
-           |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-           |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
-           |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+           |e AS MATERIALIZED (SELECT doc_id, unnest(s) AS sg FROM sh),
+           |n AS MATERIALIZED (SELECT doc_id, len(s) AS cnt FROM sh),
+           |c AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
            |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |p AS (SELECT da, db FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
+           |p AS MATERIALIZED (SELECT da, db FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
            |      WHERE ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) >= 0.5),
-           |edges AS (SELECT da AS u, db AS v FROM p UNION SELECT db AS u, da AS v FROM p),
+           |edges AS MATERIALIZED (SELECT da AS u, db AS v FROM p UNION SELECT db AS u, da AS v FROM p),
            |cc(node, comp) AS (
            |  SELECT u, u FROM edges
            |  UNION
            |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
-           |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
-           |ranked AS (SELECT lab.node AS doc_id,
+           |lab AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+           |ranked AS MATERIALIZED (SELECT lab.node AS doc_id,
            |             ROW_NUMBER() OVER (PARTITION BY lab.comp ORDER BY qs.q DESC, lab.node) AS rn
            |           FROM lab JOIN qs ON lab.node = qs.doc_id),
-           |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT node FROM lab)
+           |s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT node FROM lab)
            |       UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
-           |bw AS (SELECT string_split(lower(text),' ') AS wl FROM documents WHERE doc_id % 50 = 0),
-           |bsh AS (SELECT DISTINCT sg FROM (SELECT unnest(list_distinct(list_transform(
+           |bw AS MATERIALIZED (SELECT string_split(lower(text),' ') AS wl FROM documents WHERE doc_id % 50 = 0),
+           |bsh AS MATERIALIZED (SELECT DISTINCT sg FROM (SELECT unnest(list_distinct(list_transform(
            |          range(1, greatest(len(wl)-1,1)),
            |          i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))) AS sg FROM bw)),
-           |hits AS (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN bsh USING (sg)
+           |hits AS MATERIALIZED (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN bsh USING (sg)
            |         WHERE e.doc_id IN (SELECT doc_id FROM s4) GROUP BY 1),
-           |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN hits USING (doc_id)
+           |s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4 LEFT JOIN hits USING (doc_id)
            |       WHERE COALESCE(hits.shared, 0) < 3),
-           |k AS (SELECT (SELECT COUNT(*) FROM base) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
+           |k AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM base) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
            |             (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3,
            |             (SELECT COUNT(*) FROM s4) AS n4, (SELECT COUNT(*) FROM s5) AS n5)
            |SELECT stage, docs_in, docs_out FROM (
