@@ -68,7 +68,14 @@ object Curation {
       .filter(col("top_bigram_frac") >= cfg.maxTopBigramFrac ||
         col("dup_word_frac") >= cfg.maxDupWordFrac)
       .select("doc_id")
-    val s2 = s1.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    // same bounded dispatch as curate.dropIds, probed on the INCREMENT
+    // (an upper bound on the flagged set that costs no kernel work): a
+    // normal micro-batch broadcasts, an oversized backfill batch routes
+    // through a shuffle hash anti join instead of OOMing executors
+    val side =
+      if (SizeDispatch.atMost(docs, cfg.broadcastableIds)) broadcast(flagged)
+      else flagged.hint("shuffle_hash")
+    val s2 = s1.join(side, Seq("doc_id"), "left_anti")
     val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
     s2.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -88,9 +95,8 @@ object Curation {
     // size-dispatched anti join: drop sets are usually small (broadcast)
     // but proportional to the corpus in the worst case (shuffle hash)
     def dropIds(base: DataFrame, ids: DataFrame): DataFrame = {
-      val bound = math.min(cfg.broadcastableIds, Int.MaxValue - 1L).toInt
       val side =
-        if (ids.limit(bound + 1).count() <= bound) broadcast(ids)
+        if (SizeDispatch.atMost(ids, cfg.broadcastableIds)) broadcast(ids)
         else ids.hint("shuffle_hash")
       base.join(side, Seq("doc_id"), "left_anti")
     }

@@ -540,7 +540,7 @@ object Dedup {
                                 exactMaxVectors: Int = 100000,
                                 numPlanes: Int = 16, dim: Int = 64,
                                 seed: Long = 7L): DataFrame =
-    if (emb.limit(exactMaxVectors + 1).count() <= exactMaxVectors.toLong)
+    if (SizeDispatch.atMost(emb, exactMaxVectors.toLong))
       embeddingNearDupPairs(emb, threshold)
     else
       embeddingNearDupPairsLsh(emb, threshold, numPlanes, dim, seed)
@@ -728,9 +728,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
     val labels0 = Clustering.connectedComponents(pairs)
-    val bound = math.min(broadcastableLabels, Int.MaxValue - 1L).toInt
+    // memo key = the pairs input: the labels themselves sit on a fresh
+    // checkpoint whose plan never repeats, but their cardinality is a
+    // function of pairs, so a re-run over the same pairs skips the probe
     val labels =
-      if (labels0.limit(bound + 1).count() <= bound) broadcast(labels0)
+      if (SizeDispatch.atMost(labels0, broadcastableLabels, key = pairs))
+        broadcast(labels0)
       else labels0.hint("shuffle_hash")
     val w = Window.partitionBy("comp").orderBy(quality.desc, col(id))
     val survivors = docs.join(labels, docs(id) === labels("node"))
@@ -818,9 +821,12 @@ object Dedup {
                         threshold: Double = 0.5, n: Int = 3,
                         broadcastableIncrement: Long = 1000000L): DataFrame = {
     val bound = math.min(broadcastableIncrement, Int.MaxValue - 1L).toInt
+    val shiPre = withHashedShingles(increment, n)
     val shc = materializedOnce(withHashedShingles(corpus, n))
-    val shi = materializedOnce(withHashedShingles(increment, n))
-    val total = shi.count()
+    val shi = materializedOnce(shiPre)
+    // count the pinned blocks, memo-keyed by the PRE-checkpoint plan so a
+    // repeat call over the same increment skips the count job entirely
+    val total = SizeDispatch.count(shi, key = shiPre)
     if (total <= bound) crossDupPinned(shc, shi, threshold)
       .orderBy("corpus_id", "inc_id")
     else {
@@ -879,9 +885,8 @@ object Dedup {
                          broadcastableFlagged: Long = 5000000L): DataFrame = {
     val dup = crossDup0(corpus, increment, threshold, n)
       .select(col("inc_id").as("doc_id")).distinct()
-    val bound = math.min(broadcastableFlagged, Int.MaxValue - 1L).toInt
     val d =
-      if (increment.limit(bound + 1).count() <= bound) broadcast(dup)
+      if (SizeDispatch.atMost(increment, broadcastableFlagged)) broadcast(dup)
       else dup.hint("shuffle_hash")
     increment.join(d, Seq("doc_id"), "left_anti")
   }
@@ -942,9 +947,8 @@ object Dedup {
                                 broadcastableFlagged: Long = 5000000L): DataFrame = {
     val dup = crossDupVectors(index, increment, threshold, nProbe)
       .select(col("inc_id").as("vec_id")).distinct()
-    val bound = math.min(broadcastableFlagged, Int.MaxValue - 1L).toInt
     val d =
-      if (increment.limit(bound + 1).count() <= bound) broadcast(dup)
+      if (SizeDispatch.atMost(increment, broadcastableFlagged)) broadcast(dup)
       else dup.hint("shuffle_hash")
     increment.join(d, Seq("vec_id"), "left_anti")
   }

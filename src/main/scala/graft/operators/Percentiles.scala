@@ -85,8 +85,7 @@ object Percentiles {
                 qs: Seq[(Double, String)],
                 giantGroupThreshold: Long = 10000000L): DataFrame = {
     val vals = df.select(col(group), col(value).cast(DoubleType).as("v"))
-    val gateRows = math.min(giantGroupThreshold, Int.MaxValue - 1L).toInt + 1
-    if (vals.limit(gateRows).count() < gateRows)
+    if (SizeDispatch.atMost(vals, math.min(giantGroupThreshold, Int.MaxValue - 1L)))
       return exactWindowed(df, group, value, qs)
     val maxGroup = vals.groupBy(group).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).first().getLong(0)

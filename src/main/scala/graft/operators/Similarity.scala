@@ -323,7 +323,7 @@ object Similarity {
     // A corpus at most ~8x the result size cannot be pruned meaningfully
     // (any useful candidate set already approaches the whole corpus) —
     // scan it exactly; the centroid machinery engages above the floor.
-    if (v.limit(8 * k + 1).count() <= 8L * k) return cosineTopK(emb, probeId, k)
+    if (SizeDispatch.atMost(v, 8L * k)) return cosineTopK(emb, probeId, k)
     val index = buildIvfIndex(emb, nLists)
     val probeVec = v.filter(col("vec_id") === probeId)
       .collect()(0).getSeq[Double](1).toArray
@@ -406,9 +406,8 @@ object Similarity {
     * choice, asserted by KnnJoinSpec's parity case. */
   def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   broadcastableQueries: Long = 100000L): DataFrame = {
-    val bound = math.min(broadcastableQueries, Int.MaxValue - 1L).toInt
-    val n = queries.limit(bound + 1).count()
-    if (n <= bound) knnJoinExact(corpus, queries, k)
+    if (SizeDispatch.atMost(queries, broadcastableQueries))
+      knnJoinExact(corpus, queries, k)
     else knnJoinGrid(corpus, queries, k)
   }
 

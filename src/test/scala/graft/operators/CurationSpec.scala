@@ -73,6 +73,25 @@ class CurationSpec extends SparkSpec {
         ("4_neardup", 3L), ("5_decontam", 2L)))
   }
 
+  test("gateBatch: quality + repetition + within-batch exact dedup") {
+    val gated = Curation.gateBatch(corpus)
+    // drops 4 (quality), 5 (repetition), 3 (exact dup of 1); keeps the
+    // near-dup pair 1/2 and the contaminated 6 — those stages belong to
+    // the cross-corpus probes composed downstream
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 6L, 7L))
+  }
+
+  test("gateBatch: oversized batch routes the flagged anti join through shuffle hash") {
+    val cfgShuffle = Curation.CurationConfig(broadcastableIds = 0L)
+    val gated = Curation.gateBatch(corpus, cfgShuffle)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      s"flagged-set anti join must take the shuffle route at bound 0:\n$plan")
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 6L, 7L), "dispatch is a pure plan choice")
+  }
+
   test("curate: clean corpus passes every stage untouched") {
     val clean = Seq(
       (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
