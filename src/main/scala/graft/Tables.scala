@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, to_timestamp, unix_micros}
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Test-data catalog: registers the driver-generated parquet tables
   * (TESTDATA.md) as temp views so queries can be written against bare
@@ -54,22 +54,62 @@ object Tables {
       // (The conf is also set in GraftSession.builder; set here as well for
       // sessions not built through it.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-        case Some(LongType) =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        // Plain `timestamp[us]` parquet (no timezone) arrives as
-        // TIMESTAMP_NTZ — the most common flavor in the wild. Normalize to
-        // session-local TIMESTAMP once at the catalog boundary: the session
-        // timezone is pinned UTC (GraftSession), so the instant is
-        // unchanged and oracle hashes stay stable, and every downstream
-        // epoch derivation (unix_micros, cast-to-double) stays legal.
-        case Some(TimestampNTZType) =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
-      }
+      val fmt = Formats.find { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.$f")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }.getOrElse("parquet") // default: let the parquet reader raise the error
+      normalizeTs(read(spark, s"$dir/$name.$fmt", fmt))
     })
   }
+
+  /** Formats the catalog auto-detects, in probe order (columnar first —
+    * they carry their own schema and types; csv/json are the text
+    * fallbacks a real corpus drop often arrives as). */
+  val Formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
+
+  /** One table from an explicit path + format, through the same boundary
+    * normalization as [[load]]. `schema` is the production path for text
+    * formats — csv/json WITHOUT one fall back to inference, which reads
+    * the data an extra time and must never be the plan at 100 TB; the
+    * columnar formats ignore it (their footers are authoritative). */
+  def loadAs(spark: SparkSession, path: String, format: String,
+             schema: Option[StructType] = None): DataFrame =
+    normalizeTs(read(spark, path, format, schema))
+
+  private def read(spark: SparkSession, path: String, format: String,
+                   schema: Option[StructType] = None): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
+      case "csv" =>
+        val r = spark.read.option("header", "true")
+        schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+      case "json" =>
+        schema.fold(spark.read)(spark.read.schema).json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported table format '$other' (one of ${Formats.mkString("/")})")
+    }
+
+  /** Boundary normalization of the fact tables' `ts` to session-local
+    * TIMESTAMP — every wire flavor an engine meets lands here:
+    *  - int64: legacy TIMESTAMP(NANOS) parquet read under `nanosAsLong`
+    *    (truncate to micros, as DuckDB casting TIMESTAMP_NS → TIMESTAMP);
+    *  - TIMESTAMP_NTZ: plain `timestamp[us]` parquet / inferred csv —
+    *    cast interprets it in the session timezone (pinned UTC by
+    *    GraftSession), so the instant is unchanged, oracle hashes stay
+    *    stable, and downstream epoch math (`unix_micros`) stays legal;
+    *  - string: json (no timestamp type on the wire) — ISO-8601 parse.
+    * One place, every format, every downstream query agrees. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(StringType) =>
+        df.withColumn("ts", to_timestamp(col("ts")))
+      case _ => df
+    }
 
   /** Exact integer epoch microseconds from a timestamp of EITHER flavor
     * (TIMESTAMP or TIMESTAMP_NTZ — `unix_micros` alone rejects NTZ; the
