@@ -1218,19 +1218,19 @@ object PipelineQueries {
           |      FROM c)
           |SELECT lang, rk, tok, cnt FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
       "q49_embedding_clusters" ->
-        """WITH RECURSIVE vec AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        """WITH RECURSIVE vec AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+          |p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
           |  ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])), (x, y) -> x + y)
           |    / (SQRT(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)), (x, y) -> x + y))
           |     * SQRT(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))), 4) AS cos_sim
           |  FROM vec a JOIN vec b ON a.vec_id < b.vec_id),
-          |pr AS (SELECT va, vb FROM p WHERE cos_sim >= 0.4),
-          |edges AS (SELECT va AS u, vb AS v FROM pr UNION SELECT vb AS u, va AS v FROM pr),
+          |pr AS MATERIALIZED (SELECT va, vb FROM p WHERE cos_sim >= 0.4),
+          |edges AS MATERIALIZED (SELECT va AS u, vb AS v FROM pr UNION SELECT vb AS u, va AS v FROM pr),
           |cc(node, comp) AS (
           |  SELECT u, u FROM edges
           |  UNION
           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
-          |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
+          |lab AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
           |SELECT comp AS cluster_id, COUNT(*) AS n_docs,
           |       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
           |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin)

@@ -12,20 +12,27 @@ class LayoutSpec extends SparkSpec {
 
   test("bucketed tables join and aggregate with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("wh").toString
+    // unique table names: the catalog is shared across suites and sbt
+    // runs suites in parallel — fixed names collide (flaky full runs)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (tOrders, tLineitem) = (s"b_orders_$tag", s"b_lineitem_$tag")
     val orders = Tables.load(spark, sfDir, "orders")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
-    Layout.writeBucketed(orders.withColumnRenamed("o_orderkey", "okey"), "b_orders", "okey", 4, Some(wh))
-    Layout.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "okey"), "b_lineitem", "okey", 4, Some(wh))
+    try {
+      Layout.writeBucketed(orders.withColumnRenamed("o_orderkey", "okey"), tOrders, "okey", 4, Some(wh))
+      Layout.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "okey"), tLineitem, "okey", 4, Some(wh))
 
-    val joined = Layout.coLocatedJoin(spark, "b_orders", "b_lineitem", "okey")
-      .groupBy("okey").agg(count(lit(1)).as("n"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"), s"expected exchange-free plan:\n$plan")
-    // and it is still correct
-    val viaShuffle = orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count()
-    assert(joined.agg(sum("n")).collect()(0).getLong(0) === viaShuffle)
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      val joined = Layout.coLocatedJoin(spark, tOrders, tLineitem, "okey")
+        .groupBy("okey").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"expected exchange-free plan:\n$plan")
+      // and it is still correct
+      val viaShuffle = orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.agg(sum("n")).collect()(0).getLong(0) === viaShuffle)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $tLineitem")
+    }
   }
 
   test("zValue interleaves bits exactly (reference implementation parity)") {
