@@ -66,6 +66,21 @@ class TimestampFlavorSpec extends SparkSpec {
     }
   }
 
+  test("ts range filters push to the parquet scan THROUGH the NTZ normalization cast") {
+    // the boundary cast must not cost pushdown: Catalyst rewrites
+    // `cast(ts_ntz as ltz) < lit` to an NTZ-level comparison (the cast is
+    // monotonic under the fixed session zone), so the scan still prunes
+    // row groups on ts. A regression here reads 100% of a 100 TB fact
+    // table for a one-day query — worth a tripwire.
+    import org.apache.spark.sql.functions.{col, lit}
+    val plan = Tables.load(spark, flavorDirs("ntz"), "events")
+      .filter(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts"),
+      s"ts filter must reach the scan:\n$plan")
+  }
+
   for (q <- tsQueries) test(s"$q identical across ts flavors") {
     val fn = graft.SparkEntry.queries(q)
     val results = flavorDirs.map { case (flavor, dir) =>
