@@ -249,7 +249,7 @@ object SparkEntry {
     "q38_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
-        |    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events WHERE user_id < 50),
         |s AS (

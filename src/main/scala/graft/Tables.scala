@@ -114,10 +114,32 @@ object Tables {
   /** Exact integer epoch microseconds from a timestamp of EITHER flavor
     * (TIMESTAMP or TIMESTAMP_NTZ — `unix_micros` alone rejects NTZ; the
     * cast interprets NTZ in the session timezone, pinned UTC, and is a
-    * no-op on LTZ). Operators that take a raw events DataFrame route
-    * through this so they stay portable even when the caller bypasses
-    * [[Tables.load]]'s boundary normalization. */
+    * no-op on LTZ).
+    *
+    * SCOPE: only the two timestamp types. A LongType ts (the legacy
+    * nanos wire flavor) would cast as epoch SECONDS — off by 1e9,
+    * silently — and an unparseable string degrades to NULLs; both
+    * belong to [[load]]/[[loadAs]]'s boundary normalization, not here.
+    * Operators that accept a raw DataFrame use [[epochMicrosIn]], which
+    * resolves the expression's actual type and REJECTS non-timestamp
+    * inputs loudly instead. */
   def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** [[epochMicros]] with the input's resolved type checked against the
+    * DataFrame it will run over — the operator-facing form. Callers
+    * bypassing [[load]] with a legacy nanos-int64 or string ts get an
+    * IllegalArgumentException naming the fix (route the input through
+    * the catalog boundary), not silently corrupted epochs. */
+  def epochMicrosIn(df: DataFrame, c: Column): Column = {
+    val dt = df.select(c).schema.head.dataType
+    dt match {
+      case TimestampType | TimestampNTZType => epochMicros(c)
+      case other => throw new IllegalArgumentException(
+        s"epochMicrosIn: ts expression resolves to $other, not a timestamp " +
+          "— normalize the input through Tables.load/loadAs (legacy nanos " +
+          "int64 and string ts are converted there), or cast explicitly")
+    }
+  }
 
   /** Idempotent: register all tables under `dir` as temp views. */
   def register(spark: SparkSession, dir: String): Unit =

@@ -732,7 +732,7 @@ object Dedup {
     // checkpoint whose plan never repeats, but their cardinality is a
     // function of pairs, so a re-run over the same pairs skips the probe
     val labels =
-      if (SizeDispatch.atMost(labels0, broadcastableLabels, key = pairs))
+      if (SizeDispatch.atMost(labels0, broadcastableLabels, key = pairs, tag = "cc-labels"))
         broadcast(labels0)
       else labels0.hint("shuffle_hash")
     val w = Window.partitionBy("comp").orderBy(quality.desc, col(id))
@@ -826,7 +826,7 @@ object Dedup {
     val shi = materializedOnce(shiPre)
     // count the pinned blocks, memo-keyed by the PRE-checkpoint plan so a
     // repeat call over the same increment skips the count job entirely
-    val total = SizeDispatch.count(shi, key = shiPre)
+    val total = SizeDispatch.count(shi, key = shiPre, tag = "shingled-increment")
     if (total <= bound) crossDupPinned(shc, shi, threshold)
       .orderBy("corpus_id", "inc_id")
     else {

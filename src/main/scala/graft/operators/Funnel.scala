@@ -45,7 +45,7 @@ object Funnel {
       .filter(typeCol.isin(steps: _*))
       .groupBy(userCol.as("user_id"))
       .agg(sort_array(collect_list(struct(
-        graft.Tables.epochMicros(tsCol).as("t"), typeCol.as("y")))).as("evs"))
+        graft.Tables.epochMicrosIn(events, tsCol).as("t"), typeCol.as("y")))).as("evs"))
     val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("last_t"),
       lit(0L).as("first_t"))
     val folded = perUser.select(col("user_id"),
@@ -97,7 +97,7 @@ object Funnel {
   def retention(events: DataFrame,
                 userCol: Column = col("user_id"),
                 tsCol: Column = col("ts")): DataFrame = {
-    val wk = floor(graft.Tables.epochMicros(tsCol) / lit(WeekMicros.toDouble)).cast("long")
+    val wk = floor(graft.Tables.epochMicrosIn(events, tsCol) / lit(WeekMicros.toDouble)).cast("long")
     events
       .select(userCol.as("user_id"), wk.as("wk"))
       .groupBy("user_id")

@@ -31,7 +31,14 @@ import org.apache.spark.sql.DataFrame
 object SizeDispatch {
   private val MaxEntries = 512
 
-  private final case class Key(sessionId: Int, plan: AnyRef, bound: Long)
+  // `tag` disambiguates WHICH derived quantity is cached when a caller
+  // keys by a shared input plan: keepCanonical caches its LABEL count
+  // under the pairs plan — without the tag, a later atMost(pairs, bound)
+  // on the pairs table itself would be served the label cardinality and
+  // silently pick the wrong join plan. Self-keyed probes use the empty
+  // tag (plan == probe, nothing to alias); count() uses a dedicated tag
+  // instead of a sentinel bound so no bound value can collide with it.
+  private final case class Key(sessionId: Int, plan: AnyRef, bound: Long, tag: String)
 
   private val cache =
     new java.util.LinkedHashMap[Key, java.lang.Long](64, 0.75f, true) {
@@ -43,8 +50,18 @@ object SizeDispatch {
   private val sessions =
     new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, Integer]()
 
-  private def keyFor(df: DataFrame, bound: Long): Key = {
+  private def keyFor(df: DataFrame, bound: Long, tag: String): Key = {
     val s = df.sparkSession
+    // canonicalized analyzed plan: alias/attribute ExprIds are freshly
+    // minted on every DataFrame construction, so the raw plan of two
+    // identically-built queries never compares equal — canonicalization
+    // normalizes ids positionally and makes semantic re-runs hit.
+    // Fresh data still misses: a checkpoint's LogicalRDD carries its
+    // RDD id and a streaming batch carries its batch source, neither
+    // of which canonicalize away. Computed OUTSIDE the cache lock —
+    // analysis of a deep plan is O(tree) driver work and must not
+    // serialize concurrent dispatches.
+    val plan = df.queryExecution.analyzed.canonicalized
     cache.synchronized {
       val it = sessions.entrySet().iterator()
       while (it.hasNext) {
@@ -60,40 +77,43 @@ object SizeDispatch {
         id = System.identityHashCode(s)
         sessions.put(s, id)
       }
-      // canonicalized analyzed plan: alias/attribute ExprIds are freshly
-      // minted on every DataFrame construction, so the raw plan of two
-      // identically-built queries never compares equal — canonicalization
-      // normalizes ids positionally and makes semantic re-runs hit.
-      // Fresh data still misses: a checkpoint's LogicalRDD carries its
-      // RDD id and a streaming batch carries its batch source, neither
-      // of which canonicalize away.
-      Key(id, df.queryExecution.analyzed.canonicalized, bound)
+      Key(id, plan, bound, tag)
     }
   }
 
   /** True iff `probe` has at most `bound` rows. The bounded count runs
-    * at most once per distinct (plan, bound); `key` (default: the probe
-    * itself) supplies the memo plan — pass the PRE-materialization
+    * at most once per distinct (plan, bound, tag); `key` (default: the
+    * probe itself) supplies the memo plan — pass the PRE-materialization
     * DataFrame when the probe is a fresh checkpoint whose own plan can
-    * never repeat (e.g. `keepCanonical` keys its label count by the
-    * pairs input). */
-  def atMost(probe: DataFrame, bound: Long, key: DataFrame = null): Boolean = {
-    val b = math.min(bound, Int.MaxValue - 1L)
-    val k = keyFor(if (key == null) probe else key, b)
+    * never repeat, and then ALSO pass a caller-unique `tag` naming the
+    * derived quantity (e.g. `keepCanonical` keys its label count by the
+    * pairs input under tag "cc-labels") so two different derivations of
+    * the same key plan never share an entry. */
+  def atMost(probe: DataFrame, bound: Long, key: DataFrame = null,
+             tag: String = ""): Boolean = {
+    require(key == null || tag.nonEmpty,
+      "SizeDispatch.atMost: an explicit key needs a caller-unique tag " +
+        "(the key plan is not the probe; an untagged entry could alias " +
+        "a probe of the key plan itself)")
+    val b = math.max(0L, math.min(bound, Int.MaxValue - 1L))
+    val k = keyFor(if (key == null) probe else key, b, tag)
     val hit = cache.synchronized(cache.get(k))
     if (hit != null) return hit.longValue() <= b
     val n = probe.limit(b.toInt + 1).count()
-    // store min(n, b+1): enough to answer THIS bound exactly; a later
-    // call with the same bound reuses it, a different bound re-probes
+    // the partial count answers exactly THIS (bound, tag); a different
+    // bound is a different key and re-probes
     cache.synchronized(cache.put(k, java.lang.Long.valueOf(n)))
     n <= b
   }
 
   /** Full memoized count (for callers that also need the cardinality,
-    * e.g. `crossDupPairsAuto`'s chunk arithmetic). Keyed with bound -1
-    * so it never collides with a bounded probe's partial count. */
-  def count(probe: DataFrame, key: DataFrame = null): Long = {
-    val k = keyFor(if (key == null) probe else key, -1L)
+    * e.g. `crossDupPairsAuto`'s chunk arithmetic). Its own tag namespace
+    * — no bound value can collide with a bounded probe's entry. */
+  def count(probe: DataFrame, key: DataFrame = null,
+            tag: String = ""): Long = {
+    require(key == null || tag.nonEmpty,
+      "SizeDispatch.count: an explicit key needs a caller-unique tag")
+    val k = keyFor(if (key == null) probe else key, 0L, s"count:$tag")
     val hit = cache.synchronized(cache.get(k))
     if (hit != null) return hit.longValue()
     val n = probe.count()

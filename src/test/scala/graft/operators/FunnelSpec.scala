@@ -135,4 +135,22 @@ class FunnelSpec extends SparkSpec {
       if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
     assert(a === b)
   }
+
+  test("raw int64 ts is rejected loudly, not silently misread as seconds") {
+    // a caller bypassing Tables.load with legacy nanos-as-long events
+    // must get an error naming the fix — LongType cast to timestamp
+    // would interpret epoch SECONDS (off by 1e9) and corrupt every
+    // cohort/stage silently
+    import spark.implicits._
+    val rawLong = Seq((1L, 1700000000000000000L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Funnel.retention(rawLong)
+    }
+    assert(e.getMessage.contains("Tables.load"))
+    val e2 = intercept[IllegalArgumentException] {
+      Funnel.funnelStages(rawLong, Seq("view"))
+    }
+    assert(e2.getMessage.contains("not a timestamp"))
+  }
 }

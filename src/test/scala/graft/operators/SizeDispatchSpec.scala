@@ -43,10 +43,10 @@ class SizeDispatchSpec extends SparkSpec {
     assert(SizeDispatch.atMost(cp2, 100L))
     assert(SizeDispatch.cacheSize == after1 + 1,
       "distinct checkpoints are distinct data: must not share an entry")
-    // keyed by the shared pre-checkpoint plan they DO share one
-    assert(SizeDispatch.atMost(cp1, 50L, key = base))
+    // keyed by the shared pre-checkpoint plan (+ tag) they DO share one
+    assert(SizeDispatch.atMost(cp1, 50L, key = base, tag = "spec-bridge"))
     val after2 = SizeDispatch.cacheSize
-    assert(SizeDispatch.atMost(cp2, 50L, key = base))
+    assert(SizeDispatch.atMost(cp2, 50L, key = base, tag = "spec-bridge"))
     assert(SizeDispatch.cacheSize == after2)
   }
 
@@ -57,5 +57,21 @@ class SizeDispatchSpec extends SparkSpec {
     assert(SizeDispatch.count(nation) == 25L)        // full count, own entry
     assert(SizeDispatch.count(nation) == 25L)
     assert(SizeDispatch.cacheSize == 2)
+  }
+
+  test("a keyed derived count never aliases a probe of the key plan itself") {
+    SizeDispatch.clear()
+    val nation = Tables.load(spark, sfDir, "nation") // 25 rows
+    val derived = nation.filter(col("n_regionkey") === 0) // 5 rows
+    // cache the DERIVED cardinality under nation's plan (the
+    // keepCanonical pattern: labels keyed by pairs)
+    assert(SizeDispatch.atMost(derived, 10L, key = nation, tag = "derived"))
+    // an untagged probe of nation ITSELF at the same bound must answer
+    // from nation's rows (25 > 10), not the derived entry (5 <= 10)
+    assert(!SizeDispatch.atMost(nation, 10L))
+    // and the explicit-key form without a tag is rejected outright
+    intercept[IllegalArgumentException] {
+      SizeDispatch.atMost(derived, 10L, key = nation)
+    }
   }
 }

@@ -11,9 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * harness container) against a per-oracle budget at sf0.01, so a
   * too-expensive verification contract fails the BUILDER's session
   * loudly, where it can be fixed, instead of silently blanking the
-  * driver's gate. Cancels (not passes) where python3/duckdb or the
-  * testdata isn't available. No Spark session needed — the oracle map
-  * is pure data. */
+  * driver's gate. The script side carries a watchdog interrupt, so even
+  * a non-terminating oracle dies at ~2× budget rather than hanging this
+  * suite. Cancels (assume) only on genuinely environmental absences —
+  * python3/duckdb or the testdata; a missing SCRIPT is a repo bug and
+  * FAILS, otherwise the tripwire could disarm itself silently. No Spark
+  * session needed — the oracle map is pure data, dumped via the same
+  * [[graft.OracleDump]] serializer the builder tooling uses (one
+  * escaper, not a drifting copy). */
 class OracleBudgetSpec extends AnyFunSuite {
   private val BudgetSeconds = 10.0
   private val SfDir = "/root/testdata/sf0.01"
@@ -23,22 +28,12 @@ class OracleBudgetSpec extends AnyFunSuite {
     val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
     assume(probe.waitFor() == 0, "python3+duckdb unavailable")
 
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val tmp = Files.createTempFile("oracle_sql", ".json")
-    Files.writeString(tmp, json)
+    graft.OracleDump.main(Array(tmp.toString))
 
     val script = new java.io.File("tools/oracle_budget.py").getAbsoluteFile
-    assume(script.exists(), s"$script absent")
+    assert(script.exists(),
+      s"$script missing — the oracle-budget tripwire would be disarmed")
     val pb = new ProcessBuilder("python3", script.toString,
       tmp.toString, SfDir, BudgetSeconds.toString)
     pb.redirectErrorStream(true)

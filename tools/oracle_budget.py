@@ -5,32 +5,56 @@ budget; exit 1 (loudly, naming the offender) if any exceeds it.
 This is the builder-side tripwire for the r9 failure mode: one
 pathological oracle (q68's un-materialized recursive CTE, 843.9 s at
 sf0.01) stalled the DRIVER's correctness gate and zeroed the round's
-artifact. Run from OracleBudgetSpec (sbt test) or standalone:
+artifact. A watchdog interrupts each oracle shortly past its budget, so
+a re-introduced runaway (or a non-terminating recursive CTE) fails this
+check in seconds instead of stalling the builder's suite the same way.
+
+Run from OracleBudgetSpec (sbt test) or standalone:
 
     python3 tools/oracle_budget.py /tmp/oracle_sql.json /root/testdata/sf0.01 10.0
 """
-import duckdb, json, sys, time
+import glob
+import json
+import os
+import sys
+import threading
+import time
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+import duckdb
 
 
 def main(oracle_json: str, sf_dir: str, budget_s: float) -> int:
     oracles = json.load(open(oracle_json))
     con = duckdb.connect()
     con.execute("SET threads TO 16")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # the catalog is whatever parquet sits in the SF dir — no second copy
+    # of graft.Tables.names to drift out of sync
+    for path in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        name = os.path.splitext(os.path.basename(path))[0]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     slow, failed, timings = [], [], {}
+    # hard stop a little past budget: enough headroom that a fast oracle
+    # never sees a spurious interrupt, small enough that a runaway dies
+    # in seconds, not minutes
+    kill_after = max(2.0 * budget_s, budget_s + 5.0)
     for name, sql in sorted(oracles.items()):
+        watchdog = threading.Timer(kill_after, con.interrupt)
+        watchdog.start()
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
         except Exception as e:  # an oracle that errors also zeroes the gate
-            failed.append(name)
-            print(f"FAIL {name}: {str(e)[:200]}", file=sys.stderr)
+            dt = time.time() - t0
+            if dt >= kill_after - 0.5:
+                slow.append((name, dt))
+                print(f"KILLED {name}: interrupted after {dt:.1f}s "
+                      f"(budget {budget_s}s)", file=sys.stderr)
+            else:
+                failed.append(name)
+                print(f"FAIL {name}: {str(e)[:200]}", file=sys.stderr)
             continue
+        finally:
+            watchdog.cancel()
         dt = time.time() - t0
         timings[name] = round(dt, 2)
         if dt > budget_s:
