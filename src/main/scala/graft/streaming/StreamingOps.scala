@@ -143,6 +143,88 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelHit(user_id: Long, stage: Int, at_us: Long,
+                             conv_s: Option[Long])
+  // public: the state encoder's generated code must reach the accessors
+  final case class FunnelProgress(stage: Int, firstT: Long, lastT: Long)
+
+  /** Live funnel tracking with flatMapGroupsWithState — the streaming
+    * twin of the batch greedy-earliest funnel (q75,
+    * [[graft.operators.Funnel.funnelStages]]): per-user state holds
+    * (stage reached, first/last witness micros); each batch's step
+    * events advance the stage greedily under the SAME rule (type matches
+    * the next step, strictly increasing timestamp) and every advancement
+    * EMITS a [[FunnelHit]] — `conv_s` is set on the final stage (whole
+    * seconds from the stage-1 witness, the batch formula). Non-step
+    * events are pruned before the shuffle, exactly like the batch scan
+    * filter.
+    *
+    * Ordering contract: events are time-sorted WITHIN a batch; across
+    * batches the greedy fold follows arrival order past the watermark,
+    * so a late event older than the accepted witness cannot
+    * retroactively advance a stage — identical to batch output whenever
+    * events arrive in watermark order (the spec pins parity on an
+    * in-order replay of the events table).
+    *
+    * State at 100 TB: one (int, long, long) per user seen in a step
+    * event — but on a forever-stream "users ever seen" grows without
+    * bound, so `expireAfterSeconds` (event-time timeout against the
+    * watermark) drops users idle past the horizon; an expired user
+    * re-entering simply restarts the funnel. 0 keeps state forever —
+    * only for bounded replays. */
+  def funnelWithState(events: Dataset[(Long, java.sql.Timestamp, String)],
+                      steps: Seq[String],
+                      watermark: String = "0 seconds",
+                      expireAfterSeconds: Long = 0L): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnelWithState: empty step list")
+    implicit val outEnc = Encoders.product[FunnelHit]
+    implicit val stEnc = Encoders.product[FunnelProgress]
+    implicit val inEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING)
+    val timeout =
+      if (expireAfterSeconds > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // full-precision epoch micros (getTime alone truncates to millis)
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove() // abandoned funnel: emit nothing, free the slot
+            Iterator.empty
+          } else {
+            val evs = rows.map(r => (micros(r._2), r._3)).toArray.sortBy(_._1)
+            var st = state.getOption.getOrElse(FunnelProgress(0, 0L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            evs.foreach { case (t, y) =>
+              if (st.stage < steps.size && y == steps(st.stage) && t > st.lastT) {
+                val first = if (st.stage == 0) t else st.firstT
+                st = FunnelProgress(st.stage + 1, first, t)
+                out += FunnelHit(user, st.stage, t,
+                  if (st.stage == steps.size) Some((t - first) / 1000000L)
+                  else None)
+              }
+            }
+            if (st.stage > 0) state.update(st)
+            if (expireAfterSeconds > 0 && st.stage > 0)
+              // clamp past the watermark: a late straggler's horizon may
+              // already be behind it, and Spark rejects a timeout at or
+              // before the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.lastT / 1000L + expireAfterSeconds * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class TableStats(schema: String, table: String, net_rows: Long,
                               n_insert: Long, n_update: Long, n_delete: Long)
 

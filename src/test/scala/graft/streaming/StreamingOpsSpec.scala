@@ -326,4 +326,87 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last.getAs[Long]("n_events") === 3L)
     assert(last.getAs[Double]("total_value") === 7.0)
   }
+
+  test("streaming funnel advances greedily across batches and emits per transition") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.funnelWithState(in.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: u1 view→click (two hits), noise pruned, u2 click-only (no
+    // view yet: cannot advance)
+    in.addData((1L, ts(1), "view"), (1L, ts(2), "error"),
+      (1L, ts(3), "click"), (2L, ts(2), "click"))
+    q.processAllAvailable()
+    val b1 = spark.table("sfunnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"))).sorted
+    assert(b1.toSeq === Seq((1L, 1), (1L, 2)), s"got ${b1.mkString(",")}")
+    // batch 2: u1 purchases (final stage, conv_s from the stage-1
+    // witness), u2 views (stage 1 only — the earlier click is spent)
+    in.addData((1L, ts(10), "purchase"), (2L, ts(5), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sfunnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        Option(r.getAs[java.lang.Long]("conv_s")).map(_.longValue)))
+    val u1Final = all.find(x => x._1 == 1L && x._2 == 3).get
+    assert(u1Final._3 === Some(9L * 60L), "conv_s = purchase - first view")
+    assert(all.count(_._1 == 2L) === 1 && all.find(_._1 == 2L).get._2 === 1,
+      "u2's pre-view click must not count toward a later funnel")
+  }
+
+  test("streaming funnel expires idle users at the event-time horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.funnelWithState(in.toDS(),
+      Seq("view", "click"), expireAfterSeconds = 600L)
+    val q = out.writeStream.format("memory").queryName("sfunnel_exp")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, ts(1), "view")) // stage 1; horizon = 10:11
+    q.processAllAvailable()
+    // another user's event drives the watermark far past u1's horizon;
+    // the expiry fires on the following batch
+    in.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00"), "view"))
+    q.processAllAvailable()
+    // u1 re-enters with a CLICK after expiry: the funnel restarted, so
+    // a click with no prior view in the new incarnation cannot advance
+    in.addData((1L, Timestamp.valueOf("2024-01-01 12:01:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sfunnel_exp").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => r.getAs[Int]("stage"))
+    assert(u1.toSeq === Seq(1), s"post-expiry click must not reach stage 2: ${u1.mkString(",")}")
+  }
+
+  test("streaming funnel matches the batch funnel on an in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 40)
+    val batch = graft.operators.Funnel
+      .funnelStages(events, steps).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getAs[java.lang.Long]("conv_s")).map(_.longValue)))
+      .filter(_._2 > 0).sortBy(x => (x._1, x._2))
+    val ordered = events.select("user_id", "ts", "event_type")
+      .orderBy("ts", "user_id").as[(Long, Timestamp, String)].collect()
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.funnelWithState(in.toDS(), steps)
+      .writeStream.format("memory").queryName("sfunnel_par")
+      .outputMode(OutputMode.Append).start()
+    // feed in two arrival-ordered chunks to exercise cross-batch state
+    val (a, b) = ordered.splitAt(ordered.length / 2)
+    in.addData(a.toSeq); q.processAllAvailable()
+    in.addData(b.toSeq); q.processAllAvailable()
+    q.stop()
+    // the stream emits one hit per transition: a user's DEEPEST hit is
+    // the batch operator's (stage, conv_s) row
+    val streamed = spark.table("sfunnel_par").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        Option(r.getAs[java.lang.Long]("conv_s")).map(_.longValue)))
+      .groupBy(_._1).map(_._2.maxBy(_._2)).toArray.sortBy(x => (x._1, x._2))
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
