@@ -225,6 +225,60 @@ object StreamingOps {
       }
   }
 
+  final case class RetentionHit(cohort_week: Long, week_offset: Long)
+  // public: the state encoder's generated code must reach the accessors
+  final case class CohortSeen(cohortWeek: Long, recentWeeks: Seq[Long])
+
+  /** Live cohort retention with flatMapGroupsWithState — the streaming
+    * twin of the batch grid (q76, [[graft.operators.Funnel.retention]]):
+    * a user's FIRST event pins their cohort week forever; each new
+    * (user, week) emits ONE [[RetentionHit]] increment, so a downstream
+    * `groupBy(cohort_week, week_offset).count()` (or any additive sink)
+    * reproduces exactly the batch grid's `n_users` — the operator ships
+    * increments, not running totals, which keeps it append-mode and
+    * sink-agnostic (counters, a key-value store, a parquet ledger).
+    * Week = floor(epoch_us / 7 days), the batch formula.
+    *
+    * State at 100 TB: cohortWeek is one long per user ever seen —
+    * irreducible if returning users must keep their cohort (expiring it
+    * would silently re-cohort them, corrupting every later cell) — plus
+    * the seen-week set PRUNED to the watermark horizon: a week whose
+    * whole span is older than the watermark can receive no further
+    * event, so its dedup entry is dead weight and is dropped. Bounded
+    * by horizon-weeks per user, not stream length. */
+  def retentionWithState(events: Dataset[(Long, java.sql.Timestamp)],
+                         watermark: String = "0 seconds"): Dataset[RetentionHit] = {
+    implicit val outEnc = Encoders.product[RetentionHit]
+    implicit val stEnc = Encoders.product[CohortSeen]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    val weekMicros = 604800000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CohortSeen, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[CohortSeen]) =>
+          val wks = rows.map(r => micros(r._2) / weekMicros).toArray.sorted
+          var st = state.getOption.getOrElse(CohortSeen(wks.head, Seq.empty))
+          val seen = scala.collection.mutable.Set(st.recentWeeks: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+          wks.foreach { wk =>
+            if (seen.add(wk)) out += RetentionHit(st.cohortWeek, wk - st.cohortWeek)
+          }
+          // prune dedup entries for weeks fully behind the watermark —
+          // no further event can land in them (the watermark filters
+          // older rows before this function runs)
+          val horizonWeek = state.getCurrentWatermarkMs() * 1000L / weekMicros
+          st = CohortSeen(st.cohortWeek,
+            seen.filter(_ >= horizonWeek).toSeq.sorted)
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class TableStats(schema: String, table: String, net_rows: Long,
                               n_insert: Long, n_update: Long, n_delete: Long)
 

@@ -380,6 +380,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(u1.toSeq === Seq(1), s"post-expiry click must not reach stage 2: ${u1.mkString(",")}")
   }
 
+  test("streaming retention emits one increment per new (user, week); cohort sticks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.retentionWithState(in.toDS())
+    val q = out.writeStream.format("memory").queryName("sret")
+      .outputMode(OutputMode.Append).start()
+    def t(d: String) = Timestamp.valueOf(d)
+    // u1 twice in week A (one increment), u2 once
+    in.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
+      (2L, t("2024-01-03 10:00:00")))
+    q.processAllAvailable()
+    assert(spark.table("sret").count() === 2)
+    // next week: u1 returns (offset 1 for u1's cohort); u1 again same
+    // week (no new increment)
+    in.addData((1L, t("2024-01-09 10:00:00")), (1L, t("2024-01-10 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.table("sret").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")))
+      .groupBy(identity).map { case (k, v) => (k._2, v.length) }
+    assert(cells.toSet === Set((0L, 2), (1L, 1)),
+      s"offsets (0: both users, 1: u1's return): $cells")
+  }
+
+  test("streaming retention matches the batch grid on an in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 40)
+    val batch = graft.operators.Funnel.retention(events).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ordered = events.select("user_id", "ts")
+      .orderBy("ts", "user_id").as[(Long, Timestamp)].collect()
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.retentionWithState(in.toDS())
+      .writeStream.format("memory").queryName("sret_par")
+      .outputMode(OutputMode.Append).start()
+    val (a, b) = ordered.splitAt(ordered.length / 2)
+    in.addData(a.toSeq); q.processAllAvailable()
+    in.addData(b.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sret_par").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    assert(streamed === batch)
+  }
+
   test("streaming funnel matches the batch funnel on an in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
