@@ -129,11 +129,21 @@ object Bench {
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
     // stdout gets a COMPACT line (medians only, no per-iteration stats):
-    // the driver's artifact keeps a bounded tail of stdout, and the full
-    // stats line overflowed it in r8 (BENCH_r08.json parsed: null). The
-    // full artifact goes to the file below — per-query min/med/max/iters
+    // the driver's artifact keeps a bounded 2000-char tail of stdout, and
+    // the full stats line overflowed it in r8 (BENCH_r08 parsed: null).
+    // r10's compact line STILL overflowed — full-precision doubles plus
+    // kernel_udf_sites pushed it to ~3KB, so the tail cut off the line's
+    // head and the driver parsed null again. Medians here round to 3
+    // decimals (1 ms — far below run-to-run noise), sf is the basename,
+    // and the site audit stays file-only: ~1.6KB for 70+ queries, which
+    // fits the tail even with sbt's trailing "[success]" line. The full
+    // artifact goes to the file below — per-query min/med/max/iters
     // never depend on stdout truncation (r3 lost q01-q25 that way).
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":$nFailed,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
+    def fmt3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    val qsCompact = j(results.map { case (k, v) =>
+      k -> v.fold(_ => "-1", r => fmt3(med(r))) })
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val compact = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"sf":"$sfName"}"""
     println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))

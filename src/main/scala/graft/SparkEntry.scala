@@ -103,7 +103,8 @@ object SparkEntry {
     "q73_zorder" -> (PipelineQueries.q73Zorder _),
     "q74_split" -> (PipelineQueries.q74Split _),
     "q75_funnel" -> (PipelineQueries.q75Funnel _),
-    "q76_retention" -> (PipelineQueries.q76Retention _)
+    "q76_retention" -> (PipelineQueries.q76Retention _),
+    "q77_passages" -> (PipelineQueries.q77Passages _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -16,9 +16,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Shape guard (VERDICT r10 #1): the driver's comparator sorts
+        // oracle rows column-wise in pandas and cannot order LIST/STRUCT
+        // cells (q71's r10 red row). An oracle-backed result with a
+        // nested column would be formally unverifiable, so refuse to
+        // dump it — the builder's gate goes red HERE, not at the driver.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val nested = df.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          })
+          require(nested.isEmpty,
+            s"oracle-backed output has non-scalar columns the driver " +
+              s"cannot compare: ${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

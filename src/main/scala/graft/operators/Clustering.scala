@@ -73,10 +73,17 @@ object Clustering {
     // pile up between GCs, so Bench drains Storage between queries.
     def truncate(df: DataFrame): DataFrame = Storage.track(
       if (reliableCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
+    // no eager distinct: the pair kernels emit each pair once already,
+    // and BOTH consumers tolerate duplicates — union-find is idempotent
+    // per edge, and the min-propagation loop aggregates with min().
+    // The dedup shuffle only pays off for the distributed tier (where
+    // duplicate edges would re-shuffle every iteration), so it is
+    // applied there and only there. Duplicates make the threshold count
+    // conservative (an overcount can only route a small graph to the
+    // distributed tier, never a big one to the driver).
     val edges = Storage.track(
       pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
         .union(pairs.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
-        .distinct()
         .cache())
     if (edges.count() / 2 <= localEdgeThreshold) {
       import spark.implicits._
@@ -84,14 +91,17 @@ object Clustering {
       edges.unpersist()
       return localUnionFind(spark, es)
     }
-    var labels = truncate(edges.select(col("u").as("node")).distinct()
+    val dedupEdges = Storage.track(edges.distinct().cache())
+    dedupEdges.count()
+    edges.unpersist()
+    var labels = truncate(dedupEdges.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node")))
     var checksum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       // min over neighbors' labels, then min with own label
-      val neighborMin = edges.join(labels.withColumnRenamed("node", "u"), "u")
+      val neighborMin = dedupEdges.join(labels.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node")).agg(min(col("comp")).as("ncomp"))
       val viaNeighbors = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
@@ -118,7 +128,7 @@ object Clustering {
       checksum = nextSum
       i += 1
     }
-    edges.unpersist()
+    dedupEdges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations iterations " +

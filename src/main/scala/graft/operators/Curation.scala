@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *    analogue of the parquet write a cluster-scale pipeline puts
   *    between stages (swap `pin` for a parquet round-trip via
   *    [[Sinks]] to get exactly that).
-  *  - **Drop sets join by size.** The repetition and contamination
-  *    stages drop a FRACTION of the corpus; their id sets anti-join
+  *  - **Per-row gates are filters, not joins.** Quality and repetition
+  *    are pure row-local signals (r11 — `topBigramFrac` folds inside
+  *    the row), so stages 1–2 are plain filters that ride the scan.
+  *    Only genuinely cross-corpus drop sets (decontamination) anti-join,
   *    through the same bounded-count dispatch as `keepCanonical`
   *    (broadcast below `broadcastableIds`, shuffle hash join above) —
   *    no unconditional corpus-fraction broadcast anywhere.
@@ -51,31 +53,25 @@ object Curation {
   /** The per-increment gate prefix of [[curate]] for micro-batch /
     * incremental use: optional markup cleaning, then quality gate →
     * repetition gate → exact within-increment dedup. No manifest
-    * counts and no pinning (an increment is broadcast-sized by
-    * definition; the near-dup and decontamination stages belong to the
-    * CROSS-CORPUS probe the caller composes next — see
-    * `StreamingOps.curatedIngestToStore`). Deterministic per input, so
-    * an at-least-once replay of the same batch recomputes identical
-    * survivors. */
+    * counts and no pinning (the near-dup and decontamination stages
+    * belong to the CROSS-CORPUS probe the caller composes next — see
+    * `StreamingOps.curatedIngestToStore`). Both gates are row-local
+    * filters (no join, no size dispatch — any batch size streams).
+    * Deterministic per input, so an at-least-once replay of the same
+    * batch recomputes identical survivors. */
   def gateBatch(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                 cleanMarkupFirst: Boolean = false): DataFrame = {
     val cleaned =
       if (cleanMarkupFirst)
         docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
       else docs
-    val s1 = cleaned.filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
-    val flagged = TextAnalysis.repetitionSignals(s1)
-      .filter(col("top_bigram_frac") >= cfg.maxTopBigramFrac ||
-        col("dup_word_frac") >= cfg.maxDupWordFrac)
-      .select("doc_id")
-    // same bounded dispatch as curate.dropIds, probed on the INCREMENT
-    // (an upper bound on the flagged set that costs no kernel work): a
-    // normal micro-batch broadcasts, an oversized backfill batch routes
-    // through a shuffle hash anti join instead of OOMing executors
-    val side =
-      if (SizeDispatch.atMost(docs, cfg.broadcastableIds)) broadcast(flagged)
-      else flagged.hint("shuffle_hash")
-    val s2 = s1.join(side, Seq("doc_id"), "left_anti")
+    // quality + repetition are row-local signals: one fused filter, no
+    // join, no dispatch — the gate prefix is a pure scan up to the one
+    // content shuffle exact dedup needs
+    val s2 = cleaned.filter(
+      TextAnalysis.qualityScore(col("text")) >= cfg.minQuality &&
+        !(TextAnalysis.topBigramFrac(col("text")) >= cfg.maxTopBigramFrac ||
+          TextAnalysis.dupWordFrac(col("text")) >= cfg.maxDupWordFrac))
     val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
     s2.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -83,14 +79,32 @@ object Curation {
 
   /** Runs the pipeline over `docs` (schema incl. doc_id, text) against a
     * held-out `benchmark`; returns (survivors, manifest). The manifest
-    * has one row per stage: (stage, docs_in, docs_out), counted on the
-    * pinned stage results. */
+    * has one row per stage: (stage, docs_in, docs_out).
+    *
+    * Staging (reworked per VERDICT r10 #2 — the old shape pinned all
+    * five stages and ran a separate count() job per stage, a pure
+    * double-pay at every scale):
+    *  - **Stages 1–3 fuse into ONE spine plan.** Quality and repetition
+    *    are row-local FILTERS (zero joins, zero shuffles); exact dedup
+    *    is one content-keyed window — the spine is a single scan plus
+    *    the one content shuffle. Only s3 pins: it feeds BOTH the
+    *    near-dup pair kernel and the canonical-survivor join.
+    *  - **Manifest counts ride the pin materializations** as
+    *    `observe()` metrics (CollectMetrics aggregates per stage
+    *    boundary inside the same job) — zero extra jobs. Every observe
+    *    node sits on the single spine path, never on a branch that the
+    *    plan duplicates, so each metric is counted exactly once.
+    *  - With a NON-materializing `pin` (identity — e.g. the
+    *    full-lineage plan-assertion specs), no action runs inside
+    *    curate; counts then fall back to per-stage count() jobs against
+    *    the same intermediates (the pre-r11 behavior). */
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: CurationConfig = CurationConfig(),
              pin: DataFrame => DataFrame =
                df => Storage.track(df.localCheckpoint(true))): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.Observation
 
     // size-dispatched anti join: drop sets are usually small (broadcast)
     // but proportional to the corpus in the worst case (shuffle hash)
@@ -101,33 +115,61 @@ object Curation {
       base.join(side, Seq("doc_id"), "left_anti")
     }
 
-    val n0 = docs.count()
+    val Seq(o0, o1, o2, o3, o4, o5) = Seq.fill(6)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
 
-    val s1 = pin(docs.filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality))
-    val n1 = s1.count()
-
-    val sig = TextAnalysis.repetitionSignals(s1)
-    val flagged = sig.filter(col("top_bigram_frac") >= cfg.maxTopBigramFrac ||
-      col("dup_word_frac") >= cfg.maxDupWordFrac).select("doc_id")
-    val s2 = pin(dropIds(s1, flagged))
-    val n2 = s2.count()
-
+    // -- fused spine: input count → quality filter → repetition filter
+    // → exact dedup, with an observe at each stage boundary. All
+    // row-local until the one content shuffle; each metric node appears
+    // exactly once on the spine path.
+    val quality = TextAnalysis.qualityScore(col("text")) >= cfg.minQuality
+    val repetitive = TextAnalysis.topBigramFrac(col("text")) >= cfg.maxTopBigramFrac ||
+      TextAnalysis.dupWordFrac(col("text")) >= cfg.maxDupWordFrac
+    val q = docs.filter(quality)
+    val s2plan = counted(counted(counted(docs, o0).filter(quality), o1)
+      .filter(!repetitive), o2)
     val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
-    val s3 = pin(s2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn"))
-    val n3 = s3.count()
+    val spine = counted(s2plan.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"), o3)
+    val s3 = pin(spine)
+    // identity pin returns its argument: nothing materialized, fall back
+    // to count() jobs (exotic lazy pins are caught by the await timeout)
+    val materializes = !(s3 eq spine)
 
-    val pairs = Dedup.jaccardPairs(s3, cfg.jaccard, cfg.shingle)
-    val s4 = pin(Dedup.keepCanonical(s3, pairs,
+    // graph consumer: pair ORDER is irrelevant to connected components,
+    // so skip the presentation sort's sample + range stages
+    val pairs = Dedup.jaccardPairsUnsorted(s3, cfg.jaccard, cfg.shingle)
+    val s4 = pin(counted(Dedup.keepCanonical(s3, pairs,
       TextAnalysis.qualityScore(col("text")),
-      broadcastableLabels = cfg.broadcastableIds))
-    val n4 = s4.count()
+      broadcastableLabels = cfg.broadcastableIds), o4))
 
-    val contaminated = Dedup
-      .contaminationScores(s4, benchmark, cfg.shingle, cfg.minShared)
-      .filter(col("contaminated")).select("doc_id")
-    val s5 = pin(dropIds(s4, contaminated))
-    val n5 = s5.count()
+    // pin the drop set BEFORE the dispatch probe: unpinned, the probe's
+    // bounded count and the anti join's broadcast build would each run
+    // the contamination kernel once (the q60 double-pay, r9) — pinned,
+    // the kernel runs once and both consumers read the blocks
+    val contaminated = pin(Dedup
+      .contaminationScoresUnsorted(s4, benchmark, cfg.shingle, cfg.minShared)
+      .filter(col("contaminated")).select("doc_id"))
+    val s5 = pin(counted(dropIds(s4, contaminated), o5))
+
+    def resolved(o: Observation, fallback: => Long): Long =
+      if (!materializes) fallback
+      else try {
+        import scala.concurrent.duration._
+        // the metrics row arrives on the async listener bus moments
+        // after the pin's job; the generous timeout only matters for a
+        // custom pin that materializes lazily, where the fallback count
+        // doubles as the materializing action
+        scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+      } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
+    val n0 = resolved(o0, docs.count())
+    val n1 = resolved(o1, q.count())
+    val n2 = resolved(o2, q.filter(!repetitive).count())
+    val n3 = resolved(o3, s3.count())
+    val n4 = resolved(o4, s4.count())
+    val n5 = resolved(o5, s5.count())
 
     val manifest = Seq(
       ("1_quality", n0, n1),

@@ -124,6 +124,26 @@ object Dedup {
     out.toSeq
   })
 
+  /** [[pairsUdf]] with a per-id payload (the doc's shingle-set size)
+    * carried through the expansion: emits (da, na, db, nb) so the
+    * Jaccard denominator needs NO count joins downstream — the two
+    * joins were ~2 extra stages per invocation for sizes the index
+    * already knew. */
+  private val sizedPairsUdf = udf((rows: Seq[(Long, Long)]) => {
+    val s = rows.toArray.sortBy(_._1)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+      s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) {
+        out += ((s(i)._1, s(i)._2, s(j)._1, s(j)._2)); j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  })
+
   /** Intra-bucket candidate pairs: group the exploded (key..., id) index
     * by its key columns and expand pairs inside each bucket. One shuffle
     * (the groupBy), kernel input consumed once. */
@@ -184,7 +204,16 @@ object Dedup {
     * (`Some(DefaultShingleDocFreqCap)`), making the documented
     * boilerplate-only divergence visible at the call site. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
-                   maxShingleDocFreq: Option[Int] = None): DataFrame = {
+                   maxShingleDocFreq: Option[Int] = None): DataFrame =
+    jaccardPairsUnsorted(docs, threshold, n, maxShingleDocFreq)
+      .orderBy("da", "db")
+
+  /** [[jaccardPairs]] without the presentation sort — for GRAPH
+    * consumers (connected components, `keepCanonical`) where pair order
+    * is irrelevant and the range-partitioning sample + sort stages are
+    * pure overhead. Identical rows, unspecified order. */
+  def jaccardPairsUnsorted(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+                           maxShingleDocFreq: Option[Int] = None): DataFrame = {
     // (doc_id, shingles) feeds the per-doc set sizes AND the exploded
     // inverted index — run the shingle kernel once, structurally.
     val sh = materializedOnce(withHashedShingles(docs, n))
@@ -196,15 +225,27 @@ object Dedup {
       .join(counts.select(col("doc_id").as("db"), col("cnt").as("nb")), "db")
       .select(col("da"), col("db"), jaccard(col("common"), col("na"), col("nb")).as("jac"))
       .filter(col("jac") >= threshold)
-      .orderBy("da", "db")
+    // uncapped fast path (also the capped path's no-hot outcome): the
+    // per-doc |set| rides the exploded index as a payload and falls out
+    // of the pair aggregation — no count joins, the denominator stages
+    // vanish. `common` = number of buckets (shared shingles) emitting
+    // the pair; na/nb are constant per doc (first() is exact).
+    def uncapped(): DataFrame =
+      sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"),
+          explode(col("shingles")).as("sg"))
+        .groupBy("sg")
+        .agg(collect_list(struct(col("doc_id"), col("cnt"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(sizedPairsUdf(col("ids"))).as("pr"))
+        .select(col("pr._1").as("da"), col("pr._2").as("na"),
+          col("pr._3").as("db"), col("pr._4").as("nb"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .select(col("da"), col("db"),
+          jaccard(col("common"), col("na"), col("nb")).as("jac"))
+        .filter(col("jac") >= threshold)
     maxShingleDocFreq match {
-      case None =>
-        // uncapped: the exploded index has ONE consumer (the pair
-        // grouping), so no second materialization is needed; `common` =
-        // number of buckets (shared shingles) emitting the pair.
-        val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
-        finish(bucketPairs(ex, Seq("sg"), "doc_id")
-          .groupBy("da", "db").agg(count(lit(1)).as("common")))
+      case None => uncapped()
       case Some(cap) =>
         // capped: probe for skew BEFORE paying for the skew machinery.
         // The df aggregation reads the checkpointed shingle arrays (the
@@ -227,11 +268,7 @@ object Dedup {
             v
           case b => b.booleanValue()
         }
-        if (!hasHot) {
-          val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
-          return finish(bucketPairs(ex, Seq("sg"), "doc_id")
-            .groupBy("da", "db").agg(count(lit(1)).as("common")))
-        }
+        if (!hasHot) return uncapped()
         // skew confirmed: pin the exploded index once, pre-clustered by
         // shingle so the df aggregation and the cold pair grouping both
         // run shuffle-free on the pinned blocks.
@@ -653,7 +690,13 @@ object Dedup {
     * members present in the corpus are scored like any other doc —
     * exclude them upstream if self-matches are unwanted (q53 does). */
   def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-                          minShared: Long = 3L): DataFrame = {
+                          minShared: Long = 3L): DataFrame =
+    contaminationScoresUnsorted(docs, benchmark, n, minShared).orderBy("doc_id")
+
+  /** [[contaminationScores]] without the presentation sort — for drop-set
+    * consumers (curation's anti join) where row order is irrelevant. */
+  def contaminationScoresUnsorted(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                                  minShared: Long = 3L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val d = withHashedShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("sg"))
@@ -665,7 +708,6 @@ object Dedup {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("shared"), lit(0L)).as("shared"))
       .withColumn("contaminated", col("shared") >= minShared)
-      .orderBy("doc_id")
   }
 
   /** Bloom-filter tier of [[contaminationScores]] — the 100 TB shape for
@@ -685,11 +727,26 @@ object Dedup {
     * partition-local membership probe — no join at all, strictly less
     * machinery than the exact tier's broadcast hash join. */
   def contaminationScoresBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-                               minShared: Long = 3L, fpp: Double = 0.01): DataFrame = {
+                               minShared: Long = 3L, fpp: Double = 0.01): DataFrame =
+    bloomContaminationScores(docs, benchmarkBloom(benchmark, n, fpp), n, minShared)
+
+  /** Build the benchmark-side Bloom filter ONCE — split out of
+    * [[contaminationScoresBloom]] so many-batch consumers (streaming
+    * ingest, chunked backfills) pay the benchmark aggregation a single
+    * time and re-probe the same fixed-size filter per batch. */
+  def benchmarkBloom(benchmark: DataFrame, n: Int = 3,
+                     fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val bsg = withHashedShingles(benchmark, n)
       .select(explode(col("shingles")).as("sg")).distinct()
     val expected = math.max(bsg.count(), 1L) // benchmark-sized job, not corpus
-    val bloom = bsg.stat.bloomFilter("sg", expected, fpp)
+    bsg.stat.bloomFilter("sg", expected, fpp)
+  }
+
+  /** Probe tier of [[contaminationScoresBloom]] against a prebuilt
+    * filter: one broadcast, a partition-local membership scan, no join. */
+  def bloomContaminationScores(docs: DataFrame,
+                               bloom: org.apache.spark.util.sketch.BloomFilter,
+                               n: Int = 3, minShared: Long = 3L): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((sg: Long) => bc.value.mightContainLong(sg))
     val hits = withHashedShingles(docs, n)
@@ -951,5 +1008,56 @@ object Dedup {
       if (SizeDispatch.atMost(increment, broadcastableFlagged)) broadcast(dup)
       else dup.hint("shuffle_hash")
     increment.join(d, Seq("vec_id"), "left_anti")
+  }
+
+  // ------------------------------------------- substring-level dedup
+  /** Duplicated PASSAGES across documents (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring setting, PAPERS.md): maximal runs of ≥`k` consecutive
+    * tokens that appear verbatim in MORE THAN ONE document — the
+    * duplication mode document-level exact/near/containment dedup only
+    * catches when the shared passage dominates the whole document.
+    * Returns (doc_id, start_pos, len_tokens), one row per maximal
+    * duplicated run, 1-based token positions, ordered.
+    *
+    * Shape: each doc's k-token sliding windows hash ROW-LOCALLY
+    * (xxhash64 over the joined window — a codegen'd projection, no
+    * kernel UDF); window occurrences appearing in ≥2 DISTINCT docs
+    * (min(doc)≠max(doc) off one map-side-combined aggregation — no
+    * count-distinct shuffle) mark duplicated positions; runs merge per
+    * doc with the pos−row_number grouping trick. Three shuffles total:
+    * the window-hash aggregation, the hash-keyed membership join
+    * (shuffle hash — both sides instance-scale), and the per-doc run
+    * window. Within-doc self-repeats are deliberately NOT flagged
+    * (repetition scoring covers those); a 64-bit window-hash collision
+    * could mark a unique window duplicated — same birthday analysis as
+    * the fnv64 shingle keys, and the oracle compares on true window
+    * STRINGS, so the gate would catch a collision at test scale. */
+  def duplicatedPassages(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 2, s"passage window must span at least 2 tokens: $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), " ").as("ws"))
+    // sequence(1, n) DESCENDS when n < 1, so short docs guard to array()
+    val wins = toks.select(col("doc_id"), explode(expr(
+      s"""if(size(ws) < $k, array(),
+         |  transform(sequence(1, size(ws) - ${k - 1}),
+         |    i -> named_struct('pos', cast(i as bigint),
+         |      'h', xxhash64(concat_ws(' ', slice(ws, i, $k))))))""".stripMargin))
+      .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val hits = wins.join(dup.hint("shuffle_hash"), Seq("h"))
+      .select("doc_id", "pos")
+    val run = col("pos") - row_number().over(
+      Window.partitionBy("doc_id").orderBy("pos"))
+    hits.withColumn("__g", run)
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("len_tokens"))
+      .select("doc_id", "start_pos", "len_tokens")
+      .orderBy("doc_id", "start_pos")
   }
 }

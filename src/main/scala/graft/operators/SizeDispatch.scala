@@ -38,7 +38,7 @@ object SizeDispatch {
   // silently pick the wrong join plan. Self-keyed probes use the empty
   // tag (plan == probe, nothing to alias); count() uses a dedicated tag
   // instead of a sentinel bound so no bound value can collide with it.
-  private final case class Key(sessionId: Int, plan: AnyRef, bound: Long, tag: String)
+  private final case class Key(sessionId: Long, plan: AnyRef, bound: Long, tag: String)
 
   private val cache =
     new java.util.LinkedHashMap[Key, java.lang.Long](64, 0.75f, true) {
@@ -46,9 +46,14 @@ object SizeDispatch {
           e: java.util.Map.Entry[Key, java.lang.Long]): Boolean =
         size() > MaxEntries
     }
-  // session-id → liveness probe, for pruning entries of stopped sessions
+  // session-id → liveness probe, for pruning entries of stopped sessions.
+  // Ids are minted from a monotonic counter, NOT identityHashCode: hash
+  // codes can collide across two live sessions, and a collision would
+  // let one session's cached count answer another's probe (wrong plan
+  // picked silently) or dead-session pruning evict live entries.
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val sessions =
-    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, Integer]()
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]()
 
   private def keyFor(df: DataFrame, bound: Long, tag: String): Key = {
     val s = df.sparkSession
@@ -67,17 +72,17 @@ object SizeDispatch {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey.sparkContext.isStopped) {
-          val dead = e.getValue.intValue()
+          val dead = e.getValue.longValue()
           cache.keySet().removeIf(_.sessionId == dead)
           it.remove()
         }
       }
       var id = sessions.get(s)
       if (id == null) {
-        id = System.identityHashCode(s)
+        id = java.lang.Long.valueOf(nextSessionId.incrementAndGet())
         sessions.put(s, id)
       }
-      Key(id, plan, bound, tag)
+      Key(id.longValue(), plan, bound, tag)
     }
   }
 
@@ -123,6 +128,15 @@ object SizeDispatch {
 
   /** Test hook: entry count (not part of the operator surface). */
   private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+  /** Test hook: does the memo hold an entry for exactly this
+    * (plan, bound, tag)? Specs assert on keys THEY own instead of the
+    * global entry count — other suites run concurrently in this JVM and
+    * insert entries between a spec's statements (ADVICE r10). */
+  private[graft] def hasEntry(key: DataFrame, bound: Long, tag: String): Boolean = {
+    val b = math.max(0L, math.min(bound, Int.MaxValue - 1L))
+    val k = keyFor(key, b, tag)
+    cache.synchronized(cache.get(k) != null)
+  }
   private[graft] def clear(): Unit = cache.synchronized {
     cache.clear(); sessions.clear()
   }

@@ -172,41 +172,45 @@ object TextAnalysis {
     *    word ([[dupWordFrac]]; a zero-shuffle array expression);
     *  - `top_bigram_frac`: share of ALL word bigrams taken by the single
     *    most frequent one (a run-on or boilerplate loop pushes this up).
-    * The bigram mode needs per-document counting, so it is NOT a pure
-    * projection; the shape is explode → two-level hash agg, both levels
-    * map-side combinable, with `carry` columns riding the aggregation as
-    * `first()` so NO corpus-sized join re-attaches metadata. Bigrams
-    * group by their xxhash64 (fixed-width shuffle keys; a collision
-    * could only merge two bigrams WITHIN one document — vanishing odds,
-    * same analysis as Dedup's fnv64 shingles). Documents with fewer than
-    * two words survive via `explode_outer` (top_bigram_frac = 0).
-    * Fractions are 4-decimal DECIMAL so aggregates of them are
-    * order-independent across engines. */
-  def repetitionSignals(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val ws = words(lower(col("text")))
-    val n1 = greatest(size(col("ws")) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-    val base = docs
-      .select(Seq(col("doc_id")) ++ carry.map(col) :+ ws.as("ws"): _*)
-      .withColumn("dup_word_frac",
-        dec4(round(lit(1.0) - size(array_distinct(col("ws"))).cast(DoubleType)
-          / greatest(size(col("ws")), lit(1)), 4)))
-      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(col("dup_word_frac"),
-        explode_outer(bigrams).as("bg")): _*)
-    val carried = first(col("dup_word_frac")).as("dup_word_frac") +:
-      carry.map(c => first(col(c)).as(c))
-    val perBigram = base
-      .groupBy(col("doc_id"), when(col("bg").isNotNull, xxhash64(col("bg"))).as("bh"))
-      .agg(count(col("bg")).as("c"), carried: _*)
-    perBigram
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("topc"), (sum(col("c")).as("nb") +: carried): _*)
-      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(col("dup_word_frac"),
-        dec4(coalesce(when(col("nb") > 0,
-          round(col("topc").cast(DoubleType) / col("nb"), 4)), lit(0.0)))
-          .as("top_bigram_frac")): _*)
+    * Both signals are PURE PER-ROW PROJECTIONS (r11 — the previous
+    * shape was explode → two-level hash agg, i.e. two corpus-wide
+    * shuffles for a quantity that never leaves the document): the top
+    * bigram's count is the longest equal-run in the doc's SORTED bigram
+    * array, found by one `aggregate` fold. O(b log b) per doc, zero
+    * shuffle, rides the scan at any corpus size — and counts TRUE
+    * bigrams (the old xxhash64 grouping keys are gone along with their
+    * collision analysis). `carry` columns are simply projected through.
+    * Documents with fewer than two words have no bigrams
+    * (top_bigram_frac = 0). Fractions are 4-decimal DECIMAL so
+    * aggregates of them are order-independent across engines. */
+  def repetitionSignals(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
+      dupWordFrac(col("text")).as("dup_word_frac"),
+      topBigramFrac(col("text")).as("top_bigram_frac")): _*)
+
+  /** Share of a document's word bigrams taken by its single most
+    * frequent bigram, as a per-row column (0 when the doc has fewer
+    * than two words). The top bigram's count is the longest equal-run
+    * in the SORTED bigram array, found by one `aggregate` fold —
+    * O(b log b) per doc, no explode, no shuffle. */
+  def topBigramFrac(text: Column): Column = {
+    val ws = words(lower(text))
+    val n1 = greatest(size(ws) - lit(1), lit(0))
+    val bgs = array_sort(zip_with(
+      slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b)))
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val topc = aggregate(bgs, init,
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      _.getField("best"))
+    dec4(coalesce(when(n1 > 0,
+      round(topc.cast(DoubleType) / n1, 4)), lit(0.0)))
   }
 
   /** Per-document mean unigram surprisal against the corpus's OWN
@@ -254,35 +258,45 @@ object TextAnalysis {
     * surprisal cannot see). Documents with fewer than two tokens have
     * no bigrams and are absent from the output.
     *
-    * Scale shape extends [[unigramSurprisal]]'s: bigrams are derived
-    * POSITIONALLY from the split array (a pure projection — no
-    * self-join to pair neighbors), ONE distributed bigram count feeds
-    * the model, and the context totals FOLD INTO the bigram table
-    * before any instance join — (prev, cur, c2, c1) is one
-    * vocab-sized stats table, so corpus instances join ONCE, split on
-    * the Zipf head: the top `hotVocab` bigrams broadcast, only the
-    * rare tail shuffle-joins. V rides a one-row broadcast. The split
-    * is a pure plan choice — scores are identical whichever side an
-    * instance lands on. */
-  def bigramNll(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
+    * Scale shape (r11): bigrams are derived POSITIONALLY from the
+    * split array (a pure projection — no self-join to pair neighbors);
+    * the model numerator `c2` is ONE map-side-combined count (the
+    * exchange carries per-task distinct bigrams, not instances); the
+    * context total `c1` folds into the bigram table as a WINDOW over
+    * `prev` (one vocab-sized exchange — no second aggregation tree, no
+    * broadcast-back, no re-scan); and instances shuffle exactly once,
+    * as the probe side of the single stats join. V rides a one-row
+    * broadcast. The build side is unique per (prev,cur) key, so a hot
+    * bigram only skews the probe partition — AQE's skew split is the
+    * backstop. */
+  def bigramNll(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), words(lower(col("text"))).as("ws"))
     val bg = toks.select(col("doc_id"), explode(expr(
       "filter(transform(ws, (w, i) -> struct(w AS prev, try_element_at(ws, i + 2) AS cur)), p -> p.cur IS NOT NULL)"))
       .as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    // instances collapse HERE; the (doc_id,prev,cur) exchange under this
+    // aggregation is plan-identical on every branch that derives from g
+    // (bc, cc, the probe side), so ReusedExchange runs the corpus
+    // explode ONCE within the query — no checkpoint job needed
+    // the model's numerator: ONE corpus-wide bigram count. Partial
+    // aggregation combines instances map-side, so the exchange carries
+    // per-task distinct bigram counts, not instances.
     val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-    val cc = bc.groupBy("prev").agg(sum(col("c2")).as("c1"))
-    // numerator + denominator in ONE stats table: instances join once
-    val st = Storage.track(
-      bc.join(cc, Seq("prev")).localCheckpoint(true))
+    // context total c1 as a WINDOW over the vocab-sized bigram table —
+    // a second aggregation tree (bc → groupBy(prev) → broadcast back)
+    // re-ran the whole corpus explode when exchange reuse missed the
+    // broadcast subtree; the window is one small exchange on `prev`
+    val st = bc.withColumn("c1",
+      sum(col("c2")).over(org.apache.spark.sql.expressions.Window.partitionBy("prev")))
     val v = docs.select(explode(words(lower(col("text")))).as("tok"))
       .agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
-    val hot = st.orderBy(col("c2").desc, col("prev"), col("cur")).limit(hotVocab)
-    val withBoth = bg.join(broadcast(hot), Seq("prev", "cur"))
-      .unionByName(
-        bg.join(broadcast(hot.select("prev", "cur")), Seq("prev", "cur"), "left_anti")
-          .join(st.hint("shuffle_hash"), Seq("prev", "cur")))
-    withBoth.crossJoin(broadcast(v))
+    // instances shuffle exactly once (the probe side of this join; the
+    // stats build side is already (prev,cur)-partitioned aggregates).
+    // Skewed bigram keys: the build side is unique per key, AQE's skew
+    // split handles a hot probe partition.
+    bg.join(st.hint("shuffle_hash"), Seq("prev", "cur"))
+      .crossJoin(broadcast(v))
       .groupBy("doc_id")
       .agg(round(avg(-log((col("c2").cast(DoubleType) + 1.0) /
         (col("c1").cast(DoubleType) + col("v")))), 4).as("nll"),

@@ -340,6 +340,14 @@ object PipelineQueries {
     graft.operators.Funnel.retention(t(spark, dir, "events"))
       .orderBy("cohort_week", "week_offset")
 
+  /** q77: substring-level exact dedup (Lee et al. 2022) — maximal
+    * duplicated ≥20-token passage runs across the corpus's documents.
+    * Hard oracle: DuckDB groups the true window STRINGS (the engine
+    * groups their xxhash64 — identical output w.h.p., and a collision
+    * would hash-mismatch the gate, not hide from it). */
+  def q77Passages(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicatedPassages(t(spark, dir, "documents"), k = 20)
+
   /** Int8 quantization audit over the embeddings table: the exact
     * quantized-value checksum (proves both engines produce the SAME int8
     * codes), the max round-trip reconstruction error, and the scale/2
@@ -662,12 +670,21 @@ object PipelineQueries {
   /** q71: JL random projection of the embedding column to 8 dims via
     * the deterministic ±1 sign formula — the matrix is pure integer
     * arithmetic, so DuckDB reproduces it exactly and the reduced
-    * vectors hash-match at 4 decimals. */
+    * vectors hash-match at 4 decimals. The reduced vector is emitted
+    * POSITIONALLY EXPLODED to scalar (vec_id, j, component) rows: the
+    * driver's comparator sorts oracle rows column-wise and cannot
+    * order LIST cells, so oracle-backed outputs must be scalar-only
+    * (enforced for every query by Verify's shape guard). */
   def q71Project(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity
       .randomProjection(t(spark, dir, "embeddings"), outDim = 8)
-      .select("vec_id", "reduced")
-      .orderBy("vec_id")
+      .select(col("vec_id"), posexplode(col("reduced")).as(Seq("j", "component")))
+      // + 0.0 collapses IEEE negative zero: a component that rounds to
+      // -0.0 in one engine and 0.0 in the other is the same value but
+      // not the same comparator string (both sides apply it)
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        (col("component") + lit(0.0)).as("component"))
+      .orderBy("vec_id", "j")
 
   /** q72: self-scored bigram-LM fluency — add-one-smoothed NLL of each
     * document under the corpus's own bigram distribution (word salad
@@ -1012,13 +1029,13 @@ object PipelineQueries {
           |FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q71_project" ->
-        """SELECT vec_id,
-          |  list_transform(range(0, 8), j ->
-          |    round(list_sum(list_transform(range(0, len(embedding)), i ->
-          |      embedding[i + 1]::DOUBLE *
-          |        (1 - 2 * ((i * 1103515245 + j * 12345) % 97 % 2))::DOUBLE))
-          |      / sqrt(8::DOUBLE), 4)) AS reduced
-          |FROM embeddings ORDER BY vec_id""".stripMargin,
+        """SELECT vec_id, j,
+          |  round(list_sum(list_transform(range(0, len(embedding)), i ->
+          |    embedding[i + 1]::DOUBLE *
+          |      (1 - 2 * ((i * 1103515245 + j * 12345) % 97 % 2))::DOUBLE))
+          |    / sqrt(8::DOUBLE), 4) + 0.0 AS component
+          |FROM embeddings, range(0, 8) AS t(j)
+          |ORDER BY vec_id, j""".stripMargin,
       "q70_clean" ->
         """WITH w AS (SELECT doc_id,
           |  '<html><head><style type="text/css">p { color: red; }</style></head><body>'
@@ -1124,6 +1141,19 @@ object PipelineQueries {
           |       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
           |       ROUND(SUM(tokens) / 2000.0, 4) AS fill
           |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q77_passages" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+          |win AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+19], ' ') AS wstr
+          |        FROM (SELECT doc_id, ws,
+          |                unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS pos
+          |              FROM w)),
+          |dup AS (SELECT wstr FROM win GROUP BY wstr HAVING min(doc_id) <> max(doc_id)),
+          |hits AS (SELECT doc_id, pos FROM win JOIN dup USING (wstr)),
+          |runs AS (SELECT doc_id, pos,
+          |           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |         FROM hits)
+          |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) - MIN(pos) + 20 AS len_tokens
+          |FROM runs GROUP BY doc_id, g ORDER BY doc_id, start_pos""".stripMargin,
       "q76_retention" ->
         """WITH uw AS (SELECT DISTINCT user_id,
           |  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk FROM events),

@@ -184,9 +184,11 @@ object StreamingOps {
     val timeout =
       if (expireAfterSeconds > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    // full-precision epoch micros (getTime alone truncates to millis)
+    // full-precision epoch micros (getTime alone truncates to millis);
+    // floorDiv: getNanos is non-negative, so pre-1970 fractional seconds
+    // must floor (not truncate) to match unix_micros and the batch ops
     def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.toDF("user_id", "ts", "event_type")
       .withWatermark("ts", watermark)
       .filter(col("event_type").isin(steps: _*))
@@ -253,7 +255,7 @@ object StreamingOps {
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
     val weekMicros = 604800000000L
     def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.toDF("user_id", "ts")
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
@@ -433,36 +435,57 @@ object StreamingOps {
     * the streaming end-state of `Curation.curate`: each micro-batch is
     * markup-cleaned (optional), quality-gated, repetition-gated and
     * exact-deduped WITHIN the batch (`Curation.gateBatch` — all
-    * increment-local, no corpus access), and only the gated survivors
-    * run the cross-corpus near-dup probe against the store-as-of and
-    * land in the batch's own partition. The replay-idempotence
-    * argument is unchanged: the gates are deterministic per batch, the
-    * probe reads `__ingest_batch < id` only, and the partition
-    * overwrite is exact — crash anywhere, replay admits the identical
-    * set. At 100 TB the gates are pure projections/window over the
-    * increment; the corpus is touched only by the q60-shaped
-    * broadcast probe. */
+    * increment-local, no corpus access), DECONTAMINATED against the
+    * optional `benchmark` (r11 — live ingest gets the same eval-hygiene
+    * gate as batch curation), and only the surviving documents run the
+    * cross-corpus near-dup probe against the store-as-of and land in
+    * the batch's own partition.
+    *
+    * Decontamination uses the q65 Bloom tier: the benchmark's
+    * fixed-size filter is built ONCE at stream start (a benchmark-side
+    * job, never re-run per batch) and each micro-batch streams through
+    * a broadcast membership probe — no join, no false negatives (a
+    * leaked doc can never slip through; `fpp` only over-drops). The
+    * replay-idempotence argument is unchanged: the gates and the Bloom
+    * probe are deterministic per batch, the near-dup probe reads
+    * `__ingest_batch < id` only, and the partition overwrite is exact —
+    * crash anywhere, replay admits the identical set. At 100 TB the
+    * gates are pure projections/window over the increment; the corpus
+    * is touched only by the q60-shaped broadcast probe. */
   def curatedIngestToStore(docs: DataFrame, storePath: String, checkpoint: String,
                            cfg: graft.operators.Curation.CurationConfig =
                              graft.operators.Curation.CurationConfig(),
                            cleanMarkupFirst: Boolean = false,
-                           threshold: Double = 0.5, n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+                           threshold: Double = 0.5, n: Int = 3,
+                           benchmark: Option[DataFrame] = None,
+                           bloomFpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery = {
+    // one benchmark-side aggregation for the stream's whole lifetime
+    val bloom = benchmark.map(b =>
+      graft.operators.Dedup.benchmarkBloom(b, cfg.shingle, bloomFpp))
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{broadcast, col}
         val gated = graft.operators.Curation.gateBatch(batch, cfg, cleanMarkupFirst)
+        val decontaminated = bloom.fold(gated) { f =>
+          val flagged = graft.operators.Dedup
+            .bloomContaminationScores(gated, f, cfg.shingle, cfg.minShared)
+            .filter(col("contaminated")).select("doc_id")
+          // the flagged set is bounded by the micro-batch: broadcast
+          gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        }
         val corpus = readCorpusStore(spark, storePath)
-          .map(_.filter(org.apache.spark.sql.functions.col(IngestBatchCol) < id)
-            .drop(IngestBatchCol))
+          .map(_.filter(col(IngestBatchCol) < id).drop(IngestBatchCol))
           .getOrElse(spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema))
-        graft.operators.Dedup.dedupAgainstCorpus(corpus, gated, threshold, n)
+        graft.operators.Dedup.dedupAgainstCorpus(corpus, decontaminated, threshold, n)
           .write.mode("overwrite")
           .parquet(s"$storePath/$IngestBatchCol=$id")
       }
       .start()
+  }
 
   /** Vector-side [[dedupedIngestToStore]] — the embedding ingest
     * end-state: the standing corpus IS a persisted, GROWING IVF index

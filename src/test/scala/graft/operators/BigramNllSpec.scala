@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Bigram-LM fluency scoring (q72): hand-computed smoothing arithmetic
-  * and the Zipf two-path join dispatch. */
+  * and the aggregates-only join plan (instances never join). */
 class BigramNllSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,17 +30,15 @@ class BigramNllSpec extends SparkSpec {
     assert(got === expect())
   }
 
-  test("hot/tail split is a pure plan choice: identical scores at any hotVocab") {
-    val all = Seq(0, 1, 100).map { h =>
-      TextAnalysis.bigramNll(docs, hotVocab = h)
-        .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
-    }
-    all.foreach(a => assert(a === expect()))
-    // with a 1-entry head both routes appear in the plan
-    val plan = TextAnalysis.bigramNll(docs, hotVocab = 1)
+  test("stats build without a second aggregation tree: window c1, one shuffle-hash join") {
+    // r11 shape: c1 folds into the bigram table as a window over `prev`
+    // (a vocab-sized exchange — the broadcast-back alternative re-ran
+    // the corpus explode when exchange reuse missed), and instances
+    // shuffle exactly once, as the probe side of the stats join
+    val plan = TextAnalysis.bigramNll(docs)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"head must broadcast:\n$plan")
-    assert(plan.contains("ShuffledHashJoin"), s"tail must shuffle-join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"stats join must shuffle-hash:\n$plan")
+    assert(plan.contains("Window"), s"c1 must fold in as a window:\n$plan")
   }
 
   test("word salad scores above fluent text under the corpus's own model") {

@@ -82,14 +82,15 @@ class CurationSpec extends SparkSpec {
       Seq(1L, 2L, 6L, 7L))
   }
 
-  test("gateBatch: oversized batch routes the flagged anti join through shuffle hash") {
-    val cfgShuffle = Curation.CurationConfig(broadcastableIds = 0L)
-    val gated = Curation.gateBatch(corpus, cfgShuffle)
+  test("gateBatch: the gate prefix is join-free — one scan to the content shuffle") {
+    // r11: quality + repetition are row-local filters, so the gate has
+    // NO join at any batch size (the pre-r11 shape dispatched a flagged
+    // anti join; a pure filter is strictly better at every scale)
+    val gated = Curation.gateBatch(corpus)
     val plan = gated.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
-      s"flagged-set anti join must take the shuffle route at bound 0:\n$plan")
+    assert(!plan.contains("Join"), s"gate prefix must not join:\n$plan")
     assert(gated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
-      Seq(1L, 2L, 6L, 7L), "dispatch is a pure plan choice")
+      Seq(1L, 2L, 6L, 7L))
   }
 
   test("curate: clean corpus passes every stage untouched") {

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Substring-level exact dedup (q77, Lee et al. 2022): a planted quote
+  * embedded in two otherwise-distinct documents is recovered as a
+  * maximal run with exact position and length; unique text and
+  * within-doc self-repeats produce no rows. */
+class PassagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quote = (1 to 12).map(i => s"q$i").mkString(" ") // 12 tokens
+
+  test("planted 12-token quote found in both docs as one maximal run (k=8)") {
+    val docs = Seq(
+      // quote at tokens 6..17
+      (1L, s"a1 a2 a3 a4 a5 $quote z1 z2 z3 z4"),
+      // quote at tokens 4..15
+      (2L, s"b1 b2 b3 $quote y1 y2"),
+      // fully unique
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedPassages(docs, k = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // only windows fully inside the quote match across docs: d1 hits at
+    // pos 6..10 (run len (10-6)+8 = 12 = the quote), d2 at 4..8
+    assert(got === Seq((1L, 6L, 12L), (2L, 4L, 12L)))
+  }
+
+  test("within-doc self-repeats are not flagged; short docs survive the window guard") {
+    val phrase = (1 to 9).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$phrase mid1 mid2 $phrase"), // repeats only within itself
+      (2L, "too short"),                  // < k tokens: zero windows
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedPassages(docs, k = 8).isEmpty)
+  }
+
+  test("two disjoint shared passages merge into two separate runs") {
+    val p2 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$quote gap1 gap2 gap3 $p2"),   // quote at 1..12, p2 at 16..25
+      (2L, s"$quote other1 other2"),
+      (3L, s"pre1 pre2 $p2 post1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedPassages(docs, k = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 12L), (1L, 16L, 10L),
+      (2L, 1L, 12L),
+      (3L, 3L, 10L)))
+  }
+
+  test("kernel-free plan: the window hash is a codegen'd projection, no scala UDF") {
+    val docs = Seq((1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
+    assert(PlanAudit.scalaUdfSites(Dedup.duplicatedPassages(docs, k = 8)) === 0)
+  }
+}

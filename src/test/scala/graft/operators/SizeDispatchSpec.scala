@@ -7,11 +7,16 @@ import graft.{SparkSpec, Tables}
   * (VERDICT r9 #5): correctness of the verdicts, and that a repeated
   * semantically-identical probe is answered from the cache — fresh
   * alias ExprIds must not defeat the memo (canonicalized-plan keying),
-  * while genuinely fresh data (a new checkpoint) must miss. */
+  * while genuinely fresh data (a new checkpoint) must miss.
+  *
+  * Assertions are on keys THIS spec owns (`hasEntry`), never on the
+  * global entry count: suites run in parallel in one JVM and any of
+  * them can route a probe through the shared cache between two
+  * statements here (ADVICE r10). `clear()` is likewise not called —
+  * it would yank entries concurrent suites just probed. */
 class SizeDispatchSpec extends SparkSpec {
 
   test("atMost answers the bound correctly on both sides") {
-    SizeDispatch.clear()
     val nation = Tables.load(spark, sfDir, "nation") // 25 rows
     assert(SizeDispatch.atMost(nation, 25L))
     assert(!SizeDispatch.atMost(nation, 24L))
@@ -19,48 +24,52 @@ class SizeDispatchSpec extends SparkSpec {
   }
 
   test("semantically-identical probes hit the cache despite fresh ExprIds") {
-    SizeDispatch.clear()
     def build() = Tables.load(spark, sfDir, "nation")
       .filter(col("n_regionkey") > 1)
       .select(col("n_nationkey").as("k")) // .as mints a fresh ExprId
-    assert(SizeDispatch.atMost(build(), 100L))
-    val after1 = SizeDispatch.cacheSize
-    assert(SizeDispatch.atMost(build(), 100L))
-    assert(SizeDispatch.cacheSize == after1,
-      "an identical rebuilt plan must not add a cache entry")
-    // a different bound is a different question: new entry
+    assert(SizeDispatch.atMost(build(), 101L))
+    // the REBUILT plan maps onto the existing key — canonicalization
+    // normalized the fresh ExprIds, so the second probe's lookup (the
+    // exact get() atMost performs) is a hit by construction
+    assert(SizeDispatch.hasEntry(build(), 101L, ""))
+    assert(SizeDispatch.atMost(build(), 101L))
+    // a different bound is a different question: no entry until probed
+    assert(!SizeDispatch.hasEntry(build(), 3L, ""))
     assert(SizeDispatch.atMost(build(), 3L) == (build().count() <= 3))
-    assert(SizeDispatch.cacheSize == after1 + 1)
+    assert(SizeDispatch.hasEntry(build(), 3L, ""))
   }
 
   test("fresh checkpoints miss; an explicit key can bridge them") {
-    SizeDispatch.clear()
     val base = Tables.load(spark, sfDir, "region")
     val cp1 = Storage.track(base.localCheckpoint(true))
     val cp2 = Storage.track(base.localCheckpoint(true))
     assert(SizeDispatch.atMost(cp1, 100L))
-    val after1 = SizeDispatch.cacheSize
+    assert(SizeDispatch.hasEntry(cp1, 100L, ""))
+    // distinct checkpoints are distinct data: cp1's entry must not
+    // answer for cp2 (its LogicalRDD id does not canonicalize away)
+    assert(!SizeDispatch.hasEntry(cp2, 100L, ""))
     assert(SizeDispatch.atMost(cp2, 100L))
-    assert(SizeDispatch.cacheSize == after1 + 1,
-      "distinct checkpoints are distinct data: must not share an entry")
-    // keyed by the shared pre-checkpoint plan (+ tag) they DO share one
+    assert(SizeDispatch.hasEntry(cp2, 100L, ""))
+    // keyed by the shared pre-checkpoint plan (+ tag) they DO share one:
+    // after cp1's keyed probe the entry exists under base's plan, and
+    // cp2's keyed lookup is that same get()
     assert(SizeDispatch.atMost(cp1, 50L, key = base, tag = "spec-bridge"))
-    val after2 = SizeDispatch.cacheSize
+    assert(SizeDispatch.hasEntry(base, 50L, "spec-bridge"))
     assert(SizeDispatch.atMost(cp2, 50L, key = base, tag = "spec-bridge"))
-    assert(SizeDispatch.cacheSize == after2)
   }
 
   test("count memoizes the full cardinality without colliding with atMost") {
-    SizeDispatch.clear()
     val nation = Tables.load(spark, sfDir, "nation")
     assert(SizeDispatch.atMost(nation, 5L) == false) // partial count cached
     assert(SizeDispatch.count(nation) == 25L)        // full count, own entry
     assert(SizeDispatch.count(nation) == 25L)
-    assert(SizeDispatch.cacheSize == 2)
+    // the two live under different keys: bound-5 probe vs count's own
+    // tag namespace (bound 0, "count:" prefix)
+    assert(SizeDispatch.hasEntry(nation, 5L, ""))
+    assert(SizeDispatch.hasEntry(nation, 0L, "count:"))
   }
 
   test("a keyed derived count never aliases a probe of the key plan itself") {
-    SizeDispatch.clear()
     val nation = Tables.load(spark, sfDir, "nation") // 25 rows
     val derived = nation.filter(col("n_regionkey") === 0) // 5 rows
     // cache the DERIVED cardinality under nation's plan (the

@@ -22,6 +22,22 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("oracle-backed outputs are scalar-only (driver comparator cannot sort nested cells)") {
+    // r10's only red row: q71's LIST column crashed the driver's pandas
+    // sort before any value compare. Schema-only check (no execution) so
+    // the class of failure dies at `sbt test`, mirrored by Verify's guard.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-scalar oracle-backed outputs: $offenders")
+  }
+
   test("q02 aggregates match hand-computed values") {
     val rows = CoreQueries.q02HashAgg(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("cnt")).sum

@@ -62,6 +62,47 @@ class CuratedIngestSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("curatedIngestToStore: a planted leaked doc is rejected in every batch; replay idempotent") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur3-in")
+    val store = java.nio.file.Files.createTempDirectory("cur3-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur3-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    // the benchmark passage leaks VERBATIM into docs 41 (batch 0) and
+    // 51 (batch 1); 40/50 are clean and must be admitted
+    val leak = "the quick brown fox jumps over the lazy dog today in bright morning light"
+    writeInput(inDir, "0.json", t0, Seq(
+      (40L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
+      (41L, s"prefix words then $leak and a closing remark")))
+    writeInput(inDir, "1.json", t0 + 30000, Seq(
+      (50L, "the old sailor tells a long story about distant winter storms near rocky shores"),
+      (51L, s"another framing sentence before $leak appears once more here")))
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        benchmark = Some(bench))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((40L, 0L), (50L, 1L))
+    assert(storeRows() === expected,
+      "both leaked docs must be rejected by the Bloom probe (no false negatives)")
+
+    // crash-replay: decontamination is deterministic per batch — the
+    // replay admits the identical survivor set
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expected)
+  }
+
   test("curatedIngestToStore: cleanMarkupFirst strips crawl HTML before the gates") {
     val inDir = java.nio.file.Files.createTempDirectory("cur2-in")
     val store = java.nio.file.Files.createTempDirectory("cur2-store").toString

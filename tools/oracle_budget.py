@@ -38,14 +38,33 @@ def main(oracle_json: str, sf_dir: str, budget_s: float) -> int:
     # in seconds, not minutes
     kill_after = max(2.0 * budget_s, budget_s + 5.0)
     for name, sql in sorted(oracles.items()):
-        watchdog = threading.Timer(kill_after, con.interrupt)
+        # per-oracle cursor (a duplicate connection sharing the catalog):
+        # a watchdog interrupt that fires in the window between fetchall()
+        # returning and cancel() lands on THIS cursor, which is closed
+        # right after — it can never spuriously kill the next oracle
+        # (ADVICE r10). The done-lock keeps fire() from touching a cursor
+        # the main thread is already closing.
+        cur = con.cursor()
+        done = threading.Lock()
+        killed = threading.Event()
+
+        def fire(c=cur):
+            if done.acquire(blocking=False):
+                killed.set()
+                c.interrupt()
+                done.release()
+
+        watchdog = threading.Timer(kill_after, fire)
         watchdog.start()
         t0 = time.time()
         try:
-            con.execute(sql).fetchall()
+            cur.execute(sql).fetchall()
         except Exception as e:  # an oracle that errors also zeroes the gate
             dt = time.time() - t0
-            if dt >= kill_after - 0.5:
+            # classify by whether OUR watchdog fired, not by elapsed time —
+            # a genuine oracle error that surfaces near kill_after is a
+            # FAIL, not a kill
+            if killed.is_set():
                 slow.append((name, dt))
                 print(f"KILLED {name}: interrupted after {dt:.1f}s "
                       f"(budget {budget_s}s)", file=sys.stderr)
@@ -54,7 +73,11 @@ def main(oracle_json: str, sf_dir: str, budget_s: float) -> int:
                 print(f"FAIL {name}: {str(e)[:200]}", file=sys.stderr)
             continue
         finally:
+            # acquiring the lock means the timer either never fired or
+            # finished its fire() — only then cancel and discard the cursor
+            done.acquire()
             watchdog.cancel()
+            cur.close()
         dt = time.time() - t0
         timings[name] = round(dt, 2)
         if dt > budget_s:
