@@ -104,7 +104,8 @@ object SparkEntry {
     "q74_split" -> (PipelineQueries.q74Split _),
     "q75_funnel" -> (PipelineQueries.q75Funnel _),
     "q76_retention" -> (PipelineQueries.q76Retention _),
-    "q77_passages" -> (PipelineQueries.q77Passages _)
+    "q77_passages" -> (PipelineQueries.q77Passages _),
+    "q78_cross_passages" -> (PipelineQueries.q78CrossPassages _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1035,22 +1035,31 @@ object Dedup {
     * STRINGS, so the gate would catch a collision at test scale. */
   def duplicatedPassages(docs: DataFrame, k: Int = 20): DataFrame = {
     require(k >= 2, s"passage window must span at least 2 tokens: $k")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      split(lower(col("text")), " ").as("ws"))
-    // sequence(1, n) DESCENDS when n < 1, so short docs guard to array()
-    val wins = toks.select(col("doc_id"), explode(expr(
-      s"""if(size(ws) < $k, array(),
-         |  transform(sequence(1, size(ws) - ${k - 1}),
-         |    i -> named_struct('pos', cast(i as bigint),
-         |      'h', xxhash64(concat_ws(' ', slice(ws, i, $k))))))""".stripMargin))
-      .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val wins = passageWindows(docs, k)
     val dup = wins.groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
-    val hits = wins.join(dup.hint("shuffle_hash"), Seq("h"))
-      .select("doc_id", "pos")
+    mergeRuns(wins.join(dup.hint("shuffle_hash"), Seq("h"))
+      .select("doc_id", "pos"), k)
+  }
+
+  /** (doc_id, pos, h): every 1-based k-token sliding window of each doc,
+    * hashed row-locally — shared by the passage operators. */
+  private def passageWindows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      // sequence(1, n) DESCENDS when n < 1, so short docs guard to array()
+      .select(col("doc_id"), explode(expr(
+        s"""if(size(ws) < $k, array(),
+           |  transform(sequence(1, size(ws) - ${k - 1}),
+           |    i -> named_struct('pos', cast(i as bigint),
+           |      'h', xxhash64(concat_ws(' ', slice(ws, i, $k))))))""".stripMargin))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** Maximal-run merge of duplicated window positions (pos−row_number
+    * grouping) → (doc_id, start_pos, len_tokens), ordered. */
+  private def mergeRuns(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val run = col("pos") - row_number().over(
       Window.partitionBy("doc_id").orderBy("pos"))
     hits.withColumn("__g", run)
@@ -1059,5 +1068,77 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("len_tokens"))
       .select("doc_id", "start_pos", "len_tokens")
       .orderBy("doc_id", "start_pos")
+  }
+
+  /** Incremental twin of [[duplicatedPassages]] — the ingest-time
+    * question: which passages of a NEW batch duplicate text already in
+    * the standing corpus? Returns the increment's maximal duplicated
+    * runs as (doc_id, start_pos, len_tokens).
+    *
+    * Asymmetric by construction (the [[crossDupPairs]] pattern): the
+    * increment's distinct window hashes BROADCAST (an ingest batch is
+    * bounded); the corpus's windows stream through that broadcast
+    * membership join with NO corpus shuffle, and only the matched hash
+    * set — bounded by the increment, not the corpus — comes back to
+    * mark increment positions. At 100 TB: one corpus scan, zero corpus
+    * shuffles, everything exchanged is increment-sized. */
+  def crossPassages(corpus: DataFrame, increment: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 2, s"passage window must span at least 2 tokens: $k")
+    val iw = materializedOnce(passageWindows(increment, k))
+    val probe = broadcast(iw.select("h").distinct())
+    // matched = increment hashes that occur anywhere in the corpus;
+    // distinct is increment-bounded, so the exchange under it is tiny
+    val matched = passageWindows(corpus, k).join(probe, Seq("h"))
+      .select("h").distinct()
+    mergeRuns(iw.join(broadcast(matched), Seq("h"))
+      .select("doc_id", "pos"), k)
+  }
+
+  /** Passage-level decontamination — the SURGICAL complement of
+    * [[contaminationScores]]' drop-the-document policy: instead of
+    * discarding every training document that leaks benchmark text,
+    * REDACT exactly the leaked ≥k-token spans and keep the rest
+    * (the span-cut treatment of Lee et al. 2022 applied to eval
+    * hygiene). Returns docs' rows as (doc_id, clean_text, n_redacted)
+    * where `clean_text` is the original token stream minus every token
+    * covered by a flagged run and `n_redacted` counts removed tokens.
+    *
+    * Shape: the benchmark's distinct window hashes BROADCAST (an eval
+    * suite is bounded — the q53 posture); the corpus's windows stream
+    * through the membership join, so the only corpus-keyed shuffles are
+    * on the MATCHED positions (bounded by actual contamination, which
+    * is sparse by definition) — run-merge, then span sets join back
+    * through the usual size dispatch and the token cut is one row-local
+    * HOF over the original (case-preserving) token array. Windows hash
+    * on `lower(text)`, mirroring the rest of the text surface. */
+  def redactBenchmarkPassages(docs: DataFrame, benchmark: DataFrame, k: Int = 20,
+                              broadcastableSpans: Long = 5000000L): DataFrame = {
+    require(k >= 2, s"passage window must span at least 2 tokens: $k")
+    val probe = broadcast(passageWindows(benchmark, k).select("h").distinct())
+    val hits = passageWindows(docs, k).join(probe, Seq("h"))
+      .select("doc_id", "pos")
+    val spans = mergeRuns(hits, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("len_tokens"))).as("__spans"))
+    val side =
+      if (SizeDispatch.atMost(spans, broadcastableSpans)) broadcast(spans)
+      else spans.hint("shuffle_hash")
+    // token i (1-based) is cut iff some span covers it; the rebuild is a
+    // pure projection over the ORIGINAL tokens (hashing lowered, output
+    // case-preserving)
+    docs.join(side, Seq("doc_id"), "left")
+      .withColumn("clean_text", when(col("__spans").isNull, col("text"))
+        .otherwise(expr(
+          """concat_ws(' ', transform(filter(
+            |  zip_with(split(text, ' '),
+            |           sequence(1, size(split(text, ' '))),
+            |    (w, i) -> named_struct('w', w, 'cut',
+            |      exists(__spans, s ->
+            |        i >= s.start_pos AND i < s.start_pos + s.len_tokens))),
+            |  p -> NOT p.cut), x -> x.w))""".stripMargin)))
+      .withColumn("n_redacted",
+        coalesce(expr("aggregate(__spans, 0L, (a, s) -> a + s.len_tokens)"), lit(0L)))
+      .select("doc_id", "clean_text", "n_redacted")
+      .orderBy("doc_id")
   }
 }

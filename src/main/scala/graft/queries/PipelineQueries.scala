@@ -348,6 +348,18 @@ object PipelineQueries {
   def q77Passages(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.duplicatedPassages(t(spark, dir, "documents"), k = 20)
 
+  /** q78: incremental passage probe — which passages of the odd-id
+    * "ingest batch" duplicate text already in the even-id standing
+    * corpus (the q60 split convention). Hard oracle: DuckDB mirrors on
+    * true window strings; the corpus side never shuffles (plan-asserted
+    * in PassagesSpec). */
+  def q78CrossPassages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Dedup.crossPassages(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), k = 20)
+  }
+
   /** Int8 quantization audit over the embeddings table: the exact
     * quantized-value checksum (proves both engines produce the SAME int8
     * codes), the max round-trip reconstruction error, and the scale/2
@@ -675,9 +687,13 @@ object PipelineQueries {
     * driver's comparator sorts oracle rows column-wise and cannot
     * order LIST cells, so oracle-backed outputs must be scalar-only
     * (enforced for every query by Verify's shape guard). */
-  def q71Project(spark: SparkSession, dir: String): DataFrame =
+  def q71Project(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    // uniform-width corpus: probe one row and take the codegen'd
+    // literal-sign-vector path (the generic HOF path is interpreted)
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
     graft.operators.Similarity
-      .randomProjection(t(spark, dir, "embeddings"), outDim = 8)
+      .randomProjection(emb, outDim = 8, inDim = Some(d))
       .select(col("vec_id"), posexplode(col("reduced")).as(Seq("j", "component")))
       // + 0.0 collapses IEEE negative zero: a component that rounds to
       // -0.0 in one engine and 0.0 in the other is the same value but
@@ -685,6 +701,7 @@ object PipelineQueries {
       .select(col("vec_id"), col("j").cast("long").as("j"),
         (col("component") + lit(0.0)).as("component"))
       .orderBy("vec_id", "j")
+  }
 
   /** q72: self-scored bigram-LM fluency — add-one-smoothed NLL of each
     * document under the corpus's own bigram distribution (word salad
@@ -1149,6 +1166,23 @@ object PipelineQueries {
           |              FROM w)),
           |dup AS (SELECT wstr FROM win GROUP BY wstr HAVING min(doc_id) <> max(doc_id)),
           |hits AS (SELECT doc_id, pos FROM win JOIN dup USING (wstr)),
+          |runs AS (SELECT doc_id, pos,
+          |           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |         FROM hits)
+          |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) - MIN(pos) + 20 AS len_tokens
+          |FROM runs GROUP BY doc_id, g ORDER BY doc_id, start_pos""".stripMargin,
+      "q78_cross_passages" ->
+        """WITH inc AS (SELECT doc_id, string_split(lower(text),' ') AS ws
+          |            FROM documents WHERE doc_id % 2 = 1),
+          |cor AS (SELECT doc_id, string_split(lower(text),' ') AS ws
+          |        FROM documents WHERE doc_id % 2 = 0),
+          |iw AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+19], ' ') AS wstr
+          |       FROM (SELECT doc_id, ws,
+          |               unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS pos FROM inc)),
+          |cw AS (SELECT DISTINCT array_to_string(ws[pos:pos+19], ' ') AS wstr
+          |       FROM (SELECT ws,
+          |               unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS pos FROM cor)),
+          |hits AS (SELECT doc_id, pos FROM iw JOIN cw USING (wstr)),
           |runs AS (SELECT doc_id, pos,
           |           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
           |         FROM hits)

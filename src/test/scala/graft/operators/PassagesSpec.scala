@@ -56,4 +56,33 @@ class PassagesSpec extends SparkSpec {
     val docs = Seq((1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
     assert(PlanAudit.scalaUdfSites(Dedup.duplicatedPassages(docs, k = 8)) === 0)
   }
+
+  test("crossPassages: increment passages matching the corpus found; corpus-only dups ignored") {
+    val corpus = Seq(
+      (2L, s"c1 c2 c3 $quote c4 c5"),            // holds the quote at 4..15
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+      (6L, s"e1 e2 $quote e3"),                   // corpus-internal second copy
+      (8L, s"e1 e2 $quote e3")                    // (corpus-only dup: not the question)
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, s"n1 n2 $quote n3 n4"),                // quote at 3..14 -> flagged
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11") // clean -> untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossPassages(corpus, inc, k = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 12L)))
+  }
+
+  test("crossPassages: the corpus side never shuffles (broadcast membership probe)") {
+    val corpus = Seq((2L, s"c1 c2 $quote c3")).toDF("doc_id", "text")
+    val inc = Seq((1L, s"n1 $quote n2")).toDF("doc_id", "text")
+    val df = Dedup.crossPassages(corpus, inc, k = 8)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // both hash-set joins broadcast; the only exchanges sit on
+    // increment-bounded data (matched hashes, run window)
+    assert(plan.contains("BroadcastHashJoin"), s"probe must broadcast:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join allowed:\n$plan")
+  }
 }

@@ -30,6 +30,18 @@ class RandomProjectionSpec extends SparkSpec {
     assert(a.size === 8)
   }
 
+  test("codegen fast path (known inDim) is bit-identical to the generic HOF path") {
+    val emb = spark.read.parquet(s"$sfDirDocs/embeddings.parquet").limit(100)
+    val generic = Similarity.randomProjection(emb, outDim = 8)
+      .select("vec_id", "reduced")
+    val fast = Similarity.randomProjection(emb, outDim = 8, inDim = Some(64))
+      .select("vec_id", "reduced")
+    assert(fast.exceptAll(generic).isEmpty && generic.exceptAll(fast).isEmpty,
+      "literal sign vectors + vec_dot must reproduce the fold exactly")
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path must not shuffle:\n$plan")
+  }
+
   test("projection is deterministic across runs and is shuffle-free") {
     val emb = spark.read.parquet(s"$sfDirDocs/embeddings.parquet").limit(80)
     val p1 = Similarity.randomProjection(emb, outDim = 4).select("vec_id", "reduced")
