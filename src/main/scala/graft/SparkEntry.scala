@@ -105,7 +105,8 @@ object SparkEntry {
     "q75_funnel" -> (PipelineQueries.q75Funnel _),
     "q76_retention" -> (PipelineQueries.q76Retention _),
     "q77_passages" -> (PipelineQueries.q77Passages _),
-    "q78_cross_passages" -> (PipelineQueries.q78CrossPassages _)
+    "q78_cross_passages" -> (PipelineQueries.q78CrossPassages _),
+    "q79_redact_passages" -> (PipelineQueries.q79RedactPassages _)
   )
 
   def oracleSql: Map[String, String] = Map(

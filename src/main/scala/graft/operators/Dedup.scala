@@ -778,27 +778,66 @@ object Dedup {
     * scan; the labels are already materialized by the CC checkpoint)
     * routes label sets over `broadcastableLabels` rows through
     * shuffle hash joins instead: both sides shuffle on the id, labels
-    * build the hash table, and no sort of the corpus is paid. */
+    * build the hash table, and no sort of the corpus is paid.
+    *
+    * Below `driverLabels` (r11) a third tier mirrors CC's own
+    * union-find dispatch: the keep-rule evaluates on the driver from
+    * one labels-bounded collect and the losers drop via a single
+    * broadcast anti join — the family window shuffle and the
+    * survivors/others union disappear. All three tiers are pure plan
+    * choices (identical rows; tie semantics replicated exactly). */
   def keepCanonical(docs: DataFrame, pairs: DataFrame, quality: Column,
                     id: String = "doc_id",
-                    broadcastableLabels: Long = 5000000L): DataFrame = {
+                    broadcastableLabels: Long = 5000000L,
+                    driverLabels: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
     val labels0 = Clustering.connectedComponents(pairs)
     // memo key = the pairs input: the labels themselves sit on a fresh
     // checkpoint whose plan never repeats, but their cardinality is a
     // function of pairs, so a re-run over the same pairs skips the probe
-    val labels =
-      if (SizeDispatch.atMost(labels0, broadcastableLabels, key = pairs, tag = "cc-labels"))
-        broadcast(labels0)
-      else labels0.hint("shuffle_hash")
-    val w = Window.partitionBy("comp").orderBy(quality.desc, col(id))
-    val survivors = docs.join(labels, docs(id) === labels("node"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "node", "comp")
-    docs.join(labels, docs(id) === labels("node"), "left_anti")
-      .unionByName(survivors)
+    val dBound = math.min(broadcastableLabels, driverLabels)
+    if (dBound > 0 &&
+        SizeDispatch.atMost(labels0, dBound, key = pairs, tag = "cc-labels-driver")) {
+      // driver tier (labels at the scale CC's own union-find tier already
+      // held on the driver): evaluate the keep-rule per family from ONE
+      // labels-bounded collect and drop the losers with a single
+      // broadcast anti join — no family window shuffle, no
+      // survivors/others union. Tie semantics mirror the distributed
+      // window exactly: quality desc with nulls last, then lowest id.
+      val fam = docs.join(broadcast(labels0), docs(id) === labels0("node"))
+        .select(labels0("node"), labels0("comp"), quality.as("__q"))
+        .collect()
+      def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+      val losers = fam.groupBy(_.getLong(1)).iterator.flatMap { case (_, rows) =>
+        val w = rows.reduceLeft { (a, b) =>
+          val c = cmp(a.get(2), b.get(2))
+          if (c > 0) a else if (c < 0) b
+          else if (a.getLong(0) <= b.getLong(0)) a else b
+        }
+        rows.iterator.filter(_.getLong(0) != w.getLong(0)).map(_.getLong(0))
+      }.toSeq
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.join(broadcast(losers.toDF(id)), Seq(id), "left_anti")
+    } else {
+      val labels =
+        if (SizeDispatch.atMost(labels0, broadcastableLabels, key = pairs, tag = "cc-labels"))
+          broadcast(labels0)
+        else labels0.hint("shuffle_hash")
+      val w = Window.partitionBy("comp").orderBy(quality.desc, col(id))
+      val survivors = docs.join(labels, docs(id) === labels("node"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "node", "comp")
+      docs.join(labels, docs(id) === labels("node"), "left_anti")
+        .unionByName(survivors)
+    }
   }
 
   /** Exact cross-corpus near-dup probe — the INCREMENTAL ingestion

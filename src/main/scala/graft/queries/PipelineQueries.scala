@@ -360,6 +360,17 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 2 === 1), k = 20)
   }
 
+  /** q79: passage-level decontamination over the q68/q53 corpus-vs-
+    * benchmark split — redact exactly the leaked ≥20-token spans, keep
+    * the documents. Hard oracle: DuckDB mirrors the window match on
+    * true strings and rebuilds the token stream positionally. */
+  def q79RedactPassages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Dedup.redactBenchmarkPassages(
+      docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0), k = 20)
+  }
+
   /** Int8 quantization audit over the embeddings table: the exact
     * quantized-value checksum (proves both engines produce the SAME int8
     * codes), the max round-trip reconstruction error, and the scale/2
@@ -1171,6 +1182,35 @@ object PipelineQueries {
           |         FROM hits)
           |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) - MIN(pos) + 20 AS len_tokens
           |FROM runs GROUP BY doc_id, g ORDER BY doc_id, start_pos""".stripMargin,
+      "q79_redact_passages" ->
+        """WITH d AS (SELECT doc_id, text, string_split(lower(text),' ') AS ws
+          |           FROM documents WHERE doc_id % 50 <> 0),
+          |b AS (SELECT string_split(lower(text),' ') AS ws
+          |      FROM documents WHERE doc_id % 50 = 0),
+          |bw AS (SELECT DISTINCT array_to_string(ws[pos:pos+19], ' ') AS wstr
+          |       FROM (SELECT ws, unnest(range(1, greatest(len(ws)-19,0)+1)) AS pos FROM b)),
+          |dw AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+19], ' ') AS wstr
+          |       FROM (SELECT doc_id, ws,
+          |               unnest(range(1, greatest(len(ws)-19,0)+1)) AS pos FROM d)),
+          |hits AS (SELECT doc_id, pos FROM dw JOIN bw USING (wstr)),
+          |runs AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+          |         FROM (SELECT doc_id, pos,
+          |                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |               FROM hits)
+          |         GROUP BY doc_id, g),
+          |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+          |                unnest(range(1, len(string_split(text,' '))+1)) AS i
+          |         FROM d),
+          |keep AS (SELECT t.doc_id, t.tok, t.i FROM toks t
+          |         WHERE NOT EXISTS (SELECT 1 FROM runs r
+          |           WHERE r.doc_id = t.doc_id AND t.i >= r.s AND t.i < r.e)),
+          |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+          |          FROM keep GROUP BY doc_id),
+          |red AS (SELECT doc_id, SUM(e - s) AS n_redacted FROM runs GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(clean.clean_text, '') AS clean_text,
+          |       COALESCE(red.n_redacted, 0)::BIGINT AS n_redacted
+          |FROM d LEFT JOIN clean USING (doc_id) LEFT JOIN red USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       "q78_cross_passages" ->
         """WITH inc AS (SELECT doc_id, string_split(lower(text),' ') AS ws
           |            FROM documents WHERE doc_id % 2 = 1),

@@ -25,11 +25,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 6L, 7L))
     // full input schema survives dedup
     assert(kept.columns.toSeq === Seq("doc_id", "q"))
-    // plan shape: labels broadcast on both the keep-rule and anti joins —
-    // the corpus is never shuffled into a join
+    // driver tier (labels are metadata here): ONE broadcast anti join,
+    // no family window, the corpus never shuffles into a join
     val plan = kept.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2, s"labels must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"losers must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$plan")
+    assert(!plan.contains("Window"), s"driver tier must not window:\n$plan")
+    // broadcast tier (driver tier off): labels broadcast on BOTH the
+    // keep-rule and anti joins, same rows
+    val keptB = Dedup.keepCanonical(docs, pairs, col("q"), driverLabels = 0L)
+    assert(keptB.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 6L, 7L))
+    val planB = keptB.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(planB).size >= 2, s"labels must broadcast:\n$planB")
+    assert(!planB.contains("SortMergeJoin"), s"corpus must not shuffle into a join:\n$planB")
+  }
+
+  test("keepCanonical driver tier matches the distributed tiers row-for-row") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val fam = i % 10 // 10 families of 4 near-identical docs
+      (i, s"family $fam shared body text alpha beta gamma delta epsilon v$i")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsUnsorted(docs, 0.5)
+    val q = org.apache.spark.sql.functions.length(col("text")).cast("double")
+    val driver = Dedup.keepCanonical(docs, pairs, q).collect().map(_.getLong(0)).sorted
+    val dist = Dedup.keepCanonical(docs, pairs, q, driverLabels = 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(driver.toSeq === dist.toSeq, "tier choice must not change survivors")
   }
 
   test("keepCanonical size dispatch: oversized label sets take shuffle hash joins, same rows") {

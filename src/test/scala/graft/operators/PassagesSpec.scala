@@ -73,6 +73,22 @@ class PassagesSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 12L)))
   }
 
+  test("redactBenchmarkPassages: exactly the leaked span is cut, case and spacing preserved") {
+    val leak = (1 to 10).map(i => s"L$i").mkString(" ") // 10 tokens, upper-case
+    val docs = Seq(
+      (1L, s"Alpha Beta ${leak} Gamma Delta"), // leak at 3..12
+      (2L, "Clean One Two Three Four Five Six Seven Eight Nine Ten Eleven"),
+      (3L, leak)                               // whole doc leaked -> empty
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"pre1 pre2 $leak post1")).toDF("doc_id", "text")
+    val got = Dedup.redactBenchmarkPassages(docs, bench, k = 8)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "Alpha Beta Gamma Delta", 10L),
+      (2L, "Clean One Two Three Four Five Six Seven Eight Nine Ten Eleven", 0L),
+      (3L, "", 10L)))
+  }
+
   test("crossPassages: the corpus side never shuffles (broadcast membership probe)") {
     val corpus = Seq((2L, s"c1 c2 $quote c3")).toDF("doc_id", "text")
     val inc = Seq((1L, s"n1 $quote n2")).toDF("doc_id", "text")
