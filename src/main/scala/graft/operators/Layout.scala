@@ -75,11 +75,33 @@ object Layout {
     * one file per range — every file then spans a narrow rectangle of
     * (a, b) space, and parquet min/max stats prune scans filtered on
     * EITHER dimension. The write is one range shuffle, same cost as
-    * any global sort. */
+    * any global sort.
+    *
+    * File cuts snap to ALIGNED Morton quadrants: the range key is the
+    * z-value's top ceil(log2(files)) OCCUPIED bits, so a cut can only
+    * fall between whole quadrants and no file ever straddles a
+    * high-order curve jump (an unaligned cut near e.g. (255,127)→
+    * (0,128) produces a file spanning one dimension fully — zero
+    * pruning on that file, and the cut placement depended on range
+    * sampling, so the pruning guarantee was statistical). With aligned
+    * cuts every file covers a union of consecutive power-of-two
+    * rectangles, so a narrow filter on either dimension prunes all
+    * files outside its quadrant row/column regardless of where the
+    * sampler put the cuts. Cost: one extra max() aggregation to find
+    * the occupied bit width — noise against the sort shuffle. Skew
+    * note: a hot quadrant cannot split across files under aligned
+    * cuts; for heavily skewed dimensions raise `files` (deeper, finer
+    * quadrants) rather than relying on the sampler. */
   def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
                     files: Int = 16): Unit = {
     val z = df.withColumn("__z", zValue(col(a), col(b)))
-    z.repartitionByRange(files, col("__z"))
+    val zmaxRow = z.agg(max("__z")).head()
+    val zmax = if (zmaxRow.isNullAt(0)) 1L else math.max(zmaxRow.getLong(0), 1L)
+    val occupiedBits = 64 - java.lang.Long.numberOfLeadingZeros(zmax)
+    val fileBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(files, 1).toLong * 2 - 1) - 1 // ceil(log2(files))
+    val shift = math.max(occupiedBits - fileBits, 0)
+    z.repartitionByRange(files, shiftrightunsigned(col("__z"), shift))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)

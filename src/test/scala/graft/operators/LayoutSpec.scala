@@ -54,13 +54,14 @@ class LayoutSpec extends SparkSpec {
 
   test("z-ordered layout prunes files on EITHER dimension") {
     import spark.implicits._
-    // a 256x256 uniform grid, 16 z-range files. A few files straddle a
-    // high-order curve boundary (the Morton curve jumps e.g. from
-    // (255,127) to (0,128)) and span one dim fully — that is inherent
-    // to unaligned range cuts. The payoff to assert is PRUNING: for a
-    // narrow filter on b alone, most z-files' [min,max] ranges miss the
-    // predicate, while an a-sorted layout leaves b at full width in
-    // every file (zero pruning).
+    // a 256x256 uniform grid, 16 z-range files with QUADRANT-ALIGNED
+    // cuts: every file is a union of consecutive 64x64 Morton cells, so
+    // a narrow filter on either dimension hits at most the 4 cells of
+    // one quadrant row/column — deterministically under any range-
+    // sampler outcome (unaligned cuts could straddle a curve jump and
+    // leave a file spanning one dim fully; the sampler's seed varies
+    // with RDD id, which made this spec flaky). The contrast case: an
+    // a-sorted layout leaves b at full width in every file.
     val grid = (for (a <- 0 until 256; b <- 0 until 256) yield (a.toLong, b.toLong))
       .toDF("a", "b").repartition(8)
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
