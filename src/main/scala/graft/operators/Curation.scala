@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Thresholds; defaults match q68's oracle. `broadcastableIds` bounds
-    * the drop-set dispatch (the `knnJoinAuto` pattern). */
+    * the drop-set dispatch (the `knnJoinAuto` pattern); `driverPairs`
+    * bounds the fused driver tier's pair collect (the
+    * `connectedComponents` union-find regime — near-dup pairs are
+    * metadata, orders of magnitude smaller than the corpus). */
   final case class CurationConfig(
       minQuality: Double = 0.44,
       maxDupWordFrac: Double = 0.8,
@@ -48,7 +51,8 @@ object Curation {
       shingle: Int = 3,
       jaccard: Double = 0.5,
       minShared: Long = 3L,
-      broadcastableIds: Long = 5000000L)
+      broadcastableIds: Long = 5000000L,
+      driverPairs: Long = 1000000L)
 
   /** The per-increment gate prefix of [[curate]] for micro-batch /
     * incremental use: optional markup cleaning, then quality gate →
@@ -65,13 +69,17 @@ object Curation {
       if (cleanMarkupFirst)
         docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
       else docs
-    // quality + repetition are row-local signals: one fused filter, no
-    // join, no dispatch — the gate prefix is a pure scan up to the one
-    // content shuffle exact dedup needs
-    val s2 = cleaned.filter(
-      TextAnalysis.qualityScore(col("text")) >= cfg.minQuality &&
-        !(TextAnalysis.topBigramFrac(col("text")) >= cfg.maxTopBigramFrac ||
-          TextAnalysis.dupWordFrac(col("text")) >= cfg.maxDupWordFrac))
+    // quality + repetition are row-local signals off the fused kernel
+    // (one text pass): one filter, no join, no dispatch — the gate
+    // prefix is a pure scan up to the one content shuffle exact dedup
+    // needs
+    val sig = col("__sig")
+    val s2 = cleaned.withColumn("__sig", TextAnalysis.curationSignalsUdf(col("text")))
+      .filter(
+        TextAnalysis.qualityFromSignals(sig) >= cfg.minQuality &&
+          !(TextAnalysis.topBigramFracFromSignals(sig) >= cfg.maxTopBigramFrac ||
+            TextAnalysis.dupWordFracFromSignals(sig) >= cfg.maxDupWordFrac))
+      .drop("__sig")
     val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
     s2.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -106,15 +114,6 @@ object Curation {
     import spark.implicits._
     import org.apache.spark.sql.Observation
 
-    // size-dispatched anti join: drop sets are usually small (broadcast)
-    // but proportional to the corpus in the worst case (shuffle hash)
-    def dropIds(base: DataFrame, ids: DataFrame): DataFrame = {
-      val side =
-        if (SizeDispatch.atMost(ids, cfg.broadcastableIds)) broadcast(ids)
-        else ids.hint("shuffle_hash")
-      base.join(side, Seq("doc_id"), "left_anti")
-    }
-
     val Seq(o0, o1, o2, o3, o4, o5) = Seq.fill(6)(Observation())
     def counted(df: DataFrame, o: Observation): DataFrame =
       df.observe(o, count(lit(1)).as("n"))
@@ -122,36 +121,41 @@ object Curation {
     // -- fused spine: input count → quality filter → repetition filter
     // → exact dedup, with an observe at each stage boundary. All
     // row-local until the one content shuffle; each metric node appears
-    // exactly once on the spine path.
-    val quality = TextAnalysis.qualityScore(col("text")) >= cfg.minQuality
-    val repetitive = TextAnalysis.topBigramFrac(col("text")) >= cfg.maxTopBigramFrac ||
-      TextAnalysis.dupWordFrac(col("text")) >= cfg.maxDupWordFrac
-    val q = docs.filter(quality)
-    val s2plan = counted(counted(counted(docs, o0).filter(quality), o1)
+    // exactly once on the spine path. The spine CARRIES the keep-rule
+    // quality (`__q`) and the hashed shingle set (`__sh`): one text
+    // pass computes every downstream per-row signal, so the near-dup
+    // pair kernel and the contamination probe read pinned columns
+    // instead of re-running the shingle kernel per stage. (The pin
+    // artifact grows by the shingle arrays — a compute-for-storage
+    // trade; a cluster-scale parquet `pin` that prefers small
+    // artifacts can drop the column and recompute.)
+    // gate signals come from the fused kernel (one text pass; the
+    // nondeterministic marker stops Catalyst inlining it per filter) —
+    // the filter/score expressions over them are bit-identical to the
+    // qualityScore/topBigramFrac/dupWordFrac chains the oracle mirrors
+    val sig = col("__sig")
+    val quality = TextAnalysis.qualityFromSignals(sig) >= cfg.minQuality
+    val repetitive = TextAnalysis.topBigramFracFromSignals(sig) >= cfg.maxTopBigramFrac ||
+      TextAnalysis.dupWordFracFromSignals(sig) >= cfg.maxDupWordFrac
+    val withSig = docs.withColumn("__sig", TextAnalysis.curationSignalsUdf(col("text")))
+    val q = withSig.filter(quality)
+    val s2plan = counted(counted(counted(withSig, o0).filter(quality), o1)
       .filter(!repetitive), o2)
     val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
     val spine = counted(s2plan.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn"), o3)
-    val s3 = pin(spine)
+      // -Inf = the slot nulls-last ordering would give a null quality;
+      // unreachable here (stage 1 already filtered on quality), kept as
+      // a defensive exact equivalent
+      .withColumn("__q", coalesce(TextAnalysis.qualityFromSignals(sig),
+        lit(Double.NegativeInfinity)))
+      .withColumn("__sh", Dedup.hashedShinglesCol(cfg.shingle))
+      .drop("__sig")
+    val s3x = pin(spine)
     // identity pin returns its argument: nothing materialized, fall back
     // to count() jobs (exotic lazy pins are caught by the await timeout)
-    val materializes = !(s3 eq spine)
-
-    // graph consumer: pair ORDER is irrelevant to connected components,
-    // so skip the presentation sort's sample + range stages
-    val pairs = Dedup.jaccardPairsUnsorted(s3, cfg.jaccard, cfg.shingle)
-    val s4 = pin(counted(Dedup.keepCanonical(s3, pairs,
-      TextAnalysis.qualityScore(col("text")),
-      broadcastableLabels = cfg.broadcastableIds), o4))
-
-    // pin the drop set BEFORE the dispatch probe: unpinned, the probe's
-    // bounded count and the anti join's broadcast build would each run
-    // the contamination kernel once (the q60 double-pay, r9) — pinned,
-    // the kernel runs once and both consumers read the blocks
-    val contaminated = pin(Dedup
-      .contaminationScoresUnsorted(s4, benchmark, cfg.shingle, cfg.minShared)
-      .filter(col("contaminated")).select("doc_id"))
-    val s5 = pin(counted(dropIds(s4, contaminated), o5))
+    val materializes = !(s3x eq spine)
+    val outCols = docs.columns.map(col).toSeq
 
     def resolved(o: Observation, fallback: => Long): Long =
       if (!materializes) fallback
@@ -167,17 +171,116 @@ object Curation {
     val n0 = resolved(o0, docs.count())
     val n1 = resolved(o1, q.count())
     val n2 = resolved(o2, q.filter(!repetitive).count())
-    val n3 = resolved(o3, s3.count())
-    val n4 = resolved(o4, s4.count())
-    val n5 = resolved(o5, s5.count())
+    val n3 = resolved(o3, s3x.count())
 
-    val manifest = Seq(
-      ("1_quality", n0, n1),
-      ("2_repetition", n1, n2),
-      ("3_exact", n2, n3),
-      ("4_neardup", n3, n4),
-      ("5_decontam", n4, n5))
-      .toDF("stage", "docs_in", "docs_out")
-    (s5, manifest)
+    val shForPairs = s3x.select(col("doc_id"), col("__sh").as("shingles"), col("__q"))
+
+    // -- the pair aggregation runs ONCE, pinned: both tiers read its
+    // blocks (the driver tier collects them; the staged tier's
+    // connected components cache their edges from them), and the tier
+    // probe is a bounded count over the blocks — no CollectLimit
+    // incremental rounds, no re-aggregation anywhere.
+    val pairsQ = pin(Dedup.jaccardQualityPairsFromShingles(shForPairs, cfg.jaccard))
+
+    // -- fused driver tier: near-dup pairs are METADATA (edges between
+    // near-duplicates — the regime where connectedComponents already
+    // runs a driver union-find and keepCanonical collects its labels).
+    // Collect the qualifying pairs WITH both members' qualities,
+    // evaluate the keep-rule on the driver, and the whole pipeline
+    // after the spine pin is: pair pin + final pin — the loser count
+    // gives n4 by arithmetic (losers ⊆ s3 members), and n4 bounds the
+    // contamination drop set, so that dispatch needs no probe job
+    // either. A pair set over the bound runs the staged distributed
+    // path below over the same pinned pairs.
+    val dBound = math.min(cfg.broadcastableIds, cfg.driverPairs)
+    val driverTier = dBound > 0 && SizeDispatch.atMost(pairsQ, dBound)
+
+    if (driverTier) {
+      val rows = pairsQ.collect()
+        // union-find over the collected pairs (path compression, larger
+        // root under smaller — the Clustering.localUnionFind rule), then
+        // the keep-rule per component: max quality, ties to lowest id —
+        // exactly keepCanonical's window order
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val qual = scala.collection.mutable.HashMap.empty[Long, Double]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        rows.foreach { r =>
+          val (da, qa, db, qb) = (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+          parent.getOrElseUpdate(da, da); parent.getOrElseUpdate(db, db)
+          qual(da) = qa; qual(db) = qb
+          val (ra, rb) = (find(da), find(db))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val losers = parent.keys.toSeq.groupBy(find).valuesIterator.flatMap { members =>
+          val winner = members.reduceLeft { (a, b) =>
+            val c = java.lang.Double.compare(qual(a), qual(b))
+            if (c > 0) a else if (c < 0) b else math.min(a, b)
+          }
+          members.iterator.filter(_ != winner)
+        }.toSeq
+        val n4 = n3 - losers.size
+        val s4 = s3x.join(broadcast(losers.toDF("doc_id")), Seq("doc_id"), "left_anti")
+        val contaminated = Dedup.contaminationFromShingles(
+          s4.select(col("doc_id"), col("__sh").as("shingles")),
+          benchmark, cfg.shingle, cfg.minShared)
+          .filter(col("contaminated")).select("doc_id")
+        // contaminated ⊆ s4, and n4 is already on the driver: dispatch
+        // without a probe job
+        val side =
+          if (n4 <= cfg.broadcastableIds) broadcast(contaminated)
+          else contaminated.hint("shuffle_hash")
+        val s5 = pin(counted(
+          s4.join(side, Seq("doc_id"), "left_anti").select(outCols: _*), o5))
+        val n5 = resolved(o5, s5.count())
+        val manifest = Seq(
+          ("1_quality", n0, n1),
+          ("2_repetition", n1, n2),
+          ("3_exact", n2, n3),
+          ("4_neardup", n3, n4),
+          ("5_decontam", n4, n5))
+          .toDF("stage", "docs_in", "docs_out")
+        (s5, manifest)
+
+    } else {
+        // staged distributed path: pair graph over the driver bound (or
+        // dispatch disabled). Same operators, stage-pinned, reading the
+        // SAME pinned pairs and carried __sh/__q columns — neither the
+        // shingle kernel nor the pair aggregation re-runs here.
+        def dropIds(base: DataFrame, ids: DataFrame): DataFrame = {
+          val side =
+            if (SizeDispatch.atMost(ids, cfg.broadcastableIds)) broadcast(ids)
+            else ids.hint("shuffle_hash")
+          base.join(side, Seq("doc_id"), "left_anti")
+        }
+        val pairs = pairsQ.select("da", "db")
+        val s4 = pin(counted(Dedup.keepCanonical(s3x, pairs, col("__q"),
+          broadcastableLabels = cfg.broadcastableIds), o4))
+        // pin the drop set BEFORE the dispatch probe: unpinned, the
+        // probe's bounded count and the anti join's broadcast build
+        // would each run the contamination aggregation once (the q60
+        // double-pay, r9) — pinned, it runs once and both consumers
+        // read the blocks
+        val contaminated = pin(Dedup.contaminationFromShingles(
+          s4.select(col("doc_id"), col("__sh").as("shingles")),
+          benchmark, cfg.shingle, cfg.minShared)
+          .filter(col("contaminated")).select("doc_id"))
+        val s5 = pin(counted(dropIds(s4, contaminated).select(outCols: _*), o5))
+        val n4 = resolved(o4, s4.count())
+        val n5 = resolved(o5, s5.count())
+        val manifest = Seq(
+          ("1_quality", n0, n1),
+          ("2_repetition", n1, n2),
+          ("3_exact", n2, n3),
+          ("4_neardup", n3, n4),
+          ("5_decontam", n4, n5))
+          .toDF("stage", "docs_in", "docs_out")
+        (s5, manifest)
+    }
   }
 }

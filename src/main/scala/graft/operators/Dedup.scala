@@ -78,8 +78,14 @@ object Dedup {
     * shingles (birthday bound) before it's likely — per-partition corpora
     * stay far below that, and the oracle SFs are exact w.h.p. */
   private def withHashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      udf((text: String) => shingleSet(text, n).map(fnv64)).apply(col("text")).as("shingles"))
+    docs.select(col("doc_id"), hashedShinglesCol(n).as("shingles"))
+
+  /** The hashed-shingle projection as a bare Column — for FUSED pipeline
+    * stages (Curation) that compute shingles in the same text pass as
+    * other per-row signals and pin the combined result once, so no
+    * later stage re-runs the shingle kernel. */
+  private[operators] def hashedShinglesCol(n: Int): Column =
+    udf((text: String) => shingleSet(text, n).map(fnv64)).apply(col("text"))
 
   private def jaccard(common: Column, na: Column, nb: Column): Column =
     round(common.cast(DoubleType) / (na + nb - common), 4)
@@ -228,22 +234,8 @@ object Dedup {
     // uncapped fast path (also the capped path's no-hot outcome): the
     // per-doc |set| rides the exploded index as a payload and falls out
     // of the pair aggregation — no count joins, the denominator stages
-    // vanish. `common` = number of buckets (shared shingles) emitting
-    // the pair; na/nb are constant per doc (first() is exact).
-    def uncapped(): DataFrame =
-      sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"),
-          explode(col("shingles")).as("sg"))
-        .groupBy("sg")
-        .agg(collect_list(struct(col("doc_id"), col("cnt"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(sizedPairsUdf(col("ids"))).as("pr"))
-        .select(col("pr._1").as("da"), col("pr._2").as("na"),
-          col("pr._3").as("db"), col("pr._4").as("nb"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-        .select(col("da"), col("db"),
-          jaccard(col("common"), col("na"), col("nb")).as("jac"))
-        .filter(col("jac") >= threshold)
+    // vanish (shared kernel: jaccardPairsFromShingles).
+    def uncapped(): DataFrame = jaccardPairsFromShingles(sh, threshold)
     maxShingleDocFreq match {
       case None => uncapped()
       case Some(cap) =>
@@ -292,6 +284,69 @@ object Dedup {
               .as("common")))
       }
   }
+
+  /** The uncapped exact-Jaccard pair aggregation over a PRE-SHINGLED
+    * (doc_id, shingles) input: one inverted-index shuffle on the shingle
+    * key + one pair aggregation; `common` = number of shared-shingle
+    * buckets emitting the pair, set sizes ride the index as payload.
+    * Shared by [[jaccardPairsUnsorted]] and by fused pipelines
+    * (Curation) that carry shingles on an already-pinned stage. */
+  private[operators] def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"),
+        explode(col("shingles")).as("sg"))
+      .groupBy("sg")
+      .agg(collect_list(struct(col("doc_id"), col("cnt"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sizedPairsUdf(col("ids"))).as("pr"))
+      .select(col("pr._1").as("da"), col("pr._2").as("na"),
+        col("pr._3").as("db"), col("pr._4").as("nb"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("da"), col("db"),
+        jaccard(col("common"), col("na"), col("nb")).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** [[sizedPairsUdf]] with a second payload (the doc's keep-rule
+    * quality) carried through the pair expansion. */
+  private val qualSizedPairsUdf = udf((rows: Seq[(Long, Long, Double)]) => {
+    val s = rows.toArray.sortBy(_._1)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Long, Double)](
+      s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) {
+        out += ((s(i)._1, s(i)._2, s(i)._3, s(j)._1, s(j)._2, s(j)._3)); j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  })
+
+  /** Qualifying Jaccard pairs WITH both members' qualities as payload —
+    * (da, qa, db, qb) for jac >= threshold — from a pre-shingled
+    * (doc_id, shingles, __q) input. Same aggregation shape as
+    * [[jaccardPairsFromShingles]]; the quality column rides the
+    * inverted index exactly like the set sizes do, so a driver-tier
+    * consumer (Curation's fused keep-rule) needs NO follow-up quality
+    * lookup job. `__q` must be non-null (callers coalesce to
+    * Double.NegativeInfinity, which sorts below every real quality —
+    * the same place the distributed window's nulls-last puts it). */
+  private[operators] def jaccardQualityPairsFromShingles(sh: DataFrame,
+                                                         threshold: Double): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("cnt"),
+        col("__q"), explode(col("shingles")).as("sg"))
+      .groupBy("sg")
+      .agg(collect_list(struct(col("doc_id"), col("cnt"), col("__q"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(qualSizedPairsUdf(col("ids"))).as("pr"))
+      .select(col("pr._1").as("da"), col("pr._2").as("na"), col("pr._3").as("qa"),
+        col("pr._4").as("db"), col("pr._5").as("nb"), col("pr._6").as("qb"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"),
+        first(col("qa")).as("qa"), first(col("qb")).as("qb"))
+      .filter(jaccard(col("common"), col("na"), col("nb")) >= threshold)
+      .select("da", "qa", "db", "qb")
 
   /** Exact verification of candidate pairs against full shingle arrays
     * (used by the LSH paths, whose candidate sets are small). */
@@ -696,15 +751,22 @@ object Dedup {
   /** [[contaminationScores]] without the presentation sort — for drop-set
     * consumers (curation's anti join) where row order is irrelevant. */
   def contaminationScoresUnsorted(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-                                  minShared: Long = 3L): DataFrame = {
+                                  minShared: Long = 3L): DataFrame =
+    contaminationFromShingles(withHashedShingles(docs, n), benchmark, n, minShared)
+
+  /** [[contaminationScoresUnsorted]] over a PRE-SHINGLED (doc_id,
+    * shingles) corpus side — for fused pipelines (Curation) whose
+    * pinned stage already carries the shingle arrays. The benchmark
+    * side still shingles inline (an eval suite is tiny). */
+  private[operators] def contaminationFromShingles(shDocs: DataFrame, benchmark: DataFrame,
+                                                   n: Int, minShared: Long): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val d = withHashedShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val d = shDocs.select(col("doc_id"), explode(col("shingles")).as("sg"))
     val b = broadcast(withHashedShingles(benchmark, n)
       .select(explode(col("shingles")).as("sg")).distinct())
     val hits = d.join(b, "sg")
       .groupBy("doc_id").agg(count(lit(1)).as("shared")) // sg pre-distinct per doc (shingleSet)
-    docs.select(col("doc_id"))
+    shDocs.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("shared"), lit(0L)).as("shared"))
       .withColumn("contaminated", col("shared") >= minShared)
@@ -1078,6 +1140,14 @@ object Dedup {
     val dup = wins.groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
+    // shuffle hash membership join ON PURPOSE: the aggregation side and
+    // the probe side exchange the SAME `wins` subtree on `h`, so
+    // ReuseExchange shuffles the window table once and both consumers
+    // read it — measured strictly faster than broadcasting the dup set,
+    // which forfeits the reuse and pays the aggregation's exchange
+    // separately as a broadcast build. (Perf-opportunistic reuse only:
+    // if the rewrite ever missed, the plan is two exchanges of the same
+    // instance-scale table — slower, never wrong.)
     mergeRuns(wins.join(dup.hint("shuffle_hash"), Seq("h"))
       .select("doc_id", "pos"), k)
   }

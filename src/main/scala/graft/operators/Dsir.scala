@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** DSIR-style data selection — importance resampling of a raw corpus
+  * toward a target distribution (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling", PAPERS.md): score each
+  * raw document by the log-likelihood ratio of add-1-smoothed unigram
+  * bag models fit on the TARGET exemplar set vs the RAW corpus, then
+  * select by deterministic Gumbel-top-k over the weights (the paper's
+  * sampling-without-replacement trick — adding Gumbel noise to the log
+  * weights and taking the top k draws exactly from the softmax of the
+  * weights).
+  *
+  * Scale shape: two map-side-combinable token counts build the models
+  * (target side is exemplar-sized; raw side is ONE corpus pass); the
+  * per-feature log-ratio table is model-sized and BROADCASTS into the
+  * instance join, so the corpus shuffles exactly once — the per-doc
+  * aggregation. With `hashBuckets` > 0 the feature space is hashed into
+  * a FIXED 2^b-style bucket table (the published trick), so the
+  * broadcast is O(buckets) regardless of vocabulary growth — the right
+  * setting at 100 TB, where an open vocabulary would not broadcast.
+  * Selection at scale: `keep` ranks globally here (document-count-sized
+  * window — fine for doc-level tables); a per-shard quota or a fixed
+  * score threshold replaces the global rank when even doc-counts are
+  * too large to total-order.
+  */
+object Dsir {
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+
+  private def feat(hashBuckets: Int): Column =
+    if (hashBuckets > 0) pmod(xxhash64(col("tok")), lit(hashBuckets.toLong))
+    else col("tok").cast("string")
+
+  /** Per-document log importance weight ln p_tgt(doc) − ln p_raw(doc)
+    * under add-1-smoothed unigram bag models over the shared feature
+    * vocabulary. Output: (doc_id, n_toks, lw) for every raw doc,
+    * 4-decimal `lw`, ordered by doc_id. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        hashBuckets: Int = 0): DataFrame = {
+    val f = feat(hashBuckets)
+    val rawF = toks(raw).withColumn("f", f).select("doc_id", "f")
+    val tgtF = toks(target).withColumn("f", f).select("f")
+    val cr = rawF.groupBy("f").agg(count(lit(1)).as("cr"))
+    val ct = tgtF.groupBy("f").agg(count(lit(1)).as("ct"))
+    // model-sized joins/aggregates: vocabulary (or fixed bucket) scale
+    val model0 = cr.join(ct, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = model0.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val model = model0.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log((col("ct") + 1L).cast(DoubleType) / (col("nt") + col("v")).cast(DoubleType)) -
+          log((col("cr") + 1L).cast(DoubleType) / (col("nr") + col("v")).cast(DoubleType)))
+          .as("lr"))
+    rawF.join(broadcast(model), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 4).as("lw"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic uniform in (0,1) from the doc id — exact integer
+    * arithmetic (Knuth multiplicative hash bounded to avoid int64
+    * overflow), reproducible by any engine. */
+  private def hashUniform(id: Column): Column =
+    ((pmod(id, lit(1000003L)) * lit(2654435761L)) % lit(4294967296L) + lit(0.5)) /
+      lit(4294967296.0)
+
+  /** Gumbel-top-fraction selection over the importance weights: score =
+    * lw + Gumbel(doc_id-seeded), keep the top `frac` by percent_rank —
+    * a deterministic draw from the softmax of the weights (the DSIR
+    * sampler with a hash in place of the RNG). Output adds (score,
+    * keep) to [[importanceWeights]]' columns. */
+  def resample(weights: DataFrame, frac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = hashUniform(col("doc_id"))
+    val g = -log(-log(u))
+    val scored = weights.withColumn("score", round(col("lw") + g, 4))
+    scored.withColumn("keep",
+      percent_rank().over(Window.orderBy(col("score").desc, col("doc_id"))) < frac)
+      .orderBy("doc_id")
+  }
+
+  /** The composed selector: weights + resampling in one call. */
+  def select(raw: DataFrame, target: DataFrame, frac: Double = 0.2,
+             hashBuckets: Int = 0): DataFrame =
+    resample(importanceWeights(raw, target, hashBuckets), frac)
+}

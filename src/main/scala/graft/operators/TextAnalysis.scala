@@ -98,6 +98,88 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - punctRatio(text)),
       4)
 
+  // ---------------------------------------- fused curation-gate kernel
+  /** Every per-row INTEGER ingredient of the quality and repetition
+    * formulas in ONE text pass: (nw, stop_hits, sum_len, tlen,
+    * clean_len, n_distinct, top_bigram). The float arithmetic stays in
+    * Catalyst expressions built over these integers
+    * ([[qualityFromSignals]] etc.), so results are bit-identical to the
+    * expression-chain operators ([[qualityScore]], [[topBigramFrac]],
+    * [[dupWordFrac]]) — the kernel only replaces the interpreted
+    * per-element HOF evaluation (array_sort + aggregate folds per row),
+    * the 10-50x hot spot the Dedup kernels already avoid; the curation
+    * spine's gate stage reads the text once instead of ~six times.
+    *
+    * Marked nondeterministic as a MATERIALIZATION BARRIER (the function
+    * is pure): a deterministic UDF gets inlined by CollapseProject /
+    * PushDownPredicate into every consuming filter and projection,
+    * re-running the kernel once per reference. Char counts are UTF-16
+    * units (== Spark's codepoint `length` for BMP text — the corpus
+    * surface; supplementary-plane chars would diverge). */
+  private lazy val AllStopSet: Set[String] = StopWords.flatMap(_._2).toSet
+
+  private[operators] val curationSignalsUdf = udf((text: String) =>
+    if (text == null) null.asInstanceOf[(Long, Long, Long, Long, Long, Long, Long)]
+    else {
+      val lt = text.toLowerCase(java.util.Locale.ROOT)
+      val ws = lt.split(" ", -1)
+      var stop = 0L
+      var sumLen = 0L
+      val seen = new java.util.HashSet[String](ws.length * 2)
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
+        if (AllStopSet.contains(w)) stop += 1
+        sumLen += w.length
+        seen.add(w)
+        i += 1
+      }
+      var clean = 0L
+      var j = 0
+      while (j < lt.length) {
+        val c = lt.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') clean += 1
+        j += 1
+      }
+      var top = 0L
+      if (ws.length >= 2) {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var k = 0
+        while (k < ws.length - 1) {
+          val c2 = m.getOrElse(ws(k) + " " + ws(k + 1), 0L) + 1L
+          m(ws(k) + " " + ws(k + 1)) = c2
+          if (c2 > top) top = c2
+          k += 1
+        }
+      }
+      (ws.length.toLong, stop, sumLen, lt.length.toLong, clean, seen.size.toLong, top)
+    }).asNondeterministic()
+
+  /** [[qualityScore]] rebuilt over the kernel's integer signals — the
+    * expression AST mirrors the original operand-for-operand so the
+    * doubles are bit-identical. */
+  private[operators] def qualityFromSignals(s: Column): Column = {
+    val nw = s.getField("_1")
+    val sr = s.getField("_2").cast(DoubleType) / greatest(nw, lit(1L)).cast(DoubleType)
+    val mwl = s.getField("_3").cast(DoubleType) / greatest(nw, lit(1L)).cast(DoubleType)
+    val pr = (s.getField("_4") - s.getField("_5")).cast(DoubleType) /
+      greatest(s.getField("_4").cast(DoubleType), lit(1.0))
+    round(lit(0.4) * sr + lit(0.3) * least(mwl / 10.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - pr), 4)
+  }
+
+  /** [[dupWordFrac]] over the kernel signals (bit-identical). */
+  private[operators] def dupWordFracFromSignals(s: Column): Column =
+    dec4(round(lit(1.0) - s.getField("_6").cast(DoubleType)
+      / greatest(s.getField("_1"), lit(1L)), 4))
+
+  /** [[topBigramFrac]] over the kernel signals (bit-identical). */
+  private[operators] def topBigramFracFromSignals(s: Column): Column = {
+    val n1 = greatest(s.getField("_1") - lit(1L), lit(0L))
+    dec4(coalesce(when(n1 > 0,
+      round(s.getField("_7").cast(DoubleType) / n1, 4)), lit(0.0)))
+  }
+
   /** Content-defined bag fingerprint: md5 over the sorted distinct token
     * set — identical normalized content ⇒ identical fingerprint, robust to
     * token order/duplication. md5 is bytewise-identical across engines. */

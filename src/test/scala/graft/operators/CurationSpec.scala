@@ -73,6 +73,20 @@ class CurationSpec extends SparkSpec {
         ("4_neardup", 3L), ("5_decontam", 2L)))
   }
 
+  test("curate: staged-broadcast tier (driverPairs=0) matches the fused driver tier") {
+    // driverPairs = 0 disables the fused pair-collect tier while leaving
+    // the broadcast dispatch alive — the staged distributed path with
+    // broadcast label/drop-set joins. Pure plan choice: identical
+    // survivors and manifest.
+    val cfgStaged = Curation.CurationConfig(driverPairs = 0L)
+    val (survivors, manifest) = Curation.curate(corpus, bench, cfgStaged)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L))
+    assert(manifest.orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("1_quality", 7L, 6L), ("2_repetition", 6L, 5L), ("3_exact", 5L, 4L),
+        ("4_neardup", 4L, 3L), ("5_decontam", 3L, 2L)))
+    assert(survivors.columns.toSeq === corpus.columns.toSeq)
+  }
+
   test("gateBatch: quality + repetition + within-batch exact dedup") {
     val gated = Curation.gateBatch(corpus)
     // drops 4 (quality), 5 (repetition), 3 (exact dup of 1); keeps the
