@@ -106,7 +106,11 @@ object SparkEntry {
     "q76_retention" -> (PipelineQueries.q76Retention _),
     "q77_passages" -> (PipelineQueries.q77Passages _),
     "q78_cross_passages" -> (PipelineQueries.q78CrossPassages _),
-    "q79_redact_passages" -> (PipelineQueries.q79RedactPassages _)
+    "q79_redact_passages" -> (PipelineQueries.q79RedactPassages _),
+    "q80_gopher_rules" -> (PipelineQueries.q80Gopher _),
+    "q81_dsir" -> (PipelineQueries.q81Dsir _),
+    "q82_semdedup" -> (PipelineQueries.q82SemDedup _),
+    "q82_check_semdedup" -> (PipelineQueries.q82CheckSemDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -729,6 +729,87 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
+  /** [[embeddingNearDupPairs]] restricted WITHIN clusters — the
+    * SemDeDup candidate pruning (Abbas et al. 2023, PAPERS.md): the
+    * input carries a `cluster` column, blocks are keyed
+    * (cluster, blk), and only same-cluster block pairs ever form, so
+    * cross-cluster comparisons are never generated. With k balanced
+    * clusters the pair work drops by ~k vs the full triangle — the
+    * published trade (misses only cross-cluster near-dups, which
+    * k-means assigns together in practice). Same fused primitive
+    * kernel, same HALF_UP rounding; output (cluster, va, vb, cos_sim),
+    * UNSORTED (graph consumers). */
+  def embeddingNearDupPairsByCluster(emb: DataFrame, threshold: Double = 0.95,
+                                     numBlocks: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val blocks0 =
+      if (numBlocks > 0) numBlocks
+      else {
+        val n = emb.count()
+        math.max(spark.sparkContext.defaultParallelism / 4,
+          math.ceil(n / 4096.0).toInt).max(1)
+      }
+    val blocks = materializedOnce(emb
+      .select(col("cluster").cast("long").as("cl"),
+        pmod(col("vec_id"), lit(blocks0.toLong)).as("blk"),
+        col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Long, Long, Array[Double])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key, rows) =>
+        val vs = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        val norms = vs.map { case (_, e) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * e(i); i += 1 }
+          math.sqrt(s)
+        }
+        (key._1, key._2, vs.map(_._1), vs.map(_._2), norms)
+      }
+      .toDF("cl", "blk", "ids", "vecs", "norms"))
+    val left = blocks.select(col("cl").as("ca"), col("blk").as("ba"),
+      col("ids").as("ia"), col("vecs").as("ea"), col("norms").as("na"))
+    val right = blocks.select(col("cl").as("cb"), col("blk").as("bb"),
+      col("ids").as("ib"), col("vecs").as("eb"), col("norms").as("nb"))
+    val pairSchema = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("cluster", "va", "vb", "cos_sim").schema
+    import org.apache.spark.sql.Row
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(pairSchema)
+    left.join(broadcast(right), col("ca") === col("cb") && col("ba") <= col("bb"))
+      .repartition(math.max(blocks0, spark.sparkContext.defaultParallelism))
+      .flatMap { r =>
+        val cl = r.getLong(0)
+        val same = r.getLong(1) == r.getLong(6)
+        val ia = r.getSeq[Long](2).toArray
+        val ea = r.getSeq[scala.collection.Seq[Double]](3).map(_.toArray).toArray
+        val na = r.getSeq[Double](4).toArray
+        val ib = r.getSeq[Long](7).toArray
+        val eb = r.getSeq[scala.collection.Seq[Double]](8).map(_.toArray).toArray
+        val nb = r.getSeq[Double](9).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0
+        while (i < ia.length) {
+          val a = ea(i)
+          var j = if (same) i + 1 else 0
+          while (j < ib.length) {
+            val b = eb(j)
+            var dot = 0.0
+            var k = 0
+            while (k < a.length) { dot += a(k) * b(k); k += 1 }
+            val cos = java.math.BigDecimal.valueOf(dot / (na(i) * nb(j)))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) {
+              val (va, vb) = if (ia(i) < ib(j)) (ia(i), ib(j)) else (ib(j), ia(i))
+              out += Row(cl, va, vb, cos)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }.toDF("cluster", "va", "vb", "cos_sim")
+  }
+
   // -------------------------------------------------- decontamination
   /** Benchmark decontamination: per corpus document, the number of
     * DISTINCT word n-gram shingles shared with ANY document of a

@@ -161,6 +161,41 @@ object Similarity {
       best.getField("topic").as("topic"), best.getField("cos").as("cohesion"))
   }
 
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", PAPERS.md): cluster the embeddings with spherical
+    * k-means ([[assignTopics]]' bounded-sample centroids), find
+    * near-duplicate pairs ONLY WITHIN each cluster (cos >= threshold —
+    * `Dedup.embeddingNearDupPairsByCluster`, the ~k-fold candidate
+    * pruning that makes the method web-scale), and keep ONE member per
+    * duplicate family: the paper's rule — the member with the LOWEST
+    * cosine to its centroid (maximum diversity), ties to lowest
+    * vec_id. Returns the survivors as (vec_id, topic, cohesion).
+    *
+    * Scale shape: centroids are a bounded driver sample; assignment is
+    * a zero-shuffle projection; the pair kernel never leaves a
+    * cluster; survivor selection is `Dedup.keepCanonical`'s
+    * size-dispatched label machinery with quality = −cohesion. One
+    * assignment pin feeds both the pair kernel and the keep rule. */
+  def semDedup(emb: DataFrame, k: Int = 8, threshold: Double = 0.95,
+               iters: Int = 5, sampleSize: Int = 4096): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    val centroids = kmeansCentroids(emb, k, iters, sampleSize)
+    val best = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("cos"),
+        lit(i).as("topic"))
+    }: _*))
+    val assigned = Storage.track(asDouble(emb).select(col("vec_id"), col("e"),
+      best.getField("topic").as("topic"), best.getField("cos").as("cohesion"))
+      .localCheckpoint(true))
+    val pairs = Dedup.embeddingNearDupPairsByCluster(
+      assigned.select(col("vec_id"), col("e").as("embedding"),
+        col("topic").as("cluster")), threshold)
+      .select(col("va").as("da"), col("vb").as("db"))
+    Dedup.keepCanonical(assigned.drop("e"), pairs, quality = -col("cohesion"),
+      id = "vec_id")
+  }
+
   /** A built IVF index: unit-norm centroids + the assigned corpus. Build
     * once (one assignment scan — the expensive pass), probe many: every
     * `probeIvf` call reads `assigned` without re-running centroid

@@ -738,6 +738,76 @@ object PipelineQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q80: the Gopher/C4 heuristic rule battery
+    * (`HeuristicRules.gopherSignals`) — per-document signals, per-rule
+    * verdicts, composite keep; a pure row-local projection. Hard
+    * oracle: every signal expression mirrors 1:1 in SQL and the rules
+    * compare on the emitted 4-decimal signals. */
+  def q80Gopher(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HeuristicRules.gopherSignals(t(spark, dir, "documents"))
+
+  /** q81: DSIR importance resampling (`Dsir.select`) — target = the
+    * 'src0' exemplar slice, raw = the rest; add-1 unigram models,
+    * Gumbel-top-20% keep with a hash-seeded deterministic draw. Hard
+    * oracle: integer counts, the ln-ratio formula mirrored at 4
+    * decimals, the Gumbel uniform from exact integer arithmetic. */
+  def q81Dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Dsir.select(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), frac = 0.2)
+  }
+
+  /** q82: SemDeDup per-topic summary — survivors of
+    * `Similarity.semDedup` (k=8 spherical k-means clusters, cos>=0.95
+    * within-cluster near-dup prune, keep the farthest-from-centroid
+    * member) counted against the full assignment. Assignment depends
+    * on Spark-computed centroids, so the row is rows-only for the
+    * driver; q82_check_semdedup carries the hard contract. */
+  def q82SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val survivors = Similarity.semDedup(emb, k = 8, threshold = 0.95)
+    val total = Similarity.assignTopics(emb, 8)
+      .groupBy("topic").agg(count(lit(1)).as("n_vecs"))
+    total.join(survivors.groupBy("topic").agg(count(lit(1)).as("n_kept")),
+        Seq("topic"), "left")
+      .select(col("topic"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("topic")
+  }
+
+  /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
+    * over the SURVIVORS alone finds none at the threshold (the
+    * outcome SemDeDup promises); (b) one_per_family — survivor count
+    * equals total minus (members − components) of the independently
+    * recomputed within-cluster pair graph, i.e. exactly one survivor
+    * per duplicate family; (c) assignment_consistent — every
+    * survivor row carries its assignment-run topic/cohesion
+    * unchanged. Booleans oracled by constant truth. */
+  def q82CheckSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Dedup, Similarity}
+    val emb = t(spark, dir, "embeddings")
+    val thr = 0.95
+    val assigned = Similarity.assignTopics(emb, 8)
+    val survivors = Similarity.semDedup(emb, 8, thr).localCheckpoint(true)
+    val withE = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned.select(col("vec_id"), col("topic").as("cluster")), "vec_id")
+    val pairs = Dedup.embeddingNearDupPairsByCluster(withE, thr).localCheckpoint(true)
+    val sIds = survivors.select("vec_id").localCheckpoint(true)
+    val noDupLeft = pairs.join(sIds.select(col("vec_id").as("va")), "va")
+      .join(sIds.select(col("vec_id").as("vb")), "vb").count() == 0L
+    val comps = Clustering.connectedComponents(pairs, a = "va", b = "vb")
+    val nMembers = comps.count()
+    val nComps = comps.select("comp").distinct().count()
+    val onePerFamily = survivors.count() == emb.count() - (nMembers - nComps)
+    val consistent = survivors.select("vec_id", "topic", "cohesion")
+      .except(assigned.select("vec_id", "topic", "cohesion")).count() == 0L
+    import spark.implicits._
+    Seq((noDupLeft, onePerFamily, consistent))
+      .toDF("no_dup_left", "one_per_family", "assignment_consistent")
+  }
+
   /** q69 contract: distributed BPE tokenizer training. BPE has no
     * tractable SQL twin (the merge loop is inherently iterative), so
     * the contract replays and audits training independently:
@@ -1337,6 +1407,65 @@ object PipelineQueries {
           |lab AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
           |SELECT comp AS cluster_id, COUNT(*) AS n_docs,
           |       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
-          |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin)
+          |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin,
+      "q80_gopher_rules" ->
+        """WITH d AS (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS w,
+          |                string_split(text, chr(10)) AS ls FROM documents),
+          |s AS (SELECT doc_id,
+          |  CAST(len(w) AS BIGINT) AS n_words,
+          |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+          |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+          |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+          |            + CAST((len(t) - len(replace(t,'…','')))/1 AS BIGINT))::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+          |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))::DOUBLE
+          |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+          |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'…')))::DOUBLE
+          |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+          |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+          |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+          |FROM d)
+          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+          |  ellipsis_frac, alpha_frac, stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+          |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+          |  (symbol_ratio < 0.1) AS ok_symbols,
+          |  (bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS ok_lines,
+          |  (alpha_frac >= 0.8) AS ok_alpha,
+          |  (stop_hits >= 2) AS ok_stops,
+          |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+          |   AND mean_word_len <= 10.0 AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+          |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "q81_dsir" ->
+        """WITH rw AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |            FROM documents WHERE source <> 'src0'),
+          |tg AS (SELECT string_split(lower(text),' ') AS w
+          |       FROM documents WHERE source = 'src0'),
+          |rt AS (SELECT doc_id, unnest(w) AS tok FROM rw),
+          |tt AS (SELECT unnest(w) AS tok FROM tg),
+          |r AS (SELECT tok, COUNT(*) AS c FROM rt GROUP BY tok),
+          |g AS (SELECT tok, COUNT(*) AS c FROM tt GROUP BY tok),
+          |m0 AS (SELECT COALESCE(r.tok, g.tok) AS tok, COALESCE(r.c, 0) AS cr,
+          |              COALESCE(g.c, 0) AS ct
+          |       FROM r FULL OUTER JOIN g ON r.tok = g.tok),
+          |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM m0),
+          |m AS (SELECT tok, ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE)
+          |             - ln((cr + 1)::DOUBLE / (nr + v)::DOUBLE) AS lr
+          |      FROM m0, tot),
+          |wdoc AS (SELECT doc_id, COUNT(*) AS n_toks, ROUND(SUM(lr), 4) AS lw
+          |         FROM rt JOIN m USING (tok) GROUP BY doc_id),
+          |sc AS (SELECT doc_id, n_toks, lw,
+          |         ROUND(lw + (- ln(- ln(((doc_id % 1000003) * 2654435761 % 4294967296 + 0.5)
+          |                               / 4294967296.0))), 4) AS score
+          |       FROM wdoc)
+          |SELECT doc_id, n_toks, lw, score,
+          |       PERCENT_RANK() OVER (ORDER BY score DESC, doc_id) < 0.2 AS keep
+          |FROM sc ORDER BY doc_id""".stripMargin,
+      "q82_check_semdedup" ->
+        """SELECT true AS no_dup_left, true AS one_per_family,
+          |       true AS assignment_consistent""".stripMargin)
   }
 }
