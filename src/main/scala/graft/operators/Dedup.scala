@@ -1202,9 +1202,9 @@ object Dedup {
     * Returns (doc_id, start_pos, len_tokens), one row per maximal
     * duplicated run, 1-based token positions, ordered.
     *
-    * Shape: each doc's k-token sliding windows hash ROW-LOCALLY
-    * (xxhash64 over the joined window — a codegen'd projection, no
-    * kernel UDF); window occurrences appearing in ≥2 DISTINCT docs
+    * Shape: each doc's k-token sliding windows hash ROW-LOCALLY (the
+    * fused rolling-hash kernel — one O(tokens) pass per document, see
+    * `passageWindowsUdf`); window occurrences appearing in ≥2 DISTINCT docs
     * (min(doc)≠max(doc) off one map-side-combined aggregation — no
     * count-distinct shuffle) mark duplicated positions; runs merge per
     * doc with the pos−row_number grouping trick. Three shuffles total:
@@ -1234,17 +1234,53 @@ object Dedup {
   }
 
   /** (doc_id, pos, h): every 1-based k-token sliding window of each doc,
-    * hashed row-locally — shared by the passage operators. */
+    * hashed row-locally — shared by the passage operators.
+    *
+    * FUSED ROLLING-HASH KERNEL (r11): the previous expression form
+    * (`xxhash64(concat_ws(' ', slice(ws, i, k)))` per position)
+    * re-copied k tokens of characters for every window — O(tokens × k)
+    * char traffic per document, paid TWICE per query (the aggregation
+    * side and the membership-join probe side regenerate windows).
+    * The kernel tokenizes once, FNV-hashes each token once, and slides
+    * a degree-(k−1) polynomial over the token hashes (Rabin–Karp over
+    * Z/2^64, odd multiplier) — O(tokens) per document. The hash
+    * FUNCTION is internal: equal windows still collide-or-match
+    * identically on both sides of every join, and the ORACLE compares
+    * true window STRINGS, so a 64-bit collision fails the gate rather
+    * than hiding (same birthday analysis as the fnv64 shingle keys). */
+  private def passageWindowsUdf(k: Int) = udf((text: String) => {
+    val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (ws.length < k) Array.empty[Long]
+    else {
+      val th = new Array[Long](ws.length)
+      var i = 0
+      while (i < ws.length) { th(i) = fnv64(ws(i)); i += 1 }
+      val p = 0x100000001b3L
+      var pk = 1L // p^(k-1)
+      var j = 1
+      while (j < k) { pk *= p; j += 1 }
+      // hashes only, window i's hash at index i — a PRIMITIVE long array
+      // rides the fast no-boxing converter; posexplode supplies the
+      // 0-based position
+      val out = new Array[Long](ws.length - k + 1)
+      var h = 0L
+      j = 0
+      while (j < k) { h = h * p + th(j); j += 1 }
+      out(0) = h
+      i = 1
+      while (i <= ws.length - k) {
+        h = (h - th(i - 1) * pk) * p + th(i + k - 1)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  })
+
   private def passageWindows(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      // sequence(1, n) DESCENDS when n < 1, so short docs guard to array()
-      .select(col("doc_id"), explode(expr(
-        s"""if(size(ws) < $k, array(),
-           |  transform(sequence(1, size(ws) - ${k - 1}),
-           |    i -> named_struct('pos', cast(i as bigint),
-           |      'h', xxhash64(concat_ws(' ', slice(ws, i, $k))))))""".stripMargin))
-        .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    docs.select(col("doc_id"),
+      posexplode(passageWindowsUdf(k)(col("text"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
 
   /** Maximal-run merge of duplicated window positions (pos−row_number
     * grouping) → (doc_id, start_pos, len_tokens), ordered. */

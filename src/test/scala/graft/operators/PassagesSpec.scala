@@ -52,9 +52,29 @@ class PassagesSpec extends SparkSpec {
       (3L, 3L, 10L)))
   }
 
-  test("kernel-free plan: the window hash is a codegen'd projection, no scala UDF") {
+  test("single-pass kernel: the rolling window hash appears once per window side") {
+    // r11: window hashing moved from a per-window concat_ws projection
+    // (O(tokens x k) char copying) to the fused rolling-hash kernel
+    // (O(tokens)). The plan audit pins the invocation-site count: the
+    // aggregation side and the membership probe side each tokenize once
+    // — a third site would mean a stage re-runs the kernel.
     val docs = Seq((1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
-    assert(PlanAudit.scalaUdfSites(Dedup.duplicatedPassages(docs, k = 8)) === 0)
+    assert(PlanAudit.scalaUdfSites(Dedup.duplicatedPassages(docs, k = 8)) === 2)
+  }
+
+  test("rolling hash: equal windows hash equal, shifted/different windows differ") {
+    // two docs sharing a 8-token window at different positions must
+    // produce the same h for the shared window (the join key), and the
+    // polynomial must distinguish order (reversed window ≠ window)
+    val docs = Seq(
+      (1L, "a b c d e f g h tail1 tail2"),
+      (2L, "lead a b c d e f g h"),
+      (3L, "h g f e d c b a")).toDF("doc_id", "text")
+    val runs = Dedup.duplicatedPassages(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1+2 share exactly "a b c d e f g h" (pos 1 in doc 1, pos 2 in
+    // doc 2); doc 3's reversed window matches nothing
+    assert(runs === Set((1L, 1L, 8L), (2L, 2L, 8L)), s"$runs")
   }
 
   test("crossPassages: increment passages matching the corpus found; corpus-only dups ignored") {
