@@ -110,7 +110,9 @@ object SparkEntry {
     "q80_gopher_rules" -> (PipelineQueries.q80Gopher _),
     "q81_dsir" -> (PipelineQueries.q81Dsir _),
     "q82_semdedup" -> (PipelineQueries.q82SemDedup _),
-    "q82_check_semdedup" -> (PipelineQueries.q82CheckSemDedup _)
+    "q82_check_semdedup" -> (PipelineQueries.q82CheckSemDedup _),
+    "q83_ccnet_buckets" -> (PipelineQueries.q83CcnetBuckets _),
+    "q84_quality_classifier" -> (PipelineQueries.q84QualityClassifier _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -386,6 +386,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the corpus-trained bigram LM ([[bigramNll]]), split
+    * the corpus into head/middle/tail terciles by LM fluency (lower
+    * nll = more fluent = head), and keep each bucket at a different
+    * deterministic sampling rate — all of the head, half of the middle,
+    * a quarter of the tail (the md5-prefix keep rule shared with q55's
+    * hash sampler, so the draw is engine-independent and reproducible).
+    * Documents with fewer than two tokens have no bigrams and are
+    * outside the bucketing, as in [[bigramNll]].
+    *
+    * Scale shape: tercile cuts come from a cumulative count over the
+    * DISTINCT 4-decimal nll values — a histogram BOUNDED by construction
+    * (nll is non-negative and bounded by ln of the corpus size, so at 4
+    * decimals the table holds at most a few hundred thousand rows no
+    * matter how many documents exist). The single-partition window runs
+    * over that bounded table only, and the per-doc bucket assignment is
+    * a broadcast join back on the nll value — the corpus itself never
+    * re-shuffles after the LM scoring. Ties share a rounded nll value
+    * and land in one bucket together, which keeps the cut deterministic
+    * across engines without a doc-id tiebreak sort. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val nll = bigramNll(docs)
+    val h = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("nll")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = h.select(col("nll"),
+      coalesce(sum(col("cnt")).over(cumW), lit(0L)).as("cum_start"))
+    val tot = h.agg(sum(col("cnt")).as("n_total"))
+    val bucketed = nll.join(broadcast(cum), Seq("nll"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        when(col("cum_start") * 3 < col("n_total"), lit("head"))
+          .when(col("cum_start") * 3 < col("n_total") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+    // the q55 md5-prefix draw: 'g' sorts above every hex digit (keep all)
+    val thresh = when(col("bucket") === "head", lit("g"))
+      .when(col("bucket") === "middle", lit("8000"))
+      .otherwise(lit("4000"))
+    bucketed
+      .withColumn("kept",
+        substring(md5(col("doc_id").cast("string")), 1, 4) < thresh)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_bigrams"))), lit(0L)).as("bigrams_kept"),
+        dec4(avg(col("nll"))).as("mean_nll"))
+      .orderBy("bucket")
+  }
+
   /** Markup cleaning for crawl-shaped corpora: drop <script>/<style>
     * blocks wholesale, strip remaining tags, decode the common HTML
     * entities, and normalize whitespace. A pure codegen'd projection —

@@ -777,6 +777,28 @@ object PipelineQueries {
       .orderBy("topic")
   }
 
+  /** q83: CCNet perplexity bucketing (`TextAnalysis.ccnetBuckets`) —
+    * head/middle/tail LM-fluency terciles with per-bucket deterministic
+    * keep rates (1, 1/2, 1/4 via the q55 md5-prefix draw). Hard oracle:
+    * the q72 bigram-NLL chain plus an integer cumulative-count tercile
+    * cut, mirrored 1:1. */
+  def q83CcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TA.ccnetBuckets(t(spark, dir, "documents"))
+
+  /** q84: fastText-style quality classifier
+    * (`QualityClassifier.trainScore`) — naive Bayes trained on the
+    * 'src0' (positive) vs 'src1' (negative) seed slices, scoring the
+    * held-out rest of the corpus; unseen tokens take the smoothing-only
+    * weight. Hard oracle: integer counts and the ln-ratio formula at 4
+    * decimals, exactly as q81. */
+  def q84QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.QualityClassifier.trainScore(
+      docs.filter(!col("source").isin("src0", "src1")),
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") === "src1"))
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1466,6 +1488,72 @@ object PipelineQueries {
           |FROM sc ORDER BY doc_id""".stripMargin,
       "q82_check_semdedup" ->
         """SELECT true AS no_dup_left, true AS one_per_family,
-          |       true AS assignment_consistent""".stripMargin)
+          |       true AS assignment_consistent""".stripMargin,
+      "q83_ccnet_buckets" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
+          |e AS (SELECT doc_id,
+          |        unnest(list_transform(range(1, greatest(len(wl), 1)),
+          |          i -> {'prev': wl[i], 'cur': wl[i+1]})) AS b
+          |      FROM w),
+          |bg AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM e),
+          |bc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+          |cc AS (SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY 1),
+          |v AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v
+          |      FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents)),
+          |d AS (SELECT bg.doc_id,
+          |        ROUND(AVG(-ln((bc.c2::DOUBLE + 1) / (cc.c1::DOUBLE + v.v))), 4) AS nll,
+          |        COUNT(*) AS n_bigrams
+          |      FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+          |      GROUP BY 1),
+          |h AS (SELECT nll, COUNT(*) AS cnt FROM d GROUP BY 1),
+          |c AS (SELECT nll, COALESCE(SUM(cnt) OVER (ORDER BY nll
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+          |      FROM h),
+          |tot AS (SELECT COUNT(*) AS n FROM d),
+          |b AS (SELECT d.doc_id, d.nll, d.n_bigrams,
+          |        CASE WHEN c.cum_start * 3 < tot.n THEN 'head'
+          |             WHEN c.cum_start * 3 < tot.n * 2 THEN 'middle'
+          |             ELSE 'tail' END AS bucket
+          |      FROM d JOIN c USING (nll) CROSS JOIN tot),
+          |k AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          |        CASE bucket WHEN 'head' THEN 'g' WHEN 'middle' THEN '8000'
+          |                    ELSE '4000' END AS kept
+          |      FROM b)
+          |SELECT bucket, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(COALESCE(SUM(CASE WHEN kept THEN n_bigrams END), 0) AS BIGINT) AS bigrams_kept,
+          |  CAST(ROUND(AVG(nll), 4) AS DECIMAL(14,4)) AS mean_nll
+          |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "q84_quality_classifier" ->
+        """WITH cand AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |              FROM documents WHERE source NOT IN ('src0','src1')),
+          |pos AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src0'),
+          |neg AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src1'),
+          |ct AS (SELECT doc_id, unnest(w) AS tok FROM cand),
+          |pt AS (SELECT unnest(w) AS tok FROM pos),
+          |nt AS (SELECT unnest(w) AS tok FROM neg),
+          |p AS (SELECT tok, COUNT(*) AS cp FROM pt GROUP BY tok),
+          |n AS (SELECT tok, COUNT(*) AS cn FROM nt GROUP BY tok),
+          |m0 AS (SELECT COALESCE(p.tok, n.tok) AS tok, COALESCE(p.cp, 0) AS cp,
+          |              COALESCE(n.cn, 0) AS cn
+          |       FROM p FULL OUTER JOIN n ON p.tok = n.tok),
+          |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v,
+          |          ln((SELECT COUNT(*)::DOUBLE FROM pos)
+          |             / (SELECT COUNT(*)::DOUBLE FROM neg)) AS prior,
+          |          ln(1.0 / (SUM(cp) + COUNT(*))::DOUBLE)
+          |            - ln(1.0 / (SUM(cn) + COUNT(*))::DOUBLE) AS w0
+          |        FROM m0),
+          |m AS (SELECT tok, ln((cp + 1)::DOUBLE / (np + v)::DOUBLE)
+          |             - ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) AS w
+          |      FROM m0, tot),
+          |sc AS (SELECT ct.doc_id, COUNT(*) AS n_toks,
+          |         CAST(ROUND(MAX(tot.prior) + SUM(COALESCE(m.w, tot.w0)), 4)
+          |              AS DECIMAL(14,4)) AS llr
+          |       FROM ct LEFT JOIN m USING (tok) CROSS JOIN tot
+          |       GROUP BY ct.doc_id)
+          |SELECT doc_id, n_toks, llr, llr > 0 AS keep
+          |FROM sc ORDER BY doc_id""".stripMargin)
   }
 }
