@@ -112,7 +112,10 @@ object SparkEntry {
     "q82_semdedup" -> (PipelineQueries.q82SemDedup _),
     "q82_check_semdedup" -> (PipelineQueries.q82CheckSemDedup _),
     "q83_ccnet_buckets" -> (PipelineQueries.q83CcnetBuckets _),
-    "q84_quality_classifier" -> (PipelineQueries.q84QualityClassifier _)
+    "q84_quality_classifier" -> (PipelineQueries.q84QualityClassifier _),
+    "q85_domain_stats" -> (PipelineQueries.q85DomainStats _),
+    "q86_cms_heavy_hitters" -> (PipelineQueries.q86CmsHeavyHitters _),
+    "q86_check_cms" -> (PipelineQueries.q86CheckCms _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -54,6 +54,46 @@ object Curation {
       broadcastableIds: Long = 5000000L,
       driverPairs: Long = 1000000L)
 
+  /** Domain-level curation statistics — the RefinedWeb / C4 host-level
+    * gate (Penedo et al. 2023 §3.1: per-host aggregates decide whole
+    * domains before any per-document work): for each source, document
+    * count, exact within-source duplicate rate (1 − distinct/total over
+    * content hashes), mean length, token volume, the dominant language
+    * (deterministic mode — count desc, lang asc tiebreak), and a keep
+    * verdict for the thresholds (dup_rate ≤ maxDupRate, n_docs ≥
+    * minDocs).
+    *
+    * Scale shape: ONE corpus pass feeding two map-side-combinable
+    * aggregations — the signal agg keys on source (distinct content
+    * hashes partial-aggregate per task before the shuffle), the
+    * language mode on (source, lang), whose rank window runs over the
+    * source×lang aggregate table (tiny). The final join is
+    * source-cardinality-sized on both sides — broadcast by Spark's own
+    * stats. Nothing in the plan grows with documents except the two
+    * partial-aggregated exchanges. */
+  def domainStats(docs: DataFrame, maxDupRate: Double = 0.5,
+                  minDocs: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val perSrc = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      TextAnalysis.dec4(lit(1.0) -
+        countDistinct(md5(col("text"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("dup_rate"),
+      round(avg(col("n_chars")), 2).as("mean_chars"),
+      sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    perSrc.join(topLang, "source")
+      .withColumn("keep",
+        col("dup_rate") <= maxDupRate && col("n_docs") >= minDocs)
+      .orderBy("source")
+  }
+
   /** The per-increment gate prefix of [[curate]] for micro-batch /
     * incremental use: optional markup cleaning, then quality gate →
     * repetition gate → exact within-increment dedup. No manifest

@@ -799,6 +799,32 @@ object PipelineQueries {
       docs.filter(col("source") === "src1"))
   }
 
+  /** q85: domain-level curation stats (`Curation.domainStats`) — the
+    * RefinedWeb/C4 host-level gate: per-source doc counts, exact dup
+    * rate, mean length, token volume, deterministic dominant language,
+    * threshold keep verdict. Hard oracle: every aggregate mirrors 1:1
+    * (md5 content hashes, integer counts, rank-window mode). */
+  def q85DomainStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.domainStats(t(spark, dir, "documents"))
+
+  /** The q86 probe set: every language's function words (the corpus's
+    * heavy hitters by construction) plus two tokens guaranteed rare or
+    * absent, so the contract exercises both ends of the frequency
+    * range. */
+  private val CmsProbes: Seq[String] =
+    TA.StopWords.flatMap(_._2) ++ Seq("zzz_absent_token", "xylophone")
+
+  /** q86: count-min-sketch heavy-hitter estimation
+    * (`Sketches.cmsTokenCounts`) — estimates are sketch state
+    * (seed-deterministic but engine-specific), so the row is rows-only
+    * for the driver; q86_check_cms carries the hard one-sided and
+    * eps·N bound contract against exact counts. */
+  def q86CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsTokenCounts(t(spark, dir, "documents"), CmsProbes)
+
+  def q86CheckCms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsCheck(spark, t(spark, dir, "documents"), CmsProbes)
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1554,6 +1580,25 @@ object PipelineQueries {
           |       FROM ct LEFT JOIN m USING (tok) CROSS JOIN tot
           |       GROUP BY ct.doc_id)
           |SELECT doc_id, n_toks, llr, llr > 0 AS keep
-          |FROM sc ORDER BY doc_id""".stripMargin)
+          |FROM sc ORDER BY doc_id""".stripMargin,
+      "q85_domain_stats" ->
+        """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+          |    COUNT(DISTINCT md5(text)) AS n_distinct,
+          |    CAST(ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*)::DOUBLE, 4)
+          |         AS DECIMAL(14,4)) AS dup_rate,
+          |    ROUND(AVG(n_chars), 2) AS mean_chars,
+          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |l AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+          |r AS (SELECT source, lang AS top_lang,
+          |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+          |      FROM l)
+          |SELECT s.source, s.n_docs, s.n_distinct, s.dup_rate, s.mean_chars,
+          |  s.n_tokens, r.top_lang,
+          |  (s.dup_rate <= 0.5 AND s.n_docs >= 10) AS keep
+          |FROM s JOIN r ON s.source = r.source AND r.rk = 1
+          |ORDER BY s.source""".stripMargin,
+      "q86_check_cms" ->
+        "SELECT true AS no_underestimate, true AS within_eps_bound")
   }
 }
