@@ -115,7 +115,8 @@ object SparkEntry {
     "q84_quality_classifier" -> (PipelineQueries.q84QualityClassifier _),
     "q85_domain_stats" -> (PipelineQueries.q85DomainStats _),
     "q86_cms_heavy_hitters" -> (PipelineQueries.q86CmsHeavyHitters _),
-    "q86_check_cms" -> (PipelineQueries.q86CheckCms _)
+    "q86_check_cms" -> (PipelineQueries.q86CheckCms _),
+    "q87_bm25" -> (PipelineQueries.q87Bm25 _)
   )
 
   def oracleSql: Map[String, String] = Map(

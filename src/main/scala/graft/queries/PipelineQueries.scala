@@ -825,6 +825,14 @@ object PipelineQueries {
   def q86CheckCms(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.cmsCheck(spark, t(spark, dir, "documents"), CmsProbes)
 
+  /** q87: BM25 ranked retrieval (`TextSearch.bm25TopK`) — top-20 docs
+    * for a fixed keyword query under the Lucene-form BM25. Hard
+    * oracle: tf/df/idf and the saturation formula mirror 1:1; ranking
+    * compares on the 4-decimal score in both engines. */
+  def q87Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25TopK(
+      t(spark, dir, "documents"), "spark vector query merge", k = 20)
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1599,6 +1607,27 @@ object PipelineQueries {
           |FROM s JOIN r ON s.source = r.source AND r.rk = 1
           |ORDER BY s.source""".stripMargin,
       "q86_check_cms" ->
-        "SELECT true AS no_underestimate, true AS within_eps_bound")
+        "SELECT true AS no_underestimate, true AS within_eps_bound",
+      "q87_bm25" ->
+        """WITH q AS (SELECT unnest(['spark','vector','query','merge']) AS tok),
+          |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
+          |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+          |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT COUNT(*)::DOUBLE AS n,
+          |         AVG(len(string_split(lower(text),' '))) AS avgdl
+          |       FROM documents),
+          |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+          |          st.avgdl AS avgdl
+          |        FROM df, st),
+          |sc AS (SELECT tf.doc_id,
+          |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+          |           AS DECIMAL(14,4)) AS score,
+          |         COUNT(*) AS n_terms
+          |       FROM tf JOIN idf USING (tok) GROUP BY 1)
+          |SELECT doc_id, score, n_terms FROM sc
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
   }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BM25 (q87): hand-computed Lucene-form scores, length normalization,
+  * and the top-k contract. */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N=3, avgdl=2; df(spark)=2, idf=ln(1+1.5/2.5)=ln(1.6)
+  private val docs = Seq(
+    (1L, "spark fast spark"), (2L, "slow table"), (3L, "spark")
+  ).toDF("doc_id", "text")
+
+  private def r4(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("scores match the closed form; length normalization outranks raw tf") {
+    val out = TextSearch.bm25TopK(docs, "spark", k = 10).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue()))
+    val idf = math.log(1.6)
+    val s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 2))
+    val s3 = idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 2))
+    // the short exact-match doc beats the longer double-mention doc
+    assert(out.map(_._1).toSeq === Seq(3L, 1L), s"ranking: ${out.toSeq}")
+    assert(out.toMap === Map(3L -> r4(s3), 1L -> r4(s1)), s"scores: ${out.toSeq}")
+  }
+
+  test("non-matching docs are absent and k bounds the result") {
+    val out = TextSearch.bm25TopK(docs, "spark table", k = 1).collect()
+    assert(out.length === 1, s"k=1 must cap: ${out.toSeq}")
+    val all = TextSearch.bm25TopK(docs, "spark table", k = 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 3L), s"every matching doc scored once: $all")
+  }
+
+  test("multi-term scores sum per matched term and rank deterministically") {
+    val out = TextSearch.bm25TopK(docs, "spark slow", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // doc2 matches 'slow' only; docs 1 and 3 match 'spark' only
+    assert(out.toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"n_terms: ${out.toSeq}")
+    val a = TextSearch.bm25TopK(docs, "spark slow", k = 10).collect().toSeq
+    val b = TextSearch.bm25TopK(docs.repartition(7), "spark slow", k = 10).collect().toSeq
+    assert(a === b)
+  }
+}
