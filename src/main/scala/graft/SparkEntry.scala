@@ -116,7 +116,8 @@ object SparkEntry {
     "q85_domain_stats" -> (PipelineQueries.q85DomainStats _),
     "q86_cms_heavy_hitters" -> (PipelineQueries.q86CmsHeavyHitters _),
     "q86_check_cms" -> (PipelineQueries.q86CheckCms _),
-    "q87_bm25" -> (PipelineQueries.q87Bm25 _)
+    "q87_bm25" -> (PipelineQueries.q87Bm25 _),
+    "q88_corpus_diagnostics" -> (PipelineQueries.q88CorpusDiagnostics _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -371,6 +371,12 @@ object TextAnalysis {
     // broadcast subtree; the window is one small exchange on `prev`
     val st = bc.withColumn("c1",
       sum(col("c2")).over(org.apache.spark.sql.expressions.Window.partitionBy("prev")))
+    // V from its own unigram pass: deriving it from the bigram table
+    // (distinct prev ∪ per-doc last tokens) reads as a saving but is
+    // NOT one — column pruning rewrites the union arm's aggregate so
+    // ReusedExchange cannot fire, and the plan pays a SECOND full
+    // bigram explode+agg (measured +0.4 s at sf0.1 vs this form's
+    // lighter unigram distinct; plan showed 3 Generates either way).
     val v = docs.select(explode(words(lower(col("text")))).as("tok"))
       .agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
     // instances shuffle exactly once (the probe side of this join; the
@@ -433,6 +439,44 @@ object TextAnalysis {
         coalesce(sum(when(col("kept"), col("n_bigrams"))), lit(0L)).as("bigrams_kept"),
         dec4(avg(col("nll"))).as("mean_nll"))
       .orderBy("bucket")
+  }
+
+  /** Corpus composition diagnostics per language — the pre-training
+    * sanity sheet (Zipf 1949; Heaps 1978): token volume, vocabulary
+    * size, type-token ratio, and the Zipf slope fit by closed-form
+    * least squares of ln(freq) on ln(rank) over the top `fitRanks`
+    * ranks (natural text sits near −1; boilerplate-heavy or synthetic
+    * corpora drift off it — a cheap corpus-health alarm before any
+    * training run).
+    *
+    * Scale shape: ONE map-side-combinable (lang, token) count; the
+    * rank window runs over the AGGREGATED vocab table (the q50
+    * posture — the wide shuffle carries counts, never instances), and
+    * the OLS consumes exactly `fitRanks` rows per language, so the
+    * fit itself is metadata-scale. Rank ties break (count desc, token
+    * asc), keeping the fit deterministic across engines. */
+  def corpusDiagnostics(docs: DataFrame, fitRanks: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    val counts = docs
+      .select(col("lang"), explode(words(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val base = counts.groupBy("lang").agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      dec4(count(lit(1)).cast(DoubleType) / sum(col("cnt")).cast(DoubleType))
+        .as("type_token_ratio"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= fitRanks)
+      .select(col("lang"), log(col("rk").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    val slope = ranked.groupBy("lang").agg(
+      dec4((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))))
+        .as("zipf_slope"))
+    base.join(slope, "lang").orderBy("lang")
   }
 
   /** Markup cleaning for crawl-shaped corpora: drop <script>/<style>

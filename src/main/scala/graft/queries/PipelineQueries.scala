@@ -833,6 +833,14 @@ object PipelineQueries {
     graft.operators.TextSearch.bm25TopK(
       t(spark, dir, "documents"), "spark vector query merge", k = 20)
 
+  /** q88: corpus composition diagnostics (`TA.corpusDiagnostics`) —
+    * per-language token volume, vocabulary, type-token ratio, and the
+    * closed-form Zipf slope over the top-100 ranks. Hard oracle:
+    * integer counts, the rank window, and the OLS sums mirror 1:1 at
+    * 4 decimals. */
+  def q88CorpusDiagnostics(spark: SparkSession, dir: String): DataFrame =
+    TA.corpusDiagnostics(t(spark, dir, "documents"))
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1628,6 +1636,28 @@ object PipelineQueries {
           |         COUNT(*) AS n_terms
           |       FROM tf JOIN idf USING (tok) GROUP BY 1)
           |SELECT doc_id, score, n_terms FROM sc
-          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      "q88_corpus_diagnostics" ->
+        """WITH tk AS (SELECT lang, unnest(string_split(lower(text),' ')) AS tok
+          |            FROM documents),
+          |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tk
+          |      WHERE tok <> '' GROUP BY 1, 2),
+          |base AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+          |           COUNT(*) AS vocab,
+          |           CAST(ROUND(COUNT(*)::DOUBLE / SUM(cnt)::DOUBLE, 4)
+          |                AS DECIMAL(14,4)) AS type_token_ratio
+          |         FROM c GROUP BY lang),
+          |r AS (SELECT lang, cnt,
+          |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+          |      FROM c),
+          |f AS (SELECT lang, ln(rk::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+          |      FROM r WHERE rk <= 100),
+          |s AS (SELECT lang,
+          |        CAST(ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y)) /
+          |          (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 4)
+          |          AS DECIMAL(14,4)) AS zipf_slope
+          |      FROM f GROUP BY lang)
+          |SELECT base.lang, n_tokens, vocab, type_token_ratio, zipf_slope
+          |FROM base JOIN s USING (lang) ORDER BY lang""".stripMargin)
   }
 }
