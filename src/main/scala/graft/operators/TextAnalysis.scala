@@ -413,19 +413,37 @@ object TextAnalysis {
     * and land in one bucket together, which keeps the cut deterministic
     * across engines without a doc-id tiebreak sort. */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val nll = bigramNll(docs)
-    val h = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
-    val cumW = org.apache.spark.sql.expressions.Window.orderBy("nll")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cum = h.select(col("nll"),
-      coalesce(sum(col("cnt")).over(cumW), lit(0L)).as("cum_start"))
-    val tot = h.agg(sum(col("cnt")).as("n_total"))
-    val bucketed = nll.join(broadcast(cum), Seq("nll"))
-      .crossJoin(broadcast(tot))
-      .withColumn("bucket",
-        when(col("cum_start") * 3 < col("n_total"), lit("head"))
-          .when(col("cum_start") * 3 < col("n_total") * 2, lit("middle"))
-          .otherwise(lit("tail")))
+    // pinch-point: the scored table fans out to the histogram, the
+    // total, and the bucket join-back — without the pin each consumer
+    // replays the whole bigram-LM pipeline (the q32/q33 shingle
+    // lesson). The pin is doc-count-sized (one row per scored doc),
+    // released by the bench's Storage drain.
+    val nll = Storage.track(bigramNll(docs).localCheckpoint(true))
+    // the distinct-value histogram is BOUNDED by construction (see
+    // scaladoc), so the tercile cut is driver-side metadata — the same
+    // contract as the IVF centroid collection. Two cut VALUES replace a
+    // window + two broadcasts + a double-keyed join-back: bucket
+    // assignment becomes a pure projection over the pinned table.
+    val hist = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
+      .orderBy("nll").collect()
+    val nTotal = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    val assigned = hist.map { r =>
+      val start = cum; cum += r.getLong(1)
+      val b = if (start * 3 < nTotal) "head"
+      else if (start * 3 < nTotal * 2) "middle" else "tail"
+      (r.getDouble(0), b)
+    }
+    // highest nll value in each tercile; an empty middle collapses its
+    // cut onto head's so the when-chain still routes correctly
+    val headCut = assigned.filter(_._2 == "head").map(_._1)
+      .reduceOption(math.max(_: Double, _: Double)).getOrElse(Double.NegativeInfinity)
+    val midCut = assigned.filter(_._2 == "middle").map(_._1)
+      .reduceOption(math.max(_: Double, _: Double)).getOrElse(headCut)
+    val bucketed = nll.withColumn("bucket",
+      when(col("nll") <= headCut, lit("head"))
+        .when(col("nll") <= midCut, lit("middle"))
+        .otherwise(lit("tail")))
     // the q55 md5-prefix draw: 'g' sorts above every hex digit (keep all)
     val thresh = when(col("bucket") === "head", lit("g"))
       .when(col("bucket") === "middle", lit("8000"))

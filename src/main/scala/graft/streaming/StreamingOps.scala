@@ -35,6 +35,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w"), col(keyCol), col("cnt"))
 
+  /** Tumbling-window approximate distincts — HLL++ per (window, key),
+    * the streaming twin of q12: unique users/ids per window at a FIXED
+    * state size per group (the sketch registers), where an exact
+    * distinct would hold every id seen in the window. Append-mode safe
+    * under the watermark; rsd matches the batch q12 setting so the
+    * streaming and batch answers agree on the same slice. */
+  def tumblingDistinctAgg(events: DataFrame, tsCol: String, keyCol: String,
+                          distinctCol: String, window_ : String = "1 hour",
+                          watermark: String = "2 hours",
+                          rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as("approx_uniques"),
+        count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col(keyCol),
+        col("approx_uniques"), col("cnt"))
+
   /** Session windows (gap-based) — Catalyst's native session_window. */
   def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
                  gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =

@@ -43,6 +43,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(clickW0.get.getAs[Double]("sv") === 3.0)
   }
 
+  test("tumbling approx-distinct matches the exact uniques on a small window (HLL twin of q12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.tumblingDistinctAgg(events, "ts", "event_type", "value",
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling_hll")
+      .outputMode(OutputMode.Append).start()
+    // window 10:00: click values {1,2,1} -> 2 uniques; view {7} -> 1
+    in.addData((ts(1), "click", 1.0), (ts(3), "click", 2.0), (ts(5), "click", 1.0),
+      (ts(8), "view", 7.0))
+    q.processAllAvailable()
+    in.addData((ts(59), "click", 9.0)) // advance watermark, close the window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling_hll").collect()
+      .filter(_.getAs[Timestamp]("w") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_uniques"), r.getAs[Long]("cnt"))).toMap
+    // HLL at rsd=0.05 is exact at these cardinalities
+    assert(rows === Map("click" -> ((2L, 3L)), "view" -> ((1L, 1L))),
+      s"rows: $rows")
+  }
+
   test("streaming dedupe drops exact duplicate events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
