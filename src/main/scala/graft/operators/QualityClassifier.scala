@@ -25,53 +25,69 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * hashed feature space caps it like [[Dsir]] at open-vocabulary
   * scale), shuffle-hash beyond that, where a hot token only skews the
   * probe side and AQE's skew split is the backstop. The candidate
-  * corpus shuffles exactly once: the per-doc aggregation. The class
-  * totals and the log prior ride a one-row broadcast.
+  * corpus shuffles exactly once: the per-doc aggregation. Train/score
+  * are SEPARATE so a long-lived consumer (the streaming curation gate)
+  * trains once and scores every micro-batch against the pinned model.
   */
 object QualityClassifier {
+
+  /** A trained model: the pinned per-token weight table plus the two
+    * scalars every score needs. The caller owns the pin's lifetime —
+    * batch queries register it with [[Storage]] (released by the bench
+    * drain); a streaming query holds it untracked for the stream's
+    * life. */
+  final case class NbModel(weights: DataFrame, prior: Double, w0: Double)
 
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
 
-  /** Train on `pos`/`neg`, score `candidates`. Output per candidate doc:
-    * (doc_id, n_toks, llr, keep) — llr at 4 decimals, keep = llr > 0,
-    * ordered by doc_id. */
-  def trainScore(candidates: DataFrame, pos: DataFrame, neg: DataFrame,
-                 broadcastVocabLimit: Long = 2000000L): DataFrame = {
+  /** Fit on `pos`/`neg`. One seed-side job: the count table pins
+    * (seed-vocab-sized) and the class totals collect to scalars. */
+  def train(pos: DataFrame, neg: DataFrame, track: Boolean = true): NbModel = {
     val cp = toks(pos).groupBy("tok").agg(count(lit(1)).as("cp"))
     val cn = toks(neg).groupBy("tok").agg(count(lit(1)).as("cn"))
-    val counts = cp.join(cn, Seq("tok"), "full_outer")
+    val counts0 = cp.join(cn, Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
         coalesce(col("cn"), lit(0L)).as("cn"))
-    // one-row class stats: token totals, shared vocab size, doc-count
-    // log prior. The doc counts are seed-sized aggregates, not corpus
-    // passes.
+      .localCheckpoint(true)
+    val counts = if (track) Storage.track(counts0) else counts0
     val tot = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
         count(lit(1)).as("v"))
       .crossJoin(pos.agg(count(lit(1)).cast(DoubleType).as("dp")))
       .crossJoin(neg.agg(count(lit(1)).cast(DoubleType).as("dn")))
-      .select(col("np"), col("nn"), col("v"),
-        log(col("dp") / col("dn")).as("prior"),
-        // weight a token the model never saw: both counts 0 under the
-        // same smoothing — ln(1/(np+v)) − ln(1/(nn+v))
-        (log(lit(1.0) / (col("np") + col("v")).cast(DoubleType)) -
-          log(lit(1.0) / (col("nn") + col("v")).cast(DoubleType))).as("w0"))
-    val model = counts.crossJoin(broadcast(tot.select("np", "nn", "v")))
-      .select(col("tok"),
-        (log((col("cp") + 1L).cast(DoubleType) / (col("np") + col("v")).cast(DoubleType)) -
-          log((col("cn") + 1L).cast(DoubleType) / (col("nn") + col("v")).cast(DoubleType)))
-          .as("w"))
+      .head()
+    val (np, nn, v) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble,
+      tot.getLong(2).toDouble)
+    val prior = math.log(tot.getDouble(3) / tot.getDouble(4))
+    // weight a token the model never saw: both counts 0 under the same
+    // smoothing — ln(1/(np+v)) − ln(1/(nn+v))
+    val w0 = math.log(1.0 / (np + v)) - math.log(1.0 / (nn + v))
+    val weights = counts.select(col("tok"),
+      (log((col("cp") + 1L).cast(DoubleType) / lit(np + v)) -
+        log((col("cn") + 1L).cast(DoubleType) / lit(nn + v))).as("w"))
+    NbModel(weights, prior, w0)
+  }
+
+  /** Score candidates against a trained model. Output per doc:
+    * (doc_id, n_toks, llr, keep) — llr at 4 decimals, keep = llr > 0,
+    * ordered by doc_id. */
+  def score(candidates: DataFrame, m: NbModel,
+            broadcastVocabLimit: Long = 2000000L): DataFrame = {
     val dispatched =
-      if (SizeDispatch.atMost(counts, broadcastVocabLimit)) broadcast(model)
-      else model.hint("shuffle_hash")
+      if (SizeDispatch.atMost(m.weights, broadcastVocabLimit)) broadcast(m.weights)
+      else m.weights.hint("shuffle_hash")
     toks(candidates)
       .join(dispatched, Seq("tok"), "left")
-      .crossJoin(broadcast(tot.select("prior", "w0")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        (max(col("prior")) + sum(coalesce(col("w"), col("w0"))))
+        (lit(m.prior) + sum(coalesce(col("w"), lit(m.w0))))
           .cast(DecimalType(14, 4)).as("llr"))
       .withColumn("keep", col("llr") > 0)
       .orderBy("doc_id")
   }
+
+  /** Train on `pos`/`neg`, score `candidates` — the one-shot q84 form. */
+  def trainScore(candidates: DataFrame, pos: DataFrame, neg: DataFrame,
+                 broadcastVocabLimit: Long = 2000000L): DataFrame =
+    score(candidates, train(pos, neg), broadcastVocabLimit)
 }

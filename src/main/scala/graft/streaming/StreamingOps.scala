@@ -459,6 +459,14 @@ object StreamingOps {
     * cross-corpus near-dup probe against the store-as-of and land in
     * the batch's own partition.
     *
+    * With `classifierSeeds` set, the q84 naive-Bayes quality
+    * classifier joins the gate chain: trained once at stream start
+    * from the (positive, negative) seed slices, its pinned
+    * seed-vocab model scores every micro-batch and only keep=true
+    * docs continue — the learned-filter complement of the heuristic
+    * battery, with the same determinism (fixed model + fixed batch →
+    * fixed survivor set, so replay idempotence is unchanged).
+    *
     * Decontamination uses the q65 Bloom tier: the benchmark's
     * fixed-size filter is built ONCE at stream start (a benchmark-side
     * job, never re-run per batch) and each micro-batch streams through
@@ -476,17 +484,32 @@ object StreamingOps {
                            cleanMarkupFirst: Boolean = false,
                            threshold: Double = 0.5, n: Int = 3,
                            benchmark: Option[DataFrame] = None,
-                           bloomFpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery = {
+                           bloomFpp: Double = 0.01,
+                           classifierSeeds: Option[(DataFrame, DataFrame)] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
       graft.operators.Dedup.benchmarkBloom(b, cfg.shingle, bloomFpp))
+    // likewise the q84 classifier: trained ONCE from (positive,
+    // negative) seed slices at stream start, the pinned seed-vocab
+    // model (untracked — it must outlive every micro-batch) scores
+    // each batch as an extra gate after the heuristic battery
+    val model = classifierSeeds.map { case (p, n) =>
+      graft.operators.QualityClassifier.train(p, n, track = false)
+    }
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{broadcast, col}
-        val gated = graft.operators.Curation.gateBatch(batch, cfg, cleanMarkupFirst)
+        val heuristic = graft.operators.Curation.gateBatch(batch, cfg, cleanMarkupFirst)
+        val gated = model.fold(heuristic) { m =>
+          // the keep set is bounded by the micro-batch: broadcast semi
+          val keep = graft.operators.QualityClassifier.score(heuristic, m)
+            .filter(col("keep")).select("doc_id")
+          heuristic.join(broadcast(keep), Seq("doc_id"), "left_semi")
+        }
         val decontaminated = bloom.fold(gated) { f =>
           val flagged = graft.operators.Dedup
             .bloomContaminationScores(gated, f, cfg.shingle, cfg.minShared)

@@ -50,6 +50,13 @@ class QualityClassifierSpec extends SparkSpec {
       s"unseen doc must score ln(3/2) + 5*ln(36/44): got ${got(3L)}, want $expected")
   }
 
+  test("the seed-vocab model broadcasts into the candidate token stream") {
+    val plan = QualityClassifier.trainScore(cand, pos, neg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dispatched model join must broadcast under the vocab bound:\n$plan")
+  }
+
   test("scores are deterministic across runs and row order") {
     val a = QualityClassifier.trainScore(cand, pos, neg).collect().toSeq
     val b = QualityClassifier.trainScore(cand.orderBy(org.apache.spark.sql.functions.rand(7)),

@@ -34,6 +34,15 @@ class TextSearchSpec extends SparkSpec {
     assert(all === Set(1L, 2L, 3L), s"every matching doc scored once: $all")
   }
 
+  test("the plan broadcasts the idf table and heaps the top-k (no global sort)") {
+    val plan = TextSearch.bm25TopK(docs, "spark slow", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"|Q|-sized idf must broadcast into the score join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as per-partition heaps, not a global sort:\n$plan")
+  }
+
   test("multi-term scores sum per matched term and rank deterministically") {
     val out = TextSearch.bm25TopK(docs, "spark slow", k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(2)))

@@ -103,6 +103,67 @@ class CuratedIngestSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("curatedIngestToStore: the trained classifier gate rejects spam-shaped docs per batch") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur4-in")
+    val store = java.nio.file.Files.createTempDirectory("cur4-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur4-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    // both docs per batch pass the heuristic battery; only the
+    // spam-vocabulary one should fall to the learned gate
+    writeInput(inDir, "0.json", t0, Seq(
+      (60L, "a careful study presents consistent evidence about the quiet river bank and its seasonal flow"),
+      (61L, "click here to buy now a cheap prize deal and win a free bonus offer today only")))
+    writeInput(inDir, "1.json", t0 + 30000, Seq(
+      (70L, "the old sailor tells a long story about distant winter storms near rocky shores"),
+      (71L, "win win a free prize now and click to buy the cheap deal before the offer ends")))
+    val pos = Seq(
+      (200L, "the study presents careful analysis of the evidence about the river"),
+      (201L, "the results indicate a consistent story and careful methodology")).toDF("doc_id", "text")
+    val neg = Seq(
+      (300L, "click here buy now cheap cheap deal prize offer bonus"),
+      (301L, "win win free prize click now buy today only")).toDF("doc_id", "text")
+
+    // control: without the classifier every doc passes the heuristic
+    // battery — proving the learned gate (not the battery) is what
+    // rejects the spam below
+    val ctrlStore = java.nio.file.Files.createTempDirectory("cur4-ctrl").toString
+    val ctrlCkpt = java.nio.file.Files.createTempDirectory("cur4-ctrl-ck").toString
+    locally {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, ctrlStore, ctrlCkpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    assert(StreamingOps.readCorpusStore(spark, ctrlStore).get
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(60L, 61L, 70L, 71L),
+      "the heuristic battery alone must admit all four docs")
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        classifierSeeds = Some((pos, neg)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((60L, 0L), (70L, 1L))
+    assert(storeRows() === expected,
+      "spam-vocabulary docs must fall to the learned gate in BOTH batches")
+
+    // crash-replay: the model is fixed at stream start, so the replayed
+    // batch re-derives the identical survivor set
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expected)
+  }
+
   test("curatedIngestToStore: cleanMarkupFirst strips crawl HTML before the gates") {
     val inDir = java.nio.file.Files.createTempDirectory("cur2-in")
     val store = java.nio.file.Files.createTempDirectory("cur2-store").toString
