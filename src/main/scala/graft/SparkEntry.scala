@@ -117,7 +117,8 @@ object SparkEntry {
     "q86_cms_heavy_hitters" -> (PipelineQueries.q86CmsHeavyHitters _),
     "q86_check_cms" -> (PipelineQueries.q86CheckCms _),
     "q87_bm25" -> (PipelineQueries.q87Bm25 _),
-    "q88_corpus_diagnostics" -> (PipelineQueries.q88CorpusDiagnostics _)
+    "q88_corpus_diagnostics" -> (PipelineQueries.q88CorpusDiagnostics _),
+    "q89_margin_pairs" -> (PipelineQueries.q89MarginPairs _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -590,4 +590,37 @@ object Similarity {
              |    cast(0.0 as double), (acc, v) -> acc + v) / sqrt(cast($outDim as double)), 4))""".stripMargin))
     }
   }
+
+  /** Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019; the
+    * CCMatrix / LASER bitext miner): candidate (left, right) pairs are
+    * each left vector's forward nearest neighbor on the right side,
+    * scored by the RATIO margin — cos(x,y) divided by the mean of both
+    * sides' average top-k similarities — which suppresses hubness
+    * (vectors near everything) that raw cosine thresholds cannot. A
+    * pair survives at margin ≥ threshold.
+    *
+    * Scale shape: two [[knnJoinAuto]] passes (forward and backward),
+    * each already size-dispatched between the broadcast and
+    * shuffle-replicate grid tiers; everything after is arithmetic over
+    * the (id, rank≤k) kNN OUTPUT tables — per-side average-top-k aggs
+    * and two aggregated-table joins, never a third pass over vectors.
+    * Cosines round to 4 decimals BEFORE ranking (the kNN contract), so
+    * ranks, averages, and margins mirror engine-independently. */
+  def marginPairs(left: DataFrame, right: DataFrame, k: Int = 4,
+                  threshold: Double = 1.05): DataFrame = {
+    val fwd = Storage.track(knnJoinAuto(right, left, k).localCheckpoint(true))
+    val bwd = knnJoinAuto(left, right, k)
+    val avgL = fwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_l"))
+    val avgR = bwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
+      .withColumnRenamed("qid", "vec_id")
+    fwd.filter(col("rank") === 1)
+      .join(avgL, "qid")
+      .join(avgR, "vec_id")
+      .select(col("qid").as("left_id"), col("vec_id").as("right_id"),
+        col("cos_sim"),
+        TextAnalysis.dec4(col("cos_sim") / ((col("avg_l") + col("avg_r")) / 2))
+          .as("margin"))
+      .filter(col("margin") >= threshold)
+      .orderBy("left_id")
+  }
 }

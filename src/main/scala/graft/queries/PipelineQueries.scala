@@ -841,6 +841,18 @@ object PipelineQueries {
   def q88CorpusDiagnostics(spark: SparkSession, dir: String): DataFrame =
     TA.corpusDiagnostics(t(spark, dir, "documents"))
 
+  /** q89: margin-criterion parallel-pair mining
+    * (`Similarity.marginPairs`) over the even/odd embedding split —
+    * forward nearest neighbors scored by the Artetxe-Schwenk ratio
+    * margin. Hard oracle: the kNN rounding/tie conventions are q51's;
+    * the margin arithmetic mirrors on the rounded cosines. */
+  def q89MarginPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.marginPairs(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05)
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1658,6 +1670,30 @@ object PipelineQueries {
           |          AS DECIMAL(14,4)) AS zipf_slope
           |      FROM f GROUP BY lang)
           |SELECT base.lang, n_tokens, vocab, type_token_ratio, zipf_slope
-          |FROM base JOIN s USING (lang) ORDER BY lang""".stripMargin)
+          |FROM base JOIN s USING (lang) ORDER BY lang""".stripMargin,
+      "q89_margin_pairs" ->
+        """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+          |r0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+          |fs AS (SELECT l.vec_id AS qid, r0.vec_id AS vid,
+          |  ROUND(list_sum(list_transform(list_zip(r0.embedding, l.embedding),
+          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          |    / (SQRT(list_sum(list_transform(r0.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |     * SQRT(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+          |  FROM l, r0) ,
+          |fr AS (SELECT qid, vid, cos_sim,
+          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+          |       FROM fs),
+          |al AS (SELECT qid, AVG(cos_sim) AS avg_l FROM fr WHERE rn <= 4 GROUP BY qid),
+          |br AS (SELECT qid, vid, cos_sim,
+          |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos_sim DESC, qid) AS rn
+          |       FROM fs),
+          |ar AS (SELECT vid, AVG(cos_sim) AS avg_r FROM br WHERE rn <= 4 GROUP BY vid),
+          |t1 AS (SELECT qid, vid, cos_sim FROM fr WHERE rn = 1),
+          |m AS (SELECT t1.qid AS left_id, t1.vid AS right_id, t1.cos_sim,
+          |        CAST(ROUND(t1.cos_sim / ((al.avg_l + ar.avg_r) / 2), 4)
+          |             AS DECIMAL(14,4)) AS margin
+          |      FROM t1 JOIN al ON t1.qid = al.qid JOIN ar ON t1.vid = ar.vid)
+          |SELECT left_id, right_id, cos_sim, margin FROM m
+          |WHERE margin >= 1.05 ORDER BY left_id""".stripMargin)
   }
 }
