@@ -118,7 +118,9 @@ object SparkEntry {
     "q86_check_cms" -> (PipelineQueries.q86CheckCms _),
     "q87_bm25" -> (PipelineQueries.q87Bm25 _),
     "q88_corpus_diagnostics" -> (PipelineQueries.q88CorpusDiagnostics _),
-    "q89_margin_pairs" -> (PipelineQueries.q89MarginPairs _)
+    "q89_margin_pairs" -> (PipelineQueries.q89MarginPairs _),
+    "q90_prototypicality" -> (PipelineQueries.q90PrototypicalityPrune _),
+    "q90_check_prune" -> (PipelineQueries.q90CheckPrune _)
   )
 
   def oracleSql: Map[String, String] = Map(

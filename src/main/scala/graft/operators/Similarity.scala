@@ -591,6 +591,39 @@ object Similarity {
     }
   }
 
+  /** Prototypicality data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * PAPERS.md): cluster the embeddings (the [[assignTopics]] spherical
+    * k-means), rank each cluster's members by cosine to their centroid,
+    * and KEEP the hardest `keepFrac` — the low-cohesion examples far
+    * from the prototype, which the paper shows dominate learning once
+    * the dataset is abundant (easy prototypical examples are the ones
+    * to drop). `keepEasiest = true` flips to the scarce-data regime.
+    *
+    * Scale shape: assignment is the zero-shuffle centroid projection;
+    * ranking is ONE window partitioned by topic (each cluster ranks
+    * independently — no global order); the per-cluster quota is
+    * ceil(frac·n) from a count window over the same partition, so the
+    * whole pruning pass after assignment is one exchange on `topic`.
+    * Ties (equal cohesion) break on vec_id, deterministic across
+    * engines and partitionings. */
+  def prototypicalityPrune(emb: DataFrame, k: Int = 8, keepFrac: Double = 0.3,
+                           keepEasiest: Boolean = false, iters: Int = 5,
+                           sampleSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignTopics(emb, k, iters, sampleSize)
+    val order =
+      if (keepEasiest) Seq(col("cohesion").desc, col("vec_id").asc)
+      else Seq(col("cohesion").asc, col("vec_id").asc)
+    val w = Window.partitionBy("topic").orderBy(order: _*)
+    assigned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy("topic")).cast("long"))
+      .withColumn("keep", col("rk") <= ceil(col("n_cluster") * keepFrac))
+      .orderBy("vec_id")
+  }
+
   /** Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019; the
     * CCMatrix / LASER bitext miner): candidate (left, right) pairs are
     * each left vector's forward nearest neighbor on the right side,

@@ -853,6 +853,43 @@ object PipelineQueries {
       emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05)
   }
 
+  /** q90: prototypicality data pruning
+    * (`Similarity.prototypicalityPrune`) — per-cluster hardest-30% keep.
+    * Cluster assignment depends on Spark-computed centroids, so the
+    * row is rows-only; q90_check_prune carries the hard contract. */
+  def q90PrototypicalityPrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(t(spark, dir, "embeddings"), k = 8,
+      keepFrac = 0.3)
+
+  /** q90 contract: (a) quota_exact — every cluster keeps exactly
+    * ceil(0.3·n) members; (b) hardest_first — across every
+    * within-cluster (kept, dropped) pair, the kept member is strictly
+    * harder (lower cohesion; ties to lower vec_id) — an independent
+    * all-pairs re-derivation of the selection invariant, not a re-run
+    * of the rank window; (c) partition_consistent — keep ∪ drop
+    * covers each cluster exactly once. */
+  def q90CheckPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = Similarity.prototypicalityPrune(t(spark, dir, "embeddings"),
+      k = 8, keepFrac = 0.3).localCheckpoint(true)
+    val quota = out.groupBy("topic", "n_cluster")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .filter(col("n_kept") =!= ceil(col("n_cluster") * 0.3)).count() == 0L
+    val kept = out.filter(col("keep"))
+      .select(col("topic"), col("cohesion").as("ck"), col("vec_id").as("ik"))
+    val dropped = out.filter(!col("keep"))
+      .select(col("topic"), col("cohesion").as("cd"), col("vec_id").as("id"))
+    val violations = kept.join(dropped, "topic")
+      .filter(col("ck") > col("cd") ||
+        (col("ck") === col("cd") && col("ik") > col("id")))
+      .count() == 0L
+    val consistent = out.groupBy("topic").agg(count(lit(1)).as("n"),
+        first(col("n_cluster")).as("nc"))
+      .filter(col("n") =!= col("nc")).count() == 0L
+    import spark.implicits._
+    Seq((quota, violations, consistent))
+      .toDF("quota_exact", "hardest_first", "partition_consistent")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1694,6 +1731,9 @@ object PipelineQueries {
           |             AS DECIMAL(14,4)) AS margin
           |      FROM t1 JOIN al ON t1.qid = al.qid JOIN ar ON t1.vid = ar.vid)
           |SELECT left_id, right_id, cos_sim, margin FROM m
-          |WHERE margin >= 1.05 ORDER BY left_id""".stripMargin)
+          |WHERE margin >= 1.05 ORDER BY left_id""".stripMargin,
+      "q90_check_prune" ->
+        """SELECT true AS quota_exact, true AS hardest_first,
+          |       true AS partition_consistent""".stripMargin)
   }
 }
