@@ -605,8 +605,13 @@ object Similarity {
     * independently — no global order); the per-cluster quota is
     * ceil(frac·n) from a count window over the same partition, so the
     * whole pruning pass after assignment is one exchange on `topic`.
-    * Ties (equal cohesion) break on vec_id, deterministic across
-    * engines and partitionings. */
+    * Each cluster ranks in a single task's (disk-backed) sort — sized
+    * by corpus/k, the [[Dsir.resample]] caveat: when a single cluster
+    * outgrows what one task should sort (~10M rows, the Percentiles
+    * dispatch bound), raise k, or replace the exact rank with a
+    * cohesion CUTOFF from the q39 percentile tiers (quota then exact
+    * only up to ties at the cut). Ties (equal cohesion) break on
+    * vec_id, deterministic across engines and partitionings. */
   def prototypicalityPrune(emb: DataFrame, k: Int = 8, keepFrac: Double = 0.3,
                            keepEasiest: Boolean = false, iters: Int = 5,
                            sampleSize: Int = 4096): DataFrame = {

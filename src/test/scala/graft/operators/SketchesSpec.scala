@@ -31,6 +31,22 @@ class SketchesSpec extends SparkSpec {
       s"one-sided + eps bound must hold after partition merge: $row")
   }
 
+  test("property: one-sided + eps bound hold on random Zipf-ish streams") {
+    // deterministic pseudo-random corpora: skewed token draws (low ids
+    // hot) exercise the hot/rare mix where CMS collisions actually land
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val docs = (1 to 20).map { d =>
+        val toks = Seq.fill(30)(s"t${(math.sqrt(rnd.nextInt(400)).toInt)}")
+        (d.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val probes = (0 to 20).map(i => s"t$i") :+ "never_seen"
+      val r = Sketches.cmsCheck(spark, docs, probes).head()
+      assert(r.getBoolean(0), s"trial $trial: estimate under true count")
+      assert(r.getBoolean(1), s"trial $trial: estimate above true + eps*N")
+    }
+  }
+
   test("estimates are deterministic for a fixed seed regardless of partitioning") {
     val a = Sketches.cmsTokenCounts(docs, Seq("the", "cat")).collect().toSeq
     val b = Sketches.cmsTokenCounts(docs.repartition(16), Seq("the", "cat")).collect().toSeq
