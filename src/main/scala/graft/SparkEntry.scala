@@ -120,7 +120,9 @@ object SparkEntry {
     "q88_corpus_diagnostics" -> (PipelineQueries.q88CorpusDiagnostics _),
     "q89_margin_pairs" -> (PipelineQueries.q89MarginPairs _),
     "q90_prototypicality" -> (PipelineQueries.q90PrototypicalityPrune _),
-    "q90_check_prune" -> (PipelineQueries.q90CheckPrune _)
+    "q90_check_prune" -> (PipelineQueries.q90CheckPrune _),
+    "q91_chunks" -> (PipelineQueries.q91Chunks _),
+    "q92_stratified_exact_k" -> (PipelineQueries.q92StratifiedExactK _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -83,4 +83,41 @@ object Aggregators {
   def cosineTopK(k: Int): UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new CosineTopK(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+
+  /** Bounded min-k buffer over (string key, id) rows — [[CosineTopK]]'s
+    * ascending-string twin, backing the exact-k stratified sampler:
+    * keeps the k smallest under (key asc, id asc), so what shuffles per
+    * group is a fixed k-row buffer regardless of group size. */
+  case class MinKBuf(keys: Seq[String], ids: Seq[Long])
+
+  class MinKByKey(k: Int) extends Aggregator[(String, Long), MinKBuf, TopKHits] {
+    require(k > 0, s"k must be positive, got $k")
+    private def better(s1: String, i1: Long, s2: String, i2: Long): Boolean = {
+      val c = s1.compareTo(s2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+    def zero: MinKBuf = MinKBuf(Vector.empty, Vector.empty)
+    private def insert(b: MinKBuf, s: String, id: Long): MinKBuf = {
+      val n = b.ids.length
+      if (n == k && !better(s, id, b.keys(n - 1), b.ids(n - 1))) b
+      else {
+        var pos = 0
+        while (pos < n && better(b.keys(pos), b.ids(pos), s, id)) pos += 1
+        MinKBuf(((b.keys.take(pos) :+ s) ++ b.keys.drop(pos)).take(k),
+          ((b.ids.take(pos) :+ id) ++ b.ids.drop(pos)).take(k))
+      }
+    }
+    def reduce(b: MinKBuf, in: (String, Long)): MinKBuf = insert(b, in._1, in._2)
+    def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
+      b.keys.lazyZip(b.ids).foldLeft(a) { case (acc, (s, id)) => insert(acc, s, id) }
+    def finish(b: MinKBuf): TopKHits = TopKHits(b.ids, Vector.fill(b.ids.length)(0.0))
+    def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+    def outputEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+  }
+
+  /** Untyped handle: `minKByKey(k)(col("h"), col("doc_id"))` → the k ids
+    * with the smallest keys per group, rank-ordered. */
+  def minKByKey(k: Int): UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKByKey(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
 }

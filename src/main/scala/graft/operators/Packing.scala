@@ -90,6 +90,31 @@ object Packing {
     df.filter(substring(md5(key.cast("string")), 1, 4) < cutoff)
   }
 
+  /** Exact-k stratified sampling — the fixed-QUOTA twin of
+    * [[stratifiedHashSample]]'s fixed-RATE keep: per stratum, exactly
+    * min(k, |stratum|) rows, chosen as the k smallest md5(key) values
+    * (deterministic, engine-portable, and stable under corpus growth in
+    * the "minwise" sense: a kept row is only ever displaced by a new
+    * smaller-hash arrival, never reshuffled). The selection runs
+    * through a BOUNDED min-k aggregator
+    * ([[graft.functions.Aggregators.MinKByKey]]): partial top-k
+    * map-side, a fixed k-row buffer per stratum into the exchange — no
+    * per-stratum window, no single-task giant-group sort, group size
+    * never matters. The eval-set builder's primitive: "exactly 500
+    * docs per language, reproducible forever". */
+  def stratifiedExactK(df: DataFrame, key: Column, stratum: Column,
+                       k: Int): DataFrame = {
+    val agg = graft.functions.Aggregators.minKByKey(k)
+    df.select(stratum.as("stratum"),
+        md5(key.cast("string")).as("h"), key.cast("long").as("id"))
+      .groupBy("stratum")
+      .agg(agg(col("h"), col("id")).as("s"))
+      .select(col("stratum"), posexplode(col("s.ids")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("doc_id"))
+      .orderBy("stratum", "rank")
+  }
+
   /** Deterministic train/val/test split assignment: label each row by
     * where its 16-bit md5 prefix falls among CUMULATIVE weight cutoffs
     * (train < c1, val in [c1,c2), ... last split takes the rest) — the

@@ -459,6 +459,34 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Retrieval chunking — the RAG ingestion step that feeds BM25 (q87)
+    * and the ANN index (q36/q51): split each document into overlapping
+    * fixed-token windows, emitting (doc_id, chunk_id, chunk_text,
+    * n_tokens). Stride = chunkTokens − overlap; a document at or under
+    * the window size is one chunk; the final chunk keeps the tail even
+    * when shorter. A pure row-local sequence→slice→explode projection:
+    * ZERO shuffle, streams at scan speed, the chunk table lands
+    * partition-aligned with its source — exactly what an index build
+    * wants to consume. */
+  def chunkForRetrieval(docs: DataFrame, chunkTokens: Int = 64,
+                        overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+           |  sequence(0, int(greatest(0, ceil((size(ws) - $chunkTokens) / ${stride}.0)))),
+           |  i -> struct(bigint(i) AS chunk_id,
+           |    array_join(slice(ws, i * $stride + 1, $chunkTokens), ' ') AS chunk_text,
+           |    size(slice(ws, i * $stride + 1, $chunkTokens)) AS n_tokens)))""".stripMargin)
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_tokens").cast(LongType).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus composition diagnostics per language — the pre-training
     * sanity sheet (Zipf 1949; Heaps 1978): token volume, vocabulary
     * size, type-token ratio, and the Zipf slope fit by closed-form

@@ -890,6 +890,22 @@ object PipelineQueries {
       .toDF("quota_exact", "hardest_first", "partition_consistent")
   }
 
+  /** q91: retrieval chunking (`TA.chunkForRetrieval`) — overlapping
+    * 64-token windows at stride 48, the RAG ingestion step. Hard
+    * oracle: the slice arithmetic and joined chunk text mirror
+    * byte-exactly. */
+  def q91Chunks(spark: SparkSession, dir: String): DataFrame =
+    TA.chunkForRetrieval(t(spark, dir, "documents"), chunkTokens = 64,
+      overlap = 16)
+
+  /** q92: exact-k stratified sample (`Packing.stratifiedExactK`) —
+    * exactly 8 docs per language by smallest md5, through the bounded
+    * min-k aggregator (no window, no giant-group sort). Hard oracle:
+    * rank window over the same md5 order. */
+  def q92StratifiedExactK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.stratifiedExactK(
+      t(spark, dir, "documents"), col("doc_id"), col("lang"), k = 8)
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1734,6 +1750,25 @@ object PipelineQueries {
           |WHERE margin >= 1.05 ORDER BY left_id""".stripMargin,
       "q90_check_prune" ->
         """SELECT true AS quota_exact, true AS hardest_first,
-          |       true AS partition_consistent""".stripMargin)
+          |       true AS partition_consistent""".stripMargin,
+      "q91_chunks" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, ws,
+          |        unnest(range(0, 1 + greatest(0,
+          |          CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT)))) AS chunk_id
+          |      FROM d)
+          |SELECT doc_id, chunk_id,
+          |  array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+          |    AS chunk_text,
+          |  CAST(len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+          |    AS n_tokens
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      "q92_stratified_exact_k" ->
+        """WITH r AS (SELECT lang AS stratum, doc_id,
+          |        ROW_NUMBER() OVER (PARTITION BY lang
+          |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+          |      FROM documents)
+          |SELECT stratum, CAST(rank AS INT) AS rank, doc_id
+          |FROM r WHERE rank <= 8 ORDER BY stratum, rank""".stripMargin)
   }
 }
