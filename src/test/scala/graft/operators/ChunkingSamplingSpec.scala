@@ -57,6 +57,22 @@ class ChunkingSamplingSpec extends SparkSpec {
     assert(s3.intersect(old).size >= 4, s"$old -> $s3")
   }
 
+  test("plan shapes: chunking shuffles only for the presentation sort; the sampler has no window") {
+    val docs = (1L to 40L).map(i => (i, "w " * 20, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val chunkPlan = TextAnalysis.chunkForRetrieval(docs, 8, 2)
+      .queryExecution.executedPlan.toString
+    // the generate (explode) must run BELOW the only exchange — the
+    // chunk computation itself is shuffle-free
+    assert("Exchange".r.findAllIn(chunkPlan).size === 1, s"plan:\n$chunkPlan")
+    assert(chunkPlan.indexOf("Generate") > chunkPlan.indexOf("Exchange"),
+      s"explode must be below the presentation sort's exchange:\n$chunkPlan")
+    val samplePlan = Packing.stratifiedExactK(docs, col("doc_id"), col("lang"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Window"),
+      s"the bounded aggregator must replace any per-stratum rank window:\n$samplePlan")
+  }
+
   test("a stratum smaller than k yields its full membership") {
     val docs = Seq((1L, "en"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
     val s = Packing.stratifiedExactK(docs, col("doc_id"), col("lang"), k = 5)
