@@ -57,6 +57,27 @@ class ChunkingSamplingSpec extends SparkSpec {
     assert(s3.intersect(old).size >= 4, s"$old -> $s3")
   }
 
+  test("property: random texts — chunks cover every position, tile at the stride, honor bounds") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val nTok = 1 + rnd.nextInt(120)
+      val chunk = 2 + rnd.nextInt(20)
+      val overlap = rnd.nextInt(chunk)
+      val toks = (0 until nTok).map(i => s"p$i")
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val rows = TextAnalysis.chunkForRetrieval(docs, chunk, overlap)
+        .collect().map(r => (r.getLong(1), r.getString(2).split(" ").toSeq))
+      val stride = chunk - overlap
+      rows.foreach { case (cid, ws) =>
+        assert(ws === toks.slice(cid.toInt * stride, cid.toInt * stride + chunk),
+          s"trial $trial (n=$nTok c=$chunk o=$overlap): chunk $cid off-tile")
+      }
+      assert(rows.flatMap(_._2).toSet === toks.toSet,
+        s"trial $trial: positions uncovered")
+      assert(rows.head._2.size <= chunk && rows.forall(_._2.size <= chunk))
+    }
+  }
+
   test("plan shapes: chunking shuffles only for the presentation sort; the sampler has no window") {
     val docs = (1L to 40L).map(i => (i, "w " * 20, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "text", "lang")

@@ -34,6 +34,35 @@ class TextSearchSpec extends SparkSpec {
     assert(all === Set(1L, 2L, 3L), s"every matching doc scored once: $all")
   }
 
+  test("property: random corpora match a brute-force BM25 re-implementation") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"v$i")
+    (1 to 3).foreach { trial =>
+      val corpus = (1L to 15L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val q = Seq("v1", "v2", "v3")
+      // brute force with the engine's constants (k1=1.2, b=0.75)
+      val n = corpus.size.toDouble
+      val avgdl = corpus.map(_._2.split(" ").length).sum.toDouble / n
+      val dfm = q.map(t => t -> corpus.count(_._2.split(" ").contains(t))).toMap
+      val exp = corpus.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        val s = q.map { t =>
+          val tf = toks.count(_ == t)
+          if (tf == 0 || dfm(t) == 0) 0.0
+          else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+        }.sum
+        if (s > 0) Some(id -> r4(s)) else None
+      }.toMap
+      val got = TextSearch.bm25TopK(docs, q.mkString(" "), k = 50).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      assert(got === exp, s"trial $trial: $got vs $exp")
+    }
+  }
+
   test("the plan broadcasts the idf table and heaps the top-k (no global sort)") {
     val plan = TextSearch.bm25TopK(docs, "spark slow", k = 5)
       .queryExecution.executedPlan.toString
