@@ -122,7 +122,9 @@ object SparkEntry {
     "q90_prototypicality" -> (PipelineQueries.q90PrototypicalityPrune _),
     "q90_check_prune" -> (PipelineQueries.q90CheckPrune _),
     "q91_chunks" -> (PipelineQueries.q91Chunks _),
-    "q92_stratified_exact_k" -> (PipelineQueries.q92StratifiedExactK _)
+    "q92_stratified_exact_k" -> (PipelineQueries.q92StratifiedExactK _),
+    "q93_kcenter" -> (PipelineQueries.q93KCenter _),
+    "q93_check_kcenter" -> (PipelineQueries.q93CheckKCenter _)
   )
 
   def oracleSql: Map[String, String] = Map(

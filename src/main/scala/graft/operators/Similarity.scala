@@ -629,6 +629,92 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Distributed k-center diversity selection (farthest-first
+    * traversal; Sener & Savarese 2018's coreset rule, the
+    * diversity-driven complement of [[prototypicalityPrune]]'s
+    * hardness rule): per cluster, greedily pick `m` representatives,
+    * each the member FARTHEST (max min-cosine-distance) from those
+    * already picked — the classic 2-approximation to the k-center
+    * cover, whose emitted `min_dist` is the cluster's coverage radius
+    * at each step.
+    *
+    * Scale shape: the greedy is m ROUNDS, each ONE distributed
+    * aggregation over the pinned assigned corpus — the selected
+    * prefix (≤ k·m vectors, driver metadata by construction) enters
+    * each round as broadcast literals inside a codegen'd per-row
+    * min-distance expression, and the per-cluster argmax is a
+    * max_by-shaped aggregate (partial map-side). No pairwise
+    * materialization, no window; corpus scans = m, state = the
+    * prefix. Ties break to the lowest vec_id everywhere,
+    * deterministic across partitionings. */
+  def kCenterSelect(emb: DataFrame, k: Int = 8, m: Int = 4,
+                    iters: Int = 5, sampleSize: Int = 4096): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    val spark = emb.sparkSession
+    val centroids = kmeansCentroids(emb, k, iters, sampleSize)
+    val best = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("cos"),
+        lit(i).as("topic"))
+    }: _*))
+    val assigned = Storage.track(asDouble(emb).select(col("vec_id"), col("e"),
+      best.getField("topic").as("topic"), best.getField("cos").as("cohesion"))
+      .localCheckpoint(true))
+
+    // seed: the farthest-from-centroid member per cluster (min cohesion,
+    // ties to lowest id) — the max(struct) trick keeps the argmax a
+    // plain partial-aggregable max
+    val seedRows = assigned
+      .groupBy("topic")
+      .agg(max(struct((-col("cohesion")).as("d"), (-col("vec_id")).as("ni"),
+        col("e").as("e"))).as("s"))
+      .select(col("topic"), (-col("s.ni")).as("vec_id"), col("s.e").as("e"))
+      .collect()
+
+    // selected prefix per topic: (vec_id, vector); vectors are driver
+    // metadata (≤ k·m of them)
+    val sel = scala.collection.mutable.Map[Int, Vector[(Long, Seq[Double])]]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Double)]()
+    seedRows.foreach { r =>
+      val t = r.getInt(0)
+      sel(t) = Vector((r.getLong(1), r.getSeq[Double](2)))
+      out += ((t, 1, r.getLong(1), 1.0))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    (2 to m).foreach { step =>
+      // min cosine-distance of each row to its cluster's selected set,
+      // as one codegen'd expression: dist = 1 − max over prefix of
+      // cos(e, s). Selected ids are excluded via isin.
+      val distByTopic = sel.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+        case (acc, (t, ps)) =>
+          val maxCos = ps.map { case (_, s) =>
+            val sn = math.sqrt(s.map(x => x * x).sum)
+            vec_dot(col("e"), typedLit(s)) / (vec_norm(col("e")) * lit(sn))
+          }.reduce((a, b) => greatest(a, b))
+          when(col("topic") === t, lit(1.0) - maxCos).otherwise(acc)
+      }
+      val selectedIds = sel.values.flatten.map(_._1).toSeq
+      val picked = assigned
+        .filter(!col("vec_id").isin(selectedIds.map(java.lang.Long.valueOf): _*))
+        .withColumn("dist", distByTopic)
+        .groupBy("topic")
+        .agg(max(struct(col("dist").as("d"), (-col("vec_id")).as("ni"),
+          col("e").as("e"))).as("s"))
+        .select(col("topic"), (-col("s.ni")).as("vec_id"), col("s.d").as("dist"),
+          col("s.e").as("e"))
+        .collect()
+      picked.foreach { r =>
+        val t = r.getInt(0)
+        sel(t) = sel(t) :+ ((r.getLong(1), r.getSeq[Double](3)))
+        out += ((t, step, r.getLong(1), r4(r.getDouble(2))))
+      }
+    }
+    import spark.implicits._
+    out.toSeq.sortBy(x => (x._1, x._2))
+      .toDF("topic", "selection_rank", "vec_id", "min_dist")
+  }
+
   /** Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019; the
     * CCMatrix / LASER bitext miner): candidate (left, right) pairs are
     * each left vector's forward nearest neighbor on the right side,

@@ -906,6 +906,61 @@ object PipelineQueries {
     graft.operators.Packing.stratifiedExactK(
       t(spark, dir, "documents"), col("doc_id"), col("lang"), k = 8)
 
+  /** q93: k-center diversity selection (`Similarity.kCenterSelect`) —
+    * per-cluster farthest-first representatives with coverage radii.
+    * Centroid-dependent, so rows-only; q93_check_kcenter carries the
+    * hard contract. */
+  def q93KCenter(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(t(spark, dir, "embeddings"), k = 8, m = 4)
+
+  /** q93 contract: an INDEPENDENT driver-side re-implementation of the
+    * greedy (plain Scala loop over the collected assignment — a
+    * different execution path from the operator's distributed
+    * max_by rounds) must produce the identical (topic, rank, vec_id,
+    * min_dist) table; and the emitted coverage radius must be
+    * non-increasing within every cluster (the k-center invariant). */
+  def q93CheckKCenter(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val got = Similarity.kCenterSelect(emb, k = 8, m = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val assigned = Similarity.assignTopics(emb, 8)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("topic"), col("vec_id"),
+        col("embedding").cast("array<double>").as("e"), col("cohesion"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = assigned.groupBy(_._1).toSeq.flatMap { case (t, members) =>
+      val seed = members.minBy(v => (v._4, v._2))
+      var prefix = Vector(seed)
+      var rows = Vector((t, 1, seed._2, 1.0))
+      (2 to 4).foreach { step =>
+        val rest = members.filterNot(v => prefix.exists(_._2 == v._2))
+        if (rest.nonEmpty) {
+          val scored = rest.map(v =>
+            (v, 1.0 - prefix.map(p => cos(v._3, p._3)).max))
+          val pick = scored.maxBy { case (v, d) => (d, -v._2) }
+          prefix = prefix :+ pick._1
+          rows = rows :+ ((t, step, pick._1._2, r4(pick._2)))
+        }
+      }
+      rows
+    }.sortBy(x => (x._1, x._2))
+    val same = got.toSeq == exp
+    val monotone = got.groupBy(_._1).values.forall { rows =>
+      val ds = rows.sortBy(_._2).map(_._4).drop(1) // rank 1 carries lit 1.0
+      ds.zip(ds.drop(1)).forall { case (a, b) => a >= b }
+    }
+    import spark.implicits._
+    Seq((same, monotone)).toDF("matches_independent_greedy", "radius_monotone")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1769,6 +1824,8 @@ object PipelineQueries {
           |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
           |      FROM documents)
           |SELECT stratum, CAST(rank AS INT) AS rank, doc_id
-          |FROM r WHERE rank <= 8 ORDER BY stratum, rank""".stripMargin)
+          |FROM r WHERE rank <= 8 ORDER BY stratum, rank""".stripMargin,
+      "q93_check_kcenter" ->
+        "SELECT true AS matches_independent_greedy, true AS radius_monotone")
   }
 }
