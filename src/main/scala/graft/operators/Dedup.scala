@@ -1343,9 +1343,15 @@ object Dedup {
     val probe = broadcast(passageWindows(benchmark, k).select("h").distinct())
     val hits = passageWindows(docs, k).join(probe, Seq("h"))
       .select("doc_id", "pos")
-    val spans = mergeRuns(hits, k)
+    // pin BEFORE the dispatch probe: spans are bounded by actual
+    // contamination (sparse by definition), but their PLAN carries the
+    // whole corpus-side window kernel + membership join — unpinned, the
+    // probe count and the rebuild join would each run it (the r9/q60
+    // double-pay; review r11 finding)
+    val spans = Storage.track(mergeRuns(hits, k)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_pos"), col("len_tokens"))).as("__spans"))
+      .localCheckpoint(true))
     val side =
       if (SizeDispatch.atMost(spans, broadcastableSpans)) broadcast(spans)
       else spans.hint("shuffle_hash")

@@ -178,7 +178,18 @@ object Similarity {
     * size-dispatched label machinery with quality = −cohesion. One
     * assignment pin feeds both the pair kernel and the keep rule. */
   def semDedup(emb: DataFrame, k: Int = 8, threshold: Double = 0.95,
-               iters: Int = 5, sampleSize: Int = 4096): DataFrame = {
+               iters: Int = 5, sampleSize: Int = 4096): DataFrame =
+    semDedupWithAssignment(emb, k, threshold, iters, sampleSize)._1
+
+  /** [[semDedup]] that also RETURNS the pinned assignment it pruned
+    * against, so a caller needing per-topic totals (q82's summary)
+    * reuses the one k-means fit + assignment scan instead of running
+    * a second — which would also silently couple correctness to the
+    * fit's determinism (review r11 finding). The returned assignment
+    * is (vec_id, topic, cohesion), already materialized. */
+  def semDedupWithAssignment(emb: DataFrame, k: Int = 8,
+                             threshold: Double = 0.95, iters: Int = 5,
+                             sampleSize: Int = 4096): (DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     val centroids = kmeansCentroids(emb, k, iters, sampleSize)
     val best = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
@@ -192,8 +203,8 @@ object Similarity {
       assigned.select(col("vec_id"), col("e").as("embedding"),
         col("topic").as("cluster")), threshold)
       .select(col("va").as("da"), col("vb").as("db"))
-    Dedup.keepCanonical(assigned.drop("e"), pairs, quality = -col("cohesion"),
-      id = "vec_id")
+    (Dedup.keepCanonical(assigned.drop("e"), pairs, quality = -col("cohesion"),
+      id = "vec_id"), assigned.drop("e"))
   }
 
   /** A built IVF index: unit-norm centroids + the assigned corpus. Build
@@ -396,13 +407,14 @@ object Similarity {
     * `knnJoinIvf`, which also broadcasts the query side — nProbe× of it
     * after the per-probe explode; IVF reduces each query's candidate
     * scan, never the broadcast size). `knnJoinAuto` dispatches. */
-  def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int,
+                   excludeSelf: Boolean = true): DataFrame = {
     val c = asDouble(corpus)
     val q = broadcast(asDouble(queries)
       .select(col("vec_id").as("qid"), col("e").as("qe")))
     finishTopK(
       c.crossJoin(q)
-        .filter(col("vec_id") =!= col("qid"))
+        .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
         .select(col("qid"), col("vec_id"),
           round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
             .as("cos_sim")),
@@ -420,12 +432,13 @@ object Similarity {
     * `knnJoinExact`: same rounded scores, and CosineTopK's merge-order
     * invariance (ScalaCheck'd) makes the ranking independent of which
     * tier's task grid produced the partials. */
-  def knnJoinGrid(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnJoinGrid(corpus: DataFrame, queries: DataFrame, k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
     val c = asDouble(corpus)
     val q = asDouble(queries).select(col("vec_id").as("qid"), col("e").as("qe"))
     finishTopK(
       c.hint("shuffle_replicate_nl").crossJoin(q.hint("shuffle_replicate_nl"))
-        .filter(col("vec_id") =!= col("qid"))
+        .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
         .select(col("qid"), col("vec_id"),
           round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
             .as("cos_sim")),
@@ -440,10 +453,11 @@ object Similarity {
     * are exact and return identical rows — dispatch is a pure plan
     * choice, asserted by KnnJoinSpec's parity case. */
   def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
-                  broadcastableQueries: Long = 100000L): DataFrame = {
+                  broadcastableQueries: Long = 100000L,
+                  excludeSelf: Boolean = true): DataFrame = {
     if (SizeDispatch.atMost(queries, broadcastableQueries))
-      knnJoinExact(corpus, queries, k)
-    else knnJoinGrid(corpus, queries, k)
+      knnJoinExact(corpus, queries, k, excludeSelf)
+    else knnJoinGrid(corpus, queries, k, excludeSelf)
   }
 
   /** IVF-batched kNN join: every query routes to its `nProbe` nearest
@@ -732,8 +746,13 @@ object Similarity {
     * ranks, averages, and margins mirror engine-independently. */
   def marginPairs(left: DataFrame, right: DataFrame, k: Int = 4,
                   threshold: Double = 1.05): DataFrame = {
-    val fwd = Storage.track(knnJoinAuto(right, left, k).localCheckpoint(true))
-    val bwd = knnJoinAuto(left, right, k)
+    // excludeSelf=false: the two corpora are INDEPENDENT id spaces — a
+    // left id equal to a right id is a different vector, and the default
+    // self-kNN exclusion would silently drop that candidate pair and
+    // shift both sides' top-k averages (review r11 finding)
+    val fwd = Storage.track(
+      knnJoinAuto(right, left, k, excludeSelf = false).localCheckpoint(true))
+    val bwd = knnJoinAuto(left, right, k, excludeSelf = false)
     val avgL = fwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_l"))
     val avgR = bwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
       .withColumnRenamed("qid", "vec_id")

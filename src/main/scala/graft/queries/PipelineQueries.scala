@@ -701,10 +701,14 @@ object PipelineQueries {
   def q71Project(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     // uniform-width corpus: probe one row and take the codegen'd
-    // literal-sign-vector path (the generic HOF path is interpreted)
-    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    // literal-sign-vector path (the generic HOF path is interpreted).
+    // headOption: an empty or null-first-row table falls back to the
+    // generic path, which handles it, instead of crashing the probe
+    // (review r11 finding)
+    val d = emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).filter(_ > 0)
     graft.operators.Similarity
-      .randomProjection(emb, outDim = 8, inDim = Some(d))
+      .randomProjection(emb, outDim = 8, inDim = d)
       .select(col("vec_id"), posexplode(col("reduced")).as(Seq("j", "component")))
       // + 0.0 collapses IEEE negative zero: a component that rounds to
       // -0.0 in one engine and 0.0 in the other is the same value but
@@ -767,8 +771,12 @@ object PipelineQueries {
   def q82SemDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val emb = t(spark, dir, "embeddings")
-    val survivors = Similarity.semDedup(emb, k = 8, threshold = 0.95)
-    val total = Similarity.assignTopics(emb, 8)
+    // one k-means fit + assignment scan feeds both the prune and the
+    // totals (review r11: a second assignTopics run doubled the fit and
+    // coupled correctness to its determinism)
+    val (survivors, assigned) =
+      Similarity.semDedupWithAssignment(emb, k = 8, threshold = 0.95)
+    val total = assigned
       .groupBy("topic").agg(count(lit(1)).as("n_vecs"))
     total.join(survivors.groupBy("topic").agg(count(lit(1)).as("n_kept")),
         Seq("topic"), "left")

@@ -57,6 +57,19 @@ class MarginPairsSpec extends SparkSpec {
     assert(exp((0L, 1L)) > 1.0 && exp((2L, 3L)) > 1.0, s"$exp")
   }
 
+  test("left and right may share id values — colliding ids are distinct vectors, not self-pairs") {
+    // remap right ids ONTO left ids: (0,1)->id 0, (0.99,...)->id 2 etc.
+    // The true translation pairs are now (0,0) and (2,2) — exactly the
+    // pairs the kNN self-exclusion would silently drop
+    val remap = Map(1L -> 0L, 3L -> 2L, 5L -> 4L, 7L -> 6L)
+    val l = left.toDF("vec_id", "embedding")
+    val r = right.map { case (id, v) => (remap(id), v) }.toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(l, r, k = 2, threshold = 0.0).collect()
+      .map(ro => (ro.getLong(0), ro.getLong(1))).toSet
+    assert(got === Set((0L, 0L), (2L, 2L)),
+      s"colliding ids must still pair by geometry: $got")
+  }
+
   test("threshold filters and determinism under repartition") {
     val d = df.repartition(5)
     val a = Similarity.marginPairs(d.filter($"vec_id" % 2 === 0),
