@@ -124,7 +124,8 @@ object SparkEntry {
     "q91_chunks" -> (PipelineQueries.q91Chunks _),
     "q92_stratified_exact_k" -> (PipelineQueries.q92StratifiedExactK _),
     "q93_kcenter" -> (PipelineQueries.q93KCenter _),
-    "q93_check_kcenter" -> (PipelineQueries.q93CheckKCenter _)
+    "q93_check_kcenter" -> (PipelineQueries.q93CheckKCenter _),
+    "q94_pipeline_v2" -> (PipelineQueries.q94PipelineV2 _)
   )
 
   def oracleSql: Map[String, String] = Map(

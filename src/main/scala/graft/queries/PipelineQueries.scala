@@ -969,6 +969,38 @@ object PipelineQueries {
     Seq((same, monotone)).toDF("matches_independent_greedy", "radius_monotone")
   }
 
+  /** q94: the r11 pipeline composed end-to-end — the modern curation
+    * chain (Gopher hard rules → learned quality classifier → exact
+    * dedup → per-language exact-k sample) as ONE query with a stage
+    * manifest, the q68 pattern over this round's operators. Every
+    * stage is its own oracle-verified kernel (q80/q84/q25/q92), so the
+    * composed oracle is their CTE chain; stages pin (localCheckpoint)
+    * so each kernel runs once and the counts read pinned blocks. */
+  def q94PipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HeuristicRules, Packing, QualityClassifier, Storage}
+    val docs = t(spark, dir, "documents")
+    val pos = docs.filter(col("source") === "src0")
+    val neg = docs.filter(col("source") === "src1")
+    val cand = docs.filter(!col("source").isin("src0", "src1"))
+    val s1 = Storage.track(HeuristicRules.gopherFilter(cand).localCheckpoint(true))
+    val keepIds = QualityClassifier.trainScore(s1, pos, neg)
+      .filter(col("keep")).select("doc_id")
+    val s2 = Storage.track(
+      s1.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint(true))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val s3 = Storage.track(s2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").localCheckpoint(true))
+    val s4 = Packing.stratifiedExactK(s3, col("doc_id"), col("lang"), k = 20)
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+    cnt("0_input", cand)
+      .unionByName(cnt("1_gopher", s1))
+      .unionByName(cnt("2_classifier", s2))
+      .unionByName(cnt("3_exact", s3))
+      .unionByName(cnt("4_sample", s4))
+      .orderBy("stage")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1834,6 +1866,70 @@ object PipelineQueries {
           |SELECT stratum, CAST(rank AS INT) AS rank, doc_id
           |FROM r WHERE rank <= 8 ORDER BY stratum, rank""".stripMargin,
       "q93_check_kcenter" ->
-        "SELECT true AS matches_independent_greedy, true AS radius_monotone")
+        "SELECT true AS matches_independent_greedy, true AS radius_monotone",
+      "q94_pipeline_v2" ->
+        """WITH cand AS (SELECT * FROM documents WHERE source NOT IN ('src0','src1')),
+          |gd AS (SELECT doc_id, lower(text) AS t, string_split(lower(text),' ') AS w,
+          |              string_split(text, chr(10)) AS ls FROM cand),
+          |gs AS (SELECT doc_id,
+          |  CAST(len(w) AS BIGINT) AS n_words,
+          |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+          |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+          |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+          |            + CAST((len(t) - len(replace(t,'…','')))/1 AS BIGINT))::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+          |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))::DOUBLE
+          |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+          |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'…')))::DOUBLE
+          |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+          |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+          |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+          |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+          |FROM gd),
+          |g AS (SELECT cand.* FROM cand JOIN gs USING (doc_id)
+          |      WHERE gs.n_words >= 50 AND gs.n_words <= 100000
+          |        AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
+          |        AND gs.symbol_ratio < 0.1 AND gs.bullet_frac < 0.9
+          |        AND gs.ellipsis_frac < 0.3 AND gs.alpha_frac >= 0.8
+          |        AND gs.stop_hits >= 2),
+          |pos AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src0'),
+          |neg AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src1'),
+          |pt AS (SELECT unnest(w) AS tok FROM pos),
+          |nt AS (SELECT unnest(w) AS tok FROM neg),
+          |p AS (SELECT tok, COUNT(*) AS cp FROM pt GROUP BY tok),
+          |n AS (SELECT tok, COUNT(*) AS cn FROM nt GROUP BY tok),
+          |m0 AS (SELECT COALESCE(p.tok, n.tok) AS tok, COALESCE(p.cp, 0) AS cp,
+          |              COALESCE(n.cn, 0) AS cn
+          |       FROM p FULL OUTER JOIN n ON p.tok = n.tok),
+          |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v,
+          |          ln((SELECT COUNT(*)::DOUBLE FROM pos)
+          |             / (SELECT COUNT(*)::DOUBLE FROM neg)) AS prior,
+          |          ln(1.0 / (SUM(cp) + COUNT(*))::DOUBLE)
+          |            - ln(1.0 / (SUM(cn) + COUNT(*))::DOUBLE) AS w0
+          |        FROM m0),
+          |m AS (SELECT tok, ln((cp + 1)::DOUBLE / (np + v)::DOUBLE)
+          |             - ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) AS w
+          |      FROM m0, tot),
+          |gt AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM g),
+          |sc AS (SELECT gt.doc_id,
+          |         CAST(ROUND(MAX(tot.prior) + SUM(COALESCE(m.w, tot.w0)), 4)
+          |              AS DECIMAL(14,4)) AS llr
+          |       FROM gt LEFT JOIN m USING (tok) CROSS JOIN tot GROUP BY gt.doc_id),
+          |c2 AS (SELECT g.* FROM g JOIN sc USING (doc_id) WHERE sc.llr > 0),
+          |d3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |       FROM c2),
+          |s3 AS (SELECT * FROM d3 WHERE rn = 1),
+          |s4n AS (SELECT CAST(COALESCE(SUM(LEAST(20, nl)), 0) AS BIGINT) AS n
+          |        FROM (SELECT lang, COUNT(*) AS nl FROM s3 GROUP BY lang))
+          |SELECT * FROM (
+          |  SELECT '0_input' AS stage, (SELECT COUNT(*) FROM cand) AS n_docs
+          |  UNION ALL SELECT '1_gopher', (SELECT COUNT(*) FROM g)
+          |  UNION ALL SELECT '2_classifier', (SELECT COUNT(*) FROM c2)
+          |  UNION ALL SELECT '3_exact', (SELECT COUNT(*) FROM s3)
+          |  UNION ALL SELECT '4_sample', (SELECT n FROM s4n)
+          |) ORDER BY stage""".stripMargin)
   }
 }
