@@ -978,27 +978,35 @@ object PipelineQueries {
     * so each kernel runs once and the counts read pinned blocks. */
   def q94PipelineV2(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{HeuristicRules, Packing, QualityClassifier, Storage}
+    import org.apache.spark.sql.Observation
+    import scala.concurrent.duration._
     val docs = t(spark, dir, "documents")
     val pos = docs.filter(col("source") === "src0")
     val neg = docs.filter(col("source") === "src1")
     val cand = docs.filter(!col("source").isin("src0", "src1"))
-    val s1 = Storage.track(HeuristicRules.gopherFilter(cand).localCheckpoint(true))
+    // manifest counts ride the pin materializations as observe()
+    // metrics (the q68 fused-spine pattern) — zero extra count jobs;
+    // o0 sits below the gopher filter so the input count shares s1's job
+    val Seq(o0, o1, o2, o3) = Seq.fill(4)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
+    val s1 = Storage.track(
+      HeuristicRules.gopherFilter(counted(cand, o0)).transform(counted(_, o1))
+        .localCheckpoint(true))
     val keepIds = QualityClassifier.trainScore(s1, pos, neg)
       .filter(col("keep")).select("doc_id")
-    val s2 = Storage.track(
-      s1.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint(true))
+    val s2 = Storage.track(counted(
+      s1.join(keepIds, Seq("doc_id"), "left_semi"), o2).localCheckpoint(true))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val s3 = Storage.track(s2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn").localCheckpoint(true))
-    val s4 = Packing.stratifiedExactK(s3, col("doc_id"), col("lang"), k = 20)
-    def cnt(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
-    cnt("0_input", cand)
-      .unionByName(cnt("1_gopher", s1))
-      .unionByName(cnt("2_classifier", s2))
-      .unionByName(cnt("3_exact", s3))
-      .unionByName(cnt("4_sample", s4))
-      .orderBy("stage")
+    val s3 = Storage.track(counted(s2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"), o3).localCheckpoint(true))
+    val n4 = Packing.stratifiedExactK(s3, col("doc_id"), col("lang"), k = 20).count()
+    def n(o: Observation): Long =
+      scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+    import spark.implicits._
+    Seq(("0_input", n(o0)), ("1_gopher", n(o1)), ("2_classifier", n(o2)),
+      ("3_exact", n(o3)), ("4_sample", n4))
+      .toDF("stage", "n_docs").orderBy("stage")
   }
 
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
