@@ -129,25 +129,44 @@ object Bench {
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
     // stdout gets a COMPACT line (medians only, no per-iteration stats):
-    // the driver's artifact keeps a bounded 2000-char tail of stdout, and
-    // the full stats line overflowed it in r8 (BENCH_r08 parsed: null).
-    // r10's compact line STILL overflowed — full-precision doubles plus
-    // kernel_udf_sites pushed it to ~3KB, so the tail cut off the line's
-    // head and the driver parsed null again. Medians here round to 3
-    // decimals (1 ms — far below run-to-run noise), sf is the basename,
-    // and the site audit stays file-only: ~1.6KB for 70+ queries, which
-    // fits the tail even with sbt's trailing "[success]" line. The full
-    // artifact goes to the file below — per-query min/med/max/iters
-    // never depend on stdout truncation (r3 lost q01-q25 that way).
-    def fmt3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    // the driver's artifact keeps a bounded ~2000-char tail of stdout,
+    // and the full line overflowed it in r8, r10 AND r11 (parsed: null
+    // three rounds running — each time a re-estimate of "how many
+    // queries fit" lost to the query count growing). r12 fixes this
+    // STRUCTURALLY (VERDICT r11 #2):
+    //  - per-query keys shrink to the qNN prefix ("q80"), with "_check"
+    //    contracts keyed qNNc ("q82c") — ~12 bytes/query instead of ~28,
+    //    uniqueness REQUIRE'd below so a future name collision trips the
+    //    build, not the driver;
+    //  - medians print at 2 decimals (10 ms — far below noise);
+    //  - a HARD TRIPWIRE fails the run if the line exceeds the tail
+    //    budget, so overflow can never again ship silently.
+    // The full artifact (full names, min/med/max/iters, udf sites) goes
+    // to the file below and never depends on stdout truncation.
+    def fmt2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
+    def shortKey(name: String): String = {
+      val p = name.split("_").head
+      if (name.contains("_check")) p + "c" else p
+    }
+    val shortKeys = results.map { case (k, _) => shortKey(k) }
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
     val qsCompact = j(results.map { case (k, v) =>
-      k -> v.fold(_ => "-1", r => fmt3(med(r))) })
+      shortKey(k) -> v.fold(_ => "-1", r => fmt2(med(r))) })
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val compact = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"sf":"$sfName"}"""
-    println(compact)
+    val compact = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"sf":"$sfName"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    // the tail budget: the driver keeps ~2000 chars of stdout and sbt
+    // appends a "[success]" trailer; 1800 leaves headroom for it. The
+    // full artifact is already on disk, so a trip loses nothing.
+    println(compact)
+    if (compact.length > 1800) {
+      System.err.println(s"[bench] COMPACT LINE ${compact.length} chars exceeds " +
+        "the 1800-char driver tail budget - shrink keys/fields before shipping")
+      spark.stop(); sys.exit(2)
+    }
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

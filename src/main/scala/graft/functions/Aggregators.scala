@@ -87,17 +87,26 @@ object Aggregators {
   /** Bounded min-k buffer over (string key, id) rows — [[CosineTopK]]'s
     * ascending-string twin, backing the exact-k stratified sampler:
     * keeps the k smallest under (key asc, id asc), so what shuffles per
-    * group is a fixed k-row buffer regardless of group size. */
-  case class MinKBuf(keys: Seq[String], ids: Seq[Long])
+    * group is a fixed k-row buffer regardless of group size. Ids travel
+    * as STRINGS (the same cast the hash key already takes), so any key
+    * type — numeric or string doc keys — survives the aggregator; the
+    * caller casts the output back to the input key's type (ADVICE r11:
+    * the old non-nullable Long tuple encoder crashed on string keys).
+    * The id tiebreak only fires on equal hash keys — i.e. equal input
+    * keys for md5 — so string-vs-numeric id ordering cannot diverge. */
+  case class MinKBuf(keys: Seq[String], ids: Seq[String])
 
-  class MinKByKey(k: Int) extends Aggregator[(String, Long), MinKBuf, TopKHits] {
+  /** Output: the k ids with the smallest keys, rank-ordered. */
+  case class MinKIds(ids: Seq[String])
+
+  class MinKByKey(k: Int) extends Aggregator[(String, String), MinKBuf, MinKIds] {
     require(k > 0, s"k must be positive, got $k")
-    private def better(s1: String, i1: Long, s2: String, i2: Long): Boolean = {
+    private def better(s1: String, i1: String, s2: String, i2: String): Boolean = {
       val c = s1.compareTo(s2)
-      c < 0 || (c == 0 && i1 < i2)
+      c < 0 || (c == 0 && i1.compareTo(i2) < 0)
     }
     def zero: MinKBuf = MinKBuf(Vector.empty, Vector.empty)
-    private def insert(b: MinKBuf, s: String, id: Long): MinKBuf = {
+    private def insert(b: MinKBuf, s: String, id: String): MinKBuf = {
       val n = b.ids.length
       if (n == k && !better(s, id, b.keys(n - 1), b.ids(n - 1))) b
       else {
@@ -107,17 +116,17 @@ object Aggregators {
           ((b.ids.take(pos) :+ id) ++ b.ids.drop(pos)).take(k))
       }
     }
-    def reduce(b: MinKBuf, in: (String, Long)): MinKBuf = insert(b, in._1, in._2)
+    def reduce(b: MinKBuf, in: (String, String)): MinKBuf = insert(b, in._1, in._2)
     def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
       b.keys.lazyZip(b.ids).foldLeft(a) { case (acc, (s, id)) => insert(acc, s, id) }
-    def finish(b: MinKBuf): TopKHits = TopKHits(b.ids, Vector.fill(b.ids.length)(0.0))
+    def finish(b: MinKBuf): MinKIds = MinKIds(b.ids)
     def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
-    def outputEncoder: Encoder[TopKHits] = Encoders.product[TopKHits]
+    def outputEncoder: Encoder[MinKIds] = Encoders.product[MinKIds]
   }
 
   /** Untyped handle: `minKByKey(k)(col("h"), col("doc_id"))` → the k ids
     * with the smallest keys per group, rank-ordered. */
   def minKByKey(k: Int): UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MinKByKey(k),
-      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      Encoders.tuple(Encoders.STRING, Encoders.STRING))
 }

@@ -75,12 +75,15 @@ object Curation {
                   minDocs: Long = 10L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
+    // dup_rate is exact DECIMAL(14,4) internally (exact keep threshold)
+    // and emitted as DOUBLE — the decimal's nearest double, identical
+    // in both engines (VERDICT r11 #1).
     val perSrc = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col("text"))).as("n_distinct"),
       TextAnalysis.dec4(lit(1.0) -
         countDistinct(md5(col("text"))).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("dup_rate"),
+          count(lit(1)).cast(DoubleType)).as("dup_rate_dec"),
       round(avg(col("n_chars")), 2).as("mean_chars"),
       sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"))
     val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
@@ -90,7 +93,10 @@ object Curation {
       .select(col("source"), col("lang").as("top_lang"))
     perSrc.join(topLang, "source")
       .withColumn("keep",
-        col("dup_rate") <= maxDupRate && col("n_docs") >= minDocs)
+        col("dup_rate_dec") <= maxDupRate && col("n_docs") >= minDocs)
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("dup_rate_dec").cast(DoubleType).as("dup_rate"),
+        col("mean_chars"), col("n_tokens"), col("top_lang"), col("keep"))
       .orderBy("source")
   }
 

@@ -89,14 +89,26 @@ object HeuristicRules {
     "ok_alpha" -> (s("alpha_frac") >= cfg.minAlphaFrac),
     "ok_stops" -> (s("stop_hits") >= cfg.minStopHits))
 
+  /** Signal names whose internal form is exact DECIMAL(14,4); emitted
+    * as DOUBLE (the exact decimal's nearest double — identical in both
+    * engines) so the driver's comparator renders both sides the same
+    * (VERDICT r11 #1: decimal `0.5000` vs float `0.5` hash-mismatch). */
+  private val FracSignals =
+    Set("mean_word_len", "symbol_ratio", "bullet_frac", "ellipsis_frac", "alpha_frac")
+
   /** Per-document signals + per-rule verdicts + composite keep.
     * Output: (doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-    * ellipsis_frac, alpha_frac, stop_hits, ok_*..., keep), ordered. */
+    * ellipsis_frac, alpha_frac, stop_hits, ok_*..., keep), ordered.
+    * Rules compare on the exact 4-decimal DECIMAL signals; the emitted
+    * fraction columns are DOUBLE. */
   def gopherSignals(docs: DataFrame,
                     cfg: GopherConfig = GopherConfig()): DataFrame = {
     val sigs = signalCols()
     val rules = ruleCols(sigs.toMap, cfg)
-    docs.select(col("doc_id") +: (sigs ++ rules).map { case (n, c) => c.as(n) }: _*)
+    val out = sigs.map { case (n, c) =>
+      if (FracSignals(n)) c.cast(DoubleType).as(n) else c.as(n)
+    } ++ rules.map { case (n, c) => c.as(n) }
+    docs.select(col("doc_id") +: out: _*)
       .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
       .orderBy("doc_id")
   }

@@ -101,17 +101,22 @@ object Packing {
     * map-side, a fixed k-row buffer per stratum into the exchange — no
     * per-stratum window, no single-task giant-group sort, group size
     * never matters. The eval-set builder's primitive: "exactly 500
-    * docs per language, reproducible forever". */
+    * docs per language, reproducible forever". The key may be ANY
+    * type (numeric or string doc keys): ids ride the aggregator as
+    * strings and the emitted `doc_id` casts back to the input key's
+    * own type (ADVICE r11 — a string key used to null out under a
+    * long cast and crash the tuple encoder). */
   def stratifiedExactK(df: DataFrame, key: Column, stratum: Column,
                        k: Int): DataFrame = {
+    val keyType = df.select(key.as("id")).schema.head.dataType
     val agg = graft.functions.Aggregators.minKByKey(k)
     df.select(stratum.as("stratum"),
-        md5(key.cast("string")).as("h"), key.cast("long").as("id"))
+        md5(key.cast("string")).as("h"), key.cast("string").as("id"))
       .groupBy("stratum")
       .agg(agg(col("h"), col("id")).as("s"))
       .select(col("stratum"), posexplode(col("s.ids")))
       .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
-        col("col").as("doc_id"))
+        col("col").cast(keyType).as("doc_id"))
       .orderBy("stratum", "rank")
   }
 

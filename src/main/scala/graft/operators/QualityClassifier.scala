@@ -76,13 +76,18 @@ object QualityClassifier {
     val dispatched =
       if (SizeDispatch.atMost(m.weights, broadcastVocabLimit)) broadcast(m.weights)
       else m.weights.hint("shuffle_hash")
+    // llr is exact DECIMAL(14,4) internally (order-independent sums,
+    // exact keep threshold) and emitted as DOUBLE — the decimal's
+    // nearest double, identical in both engines (VERDICT r11 #1).
     toks(candidates)
       .join(dispatched, Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         (lit(m.prior) + sum(coalesce(col("w"), lit(m.w0))))
-          .cast(DecimalType(14, 4)).as("llr"))
-      .withColumn("keep", col("llr") > 0)
+          .cast(DecimalType(14, 4)).as("llr_dec"))
+      .select(col("doc_id"), col("n_toks"),
+        col("llr_dec").cast(DoubleType).as("llr"),
+        (col("llr_dec") > 0).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -756,14 +756,19 @@ object Similarity {
     val avgL = fwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_l"))
     val avgR = bwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
       .withColumnRenamed("qid", "vec_id")
+    // margin is exact DECIMAL(14,4) internally (exact threshold) and
+    // emitted as DOUBLE — the decimal's nearest double, identical in
+    // both engines (VERDICT r11 #1)
     fwd.filter(col("rank") === 1)
       .join(avgL, "qid")
       .join(avgR, "vec_id")
       .select(col("qid").as("left_id"), col("vec_id").as("right_id"),
         col("cos_sim"),
         TextAnalysis.dec4(col("cos_sim") / ((col("avg_l") + col("avg_r")) / 2))
-          .as("margin"))
-      .filter(col("margin") >= threshold)
+          .as("margin_dec"))
+      .filter(col("margin_dec") >= threshold)
+      .select(col("left_id"), col("right_id"), col("cos_sim"),
+        col("margin_dec").cast(org.apache.spark.sql.types.DoubleType).as("margin"))
       .orderBy("left_id")
   }
 }

@@ -11,29 +11,39 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * (tf(t,d) + k1·(1 − b + b·|d|/avgdl)), with the Lucene idf
   * ln(1 + (N − df + 0.5)/(df + 0.5)) that never goes negative.
   *
-  * Scale shape: ONE corpus pass computes per-doc length (row-local)
-  * and explodes ONLY the query-term instances (the `isin` filter runs
-  * before the explode's shuffle, so the aggregated tf table is bounded
-  * by |Q| × matching docs, not corpus tokens). The df/idf table is
-  * |Q|-sized and BROADCASTS into the score join; N and avgdl ride a
+  * Scale shape: ONE corpus pass — a single projection computes the
+  * per-doc length (row-local) AND the doc's query-term instances (an
+  * array HOF filter, so only |Q|-matching tokens survive), pinned
+  * doc-count-sized (doc_id, dl, matched tokens — no text); the N/avgdl
+  * aggregate and the tf explode both read the PIN, so the corpus text
+  * is scanned and tokenized exactly once. The aggregated tf table is
+  * bounded by |Q| × matching docs, not corpus tokens. The df/idf table
+  * is |Q|-sized and BROADCASTS into the score join; N and avgdl ride a
   * one-row broadcast. Top-k is an orderBy+limit —
   * TakeOrderedAndProject, per-partition heaps, no global sort. Scores
-  * compare on their 4-decimal form in BOTH engines so the ranking is
-  * engine-independent under double arithmetic. */
+  * rank on their exact 4-decimal DECIMAL form in BOTH engines (so the
+  * ordering is engine-independent under double arithmetic) and emit as
+  * DOUBLE — the decimal's nearest double, identical in both engines
+  * (VERDICT r11 #1). */
 object TextSearch {
 
   def bm25TopK(docs: DataFrame, query: String, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qToks = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
-    val toks = docs.select(col("doc_id"),
-      size(split(lower(col("text")), " ")).cast("long").as("dl"),
-      explode(split(lower(col("text")), " ")).as("tok"))
-      .filter(col("tok").isin(qToks.map(lit): _*))
-    val tf = toks.groupBy("doc_id", "tok")
+    // the ONE corpus pass: length + query-term instances per doc, pinned
+    // LAZY (the caller's single action materializes the blocks — no
+    // extra job) and released by the bench's Storage drain
+    val perDoc = Storage.track(docs.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("dl"),
+        filter(split(lower(col("text")), " "),
+          t => qToks.map(q => t === lit(q)).reduce(_ || _)).as("qs"))
+      .localCheckpoint(eager = false))
+    val tf = perDoc.select(col("doc_id"), col("dl"), explode(col("qs")).as("tok"))
+      .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n"),
-      avg(size(split(lower(col("text")), " "))).as("avgdl"))
+    val stats = perDoc.agg(count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("tok"),
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
@@ -44,9 +54,11 @@ object TextSearch {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
           .as("s"))
       .groupBy("doc_id")
-      .agg(sum(col("s")).cast(DecimalType(14, 4)).as("score"),
+      .agg(sum(col("s")).cast(DecimalType(14, 4)).as("score_dec"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
       .limit(k)
+      .select(col("doc_id"), col("score_dec").cast(DoubleType).as("score"),
+        col("n_terms"))
   }
 }

@@ -977,16 +977,21 @@ object PipelineQueries {
     * composed oracle is their CTE chain; stages pin (localCheckpoint)
     * so each kernel runs once and the counts read pinned blocks. */
   def q94PipelineV2(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{HeuristicRules, Packing, QualityClassifier, Storage}
+    import graft.operators.{HeuristicRules, QualityClassifier, Storage}
     import org.apache.spark.sql.Observation
     import scala.concurrent.duration._
     val docs = t(spark, dir, "documents")
     val pos = docs.filter(col("source") === "src0")
     val neg = docs.filter(col("source") === "src1")
     val cand = docs.filter(!col("source").isin("src0", "src1"))
-    // manifest counts ride the pin materializations as observe()
-    // metrics (the q68 fused-spine pattern) — zero extra count jobs;
-    // o0 sits below the gopher filter so the input count shares s1's job
+    // manifest counts ride the materializations as observe() metrics
+    // (the q68 fused-spine pattern) — zero extra count jobs. Only s1
+    // pins (it fans out to classifier training-input AND the semi-join
+    // probe); stages 2-4 collapse into ONE action: the classifier gate,
+    // the dedup window, and the per-language counts run in a single job
+    // with o2/o3 riding it, and n4 is driver arithmetic over the
+    // strata-sized per-lang aggregate — stratifiedExactK admits exactly
+    // LEAST(k, n) per stratum by construction (VERDICT r11 #4).
     val Seq(o0, o1, o2, o3) = Seq.fill(4)(Observation())
     def counted(df: DataFrame, o: Observation): DataFrame =
       df.observe(o, count(lit(1)).as("n"))
@@ -995,12 +1000,13 @@ object PipelineQueries {
         .localCheckpoint(true))
     val keepIds = QualityClassifier.trainScore(s1, pos, neg)
       .filter(col("keep")).select("doc_id")
-    val s2 = Storage.track(counted(
-      s1.join(keepIds, Seq("doc_id"), "left_semi"), o2).localCheckpoint(true))
+    val s2 = counted(s1.join(keepIds, Seq("doc_id"), "left_semi"), o2)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val s3 = Storage.track(counted(s2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn"), o3).localCheckpoint(true))
-    val n4 = Packing.stratifiedExactK(s3, col("doc_id"), col("lang"), k = 20).count()
+    val s3 = counted(s2.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"), o3)
+    val k = 20L
+    val n4 = s3.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => math.min(k, r.getLong(1))).sum
     def n(o: Observation): Long =
       scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
     import spark.implicits._
@@ -1659,8 +1665,10 @@ object PipelineQueries {
           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
           |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
           |FROM d)
-          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-          |  ellipsis_frac, alpha_frac, stop_hits,
+          |SELECT doc_id, n_words, mean_word_len::DOUBLE AS mean_word_len,
+          |  symbol_ratio::DOUBLE AS symbol_ratio, bullet_frac::DOUBLE AS bullet_frac,
+          |  ellipsis_frac::DOUBLE AS ellipsis_frac, alpha_frac::DOUBLE AS alpha_frac,
+          |  stop_hits,
           |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
           |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
           |  (symbol_ratio < 0.1) AS ok_symbols,
@@ -1732,7 +1740,7 @@ object PipelineQueries {
           |SELECT bucket, COUNT(*) AS n_docs,
           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |  CAST(COALESCE(SUM(CASE WHEN kept THEN n_bigrams END), 0) AS BIGINT) AS bigrams_kept,
-          |  CAST(ROUND(AVG(nll), 4) AS DECIMAL(14,4)) AS mean_nll
+          |  CAST(CAST(ROUND(AVG(nll), 4) AS DECIMAL(14,4)) AS DOUBLE) AS mean_nll
           |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
       "q84_quality_classifier" ->
         """WITH cand AS (SELECT doc_id, string_split(lower(text),' ') AS w
@@ -1763,7 +1771,7 @@ object PipelineQueries {
           |              AS DECIMAL(14,4)) AS llr
           |       FROM ct LEFT JOIN m USING (tok) CROSS JOIN tot
           |       GROUP BY ct.doc_id)
-          |SELECT doc_id, n_toks, llr, llr > 0 AS keep
+          |SELECT doc_id, n_toks, llr::DOUBLE AS llr, llr > 0 AS keep
           |FROM sc ORDER BY doc_id""".stripMargin,
       "q85_domain_stats" ->
         """WITH s AS (SELECT source, COUNT(*) AS n_docs,
@@ -1777,7 +1785,8 @@ object PipelineQueries {
           |r AS (SELECT source, lang AS top_lang,
           |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
           |      FROM l)
-          |SELECT s.source, s.n_docs, s.n_distinct, s.dup_rate, s.mean_chars,
+          |SELECT s.source, s.n_docs, s.n_distinct,
+          |  s.dup_rate::DOUBLE AS dup_rate, s.mean_chars,
           |  s.n_tokens, r.top_lang,
           |  (s.dup_rate <= 0.5 AND s.n_docs >= 10) AS keep
           |FROM s JOIN r ON s.source = r.source AND r.rk = 1
@@ -1803,8 +1812,8 @@ object PipelineQueries {
           |           AS DECIMAL(14,4)) AS score,
           |         COUNT(*) AS n_terms
           |       FROM tf JOIN idf USING (tok) GROUP BY 1)
-          |SELECT doc_id, score, n_terms FROM sc
-          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+          |SELECT doc_id, sc.score::DOUBLE AS score, n_terms FROM sc
+          |ORDER BY sc.score DESC, doc_id LIMIT 20""".stripMargin,
       "q88_corpus_diagnostics" ->
         """WITH tk AS (SELECT lang, unnest(string_split(lower(text),' ')) AS tok
           |            FROM documents),
@@ -1822,10 +1831,12 @@ object PipelineQueries {
           |      FROM r WHERE rk <= 100),
           |s AS (SELECT lang,
           |        CAST(ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y)) /
-          |          (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 4)
+          |          NULLIF(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x), 0), 4)
           |          AS DECIMAL(14,4)) AS zipf_slope
           |      FROM f GROUP BY lang)
-          |SELECT base.lang, n_tokens, vocab, type_token_ratio, zipf_slope
+          |SELECT base.lang, n_tokens, vocab,
+          |  type_token_ratio::DOUBLE AS type_token_ratio,
+          |  zipf_slope::DOUBLE AS zipf_slope
           |FROM base JOIN s USING (lang) ORDER BY lang""".stripMargin,
       "q89_margin_pairs" ->
         """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
@@ -1849,8 +1860,8 @@ object PipelineQueries {
           |        CAST(ROUND(t1.cos_sim / ((al.avg_l + ar.avg_r) / 2), 4)
           |             AS DECIMAL(14,4)) AS margin
           |      FROM t1 JOIN al ON t1.qid = al.qid JOIN ar ON t1.vid = ar.vid)
-          |SELECT left_id, right_id, cos_sim, margin FROM m
-          |WHERE margin >= 1.05 ORDER BY left_id""".stripMargin,
+          |SELECT left_id, right_id, cos_sim, m.margin::DOUBLE AS margin FROM m
+          |WHERE m.margin >= 1.05 ORDER BY left_id""".stripMargin,
       "q90_check_prune" ->
         """SELECT true AS quota_exact, true AS hardest_first,
           |       true AS partition_consistent""".stripMargin,

@@ -466,6 +466,12 @@ object StreamingOps {
     * docs continue — the learned-filter complement of the heuristic
     * battery, with the same determinism (fixed model + fixed batch →
     * fixed survivor set, so replay idempotence is unchanged).
+    * CONTRACT (ADVICE r11): the model retrains from `classifierSeeds`
+    * at every stream (re)start, so crash-replay idempotence of
+    * already-committed batches holds only if the seed DataFrames read
+    * the SAME data across restarts — point them at immutable snapshots
+    * (a pinned parquet path, not a live table). If the seeds must
+    * evolve, version the store path or re-ingest from scratch.
     *
     * Decontamination uses the q65 Bloom tier: the benchmark's
     * fixed-size filter is built ONCE at stream start (a benchmark-side

@@ -23,7 +23,7 @@ class CcnetBucketsSpec extends SparkSpec {
   test("buckets are fluency terciles and cover every scored doc exactly once") {
     val rows = TextAnalysis.ccnetBuckets(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getDecimal(4).doubleValue())).toMap
+        r.getDouble(4))).toMap
     assert(rows.keySet === Set("head", "middle", "tail"))
     assert(rows.values.map(_._1).sum === 9L, s"all nine docs bucketed: $rows")
     // mean nll must be monotone head < middle < tail

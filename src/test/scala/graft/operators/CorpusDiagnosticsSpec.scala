@@ -14,7 +14,7 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     val row = TextAnalysis.corpusDiagnostics(docs).head()
     assert(row.getString(0) === "en")
     assert(row.getLong(1) === 7L && row.getLong(2) === 3L)
-    assert(row.getDecimal(3).doubleValue() ===
+    assert(row.getDouble(3) ===
       BigDecimal(3.0 / 7).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val xy = Seq((math.log(1.0), math.log(4.0)), (math.log(2.0), math.log(2.0)),
       (math.log(3.0), math.log(1.0)))
@@ -22,7 +22,7 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
     val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    assert(row.getDecimal(4).doubleValue() ===
+    assert(row.getDouble(4) ===
       BigDecimal(slope).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       s"slope must be the OLS closed form (~ -1): $row vs $slope")
     assert(slope < -0.9 && slope > -1.4, s"a 4/2/1 ladder is Zipf-like: $slope")

@@ -24,12 +24,12 @@ class DomainStatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     val a = rows("srcA")
     assert(a.getLong(1) === 4L && a.getLong(2) === 3L)
-    assert(a.getDecimal(3).doubleValue() === 0.25, s"dup_rate: $a")
+    assert(a.getDouble(3) === 0.25, s"dup_rate: $a")
     assert(a.getString(6) === "de", s"2-2 lang tie must break to 'de': $a")
     assert(a.getLong(5) === 10L, s"3+3+2+2 whitespace tokens: $a")
     assert(a.getBoolean(7), s"srcA passes both thresholds: $a")
     val b = rows("srcB")
-    assert(b.getDecimal(3).doubleValue() === 0.0 && !b.getBoolean(7),
+    assert(b.getDouble(3) === 0.0 && !b.getBoolean(7),
       s"srcB is dup-clean but under the doc floor: $b")
   }
 

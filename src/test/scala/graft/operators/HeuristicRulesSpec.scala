@@ -54,9 +54,9 @@ class HeuristicRulesSpec extends SparkSpec {
       min(col("bullet_frac")), max(col("bullet_frac")),
       sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
       count(lit(1)).as("n")).head()
-    assert(r.getDecimal(0).doubleValue() >= 0.0 && r.getDecimal(1).doubleValue() <= 1.0)
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
     // word-soup corpus: no bullets/newlines anywhere
-    assert(r.getDecimal(2).doubleValue() === 0.0 && r.getDecimal(3).doubleValue() === 0.0)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
     assert(r.getLong(5) > 0)
   }
 }

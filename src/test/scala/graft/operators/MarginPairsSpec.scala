@@ -43,7 +43,7 @@ class MarginPairsSpec extends SparkSpec {
     val got = Similarity.marginPairs(
       d.filter($"vec_id" % 2 === 0), d.filter($"vec_id" % 2 === 1),
       k = 2, threshold = 0.0).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(3).doubleValue()).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(got === expected(2), s"got $got")
     // the clean translations are the forward top-1s
     assert(got.keySet === Set((0L, 1L), (2L, 3L)))
@@ -77,6 +77,6 @@ class MarginPairsSpec extends SparkSpec {
     val b = Similarity.marginPairs(df.filter($"vec_id" % 2 === 0),
       df.filter($"vec_id" % 2 === 1), k = 2, threshold = 1.0).collect().toSeq
     assert(a === b)
-    assert(a.nonEmpty && a.forall(_.getDecimal(3).doubleValue() >= 1.0))
+    assert(a.nonEmpty && a.forall(_.getDouble(3) >= 1.0))
   }
 }

@@ -23,7 +23,7 @@ class QualityClassifierSpec extends SparkSpec {
 
   test("seed-like candidates separate; unseen tokens fall back to the smoothing weight") {
     val out = QualityClassifier.trainScore(cand, pos, neg).collect()
-      .map(r => r.getLong(0) -> (r.getDecimal(2).doubleValue(), r.getBoolean(3))).toMap
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
     assert(out(1L)._1 > 0 && out(1L)._2, s"curated-like doc must score positive: $out")
     assert(out(2L)._1 < 0 && !out(2L)._2, s"spam-like doc must score negative: $out")
     // doc 3 is all-unseen: every token takes w0 = ln((nn+v)/(np+v)),
@@ -43,7 +43,7 @@ class QualityClassifierSpec extends SparkSpec {
     val posBig = pos.unionByName(Seq((102L, "further careful analysis of results"))
       .toDF("doc_id", "text"))
     val got = QualityClassifier.trainScore(cand, posBig, neg).collect()
-      .map(r => r.getLong(0) -> r.getDecimal(2).doubleValue()).toMap
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val expected = BigDecimal(math.log(3.0 / 2) + 5 * math.log(36.0 / 44))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP)
     assert(BigDecimal(got(3L)).setScale(4, BigDecimal.RoundingMode.HALF_UP) === expected,

@@ -17,7 +17,7 @@ class TextSearchSpec extends SparkSpec {
 
   test("scores match the closed form; length normalization outranks raw tf") {
     val out = TextSearch.bm25TopK(docs, "spark", k = 10).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue()))
+      .map(r => (r.getLong(0), r.getDouble(1)))
     val idf = math.log(1.6)
     val s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 2))
     val s3 = idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 2))
@@ -58,7 +58,7 @@ class TextSearchSpec extends SparkSpec {
         if (s > 0) Some(id -> r4(s)) else None
       }.toMap
       val got = TextSearch.bm25TopK(docs, q.mkString(" "), k = 50).collect()
-        .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got === exp, s"trial $trial: $got vs $exp")
     }
   }
