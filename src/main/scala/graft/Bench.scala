@@ -144,13 +144,22 @@ object Bench {
     // The full artifact (full names, min/med/max/iters, udf sites) goes
     // to the file below and never depends on stdout truncation.
     def fmt2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
-    def shortKey(name: String): String = {
+    // base key: qNN (+ "c" for _check contracts). Two non-check queries
+    // sharing a qNN (q12_distinct_card / q12_approx_distinct) fall back
+    // to qNN + the next segment's first two letters — deterministic and
+    // still ~12 bytes. A residual collision trips the run below.
+    def baseKey(name: String): String = {
       val p = name.split("_").head
       if (name.contains("_check")) p + "c" else p
     }
+    val bases = results.map { case (k, _) => baseKey(k) }
+    val dup = bases.groupBy(identity).collect { case (b, o) if o.size > 1 => b }.toSet
+    def shortKey(name: String): String = {
+      val b = baseKey(name)
+      if (!dup(b)) b
+      else b + name.split("_").drop(1).headOption.getOrElse("").take(2)
+    }
     val shortKeys = results.map { case (k, _) => shortKey(k) }
-    require(shortKeys.distinct.size == shortKeys.size,
-      s"bench short-key collision: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
     val qsCompact = j(results.map { case (k, v) =>
       shortKey(k) -> v.fold(_ => "-1", r => fmt2(med(r))) })
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -158,10 +167,17 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    // the tail budget: the driver keeps ~2000 chars of stdout and sbt
-    // appends a "[success]" trailer; 1800 leaves headroom for it. The
-    // full artifact is already on disk, so a trip loses nothing.
+    // TRIPWIRES (after the artifact write — a trip never loses timings):
+    // the driver keeps ~2000 chars of stdout and sbt appends a
+    // "[success]" trailer; 1800 leaves headroom for it. Key collisions
+    // would silently drop per-query entries from the JSON map.
     println(compact)
+    if (shortKeys.distinct.size != shortKeys.size) {
+      System.err.println(s"[bench] SHORT-KEY COLLISION: " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(",") +
+        " - fix Bench.shortKey before shipping")
+      spark.stop(); sys.exit(2)
+    }
     if (compact.length > 1800) {
       System.err.println(s"[bench] COMPACT LINE ${compact.length} chars exceeds " +
         "the 1800-char driver tail budget - shrink keys/fields before shipping")

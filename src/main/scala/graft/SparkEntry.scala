@@ -125,7 +125,8 @@ object SparkEntry {
     "q92_stratified_exact_k" -> (PipelineQueries.q92StratifiedExactK _),
     "q93_kcenter" -> (PipelineQueries.q93KCenter _),
     "q93_check_kcenter" -> (PipelineQueries.q93CheckKCenter _),
-    "q94_pipeline_v2" -> (PipelineQueries.q94PipelineV2 _)
+    "q94_pipeline_v2" -> (PipelineQueries.q94PipelineV2 _),
+    "q95_check_ivf_append" -> (PipelineQueries.q95CheckIvfAppend _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -232,17 +232,22 @@ object Similarity {
     * sample; unit-norm, so cos(e, c) = dot(e, c)/|e|). Assignment uses
     * cosine so lists reflect angular proximity — the metric probes rank
     * by. */
-  /** Nearest-centroid assignment as a pure projection — argmax via
-    * struct ordering (array_max compares (cos, idx) lexicographically).
-    * Shared by the index build and incremental appends so new vectors
-    * land in exactly the list a fresh build would give them. */
-  private def assignExpr(centroids: Array[Array[Double]]): Column = {
+  /** Best centroid per row as a pure projection — argmax via struct
+    * ordering (array_max compares (cos, idx) lexicographically).
+    * `.getField("i")` is the assignment, `.getField("d")` the cosine to
+    * the assigned centroid (the row's COHESION). Shared by the index
+    * build, incremental appends, and the staleness gauge so all three
+    * agree bit-for-bit. */
+  private def bestCentroid(centroids: Array[Array[Double]]): Column = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     array_max(array(centroids.zipWithIndex.map { case (c, i) =>
       struct((vec_dot(col("e"), typedLit(c.toSeq)) / vec_norm(col("e"))).as("d"),
         lit(i).as("i"))
-    }: _*)).getField("i")
+    }: _*))
   }
+
+  private def assignExpr(centroids: Array[Array[Double]]): Column =
+    bestCentroid(centroids).getField("i")
 
   def buildIvfIndex(emb: DataFrame, nLists: Int = 16): IvfIndex = {
     val centroids = kmeansCentroids(emb, nLists)
@@ -299,10 +304,33 @@ object Similarity {
     // appends use their batch id — the idempotent-replay key) then list
     // (the probe-pruning key). Probes filter `list` only, which prunes
     // at the second level just the same.
+    // the build's mean cohesion rides the write as an observe() metric
+    // (no second pass): the baseline the append-staleness gauge
+    // compares against.
+    val obs = org.apache.spark.sql.Observation()
     index.assigned
+      .observe(obs, avg(bestCentroid(index.centroids).getField("d")).as("coh"),
+        count(lit(1)).as("n"))
       .withColumn("p", graft.operators.Quantize.int8(col("e")))
       .withColumn(IngestBatchCol, lit(-1L))
       .write.mode("overwrite").partitionBy(IngestBatchCol, "list").parquet(s"$path/assigned")
+    val m = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    Seq((m.getAs[Double]("coh"), m.getAs[Long]("n")))
+      .toDF("build_mean_cohesion", "n_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Staleness report from one incremental append: how well the FIXED
+    * centroids still describe the arriving data. `staleness` is the
+    * build-vs-append mean-cohesion gap — near 0 while the increment
+    * distribution matches the build; growing positive values mean the
+    * centroids have drifted off the data and the recall gate will
+    * degrade → schedule an offline rebuild. `buildMeanCohesion` is None
+    * for indexes persisted before the meta sidecar existed. */
+  final case class IvfAppendReport(nAppended: Long, meanCohesion: Double,
+                                   buildMeanCohesion: Option[Double]) {
+    def staleness: Option[Double] = buildMeanCohesion.map(_ - meanCohesion)
   }
 
   /** Incrementally add vectors to a PERSISTED index (standard IVF
@@ -313,14 +341,32 @@ object Similarity {
     * an at-least-once replay of the same batch id is idempotent, the
     * contract [[graft.streaming.StreamingOps]]'s vector ingest sink
     * builds on. The write touches only the new batch's files; existing
-    * partitions are never rewritten. */
+    * partitions are never rewritten.
+    *
+    * Returns the [[IvfAppendReport]] staleness gauge — the increment's
+    * mean cohesion rides the append write as an observe() metric (no
+    * second pass over the batch) and compares against the build-time
+    * baseline in the `meta` sidecar. */
   def appendIvfBatch(index: IvfIndex, vectors: DataFrame, path: String,
-                     batchId: Long): Unit =
+                     batchId: Long): IvfAppendReport = {
+    val spark = vectors.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val best = bestCentroid(index.centroids)
     asDouble(vectors)
-      .withColumn("list", assignExpr(index.centroids))
+      .withColumn("list", best.getField("i"))
+      .observe(obs, avg(best.getField("d")).as("coh"), count(lit(1)).as("n"))
       .withColumn("p", graft.operators.Quantize.int8(col("e")))
       .write.mode("overwrite").partitionBy("list")
       .parquet(s"$path/assigned/$IngestBatchCol=$batchId")
+    val m = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    val base = try {
+      val r = spark.read.parquet(s"$path/meta").head()
+      Some(r.getAs[Double]("build_mean_cohesion"))
+    } catch { case _: Exception => None }
+    IvfAppendReport(m.getAs[Long]("n"),
+      Option(m.getAs[Double]("coh")).getOrElse(0.0), base)
+  }
 
   /** Re-open a persisted index. The centroids sidecar is metadata-sized
     * (nLists rows); assignments stay a lazy partitioned scan — nothing

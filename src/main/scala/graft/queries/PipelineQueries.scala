@@ -1015,6 +1015,81 @@ object PipelineQueries {
       .toDF("stage", "n_docs").orderBy("stage")
   }
 
+  /** q95: incremental IVF index maintenance contract (VERDICT r11
+    * missing #2 — the serving-path gap): a day-1 index (md5-split half
+    * of the vectors) is built and PERSISTED, then the day-2 half joins
+    * it through `Similarity.appendIvfBatch` — assignment to the FIXED
+    * day-1 centroids, per-list partition append, NO rebuild. All probe
+    * batches run through `knnJoinIvf` (one batched plan per operating
+    * point, not a per-vector driver loop). Checks over 10 deterministic
+    * day-2 probe vectors:
+    *  - complete_ok (the strong one): at nProbe = nLists the appended
+    *    index reproduces the EXACT scan's top-10 identically — the
+    *    append loses nothing; any recall shortfall below full width is
+    *    pure routing, never data loss;
+    *  - recall_ok: averaged recall at the q36 operating point (k=10,
+    *    nProbe=6) ≥ 0.75 (measured 0.80 at sf0.01 — day-1-only
+    *    centroids route slightly worse than full-build centroids);
+    *  - parity_ok: that averaged recall is within 0.10 of a fresh full
+    *    rebuild's at the same operating point;
+    *  - day2_servable: the probe results include day-2 vectors (new
+    *    data serves immediately, no rebuild);
+    *  - staleness_ok: the append report carries the build-baseline
+    *    cohesion from the meta sidecar, the gap is non-negative
+    *    (held-out data never coheres better than the training data)
+    *    and bounded (≤ 0.25 — at sf0.01 the k-means sample is only
+    *    ~250 points, so the in-sample-vs-held-out gap is visible; it
+    *    shrinks as the build sample grows);
+    *  - count_ok: the report's appended-row count is exact.
+    * Booleans oracled by constant truth; the partition-pruning plan
+    * shape is asserted in IvfAppendSpec. */
+  def q95CheckIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val day1 = emb.filter(h < "8")
+    val day2 = emb.filter(h >= "8")
+    val nLists = 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+    val row = try {
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(day1, nLists), tmp.toString)
+      val base = Similarity.readIvfIndex(spark, tmp.toString)
+      val report = Similarity.appendIvfBatch(base, day2, tmp.toString, batchId = 0L)
+      val appended = Similarity.readIvfIndex(spark, tmp.toString)
+      val probes = day2.orderBy("vec_id").limit(10)
+      val exact = Similarity.knnJoinAuto(emb, probes, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val nExact = exact.count()
+      // self-matches rank first (probes are corpus members): take k+1,
+      // drop self, keep the top 10 surviving ranks
+      def ivfTop(idx: Similarity.IvfIndex, nProbe: Int) =
+        Similarity.knnJoinIvf(idx, probes, k = 11, nProbe = nProbe)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("qid").orderBy(col("rank"))))
+          .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      def hits(idx: Similarity.IvfIndex, nProbe: Int): Long =
+        exact.join(ivfTop(idx, nProbe), Seq("qid", "vec_id")).count()
+      val appendHits = hits(appended, 6)
+      val freshHits = hits(Similarity.buildIvfIndex(emb, nLists), 6)
+      val completeOk = hits(appended, nLists) == nExact
+      val day2Served = ivfTop(appended, 6)
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1) >= "8")
+        .count() > 0
+      (completeOk, appendHits >= (0.75 * nExact).toLong,
+        appendHits >= freshHits - (0.10 * nExact).toLong, day2Served,
+        report.buildMeanCohesion.isDefined &&
+          report.staleness.exists(s => s >= -0.02 && s <= 0.25),
+        report.nAppended == day2.count())
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+    import spark.implicits._
+    Seq(row).toDF("complete_ok", "recall_ok", "parity_ok", "day2_servable",
+      "staleness_ok", "count_ok")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -1949,6 +2024,10 @@ object PipelineQueries {
           |  UNION ALL SELECT '2_classifier', (SELECT COUNT(*) FROM c2)
           |  UNION ALL SELECT '3_exact', (SELECT COUNT(*) FROM s3)
           |  UNION ALL SELECT '4_sample', (SELECT n FROM s4n)
-          |) ORDER BY stage""".stripMargin)
+          |) ORDER BY stage""".stripMargin,
+      "q95_check_ivf_append" ->
+        """SELECT true AS complete_ok, true AS recall_ok, true AS parity_ok,
+          |       true AS day2_servable, true AS staleness_ok,
+          |       true AS count_ok""".stripMargin)
   }
 }

@@ -483,7 +483,20 @@ object StreamingOps {
     * `__ingest_batch < id` only, and the partition overwrite is exact —
     * crash anywhere, replay admits the identical set. At 100 TB the
     * gates are pure projections/window over the increment; the corpus
-    * is touched only by the q60-shaped broadcast probe. */
+    * is touched only by the q60-shaped broadcast probe.
+    *
+    * With `vectorIndexPath` set and an `embedding` column on the
+    * stream, the sink is the FULL daily-crawl drop (VERDICT r11 #6):
+    * text survivors additionally probe the standing persisted IVF
+    * index (as-of `__ingest_batch < id`) for semantic near-dups
+    * (`Dedup.dedupVectorsAgainstCorpus`, the q64 contract), and the
+    * jointly-admitted documents land in the text store AND join the
+    * index (`Similarity.appendIvfBatch` — idempotent per-batch
+    * partition append) in the same batch — one admission decision
+    * feeding both stores, crash-replay idempotent end to end. The
+    * index must already exist at stream start (bootstrap day 0 with
+    * `Similarity.writeIvfIndex`); centroids stay fixed — rebuild
+    * offline when the append staleness gauge drifts. */
   def curatedIngestToStore(docs: DataFrame, storePath: String, checkpoint: String,
                            cfg: graft.operators.Curation.CurationConfig =
                              graft.operators.Curation.CurationConfig(),
@@ -491,7 +504,9 @@ object StreamingOps {
                            threshold: Double = 0.5, n: Int = 3,
                            benchmark: Option[DataFrame] = None,
                            bloomFpp: Double = 0.01,
-                           classifierSeeds: Option[(DataFrame, DataFrame)] = None)
+                           classifierSeeds: Option[(DataFrame, DataFrame)] = None,
+                           vectorIndexPath: Option[String] = None,
+                           vecThreshold: Double = 0.95, vecNProbe: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
@@ -527,9 +542,39 @@ object StreamingOps {
           .map(_.filter(col(IngestBatchCol) < id).drop(IngestBatchCol))
           .getOrElse(spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema))
-        graft.operators.Dedup.dedupAgainstCorpus(corpus, decontaminated, threshold, n)
-          .write.mode("overwrite")
+        val textAdmitted =
+          graft.operators.Dedup.dedupAgainstCorpus(corpus, decontaminated, threshold, n)
+        // the full daily-crawl drop (VERDICT r11 #6): with a vector
+        // index configured and an `embedding` column on the batch, the
+        // text survivors ALSO run the semantic near-dup probe against
+        // the standing IVF index-as-of (`__ingest_batch < id` — a
+        // replayed batch never probes its own half-written rows), and
+        // the jointly-admitted set both lands in the text store AND
+        // joins the index via the idempotent per-batch partition append
+        // — one sink, both stores, one admission decision. The admitted
+        // set pins (micro-batch-sized) because it feeds three consumers
+        // (index append, text write, semantic gate).
+        val admitted = vectorIndexPath match {
+          case Some(vp) if batch.columns.contains("embedding") =>
+            import graft.operators.{Dedup, Similarity}
+            val idx = Similarity.readIvfIndex(spark, vp)
+            val asOf = idx.copy(assigned =
+              idx.assigned.filter(col(Similarity.IngestBatchCol) < id))
+            val cand = textAdmitted.localCheckpoint(true)
+            val vecs = cand.select(col("doc_id").as("vec_id"), col("embedding"))
+            val novel = Dedup.dedupVectorsAgainstCorpus(asOf, vecs, vecThreshold, vecNProbe)
+              .select(col("vec_id").as("doc_id"))
+            val out = cand.join(broadcast(novel), Seq("doc_id"), "left_semi")
+              .localCheckpoint(true)
+            Similarity.appendIvfBatch(idx,
+              out.select(col("doc_id").as("vec_id"), col("embedding")), vp, id)
+            graft.operators.Storage.release(cand)
+            out
+          case _ => textAdmitted
+        }
+        admitted.write.mode("overwrite")
           .parquet(s"$storePath/$IngestBatchCol=$id")
+        if (vectorIndexPath.isDefined) graft.operators.Storage.release(admitted)
       }
       .start()
   }
@@ -568,6 +613,7 @@ object StreamingOps {
           .filter(org.apache.spark.sql.functions.col(Similarity.IngestBatchCol) < id))
         val survivors = Dedup.dedupVectorsAgainstCorpus(asOf, batch, threshold, nProbe)
         Similarity.appendIvfBatch(idx, survivors, indexPath, id)
+        () // foreachBatch wants Unit; the staleness report is the batch's to drop
       }
       .start()
 }

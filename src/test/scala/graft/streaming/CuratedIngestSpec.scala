@@ -164,6 +164,83 @@ class CuratedIngestSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("curatedIngestToStore + vector index: semantic near-dups rejected, novel vectors servable") {
+    import graft.operators.Similarity
+    val inDir = java.nio.file.Files.createTempDirectory("cur4-in")
+    val store = java.nio.file.Files.createTempDirectory("cur4-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur4-ck").toString
+    val indexPath = java.nio.file.Files.createTempDirectory("cur4-ivf").toString
+    val dim = 8
+    val rnd = new scala.util.Random(53L)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    // day-0 bootstrap: the standing index over 40 background vectors
+    val bases = Array.fill(4)(vec())
+    val day0 = (0 until 40).map(i => (i.toLong, near(bases(i % 4))))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(day0, nLists = 4), indexPath)
+    graft.operators.Storage.releaseAll()
+
+    val vA = vec()
+    val vC = vec()
+    val vSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    def writeVecInput(name: String, mtime: Long,
+                      docs: Seq[(Long, String, Array[Float])]): Unit = {
+      val f = inDir.resolve(name)
+      val lines = docs.map { case (id, t, e) =>
+        s"""{"doc_id":$id,"text":"$t","embedding":[${e.mkString(",")}]}""" }
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      assert(f.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeVecInput("0.json", t0, Seq(
+      (60L, "the cat and the dog walk to the old mouse near a very tall green tree", vA)))
+    writeVecInput("1.json", t0 + 30000, Seq(
+      // DIFFERENT text (passes every text gate) but a semantic near-dup
+      // of batch 0's admitted vector — the vector gate must reject it
+      (70L, "a bright green garden grows by the quiet river bank under heavy summer rain", near(vA)),
+      (71L, "the old sailor tells a long story about distant winter storms near rocky shores", vC)))
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(vSchema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        vectorIndexPath = Some(indexPath), vecThreshold = 0.99, vecNProbe = 4)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    def indexRows(): Seq[(Long, Long)] = Similarity.readIvfIndex(spark, indexPath)
+      .assigned.filter(col(Similarity.IngestBatchCol) >= 0L)
+      .select(col("vec_id"), col(Similarity.IngestBatchCol).cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val expectedStore = Seq((60L, 0L), (71L, 1L))
+    val expectedIndex = Seq((60L, 0L), (71L, 1L))
+    assert(storeRows() === expectedStore,
+      "batch 1's semantic near-dup of batch 0's admitted doc must be rejected")
+    assert(indexRows() === expectedIndex,
+      "exactly the jointly-admitted docs join the standing index")
+    // the novel batch-1 vector is SERVABLE: probing with vC finds 71
+    val served = Similarity.probeIvf(Similarity.readIvfIndex(spark, indexPath),
+      vC.map(_.toDouble), k = 1, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served === Seq(71L), "the admitted novel vector must serve from the index")
+
+    // crash after the batch-1 writes but before its checkpoint commit:
+    // replay recomputes the identical joint admission for BOTH stores
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expectedStore)
+    assert(indexRows() === expectedIndex)
+  }
+
   test("curatedIngestToStore: cleanMarkupFirst strips crawl HTML before the gates") {
     val inDir = java.nio.file.Files.createTempDirectory("cur2-in")
     val store = java.nio.file.Files.createTempDirectory("cur2-store").toString
