@@ -389,22 +389,128 @@ object StreamingOps {
     * `__ingest_batch=<id>` directory. */
   val IngestBatchCol = "__ingest_batch"
 
+  /** Compaction bookkeeping directory inside a corpus store. The
+    * leading underscore keeps it INVISIBLE to the live partition read
+    * (Spark's file index skips `_`/`.`-prefixed paths), so a
+    * half-written epoch can never leak into readers — the manifest
+    * flip below is the only commit point. */
+  private val CompactDir = "_compaction"
+
+  /** A committed compaction: `epoch` names the consolidated directory
+    * (`_compaction/epoch-<e>`), `coversUpTo` the highest batch id it
+    * folded in. Readers take the epoch's files plus live partitions
+    * STRICTLY ABOVE `coversUpTo`; superseded inputs are garbage, GC'd
+    * best-effort. */
+  final case class CompactionState(epoch: Long, coversUpTo: Long)
+
+  /** The store's committed compaction state, if any — one tiny
+    * manifest JSON, atomically replaced per compaction. */
+  def compactionState(path: String): Option[CompactionState] = {
+    val m = java.nio.file.Paths.get(path, CompactDir, "manifest.json")
+    if (!java.nio.file.Files.isRegularFile(m)) None
+    else {
+      val s = java.nio.file.Files.readString(m)
+      val re = """"epoch"\s*:\s*(\d+).*"covers_upto"\s*:\s*(-?\d+)""".r
+      re.findFirstMatchIn(s).map(g => CompactionState(g.group(1).toLong, g.group(2).toLong))
+    }
+  }
+
   /** Read a [[dedupedIngestToStore]] corpus store: the union of every
-    * admitted batch's survivors (plus the [[IngestBatchCol]] partition
-    * column). Empty store → None (the sink seeds from the batch schema). */
+    * admitted batch's survivors (plus the [[IngestBatchCol]] column).
+    * Empty store → None (the sink seeds from the batch schema).
+    *
+    * With a committed compaction, the view is the consolidated epoch
+    * (which stores [[IngestBatchCol]] as a LONG data column, so as-of
+    * `< id` filters keep working) unioned with live partitions above
+    * `coversUpTo` — superseded partitions are excluded even if their
+    * GC never ran, and the `_compaction` directory itself is invisible
+    * to the live read. Without a compaction the read is exactly the
+    * plain partitioned scan. */
   def readCorpusStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
     val dir = new java.io.File(path)
     val hasBatches = dir.isDirectory &&
       dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
-    if (!hasBatches) None
-    else
-      try Some(spark.read.parquet(path))
-      catch {
-        // every admitted partition so far was empty -> no data files to
-        // infer a schema from; an empty store and no store are the same
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
+    val live =
+      if (!hasBatches) None
+      else
+        try Some(spark.read.parquet(path))
+        catch {
+          // every admitted partition so far was empty -> no data files to
+          // infer a schema from; an empty store and no store are the same
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+    compactionState(path) match {
+      case None => live
+      case Some(cs) =>
+        val compacted = spark.read.parquet(s"$path/$CompactDir/epoch-${cs.epoch}")
+        live match {
+          case None => Some(compacted)
+          case Some(l) =>
+            val fresh = l.filter(col(IngestBatchCol) > cs.coversUpTo)
+              .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
+            Some(compacted.unionByName(fresh))
+        }
+    }
+  }
+
+  /** Fold committed batch partitions into one consolidated epoch — the
+    * small-files answer for a long-running ingest store (a year of
+    * micro-batches is ~100k tiny partitions; at 100 TB the file
+    * listing alone would dominate every probe). Rows are bit-identical
+    * to the pre-compaction view; only the layout changes:
+    *
+    *  1. the current view's rows with batch ≤ `uptoBatch` (previous
+    *     epoch included) are rewritten as `_compaction/epoch-<e+1>` in
+    *     ~`targetFileRows`-row files, [[IngestBatchCol]] carried as a
+    *     LONG data column;
+    *  2. the manifest is flipped ATOMICALLY (tmp write + atomic move)
+    *     — the single commit point: a crash anywhere before it leaves
+    *     readers on the old view (the `_compaction` dir is invisible
+    *     to the live scan, so a half-written epoch is inert garbage);
+    *  3. superseded inputs (batch dirs ≤ `uptoBatch`, older epochs)
+    *     are deleted BEST-EFFORT; readers never depend on the GC
+    *     because the view construction already excludes them.
+    *
+    * CONTRACT: run while the ingest stream is stopped, or with
+    * `uptoBatch` ≤ the last COMMITTED batch id — a replay of an
+    * uncommitted batch must still find its own partition to overwrite.
+    * As-of (`< id`) semantics are unchanged for every consumer because
+    * the batch id survives as a column. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   uptoBatch: Long, targetFileRows: Long = 5000000L): CompactionState = {
+    import org.apache.spark.sql.functions.col
+    val cur = readCorpusStore(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $path"))
+    val toCompact = cur.filter(col(IngestBatchCol) <= uptoBatch)
+      .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
+    val prev = compactionState(path)
+    val epoch = prev.map(_.epoch + 1).getOrElse(0L)
+    val n = toCompact.count()
+    require(n > 0, s"no rows at batch <= $uptoBatch in $path")
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    toCompact.repartition(files)
+      .write.mode("overwrite").parquet(s"$path/$CompactDir/epoch-$epoch")
+    val mdir = java.nio.file.Paths.get(path, CompactDir)
+    val tmp = mdir.resolve(".manifest.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"epoch":$epoch,"covers_upto":$uptoBatch}""")
+    java.nio.file.Files.move(tmp, mdir.resolve("manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort GC — idempotent, readers already ignore these
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(s"$IngestBatchCol=") &&
+        f.getName.stripPrefix(s"$IngestBatchCol=").toLong <= uptoBatch)
+      .foreach(f => rmTree(f.toPath))
+    prev.foreach(p => rmTree(mdir.resolve(s"epoch-${p.epoch}")))
+    CompactionState(epoch, uptoBatch)
   }
 
   /** [[dedupedIngestSink]] with the survivor-persistence contract built
