@@ -370,13 +370,76 @@ object Similarity {
 
   /** Re-open a persisted index. The centroids sidecar is metadata-sized
     * (nLists rows); assignments stay a lazy partitioned scan — nothing
-    * is loaded until a probe selects its lists. */
+    * is loaded until a probe selects its lists. With a committed
+    * compaction ([[compactIvfIndex]]) the assignment view is the
+    * consolidated epoch (list-partitioned, batch id as a LONG data
+    * column) unioned with live batch partitions above the watermark —
+    * probes prune `list` partitions on BOTH sides, and every as-of
+    * `__ingest_batch < id` filter keeps working on the carried column. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("i").select("c")
       .collect().map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, s"no centroids at $path/centroids")
-    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"), centroids.length)
+    val aDir = s"$path/assigned"
+    val live =
+      try Some(spark.read.parquet(aDir))
+      catch {
+        // all batch dirs compacted + GC'd -> only the (invisible)
+        // _compaction dir remains and the live read has no files
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val assigned = Manifests.read(aDir) match {
+      case None => live.getOrElse(
+        throw new IllegalStateException(s"no assignments at $aDir"))
+      case Some((e, covers)) =>
+        val compacted = spark.read.parquet(Manifests.epochPath(aDir, e))
+        live match {
+          case None => compacted
+          case Some(l) =>
+            compacted.unionByName(l.filter(col(IngestBatchCol) > covers)
+              .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long")))
+        }
+    }
+    IvfIndex(centroids, assigned, centroids.length)
+  }
+
+  /** Fold committed index batches (the base `-1` and appends ≤
+    * `uptoBatch`) into one consolidated, LIST-PARTITIONED epoch — the
+    * index-side small-files answer: a year of daily [[appendIvfBatch]]
+    * partitions is ~365 × nLists tiny files, and the file listing
+    * starts to dominate pruned probes. Same [[Manifests]] commit
+    * protocol as the text store (atomic manifest flip; half-written
+    * epochs invisible; best-effort GC readers never depend on), and
+    * the same caller contract: run while ingest is stopped, or with
+    * `uptoBatch` ≤ the last COMMITTED batch. Probe plans stay
+    * partition-pruned on `list` over the epoch, and the batch id
+    * survives as a LONG column so index-as-of filtering is unchanged.
+    * Returns (epoch, coversUpTo). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      uptoBatch: Long, targetFileRows: Long = 5000000L): (Long, Long) = {
+    val aDir = s"$path/assigned"
+    val idx = readIvfIndex(spark, path)
+    val toCompact = idx.assigned.filter(col(IngestBatchCol) <= uptoBatch)
+      .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
+    val prev = Manifests.read(aDir)
+    val epoch = prev.map(_._1 + 1).getOrElse(0L)
+    val n = toCompact.count()
+    require(n > 0, s"no assignment rows at batch <= $uptoBatch in $aDir")
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    // hash-cluster on list so each list's rows land in few tasks; the
+    // dynamic partitionBy then writes one file per (task, list)
+    toCompact.repartition(files, col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(Manifests.epochPath(aDir, epoch))
+    Manifests.flip(aDir, epoch, uptoBatch)
+    new java.io.File(aDir).listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(s"$IngestBatchCol=") &&
+        f.getName.stripPrefix(s"$IngestBatchCol=").toLong <= uptoBatch)
+      .foreach(f => Manifests.rmTree(f.toPath))
+    prev.foreach(p => Manifests.rmTree(
+      java.nio.file.Paths.get(Manifests.epochPath(aDir, p._1))))
+    (epoch, uptoBatch)
   }
 
   /** Quantized probe over a PERSISTED index: same list routing as

@@ -389,31 +389,18 @@ object StreamingOps {
     * `__ingest_batch=<id>` directory. */
   val IngestBatchCol = "__ingest_batch"
 
-  /** Compaction bookkeeping directory inside a corpus store. The
-    * leading underscore keeps it INVISIBLE to the live partition read
-    * (Spark's file index skips `_`/`.`-prefixed paths), so a
-    * half-written epoch can never leak into readers — the manifest
-    * flip below is the only commit point. */
-  private val CompactDir = "_compaction"
-
-  /** A committed compaction: `epoch` names the consolidated directory
-    * (`_compaction/epoch-<e>`), `coversUpTo` the highest batch id it
-    * folded in. Readers take the epoch's files plus live partitions
-    * STRICTLY ABOVE `coversUpTo`; superseded inputs are garbage, GC'd
-    * best-effort. */
+  /** A committed compaction ([[graft.operators.Manifests]] protocol):
+    * `epoch` names the consolidated directory (`_compaction/epoch-<e>`,
+    * invisible to the live partition read), `coversUpTo` the highest
+    * batch id it folded in. Readers take the epoch's files plus live
+    * partitions STRICTLY ABOVE `coversUpTo`; superseded inputs are
+    * garbage, GC'd best-effort. */
   final case class CompactionState(epoch: Long, coversUpTo: Long)
 
   /** The store's committed compaction state, if any — one tiny
     * manifest JSON, atomically replaced per compaction. */
-  def compactionState(path: String): Option[CompactionState] = {
-    val m = java.nio.file.Paths.get(path, CompactDir, "manifest.json")
-    if (!java.nio.file.Files.isRegularFile(m)) None
-    else {
-      val s = java.nio.file.Files.readString(m)
-      val re = """"epoch"\s*:\s*(\d+).*"covers_upto"\s*:\s*(-?\d+)""".r
-      re.findFirstMatchIn(s).map(g => CompactionState(g.group(1).toLong, g.group(2).toLong))
-    }
-  }
+  def compactionState(path: String): Option[CompactionState] =
+    graft.operators.Manifests.read(path).map((CompactionState.apply _).tupled)
 
   /** Read a [[dedupedIngestToStore]] corpus store: the union of every
     * admitted batch's survivors (plus the [[IngestBatchCol]] column).
@@ -444,7 +431,8 @@ object StreamingOps {
     compactionState(path) match {
       case None => live
       case Some(cs) =>
-        val compacted = spark.read.parquet(s"$path/$CompactDir/epoch-${cs.epoch}")
+        val compacted = spark.read.parquet(
+          graft.operators.Manifests.epochPath(path, cs.epoch))
         live match {
           case None => Some(compacted)
           case Some(l) =>
@@ -489,27 +477,19 @@ object StreamingOps {
     val epoch = prev.map(_.epoch + 1).getOrElse(0L)
     val n = toCompact.count()
     require(n > 0, s"no rows at batch <= $uptoBatch in $path")
+    import graft.operators.Manifests
     val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
     toCompact.repartition(files)
-      .write.mode("overwrite").parquet(s"$path/$CompactDir/epoch-$epoch")
-    val mdir = java.nio.file.Paths.get(path, CompactDir)
-    val tmp = mdir.resolve(".manifest.tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"epoch":$epoch,"covers_upto":$uptoBatch}""")
-    java.nio.file.Files.move(tmp, mdir.resolve("manifest.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      .write.mode("overwrite").parquet(Manifests.epochPath(path, epoch))
+    Manifests.flip(path, epoch, uptoBatch)
     // best-effort GC — idempotent, readers already ignore these
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
     val root = new java.io.File(path)
     root.listFiles().filter(f => f.isDirectory &&
         f.getName.startsWith(s"$IngestBatchCol=") &&
         f.getName.stripPrefix(s"$IngestBatchCol=").toLong <= uptoBatch)
-      .foreach(f => rmTree(f.toPath))
-    prev.foreach(p => rmTree(mdir.resolve(s"epoch-${p.epoch}")))
+      .foreach(f => Manifests.rmTree(f.toPath))
+    prev.foreach(p => Manifests.rmTree(
+      java.nio.file.Paths.get(Manifests.epochPath(path, p.epoch))))
     CompactionState(epoch, uptoBatch)
   }
 

@@ -85,4 +85,46 @@ class IvfAppendSpec extends SparkSpec {
     assert(Similarity.readIvfIndex(spark, path).assigned.count() === before)
     assert(report2.nAppended === day2.count())
   }
+
+  test("compactIvfIndex folds base + appends into one epoch; probes unchanged and pruned") {
+    // private fixture copy — this test mutates the store layout
+    val df = clustered(8, 16, seed = 43L)
+    val day1 = df.filter(col("vec_id") % 2 === 0)
+    val day2 = df.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(day1, nLists = 8), path)
+    Storage.releaseAll()
+    val base = Similarity.readIvfIndex(spark, path)
+    Similarity.appendIvfBatch(base, day2, path, batchId = 0L)
+    val probeVec = df.filter(col("vec_id") === 1L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    def probe() = Similarity.probeIvf(Similarity.readIvfIndex(spark, path),
+      probeVec, k = 5, nProbe = 3, excludeId = Some(1L))
+    val before = probe().as[(Long, Double)].collect().toSeq
+    val rowsBefore = Similarity.readIvfIndex(spark, path).assigned
+      .select(col("vec_id"), col(Similarity.IngestBatchCol).cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rowsBefore.size === 128)
+
+    assert(Similarity.compactIvfIndex(spark, path, uptoBatch = 0L) === ((0L, 0L)))
+    // base and append partitions folded and GC'd; rows identical
+    assert(!new java.io.File(s"$path/assigned/${Similarity.IngestBatchCol}=-1").exists())
+    assert(!new java.io.File(s"$path/assigned/${Similarity.IngestBatchCol}=0").exists())
+    val rowsAfter = Similarity.readIvfIndex(spark, path).assigned
+      .select(col("vec_id"), col(Similarity.IngestBatchCol).cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rowsAfter === rowsBefore)
+    // probe results identical, plan still pruned on list
+    assert(probe().as[(Long, Double)].collect().toSeq === before)
+    val plan = probe().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"expected list pruning over the compacted epoch:\n$plan")
+
+    // ingest continues: a later append lands beside the epoch and serves
+    val extra = Seq((900L, Array.fill(dim)(0.25f))).toDF("vec_id", "embedding")
+    Similarity.appendIvfBatch(Similarity.readIvfIndex(spark, path), extra, path, batchId = 1L)
+    val all = Similarity.readIvfIndex(spark, path).assigned
+      .select("vec_id").as[Long].collect().toSet
+    assert(all.contains(900L) && all.size === 129)
+  }
 }
