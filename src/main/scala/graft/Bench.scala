@@ -134,24 +134,22 @@ object Bench {
     // three rounds running — each time a re-estimate of "how many
     // queries fit" lost to the query count growing). r12 fixes this
     // STRUCTURALLY (VERDICT r11 #2):
-    //  - per-query keys shrink to the qNN prefix ("q80"), with "_check"
-    //    contracts keyed qNNc ("q82c") — ~12 bytes/query instead of ~28,
-    //    uniqueness REQUIRE'd below so a future name collision trips the
-    //    build, not the driver;
+    //  - per-query keys shrink to the qNN prefix ("q80"; same-prefix
+    //    pairs get two extra letters) — ~12 bytes/query instead of ~28,
+    //    uniqueness tripwired below so a future name collision trips
+    //    the build, not the driver;
     //  - medians print at 2 decimals (10 ms — far below noise);
     //  - a HARD TRIPWIRE fails the run if the line exceeds the tail
     //    budget, so overflow can never again ship silently.
     // The full artifact (full names, min/med/max/iters, udf sites) goes
     // to the file below and never depends on stdout truncation.
     def fmt2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
-    // base key: qNN (+ "c" for _check contracts). Two non-check queries
-    // sharing a qNN (q12_distinct_card / q12_approx_distinct) fall back
-    // to qNN + the next segment's first two letters — deterministic and
-    // still ~12 bytes. A residual collision trips the run below.
-    def baseKey(name: String): String = {
-      val p = name.split("_").head
-      if (name.contains("_check")) p + "c" else p
-    }
+    // base key: the qNN prefix (_check contracts never reach here —
+    // they are filtered from `results` above). Two queries sharing a
+    // qNN (q12_distinct_card / q12_approx_distinct) fall back to qNN +
+    // the next segment's first two letters — deterministic and still
+    // ~12 bytes. A residual collision trips the run below.
+    def baseKey(name: String): String = name.split("_").head
     val bases = results.map { case (k, _) => baseKey(k) }
     val dup = bases.groupBy(identity).collect { case (b, o) if o.size > 1 => b }.toSet
     def shortKey(name: String): String = {

@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
 /** The shared commit protocol for store compaction (text corpus store
   * and IVF index store): a consolidated epoch directory under an
   * underscore-prefixed `_compaction` dir (invisible to Spark's file
@@ -46,4 +49,62 @@ object Manifests {
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+
+  /** The compacted READ view of a store: the committed epoch (if any)
+    * unioned with `live` partitions STRICTLY ABOVE the watermark —
+    * superseded partitions excluded even if the GC never ran, `batchCol`
+    * normalized to LONG so as-of `< id` filters work uniformly. Without
+    * a manifest, `live` passes through untouched. */
+  def readView(spark: SparkSession, storeDir: String, batchCol: String,
+               live: Option[DataFrame]): Option[DataFrame] =
+    read(storeDir) match {
+      case None => live
+      case Some((e, covers)) =>
+        val compacted = spark.read.parquet(epochPath(storeDir, e))
+        Some(live match {
+          case None => compacted
+          case Some(l) =>
+            compacted.unionByName(l.filter(col(batchCol) > covers)
+              .withColumn(batchCol, col(batchCol).cast("long")))
+        })
+    }
+
+  /** Fold `view`'s rows with batch ≤ `uptoBatch` into the next epoch
+    * and commit: epoch write (optionally `partitionCols`-partitioned,
+    * `batchCol` carried as a LONG data column), atomic manifest flip,
+    * then best-effort GC of superseded batch dirs and the previous
+    * epoch. The watermark is REQUIRED monotone (review r12): a shrunken
+    * `uptoBatch` would write an epoch missing the previous epoch's
+    * tail rows and then delete their only copy — silent data loss. */
+  def compactView(view: DataFrame, storeDir: String, batchCol: String,
+                  uptoBatch: Long, targetFileRows: Long,
+                  partitionCols: Seq[String]): (Long, Long) = {
+    val prev = read(storeDir)
+    prev.foreach { case (_, covers) =>
+      require(uptoBatch >= covers,
+        s"compaction watermark must not shrink: uptoBatch=$uptoBatch < " +
+          s"previous covers_upto=$covers at $storeDir — rows above the new " +
+          "watermark would be dropped from the epoch and their previous copy GC'd")
+    }
+    val toCompact = view.filter(col(batchCol) <= uptoBatch)
+      .withColumn(batchCol, col(batchCol).cast("long"))
+    val epoch = prev.map(_._1 + 1).getOrElse(0L)
+    val n = toCompact.count()
+    require(n > 0, s"no rows at batch <= $uptoBatch in $storeDir")
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    val clustered =
+      if (partitionCols.isEmpty) toCompact.repartition(files)
+      else toCompact.repartition(files, partitionCols.map(col): _*)
+    val w = clustered.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(epochPath(storeDir, epoch))
+    flip(storeDir, epoch, uptoBatch)
+    // best-effort GC — idempotent, readers already ignore these
+    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$batchCol=") &&
+        f.getName.stripPrefix(s"$batchCol=").toLong <= uptoBatch)
+      .foreach(f => rmTree(f.toPath))
+    prev.foreach(p => rmTree(java.nio.file.Paths.get(epochPath(storeDir, p._1))))
+    (epoch, uptoBatch)
+  }
 }

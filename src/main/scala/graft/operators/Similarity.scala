@@ -360,10 +360,12 @@ object Similarity {
       .parquet(s"$path/assigned/$IngestBatchCol=$batchId")
     val m = scala.concurrent.Await.result(obs.future,
       scala.concurrent.duration.Duration(120, "s"))
-    val base = try {
-      val r = spark.read.parquet(s"$path/meta").head()
-      Some(r.getAs[Double]("build_mean_cohesion"))
-    } catch { case _: Exception => None }
+    // absent sidecar (pre-r12 index) -> None; anything else (corrupt
+    // meta, transient IO) must SURFACE — it is the drift gauge's input
+    val base =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "meta"))) None
+      else Some(spark.read.parquet(s"$path/meta").head()
+        .getAs[Double]("build_mean_cohesion"))
     IvfAppendReport(m.getAs[Long]("n"),
       Option(m.getAs[Double]("coh")).getOrElse(0.0), base)
   }
@@ -389,18 +391,8 @@ object Similarity {
         // _compaction dir remains and the live read has no files
         case _: org.apache.spark.sql.AnalysisException => None
       }
-    val assigned = Manifests.read(aDir) match {
-      case None => live.getOrElse(
-        throw new IllegalStateException(s"no assignments at $aDir"))
-      case Some((e, covers)) =>
-        val compacted = spark.read.parquet(Manifests.epochPath(aDir, e))
-        live match {
-          case None => compacted
-          case Some(l) =>
-            compacted.unionByName(l.filter(col(IngestBatchCol) > covers)
-              .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long")))
-        }
-    }
+    val assigned = Manifests.readView(spark, aDir, IngestBatchCol, live)
+      .getOrElse(throw new IllegalStateException(s"no assignments at $aDir"))
     IvfIndex(centroids, assigned, centroids.length)
   }
 
@@ -419,27 +411,10 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       uptoBatch: Long, targetFileRows: Long = 5000000L): (Long, Long) = {
     val aDir = s"$path/assigned"
-    val idx = readIvfIndex(spark, path)
-    val toCompact = idx.assigned.filter(col(IngestBatchCol) <= uptoBatch)
-      .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
-    val prev = Manifests.read(aDir)
-    val epoch = prev.map(_._1 + 1).getOrElse(0L)
-    val n = toCompact.count()
-    require(n > 0, s"no assignment rows at batch <= $uptoBatch in $aDir")
-    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
-    // hash-cluster on list so each list's rows land in few tasks; the
-    // dynamic partitionBy then writes one file per (task, list)
-    toCompact.repartition(files, col("list"))
-      .write.mode("overwrite").partitionBy("list")
-      .parquet(Manifests.epochPath(aDir, epoch))
-    Manifests.flip(aDir, epoch, uptoBatch)
-    new java.io.File(aDir).listFiles().filter(f => f.isDirectory &&
-        f.getName.startsWith(s"$IngestBatchCol=") &&
-        f.getName.stripPrefix(s"$IngestBatchCol=").toLong <= uptoBatch)
-      .foreach(f => Manifests.rmTree(f.toPath))
-    prev.foreach(p => Manifests.rmTree(
-      java.nio.file.Paths.get(Manifests.epochPath(aDir, p._1))))
-    (epoch, uptoBatch)
+    // hash-clustered on list so each list's rows land in few tasks; the
+    // dynamic partitionBy writes one file per (task, list)
+    Manifests.compactView(readIvfIndex(spark, path).assigned, aDir,
+      IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Seq("list"))
   }
 
   /** Quantized probe over a PERSISTED index: same list routing as

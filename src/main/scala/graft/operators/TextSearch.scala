@@ -30,6 +30,18 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, query: String, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qToks = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    // an empty query matches nothing — return the empty result with the
+    // output schema instead of letting the HOF reduce below throw
+    // (review r12: the pre-r12 isin() filter degraded gracefully)
+    if (qToks.isEmpty)
+      return docs.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            docs.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField("score", DoubleType),
+          org.apache.spark.sql.types.StructField("n_terms",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     // the ONE corpus pass: length + query-term instances per doc, pinned
     // LAZY (the caller's single action materializes the blocks — no
     // extra job) and released by the bench's Storage drain

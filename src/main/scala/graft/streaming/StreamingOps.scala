@@ -428,19 +428,7 @@ object StreamingOps {
           // infer a schema from; an empty store and no store are the same
           case _: org.apache.spark.sql.AnalysisException => None
         }
-    compactionState(path) match {
-      case None => live
-      case Some(cs) =>
-        val compacted = spark.read.parquet(
-          graft.operators.Manifests.epochPath(path, cs.epoch))
-        live match {
-          case None => Some(compacted)
-          case Some(l) =>
-            val fresh = l.filter(col(IngestBatchCol) > cs.coversUpTo)
-              .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
-            Some(compacted.unionByName(fresh))
-        }
-    }
+    graft.operators.Manifests.readView(spark, path, IngestBatchCol, live)
   }
 
   /** Fold committed batch partitions into one consolidated epoch — the
@@ -468,29 +456,11 @@ object StreamingOps {
     * the batch id survives as a column. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
                    uptoBatch: Long, targetFileRows: Long = 5000000L): CompactionState = {
-    import org.apache.spark.sql.functions.col
     val cur = readCorpusStore(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $path"))
-    val toCompact = cur.filter(col(IngestBatchCol) <= uptoBatch)
-      .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long"))
-    val prev = compactionState(path)
-    val epoch = prev.map(_.epoch + 1).getOrElse(0L)
-    val n = toCompact.count()
-    require(n > 0, s"no rows at batch <= $uptoBatch in $path")
-    import graft.operators.Manifests
-    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
-    toCompact.repartition(files)
-      .write.mode("overwrite").parquet(Manifests.epochPath(path, epoch))
-    Manifests.flip(path, epoch, uptoBatch)
-    // best-effort GC — idempotent, readers already ignore these
-    val root = new java.io.File(path)
-    root.listFiles().filter(f => f.isDirectory &&
-        f.getName.startsWith(s"$IngestBatchCol=") &&
-        f.getName.stripPrefix(s"$IngestBatchCol=").toLong <= uptoBatch)
-      .foreach(f => Manifests.rmTree(f.toPath))
-    prev.foreach(p => Manifests.rmTree(
-      java.nio.file.Paths.get(Manifests.epochPath(path, p.epoch))))
-    CompactionState(epoch, uptoBatch)
+    val (e, covers) = graft.operators.Manifests.compactView(
+      cur, path, IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Nil)
+    CompactionState(e, covers)
   }
 
   /** [[dedupedIngestSink]] with the survivor-persistence contract built
@@ -640,27 +610,35 @@ object StreamingOps {
         // — one sink, both stores, one admission decision. The admitted
         // set pins (micro-batch-sized) because it feeds three consumers
         // (index append, text write, semantic gate).
-        val admitted = vectorIndexPath match {
-          case Some(vp) if batch.columns.contains("embedding") =>
-            import graft.operators.{Dedup, Similarity}
+        vectorIndexPath match {
+          case Some(vp) =>
+            // misconfiguration must fail the FIRST batch, not silently
+            // admit without the semantic gate (review r12)
+            require(batch.columns.contains("embedding"),
+              "curatedIngestToStore: vectorIndexPath is set but the stream " +
+                s"has no 'embedding' column (columns: ${batch.columns.mkString(", ")})")
+            import graft.operators.{Dedup, Similarity, Storage}
             val idx = Similarity.readIvfIndex(spark, vp)
             val asOf = idx.copy(assigned =
               idx.assigned.filter(col(Similarity.IngestBatchCol) < id))
             val cand = textAdmitted.localCheckpoint(true)
-            val vecs = cand.select(col("doc_id").as("vec_id"), col("embedding"))
-            val novel = Dedup.dedupVectorsAgainstCorpus(asOf, vecs, vecThreshold, vecNProbe)
-              .select(col("vec_id").as("doc_id"))
-            val out = cand.join(broadcast(novel), Seq("doc_id"), "left_semi")
-              .localCheckpoint(true)
-            Similarity.appendIvfBatch(idx,
-              out.select(col("doc_id").as("vec_id"), col("embedding")), vp, id)
-            graft.operators.Storage.release(cand)
-            out
-          case _ => textAdmitted
+            try {
+              val vecs = cand.select(col("doc_id").as("vec_id"), col("embedding"))
+              val novel = Dedup.dedupVectorsAgainstCorpus(asOf, vecs, vecThreshold, vecNProbe)
+                .select(col("vec_id").as("doc_id"))
+              val admitted = cand.join(broadcast(novel), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              try {
+                Similarity.appendIvfBatch(idx,
+                  admitted.select(col("doc_id").as("vec_id"), col("embedding")), vp, id)
+                admitted.write.mode("overwrite")
+                  .parquet(s"$storePath/$IngestBatchCol=$id")
+              } finally Storage.release(admitted)
+            } finally Storage.release(cand)
+          case None =>
+            textAdmitted.write.mode("overwrite")
+              .parquet(s"$storePath/$IngestBatchCol=$id")
         }
-        admitted.write.mode("overwrite")
-          .parquet(s"$storePath/$IngestBatchCol=$id")
-        if (vectorIndexPath.isDefined) graft.operators.Storage.release(admitted)
       }
       .start()
   }

@@ -26,6 +26,36 @@ class TextSearchSpec extends SparkSpec {
     assert(out.toMap === Map(3L -> r4(s3), 1L -> r4(s1)), s"scores: ${out.toSeq}")
   }
 
+  test("ONE corpus pass: every consumer reads the pinned per-doc projection, never the source") {
+    // N/avgdl and the tf explode must all derive from the single pinned
+    // (doc_id, dl, qs) projection (VERDICT r11 #7 — the stats aggregate
+    // was a second full scan that re-tokenized every document). With
+    // the pin, the plan's only leaves are the checkpoint RDD — zero
+    // scans of the docs relation remain.
+    val plan = TextSearch.bm25TopK(docs, "spark", k = 10)
+      .queryExecution.optimizedPlan
+    val sourceScans = plan.collectLeaves().count {
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.output.exists(_.name == "text")
+      case _ => false
+    }
+    assert(sourceScans === 0,
+      s"expected zero corpus re-scans (all leaves read the pin):\n$plan")
+    val pinLeaves = plan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(pinLeaves.nonEmpty && pinLeaves.forall(_.output.exists(_.name == "qs")),
+      s"every leaf must be the pinned (doc_id, dl, qs) projection:\n$plan")
+  }
+
+  test("an empty or whitespace query returns the empty result, not an error") {
+    assert(TextSearch.bm25TopK(docs, "", k = 5).collect().isEmpty)
+    val out = TextSearch.bm25TopK(docs, "   ", k = 5)
+    assert(out.columns.toSeq === Seq("doc_id", "score", "n_terms"))
+    assert(out.collect().isEmpty)
+  }
+
   test("non-matching docs are absent and k bounds the result") {
     val out = TextSearch.bm25TopK(docs, "spark table", k = 1).collect()
     assert(out.length === 1, s"k=1 must cap: ${out.toSeq}")

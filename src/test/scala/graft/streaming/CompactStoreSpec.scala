@@ -88,6 +88,29 @@ class CompactStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$store/_compaction/epoch-0").exists())
   }
 
+  test("a shrinking compaction watermark is refused (would silently lose rows)") {
+    val inDir = java.nio.file.Files.createTempDirectory("cmp3-in")
+    val store = java.nio.file.Files.createTempDirectory("cmp3-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmp3-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    writeInput(inDir, "0.json", t0, Seq((10L, "alpha beta gamma delta epsilon zeta")))
+    writeInput(inDir, "1.json", t0 + 30000, Seq((21L, "and another unrelated document body here")))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir.toString)
+    val q = StreamingOps.dedupedIngestToStore(docs, store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    StreamingOps.compactStore(spark, store, uptoBatch = 1L)
+    // epoch-0 covers batch 1; a stale caller asking to compact only up
+    // to batch 0 would write an epoch WITHOUT doc 21 and then GC its
+    // only copy — must be refused, store untouched
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.compactStore(spark, store, uptoBatch = 0L)
+    }
+    assert(e.getMessage.contains("watermark"))
+    assert(storeRows(store) === Seq((10L, 0L), (21L, 1L)))
+  }
+
   test("a half-written epoch without a manifest flip is invisible to readers") {
     val inDir = java.nio.file.Files.createTempDirectory("cmp2-in")
     val store = java.nio.file.Files.createTempDirectory("cmp2-store").toString
