@@ -551,6 +551,45 @@ object TextAnalysis {
     * engine-independent oracle can mirror them byte-for-byte; `&amp;`
     * decodes LAST so literal entity text (`&amp;lt;`) survives as
     * `&lt;` rather than double-decoding. */
+  /** Unicode text normalization — the universal FIRST stage of a
+    * web-scale curation pipeline (CCNet/OSCAR normalize before any
+    * hashing: without it, a curly-quote variant of a document escapes
+    * exact AND shingle dedup, and zero-width characters poison token
+    * counts):
+    *  - curly/angle quotes → ASCII (' and "), en/em-dash and minus →
+    *    '-', unicode spaces (NBSP, figure, narrow, ideographic) → ' ',
+    *    all via one `translate` (codegen'd, per-char);
+    *  - zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphen DELETED
+    *    (translate's extra-from-chars-delete rule — identical in both
+    *    engines);
+    *  - '…' → "..." (1→3, beyond translate — one replace);
+    *  - remaining C0 controls except \n and \t stripped (CR goes,
+    *    so CRLF normalizes to LF), then
+    *    space/tab runs collapse and the result trims; newlines SURVIVE
+    *    (the line-shape signals — bullet/ellipsis-line fractions —
+    *    need them).
+    * A pure row-local projection: zero shuffle, rides the scan at any
+    * corpus size. Regexes stay in the RE2-compatible subset so the
+    * DuckDB oracle mirrors byte-for-byte; idempotent (normalizing
+    * twice is the identity on the first pass's output). */
+  /** The translate tables behind [[normalizeText]], shared with the
+    * q96 oracle so both engines run the SAME mapping: 16 mapped chars
+    * (9 quotes, 3 dashes, 4 unicode spaces) + 5 deleted (zero-widths,
+    * BOM, soft hyphen — `from` longer than `to` deletes in BOTH
+    * engines). */
+  val NormalizeFrom: String =
+    "\u2018\u2019\u201A\u201B\u201C\u201D\u201E\u00AB\u00BB" +
+      "\u2013\u2014\u2212" + "\u00A0\u2007\u202F\u3000" +
+      "\u200B\u200C\u200D\uFEFF\u00AD"
+  val NormalizeTo: String = "\'\'\'\'" + "\"\"\"\"\"" + "---" + "    "
+
+  def normalizeText(text: Column): Column = {
+    val uni = translate(replace(text, lit("\u2026"), lit("...")),
+      NormalizeFrom, NormalizeTo)
+    val noCtl = regexp_replace(uni, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtl, "[ \\t]+", " "))
+  }
+
   def cleanMarkup(text: Column): Column = {
     val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

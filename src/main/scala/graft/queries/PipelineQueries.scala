@@ -1090,6 +1090,28 @@ object PipelineQueries {
       "staleness_ok", "count_ok")
   }
 
+  /** q96: unicode text normalization (`TextAnalysis.normalizeText`) —
+    * the universal pre-dedup stage. The synthetic corpus is pure
+    * ASCII, so the query DECORATES every document with the full
+    * unicode-punctuation zoo (curly/angle quotes, en/em-dash, minus,
+    * NBSP/figure/narrow/ideographic spaces, zero-widths, BOM, soft
+    * hyphen, ellipsis, a control char) identically in both engines —
+    * every mapping is exercised on every row, and the oracle mirrors
+    * translate/replace/regexp chains byte-for-byte. Pure row-local
+    * projection: zero shuffle at any corpus size. */
+  def q96Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val deco = concat(
+      lit("\u201CA\u00A0b\u2018c\u2019\u00ABd\u00BB \u2013 "),
+      col("text"),
+      lit(" e\u2014f\u2026g\u200Bh\u00ADi\u201E\u3000j\u2212k\u0007l\u201D"))
+    val norm = TA.normalizeText(deco)
+    t(spark, dir, "documents").select(col("doc_id"),
+      norm.as("norm_text"),
+      length(deco).cast(org.apache.spark.sql.types.LongType).as("n_before"),
+      length(norm).cast(org.apache.spark.sql.types.LongType).as("n_after"))
+      .orderBy("doc_id")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -2028,6 +2050,29 @@ object PipelineQueries {
       "q95_check_ivf_append" ->
         """SELECT true AS complete_ok, true AS recall_ok, true AS parity_ok,
           |       true AS day2_servable, true AS staleness_ok,
-          |       true AS count_ok""".stripMargin)
+          |       true AS count_ok""".stripMargin,
+      "q96_normalize" -> {
+        // decoration + tables interpolate from the SAME Scala constants
+        // the engine uses, so the two sides cannot drift; the to-table
+        // rides a dollar-quoted SQL literal (it contains both quote kinds)
+        val pre = "\u201CA\u00A0b\u2018c\u2019\u00ABd\u00BB \u2013 "
+        val suf = " e\u2014f\u2026g\u200Bh\u00ADi\u201E\u3000j\u2212k"
+        val sufTail = "l\u201D"
+        val from = graft.operators.TextAnalysis.NormalizeFrom
+        val to = "$$" + graft.operators.TextAnalysis.NormalizeTo + "$$"
+        val ell = "\u2026"
+s"""WITH w AS (SELECT doc_id,
+   |  '$pre' || text || '$suf' || chr(7) || '$sufTail' AS t0
+   |  FROM documents),
+   |tr AS (SELECT doc_id, t0,
+   |  translate(replace(t0, '$ell', '...'), '$from', $to) AS h FROM w),
+   |c AS (SELECT doc_id, t0,
+   |  trim(regexp_replace(regexp_replace(h,
+   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+   |    '[ \\t]+', ' ', 'g')) AS norm FROM tr)
+   |SELECT doc_id, norm AS norm_text, length(t0)::BIGINT AS n_before,
+   |  length(norm)::BIGINT AS n_after
+   |FROM c ORDER BY doc_id""".stripMargin
+      })
   }
 }
