@@ -127,7 +127,8 @@ object SparkEntry {
     "q93_check_kcenter" -> (PipelineQueries.q93CheckKCenter _),
     "q94_pipeline_v2" -> (PipelineQueries.q94PipelineV2 _),
     "q95_check_ivf_append" -> (PipelineQueries.q95CheckIvfAppend _),
-    "q96_normalize" -> (PipelineQueries.q96Normalize _)
+    "q96_normalize" -> (PipelineQueries.q96Normalize _),
+    "q97_temperature_mix" -> (PipelineQueries.q97TemperatureMix _)
   )
 
   def oracleSql: Map[String, String] = Map(

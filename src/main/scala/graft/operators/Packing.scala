@@ -184,6 +184,44 @@ object Packing {
     * global running-before = its bucket's prefix + its in-bucket
     * running-before (the bucket id is the order key's leading byte, so
     * bucket order IS hash order). */
+  /** Temperature-based mixture sampling (Lample & Conneau 2019;
+    * Conneau et al. 2020 XLM-R §3.1 — the published multilingual
+    * mixing rule): per-source sampling weights q_i = p_i^α / Σ_j p_j^α
+    * over the sources' token shares, budgets_i = q_i · totalTokens.
+    * α = 1 reproduces the corpus proportions; α → 0 approaches uniform
+    * — smaller α UPSAMPLES tail sources, the knob every multilingual /
+    * multi-domain training mix turns. Selection then reuses
+    * [[mixToBudgets]]' deterministic minwise prefix.
+    *
+    * Scale shape: ONE source-level aggregate (map-side combinable,
+    * source-cardinality rows) decides the budgets as driver metadata;
+    * the corpus itself is touched only by the mixToBudgets pass.
+    * Budgets round to a `budgetGrain`-token grid with the power sums
+    * folded in SORTED source order, so the arithmetic is reproducible
+    * cross-engine (a last-ulp `pow` difference cannot move a budget
+    * across a grain boundary). Returns the selected docs plus their
+    * source's `__mix_budget` column. */
+  def temperatureMix(docs: DataFrame, totalTokens: Long, alpha: Double,
+                     sourceCol: Column, tokenCol: Column, key: Column,
+                     budgetGrain: Long = 50L): DataFrame = {
+    require(totalTokens > 0 && alpha > 0 && budgetGrain > 0,
+      s"temperatureMix: bad knobs total=$totalTokens alpha=$alpha grain=$budgetGrain")
+    val stats = docs.groupBy(sourceCol.as("__src"))
+      .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val pows = stats.map { case (s, t) => (s, math.pow(t.toDouble, alpha)) }
+    val z = pows.map(_._2).foldLeft(0.0)(_ + _)
+    val budgets = pows.map { case (s, w) =>
+      s -> math.round(w / z * totalTokens / budgetGrain) * budgetGrain
+    }.toMap
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s, b)) => when(sourceCol === s, lit(b)).otherwise(acc)
+    }
+    mixToBudgets(docs, budgets, sourceCol, tokenCol, key)
+      .withColumn("__mix_budget", budgetCol)
+  }
+
   def mixToBudgets(docs: DataFrame, budgets: Map[String, Long],
                    sourceCol: Column, tokenCol: Column, key: Column): DataFrame = {
     require(budgets.nonEmpty, "mixToBudgets: empty budget map")

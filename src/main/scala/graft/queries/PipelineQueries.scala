@@ -1112,6 +1112,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q97: temperature-based mixture sampling
+    * (`Packing.temperatureMix`) — α=0.5 over every source, a 20k-token
+    * total on a 50-token budget grid: tail sources upsample relative
+    * to their share exactly as the published q_i = p_i^α/Σp_j^α rule
+    * dictates, and the selected prefix per source is q61's minwise
+    * draw. Oracle mirrors the power/round/grid arithmetic with the
+    * power sum folded in sorted source order (cross-engine
+    * reproducible) and the same cumulative-prefix selection. */
+  def q97TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.temperatureMix(
+      t(spark, dir, "documents"), totalTokens = 20000L, alpha = 0.5,
+      sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
+      key = col("doc_id"))
+      .groupBy("source")
+      .agg(first(col("__mix_budget")).as("budget"),
+        count(lit(1)).as("n_docs"),
+        sum(TA.wsTokenCount(col("text")).cast("long")).as("tokens"))
+      .orderBy("source")
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -2073,6 +2092,27 @@ s"""WITH w AS (SELECT doc_id,
    |SELECT doc_id, norm AS norm_text, length(t0)::BIGINT AS n_before,
    |  length(norm)::BIGINT AS n_after
    |FROM c ORDER BY doc_id""".stripMargin
-      })
+      },
+      "q97_temperature_mix" ->
+        """WITH d AS (SELECT source, doc_id,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          |             md5(CAST(doc_id AS VARCHAR)) AS h
+          |           FROM documents),
+          |s AS (SELECT source, SUM(tok)::DOUBLE AS st FROM d GROUP BY source),
+          |z AS (SELECT list_reduce(list_prepend(0.0,
+          |        list(POW(st, 0.5) ORDER BY source)), (a, b) -> a + b) AS z
+          |      FROM s),
+          |b AS (SELECT source,
+          |        CAST(ROUND(POW(st, 0.5) / z.z * 20000 / 50) AS BIGINT) * 50 AS budget
+          |      FROM s, z),
+          |c AS (SELECT source, tok,
+          |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+          |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
+          |      FROM d),
+          |k AS (SELECT c.source, c.tok, b.budget FROM c JOIN b USING (source)
+          |      WHERE c.bef < b.budget)
+          |SELECT source, MIN(budget) AS budget, COUNT(*) AS n_docs,
+          |  CAST(SUM(tok) AS BIGINT) AS tokens
+          |FROM k GROUP BY source ORDER BY source""".stripMargin)
   }
 }

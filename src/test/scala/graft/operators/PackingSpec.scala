@@ -97,6 +97,41 @@ class PackingSpec extends SparkSpec {
     assert(toks("s0") >= 2000L && toks("s1") >= 5000L)
   }
 
+  test("temperatureMix: alpha=1 is proportional; smaller alpha upsamples the tail") {
+    // skewed fixture: s0 carries ~8x s1's tokens
+    val skewed = spark.range(0, 450).select(
+      col("id").as("doc_id"),
+      when(col("id") % 9 === 0, lit("s1")).otherwise(lit("s0")).as("source"),
+      lit(10L).as("tokens"))
+    def budgets(alpha: Double): Map[String, Long] =
+      Packing.temperatureMix(skewed, totalTokens = 2000L, alpha = alpha,
+          sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"),
+          budgetGrain = 10L)
+        .groupBy("source").agg(first(col("__mix_budget")).as("b"))
+        .as[(String, Long)].collect().toMap
+    val b1 = budgets(1.0)
+    // proportional: budgets split ~8:1 like the corpus (grain-rounded)
+    assert(b1("s0") === 1780L && b1("s1") === 220L, s"alpha=1: $b1")
+    val bHalf = budgets(0.5)
+    // sqrt weights: sqrt(8):sqrt(1) ~ 0.739/0.261 of 2000
+    assert(bHalf("s1") > b1("s1") && bHalf("s0") < b1("s0"),
+      s"smaller alpha must upsample the tail: $bHalf vs $b1")
+    assert(bHalf.values.map(math.abs).sum <= 2000L + 20L,
+      s"budgets stay near the total: $bHalf")
+    // grid: every budget is a grain multiple
+    assert(bHalf.values.forall(_ % 10 == 0))
+  }
+
+  test("temperatureMix is deterministic under repartition") {
+    val a = Packing.temperatureMix(mixFixture, 5000L, 0.5,
+      col("source"), col("tokens"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Packing.temperatureMix(mixFixture.repartition(7), 5000L, 0.5,
+      col("source"), col("tokens"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("mixToBudgets keeps an underfunded source whole") {
     val got = Packing.mixToBudgets(mixFixture, Map("s1" -> 1000000L),
         sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"))
