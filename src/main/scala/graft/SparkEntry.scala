@@ -128,7 +128,8 @@ object SparkEntry {
     "q94_pipeline_v2" -> (PipelineQueries.q94PipelineV2 _),
     "q95_check_ivf_append" -> (PipelineQueries.q95CheckIvfAppend _),
     "q96_normalize" -> (PipelineQueries.q96Normalize _),
-    "q97_temperature_mix" -> (PipelineQueries.q97TemperatureMix _)
+    "q97_temperature_mix" -> (PipelineQueries.q97TemperatureMix _),
+    "q98_detect_format" -> (PipelineQueries.q98DetectFormat _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -590,6 +590,60 @@ object TextAnalysis {
     trim(regexp_replace(noCtl, "[ \\t]+", " "))
   }
 
+  /** Structural format detection — code vs table vs prose (the
+    * RedPajama/StarCoder-style routing decision: code and tables get
+    * different gates than prose, and a prose-tuned quality battery
+    * silently shreds both). Four row-local signals over the RAW text
+    * (these shapes live in exactly the characters the prose pipeline
+    * normalizes away):
+    *  - `symbol_density`: code-shaped chars `{}();=<>[]` per character;
+    *  - `indent_frac`: lines starting with 2+ spaces or a tab;
+    *  - `pipe_frac`: lines containing 2+ '|' (markdown/org tables);
+    *  - `semi_end_frac`: lines ending ';', '{' or '}'.
+    * Verdict (first match wins): `table` if pipe_frac ≥ 0.5; `code` if
+    * symbol_density ≥ 0.04 and (indent_frac ≥ 0.2 or semi_end_frac ≥
+    * 0.2); else `prose`. All thresholds on exact 4-decimal DECIMAL
+    * internally, signals emitted as DOUBLE (the r12 oracle-comparator
+    * convention). Pure codegen projections — zero shuffle, rides the
+    * scan at any corpus size; every expression mirrors 1:1 in DuckDB
+    * (replace-count arithmetic + list_filter). */
+  def formatSignals(text: Column): Seq[(String, Column)] = {
+    def occAny(c: Column, chars: String): Column =
+      chars.map(ch => length(c) - length(replace(c, lit(ch.toString), lit(""))))
+        .reduce(_ + _)
+    val nChars = greatest(length(text), lit(1)).cast(DoubleType)
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
+    val symbolDensity = occAny(text, "{}();=<>[]").cast(DoubleType) / nChars
+    val indentFrac = size(filter(lines, l =>
+      l.startsWith("  ") || l.startsWith("\t"))).cast(DoubleType) / nLines
+    val pipeFrac = size(filter(lines, l =>
+      (length(l) - length(replace(l, lit("|"), lit("")))) >= 2)).cast(DoubleType) / nLines
+    val semiEndFrac = size(filter(lines, l =>
+      l.endsWith(";") || l.endsWith("{") || l.endsWith("}"))).cast(DoubleType) / nLines
+    Seq(
+      "symbol_density" -> dec4(round(symbolDensity, 4)),
+      "indent_frac" -> dec4(round(indentFrac, 4)),
+      "pipe_frac" -> dec4(round(pipeFrac, 4)),
+      "semi_end_frac" -> dec4(round(semiEndFrac, 4)))
+  }
+
+  /** Per-document format verdicts over [[formatSignals]]. Output:
+    * (doc_id, symbol_density, indent_frac, pipe_frac, semi_end_frac,
+    * format), ordered. */
+  def detectFormat(docs: DataFrame): DataFrame = {
+    val sigs = formatSignals(col("text"))
+    val s = sigs.toMap
+    val verdict =
+      when(s("pipe_frac") >= 0.5, lit("table"))
+        .when(s("symbol_density") >= 0.04 &&
+          (s("indent_frac") >= 0.2 || s("semi_end_frac") >= 0.2), lit("code"))
+        .otherwise(lit("prose"))
+    docs.select(col("doc_id") +:
+      (sigs.map { case (n, c) => c.cast(DoubleType).as(n) } :+ verdict.as("format")): _*)
+      .orderBy("doc_id")
+  }
+
   def cleanMarkup(text: Column): Column = {
     val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

@@ -1131,6 +1131,21 @@ object PipelineQueries {
         sum(TA.wsTokenCount(col("text")).cast("long")).as("tokens"))
       .orderBy("source")
 
+  /** q98: structural format detection (`TextAnalysis.detectFormat`) —
+    * code vs table vs prose routing. The synthetic corpus is pure
+    * prose, so docs with id % 7 == 0 carry a deterministic code body
+    * and id % 11 == 0 a markdown table body (identically in both
+    * engines): all three verdict branches fire, and the remaining docs
+    * exercise the signal arithmetic on real text. */
+  def q98DetectFormat(spark: SparkSession, dir: String): DataFrame = {
+    val code = "if (x) {\n  y[i] = f(x);\n}\nwhile (i < n) {\n  s = s + a[i];\n}"
+    val table = "| name | qty |\n| a | 1 |\n| b | 2 |\n| c | 3 |"
+    TA.detectFormat(t(spark, dir, "documents").withColumn("text",
+      when(col("doc_id") % 7 === 0, lit(code))
+        .when(col("doc_id") % 11 === 0, lit(table))
+        .otherwise(col("text"))))
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -2113,6 +2128,49 @@ s"""WITH w AS (SELECT doc_id,
           |      WHERE c.bef < b.budget)
           |SELECT source, MIN(budget) AS budget, COUNT(*) AS n_docs,
           |  CAST(SUM(tok) AS BIGINT) AS tokens
-          |FROM k GROUP BY source ORDER BY source""".stripMargin)
+          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+      "q98_detect_format" ->
+        """WITH d0 AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN
+          |    'if (x) {' || chr(10) || '  y[i] = f(x);' || chr(10) || '}' || chr(10)
+          |      || 'while (i < n) {' || chr(10) || '  s = s + a[i];' || chr(10) || '}'
+          |  WHEN doc_id % 11 = 0 THEN
+          |    '| name | qty |' || chr(10) || '| a | 1 |' || chr(10)
+          |      || '| b | 2 |' || chr(10) || '| c | 3 |'
+          |  ELSE text END AS text FROM documents),
+          |s AS (SELECT doc_id,
+          |  CAST(ROUND((
+          |      (len(text) - len(replace(text, '{', '')))
+          |    + (len(text) - len(replace(text, '}', '')))
+          |    + (len(text) - len(replace(text, '(', '')))
+          |    + (len(text) - len(replace(text, ')', '')))
+          |    + (len(text) - len(replace(text, ';', '')))
+          |    + (len(text) - len(replace(text, '=', '')))
+          |    + (len(text) - len(replace(text, '<', '')))
+          |    + (len(text) - len(replace(text, '>', '')))
+          |    + (len(text) - len(replace(text, '[', '')))
+          |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
+          |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_density,
+          |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+          |      l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
+          |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4)
+          |    AS DECIMAL(14,4)) AS indent_frac,
+          |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+          |      l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
+          |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4)
+          |    AS DECIMAL(14,4)) AS pipe_frac,
+          |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+          |      l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
+          |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4)
+          |    AS DECIMAL(14,4)) AS semi_end_frac
+          |FROM d0)
+          |SELECT doc_id, symbol_density::DOUBLE AS symbol_density,
+          |  indent_frac::DOUBLE AS indent_frac, pipe_frac::DOUBLE AS pipe_frac,
+          |  semi_end_frac::DOUBLE AS semi_end_frac,
+          |  CASE WHEN pipe_frac >= 0.5 THEN 'table'
+          |       WHEN symbol_density >= 0.04
+          |            AND (indent_frac >= 0.2 OR semi_end_frac >= 0.2) THEN 'code'
+          |       ELSE 'prose' END AS format
+          |FROM s ORDER BY doc_id""".stripMargin)
   }
 }
