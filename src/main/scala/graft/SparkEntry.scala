@@ -129,7 +129,9 @@ object SparkEntry {
     "q95_check_ivf_append" -> (PipelineQueries.q95CheckIvfAppend _),
     "q96_normalize" -> (PipelineQueries.q96Normalize _),
     "q97_temperature_mix" -> (PipelineQueries.q97TemperatureMix _),
-    "q98_detect_format" -> (PipelineQueries.q98DetectFormat _)
+    "q98_detect_format" -> (PipelineQueries.q98DetectFormat _),
+    "q99_tfidf_keywords" -> (PipelineQueries.q99TfidfKeywords _),
+    "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _)
   )
 
   def oracleSql: Map[String, String] = Map(

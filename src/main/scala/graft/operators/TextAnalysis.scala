@@ -628,19 +628,24 @@ object TextAnalysis {
       "semi_end_frac" -> dec4(round(semiEndFrac, 4)))
   }
 
+  /** The format verdict as a single Column — for filter use
+    * (`formatOf(col("text")) === "prose"` routes without a join). */
+  def formatOf(text: Column): Column = {
+    val s = formatSignals(text).toMap
+    when(s("pipe_frac") >= 0.5, lit("table"))
+      .when(s("symbol_density") >= 0.04 &&
+        (s("indent_frac") >= 0.2 || s("semi_end_frac") >= 0.2), lit("code"))
+      .otherwise(lit("prose"))
+  }
+
   /** Per-document format verdicts over [[formatSignals]]. Output:
     * (doc_id, symbol_density, indent_frac, pipe_frac, semi_end_frac,
     * format), ordered. */
   def detectFormat(docs: DataFrame): DataFrame = {
     val sigs = formatSignals(col("text"))
-    val s = sigs.toMap
-    val verdict =
-      when(s("pipe_frac") >= 0.5, lit("table"))
-        .when(s("symbol_density") >= 0.04 &&
-          (s("indent_frac") >= 0.2 || s("semi_end_frac") >= 0.2), lit("code"))
-        .otherwise(lit("prose"))
     docs.select(col("doc_id") +:
-      (sigs.map { case (n, c) => c.cast(DoubleType).as(n) } :+ verdict.as("format")): _*)
+      (sigs.map { case (n, c) => c.cast(DoubleType).as(n) } :+
+        formatOf(col("text")).as("format")): _*)
       .orderBy("doc_id")
   }
 

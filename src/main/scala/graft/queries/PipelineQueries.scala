@@ -1146,6 +1146,47 @@ object PipelineQueries {
         .otherwise(col("text"))))
   }
 
+  /** q99: per-document tf-idf keyword extraction
+    * (`TextSearch.tfidfTopK`) — top-5 distinctive terms per document,
+    * ranks compared on the exact 4-decimal form in both engines. */
+  def q99TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.tfidfTopK(t(spark, dir, "documents"), k = 5)
+
+  /** q100: the r12 pipeline composed end-to-end — normalize (q96) →
+    * structural routing, prose only (q98) → Gopher hard rules (q80)
+    * → temperature mixture (q97) as ONE query with a stage manifest,
+    * the q94 pattern over this round's operators. Every stage is its
+    * own oracle-verified kernel, so the composed oracle is their CTE
+    * chain. The whole gate chain is row-local (normalize, format
+    * verdict and the Gopher battery are pure projections); the ONLY
+    * aggregations are the mix's source-cardinality budget table and
+    * its bucketed prefix selection. Manifest counts ride the mix's
+    * own two actions as observe() metrics — zero extra count jobs. */
+  def q100PipelineV3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HeuristicRules, Packing}
+    import org.apache.spark.sql.Observation
+    import scala.concurrent.duration._
+    val Seq(o0, o1, o2) = Seq.fill(3)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
+    val normed = counted(t(spark, dir, "documents"), o0)
+      .withColumn("text", TA.normalizeText(col("text")))
+    val prose = counted(normed.filter(TA.formatOf(col("text")) === "prose"), o1)
+    val gated = counted(HeuristicRules.gopherFilter(prose), o2)
+    // the mix's internal budget aggregate is the chain's FIRST action —
+    // o0/o1/o2 complete there; its selection count is the second
+    val mixed = Packing.temperatureMix(gated, totalTokens = 10000L, alpha = 0.5,
+      sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
+      key = col("doc_id"))
+    val n3 = mixed.count()
+    def n(o: Observation): Long =
+      scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+    import spark.implicits._
+    Seq(("0_input", n(o0)), ("1_prose", n(o1)), ("2_gopher", n(o2)),
+      ("3_mix", n3))
+      .toDF("stage", "n_docs").orderBy("stage")
+  }
+
   /** q82 contract: (a) no_dup_left — recomputing within-cluster pairs
     * over the SURVIVORS alone finds none at the threshold (the
     * outcome SemDeDup promises); (b) one_per_family — survivor count
@@ -2171,6 +2212,104 @@ s"""WITH w AS (SELECT doc_id,
           |       WHEN symbol_density >= 0.04
           |            AND (indent_frac >= 0.2 OR semi_end_frac >= 0.2) THEN 'code'
           |       ELSE 'prose' END AS format
-          |FROM s ORDER BY doc_id""".stripMargin)
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "q99_tfidf_keywords" ->
+        """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          |            FROM documents),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+          |       WHERE tok <> '' GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+          |sc AS (SELECT tf.doc_id, tf.tok,
+          |         CAST(ROUND(tf.tf::DOUBLE * ln(n.n / df.df::DOUBLE), 4)
+          |              AS DECIMAL(14,4)) AS tfidf
+          |       FROM tf JOIN df USING (tok) CROSS JOIN n),
+          |r AS (SELECT doc_id, tok, tfidf,
+          |        ROW_NUMBER() OVER (PARTITION BY doc_id
+          |                           ORDER BY tfidf DESC, tok) AS rank
+          |      FROM sc)
+          |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf::DOUBLE AS tfidf
+          |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+      "q100_pipeline_v3" -> {
+        val from = graft.operators.TextAnalysis.NormalizeFrom
+        val to = "$$" + graft.operators.TextAnalysis.NormalizeTo + "$$"
+        val ell = "\u2026"
+s"""WITH nrm AS (SELECT doc_id, source,
+   |  trim(regexp_replace(regexp_replace(
+   |    translate(replace(text, '$ell', '...'), '$from', $to),
+   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+   |    '[ \\t]+', ' ', 'g')) AS text
+   |  FROM documents),
+   |fs AS (SELECT doc_id,
+   |  CAST(ROUND((
+   |      (len(text) - len(replace(text, '{', '')))
+   |    + (len(text) - len(replace(text, '}', '')))
+   |    + (len(text) - len(replace(text, '(', '')))
+   |    + (len(text) - len(replace(text, ')', '')))
+   |    + (len(text) - len(replace(text, ';', '')))
+   |    + (len(text) - len(replace(text, '=', '')))
+   |    + (len(text) - len(replace(text, '<', '')))
+   |    + (len(text) - len(replace(text, '>', '')))
+   |    + (len(text) - len(replace(text, '[', '')))
+   |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
+   |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS sym,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ind,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS pipe,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
+   |FROM nrm),
+   |prose AS (SELECT nrm.* FROM nrm JOIN fs USING (doc_id)
+   |  WHERE NOT (fs.pipe >= 0.5)
+   |    AND NOT (fs.sym >= 0.04 AND (fs.ind >= 0.2 OR fs.semi >= 0.2))),
+   |gd AS (SELECT doc_id, source, text, lower(text) AS t,
+   |         string_split(lower(text),' ') AS w,
+   |         string_split(text, chr(10)) AS ls FROM prose),
+   |gs AS (SELECT doc_id,
+   |  CAST(len(w) AS BIGINT) AS n_words,
+   |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+   |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+   |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+   |            + CAST((len(t) - len(replace(t,'\u2026','')))/1 AS BIGINT))::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+   |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'\u2022')))::DOUBLE
+   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+   |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'\u2026')))::DOUBLE
+   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+   |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+   |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+   |FROM gd),
+   |g AS (SELECT gd.doc_id, gd.source, gd.text FROM gd JOIN gs USING (doc_id)
+   |      WHERE gs.n_words >= 50 AND gs.n_words <= 100000
+   |        AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
+   |        AND gs.symbol_ratio < 0.1 AND gs.bullet_frac < 0.9
+   |        AND gs.ellipsis_frac < 0.3 AND gs.alpha_frac >= 0.8
+   |        AND gs.stop_hits >= 2),
+   |d AS (SELECT source, doc_id,
+   |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+   |        md5(CAST(doc_id AS VARCHAR)) AS h FROM g),
+   |sm AS (SELECT source, SUM(tok)::DOUBLE AS st FROM d GROUP BY source),
+   |z AS (SELECT list_reduce(list_prepend(0.0,
+   |        list(POW(st, 0.5) ORDER BY source)), (a, b) -> a + b) AS z FROM sm),
+   |b AS (SELECT source,
+   |        CAST(ROUND(POW(st, 0.5) / z.z * 10000 / 50) AS BIGINT) * 50 AS budget
+   |      FROM sm, z),
+   |c AS (SELECT source, doc_id, tok,
+   |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+   |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
+   |      FROM d),
+   |k AS (SELECT c.doc_id FROM c JOIN b USING (source) WHERE c.bef < b.budget)
+   |SELECT '0_input' AS stage, (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs
+   |UNION ALL SELECT '1_prose', (SELECT COUNT(*) FROM prose)
+   |UNION ALL SELECT '2_gopher', (SELECT COUNT(*) FROM g)
+   |UNION ALL SELECT '3_mix', (SELECT COUNT(*) FROM k)
+   |ORDER BY stage""".stripMargin
+      })
   }
 }

@@ -49,6 +49,30 @@ class TextSearchSpec extends SparkSpec {
       s"every leaf must be the pinned (doc_id, dl, qs) projection:\n$plan")
   }
 
+  test("tfidfTopK: closed-form scores, distinctive terms outrank common ones") {
+    // 'rare' appears twice in doc 1 only: tfidf = 2*ln(3/1)
+    // 'common' appears in all 3 docs: idf = ln(1) = 0
+    val d = Seq(
+      (1L, "common rare rare"), (2L, "common alpha"), (3L, "common beta")
+    ).toDF("doc_id", "text")
+    val out = TextSearch.tfidfTopK(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val doc1 = out.filter(_._1 == 1L).toSeq
+    assert(doc1.head === ((1L, 1, "rare", r4(2 * math.log(3.0)))))
+    // the zero-idf universal token ranks below every distinctive one
+    assert(doc1(1)._3 === "common" && doc1(1)._4 === 0.0)
+    val doc2 = out.filter(_._1 == 2L).toSeq
+    assert(doc2.head._3 === "alpha" && doc2.head._4 === r4(math.log(3.0)))
+  }
+
+  test("tfidfTopK is deterministic under repartition and k bounds per doc") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b x y z")).toDF("doc_id", "text")
+    val a = TextSearch.tfidfTopK(d, k = 3).collect().toSeq
+    val b = TextSearch.tfidfTopK(d.repartition(5), k = 3).collect().toSeq
+    assert(a === b)
+    assert(a.groupBy(_.getLong(0)).values.forall(_.size <= 3))
+  }
+
   test("an empty or whitespace query returns the empty result, not an error") {
     assert(TextSearch.bm25TopK(docs, "", k = 5).collect().isEmpty)
     val out = TextSearch.bm25TopK(docs, "   ", k = 5)
