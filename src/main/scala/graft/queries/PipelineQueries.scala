@@ -1169,10 +1169,14 @@ object PipelineQueries {
     val Seq(o0, o1, o2) = Seq.fill(3)(Observation())
     def counted(df: DataFrame, o: Observation): DataFrame =
       df.observe(o, count(lit(1)).as("n"))
-    val normed = counted(t(spark, dir, "documents"), o0)
-      .withColumn("text", TA.normalizeText(col("text")))
-    val prose = counted(normed.filter(TA.formatOf(col("text")) === "prose"), o1)
-    val gated = counted(HeuristicRules.gopherFilter(prose), o2)
+    // format routes on the RAW text — q98's indentation/line-shape
+    // signals live in exactly the characters normalization collapses
+    // (review r12: normalize-then-route misread indented code as
+    // prose); normalization runs on the admitted prose only
+    val prose = counted(counted(t(spark, dir, "documents"), o0)
+      .filter(TA.formatOf(col("text")) === "prose"), o1)
+    val normed = prose.withColumn("text", TA.normalizeText(col("text")))
+    val gated = counted(HeuristicRules.gopherFilter(normed), o2)
     // the mix's internal budget aggregate is the chain's FIRST action —
     // o0/o1/o2 complete there; its selection count is the second
     val mixed = Packing.temperatureMix(gated, totalTokens = 10000L, alpha = 0.5,
