@@ -221,28 +221,44 @@ object Curation {
 
     val shForPairs = s3x.select(col("doc_id"), col("__sh").as("shingles"), col("__q"))
 
-    // -- the pair aggregation runs ONCE, pinned: both tiers read its
-    // blocks (the driver tier collects them; the staged tier's
-    // connected components cache their edges from them), and the tier
-    // probe is a bounded count over the blocks — no CollectLimit
-    // incremental rounds, no re-aggregation anywhere.
-    val pairsQ = pin(Dedup.jaccardQualityPairsFromShingles(shForPairs, cfg.jaccard))
+    val pairsPlan = Dedup.jaccardQualityPairsFromShingles(shForPairs, cfg.jaccard)
+    val dBound = math.min(cfg.broadcastableIds, cfg.driverPairs)
+
+    // -- pair-aggregation staging, two regimes (n3 is already on the
+    // driver, so the dispatch costs no probe job):
+    //  * deduped corpus itself below the driver-pair bound → ONE
+    //    bounded CollectLimit over the aggregation: the pair set is
+    //    complete iff it fits the bound, and pin + probe + collect
+    //    collapse into a single job chain with no checkpoint write
+    //    (VERDICT r12 #1 — the last fixed-overhead shave q68 had).
+    //    Overflow (pathological all-duplicates corpus) re-runs the
+    //    aggregation once for the staged pin — bounded by n3 ≤ dBound
+    //    docs, and unreachable for a corpus that large without ~n3²/2
+    //    pairs.
+    //  * large corpus → pin once; the memoized bounded probe and both
+    //    tiers read the pinned blocks (pairs can still be metadata at
+    //    any corpus size, and the pin guarantees the aggregation never
+    //    runs twice in the regime where it is the dominant cost).
+    lazy val pairsQ = pin(pairsPlan)
+    val directRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (dBound > 0 && n3 <= dBound) {
+        val r = pairsPlan.limit(dBound.toInt + 1).collect()
+        if (r.length <= dBound) Some(r) else None
+      } else None
+    val driverTier = directRows.isDefined ||
+      (dBound > 0 && n3 > dBound && SizeDispatch.atMost(pairsQ, dBound))
 
     // -- fused driver tier: near-dup pairs are METADATA (edges between
     // near-duplicates — the regime where connectedComponents already
     // runs a driver union-find and keepCanonical collects its labels).
     // Collect the qualifying pairs WITH both members' qualities,
-    // evaluate the keep-rule on the driver, and the whole pipeline
-    // after the spine pin is: pair pin + final pin — the loser count
+    // evaluate the keep-rule on the driver — the loser count
     // gives n4 by arithmetic (losers ⊆ s3 members), and n4 bounds the
     // contamination drop set, so that dispatch needs no probe job
     // either. A pair set over the bound runs the staged distributed
-    // path below over the same pinned pairs.
-    val dBound = math.min(cfg.broadcastableIds, cfg.driverPairs)
-    val driverTier = dBound > 0 && SizeDispatch.atMost(pairsQ, dBound)
-
+    // path below over the pinned pairs.
     if (driverTier) {
-      val rows = pairsQ.collect()
+      val rows = directRows.getOrElse(pairsQ.collect())
         // union-find over the collected pairs (path compression, larger
         // root under smaller — the Clustering.localUnionFind rule), then
         // the keep-rule per component: max quality, ties to lowest id —
@@ -271,18 +287,36 @@ object Curation {
           members.iterator.filter(_ != winner)
         }.toSeq
         val n4 = n3 - losers.size
-        val s4 = s3x.join(broadcast(losers.toDF("doc_id")), Seq("doc_id"), "left_anti")
-        val contaminated = Dedup.contaminationFromShingles(
-          s4.select(col("doc_id"), col("__sh").as("shingles")),
-          benchmark, cfg.shingle, cfg.minShared)
-          .filter(col("contaminated")).select("doc_id")
-        // contaminated ⊆ s4, and n4 is already on the driver: dispatch
-        // without a probe job
-        val side =
-          if (n4 <= cfg.broadcastableIds) broadcast(contaminated)
-          else contaminated.hint("shuffle_hash")
+        // -- fused drop: both remaining stages are row-local given
+        // driver-sized side state — the loser ids are already on the
+        // driver, and the exact decontamination tier ALREADY assumes
+        // the benchmark's distinct shingle set is broadcast-sized
+        // (contaminationFromShingles broadcasts it; bigger suites take
+        // the Bloom tier). So instead of anti-join + join/groupBy +
+        // anti-join (three exchanges, ~10 AQE jobs of scheduling
+        // overhead), ONE filter over the pinned spine: binary search
+        // of sorted primitive arrays, early-exit at minShared —
+        // verdict-identical to `shared >= minShared` over the
+        // broadcast-join count, since a doc's contamination depends on
+        // no other doc. The benchmark side costs one tiny job.
+        val bShingles = Dedup.benchmarkShingleArray(benchmark, cfg.shingle)
+        val loserArr = losers.toArray
+        java.util.Arrays.sort(loserArr)
+        val bcB = spark.sparkContext.broadcast(bShingles)
+        val bcL = spark.sparkContext.broadcast(loserArr)
+        val minShared = cfg.minShared
+        val keepRow = udf { (id: Long, sh: Seq[Long]) =>
+          if (java.util.Arrays.binarySearch(bcL.value, id) >= 0) false
+          else {
+            var shared = 0L
+            val it = sh.iterator
+            while (it.hasNext && shared < minShared)
+              if (java.util.Arrays.binarySearch(bcB.value, it.next()) >= 0) shared += 1
+            shared < minShared
+          }
+        }
         val s5 = pin(counted(
-          s4.join(side, Seq("doc_id"), "left_anti").select(outCols: _*), o5))
+          s3x.filter(keepRow(col("doc_id"), col("__sh"))).select(outCols: _*), o5))
         val n5 = resolved(o5, s5.count())
         val manifest = Seq(
           ("1_quality", n0, n1),

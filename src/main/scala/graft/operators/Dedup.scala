@@ -77,6 +77,30 @@ object Dedup {
     * merges two distinct shingles; at 64 bits that needs ~4e9 distinct
     * shingles (birthday bound) before it's likely — per-partition corpora
     * stay far below that, and the oracle SFs are exact w.h.p. */
+  /** The benchmark suite's distinct hashed-shingle set as a SORTED
+    * primitive array — input to [[graft.operators.Curation.curate]]'s
+    * fused driver-tier decontamination filter. Collecting it is the
+    * same memory class the exact tier already assumes (an eval suite
+    * is broadcast-sized — [[contaminationFromShingles]] broadcasts
+    * this very set); a suite too large for the driver takes
+    * [[contaminationScoresBloom]] instead. */
+  private[operators] def benchmarkShingleArray(benchmark: DataFrame, n: Int): Array[Long] = {
+    // ONE collect job; shingling ~a broadcast-sized suite is trivial
+    // driver work, and the raw text is SMALLER than its shingle set —
+    // strictly the same memory class as the exact tier's broadcast
+    val set = new java.util.HashSet[java.lang.Long]()
+    benchmark.select(col("text")).collect().foreach { r =>
+      val t = r.getString(0)
+      if (t != null) shingleSet(t, n).foreach(s => set.add(fnv64(s)))
+    }
+    val a = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { a(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(a)
+    a
+  }
+
   private def withHashedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), hashedShinglesCol(n).as("shingles"))
 
