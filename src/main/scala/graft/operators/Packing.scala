@@ -206,9 +206,16 @@ object Packing {
                      budgetGrain: Long = 50L): DataFrame = {
     require(totalTokens > 0 && alpha > 0 && budgetGrain > 0,
       s"temperatureMix: bad knobs total=$totalTokens alpha=$alpha grain=$budgetGrain")
-    val stats = docs.groupBy(sourceCol.as("__src"))
+    // cast the source key to string ONCE for the whole mix: the budget
+    // CASE and mixToBudgets compare against the collected string keys,
+    // and the aggregate row below reads getString — an int-coded source
+    // would otherwise ClassCastException and a null source NPE in
+    // sortBy (ADVICE r12). Null-source rows keep the sibling
+    // mixToBudgets contract: no budget entry, never selected.
+    val srcStr = sourceCol.cast("string")
+    val stats = docs.groupBy(srcStr.as("__src"))
       .agg(sum(tokenCol.cast("long")).as("__tok"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().collect { case r if !r.isNullAt(0) => (r.getString(0), r.getLong(1)) }
       .sortBy(_._1)
     val pows = stats.map { case (s, t) => (s, math.pow(t.toDouble, alpha)) }
     val z = pows.map(_._2).foldLeft(0.0)(_ + _)
@@ -216,9 +223,9 @@ object Packing {
       s -> math.round(w / z * totalTokens / budgetGrain) * budgetGrain
     }.toMap
     val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
-      case (acc, (s, b)) => when(sourceCol === s, lit(b)).otherwise(acc)
+      case (acc, (s, b)) => when(srcStr === s, lit(b)).otherwise(acc)
     }
-    mixToBudgets(docs, budgets, sourceCol, tokenCol, key)
+    mixToBudgets(docs, budgets, srcStr, tokenCol, key)
       .withColumn("__mix_budget", budgetCol)
   }
 

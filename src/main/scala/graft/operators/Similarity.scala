@@ -328,9 +328,14 @@ object Similarity {
     * centroids have drifted off the data and the recall gate will
     * degrade → schedule an offline rebuild. `buildMeanCohesion` is None
     * for indexes persisted before the meta sidecar existed. */
-  final case class IvfAppendReport(nAppended: Long, meanCohesion: Double,
+  final case class IvfAppendReport(nAppended: Long, meanCohesion: Option[Double],
                                    buildMeanCohesion: Option[Double]) {
-    def staleness: Option[Double] = buildMeanCohesion.map(_ - meanCohesion)
+    // None when the batch was empty (no cohesion observed) or the index
+    // predates the meta sidecar — an empty increment is NOT a drift
+    // signal (ADVICE r12: Option over an unboxed null double read 0.0,
+    // a spurious maximum-staleness report on all-rejected micro-batches)
+    def staleness: Option[Double] =
+      for { b <- buildMeanCohesion; m <- meanCohesion } yield b - m
   }
 
   /** Incrementally add vectors to a PERSISTED index (standard IVF
@@ -366,8 +371,10 @@ object Similarity {
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "meta"))) None
       else Some(spark.read.parquet(s"$path/meta").head()
         .getAs[Double]("build_mean_cohesion"))
-    IvfAppendReport(m.getAs[Long]("n"),
-      Option(m.getAs[Double]("coh")).getOrElse(0.0), base)
+    val n = m.getAs[Long]("n")
+    // getAs[Double] on the empty batch's null avg would UNBOX to 0.0
+    // before Option could see it — test the count, not the value
+    IvfAppendReport(n, if (n == 0L) None else Some(m.getAs[Double]("coh")), base)
   }
 
   /** Re-open a persisted index. The centroids sidecar is metadata-sized

@@ -1035,8 +1035,10 @@ object PipelineQueries {
     *  - day2_servable: the probe results include day-2 vectors (new
     *    data serves immediately, no rebuild);
     *  - staleness_ok: the append report carries the build-baseline
-    *    cohesion from the meta sidecar, the gap is non-negative
-    *    (held-out data never coheres better than the training data)
+    *    cohesion from the meta sidecar, the gap is non-negative up to
+    *    sampling noise (held-out data never coheres better than the
+    *    training data in expectation; the check allows ≥ −0.02 because
+    *    a lucky held-out split can beat the in-sample mean by a hair)
     *    and bounded (≤ 0.25 — at sf0.01 the k-means sample is only
     *    ~250 points, so the in-sample-vs-held-out gap is visible; it
     *    shrinks as the build sample grows);
@@ -2238,13 +2240,7 @@ s"""WITH w AS (SELECT doc_id,
         val from = graft.operators.TextAnalysis.NormalizeFrom
         val to = "$$" + graft.operators.TextAnalysis.NormalizeTo + "$$"
         val ell = "\u2026"
-s"""WITH nrm AS (SELECT doc_id, source,
-   |  trim(regexp_replace(regexp_replace(
-   |    translate(replace(text, '$ell', '...'), '$from', $to),
-   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
-   |    '[ \\t]+', ' ', 'g')) AS text
-   |  FROM documents),
-   |fs AS (SELECT doc_id,
+s"""WITH fs AS (SELECT doc_id,
    |  CAST(ROUND((
    |      (len(text) - len(replace(text, '{', '')))
    |    + (len(text) - len(replace(text, '}', '')))
@@ -2266,13 +2262,20 @@ s"""WITH nrm AS (SELECT doc_id, source,
    |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
    |      l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
    |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
-   |FROM nrm),
-   |prose AS (SELECT nrm.* FROM nrm JOIN fs USING (doc_id)
+   |FROM documents),
+   |prose AS (SELECT documents.doc_id, documents.source, documents.text
+   |  FROM documents JOIN fs USING (doc_id)
    |  WHERE NOT (fs.pipe >= 0.5)
    |    AND NOT (fs.sym >= 0.04 AND (fs.ind >= 0.2 OR fs.semi >= 0.2))),
+   |nrm AS (SELECT doc_id, source,
+   |  trim(regexp_replace(regexp_replace(
+   |    translate(replace(text, '$ell', '...'), '$from', $to),
+   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+   |    '[ \\t]+', ' ', 'g')) AS text
+   |  FROM prose),
    |gd AS (SELECT doc_id, source, text, lower(text) AS t,
    |         string_split(lower(text),' ') AS w,
-   |         string_split(text, chr(10)) AS ls FROM prose),
+   |         string_split(text, chr(10)) AS ls FROM nrm),
    |gs AS (SELECT doc_id,
    |  CAST(len(w) AS BIGINT) AS n_words,
    |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE

@@ -63,7 +63,8 @@ class IvfAppendSpec extends SparkSpec {
     // both means ~1); a drifted increment would push the gap positive
     assert(report.staleness.exists(s => math.abs(s) <= 0.05),
       s"staleness gauge off: $report")
-    assert(report.meanCohesion > 0.9, s"tight clusters assign cohesively: $report")
+    assert(report.meanCohesion.exists(_ > 0.9),
+      s"tight clusters assign cohesively: $report")
   }
 
   test("probe plans over the appended index stay partition-pruned") {
@@ -126,5 +127,19 @@ class IvfAppendSpec extends SparkSpec {
     val all = Similarity.readIvfIndex(spark, path).assigned
       .select("vec_id").as[Long].collect().toSet
     assert(all.contains(900L) && all.size === 129)
+  }
+
+  test("an empty batch reports no cohesion and no staleness, not maximum drift") {
+    // ADVICE r12: curatedIngestToStore can hand the index an all-rejected
+    // micro-batch; the null avg must surface as None, not unbox to 0.0
+    // (which read as staleness == build baseline — a spurious alarm)
+    val (df, _, path, _, _) = fixture
+    val empty = df.filter(col("vec_id") < 0)
+    val report = Similarity.appendIvfBatch(
+      Similarity.readIvfIndex(spark, path), empty, path, batchId = 99L)
+    assert(report.nAppended === 0L)
+    assert(report.meanCohesion.isEmpty, s"empty batch observed a cohesion: $report")
+    assert(report.buildMeanCohesion.isDefined, "baseline still loads")
+    assert(report.staleness.isEmpty, s"empty batch must not gauge drift: $report")
   }
 }

@@ -122,6 +122,23 @@ class PackingSpec extends SparkSpec {
     assert(bHalf.values.forall(_ % 10 == 0))
   }
 
+  test("temperatureMix accepts a non-string source column and skips null sources") {
+    // ADVICE r12: the stats collect read getString(0) — an int-coded
+    // source threw ClassCastException, a null source NPE'd in sortBy
+    val coded = spark.range(0, 90).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 2).cast("int")).as("source"),
+      lit(10L).as("tokens"))
+    val got = Packing.temperatureMix(coded, totalTokens = 300L, alpha = 1.0,
+      sourceCol = col("source"), tokenCol = col("tokens"), key = col("doc_id"),
+      budgetGrain = 10L)
+    val bySrc = got.groupBy(col("source")).count()
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    assert(!bySrc.contains(None), "null-source rows are never selected")
+    assert(bySrc.keys.flatten.toSet === Set(0, 1), s"both coded sources selected: $bySrc")
+  }
+
   test("temperatureMix is deterministic under repartition") {
     val a = Packing.temperatureMix(mixFixture, 5000L, 0.5,
       col("source"), col("tokens"), col("doc_id"))
