@@ -78,7 +78,7 @@ object Manifests {
     * tail rows and then delete their only copy — silent data loss. */
   def compactView(view: DataFrame, storeDir: String, batchCol: String,
                   uptoBatch: Long, targetFileRows: Long,
-                  partitionCols: Seq[String]): (Long, Long) = {
+                  partitionCols: Seq[String], gc: Boolean = true): (Long, Long) = {
     val prev = read(storeDir)
     prev.foreach { case (_, covers) =>
       require(uptoBatch >= covers,
@@ -99,12 +99,38 @@ object Manifests {
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(epochPath(storeDir, epoch))
     flip(storeDir, epoch, uptoBatch)
-    // best-effort GC — idempotent, readers already ignore these
-    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$batchCol=") &&
-        f.getName.stripPrefix(s"$batchCol=").toLong <= uptoBatch)
-      .foreach(f => rmTree(f.toPath))
-    prev.foreach(p => rmTree(java.nio.file.Paths.get(epochPath(storeDir, p._1))))
+    // best-effort GC — idempotent, readers already ignore these. With
+    // `gc=false` (compaction under LIVE ingest) superseded inputs are
+    // retained: a reader that built its view from the PRE-flip manifest
+    // can still be mid-execution over a superseded partition, and
+    // deleting its files would either fail the in-flight batch or —
+    // worse, under ignoreMissingFiles — silently drop corpus rows from
+    // a dedup probe. Run [[gcSuperseded]] later (next batch boundary,
+    // a maintenance window) to reclaim; the committed view never
+    // changes either way.
+    if (gc) { gcSuperseded(storeDir, batchCol); () }
     (epoch, uptoBatch)
   }
+
+  /** Delete everything the committed manifest has superseded: batch
+    * dirs ≤ `covers_upto` and epoch dirs other than the committed one.
+    * Idempotent; safe whenever no reader is mid-execution on a view
+    * older than the current manifest (readers built after the flip
+    * never touch these files). Returns the number of dirs removed. */
+  def gcSuperseded(storeDir: String, batchCol: String): Int =
+    read(storeDir) match {
+      case None => 0
+      case Some((epoch, covers)) =>
+        val batchDirs = Option(new java.io.File(storeDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith(s"$batchCol=") &&
+            f.getName.stripPrefix(s"$batchCol=").toLong <= covers)
+        val oldEpochs = Option(
+            new java.io.File(s"$storeDir/$CompactDir").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("epoch-") &&
+            f.getName.stripPrefix("epoch-").toLong != epoch)
+        (batchDirs ++ oldEpochs).foreach(f => rmTree(f.toPath))
+        batchDirs.length + oldEpochs.length
+    }
 }

@@ -416,12 +416,25 @@ object Similarity {
     * survives as a LONG column so index-as-of filtering is unchanged.
     * Returns (epoch, coversUpTo). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      uptoBatch: Long, targetFileRows: Long = 5000000L): (Long, Long) = {
+                      uptoBatch: Long, targetFileRows: Long = 5000000L,
+                      checkpoint: Option[String] = None): (Long, Long) = {
+    checkpoint.foreach { cp =>
+      val last = graft.streaming.StreamingOps.lastCommittedBatch(cp)
+        .getOrElse(throw new IllegalStateException(
+          s"compactIvfIndex: checkpoint $cp has no committed batch"))
+      require(uptoBatch <= last,
+        s"compactIvfIndex: uptoBatch=$uptoBatch exceeds the checkpoint's last " +
+          s"committed batch $last — a crash-replayed append must keep its own " +
+          "partition to overwrite")
+    }
     val aDir = s"$path/assigned"
     // hash-clustered on list so each list's rows land in few tasks; the
-    // dynamic partitionBy writes one file per (task, list)
+    // dynamic partitionBy writes one file per (task, list). Under a
+    // live stream (checkpoint given) GC is deferred like compactStore's
+    // — reclaim later via Manifests.gcSuperseded(aDir, IngestBatchCol).
     Manifests.compactView(readIvfIndex(spark, path).assigned, aDir,
-      IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Seq("list"))
+      IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Seq("list"),
+      gc = checkpoint.isEmpty)
   }
 
   /** Quantized probe over a PERSISTED index: same list routing as
