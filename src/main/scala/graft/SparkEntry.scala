@@ -131,7 +131,8 @@ object SparkEntry {
     "q97_temperature_mix" -> (PipelineQueries.q97TemperatureMix _),
     "q98_detect_format" -> (PipelineQueries.q98DetectFormat _),
     "q99_tfidf_keywords" -> (PipelineQueries.q99TfidfKeywords _),
-    "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _)
+    "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _),
+    "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -355,6 +355,7 @@ object Similarity {
   def appendIvfBatch(index: IvfIndex, vectors: DataFrame, path: String,
                      batchId: Long): IvfAppendReport = {
     val spark = vectors.sparkSession
+    val root = indexRoot(path)
     val obs = org.apache.spark.sql.Observation()
     val best = bestCentroid(index.centroids)
     asDouble(vectors)
@@ -362,14 +363,14 @@ object Similarity {
       .observe(obs, avg(best.getField("d")).as("coh"), count(lit(1)).as("n"))
       .withColumn("p", graft.operators.Quantize.int8(col("e")))
       .write.mode("overwrite").partitionBy("list")
-      .parquet(s"$path/assigned/$IngestBatchCol=$batchId")
+      .parquet(s"$root/assigned/$IngestBatchCol=$batchId")
     val m = scala.concurrent.Await.result(obs.future,
       scala.concurrent.duration.Duration(120, "s"))
     // absent sidecar (pre-r12 index) -> None; anything else (corrupt
     // meta, transient IO) must SURFACE — it is the drift gauge's input
     val base =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "meta"))) None
-      else Some(spark.read.parquet(s"$path/meta").head()
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "meta"))) None
+      else Some(spark.read.parquet(s"$root/meta").head()
         .getAs[Double]("build_mean_cohesion"))
     val n = m.getAs[Long]("n")
     // getAs[Double] on the empty batch's null avg would UNBOX to 0.0
@@ -385,12 +386,28 @@ object Similarity {
     * column) unioned with live batch partitions above the watermark —
     * probes prune `list` partitions on BOTH sides, and every as-of
     * `__ingest_batch < id` filter keeps working on the carried column. */
+  /** Resolve a persisted index path to its COMMITTED generation root:
+    * [[rebuildIvfIndex]] commits whole-index generations through the
+    * same Manifests protocol one level up — `path/_compaction/
+    * manifest.json` names the live generation, whose full index
+    * (centroids + assigned + meta) lives at `path/_compaction/
+    * epoch-<g>`. Without one, the original top-level layout IS the
+    * index. Reads, appends, and assigned-level compaction all resolve
+    * through here, so a committed rebuild atomically redirects every
+    * consumer while pre-flip readers keep their (retained) files. */
+  private def indexRoot(path: String): String =
+    Manifests.read(path) match {
+      case Some((g, _)) => Manifests.epochPath(path, g)
+      case None => path
+    }
+
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val root = indexRoot(path)
+    val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy("i").select("c")
       .collect().map(_.getSeq[Double](0).toArray)
-    require(centroids.nonEmpty, s"no centroids at $path/centroids")
-    val aDir = s"$path/assigned"
+    require(centroids.nonEmpty, s"no centroids at $root/centroids")
+    val aDir = s"$root/assigned"
     val live =
       try Some(spark.read.parquet(aDir))
       catch {
@@ -427,7 +444,7 @@ object Similarity {
           s"committed batch $last — a crash-replayed append must keep its own " +
           "partition to overwrite")
     }
-    val aDir = s"$path/assigned"
+    val aDir = s"${indexRoot(path)}/assigned"
     // hash-clustered on list so each list's rows land in few tasks; the
     // dynamic partitionBy writes one file per (task, list). Under a
     // live stream (checkpoint given) GC is deferred like compactStore's
@@ -436,6 +453,89 @@ object Similarity {
       IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Seq("list"),
       gc = checkpoint.isEmpty)
   }
+
+  /** Offline FULL rebuild of a persisted index — the action the
+    * [[appendIvfBatch]] staleness gauge calls for once the fixed
+    * centroids have drifted off the arriving data: fresh spherical
+    * k-means centroids over the index's CURRENT view, every row
+    * re-assigned, committed as a new whole-index GENERATION through
+    * the Manifests atomic flip (`path/_compaction/manifest.json` one
+    * level above the assigned-dir compaction's). Probes are never
+    * interrupted: a reader holding the pre-flip index keeps its
+    * retained files; every read/append/compact after the flip resolves
+    * to the new generation via [[indexRoot]]; the staleness baseline
+    * resets to the new build's cohesion.
+    *
+    * The rebuilt assigned keeps `(__ingest_batch, list)` PARTITION
+    * layout, so a crash-replayed append (its batch folded in but its
+    * stream commit lost) still overwrites its own partition in the new
+    * generation — idempotent replay survives the swap, which is what
+    * makes the rebuild safe to trigger from the ingest sink's own
+    * batch boundary (`curatedIngestToStore(rebuildStaleness=...)`).
+    * CONTRACT otherwise: run while ingest is stopped — a rebuild
+    * racing a concurrent append could strand that append's rows in
+    * the superseded generation.
+    *
+    * Old-generation files are retained (in-flight probes); reclaim
+    * with [[gcIndexGenerations]] once no pre-flip reader remains.
+    * Returns (generation, coversUpToBatch). */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      nLists: Int = 0): (Long, Long) = {
+    val cur = readIvfIndex(spark, path)
+    val lists = if (nLists > 0) nLists else cur.nLists
+    val view = cur.assigned.select(col("vec_id"), col("e"), col("p"),
+      col(IngestBatchCol).cast("long").as(IngestBatchCol))
+    // fresh centroids over the current distribution (bounded
+    // deterministic sample — driver metadata, like the original build)
+    val centroids = kmeansCentroids(
+      view.select(col("vec_id"), col("e").as("embedding")), lists)
+    val gen = Manifests.read(path).map(_._1 + 1).getOrElse(0L)
+    val genDir = Manifests.epochPath(path, gen)
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("i", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$genDir/centroids")
+    // ONE pass re-assigns and rewrites; the new cohesion baseline and
+    // the covered-batch watermark ride it as observe() metrics. The
+    // stored packed codes are layout, not a function of the centroids
+    // — carried through unchanged.
+    val best = bestCentroid(centroids)
+    val obs = org.apache.spark.sql.Observation()
+    view.withColumn("list", best.getField("i"))
+      .observe(obs, avg(best.getField("d")).as("coh"), count(lit(1)).as("n"),
+        max(col(IngestBatchCol)).as("upto"))
+      .write.mode("overwrite").partitionBy(IngestBatchCol, "list")
+      .parquet(s"$genDir/assigned")
+    val m = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(120, "s"))
+    require(m.getAs[Long]("n") > 0, s"nothing to rebuild at $path")
+    Seq((m.getAs[Double]("coh"), m.getAs[Long]("n")))
+      .toDF("build_mean_cohesion", "n_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$genDir/meta")
+    val covers = m.getAs[Long]("upto")
+    Manifests.flip(path, gen, covers)
+    (gen, covers)
+  }
+
+  /** Reclaim index generations superseded by the committed rebuild
+    * manifest: the original top-level layout and any non-committed
+    * epoch dirs. Safe once no reader still holds a pre-flip index
+    * (readers opened after the flip resolve to the committed
+    * generation and never touch these). Returns dirs removed. */
+  def gcIndexGenerations(path: String): Int =
+    Manifests.read(path) match {
+      case None => 0
+      case Some((g, _)) =>
+        val topLevel = Seq("centroids", "assigned", "meta")
+          .map(d => new java.io.File(path, d)).filter(_.isDirectory)
+        val oldGens = Option(
+            new java.io.File(s"$path/${Manifests.CompactDir}").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("epoch-") &&
+            f.getName.stripPrefix("epoch-").toLong != g)
+        (topLevel ++ oldGens).foreach(f => Manifests.rmTree(f.toPath))
+        topLevel.size + oldGens.length
+    }
 
   /** Quantized probe over a PERSISTED index: same list routing as
     * `probeIvf`, but candidates are ranked by the integer-dot cosine

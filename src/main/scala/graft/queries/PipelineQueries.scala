@@ -1092,6 +1092,77 @@ object PipelineQueries {
       "staleness_ok", "count_ok")
   }
 
+  /** q101: staleness-triggered IVF rebuild contract (VERDICT r12 #3)
+    * — the action the q95 gauge calls for, five booleans over a
+    * deliberately drifted day-2 distribution (every embedding
+    * REVERSED: same norms, genuinely different directions, fully
+    * deterministic in-engine):
+    *  - staleness_tripped: appending the drifted day-2 slice reports a
+    *    positive cohesion gap against the day-1 build baseline;
+    *  - served_through_swap: the PRE-flip index handle still executes
+    *    after the rebuild committed (old-generation files retained —
+    *    probes are never interrupted by the atomic generation flip);
+    *  - recall_recovers: post-rebuild recall for day-2 probes at the
+    *    q36 operating point (k=10, nProbe=6) ≥ the drifted index's;
+    *  - count_exact: the rebuilt generation holds exactly day1+day2;
+    *  - baseline_reset: a SECOND drifted append lands near the NEW
+    *    baseline (gap under the pre-rebuild gap and small) — the meta
+    *    sidecar was refit with the generation.
+    * Partition-pruned probe plans and crash-replay across the swap are
+    * spec-asserted (IvfRebuildSpec). Oracle: constant truth. */
+  def q101CheckIvfRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val day2 = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val all = emb.unionByName(day2)
+    val nLists = 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild")
+    val row = try {
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(emb, nLists), tmp.toString)
+      val preFlip = Similarity.readIvfIndex(spark, tmp.toString)
+      val report = Similarity.appendIvfBatch(preFlip, day2, tmp.toString, batchId = 0L)
+      val drifted = Similarity.readIvfIndex(spark, tmp.toString)
+
+      val probes = day2.orderBy("vec_id").limit(10)
+      val exact = Similarity.knnJoinAuto(all, probes, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val nExact = exact.count()
+      def ivfHits(idx: Similarity.IvfIndex): Long =
+        exact.join(
+          Similarity.knnJoinIvf(idx, probes, k = 11, nProbe = 6)
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("rk",
+              row_number().over(Window.partitionBy("qid").orderBy(col("rank"))))
+            .filter(col("rk") <= 10).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id")).count()
+      val hitsBefore = ivfHits(drifted)
+
+      Similarity.rebuildIvfIndex(spark, tmp.toString)
+      val servedThroughSwap = preFlip.assigned.count() == emb.count()
+      val rebuilt = Similarity.readIvfIndex(spark, tmp.toString)
+      val hitsAfter = ivfHits(rebuilt)
+
+      val day3 = emb.select((col("vec_id") + lit(2000000L)).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      val r3 = Similarity.appendIvfBatch(rebuilt, day3, tmp.toString, batchId = 1L)
+
+      (report.staleness.exists(_ > 0.0),
+        servedThroughSwap,
+        hitsAfter >= hitsBefore && hitsAfter >= (0.75 * nExact).toLong,
+        rebuilt.assigned.count() == emb.count() + day2.count(),
+        (for { s3 <- r3.staleness; s0 <- report.staleness }
+          yield s3 < s0 && s3 <= 0.25).getOrElse(false))
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+    import spark.implicits._
+    Seq(row).toDF("staleness_tripped", "served_through_swap",
+      "recall_recovers", "count_exact", "baseline_reset")
+  }
+
   /** q96: unicode text normalization (`TextAnalysis.normalizeText`) —
     * the universal pre-dedup stage. The synthetic corpus is pure
     * ASCII, so the query DECORATES every document with the full
@@ -2132,6 +2203,10 @@ object PipelineQueries {
         """SELECT true AS complete_ok, true AS recall_ok, true AS parity_ok,
           |       true AS day2_servable, true AS staleness_ok,
           |       true AS count_ok""".stripMargin,
+      "q101_check_ivf_rebuild" ->
+        """SELECT true AS staleness_tripped, true AS served_through_swap,
+          |       true AS recall_recovers, true AS count_exact,
+          |       true AS baseline_reset""".stripMargin,
       "q96_normalize" -> {
         // decoration + tables interpolate from the SAME Scala constants
         // the engine uses, so the two sides cannot drift; the to-table

@@ -601,7 +601,8 @@ object StreamingOps {
                            bloomFpp: Double = 0.01,
                            classifierSeeds: Option[(DataFrame, DataFrame)] = None,
                            vectorIndexPath: Option[String] = None,
-                           vecThreshold: Double = 0.95, vecNProbe: Int = 4)
+                           vecThreshold: Double = 0.95, vecNProbe: Int = 4,
+                           rebuildStaleness: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
@@ -668,10 +669,24 @@ object StreamingOps {
               val admitted = cand.join(broadcast(novel), Seq("doc_id"), "left_semi")
                 .localCheckpoint(true)
               try {
-                Similarity.appendIvfBatch(idx,
+                val report = Similarity.appendIvfBatch(idx,
                   admitted.select(col("doc_id").as("vec_id"), col("embedding")), vp, id)
                 admitted.write.mode("overwrite")
                   .parquet(s"$storePath/$IngestBatchCol=$id")
+                // staleness-triggered rebuild (r12 verdict #3): the
+                // batch boundary is the one place a rebuild cannot race
+                // an in-flight append — both stores for this batch are
+                // already written, and a crash between here and the
+                // stream commit replays the batch into the NEW
+                // generation's own partition (idempotent overwrite).
+                // Old-generation files are retained for in-flight
+                // probes; reclaim offline via gcIndexGenerations.
+                rebuildStaleness.foreach { thresh =>
+                  if (report.staleness.exists(_ > thresh)) {
+                    Similarity.rebuildIvfIndex(spark, vp)
+                    ()
+                  }
+                }
               } finally Storage.release(admitted)
             } finally Storage.release(cand)
           case None =>

@@ -257,4 +257,79 @@ class CuratedIngestSpec extends SparkSpec {
     assert(rows === Seq(
       (30L, "a bright green garden grows by the quiet river bank under heavy summer rain")))
   }
+
+  test("rebuildStaleness hook: a drifted batch triggers the generation swap mid-stream") {
+    import graft.operators.{Manifests, Similarity}
+    val inDir = java.nio.file.Files.createTempDirectory("cur5-in")
+    val store = java.nio.file.Files.createTempDirectory("cur5-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur5-ck").toString
+    val indexPath = java.nio.file.Files.createTempDirectory("cur5-ivf").toString
+    val dim = 8
+    val rnd = new scala.util.Random(61L)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.001).toFloat)
+    // day-0: tight clusters -> build cohesion ~1, so a drifted batch's
+    // cohesion gap is large and trips any small threshold
+    val bases = Array.fill(4)(vec())
+    val day0 = (0 until 40).map(i => (i.toLong, near(bases(i % 4))))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(day0, nLists = 4), indexPath)
+    graft.operators.Storage.releaseAll()
+
+    val vSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    def writeVecInput(name: String, mtime: Long,
+                      docs: Seq[(Long, String, Array[Float])]): Unit = {
+      val f = inDir.resolve(name)
+      val lines = docs.map { case (id, t, e) =>
+        s"""{"doc_id":$id,"text":"$t","embedding":[${e.mkString(",")}]}""" }
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      assert(f.toFile.setLastModified(mtime))
+    }
+    // drifted vectors: fresh random directions, far from the day-0 bases
+    val vDrift0 = vec()
+    val vDrift1 = vec()
+    val t0 = System.currentTimeMillis() - 60000
+    writeVecInput("0.json", t0, Seq(
+      (60L, "the cat and the dog walk to the old mouse near a very tall green tree", vDrift0)))
+    writeVecInput("1.json", t0 + 30000, Seq(
+      (70L, "a bright green garden grows by the quiet river bank under heavy summer rain", vDrift1)))
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(vSchema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        vectorIndexPath = Some(indexPath), vecThreshold = 0.99, vecNProbe = 4,
+        rebuildStaleness = Some(0.1))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    // batch 0's drifted vector tripped the hook: a generation is
+    // committed, and batch 1's append landed INSIDE it
+    val committed = Manifests.read(indexPath)
+    assert(committed.isDefined, "the staleness hook must commit a rebuild generation")
+    val genDir = Manifests.epochPath(indexPath, committed.get._1)
+    assert(new java.io.File(
+      s"$genDir/assigned/${Similarity.IngestBatchCol}=1").exists(),
+      "post-rebuild appends must land in the committed generation")
+    def indexIds(): Seq[Long] = Similarity.readIvfIndex(spark, indexPath)
+      .assigned.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(indexIds() === ((0L until 40L) ++ Seq(60L, 70L)),
+      "all day-0 + admitted vectors serve from the rebuilt index")
+    // both admitted vectors are probe-servable from the new generation
+    val served = Similarity.probeIvf(Similarity.readIvfIndex(spark, indexPath),
+      vDrift1.map(_.toDouble), k = 1, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served === Seq(70L))
+
+    // crash-replay of the post-rebuild batch: identical end state
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(indexIds() === ((0L until 40L) ++ Seq(60L, 70L)))
+    assert(StreamingOps.readCorpusStore(spark, store).get
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(60L, 70L))
+  }
 }
