@@ -132,7 +132,8 @@ object SparkEntry {
     "q98_detect_format" -> (PipelineQueries.q98DetectFormat _),
     "q99_tfidf_keywords" -> (PipelineQueries.q99TfidfKeywords _),
     "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _),
-    "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _)
+    "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _),
+    "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -100,21 +100,69 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Explicit URL/domain list gate — the published FIRST gate of crawl
+    * curation (C4 badword/URL lists, Raffel et al. 2020 §2.2;
+    * RefinedWeb URL filtering, Penedo et al. 2023 §3.1): documents
+    * from listed domains fall before any per-document text work is
+    * spent on them. `allow=false` drops listed keys (blocklist);
+    * `allow=true` keeps ONLY listed keys (allowlist). NULL keys follow
+    * anti/semi-join semantics: kept by a blocklist (an unlisted key),
+    * dropped by an allowlist.
+    *
+    * Tiers (the q65 machinery):
+    *  - exact: broadcast anti/semi join under `broadcastBound` (one
+    *    memoized bounded probe), shuffle-hash above — list semantics
+    *    exact at any size;
+    *  - `bloomFpp` set (blocklist only): the list folds into a
+    *    FIXED-SIZE Bloom filter and the gate becomes a row-local
+    *    membership probe — no join at all, scan-speed at 100 TB. A
+    *    false positive OVER-drops (a clean domain lost at ≈fpp), never
+    *    under-drops — the safe direction for a hygiene gate, same
+    *    argument as q65's decontamination tier. Not offered for
+    *    allowlists, where an FP would wrongly ADMIT. */
+  def listGate(docs: DataFrame, list: DataFrame, key: String,
+               allow: Boolean = false, broadcastBound: Long = 5000000L,
+               bloomFpp: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val keyed = list.select(col(list.columns.head).cast("string").as(key))
+    bloomFpp match {
+      case Some(fpp) =>
+        require(!allow, "listGate: the Bloom tier admits at fpp on an " +
+          "allowlist (the unsafe direction) — use the exact join tiers")
+        val n = math.max(1L, keyed.count())
+        val bf = keyed.stat.bloomFilter(key, n, fpp)
+        val bc = docs.sparkSession.sparkContext.broadcast(bf)
+        val hit = udf((k: String) => k != null && bc.value.mightContainString(k))
+        docs.filter(!hit(col(key)))
+      case None =>
+        val side =
+          if (SizeDispatch.atMost(keyed, broadcastBound)) broadcast(keyed)
+          else keyed.hint("shuffle_hash")
+        docs.join(side, Seq(key), if (allow) "left_semi" else "left_anti")
+    }
+  }
+
   /** The per-increment gate prefix of [[curate]] for micro-batch /
-    * incremental use: optional markup cleaning, then quality gate →
-    * repetition gate → exact within-increment dedup. No manifest
-    * counts and no pinning (the near-dup and decontamination stages
-    * belong to the CROSS-CORPUS probe the caller composes next — see
-    * `StreamingOps.curatedIngestToStore`). Both gates are row-local
+    * incremental use: optional [[listGate]] blocklist FIRST, optional
+    * markup cleaning, then quality gate → repetition gate → exact
+    * within-increment dedup. No manifest counts and no pinning (the
+    * near-dup and decontamination stages belong to the CROSS-CORPUS
+    * probe the caller composes next — see
+    * `StreamingOps.curatedIngestToStore`). The text gates are row-local
     * filters (no join, no size dispatch — any batch size streams).
     * Deterministic per input, so an at-least-once replay of the same
     * batch recomputes identical survivors. */
   def gateBatch(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
-                cleanMarkupFirst: Boolean = false): DataFrame = {
+                cleanMarkupFirst: Boolean = false,
+                blocklist: Option[DataFrame] = None,
+                blocklistKey: String = "source"): DataFrame = {
+    // the list gate runs FIRST — cheapest verdict, no text touched for
+    // a blocked domain (the published gate order)
+    val listed = blocklist.fold(docs)(bl => listGate(docs, bl, blocklistKey))
     val cleaned =
       if (cleanMarkupFirst)
-        docs.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
-      else docs
+        listed.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      else listed
     // quality + repetition are row-local signals off the fused kernel
     // (one text pass): one filter, no join, no dispatch — the gate
     // prefix is a pure scan up to the one content shuffle exact dedup
@@ -155,14 +203,23 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: CurationConfig = CurationConfig(),
              pin: DataFrame => DataFrame =
-               df => Storage.track(df.localCheckpoint(true))): (DataFrame, DataFrame) = {
+               df => Storage.track(df.localCheckpoint(true)),
+             blocklist: Option[DataFrame] = None,
+             blocklistKey: String = "source"): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.Observation
 
-    val Seq(o0, o1, o2, o3, o4, o5) = Seq.fill(6)(Observation())
+    val Seq(oB, o0, o1, o2, o3, o4, o5) = Seq.fill(7)(Observation())
     def counted(df: DataFrame, o: Observation): DataFrame =
       df.observe(o, count(lit(1)).as("n"))
+
+    // -- optional stage 0 (C4/RefinedWeb §3.1): the explicit domain
+    // list gate, FIRST — a blocked domain costs a join probe, never a
+    // text pass. Its manifest count rides the spine like every other
+    // stage; without a blocklist neither the node nor the row exists.
+    val listed = blocklist.fold(docs)(bl =>
+      listGate(counted(docs, oB), bl, blocklistKey))
 
     // -- fused spine: input count → quality filter → repetition filter
     // → exact dedup, with an observe at each stage boundary. All
@@ -183,7 +240,7 @@ object Curation {
     val quality = TextAnalysis.qualityFromSignals(sig) >= cfg.minQuality
     val repetitive = TextAnalysis.topBigramFracFromSignals(sig) >= cfg.maxTopBigramFrac ||
       TextAnalysis.dupWordFracFromSignals(sig) >= cfg.maxDupWordFrac
-    val withSig = docs.withColumn("__sig", TextAnalysis.curationSignalsUdf(col("text")))
+    val withSig = listed.withColumn("__sig", TextAnalysis.curationSignalsUdf(col("text")))
     val q = withSig.filter(quality)
     val s2plan = counted(counted(counted(withSig, o0).filter(quality), o1)
       .filter(!repetitive), o2)
@@ -214,7 +271,12 @@ object Curation {
         scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
       } catch { case _: java.util.concurrent.TimeoutException => fallback }
 
-    val n0 = resolved(o0, docs.count())
+    val n0 = resolved(o0, listed.count())
+    // stage-0 row only when the gate exists; its count rides the same
+    // spine actions (the observe sits under the list-gate join)
+    val stage0: Seq[(String, Long, Long)] =
+      if (blocklist.isEmpty) Nil
+      else Seq(("0_blocklist", resolved(oB, docs.count()), n0))
     val n1 = resolved(o1, q.count())
     val n2 = resolved(o2, q.filter(!repetitive).count())
     val n3 = resolved(o3, s3x.count())
@@ -318,12 +380,12 @@ object Curation {
         val s5 = pin(counted(
           s3x.filter(keepRow(col("doc_id"), col("__sh"))).select(outCols: _*), o5))
         val n5 = resolved(o5, s5.count())
-        val manifest = Seq(
+        val manifest = (stage0 ++ Seq(
           ("1_quality", n0, n1),
           ("2_repetition", n1, n2),
           ("3_exact", n2, n3),
           ("4_neardup", n3, n4),
-          ("5_decontam", n4, n5))
+          ("5_decontam", n4, n5)))
           .toDF("stage", "docs_in", "docs_out")
         (s5, manifest)
 
@@ -353,12 +415,12 @@ object Curation {
         val s5 = pin(counted(dropIds(s4, contaminated).select(outCols: _*), o5))
         val n4 = resolved(o4, s4.count())
         val n5 = resolved(o5, s5.count())
-        val manifest = Seq(
+        val manifest = (stage0 ++ Seq(
           ("1_quality", n0, n1),
           ("2_repetition", n1, n2),
           ("3_exact", n2, n3),
           ("4_neardup", n3, n4),
-          ("5_decontam", n4, n5))
+          ("5_decontam", n4, n5)))
           .toDF("stage", "docs_in", "docs_out")
         (s5, manifest)
     }

@@ -671,6 +671,23 @@ object PipelineQueries {
     manifest.orderBy("stage")
   }
 
+  /** q102: [[q68Curate]] with the explicit URL/domain blocklist as
+    * stage 0 (C4 §2.2 / RefinedWeb §3.1 — the published first gate):
+    * `Curation.curate(blocklist=...)` over a quarter slice of the
+    * corpus, four blocked sources, six-stage integer manifest. The
+    * list gate is an exact broadcast anti join (NOT-EXISTS semantics
+    * in the mirror); blocked domains fall before any text pass. */
+  def q102BlocklistCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val bl = Seq("src2", "src7", "src12", "src17").toDF("source")
+    val (_, manifest) = graft.operators.Curation.curate(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+      blocklist = Some(bl))
+    manifest.orderBy("stage")
+  }
+
   /** q70: markup cleaning over a crawl-shaped wrapping of the corpus —
     * the query deterministically embeds each document in an HTML
     * shell (head/style block, attributed tags, a script with a '<'
@@ -1390,6 +1407,81 @@ object PipelineQueries {
       l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
     }.toMap
     val allStops = TA.StopWords.flatMap(_._2).map(w => s"'$w'").mkString("(", ",", ")")
+    /** The composed-curation oracle (q68/q102), parameterized on the
+      * corpus slice and an optional stage-0 blocklist predicate — one
+      * SQL body, so the two manifests cannot drift from each other. */
+    def curateSql(slicePred: String, blockPred: Option[String]): String = {
+      val basePred = blockPred.map(bp => s"($slicePred) AND ($bp)").getOrElse(slicePred)
+      val nInSel = if (blockPred.isDefined)
+        s"(SELECT COUNT(*) FROM documents WHERE $slicePred) AS nin, " else ""
+      val stageHead =
+        if (blockPred.isDefined)
+          """SELECT '0_blocklist' AS stage, nin AS docs_in, n0 AS docs_out FROM k
+             |  UNION ALL SELECT '1_quality', n0, n1 FROM k""".stripMargin
+        else "SELECT '1_quality' AS stage, n0 AS docs_in, n1 AS docs_out FROM k"
+      s"""WITH RECURSIVE
+           |base AS MATERIALIZED (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS wl
+           |         FROM documents WHERE $basePred),
+           |qs AS MATERIALIZED (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(wl, x -> x IN $allStops))::DOUBLE / greatest(len(wl), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(wl, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(wl), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM base),
+           |s1 AS MATERIALIZED (SELECT base.* FROM base JOIN qs USING (doc_id) WHERE qs.q >= 0.44),
+           |rd AS MATERIALIZED (SELECT doc_id,
+           |        CAST(ROUND(1.0 - len(list_distinct(wl))::DOUBLE / greatest(len(wl), 1), 4)
+           |             AS DECIMAL(14,4)) AS dwf,
+           |        list_transform(range(1, greatest(len(wl), 1)), i -> wl[i] || ' ' || wl[i+1]) AS bgs
+           |      FROM s1),
+           |re AS MATERIALIZED (SELECT doc_id, unnest(bgs) AS b FROM rd),
+           |rc AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM re GROUP BY 1, 2),
+           |rt AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM rc GROUP BY 1),
+           |rj AS MATERIALIZED (SELECT rd.doc_id, rd.dwf,
+           |        CAST(COALESCE(ROUND(rt.topc::DOUBLE / rt.nb, 4), 0) AS DECIMAL(14,4)) AS tbf
+           |      FROM rd LEFT JOIN rt ON rd.doc_id = rt.doc_id),
+           |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN rj USING (doc_id)
+           |       WHERE NOT (rj.tbf >= 0.1 OR rj.dwf >= 0.8)),
+           |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY t)),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wl)-1,1)),
+           |         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS s FROM s3),
+           |e AS MATERIALIZED (SELECT doc_id, unnest(s) AS sg FROM sh),
+           |n AS MATERIALIZED (SELECT doc_id, len(s) AS cnt FROM sh),
+           |c AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+           |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS MATERIALIZED (SELECT da, db FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
+           |      WHERE ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) >= 0.5),
+           |edges AS MATERIALIZED (SELECT da AS u, db AS v FROM p UNION SELECT db AS u, da AS v FROM p),
+           |cc(node, comp) AS (
+           |  SELECT u, u FROM edges
+           |  UNION
+           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+           |lab AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+           |ranked AS MATERIALIZED (SELECT lab.node AS doc_id,
+           |             ROW_NUMBER() OVER (PARTITION BY lab.comp ORDER BY qs.q DESC, lab.node) AS rn
+           |           FROM lab JOIN qs ON lab.node = qs.doc_id),
+           |s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT node FROM lab)
+           |       UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
+           |bw AS MATERIALIZED (SELECT string_split(lower(text),' ') AS wl FROM documents WHERE doc_id % 50 = 0),
+           |bsh AS MATERIALIZED (SELECT DISTINCT sg FROM (SELECT unnest(list_distinct(list_transform(
+           |          range(1, greatest(len(wl)-1,1)),
+           |          i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))) AS sg FROM bw)),
+           |hits AS MATERIALIZED (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN bsh USING (sg)
+           |         WHERE e.doc_id IN (SELECT doc_id FROM s4) GROUP BY 1),
+           |s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4 LEFT JOIN hits USING (doc_id)
+           |       WHERE COALESCE(hits.shared, 0) < 3),
+           |k AS MATERIALIZED (SELECT $nInSel(SELECT COUNT(*) FROM base) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
+           |             (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3,
+           |             (SELECT COUNT(*) FROM s4) AS n4, (SELECT COUNT(*) FROM s5) AS n5)
+           |SELECT stage, docs_in, docs_out FROM (
+           |  $stageHead
+           |  UNION ALL SELECT '2_repetition', n1, n2 FROM k
+           |  UNION ALL SELECT '3_exact', n2, n3 FROM k
+           |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
+           |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
+           |ORDER BY stage""".stripMargin
+    }
     val jaccardCtes =
       """w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
@@ -1519,69 +1611,9 @@ object PipelineQueries {
           |  ROUND(SUM(dwf)::DOUBLE / COUNT(*), 4) AS avg_dup_word,
           |  ROUND(SUM(tbf)::DOUBLE / COUNT(*), 4) AS avg_top_bigram
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
-      "q68_curate" ->
-        s"""WITH RECURSIVE
-           |base AS MATERIALIZED (SELECT doc_id, text, lower(text) AS t, string_split(lower(text),' ') AS wl
-           |         FROM documents WHERE doc_id % 50 != 0),
-           |qs AS MATERIALIZED (SELECT doc_id, CAST(ROUND(
-           |    0.4 * (len(list_filter(wl, x -> x IN $allStops))::DOUBLE / greatest(len(wl), 1)::DOUBLE)
-           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(wl, x -> len(x))), (a,b) -> a + b)::DOUBLE
-           |                 / greatest(len(wl), 1)::DOUBLE) / 10.0, 1.0)
-           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
-           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
-           |  FROM base),
-           |s1 AS MATERIALIZED (SELECT base.* FROM base JOIN qs USING (doc_id) WHERE qs.q >= 0.44),
-           |rd AS MATERIALIZED (SELECT doc_id,
-           |        CAST(ROUND(1.0 - len(list_distinct(wl))::DOUBLE / greatest(len(wl), 1), 4)
-           |             AS DECIMAL(14,4)) AS dwf,
-           |        list_transform(range(1, greatest(len(wl), 1)), i -> wl[i] || ' ' || wl[i+1]) AS bgs
-           |      FROM s1),
-           |re AS MATERIALIZED (SELECT doc_id, unnest(bgs) AS b FROM rd),
-           |rc AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM re GROUP BY 1, 2),
-           |rt AS MATERIALIZED (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM rc GROUP BY 1),
-           |rj AS MATERIALIZED (SELECT rd.doc_id, rd.dwf,
-           |        CAST(COALESCE(ROUND(rt.topc::DOUBLE / rt.nb, 4), 0) AS DECIMAL(14,4)) AS tbf
-           |      FROM rd LEFT JOIN rt ON rd.doc_id = rt.doc_id),
-           |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN rj USING (doc_id)
-           |       WHERE NOT (rj.tbf >= 0.1 OR rj.dwf >= 0.8)),
-           |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY t)),
-           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wl)-1,1)),
-           |         i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS s FROM s3),
-           |e AS MATERIALIZED (SELECT doc_id, unnest(s) AS sg FROM sh),
-           |n AS MATERIALIZED (SELECT doc_id, len(s) AS cnt FROM sh),
-           |c AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
-           |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |p AS MATERIALIZED (SELECT da, db FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
-           |      WHERE ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) >= 0.5),
-           |edges AS MATERIALIZED (SELECT da AS u, db AS v FROM p UNION SELECT db AS u, da AS v FROM p),
-           |cc(node, comp) AS (
-           |  SELECT u, u FROM edges
-           |  UNION
-           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
-           |lab AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
-           |ranked AS MATERIALIZED (SELECT lab.node AS doc_id,
-           |             ROW_NUMBER() OVER (PARTITION BY lab.comp ORDER BY qs.q DESC, lab.node) AS rn
-           |           FROM lab JOIN qs ON lab.node = qs.doc_id),
-           |s4 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT node FROM lab)
-           |       UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
-           |bw AS MATERIALIZED (SELECT string_split(lower(text),' ') AS wl FROM documents WHERE doc_id % 50 = 0),
-           |bsh AS MATERIALIZED (SELECT DISTINCT sg FROM (SELECT unnest(list_distinct(list_transform(
-           |          range(1, greatest(len(wl)-1,1)),
-           |          i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))) AS sg FROM bw)),
-           |hits AS MATERIALIZED (SELECT e.doc_id, COUNT(*) AS shared FROM e JOIN bsh USING (sg)
-           |         WHERE e.doc_id IN (SELECT doc_id FROM s4) GROUP BY 1),
-           |s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4 LEFT JOIN hits USING (doc_id)
-           |       WHERE COALESCE(hits.shared, 0) < 3),
-           |k AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM base) AS n0, (SELECT COUNT(*) FROM s1) AS n1,
-           |             (SELECT COUNT(*) FROM s2) AS n2, (SELECT COUNT(*) FROM s3) AS n3,
-           |             (SELECT COUNT(*) FROM s4) AS n4, (SELECT COUNT(*) FROM s5) AS n5)
-           |SELECT stage, docs_in, docs_out FROM (
-           |  SELECT '1_quality' AS stage, n0 AS docs_in, n1 AS docs_out FROM k
-           |  UNION ALL SELECT '2_repetition', n1, n2 FROM k
-           |  UNION ALL SELECT '3_exact', n2, n3 FROM k
-           |  UNION ALL SELECT '4_neardup', n3, n4 FROM k
-           |  UNION ALL SELECT '5_decontam', n4, n5 FROM k)
-           |ORDER BY stage""".stripMargin,
+      "q68_curate" -> curateSql("doc_id % 50 != 0", None),
+      "q102_blocklist_curate" -> curateSql("doc_id % 4 = 1",
+        Some("source NOT IN ('src2','src7','src12','src17')")),
       "q73_zorder" ->
         """WITH base AS (SELECT o_orderkey,
           |  CAST(o_custkey AS BIGINT) & 65535 AS a,

@@ -602,7 +602,9 @@ object StreamingOps {
                            classifierSeeds: Option[(DataFrame, DataFrame)] = None,
                            vectorIndexPath: Option[String] = None,
                            vecThreshold: Double = 0.95, vecNProbe: Int = 4,
-                           rebuildStaleness: Option[Double] = None)
+                           rebuildStaleness: Option[Double] = None,
+                           blocklist: Option[DataFrame] = None,
+                           blocklistKey: String = "source")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
@@ -620,7 +622,11 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{broadcast, col}
-        val heuristic = graft.operators.Curation.gateBatch(batch, cfg, cleanMarkupFirst)
+        // blocklist gate first (same replay caveat as classifierSeeds:
+        // the list must read the same data across restarts — point it
+        // at an immutable snapshot)
+        val heuristic = graft.operators.Curation.gateBatch(batch, cfg,
+          cleanMarkupFirst, blocklist, blocklistKey)
         val gated = model.fold(heuristic) { m =>
           // the keep set is bounded by the micro-batch: broadcast semi
           val keep = graft.operators.QualityClassifier.score(heuristic, m)

@@ -107,6 +107,59 @@ class CurationSpec extends SparkSpec {
       Seq(1L, 2L, 6L, 7L))
   }
 
+  test("listGate: blocklist drops before any text gate; allowlist keeps only listed") {
+    // a PRISTINE document from a blocked source must fall at stage 0 —
+    // its text would pass every downstream gate (the C4/RefinedWeb
+    // order: the list verdict costs no text pass)
+    val docs = Seq(
+      (1L, "a bright green garden grows by the quiet river bank under heavy summer rain", "good.example"),
+      (2L, "the old sailor tells a long story about distant winter storms near rocky shores", "spam.example"),
+      (3L, "!!! ??? !!!", "good.example")
+    ).toDF("doc_id", "text", "source")
+    val bl = Seq("spam.example").toDF("domain")
+
+    val gated = Curation.gateBatch(docs, blocklist = Some(bl))
+    assert(gated.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L),
+      "blocked domain falls at stage 0; junk text falls at quality")
+    // the small list broadcasts (exact anti-join tier)
+    val plan = Curation.listGate(docs, bl, "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small blocklist must broadcast anti join:\n$plan")
+
+    // allowlist: ONLY listed sources survive the gate
+    val allowed = Curation.listGate(docs, bl, "source", allow = true)
+    assert(allowed.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L))
+
+    // Bloom tier: every blocked key drops (no false negatives); the
+    // allow direction is refused (an FP would wrongly ADMIT)
+    val bloomed = Curation.listGate(docs, bl, "source", bloomFpp = Some(0.01))
+    assert(!bloomed.select("source").as[String].collect().contains("spam.example"))
+    intercept[IllegalArgumentException] {
+      Curation.listGate(docs, bl, "source", allow = true, bloomFpp = Some(0.01))
+    }
+  }
+
+  test("curate with a blocklist: stage 0 rides the manifest; counts stay exact") {
+    val blockedCorpus = corpus.withColumn("source",
+      when(col("doc_id") === 7L, lit("blocked.example")).otherwise(lit("ok.example")))
+    val bl = Seq("blocked.example").toDF("domain")
+    val (survivors, manifest) = Curation.curate(blockedCorpus, bench,
+      blocklist = Some(bl))
+    val rows = manifest.orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 7 (a clean survivor in the unblocked fixture) now falls at
+    // stage 0; every later stage drops its designed doc as before
+    assert(rows === Seq(
+      ("0_blocklist", 7L, 6L),
+      ("1_quality", 6L, 5L),
+      ("2_repetition", 5L, 4L),
+      ("3_exact", 4L, 3L),
+      ("4_neardup", 3L, 2L),
+      ("5_decontam", 2L, 1L)))
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L))
+  }
+
   test("curate: clean corpus passes every stage untouched") {
     val clean = Seq(
       (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
