@@ -133,7 +133,8 @@ object SparkEntry {
     "q99_tfidf_keywords" -> (PipelineQueries.q99TfidfKeywords _),
     "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _),
     "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _),
-    "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _)
+    "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _),
+    "q103_line_dedup" -> (PipelineQueries.q103LineDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -893,6 +893,59 @@ object Dedup {
     * eval-suite side only); the corpus side then streams through a
     * partition-local membership probe — no join at all, strictly less
     * machinery than the exact tier's broadcast hash join. */
+  /** Line-level corrections — the dedup tier crawl curation runs FIRST
+    * (RefinedWeb §3.3, Penedo et al. 2023: nav bars, cookie banners and
+    * footers repeat across most of a site's pages; dropping documents
+    * for them would gut the corpus, so the LINES are dropped instead):
+    * compute each distinct non-empty line's document frequency across
+    * the corpus and delete lines with df ≥ `minDf` from every document,
+    * preserving the order and multiplicity of everything else (empty
+    * lines always survive — they are structure, not content).
+    *
+    * Scale shape (the q50 posture): ONE explode feeds a map-side-
+    * combined (line, doc) distinct + line-count aggregation — the only
+    * corpus-sized shuffle. The frequent set is the df heavy-hitter
+    * tail, normally tiny (a few banners per site template):
+    *  - under `broadcastableLines` (memoized bounded probe) it
+    *    broadcasts as a hash set and the deletion is a ROW-LOCAL
+    *    projection over `text` — no reconstruction shuffle at all;
+    *  - above the bound, exact fallback: positional explode, shuffle-
+    *    hash anti join on the line, ordered re-assembly per document
+    *    (one additional doc-keyed shuffle).
+    * Returns `docs` with `text` rewritten; other columns untouched. */
+  def dropFrequentLines(docs: DataFrame, minDf: Long,
+                        broadcastableLines: Long = 1000000L): DataFrame = {
+    require(minDf >= 2, s"dropFrequentLines: minDf=$minDf would drop every line")
+    val lines = docs.select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("l"))
+      .filter(col("l") =!= "")
+    val freq = lines.distinct()
+      .groupBy("l").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("l")
+    if (SizeDispatch.atMost(freq, broadcastableLines)) {
+      val set = freq.collect().map(_.getString(0)).toSet
+      val bc = docs.sparkSession.sparkContext.broadcast(set)
+      val clean = udf((t: String) =>
+        if (t == null) null
+        else t.split("\n", -1).filter(l => l.isEmpty || !bc.value.contains(l))
+          .mkString("\n"))
+      docs.withColumn("text", clean(col("text")))
+    } else {
+      val pos = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("p", "l")))
+      val kept = pos.join(freq.hint("shuffle_hash"), Seq("l"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("l")))),
+            x => x.getField("l")), "\n").as("__clean"))
+      docs.join(kept, Seq("doc_id"), "left")
+        // null text stays null (tier parity); an all-dropped doc -> ""
+        .withColumn("text",
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(coalesce(col("__clean"), lit(""))))
+        .drop("__clean")
+    }
+  }
+
   def contaminationScoresBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                                minShared: Long = 3L, fpp: Double = 0.01): DataFrame =
     bloomContaminationScores(docs, benchmarkBloom(benchmark, n, fpp), n, minShared)

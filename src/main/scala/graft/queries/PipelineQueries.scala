@@ -671,6 +671,33 @@ object PipelineQueries {
     manifest.orderBy("stage")
   }
 
+  /** q103: line-level corrections (`Dedup.dropFrequentLines` —
+    * RefinedWeb §3.3, the dedup tier crawl curation runs first). The
+    * single-line synthetic corpus is deterministically wrapped into a
+    * crawl-shaped page: two banner lines on EVERY doc (df = corpus),
+    * a half-corpus banner (doc_id even), a rare promo line
+    * (doc_id % 25 = 0, df far under threshold), the document's own
+    * text, a footer — identically in both engines. At minDf = 100 the
+    * operator must delete exactly the three high-df banners from every
+    * page while the rare line, the prose (duplicate families included
+    * — their df is family-sized), and line order survive. Hard oracle:
+    * DuckDB mirrors the df aggregation and the list_filter rebuild on
+    * true line strings. */
+  def q103LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      lit("HOME | ABOUT | CONTACT"),
+      lit("Accept cookies to continue"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("SUBSCRIBE NOW for updates")),
+      col("text"),
+      when(pmod(col("doc_id"), lit(25)) === 0, lit("rare promo line here")),
+      lit("(c) example footer all rights reserved"))
+    val wrapped = t(spark, dir, "documents")
+      .select(col("doc_id"), page.as("text"))
+    graft.operators.Dedup.dropFrequentLines(wrapped, minDf = 100L)
+      .select(col("doc_id"), col("text").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q102: [[q68Curate]] with the explicit URL/domain blocklist as
     * stage 0 (C4 §2.2 / RefinedWeb §3.1 — the published first gate):
     * `Curation.curate(blocklist=...)` over a quarter slice of the
@@ -1614,6 +1641,24 @@ object PipelineQueries {
       "q68_curate" -> curateSql("doc_id % 50 != 0", None),
       "q102_blocklist_curate" -> curateSql("doc_id % 4 = 1",
         Some("source NOT IN ('src2','src7','src12','src17')")),
+      "q103_line_dedup" ->
+        """WITH pg AS (SELECT doc_id, concat_ws(chr(10),
+          |    'HOME | ABOUT | CONTACT',
+          |    'Accept cookies to continue',
+          |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE NOW for updates' END,
+          |    text,
+          |    CASE WHEN doc_id % 25 = 0 THEN 'rare promo line here' END,
+          |    '(c) example footer all rights reserved') AS text
+          |  FROM documents),
+          |ls AS (SELECT DISTINCT doc_id, l FROM
+          |        (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM pg)
+          |       WHERE l <> ''),
+          |fq AS (SELECT l FROM (SELECT l, COUNT(*) AS df FROM ls GROUP BY 1)
+          |       WHERE df >= 100),
+          |fl AS (SELECT COALESCE(list(l), []) AS fl FROM fq)
+          |SELECT pg.doc_id, array_to_string(list_filter(string_split(pg.text, chr(10)),
+          |    y -> y = '' OR NOT list_contains(fl.fl, y)), chr(10)) AS clean_text
+          |FROM pg CROSS JOIN fl ORDER BY doc_id""".stripMargin,
       "q73_zorder" ->
         """WITH base AS (SELECT o_orderkey,
           |  CAST(o_custkey AS BIGINT) & 65535 AS a,
