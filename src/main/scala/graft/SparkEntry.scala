@@ -134,7 +134,8 @@ object SparkEntry {
     "q100_pipeline_v3" -> (PipelineQueries.q100PipelineV3 _),
     "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _),
     "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _),
-    "q103_line_dedup" -> (PipelineQueries.q103LineDedup _)
+    "q103_line_dedup" -> (PipelineQueries.q103LineDedup _),
+    "q104_check_bpe_mix" -> (PipelineQueries.q104CheckBpeMix _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -671,6 +671,69 @@ object PipelineQueries {
     manifest.orderBy("stage")
   }
 
+  /** q104 contract: temperature mixing denominated in TRAINED-BPE
+    * tokens (`Packing.temperatureMixBpe` — the unit training actually
+    * consumes; VERDICT r12 missing #5). BPE has no tractable SQL twin
+    * (q69), so the contract audits the wiring in-engine:
+    *  - budget_ok: the emitted per-source budgets equal an independent
+    *    driver recomputation of the alpha-power split over the BPE
+    *    token sums (same sorted-order fold, same grain rounding);
+    *  - selection_ok: the selected set equals the naive per-source
+    *    hash-ordered prefix under the BPE counts and those budgets;
+    *  - denominator_bites: the selection DIFFERS from the whitespace-
+    *    token mix at the same knobs — the unit change is semantic,
+    *    not cosmetic (BPE counts are symbol-scale, ~5-10x words);
+    *  - deterministic_ok: identical selection after repartition (the
+    *    merge list is driver metadata; encode is a pure projection).
+    * Booleans oracled by constant truth. */
+  def q104CheckBpeMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bpe, Packing, Storage}
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val merges = Bpe.train(docs.filter(pmod(col("doc_id"), lit(10)) === 0), numMerges = 8)
+    val enc = Storage.track(Bpe.encode(docs, merges)
+      .select(col("doc_id"), col("source"), col("text"), col("token_count"))
+      .localCheckpoint(true))
+    val (total, alpha, grain) = (50000L, 0.5, 50L)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val mixed = Packing.temperatureMix(enc, total, alpha,
+      col("source"), col("token_count"), col("doc_id"), grain)
+
+    // independent budget recomputation (same sorted fold + grain grid)
+    val sums = enc.groupBy("source").agg(sum("token_count").as("t"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val z = sums.map { case (_, t) => math.pow(t.toDouble, alpha) }.foldLeft(0.0)(_ + _)
+    val want = sums.map { case (s, t) =>
+      s -> math.round(math.pow(t.toDouble, alpha) / z * total / grain) * grain
+    }.toMap
+    val got = mixed.select(col("source"), col("__mix_budget"))
+      .distinct().as[(String, Long)].collect().toMap
+    val budgetOk = got == want.filter(_._2 > 0) || got == want
+
+    // naive per-source hash-ordered prefix under the SAME budgets
+    val budgetCol = want.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s, b)) => when(col("source") === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = enc
+      .withColumn("__bef", sum(col("token_count")).over(w) - col("token_count"))
+      .filter(col("__bef") < budgetCol)
+    val selectionOk = ids(mixed) == ids(naive)
+
+    val wsMixed = Packing.temperatureMix(docs, total, alpha,
+      col("source"), TA.wsTokenCount(col("text")), col("doc_id"), grain)
+    val denominatorBites = ids(mixed) != ids(wsMixed)
+
+    val again = Packing.temperatureMix(enc.repartition(7), total, alpha,
+      col("source"), col("token_count"), col("doc_id"), grain)
+    val deterministicOk = ids(again) == ids(mixed)
+
+    Seq((budgetOk, selectionOk, denominatorBites, deterministicOk))
+      .toDF("budget_ok", "selection_ok", "denominator_bites", "deterministic_ok")
+  }
+
   /** q103: line-level corrections (`Dedup.dropFrequentLines` —
     * RefinedWeb §3.3, the dedup tier crawl curation runs first). The
     * single-line synthetic corpus is deterministically wrapped into a
@@ -1641,6 +1704,9 @@ object PipelineQueries {
       "q68_curate" -> curateSql("doc_id % 50 != 0", None),
       "q102_blocklist_curate" -> curateSql("doc_id % 4 = 1",
         Some("source NOT IN ('src2','src7','src12','src17')")),
+      "q104_check_bpe_mix" ->
+        """SELECT true AS budget_ok, true AS selection_ok,
+          |       true AS denominator_bites, true AS deterministic_ok""".stripMargin,
       "q103_line_dedup" ->
         """WITH pg AS (SELECT doc_id, concat_ws(chr(10),
           |    'HOME | ABOUT | CONTACT',
