@@ -763,16 +763,16 @@ object PipelineQueries {
 
   /** q102: [[q68Curate]] with the explicit URL/domain blocklist as
     * stage 0 (C4 §2.2 / RefinedWeb §3.1 — the published first gate):
-    * `Curation.curate(blocklist=...)` over a quarter slice of the
-    * corpus, four blocked sources, six-stage integer manifest. The
-    * list gate is an exact broadcast anti join (NOT-EXISTS semantics
-    * in the mirror); blocked domains fall before any text pass. */
+    * `Curation.curate(blocklist=...)` over the q68 corpus split, four
+    * blocked sources, six-stage integer manifest. The list gate is an
+    * exact broadcast anti join (NOT-EXISTS semantics in the mirror);
+    * blocked domains fall before any text pass. */
   def q102BlocklistCurate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
     val bl = Seq("src2", "src7", "src12", "src17").toDF("source")
     val (_, manifest) = graft.operators.Curation.curate(
-      docs.filter(pmod(col("doc_id"), lit(4)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(50)) === 0),
       blocklist = Some(bl))
     manifest.orderBy("stage")
@@ -1702,7 +1702,7 @@ object PipelineQueries {
           |  ROUND(SUM(tbf)::DOUBLE / COUNT(*), 4) AS avg_top_bigram
           |FROM j GROUP BY source ORDER BY source""".stripMargin,
       "q68_curate" -> curateSql("doc_id % 50 != 0", None),
-      "q102_blocklist_curate" -> curateSql("doc_id % 4 = 1",
+      "q102_blocklist_curate" -> curateSql("doc_id % 50 != 0",
         Some("source NOT IN ('src2','src7','src12','src17')")),
       "q104_check_bpe_mix" ->
         """SELECT true AS budget_ok, true AS selection_ok,
