@@ -135,7 +135,8 @@ object SparkEntry {
     "q101_check_ivf_rebuild" -> (PipelineQueries.q101CheckIvfRebuild _),
     "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _),
     "q103_line_dedup" -> (PipelineQueries.q103LineDedup _),
-    "q104_check_bpe_mix" -> (PipelineQueries.q104CheckBpeMix _)
+    "q104_check_bpe_mix" -> (PipelineQueries.q104CheckBpeMix _),
+    "q105_pipeline_v4" -> (PipelineQueries.q105PipelineV4 _)
   )
 
   def oracleSql: Map[String, String] = Map(

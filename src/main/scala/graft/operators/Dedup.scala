@@ -921,8 +921,15 @@ object Dedup {
     val freq = lines.distinct()
       .groupBy("l").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("l")
-    if (SizeDispatch.atMost(freq, broadcastableLines)) {
-      val set = freq.collect().map(_.getString(0)).toSet
+    // ONE bounded collect decides the tier AND delivers the set (the
+    // q68 staging shave): a separate bounded probe would run the df
+    // aggregation twice. Overflow (frequent set over the bound) falls
+    // to the exact join tier, re-running the aggregation once — the
+    // rare regime, and the collect stayed bounded either way.
+    val b = math.max(0L, math.min(broadcastableLines, Int.MaxValue - 1L))
+    val probe = freq.limit(b.toInt + 1).collect()
+    if (probe.length <= b) {
+      val set = probe.map(_.getString(0)).toSet
       val bc = docs.sparkSession.sparkContext.broadcast(set)
       val clean = udf((t: String) =>
         if (t == null) null

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -671,6 +671,62 @@ object PipelineQueries {
     manifest.orderBy("stage")
   }
 
+  /** q105: the r13 pipeline composed end-to-end — crawl-page corpus →
+    * domain blocklist (q102's gate, stage 1) → line-level corrections
+    * (q103, stage 2 — documents survive, their banner LINES do not) →
+    * structural prose routing on the line-cleaned raw text (q98) →
+    * normalize (q96) → Gopher battery (q80) → temperature mixture
+    * (q97), ONE query with a six-row stage manifest. Gate order is the
+    * published curation order: the list verdict costs no text pass,
+    * the line tier runs before any document-level verdict (RefinedWeb
+    * §3.3 — a banner must not poison format/quality signals), and
+    * normalization touches only admitted prose. The blocklist join is
+    * broadcast; the line-df aggregation is the chain's only extra
+    * corpus shuffle; every other gate is a row-local projection and
+    * the manifest counts ride the mix's own actions as observe()
+    * metrics. Hard oracle: the q103 and q100 CTE fragments composed —
+    * the SAME shared SQL bodies, so the composition cannot drift from
+    * the operators it composes. */
+  def q105PipelineV4(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup, HeuristicRules, Packing}
+    import org.apache.spark.sql.Observation
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val Seq(o0, o1, o2, o3) = Seq.fill(4)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
+    val pages = counted(t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        crawlPageOf(structuredBody).as("text")), o0)
+    val bl = Seq("src5", "src11", "src18").toDF("source")
+    val listed = counted(Curation.listGate(pages, bl, "source"), o1)
+    // line tier: rewrites text, drops no documents (the manifest row
+    // records exactly that invariant). PIN the cleaned corpus — it is
+    // the pinch point every downstream gate and both mix actions read;
+    // unpinned, the page build + line filter would re-run per action
+    // (the curate staging contract; at cluster scale this pin is the
+    // between-stage parquet write)
+    val lineClean = graft.operators.Storage.track(
+      Dedup.dropFrequentLines(listed, minDf = 100L).localCheckpoint(true))
+    val prose = counted(lineClean.filter(TA.formatOf(col("text")) === "prose"), o2)
+    val normed = prose.withColumn("text", TA.normalizeText(col("text")))
+    // second pin after the gates: the mix runs two actions (budget
+    // aggregate + selection), and the admitted set is far smaller than
+    // the corpus — route/normalize/battery run once, not twice
+    val gated = graft.operators.Storage.track(
+      counted(HeuristicRules.gopherFilter(normed), o3).localCheckpoint(true))
+    val mixed = Packing.temperatureMix(gated, totalTokens = 10000L, alpha = 0.5,
+      sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
+      key = col("doc_id"))
+    val n5 = mixed.count()
+    def n(o: Observation): Long =
+      scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+    val n1 = n(o1)
+    Seq(("0_input", n(o0)), ("1_blocklist", n1), ("2_linededup", n1),
+      ("3_prose", n(o2)), ("4_gopher", n(o3)), ("5_mix", n5))
+      .toDF("stage", "n_docs").orderBy("stage")
+  }
+
   /** q104 contract: temperature mixing denominated in TRAINED-BPE
     * tokens (`Packing.temperatureMixBpe` — the unit training actually
     * consumes; VERDICT r12 missing #5). BPE has no tractable SQL twin
@@ -747,19 +803,80 @@ object PipelineQueries {
     * DuckDB mirrors the df aggregation and the list_filter rebuild on
     * true line strings. */
   def q103LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val page = concat_ws("\n",
-      lit("HOME | ABOUT | CONTACT"),
-      lit("Accept cookies to continue"),
-      when(pmod(col("doc_id"), lit(2)) === 0, lit("SUBSCRIBE NOW for updates")),
-      col("text"),
-      when(pmod(col("doc_id"), lit(25)) === 0, lit("rare promo line here")),
-      lit("(c) example footer all rights reserved"))
     val wrapped = t(spark, dir, "documents")
-      .select(col("doc_id"), page.as("text"))
+      .select(col("doc_id"), crawlPage.as("text"))
     graft.operators.Dedup.dropFrequentLines(wrapped, minDf = 100L)
       .select(col("doc_id"), col("text").as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** The deterministic crawl-page decoration q103/q105 wrap the
+    * single-line corpus in: two full-corpus banner lines, a
+    * half-corpus banner, the document's own text, a rare
+    * below-threshold line, a footer. `crawlPageSql` is its byte-exact
+    * DuckDB twin — one definition per engine, shared by every consumer
+    * so the fixtures cannot drift. */
+  private def crawlPageOf(text: Column): Column = concat_ws("\n",
+    lit("HOME | ABOUT | CONTACT"),
+    lit("Accept cookies to continue"),
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("SUBSCRIBE NOW for updates")),
+    text,
+    when(pmod(col("doc_id"), lit(25)) === 0, lit("rare promo line here")),
+    lit("(c) example footer all rights reserved"))
+
+  private def crawlPage: Column = crawlPageOf(col("text"))
+
+  /** q105's structural bodies — the q98 code/table shapes made UNIQUE
+    * per document (the doc_id is spliced into each content line), so
+    * the line-df tier deletes the SHARED banners but not the bodies,
+    * and the format router genuinely bites at every SF. Byte-exact
+    * SQL twin below. */
+  private def structuredBody: Column = {
+    val id = col("doc_id").cast("string")
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit("if (x"), id, lit(") {\n  y[i] = f(x"), id,
+        lit(");\n}\nwhile (i"), id, lit(" < n) {\n  s = s + a[i"), id,
+        lit("];\n}")))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("| name | qty |\n| a"), id, lit(" | 1 |\n| b"), id,
+          lit(" | 2 |\n| c"), id, lit(" | 3 |")))
+      .otherwise(col("text"))
+  }
+
+  private val structuredBodySql: String =
+    """CASE WHEN doc_id % 7 = 0 THEN
+      |      'if (x' || doc_id::VARCHAR || ') {' || chr(10) ||
+      |      '  y[i] = f(x' || doc_id::VARCHAR || ');' || chr(10) || '}' || chr(10) ||
+      |      'while (i' || doc_id::VARCHAR || ' < n) {' || chr(10) ||
+      |      '  s = s + a[i' || doc_id::VARCHAR || '];' || chr(10) || '}'
+      |    WHEN doc_id % 11 = 0 THEN
+      |      '| name | qty |' || chr(10) || '| a' || doc_id::VARCHAR || ' | 1 |' || chr(10) ||
+      |      '| b' || doc_id::VARCHAR || ' | 2 |' || chr(10) || '| c' || doc_id::VARCHAR || ' | 3 |'
+      |    ELSE text END""".stripMargin
+
+  private val crawlPageSql: String =
+    """concat_ws(chr(10),
+      |    'HOME | ABOUT | CONTACT',
+      |    'Accept cookies to continue',
+      |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE NOW for updates' END,
+      |    text,
+      |    CASE WHEN doc_id % 25 = 0 THEN 'rare promo line here' END,
+      |    '(c) example footer all rights reserved')""".stripMargin
+
+  /** The q103 line-df CTE chain over a page CTE named `from`: df over
+    * distinct non-empty lines, the ≥ minDf frequent list, and the
+    * rebuilt text — shared verbatim by the q103 and q105 oracles. */
+  private def lineDedupCtes(from: String, minDf: Int): String =
+    s"""ls AS (SELECT DISTINCT doc_id, l FROM
+       |        (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM $from)
+       |       WHERE l <> ''),
+       |fq AS (SELECT l FROM (SELECT l, COUNT(*) AS df FROM ls GROUP BY 1)
+       |       WHERE df >= $minDf),
+       |fl AS (SELECT COALESCE(list(l), []) AS fl FROM fq),
+       |ld AS (SELECT $from.* REPLACE (array_to_string(list_filter(
+       |         string_split($from.text, chr(10)),
+       |         y -> y = '' OR NOT list_contains(fl.fl, y)), chr(10)) AS text)
+       |       FROM $from CROSS JOIN fl)""".stripMargin
 
   /** q102: [[q68Curate]] with the explicit URL/domain blocklist as
     * stage 0 (C4 §2.2 / RefinedWeb §3.1 — the published first gate):
@@ -1489,6 +1606,91 @@ object PipelineQueries {
   }
 
   // --------------------------------------------------------- oracle SQL
+
+  /** The q100 prose-routing → normalize → Gopher → temperature-mix CTE
+    * chain over a source relation `$src` providing (doc_id, source,
+    * text) — shared by the q100 and q105 oracles so the composed
+    * pipelines cannot drift from each other. Exposes CTEs fs/prose/
+    * nrm/gd/gs/g/d/sm/z/b/c/k; the caller appends its own manifest
+    * SELECT. */
+  private def proseGateMixCtes(src: String): String = {
+    val from = graft.operators.TextAnalysis.NormalizeFrom
+    val to = "$$" + graft.operators.TextAnalysis.NormalizeTo + "$$"
+    val ell = "\u2026"
+    s"""fs AS (SELECT doc_id,
+   |  CAST(ROUND((
+   |      (len(text) - len(replace(text, '{', '')))
+   |    + (len(text) - len(replace(text, '}', '')))
+   |    + (len(text) - len(replace(text, '(', '')))
+   |    + (len(text) - len(replace(text, ')', '')))
+   |    + (len(text) - len(replace(text, ';', '')))
+   |    + (len(text) - len(replace(text, '=', '')))
+   |    + (len(text) - len(replace(text, '<', '')))
+   |    + (len(text) - len(replace(text, '>', '')))
+   |    + (len(text) - len(replace(text, '[', '')))
+   |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
+   |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS sym,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ind,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS pipe,
+   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
+   |      l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
+   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
+   |FROM $src),
+   |prose AS (SELECT $src.doc_id, $src.source, $src.text
+   |  FROM $src JOIN fs USING (doc_id)
+   |  WHERE NOT (fs.pipe >= 0.5)
+   |    AND NOT (fs.sym >= 0.04 AND (fs.ind >= 0.2 OR fs.semi >= 0.2))),
+   |nrm AS (SELECT doc_id, source,
+   |  trim(regexp_replace(regexp_replace(
+   |    translate(replace(text, '$ell', '...'), '$from', $to),
+   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+   |    '[ \\t]+', ' ', 'g')) AS text
+   |  FROM prose),
+   |gd AS (SELECT doc_id, source, text, lower(text) AS t,
+   |         string_split(lower(text),' ') AS w,
+   |         string_split(text, chr(10)) AS ls FROM nrm),
+   |gs AS (SELECT doc_id,
+   |  CAST(len(w) AS BIGINT) AS n_words,
+   |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+   |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+   |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+   |            + CAST((len(t) - len(replace(t,'\u2026','')))/1 AS BIGINT))::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+   |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'\u2022')))::DOUBLE
+   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+   |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'\u2026')))::DOUBLE
+   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+   |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+   |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+   |FROM gd),
+   |g AS (SELECT gd.doc_id, gd.source, gd.text FROM gd JOIN gs USING (doc_id)
+   |      WHERE gs.n_words >= 50 AND gs.n_words <= 100000
+   |        AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
+   |        AND gs.symbol_ratio < 0.1 AND gs.bullet_frac < 0.9
+   |        AND gs.ellipsis_frac < 0.3 AND gs.alpha_frac >= 0.8
+   |        AND gs.stop_hits >= 2),
+   |d AS (SELECT source, doc_id,
+   |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+   |        md5(CAST(doc_id AS VARCHAR)) AS h FROM g),
+   |sm AS (SELECT source, SUM(tok)::DOUBLE AS st FROM d GROUP BY source),
+   |z AS (SELECT list_reduce(list_prepend(0.0,
+   |        list(POW(st, 0.5) ORDER BY source)), (a, b) -> a + b) AS z FROM sm),
+   |b AS (SELECT source,
+   |        CAST(ROUND(POW(st, 0.5) / z.z * 10000 / 50) AS BIGINT) * 50 AS budget
+   |      FROM sm, z),
+   |c AS (SELECT source, doc_id, tok,
+   |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+   |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
+   |      FROM d),
+   |k AS (SELECT c.doc_id FROM c JOIN b USING (source) WHERE c.bef < b.budget)""".stripMargin
+  }
+
   /** DuckDB-dialect oracles, formula-mirrored 1:1 with the Spark
     * expressions above (left folds via list_reduce with prepended zero,
     * global regexp_replace 'g', integer counts, round-then-filter). */
@@ -1708,23 +1910,22 @@ object PipelineQueries {
         """SELECT true AS budget_ok, true AS selection_ok,
           |       true AS denominator_bites, true AS deterministic_ok""".stripMargin,
       "q103_line_dedup" ->
-        """WITH pg AS (SELECT doc_id, concat_ws(chr(10),
-          |    'HOME | ABOUT | CONTACT',
-          |    'Accept cookies to continue',
-          |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE NOW for updates' END,
-          |    text,
-          |    CASE WHEN doc_id % 25 = 0 THEN 'rare promo line here' END,
-          |    '(c) example footer all rights reserved') AS text
-          |  FROM documents),
-          |ls AS (SELECT DISTINCT doc_id, l FROM
-          |        (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM pg)
-          |       WHERE l <> ''),
-          |fq AS (SELECT l FROM (SELECT l, COUNT(*) AS df FROM ls GROUP BY 1)
-          |       WHERE df >= 100),
-          |fl AS (SELECT COALESCE(list(l), []) AS fl FROM fq)
-          |SELECT pg.doc_id, array_to_string(list_filter(string_split(pg.text, chr(10)),
-          |    y -> y = '' OR NOT list_contains(fl.fl, y)), chr(10)) AS clean_text
-          |FROM pg CROSS JOIN fl ORDER BY doc_id""".stripMargin,
+        s"""WITH pg AS (SELECT doc_id, $crawlPageSql AS text FROM documents),
+          |${lineDedupCtes("pg", 100)}
+          |SELECT doc_id, text AS clean_text FROM ld ORDER BY doc_id""".stripMargin,
+      "q105_pipeline_v4" ->
+        s"""WITH sb AS (SELECT doc_id, source, $structuredBodySql AS text FROM documents),
+          |pg AS (SELECT doc_id, source, $crawlPageSql AS text FROM sb),
+          |bl AS (SELECT * FROM pg WHERE source NOT IN ('src5','src11','src18')),
+          |${lineDedupCtes("bl", 100)},
+          |${proseGateMixCtes("ld")}
+          |SELECT '0_input' AS stage, (SELECT COUNT(*) FROM pg)::BIGINT AS n_docs
+          |UNION ALL SELECT '1_blocklist', (SELECT COUNT(*) FROM bl)
+          |UNION ALL SELECT '2_linededup', (SELECT COUNT(*) FROM ld)
+          |UNION ALL SELECT '3_prose', (SELECT COUNT(*) FROM prose)
+          |UNION ALL SELECT '4_gopher', (SELECT COUNT(*) FROM g)
+          |UNION ALL SELECT '5_mix', (SELECT COUNT(*) FROM k)
+          |ORDER BY stage""".stripMargin,
       "q73_zorder" ->
         """WITH base AS (SELECT o_orderkey,
           |  CAST(o_custkey AS BIGINT) & 65535 AS a,
@@ -2454,87 +2655,12 @@ s"""WITH w AS (SELECT doc_id,
           |      FROM sc)
           |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tfidf::DOUBLE AS tfidf
           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
-      "q100_pipeline_v3" -> {
-        val from = graft.operators.TextAnalysis.NormalizeFrom
-        val to = "$$" + graft.operators.TextAnalysis.NormalizeTo + "$$"
-        val ell = "\u2026"
-s"""WITH fs AS (SELECT doc_id,
-   |  CAST(ROUND((
-   |      (len(text) - len(replace(text, '{', '')))
-   |    + (len(text) - len(replace(text, '}', '')))
-   |    + (len(text) - len(replace(text, '(', '')))
-   |    + (len(text) - len(replace(text, ')', '')))
-   |    + (len(text) - len(replace(text, ';', '')))
-   |    + (len(text) - len(replace(text, '=', '')))
-   |    + (len(text) - len(replace(text, '<', '')))
-   |    + (len(text) - len(replace(text, '>', '')))
-   |    + (len(text) - len(replace(text, '[', '')))
-   |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
-   |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS sym,
-   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
-   |      l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
-   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ind,
-   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
-   |      l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
-   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS pipe,
-   |  CAST(ROUND(len(list_filter(string_split(text, chr(10)),
-   |      l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
-   |    / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
-   |FROM documents),
-   |prose AS (SELECT documents.doc_id, documents.source, documents.text
-   |  FROM documents JOIN fs USING (doc_id)
-   |  WHERE NOT (fs.pipe >= 0.5)
-   |    AND NOT (fs.sym >= 0.04 AND (fs.ind >= 0.2 OR fs.semi >= 0.2))),
-   |nrm AS (SELECT doc_id, source,
-   |  trim(regexp_replace(regexp_replace(
-   |    translate(replace(text, '$ell', '...'), '$from', $to),
-   |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
-   |    '[ \\t]+', ' ', 'g')) AS text
-   |  FROM prose),
-   |gd AS (SELECT doc_id, source, text, lower(text) AS t,
-   |         string_split(lower(text),' ') AS w,
-   |         string_split(text, chr(10)) AS ls FROM nrm),
-   |gs AS (SELECT doc_id,
-   |  CAST(len(w) AS BIGINT) AS n_words,
-   |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
-   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
-   |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
-   |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
-   |            + CAST((len(t) - len(replace(t,'\u2026','')))/1 AS BIGINT))::DOUBLE
-   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
-   |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'\u2022')))::DOUBLE
-   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
-   |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'\u2026')))::DOUBLE
-   |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
-   |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
-   |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
-   |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
-   |FROM gd),
-   |g AS (SELECT gd.doc_id, gd.source, gd.text FROM gd JOIN gs USING (doc_id)
-   |      WHERE gs.n_words >= 50 AND gs.n_words <= 100000
-   |        AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
-   |        AND gs.symbol_ratio < 0.1 AND gs.bullet_frac < 0.9
-   |        AND gs.ellipsis_frac < 0.3 AND gs.alpha_frac >= 0.8
-   |        AND gs.stop_hits >= 2),
-   |d AS (SELECT source, doc_id,
-   |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-   |        md5(CAST(doc_id AS VARCHAR)) AS h FROM g),
-   |sm AS (SELECT source, SUM(tok)::DOUBLE AS st FROM d GROUP BY source),
-   |z AS (SELECT list_reduce(list_prepend(0.0,
-   |        list(POW(st, 0.5) ORDER BY source)), (a, b) -> a + b) AS z FROM sm),
-   |b AS (SELECT source,
-   |        CAST(ROUND(POW(st, 0.5) / z.z * 10000 / 50) AS BIGINT) * 50 AS budget
-   |      FROM sm, z),
-   |c AS (SELECT source, doc_id, tok,
-   |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
-   |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
-   |      FROM d),
-   |k AS (SELECT c.doc_id FROM c JOIN b USING (source) WHERE c.bef < b.budget)
+      "q100_pipeline_v3" ->
+        s"""WITH ${proseGateMixCtes("documents")}
    |SELECT '0_input' AS stage, (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs
    |UNION ALL SELECT '1_prose', (SELECT COUNT(*) FROM prose)
    |UNION ALL SELECT '2_gopher', (SELECT COUNT(*) FROM g)
    |UNION ALL SELECT '3_mix', (SELECT COUNT(*) FROM k)
-   |ORDER BY stage""".stripMargin
-      })
+   |ORDER BY stage""".stripMargin)
   }
 }
