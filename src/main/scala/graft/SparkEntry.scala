@@ -136,7 +136,8 @@ object SparkEntry {
     "q102_blocklist_curate" -> (PipelineQueries.q102BlocklistCurate _),
     "q103_line_dedup" -> (PipelineQueries.q103LineDedup _),
     "q104_check_bpe_mix" -> (PipelineQueries.q104CheckBpeMix _),
-    "q105_pipeline_v4" -> (PipelineQueries.q105PipelineV4 _)
+    "q105_pipeline_v4" -> (PipelineQueries.q105PipelineV4 _),
+    "q106_pii_validate" -> (PipelineQueries.q106PiiValidate _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -218,6 +218,58 @@ object TextAnalysis {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
+  // ------------------------------------ checksum-validated PII (r13)
+  /** Candidate payment-card pattern: 13–19 digits with optional single
+    * space/dash separators between digits (no consecutive separators, so
+    * a match can never swallow surrounding punctuation). Shared Java/RE2
+    * construct subset — no lookaround, no backrefs. */
+  val CardCandidatePattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn fold over a REVERSED pure-digit string: positions i = 1.. from
+    * the right; the doubled parity is a parameter because the checksum
+    * (double even i) and check-digit synthesis (double odd i of the
+    * body) are the same fold shifted by one. Pure integer HOF arithmetic
+    * (`aggregate` over `sequence`) — codegen'd, row-local, and mirrored
+    * 1:1 by DuckDB `list_sum(list_transform(range(...), ...))`. */
+  private def luhnFoldRev(rev: Column, doubleOdd: Boolean): Column =
+    aggregate(sequence(lit(1), length(rev)), lit(0), (acc, i) => {
+      val d = ascii(substr(rev, i, lit(1))) - lit(48)
+      val dd = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      acc + when(pmod(i, lit(2)) === lit(if (doubleOdd) 1 else 0), dd)
+        .otherwise(d)
+    })
+
+  /** Luhn checksum validity of a candidate (separators stripped first):
+    * 13–19 digits and the doubled-digit sum ≡ 0 (mod 10). The published
+    * PII practice (validate, don't just pattern-match): a bare 16-digit
+    * regex over web text redacts order numbers and timestamps wholesale;
+    * the checksum gate cuts that false-positive mass by 10× while never
+    * missing a real card number. */
+  def luhnValid(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[^0-9]", "")
+    length(ds) >= 13 && length(ds) <= 19 &&
+      pmod(luhnFoldRev(reverse(ds), doubleOdd = false), lit(10)) === 0
+  }
+
+  /** The check digit that makes `body || digit` Luhn-valid — used by the
+    * oracle-facing queries to PLANT cards whose validity is provable in
+    * both engines (the corpus has no real PII). */
+  def luhnCheckDigit(body: Column): Column =
+    pmod(lit(10) - pmod(luhnFoldRev(reverse(body), doubleOdd = true),
+      lit(10)), lit(10))
+
+  /** Redact every Luhn-VALID card candidate as `<CARD>`, leaving invalid
+    * lookalikes untouched: extract candidates, checksum-filter them, fold
+    * literal `replace` over the (distinct) valid set. One codegen'd
+    * row-local projection — zero shuffle, scan-speed at any corpus size;
+    * DuckDB mirrors with list_filter + list_reduce(list_prepend(...)). */
+  def redactValidCards(text: Column): Column = {
+    val valid = filter(
+      array_distinct(regexp_extract_all(text, lit(CardCandidatePattern), lit(0))),
+      c => luhnValid(c))
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
   /** Per-document PII hit counts (pre-redaction evidence columns). */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast(LongType),

@@ -272,6 +272,35 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Checksum-validated PII redaction (r13): plants one payment-card
+    * lookalike per document — 16 digits in 4-4-4-4 groups whose check
+    * digit is computed IN-ENGINE by the Luhn fold, valid iff
+    * doc_id % 3 == 0 — and proves that redaction fires on checksum-valid
+    * cards ONLY (the published validate-don't-just-regex practice: a bare
+    * digit-run pattern would also shred order ids and timestamps). All
+    * row-local HOF integer arithmetic, zero shuffle. Hard oracle. */
+  def q106PiiValidate(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("4"),
+      lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 5, "0"),
+      lit("555666777"))
+    val chk = TA.luhnCheckDigit(base)
+    val digit = when(pmod(col("doc_id"), lit(3)) === 0, chk)
+      .otherwise(pmod(chk + 1, lit(10)))
+    val full = concat(base, digit.cast("string"))
+    val pretty = concat_ws(" ", substring(full, 1, 4), substring(full, 5, 4),
+      substring(full, 9, 4), substring(full, 13, 4))
+    val synth = concat(lit("order via "), col("source"), lit(" card "),
+      pretty, lit(" ref "), substring(col("text"), 1, 40))
+    val cands = regexp_extract_all(synth, lit(TA.CardCandidatePattern), lit(0))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(cands).cast("long").as("n_cands"),
+      size(filter(array_distinct(cands), c => TA.luhnValid(c)))
+        .cast("long").as("n_valid"),
+      md5(TA.redactValidCards(synth)).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * the rest of the corpus is scored by distinct shared 3-gram shingles
     * (broadcast semi-join + per-doc count — no corpus shuffle). Hard
@@ -2195,6 +2224,42 @@ object PipelineQueries {
           |    '\+[0-9][0-9-]{6,}', '<PHONE>', 'g'),
           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
           |FROM s ORDER BY doc_id""".stripMargin,
+      "q106_pii_validate" -> {
+        // the Luhn fold over a reversed digit string, as a DuckDB lambda
+        // body; `ds` is the digits expression, `par` the doubled parity
+        // (0 = checksum over a full card, 1 = check-digit synthesis over
+        // a 15-digit body) — shared so the two uses cannot drift.
+        def luhnSumSql(ds: String, par: Int, n: String): String =
+          s"""list_sum(list_transform(range(1, $n), i ->
+             |  CASE WHEN i % 2 = $par THEN
+             |    CASE WHEN 2 * CAST(substr(reverse($ds), i, 1) AS INTEGER) > 9
+             |         THEN 2 * CAST(substr(reverse($ds), i, 1) AS INTEGER) - 9
+             |         ELSE 2 * CAST(substr(reverse($ds), i, 1) AS INTEGER) END
+             |  ELSE CAST(substr(reverse($ds), i, 1) AS INTEGER) END))""".stripMargin
+        val cd = "regexp_replace(c, '[^0-9]', '', 'g')"
+        s"""WITH b AS (SELECT doc_id, source, text,
+           |  '4' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') || '555666777' AS base
+           |  FROM documents),
+           |k AS (SELECT *, CAST((10 - (${luhnSumSql("base", 1, "16")} % 10)) % 10 AS INTEGER) AS chk FROM b),
+           |f AS (SELECT doc_id, source, text,
+           |  base || CAST(CASE WHEN doc_id % 3 = 0 THEN chk ELSE (chk + 1) % 10 END AS VARCHAR) AS fc
+           |  FROM k),
+           |s AS (SELECT doc_id,
+           |  'order via ' || source || ' card ' || substr(fc,1,4) || ' ' || substr(fc,5,4)
+           |    || ' ' || substr(fc,9,4) || ' ' || substr(fc,13,4) ||
+           |  ' ref ' || substr(text,1,40) AS t FROM f),
+           |v AS (SELECT doc_id, t,
+           |  regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}') AS cands,
+           |  list_filter(list_distinct(regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}')), c ->
+           |    length($cd) BETWEEN 13 AND 19 AND
+           |    (${luhnSumSql(cd, 0, s"length($cd) + 1")} % 10) = 0) AS valid
+           |  FROM s)
+           |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_cands,
+           |  CAST(len(valid) AS BIGINT) AS n_valid,
+           |  md5(list_reduce(list_prepend(t, valid),
+           |      (a, x) -> replace(a, x, '<CARD>'))) AS redacted_md5
+           |FROM v ORDER BY doc_id""".stripMargin
+      },
       "q53_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),

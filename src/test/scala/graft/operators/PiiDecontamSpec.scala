@@ -30,6 +30,40 @@ class PiiDecontamSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2L, 1L, 3L)))
   }
 
+  // ---------------------------------- checksum-validated cards (r13)
+  private def luhnOne(s: String): Boolean =
+    Seq(s).toDF("c").select(TextAnalysis.luhnValid(col("c"))).as[Boolean].head()
+  private def redactCardsOne(s: String): String =
+    Seq(s).toDF("text").select(TextAnalysis.redactValidCards(col("text")))
+      .as[String].head()
+
+  test("luhnValid accepts the classic valid test number, with or without separators") {
+    assert(luhnOne("4111111111111111"))
+    assert(luhnOne("4111 1111 1111 1111"))
+    assert(luhnOne("4111-1111-1111-1111"))
+  }
+
+  test("luhnValid rejects a check-digit-off-by-one lookalike and short digit runs") {
+    assert(!luhnOne("4111111111111112"))
+    assert(!luhnOne("4111 1111 1111 1112"))
+    assert(!luhnOne("411111111111")) // 12 digits: under the length floor
+  }
+
+  test("luhnCheckDigit synthesizes the digit that makes body||digit valid") {
+    val got = Seq("411111111111111").toDF("b")
+      .select(TextAnalysis.luhnCheckDigit(col("b"))).as[Int].head()
+    assert(got === 1) // 4111...111 + '1' is the known-valid card above
+    assert(luhnOne("411111111111111" + got.toString))
+  }
+
+  test("redactValidCards redacts checksum-valid candidates ONLY") {
+    val got = redactCardsOne(
+      "pay 4111 1111 1111 1111 not 4111 1111 1111 1112 ref 12345 end")
+    assert(got === "pay <CARD> not 4111 1111 1111 1112 ref 12345 end")
+    val clean = "order 1234 total 99 at 10.0.0.1"
+    assert(redactCardsOne(clean) === clean)
+  }
+
   test("contaminationScores counts distinct shared shingles and keeps zero-score docs") {
     // benchmark doc: trigrams of "the quick brown fox jumps" =
     //   {the quick brown, quick brown fox, brown fox jumps}
