@@ -701,6 +701,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------- block-level boilerplate strip (r13)
+  /** jusText-lite block classification (Pomikálek 2011's context-free
+    * core, the heuristic under trafilatura/RefinedWeb's extraction step):
+    * a paragraph block is CONTENT iff it is long enough (≥ minWords
+    * tokens) AND carries function-word mass (stopword density ≥ stopLow
+    * — nav bars, breadcrumbs and copyright lines have plenty of nouns
+    * but almost no function words). Density compares on the exact
+    * 4-decimal DECIMAL (the q98 convention) so the verdict cannot drift
+    * cross-engine. */
+  def blockIsContent(b: Column, minWords: Int = 10,
+                     stopLow: Double = 0.08): Column = {
+    val ws = words(lower(b))
+    val sd = stopHits(ws, StopWords.flatMap(_._2)).cast(DoubleType) /
+      greatest(size(ws), lit(1)).cast(DoubleType)
+    size(ws) >= minWords && dec4(round(sd, 4)) >= dec4(lit(stopLow))
+  }
+
+  /** Drop boilerplate blocks from a document: split on blank lines,
+    * keep [[blockIsContent]] blocks, rejoin. A pure row-local HOF
+    * projection (split → filter → array_join) — zero shuffle, no corpus
+    * state, streams at scan speed; the within-document complement of the
+    * corpus-df line dedup (q103): that needs the whole corpus to vote, this
+    * decides from the block alone, so it runs FIRST in a crawl pipeline. */
+  def stripBoilerplateBlocks(text: Column, minWords: Int = 10,
+                             stopLow: Double = 0.08): Column =
+    array_join(
+      filter(split(text, "\n\n"), b => blockIsContent(b, minWords, stopLow)),
+      "\n\n")
+
   def cleanMarkup(text: Column): Column = {
     val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

@@ -301,6 +301,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Block-level boilerplate strip (r13): wraps each document into a
+    * crawl-shaped page — nav bar, word-soup body, a guaranteed-prose
+    * paragraph, copyright footer — and strips non-content blocks by the
+    * jusText-lite rule. The nav falls to the stopword rule (11 tokens,
+    * zero function words), the footer to the length rule, the prose block
+    * survives, and the body splits doc-by-doc on its own stopword density
+    * (the soup sits near the 0.08 bar), so both rules and both outcomes
+    * bite across the corpus. Hard oracle. */
+  def q107StripBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n\n",
+      lit(BoilerplateNav), col("text"), lit(BoilerplateProse), lit(BoilerplateFooter))
+    val blocks = split(page, "\n\n")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(blocks).cast("long").as("n_blocks"),
+      size(filter(blocks, b => TA.blockIsContent(b))).cast("long").as("n_content"),
+      md5(TA.stripBoilerplateBlocks(page)).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+  private val BoilerplateNav =
+    "home | products | pricing | docs | contact | login"
+  private val BoilerplateProse =
+    "this is the story of a table and the reason is that the data is a joy to scan"
+  private val BoilerplateFooter = "copyright 2024 example corp"
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * the rest of the corpus is scored by distinct shared 3-gram shingles
     * (broadcast semi-join + per-doc count — no corpus shuffle). Hard
@@ -2259,6 +2284,30 @@ object PipelineQueries {
            |  md5(list_reduce(list_prepend(t, valid),
            |      (a, x) -> replace(a, x, '<CARD>'))) AS redacted_md5
            |FROM v ORDER BY doc_id""".stripMargin
+      },
+      "q107_strip_boilerplate" -> {
+        // the jusText-lite content predicate over a block expression `b`,
+        // stop list generated from the SAME StopWords constant the engine
+        // uses so the two sides cannot drift
+        val stops = graft.operators.TextAnalysis.StopWords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        def contentPred(b: String): String =
+          s"""len(string_split(lower($b), ' ')) >= 10 AND
+             |    CAST(ROUND(len(list_filter(string_split(lower($b), ' '),
+             |        w -> w IN ($stops)))::DOUBLE
+             |      / greatest(len(string_split(lower($b), ' ')), 1)::DOUBLE, 4)
+             |      AS DECIMAL(14,4)) >= 0.08""".stripMargin
+        s"""WITH pg AS (SELECT doc_id,
+           |  '$BoilerplateNav' || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+           |  '$BoilerplateProse' || chr(10) || chr(10) || '$BoilerplateFooter' AS page
+           |  FROM documents),
+           |b AS (SELECT doc_id, string_split(page, chr(10) || chr(10)) AS blocks FROM pg)
+           |SELECT doc_id,
+           |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+           |  CAST(len(list_filter(blocks, b -> ${contentPred("b")})) AS BIGINT) AS n_content,
+           |  md5(array_to_string(list_filter(blocks, b -> ${contentPred("b")}),
+           |      chr(10) || chr(10))) AS cleaned_md5
+           |FROM b ORDER BY doc_id""".stripMargin
       },
       "q53_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
