@@ -138,7 +138,8 @@ object SparkEntry {
     "q104_check_bpe_mix" -> (PipelineQueries.q104CheckBpeMix _),
     "q105_pipeline_v4" -> (PipelineQueries.q105PipelineV4 _),
     "q106_pii_validate" -> (PipelineQueries.q106PiiValidate _),
-    "q107_strip_boilerplate" -> (PipelineQueries.q107StripBoilerplate _)
+    "q107_strip_boilerplate" -> (PipelineQueries.q107StripBoilerplate _),
+    "q108_check_fertility" -> (PipelineQueries.q108CheckFertility _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -152,6 +152,37 @@ object Bpe {
       .drop("__words")
   }
 
+  /** Per-group tokenizer fertility diagnostics (r13): the multilingual
+    * tokenizer-health sheet — fertility (BPE tokens per word) and
+    * compression (chars per BPE token) per source/language (Ács 2019's
+    * fertility metric; Rust et al. 2021 "How Good is Your Tokenizer?").
+    * A high-fertility group is under-served by the trained vocabulary —
+    * its text costs more sequence length per word — the signal behind
+    * vocabulary rebalancing in multilingual training. The encode
+    * projection rides the scan (merge list is driver metadata), then ONE
+    * map-side-combinable aggregate; output is group-cardinality-sized.
+    * Word/char counts use encode's own tokenization (lower + space
+    * split, empties dropped) so fertility is exactly tokens/words over
+    * the SAME word set; with an EMPTY merge list tokens == chars by
+    * construction (every char is a symbol) — the identity the q108
+    * contract pins. */
+  def fertilityStats(docs: DataFrame, merges: Seq[Merge],
+                     groupCol: Column, textCol: String = "text"): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
+    encode(docs, merges, textCol)
+      .withColumn("__grp", groupCol.cast("string"))
+      .withColumn("__w", size(ws).cast(LongType))
+      .withColumn("__c", aggregate(ws, lit(0L), (a, w) => a + length(w)))
+      .groupBy(col("__grp").as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("words"),
+        sum("token_count").as("tokens"), sum("__c").as("chars"))
+      .withColumn("fertility",
+        round(col("tokens").cast("double") / col("words"), 4))
+      .withColumn("chars_per_token",
+        round(col("chars").cast("double") / col("tokens"), 4))
+      .orderBy("grp")
+  }
+
   import org.apache.spark.sql.SparkSession
 
   /** Merge list as a DataFrame (rank, left, right) — the persistable

@@ -844,6 +844,64 @@ object PipelineQueries {
       .toDF("budget_ok", "selection_ok", "denominator_bites", "deterministic_ok")
   }
 
+  /** q108 contract: tokenizer fertility diagnostics
+    * (`Bpe.fertilityStats` — tokens/word and chars/token per source, the
+    * multilingual tokenizer-health sheet). BPE has no tractable SQL twin
+    * (q69/q104 precedent), so the contract pins the algebra in-engine:
+    *  - untrained_ok: with an EMPTY merge list, tokens == chars in every
+    *    group (every char is a symbol — the closed-form anchor);
+    *  - compresses: trained merges strictly shrink tokens in every group
+    *    while words/chars are UNCHANGED (merges never cross words);
+    *  - floor_ok: fertility ≥ 1 everywhere (a word is ≥ 1 token);
+    *  - agree_ok: the per-group numbers equal an independent driver
+    *    recomputation from the collected encoded corpus, including the
+    *    HALF_UP 4-decimal rounding;
+    *  - det_ok: byte-identical output after repartition(7).
+    * Booleans oracled by constant truth. */
+  def q108CheckFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val merges = Bpe.train(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), numMerges = 8)
+    val stats = Bpe.fertilityStats(docs, merges, col("source")).collect()
+    val untrained = Bpe.fertilityStats(docs, Nil, col("source")).collect()
+
+    val untrainedOk = untrained.nonEmpty && untrained.forall(r =>
+      r.getAs[Long]("tokens") == r.getAs[Long]("chars"))
+
+    val byGrp = untrained.map(r => r.getAs[String]("grp") -> r).toMap
+    val compresses = stats.forall { r =>
+      val u = byGrp(r.getAs[String]("grp"))
+      r.getAs[Long]("tokens") < u.getAs[Long]("tokens") &&
+        r.getAs[Long]("words") == u.getAs[Long]("words") &&
+        r.getAs[Long]("chars") == u.getAs[Long]("chars")
+    }
+    val floorOk = stats.forall(r => r.getAs[Double]("fertility") >= 1.0)
+
+    val enc = Bpe.encode(docs, merges).select(col("source"),
+      size(filter(split(lower(col("text")), " "), w => length(w) > 0))
+        .cast("long").as("w"),
+      col("token_count")).as[(String, Long, Long)].collect()
+    val agg = enc.groupBy(_._1).map { case (s, rows) =>
+      s -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum))
+    }
+    val agreeOk = stats.forall { r =>
+      val (n, w, tk) = agg(r.getAs[String]("grp"))
+      r.getAs[Long]("n_docs") == n && r.getAs[Long]("words") == w &&
+        r.getAs[Long]("tokens") == tk &&
+        r.getAs[Double]("fertility") == BigDecimal(tk.toDouble / w)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    val again = Bpe.fertilityStats(docs.repartition(7), merges, col("source"))
+      .collect()
+    val detOk = again.map(_.toSeq).toSeq == stats.map(_.toSeq).toSeq
+
+    Seq((untrainedOk, compresses, floorOk, agreeOk, detOk))
+      .toDF("untrained_ok", "compresses", "floor_ok", "agree_ok", "det_ok")
+  }
+
   /** q103: line-level corrections (`Dedup.dropFrequentLines` —
     * RefinedWeb §3.3, the dedup tier crawl curation runs first). The
     * single-line synthetic corpus is deterministically wrapped into a
@@ -1971,6 +2029,9 @@ object PipelineQueries {
       "q104_check_bpe_mix" ->
         """SELECT true AS budget_ok, true AS selection_ok,
           |       true AS denominator_bites, true AS deterministic_ok""".stripMargin,
+      "q108_check_fertility" ->
+        """SELECT true AS untrained_ok, true AS compresses, true AS floor_ok,
+          |       true AS agree_ok, true AS det_ok""".stripMargin,
       "q103_line_dedup" ->
         s"""WITH pg AS (SELECT doc_id, $crawlPageSql AS text FROM documents),
           |${lineDedupCtes("pg", 100)}

@@ -69,6 +69,29 @@ class BpeSpec extends SparkSpec {
     totals.sliding(2).foreach { case Seq(a, b) => assert(b < a, s"$totals") }
   }
 
+  test("fertilityStats: closed-form numbers on a hand fixture") {
+    // src a: "hug hug" x1 doc -> words 2, chars 6
+    // src b: "pug hugs" x1 doc -> words 2, chars 7
+    val docs = Seq(("a", "hug hug"), ("b", "pug hugs")).toDF("source", "text")
+    val merges = Seq(Bpe.Merge(0, "u", "g"), Bpe.Merge(1, "h", "ug"))
+    // a: hug->[hug] x2 -> 2 tokens; fertility 1.0, cpt 3.0
+    // b: pug->[p,ug]=2, hugs->[hug,s]=2 -> 4 tokens; fertility 2.0, cpt 1.75
+    val got = Bpe.fertilityStats(docs, merges, col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got === Seq(
+      ("a", 1L, 2L, 2L, 6L, 1.0, 3.0),
+      ("b", 1L, 2L, 4L, 7L, 2.0, 1.75)))
+  }
+
+  test("fertilityStats: empty merge list degenerates to chars (fertility = chars/words)") {
+    val docs = Seq(("a", "hug hug"), ("b", "pug hugs")).toDF("source", "text")
+    val got = Bpe.fertilityStats(docs, Nil, col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getDouble(6))).toSeq
+    // tokens == chars, chars_per_token == 1.0
+    assert(got === Seq(("a", 6L, 6L, 1.0), ("b", 7L, 7L, 1.0)))
+  }
+
   test("tokenizer artifact round-trips through parquet") {
     val docs = spark.read.parquet(s"$sfDirDocs/documents.parquet").limit(60)
     val merges = Bpe.train(docs, numMerges = 4)
