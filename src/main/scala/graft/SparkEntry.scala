@@ -139,7 +139,8 @@ object SparkEntry {
     "q105_pipeline_v4" -> (PipelineQueries.q105PipelineV4 _),
     "q106_pii_validate" -> (PipelineQueries.q106PiiValidate _),
     "q107_strip_boilerplate" -> (PipelineQueries.q107StripBoilerplate _),
-    "q108_check_fertility" -> (PipelineQueries.q108CheckFertility _)
+    "q108_check_fertility" -> (PipelineQueries.q108CheckFertility _),
+    "q109_training_shards" -> (PipelineQueries.q109TrainingShards _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -243,6 +243,41 @@ object Packing {
     temperatureMix(Bpe.encode(docs, merges), totalTokens, alpha,
       sourceCol, col("token_count"), key, budgetGrain)
 
+  /** Deterministic global training-order shuffle + fixed-size shard
+    * assignment (r13): the post-curation step every training run needs —
+    * a seeded, reproducible-forever random permutation of the corpus cut
+    * into equal `shardSize` shards for the data loader. Order is
+    * md5(salt:key) (change `salt` to reshuffle between epochs/ablations;
+    * same salt ⇒ the same permutation on any engine, any partitioning).
+    *
+    * Scale shape: a global permutation needs a global order, but NOT a
+    * single-partition window. The rank is computed in two passes over a
+    * 256-way hash-prefix bucketing (the q97 minwise machinery): one
+    * map-side-combinable bucket-count aggregate whose 256-row cumulative
+    * offsets broadcast back, then a per-bucket row_number window —
+    * groups are ~n/256, every stage is a bounded exchange, and the
+    * output is already hash-clustered so a `partitionBy("shard")` write
+    * lands shard-per-file. Output: input columns + (shard, pos). */
+  def trainingShards(docs: DataFrame, shardSize: Long, salt: String,
+                     key: Column): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    val base = docs
+      .withColumn("__h", md5(concat_ws(":", lit(salt), key.cast("string"))))
+      .withColumn("__bkt", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    // 256-row bucket-count table; the cumulative window below runs over
+    // THAT aggregate (one tiny SinglePartition exchange), never the corpus
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val wIn = Window.partitionBy("__bkt").orderBy(col("__h"), key)
+    base.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__rn", col("__off") + row_number().over(wIn) - 1)
+      .withColumn("shard", expr(s"__rn DIV ${shardSize}L"))
+      .withColumn("pos", pmod(col("__rn"), lit(shardSize)))
+      .drop("__h", "__bkt", "__off", "__rn")
+  }
+
   def mixToBudgets(docs: DataFrame, budgets: Map[String, Long],
                    sourceCol: Column, tokenCol: Column, key: Column): DataFrame = {
     require(budgets.nonEmpty, "mixToBudgets: empty budget map")

@@ -326,6 +326,20 @@ object PipelineQueries {
     "this is the story of a table and the reason is that the data is a joy to scan"
   private val BoilerplateFooter = "copyright 2024 example corp"
 
+  /** Deterministic training-order shuffle + fixed-size shards (r13):
+    * the full doc-level permutation — rank by md5(salt:doc_id) through
+    * the two-pass bucketed ranking, cut into 64-doc shards. The DuckDB
+    * oracle computes the SAME permutation with a naive global
+    * row_number window, so the hash match proves the scalable two-pass
+    * rank (bucket counts + broadcast offsets + per-bucket windows)
+    * equals the single-window semantics. Hard oracle. */
+  def q109TrainingShards(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.trainingShards(
+      t(spark, dir, "documents").select("doc_id"),
+      shardSize = 64L, salt = "graft", key = col("doc_id"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * the rest of the corpus is scored by distinct shared 3-gram shingles
     * (broadcast semi-join + per-doc count — no corpus shuffle). Hard
@@ -2370,6 +2384,13 @@ object PipelineQueries {
            |      chr(10) || chr(10))) AS cleaned_md5
            |FROM b ORDER BY doc_id""".stripMargin
       },
+      "q109_training_shards" ->
+        """SELECT doc_id, CAST(rn // 64 AS BIGINT) AS shard,
+          |  CAST(rn % 64 AS BIGINT) AS pos
+          |FROM (SELECT doc_id, row_number() OVER (
+          |        ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+          |      FROM documents)
+          |ORDER BY shard, pos""".stripMargin,
       "q53_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),

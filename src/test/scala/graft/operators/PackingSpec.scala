@@ -155,6 +155,36 @@ class PackingSpec extends SparkSpec {
     assert(got.count() === mixFixture.filter(col("source") === "s1").count())
   }
 
+  test("trainingShards equals the naive single-window permutation; shards exact-size") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(1, 1001).toDF("doc_id")
+    val got = Packing.trainingShards(docs, shardSize = 64L, salt = "s1",
+      key = col("doc_id"))
+    // naive semantics: one global window over the same order
+    val naive = docs
+      .withColumn("__h", md5(concat_ws(":", lit("s1"), col("doc_id").cast("string"))))
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__h"), col("doc_id"))) - 1)
+      .select(col("doc_id"), expr("__rn DIV 64L").as("shard"),
+        pmod(col("__rn"), lit(64L)).as("pos"))
+    assert(got.select("doc_id", "shard", "pos").except(naive).isEmpty &&
+      naive.except(got.select("doc_id", "shard", "pos")).isEmpty)
+    // every shard but the last is exactly full
+    val sizes = got.groupBy("shard").count().orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.dropRight(1).forall(_._2 == 64L) && sizes.last._2 == 1000L % 64)
+    assert(sizes.map(_._1).toSeq == (0L until sizes.length).toSeq)
+  }
+
+  test("trainingShards: repartition-invariant, salt re-deals the permutation") {
+    val docs = spark.range(1, 301).toDF("doc_id")
+    def perm(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      Packing.trainingShards(df, 32L, salt, col("doc_id"))
+        .orderBy("shard", "pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(perm(docs, "a") == perm(docs.repartition(7), "a"))
+    assert(perm(docs, "a") != perm(docs, "b"))
+  }
+
   test("assignSplits: disjoint, exhaustive, ~weighted, stratified for free") {
     val df = spark.range(0, 10000).select(col("id").as("doc_id"),
       when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
