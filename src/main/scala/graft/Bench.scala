@@ -75,8 +75,13 @@ object Bench {
     // _check queries are correctness contracts that deliberately recompute
     // each approximate operator's exact twin — correctness artifacts, not
     // headline throughput; Verify runs them, the bench doesn't.
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q68_curate,q100_pipeline_v3 limits
+    // the sweep for targeted iteration; the driver never sets it, so the
+    // per-round artifact always covers the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("_check"))
+      .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1).map { case (name, fn) =>
       val r: Either[String, Seq[(Double, Int, Long)]] = try {
         timeOne(fn) // warmup (JIT + file listing + codegen caches)
