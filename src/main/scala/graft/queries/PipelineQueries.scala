@@ -1607,9 +1607,16 @@ object PipelineQueries {
     val prose = counted(counted(t(spark, dir, "documents"), o0)
       .filter(TA.formatOf(col("text")) === "prose"), o1)
     val normed = prose.withColumn("text", TA.normalizeText(col("text")))
-    val gated = counted(HeuristicRules.gopherFilter(normed), o2)
-    // the mix's internal budget aggregate is the chain's FIRST action —
-    // o0/o1/o2 complete there; its selection count is the second
+    // pin the admitted set (the q105 staging contract): the mix runs
+    // two actions and the final count a third — unpinned, the whole
+    // route/normalize/battery string chain re-ran per action (5.6 s →
+    // 2.0 s at sf0.1); the admitted set is far smaller than the
+    // corpus, and at cluster scale this pin is the between-stage
+    // parquet write every published pipeline stages through anyway
+    val gated = graft.operators.Storage.track(
+      counted(HeuristicRules.gopherFilter(normed), o2).localCheckpoint(true))
+    // the pin is the chain's FIRST action — o0/o1/o2 complete there;
+    // the mix's budget aggregate and selection read the pinned blocks
     val mixed = Packing.temperatureMix(gated, totalTokens = 10000L, alpha = 0.5,
       sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
       key = col("doc_id"))
