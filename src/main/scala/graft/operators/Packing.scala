@@ -310,4 +310,82 @@ object Packing {
       .drop("__cum")
     full.unionByName(boundary).drop(helper: _*)
   }
+
+  /** Repeat-aware token allocation for data-constrained training
+    * (Muennighoff et al. 2023 "Scaling Data-Constrained Language
+    * Models": repeating data is near-free up to ~4 epochs, worthless
+    * past that — so a mixture budget must CAP each source at
+    * `maxEpochs` passes over its unique tokens and re-pour the surplus
+    * into the uncapped sources). Weights follow the q97 temperature
+    * rule (w_i ∝ u_i^α over per-source unique tokens u_i); the
+    * allocation is the exact water-filling fixpoint: sources whose cap
+    * level caps · u_i / w_i sits below the final water level get
+    * capTokens = maxEpochs · u_i, everyone else splits the remaining
+    * budget pro rata.
+    *
+    * Cross-engine exactness (the fix-point loop must match a SQL
+    * mirror bit-for-bit): weights are QUANTIZED to integer
+    * micro-weights wq_i = round(u_i^α · weightScale) and the capping
+    * recursion runs entirely in Long arithmetic — the capped set is
+    * the longest prefix of the cap-level sort where
+    * wq_i · (B − Σ capTok) ≥ capTok_i · (ΣW − Σ wq) holds with
+    * integer prefix sums (order-free, associative — no float
+    * accumulation-order hazard), and uncapped sources floor-divide the
+    * frozen remainder. The only doubles are single-op divisions
+    * (sort-key ratio, reported epochs/weight), which IEEE makes
+    * bit-identical in any engine. Products are bounded by
+    * wq · B ≤ weightScale · u^α · B — keep weightScale at the default
+    * 1e6 for corpora under ~10^15 tokens.
+    *
+    * Scale shape: ONE map-side-combinable source aggregate collected
+    * as driver metadata (bounded by source cardinality — the q97
+    * contract); the fixpoint is O(S log S) driver arithmetic; the
+    * output is the S-row schedule a mixing/packing stage consumes.
+    * Null sources are dropped (no allocation identity exists for
+    * them), matching [[temperatureMix]]. */
+  def repeatAllocation(docs: DataFrame, totalTokens: Long, alpha: Double,
+                       maxEpochs: Double, sourceCol: Column, tokenCol: Column,
+                       weightScale: Long = 1000000L): DataFrame = {
+    require(totalTokens > 0 && alpha > 0 && maxEpochs > 0 && weightScale > 0,
+      s"repeatAllocation: bad knobs total=$totalTokens alpha=$alpha " +
+        s"cap=$maxEpochs scale=$weightScale")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val srcStr = sourceCol.cast("string")
+    val stats = docs.groupBy(srcStr.as("__src"))
+      .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .collect().collect { case r if !r.isNullAt(0) => (r.getString(0), r.getLong(1)) }
+    // integerized weight and cap, then the cap-level sort (single-op
+    // double ratio — deterministic; ties break on the source key)
+    // α = 0.5 routes through sqrt: IEEE requires sqrt correctly
+    // rounded (pow is only ~1-ulp), so the canonical temperature gets
+    // bit-identical micro-weights in any engine; other α accept the
+    // pow ulp, absorbed by the weightScale quantization
+    def w(u: Long): Double =
+      if (alpha == 0.5) math.sqrt(u.toDouble) else math.pow(u.toDouble, alpha)
+    val rows = stats.map { case (s, u) =>
+      val wq = math.round(w(u) * weightScale)
+      val capTok = math.round(maxEpochs * u)
+      (s, u, wq, capTok, capTok.toDouble / wq)
+    }.sortBy { case (s, _, _, _, r) => (r, s) }
+    val wTot = rows.map(_._3).sum
+    // longest capped prefix (exact Long recursion; see doc)
+    var bRem = totalTokens
+    var wRem = wTot
+    var open = true
+    val capped = rows.map { case (_, _, wq, capTok, _) =>
+      val c = open && wq * bRem >= capTok * wRem
+      if (c) { bRem -= capTok; wRem -= wq } else open = false
+      c
+    }
+    // HALF_UP to match ROUND in both engines (the q108 convention)
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = rows.zip(capped).map { case ((s, u, wq, capTok, _), c) =>
+      val alloc = if (c) capTok else wq * bRem / wRem
+      (s, u, r(wq.toDouble / wTot, 6), r(alloc.toDouble / u, 4), alloc, c)
+    }
+    out.toSeq.toDF("source", "unique_tokens", "weight", "epochs",
+      "allocated_tokens", "capped").orderBy("source")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** URL canonicalization + URL-level deduplication — the FIRST dedup a
+  * web-crawl pipeline runs, before any text pass (C4 dedupes pages by
+  * URL, Raffel et al. 2020 §2.2; CCNet's per-snapshot grouping keys on
+  * the URL, Wenzek et al. 2020 §3; the WARC-to-corpus path in
+  * RefinedWeb §3.1 starts from URL-level filtering). The reference has
+  * no crawl surface at all — its only string normalization is the WAL
+  * array-literal unescape (`PgArrayUtil.java:54-204`); this whole layer
+  * is part of the analytics mandate.
+  *
+  * Canonicalization is a pure `Column` expression chain (builtin
+  * string/regex functions in the RE2-compatible subset, NO capture-group
+  * backreferences — Spark says `$1` where DuckDB says `\1`, so the
+  * oracle-mirrored form must avoid them): codegen'd, zero shuffle,
+  * scan-speed at any corpus size. The dedup is ONE map-side-combinable
+  * aggregate on the canonical key — no window over the corpus, no join
+  * back.
+  *
+  * Canonical form (documented contract):
+  *  1. fragment dropped (`#...`);
+  *  2. scheme and authority lowercased (path/query case PRESERVED —
+  *     paths are case-sensitive per RFC 3986 §6.2.2.1);
+  *  3. leading `www.` dropped from the host;
+  *  4. default ports dropped (`:80` for http, `:443` for https);
+  *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+  *     `msclkid`, `ref`) with separator repair, so `?utm_x=1&page=2`
+  *     and `?page=2&gclid=z` both canonicalize to `?page=2`;
+  *  6. trailing `?`/`&` and a trailing path slash dropped.
+  * Query-parameter ORDER is preserved (full param sorting needs a
+  * split/sort/rejoin pass; crawls emit stable orders per template, so
+  * the cheap form catches the real duplicate mass — documented
+  * limitation).
+  */
+object Urls {
+
+  /** Tracking-parameter name pattern (C4/RefinedWeb practice: strip
+    * analytics decoration before keying). Kept as a constant so the
+    * oracle SQL interpolates the SAME pattern. */
+  val TrackingParams: String = "utm_[a-z]+|fbclid|gclid|msclkid|ref"
+
+  /** RFC-3986-lite canonical form of a URL column; see object doc for
+    * the exact rule list. Rows without a `scheme://` prefix pass
+    * through steps 5-6 only (relative URLs keep their case). */
+  def canonicalizeUrl(url: Column): Column = {
+    val c0 = regexp_replace(trim(url), "#.*", "") // 1. fragment
+    // split at the authority boundary: scheme://host[:port]
+    val head = regexp_extract(c0, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = c0.substr(length(head) + 1, length(c0))
+    // 2-3. lowercase scheme+authority, drop www.
+    val h1 = replace(lower(head), lit("://www."), lit("://"))
+    // 4. default ports (endsWith on the lowercased form)
+    val h2 = when(h1.startsWith("http://") && h1.endsWith(":80"),
+        h1.substr(lit(1), length(h1) - 3))
+      .when(h1.startsWith("https://") && h1.endsWith(":443"),
+        h1.substr(lit(1), length(h1) - 4))
+      .otherwise(h1)
+    // 5. tracking params: unify separators to '&', strip by name, then
+    // restore the first separator to '?' (instr/substr — no backrefs)
+    val r1 = replace(rest, lit("?"), lit("&"))
+    val r2 = regexp_replace(r1, s"&($TrackingParams)=[^&]*", "")
+    val p = instr(r2, "&")
+    val r3 = when(p > 0,
+        concat(r2.substr(lit(1), p - 1), lit("?"), r2.substr(p + 1, length(r2))))
+      .otherwise(r2)
+    // 6. trailing separator / trailing path slash
+    val r4 = regexp_replace(regexp_replace(r3, "[?&]+$", ""), "/$", "")
+    concat(h2, r4)
+  }
+
+  /** URL-level dedup: one row per canonical URL, keeping the richest
+    * capture (longest text, ties to the lowest id — the deterministic
+    * twin of CommonCrawl's keep-latest). ONE shuffle on the canonical
+    * key; the winner is a max-struct aggregate (q66's pattern), never
+    * a corpus window or a join back. */
+  def dedupByUrl(docs: DataFrame, urlCol: Column,
+                 idCol: Column, textCol: Column): DataFrame =
+    docs
+      .withColumn("__canon", canonicalizeUrl(urlCol))
+      .groupBy(col("__canon").as("canonical_url"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_variants"),
+        max(struct(length(textCol).as("l"), (-idCol).as("ni"), idCol.as("id")))
+          .getField("id").as("kept_doc_id"),
+        max(length(textCol)).cast(LongType).as("kept_len"))
+}

@@ -230,4 +230,60 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"split must ride the scan:\n$plan")
   }
+
+  // --- repeatAllocation (q111): data-constrained repeat scheduling ---
+
+  /** One doc per (source, token-count) pair keeps the fixture closed-form:
+    * u(a)=100, u(b)=400 -> sqrt weights 10:20. */
+  private def repeatFixture = Seq(("a", 100L), ("b", 400L))
+    .toDF("source", "tokens")
+
+  test("repeatAllocation: closed-form water-fill — small source caps, large pro-rata") {
+    // wq = 1e7/2e7, capTok(2.0) = 200/800; B=900: 'a' caps at 200,
+    // 'b' takes the frozen remainder 2e7*700/2e7 = 700 (1.75 epochs)
+    val got = Packing.repeatAllocation(repeatFixture, totalTokens = 900L,
+        alpha = 0.5, maxEpochs = 2.0, sourceCol = col("source"),
+        tokenCol = col("tokens"))
+      .select("source", "unique_tokens", "epochs", "allocated_tokens", "capped")
+      .as[(String, Long, Double, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", 100L, 2.0, 200L, true), ("b", 400L, 1.75, 700L, false)))
+  }
+
+  test("repeatAllocation: ample budget caps everything — the corpus is exhausted") {
+    val got = Packing.repeatAllocation(repeatFixture, totalTokens = 10000L,
+        alpha = 0.5, maxEpochs = 2.0, sourceCol = col("source"),
+        tokenCol = col("tokens"))
+      .select("source", "allocated_tokens", "capped")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", 200L, true), ("b", 800L, true)))
+  }
+
+  test("repeatAllocation: tight budget caps nothing and conserves it") {
+    val got = Packing.repeatAllocation(repeatFixture, totalTokens = 300L,
+        alpha = 0.5, maxEpochs = 2.0, sourceCol = col("source"),
+        tokenCol = col("tokens"))
+      .select("source", "epochs", "allocated_tokens", "capped")
+      .as[(String, Double, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", 1.0, 100L, false), ("b", 0.5, 200L, false)))
+    assert(got.map(_._3).sum === 300L) // exact: 10:20 splits 300 evenly
+  }
+
+  test("repeatAllocation: floor-division undershoot is bounded by the source count") {
+    // B=1000, weights 1e7:2e7 -> floor splits leave < 2 tokens on the table
+    val got = Packing.repeatAllocation(repeatFixture, totalTokens = 1000L,
+        alpha = 0.5, maxEpochs = 100.0, sourceCol = col("source"),
+        tokenCol = col("tokens"))
+      .select("allocated_tokens").as[Long].collect()
+    assert(got.sum <= 1000L && got.sum > 1000L - 2)
+  }
+
+  test("repeatAllocation: int-coded sources cast, null sources dropped") {
+    val df = Seq((Some(1), 100L), (Some(2), 400L), (None, 50L))
+      .toDF("source", "tokens")
+    val got = Packing.repeatAllocation(df, totalTokens = 900L, alpha = 0.5,
+        maxEpochs = 2.0, sourceCol = col("source"), tokenCol = col("tokens"))
+      .select("source", "allocated_tokens")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("1", 200L), ("2", 700L)))
+  }
 }
