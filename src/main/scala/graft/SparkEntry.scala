@@ -140,7 +140,12 @@ object SparkEntry {
     "q106_pii_validate" -> (PipelineQueries.q106PiiValidate _),
     "q107_strip_boilerplate" -> (PipelineQueries.q107StripBoilerplate _),
     "q108_check_fertility" -> (PipelineQueries.q108CheckFertility _),
-    "q109_training_shards" -> (PipelineQueries.q109TrainingShards _)
+    "q109_training_shards" -> (PipelineQueries.q109TrainingShards _),
+    "q110_url_dedup" -> (PipelineQueries.q110UrlDedup _),
+    "q111_repeat_allocation" -> (PipelineQueries.q111RepeatAllocation _),
+    "q112_scd2_history" -> (PipelineQueries.q112Scd2History _),
+    "q113_mmr_rerank" -> (PipelineQueries.q113MmrRerank _),
+    "q113_check_mmr" -> (PipelineQueries.q113CheckMmr _)
   )
 
   def oracleSql: Map[String, String] = Map(

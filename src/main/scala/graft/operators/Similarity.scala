@@ -975,4 +975,64 @@ object Similarity {
         col("margin_dec").cast(org.apache.spark.sql.types.DoubleType).as("margin"))
       .orderBy("left_id")
   }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998 "maximal
+    * marginal relevance" — the retrieval-side diversity selector: a
+    * RAG context window or eval panel wants the k most relevant
+    * *non-redundant* documents, and a plain top-k hands back a stack
+    * of near-duplicates). Greedy rule: pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Scale shape: the DISTRIBUTED stage is the exact cosine top-`n`
+    * prefilter (the [[cosineTopK]] TakeOrdered plan — no global sort);
+    * the greedy then runs on the driver over the n candidates
+    * (n×dim doubles — bounded metadata by contract, the
+    * [[kmeansCentroids]] sample posture; n defaults to 64, and the
+    * n² pairwise table a step needs is computed lazily per pick, O(nk)
+    * dot products total). All similarities round to 4 decimals BEFORE
+    * comparison (the kNN contract) with ties broken (score desc,
+    * rel desc, vec_id asc) — fully deterministic on any engine or
+    * partitioning. λ=1 degenerates to exactly the rounded-cosine
+    * top-k order; λ=0 to pure farthest-first diversity after the
+    * relevance seed. */
+  def mmrRerank(emb: DataFrame, probeId: Long, k: Int, lambda: Double,
+                n: Int = 64): DataFrame = {
+    require(k > 0 && n >= k && lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: bad knobs k=$k n=$n lambda=$lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v = asDouble(emb)
+    val probe = broadcast(v.filter(col("vec_id") === probeId).select(col("e").as("pe")))
+    val cand = v.filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        round(dot(col("e"), col("pe")) / (norm(col("e")) * norm(col("pe"))), 4)
+          .as("rel"), col("e"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r4(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var remaining = cand.toVector
+    (1 to math.min(k, cand.length)).foreach { rank =>
+      val scored = remaining.map { case (id, rel, e) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(e, s._2)).max
+        (id, rel, e, r4(lambda * rel - (1 - lambda) * pen))
+      }
+      val best = scored.maxBy { case (id, rel, _, sc) => (sc, rel, -id) }
+      picked += ((rank, best._1, best._2, best._4))
+      selected += ((best._1, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    picked.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

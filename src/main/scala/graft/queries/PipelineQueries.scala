@@ -340,6 +340,159 @@ object PipelineQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** q110: URL canonicalization + URL-level dedup (r13; the FIRST
+    * dedup a crawl pipeline runs — C4 dedupes pages by URL before any
+    * text pass). Every doc gets a deterministic synthetic URL whose
+    * decorations exercise every canonicalization rule: scheme/host
+    * case (always), `www.` (doc_id%2), default port (%5), trailing
+    * slash (%3), tracking params in both separator positions (%4),
+    * fragment (%7) — so docs sharing (source, doc_id%40, query class)
+    * collapse to one canonical URL and the dedup keeps the longest
+    * text. Hard oracle: the regex/replace chain mirrors 1:1 (shared
+    * `Urls.TrackingParams` constant) and the winner is re-derived by
+    * a rank window in SQL vs the max-struct aggregate here. */
+  def q110UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Urls
+    val d = col("doc_id")
+    val url = concat(
+      lit("HTTP://"),
+      when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(d % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Articles/"), (d % 40).cast("string"),
+      when(d % 3 === 0, lit("/")).otherwise(lit("")),
+      when(d % 4 === 0, lit("?utm_source=feed&utm_campaign=x&page=2"))
+        .when(d % 4 === 1, lit("?page=2&gclid=abc123"))
+        .otherwise(lit("")),
+      when(d % 7 === 0, lit("#section-2")).otherwise(lit("")))
+    Urls.dedupByUrl(t(spark, dir, "documents"), url, col("doc_id"), col("text"))
+      .orderBy("canonical_url")
+  }
+
+  /** q111: repeat-aware token allocation for data-constrained training
+    * (`Packing.repeatAllocation` — Muennighoff et al. 2023: cap every
+    * source at `maxEpochs` passes over its unique tokens, water-fill
+    * the surplus into uncapped sources under the q97 temperature
+    * weights). Sources are planted at 50/30/10/10% of the corpus so
+    * the outcome is deterministic at ANY scale: with α=0.5 and a
+    * budget of 2× the corpus the two small sources exceed 3 epochs
+    * and cap, the two large stay pro-rata — both fixpoint branches
+    * fire. Hard oracle: the integer water-filling recursion mirrors
+    * via prefix-sum windows over the cap-level sort (exact Long
+    * arithmetic both sides — see the operator doc). */
+  def q111RepeatAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("source",
+        when(col("doc_id") % 10 < 5, lit("src_big"))
+          .when(col("doc_id") % 10 < 8, lit("src_mid"))
+          .when(col("doc_id") % 10 === 8, lit("src_a"))
+          .otherwise(lit("src_b")))
+    val total = docs.agg(sum(TA.wsTokenCount(col("text")))).head().getLong(0)
+    graft.operators.Packing.repeatAllocation(
+      docs, totalTokens = 2L * total, alpha = 0.5,
+      maxEpochs = 3.0, sourceCol = col("source"),
+      tokenCol = TA.wsTokenCount(col("text")))
+  }
+
+  /** q112: SCD2 change-history build (`ChangeHistory.scd2` — the
+    * canonical CDC-sink materialization the reference's consumer
+    * callback feeds; Kimball type-2 validity intervals). The events
+    * table plays the change stream: every 19th event is a DELETE
+    * (closes the open version, opens none), the rest are upserts.
+    * Hard oracle: the lead() window, the D-filter, and the epoch-µs
+    * bounds mirror 1:1 — integer interval arithmetic, no timestamp
+    * flavor in the output. */
+  def q112Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 100)
+    graft.operators.ChangeHistory.scd2(
+      ev, key = col("user_id"),
+      tsMicros = graft.Tables.epochMicros(col("ts")),
+      seq = col("event_id"),
+      op = when(col("event_id") % 19 === 0, lit("D")).otherwise(lit("U")),
+      values = Seq("value" -> col("value")))
+      .select(col("key").as("user_id"), col("change_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "valid_from_us", "change_id")
+  }
+
+  /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
+    * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
+    * panel for probe vector 0 over a 64-candidate exact prefilter.
+    * Scores depend on the driver-greedy selection, so the row is
+    * rows-only for the driver; q113_check_mmr carries the hard
+    * contract. */
+  def q113MmrRerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.mmrRerank(
+      t(spark, dir, "embeddings"), probeId = 0L, k = 10, lambda = 0.5)
+
+  /** q113 contract: (a) lambda1_degenerates — λ=1 reproduces the
+    * rounded-cosine top-k order exactly (the theorem tying MMR to the
+    * already-oracled q26 ranking); (b) first_pick_argmax — rank 1 is
+    * the relevance argmax at any λ; (c) greedy_certificate — for
+    * every step, the picked candidate's marginal score is ≥ every
+    * other surviving candidate's, re-derived post-hoc from the output
+    * and an independently collected candidate table; (d)
+    * diversity_bites — the λ=0.5 set differs from plain top-k AND has
+    * strictly lower mean pairwise similarity (the embeddings corpus
+    * carries planted near-dup clusters, so redundancy exists to
+    * remove); (e) servable — k distinct ids, all from the candidate
+    * prefilter. Booleans oracled by constant truth. */
+  def q113CheckMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val k = 10; val n = 64; val lam = 0.5
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val topk = Similarity.cosineTopK(emb, 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val lam1 = Similarity.mmrRerank(emb, 0L, k, lambda = 1.0, n = n)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = Similarity.mmrRerank(emb, 0L, k, lambda = lam, n = n)
+      .orderBy("rank")
+      .select("vec_id", "relevance", "mmr_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // independent candidate table: top-n rel + raw vectors
+    val cand = Similarity.cosineTopK(emb, 0L, n)
+      .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        "vec_id")
+      .select(col("vec_id"), col("cos_sim").as("rel"), col("e"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    val vecs = cand.map(c => c._1 -> c._3).toMap
+    val rels = cand.map(c => c._1 -> c._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r4(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def pen(id: Long, sel: Seq[Long]): Double =
+      if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(id), vecs(s))).max
+    val certificate = got.indices.forall { i =>
+      val sel = got.take(i).map(_._1)
+      val (pid, _, psc) = got(i)
+      val others = cand.map(_._1).filterNot(id => sel.contains(id) || id == pid)
+      val recomputed = r4(lam * rels(pid) - (1 - lam) * pen(pid, sel))
+      recomputed == psc && others.forall { o =>
+        r4(lam * rels(o) - (1 - lam) * pen(o, sel)) <= psc
+      }
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val gotIds = got.map(_._1)
+    import spark.implicits._
+    Seq((
+      lam1 == topk,
+      gotIds.head == topk.head,
+      certificate,
+      gotIds.toSet != topk.toSet && meanPairSim(gotIds) < meanPairSim(topk),
+      gotIds.size == k && gotIds.distinct.size == k &&
+        gotIds.forall(rels.contains)))
+      .toDF("lambda1_degenerates", "first_pick_argmax", "greedy_certificate",
+        "diversity_bites", "servable")
+  }
+
   /** Benchmark decontamination: every 50th document plays the eval set;
     * the rest of the corpus is scored by distinct shared 3-gram shingles
     * (broadcast semi-join + per-doc count — no corpus shuffle). Hard
@@ -2398,6 +2551,106 @@ object PipelineQueries {
           |        ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
           |      FROM documents)
           |ORDER BY shard, pos""".stripMargin,
+      "q110_url_dedup" ->
+        // the canonicalization chain mirrors Urls.canonicalizeUrl step
+        // by step (shared TrackingParams constant); the winner is
+        // re-derived by a rank window vs Spark's max-struct aggregate
+        s"""WITH u AS (SELECT doc_id, text,
+          |    'HTTP://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+          |    || source || '.Example.COM'
+          |    || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+          |    || '/Articles/' || CAST(doc_id % 40 AS VARCHAR)
+          |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+          |    || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x&page=2'
+          |            WHEN doc_id % 4 = 1 THEN '?page=2&gclid=abc123' ELSE '' END
+          |    || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+          |  FROM documents),
+          |c0 AS (SELECT doc_id, text, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM u),
+          |hp AS (SELECT doc_id, text, c,
+          |         regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head FROM c0),
+          |h1 AS (SELECT doc_id, text, replace(lower(head), '://www.', '://') AS h,
+          |         substr(c, len(head) + 1) AS rest FROM hp),
+          |h2 AS (SELECT doc_id, text,
+          |         CASE WHEN starts_with(h, 'http://') AND ends_with(h, ':80')
+          |                THEN substr(h, 1, len(h) - 3)
+          |              WHEN starts_with(h, 'https://') AND ends_with(h, ':443')
+          |                THEN substr(h, 1, len(h) - 4)
+          |              ELSE h END AS h, rest FROM h1),
+          |r2 AS (SELECT doc_id, text, h,
+          |         regexp_replace(replace(rest, '?', '&'),
+          |           '&(${graft.operators.Urls.TrackingParams})=[^&]*', '', 'g') AS r
+          |       FROM h2),
+          |r3 AS (SELECT doc_id, text, h,
+          |         CASE WHEN instr(r, '&') > 0
+          |              THEN substr(r, 1, instr(r, '&') - 1) || '?'
+          |                   || substr(r, instr(r, '&') + 1)
+          |              ELSE r END AS r FROM r2),
+          |cn AS (SELECT doc_id, text,
+          |         h || regexp_replace(regexp_replace(r, '[?&]+$$', '', 'g'), '/$$', '', 'g')
+          |           AS canon FROM r3),
+          |w AS (SELECT canon, doc_id, len(text) AS l,
+          |        ROW_NUMBER() OVER (PARTITION BY canon
+          |                           ORDER BY len(text) DESC, doc_id) AS rn
+          |      FROM cn)
+          |SELECT canon AS canonical_url, COUNT(*)::BIGINT AS n_variants,
+          |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+          |  MAX(l)::BIGINT AS kept_len
+          |FROM w GROUP BY canon ORDER BY canonical_url""".stripMargin,
+      "q111_repeat_allocation" ->
+        // exact integer water-filling mirror: BIGINT prefix sums over
+        // the cap-level sort (order-free sums — no float accumulation
+        // hazard), floor-division remainder split, sqrt micro-weights
+        """WITH d AS (SELECT CASE WHEN doc_id % 10 < 5 THEN 'src_big'
+          |                WHEN doc_id % 10 < 8 THEN 'src_mid'
+          |                WHEN doc_id % 10 = 8 THEN 'src_a'
+          |                ELSE 'src_b' END AS source,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          |       FROM documents),
+          |s AS (SELECT source, SUM(tok)::BIGINT AS u FROM d GROUP BY source),
+          |bb AS (SELECT 2 * SUM(tok)::BIGINT AS b FROM d),
+          |q AS (SELECT source, u,
+          |        CAST(ROUND(SQRT(u::DOUBLE) * 1000000) AS BIGINT) AS wq,
+          |        CAST(ROUND(3.0 * u) AS BIGINT) AS cap FROM s),
+          |t AS (SELECT SUM(wq)::BIGINT AS wtot FROM q),
+          |o AS (SELECT q.source, q.u, q.wq, q.cap, bb.b, t.wtot,
+          |        cap::DOUBLE / wq AS r,
+          |        COALESCE(SUM(cap) OVER (ORDER BY cap::DOUBLE / wq, source
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumcap,
+          |        COALESCE(SUM(wq) OVER (ORDER BY cap::DOUBLE / wq, source
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumwq
+          |      FROM q, bb, t),
+          |f AS (SELECT *, wq * (b - cumcap) >= cap * (wtot - cumwq) AS flag FROM o),
+          |g AS (SELECT *, BOOL_AND(flag) OVER (ORDER BY r, source
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM f),
+          |fr AS (SELECT MIN(b) - COALESCE(SUM(CASE WHEN capped THEN cap END), 0)::BIGINT AS bf,
+          |         MIN(wtot) - COALESCE(SUM(CASE WHEN capped THEN wq END), 0)::BIGINT AS wf
+          |       FROM g),
+          |a AS (SELECT g.source, g.u, g.wq, g.wtot, g.capped,
+          |        CASE WHEN g.capped THEN g.cap
+          |             ELSE g.wq * fr.bf // fr.wf END AS alloc
+          |      FROM g, fr)
+          |SELECT source, u AS unique_tokens,
+          |  ROUND(wq::DOUBLE / wtot, 6) AS weight,
+          |  ROUND(alloc::DOUBLE / u, 4) AS epochs,
+          |  alloc::BIGINT AS allocated_tokens, capped
+          |FROM a ORDER BY source""".stripMargin,
+      "q112_scd2_history" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
+          |           FROM events WHERE user_id < 100),
+          |v AS (SELECT user_id, event_id, op, value, ts_us,
+          |        LEAD(ts_us) OVER (PARTITION BY user_id
+          |                          ORDER BY ts_us, event_id) AS vt
+          |      FROM c)
+          |SELECT user_id, event_id AS change_id, value,
+          |  ts_us AS valid_from_us, vt AS valid_to_us,
+          |  (vt IS NULL) AS is_current
+          |FROM v WHERE op <> 'D'
+          |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
+      "q113_check_mmr" ->
+        """SELECT true AS lambda1_degenerates, true AS first_pick_argmax,
+          |       true AS greedy_certificate, true AS diversity_bites,
+          |       true AS servable""".stripMargin,
       "q53_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
