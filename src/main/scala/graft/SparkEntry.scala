@@ -145,7 +145,9 @@ object SparkEntry {
     "q111_repeat_allocation" -> (PipelineQueries.q111RepeatAllocation _),
     "q112_scd2_history" -> (PipelineQueries.q112Scd2History _),
     "q113_mmr_rerank" -> (PipelineQueries.q113MmrRerank _),
-    "q113_check_mmr" -> (PipelineQueries.q113CheckMmr _)
+    "q113_check_mmr" -> (PipelineQueries.q113CheckMmr _),
+    "q114_calibration" -> (PipelineQueries.q114Calibration _),
+    "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -95,4 +95,58 @@ object QualityClassifier {
   def trainScore(candidates: DataFrame, pos: DataFrame, neg: DataFrame,
                  broadcastVocabLimit: Long = 2000000L): DataFrame =
     score(candidates, train(pos, neg), broadcastVocabLimit)
+
+  /** Calibration table — the operating-point sheet every filter paper
+    * publishes before picking a threshold (the llr > 0 default in
+    * [[score]] is a choice, not a law; a curation run wants to SEE the
+    * precision/recall trade before spending a corpus pass). Protocol:
+    * train on the md5-hash halves of both seed slices (the q55 stable
+    * split — id PARITY correlates with source in id-coded corpora),
+    * score the held-out halves (labels known by construction), sweep
+    * `thresholds`: per τ, keep = llr > τ, reporting confusion counts
+    * and precision / recall / F1. Ratios derive from INTEGER counts by
+    * a single rounded division (F1 in the 2tp/(2tp+fp+fn) integer
+    * form), so the table mirrors exactly in SQL.
+    *
+    * Scale shape: the model trains on half-seeds (seed-sized, the
+    * [[train]] contract); the scored table is held-out-seed-sized; the
+    * sweep is a |thresholds|-way explode of that small table into one
+    * map-side-combinable aggregate. Nothing touches the corpus. */
+  def calibrate(pos: DataFrame, neg: DataFrame,
+                thresholds: Seq[Double],
+                idCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty, "calibrate: empty threshold sweep")
+    val half = substring(md5(col(idCol).cast("string")), 1, 1) < "8"
+    val even = (df: DataFrame) => df.filter(half)
+    val odd = (df: DataFrame) => df.filter(!half)
+    val m = train(even(pos), even(neg))
+    val held = odd(pos).withColumn("__label", lit(true))
+      .unionByName(odd(neg).withColumn("__label", lit(false)))
+    val scored = score(held.drop("__label"), m)
+      .join(held.select(col(idCol), col("__label")), Seq(idCol))
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val taus = thresholds.toDF("threshold")
+    scored.crossJoin(broadcast(taus))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("llr") > col("threshold"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("llr") > col("threshold") && col("__label"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("llr") > col("threshold") && !col("__label"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("llr") <= col("threshold") && col("__label"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("n_keep"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast(DoubleType) / (col("tp") + col("fp")), 4))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast(DoubleType) / (col("tp") + col("fn")), 4))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 4))
+          .as("f1"))
+      .orderBy("threshold")
+  }
 }

@@ -415,6 +415,44 @@ object PipelineQueries {
       .orderBy("user_id", "valid_from_us", "change_id")
   }
 
+  /** q114: quality-classifier calibration sweep
+    * (`QualityClassifier.calibrate`) — train the q84 NB filter on the
+    * even-id halves of the src0/src1 seeds, score the held-out odd
+    * halves (labels known by construction), sweep seven llr
+    * thresholds: per-τ confusion counts + precision/recall/F1, the
+    * operating-point sheet that justifies the keep threshold before a
+    * corpus pass. Hard oracle: the q84 NB CTE body with the split
+    * filters, the sweep as a threshold cross join, every ratio a
+    * single rounded division of integer counts. */
+  def q114Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.QualityClassifier.calibrate(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") === "src1"),
+      thresholds = CalibrationTaus)
+  }
+  private val CalibrationTaus = Seq(-20.0, -5.0, -1.0, 0.0, 1.0, 5.0, 20.0)
+
+  /** q115: domain-authority PageRank (`LinkAnalysis.pageRank`) — a
+    * deterministic host link graph synthesized from the corpus (each
+    * doc links its source to the source at sorted-index
+    * (doc_id·7+3) mod S), aggregated to weighted edges, 10 power
+    * iterations at d=0.85. Hard oracle: the iterations unroll as
+    * chained CTEs whose per-destination contributions fold in sorted
+    * src order — bit-identical to the driver tier's sorted fold. */
+  def q115DomainPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val srcs = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val edges = docs.select(
+      col("source").as("src"),
+      element_at(typedLit(srcs.toSeq),
+        pmod(col("doc_id") * 7 + 3, lit(srcs.length.toLong)).cast("int") + 1)
+        .as("dst"),
+      lit(1L).as("weight"))
+    graft.operators.LinkAnalysis.pageRank(edges)
+  }
+
   /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
     * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
     * panel for probe vector 0 over a 64-candidate exact prefilter.
@@ -2651,6 +2689,93 @@ object PipelineQueries {
         """SELECT true AS lambda1_degenerates, true AS first_pick_argmax,
           |       true AS greedy_certificate, true AS diversity_bites,
           |       true AS servable""".stripMargin,
+      "q115_domain_pagerank" -> {
+        // the 10 power iterations unroll as chained CTEs; each
+        // destination's contribution folds in SORTED src order
+        // (list_reduce over list(... ORDER BY src)) — the exact fold
+        // the driver tier runs, so ranks match bit-for-bit
+        val prIters = (0 until 10).map { i =>
+          s"""c$i AS (SELECT e.dst AS node,
+             |  list_reduce(list_prepend(0.0, list(p$i.r * e.share ORDER BY e.src)),
+             |    (a, b) -> a + b) AS contrib
+             |  FROM sh e JOIN p$i ON e.src = p$i.node GROUP BY e.dst),
+             |p${i + 1} AS (SELECT n.node,
+             |  (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c$i.contrib, 0.0) AS r
+             |  FROM nodes n CROSS JOIN nn LEFT JOIN c$i ON n.node = c$i.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH srcs AS (SELECT source,
+           |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |cnt AS (SELECT COUNT(*)::BIGINT AS s FROM srcs),
+           |ed AS (SELECT d.source AS src, t.source AS dst
+           |       FROM documents d CROSS JOIN cnt
+           |       JOIN srcs t ON t.idx = (d.doc_id * 7 + 3) % cnt.s),
+           |ag AS (SELECT src, dst, COUNT(*)::BIGINT AS w FROM ed GROUP BY src, dst),
+           |ow AS (SELECT src, SUM(w)::BIGINT AS ow FROM ag GROUP BY src),
+           |sh AS (SELECT ag.src, ag.dst, ag.w::DOUBLE / ow.ow::DOUBLE AS share
+           |       FROM ag JOIN ow USING (src)),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM sh UNION ALL SELECT dst FROM sh)),
+           |nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+           |p0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+           |$prIters
+           |SELECT node, ROUND(r, 6) AS pagerank FROM p10 ORDER BY node"""
+          .stripMargin
+      },
+      "q114_calibration" ->
+        // the q84 NB body with even-half training and odd-half held-out
+        // scoring; the sweep is a threshold cross join over the scored
+        // table, every ratio a single rounded division of BIGINT counts
+        """WITH pos_tr AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src0'
+          |          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+          |neg_tr AS (SELECT doc_id, string_split(lower(text),' ') AS w
+          |        FROM documents WHERE source = 'src1'
+          |          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+          |held AS (SELECT doc_id, string_split(lower(text),' ') AS w,
+          |           source = 'src0' AS label
+          |         FROM documents
+          |         WHERE source IN ('src0','src1')
+          |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+          |ct AS (SELECT doc_id, unnest(w) AS tok FROM held),
+          |pt AS (SELECT unnest(w) AS tok FROM pos_tr),
+          |nt AS (SELECT unnest(w) AS tok FROM neg_tr),
+          |p AS (SELECT tok, COUNT(*) AS cp FROM pt GROUP BY tok),
+          |n AS (SELECT tok, COUNT(*) AS cn FROM nt GROUP BY tok),
+          |m0 AS (SELECT COALESCE(p.tok, n.tok) AS tok, COALESCE(p.cp, 0) AS cp,
+          |              COALESCE(n.cn, 0) AS cn
+          |       FROM p FULL OUTER JOIN n ON p.tok = n.tok),
+          |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v,
+          |          ln((SELECT COUNT(*)::DOUBLE FROM pos_tr)
+          |             / (SELECT COUNT(*)::DOUBLE FROM neg_tr)) AS prior,
+          |          ln(1.0 / (SUM(cp) + COUNT(*))::DOUBLE)
+          |            - ln(1.0 / (SUM(cn) + COUNT(*))::DOUBLE) AS w0
+          |        FROM m0),
+          |m AS (SELECT tok, ln((cp + 1)::DOUBLE / (np + v)::DOUBLE)
+          |             - ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) AS w
+          |      FROM m0, tot),
+          |sc AS (SELECT ct.doc_id,
+          |         CAST(ROUND(MAX(tot.prior) + SUM(COALESCE(m.w, tot.w0)), 4)
+          |              AS DECIMAL(14,4))::DOUBLE AS llr
+          |       FROM ct LEFT JOIN m USING (tok) CROSS JOIN tot
+          |       GROUP BY ct.doc_id),
+          |sl AS (SELECT sc.doc_id, sc.llr, held.label
+          |       FROM sc JOIN held USING (doc_id)),
+          |taus AS (SELECT unnest([-20.0, -5.0, -1.0, 0.0, 1.0, 5.0, 20.0])
+          |           AS threshold),
+          |cm AS (SELECT threshold,
+          |         SUM(CASE WHEN llr > threshold THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+          |         SUM(CASE WHEN llr > threshold AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+          |         SUM(CASE WHEN llr > threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+          |         SUM(CASE WHEN llr <= threshold AND label THEN 1 ELSE 0 END)::BIGINT AS fn
+          |       FROM sl CROSS JOIN taus GROUP BY threshold)
+          |SELECT threshold, n_keep, tp, fp, fn,
+          |  CASE WHEN tp + fp > 0 THEN ROUND(tp::DOUBLE / (tp + fp), 4) END AS precision,
+          |  CASE WHEN tp + fn > 0 THEN ROUND(tp::DOUBLE / (tp + fn), 4) END AS recall,
+          |  CASE WHEN 2 * tp + fp + fn > 0
+          |       THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 4) END AS f1
+          |FROM cm ORDER BY threshold""".stripMargin,
       "q53_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),

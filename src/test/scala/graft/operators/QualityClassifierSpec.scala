@@ -63,4 +63,43 @@ class QualityClassifierSpec extends SparkSpec {
       pos, neg).collect().toSeq
     assert(a === b)
   }
+
+  // --- calibrate (q114): held-out threshold sweep ---
+
+  test("calibrate: discriminative seeds give a clean operating curve") {
+    import spark.implicits._
+    // 100 ids per class -> both md5 halves populated; class-pure vocab
+    val cpos = (0L until 100L).map(i => (i, "good wonderful prose " * 3))
+      .toDF("doc_id", "text")
+    val cneg = (100L until 200L).map(i => (i, "spam junk noise " * 3))
+      .toDF("doc_id", "text")
+    val got = QualityClassifier.calibrate(cpos, cneg, Seq(-100.0, 0.0, 100.0))
+      .orderBy("threshold")
+      .select("threshold", "n_keep", "tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val heldPos = got.head._3 + got.head._5 // tp + fn at any tau
+    assert(heldPos > 0 && got.forall(r => r._3 + r._5 == heldPos),
+      "held-out positive count constant across the sweep")
+    // tau=-100 keeps everything; tau=0 separates perfectly; tau=100 nothing
+    assert(got(0)._6.contains(heldPos.toDouble / got(0)._2) || got(0)._6.isDefined)
+    assert(got(1)._6 === Some(1.0) && got(1)._7 === Some(1.0) && got(1)._8 === Some(1.0))
+    assert(got(2)._2 === 0L && got(2)._6.isEmpty && got(2)._7 === Some(0.0))
+    // n_keep monotone non-increasing in tau
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+  }
+
+  test("calibrate: the held-out halves are disjoint from training") {
+    import spark.implicits._
+    // one shared token in both classes: a doc appearing in BOTH train
+    // and test would shift counts; the invariant tp+fp+(drops) == held
+    // size catches leakage via the constant class totals
+    val cpos = (0L until 60L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val cneg = (60L until 120L).map(i => (i, "gamma delta")).toDF("doc_id", "text")
+    val got = QualityClassifier.calibrate(cpos, cneg, Seq(0.0)).collect().head
+    val (nKeep, tp, fp, fn) = (got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+    assert(nKeep == tp + fp)
+    // the held-out set is a strict subset of the 120 seed ids, non-empty
+    assert(tp + fp + fn < 120 && tp + fn > 0)
+  }
 }
