@@ -147,7 +147,8 @@ object SparkEntry {
     "q113_mmr_rerank" -> (PipelineQueries.q113MmrRerank _),
     "q113_check_mmr" -> (PipelineQueries.q113CheckMmr _),
     "q114_calibration" -> (PipelineQueries.q114Calibration _),
-    "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _)
+    "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _),
+    "q116_leakage_safe_splits" -> (PipelineQueries.q116LeakageSafeSplits _)
   )
 
   def oracleSql: Map[String, String] = Map(

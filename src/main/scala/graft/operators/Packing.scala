@@ -311,6 +311,36 @@ object Packing {
     full.unionByName(boundary).drop(helper: _*)
   }
 
+  /** Leakage-safe train/val/test splits — [[assignSplits]] made
+    * duplicate-aware (Lee et al. 2022 §4: near-duplicate pairs that
+    * straddle the train/test boundary leak the test set into training
+    * and inflate eval; the fix every careful pipeline runs is to
+    * assign whole near-dup FAMILIES to one split). Families are the
+    * connected components of the given near-dup pair graph; every doc
+    * inherits its family root (singletons are their own root), and
+    * the [[assignSplits]] hash rule keys on the FAMILY id — so a
+    * singleton gets exactly the split plain assignSplits would give
+    * it, and a family moves as one atom.
+    *
+    * Scale shape: components via [[Clustering.connectedComponents]]
+    * (size-tiered — near-dup pairs are metadata-scale for real
+    * corpora); the family-label join is size-dispatched (broadcast
+    * below `broadcastableLabels`, shuffle-hash above); the split
+    * label itself stays a pure projection. */
+  def leakageSafeSplits(docs: DataFrame, pairs: DataFrame, key: Column,
+                        splits: Seq[(String, Double)], salt: String = "",
+                        broadcastableLabels: Long = 10000000L): DataFrame = {
+    val fam = Clustering.connectedComponents(pairs)
+      .select(col("node"), col("comp").as("__family_root"))
+    val side =
+      if (SizeDispatch.atMost(fam, broadcastableLabels)) broadcast(fam)
+      else fam.hint("shuffle_hash")
+    val withFam = docs.join(side, key === col("node"), "left")
+      .withColumn("family", coalesce(col("__family_root"), key))
+      .drop("node", "__family_root")
+    assignSplits(withFam, col("family"), splits, salt)
+  }
+
   /** Repeat-aware token allocation for data-constrained training
     * (Muennighoff et al. 2023 "Scaling Data-Constrained Language
     * Models": repeating data is near-free up to ~4 epochs, worthless

@@ -453,6 +453,27 @@ object PipelineQueries {
     graft.operators.LinkAnalysis.pageRank(edges)
   }
 
+  /** q116: leakage-safe train/val/test splits
+    * (`Packing.leakageSafeSplits` — Lee et al. 2022 §4: near-dup
+    * pairs straddling the train/test boundary leak eval data into
+    * training; whole families must move as one atom). Families are
+    * the q46 LSH-pair components; the q74 hash rule keys on the
+    * family root, so singletons split exactly as plain assignSplits
+    * would. Hard oracle: the q46 recursive min-label closure +
+    * COALESCE(family, doc_id) + the md5-cutoff split rule, compared
+    * per document. */
+  def q116LeakageSafeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Packing.leakageSafeSplits(
+      docs.select("doc_id", "source"),
+      Dedup.minHashLshPairs(docs, threshold = 0.5),
+      key = col("doc_id"),
+      splits = Seq("train" -> 90.0, "val" -> 5.0, "test" -> 5.0),
+      salt = ":leak")
+      .select("doc_id", "family", "split")
+      .orderBy("doc_id")
+  }
+
   /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
     * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
     * panel for probe vector 0 over a 64-candidate exact prefilter.
@@ -2689,6 +2710,29 @@ object PipelineQueries {
         """SELECT true AS lambda1_degenerates, true AS first_pick_argmax,
           |       true AS greedy_certificate, true AS diversity_bites,
           |       true AS servable""".stripMargin,
+      "q116_leakage_safe_splits" -> {
+        import graft.operators.Packing
+        val cut90 = Packing.pctCutoffHex(90.0)
+        val cut95 = Packing.pctCutoffHex(95.0)
+        s"""WITH RECURSIVE $jaccardCtes,
+           |pr AS (SELECT da, db FROM p WHERE jac >= 0.5),
+           |edges AS (SELECT da AS u, db AS v FROM pr UNION SELECT db AS u, da AS v FROM pr),
+           |cc(node, comp) AS (
+           |  SELECT u, u FROM edges
+           |  UNION
+           |  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.node),
+           |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+           |base AS (SELECT d.doc_id, COALESCE(lab.comp, d.doc_id) AS family
+           |         FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+           |sp AS (SELECT doc_id, family,
+           |         substr(md5(CAST(family AS VARCHAR) || ':leak'), 1, 4) AS h
+           |       FROM base)
+           |SELECT doc_id, family,
+           |  CASE WHEN h < '$cut90' THEN 'train'
+           |       WHEN h < '$cut95' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM sp ORDER BY doc_id""".stripMargin
+      },
       "q115_domain_pagerank" -> {
         // the 10 power iterations unroll as chained CTEs; each
         // destination's contribution folds in SORTED src order

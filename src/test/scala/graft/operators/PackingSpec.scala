@@ -277,6 +277,31 @@ class PackingSpec extends SparkSpec {
     assert(got.sum <= 1000L && got.sum > 1000L - 2)
   }
 
+  // --- leakageSafeSplits (q116): duplicate-aware split assignment ---
+
+  test("leakageSafeSplits: families move as one atom; singletons match assignSplits") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // plant families: (0,1,2) chained and (10,11) paired
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("da", "db")
+    val splits = Seq("train" -> 50.0, "val" -> 25.0, "test" -> 25.0)
+    val got = Packing.leakageSafeSplits(docs, pairs, col("doc_id"), splits, ":s")
+      .select("doc_id", "family", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // atomicity: all members share the root's family AND split
+    assert(Seq(0L, 1L, 2L).map(got).toSet.size === 1)
+    assert(got(0L)._1 === 0L)
+    assert(Seq(10L, 11L).map(got).toSet.size === 1 && got(10L)._1 === 10L)
+    // singletons: family = own id, split identical to plain assignSplits
+    val plain = Packing.assignSplits(docs, col("doc_id"), splits, ":s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (0L until 400L).filterNot(Set(1L, 2L, 11L)).foreach { i =>
+      assert(got(i)._1 === i && got(i)._2 === plain(i), s"doc $i")
+    }
+    // the planted families stop boundary leakage by construction: every
+    // member landed where the ROOT's hash puts it, not its own
+    assert(got(1L)._2 === plain(0L) && got(2L)._2 === plain(0L))
+  }
+
   test("repeatAllocation: int-coded sources cast, null sources dropped") {
     val df = Seq((Some(1), 100L), (Some(2), 400L), (None, 50L))
       .toDF("source", "tokens")
