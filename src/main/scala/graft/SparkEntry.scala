@@ -148,7 +148,8 @@ object SparkEntry {
     "q113_check_mmr" -> (PipelineQueries.q113CheckMmr _),
     "q114_calibration" -> (PipelineQueries.q114Calibration _),
     "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _),
-    "q116_leakage_safe_splits" -> (PipelineQueries.q116LeakageSafeSplits _)
+    "q116_leakage_safe_splits" -> (PipelineQueries.q116LeakageSafeSplits _),
+    "q117_dedup_sweep" -> (PipelineQueries.q117DedupSweep _)
   )
 
   def oracleSql: Map[String, String] = Map(

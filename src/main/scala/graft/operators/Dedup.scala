@@ -1457,4 +1457,71 @@ object Dedup {
       .select("doc_id", "clean_text", "n_redacted")
       .orderBy("doc_id")
   }
+
+  /** Dedup threshold sweep — the tuning sheet a near-dup dedup run
+    * wants before committing to a similarity bar (the dedup twin of
+    * the q114 classifier calibration: q59 DROPS at one threshold;
+    * this shows what every candidate threshold would have done).
+    * For each τ: qualifying pairs, docs touched by a family, family
+    * count, docs a keep-one-per-family dedup would drop, and the
+    * surviving corpus size.
+    *
+    * Scale shape: the pair kernel runs ONCE at the loosest threshold
+    * (the q32 capped inverted-index kernel); the per-τ re-filter +
+    * union-find runs over the COLLECTED pair list — near-dup pairs
+    * are metadata-scale by the established q68 driver-tier contract,
+    * and the bound is enforced (`maxDriverPairs`, limit-probed before
+    * the collect). A corpus whose pair graph exceeds the bound gets
+    * the distributed tier: per-τ [[Clustering.connectedComponents]]
+    * over the pinned pair table — |τ| component runs, each size-tiered. */
+  def dedupThresholdSweep(docs: DataFrame, thresholds: Seq[Double],
+                          n: Int = 3,
+                          maxDriverPairs: Long = 4000000L): DataFrame = {
+    require(thresholds.nonEmpty, "dedupThresholdSweep: empty threshold list")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val minT = thresholds.min
+    val pairsPlan = jaccardPairsUnsorted(docs, minT, n)
+    val nDocs = docs.count()
+    val probe = pairsPlan.limit(maxDriverPairs.toInt + 1).collect()
+    val sweep: Seq[(Double, Long, Long, Long)] =
+      if (probe.length <= maxDriverPairs) {
+        val pairs = probe.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        thresholds.sorted.map { t =>
+          val sel = pairs.filter(_._3 >= t)
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          sel.foreach { case (u, v, _) =>
+            parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+          }
+          val members = parent.size.toLong
+          val families = parent.keys.map(find).toSet.size.toLong
+          (t, sel.length.toLong, members, families)
+        }
+      } else {
+        val pinned = Storage.track(pairsPlan.localCheckpoint(true))
+        thresholds.sorted.map { t =>
+          val sel = pinned.filter(col("jac") >= t)
+          val lab = Clustering.connectedComponents(sel)
+          val members = lab.count()
+          val families = lab.select("comp").distinct().count()
+          (t, sel.count(), members, families)
+        }
+      }
+    sweep.toDF("threshold", "n_pairs", "n_docs_in_families", "n_families")
+      .select(col("threshold"), col("n_pairs"), col("n_docs_in_families"),
+        col("n_families"),
+        (col("n_docs_in_families") - col("n_families")).as("n_dropped"),
+        (lit(nDocs) - (col("n_docs_in_families") - col("n_families")))
+          .as("n_survivors"))
+      .orderBy("threshold")
+  }
 }

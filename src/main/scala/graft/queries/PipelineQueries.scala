@@ -474,6 +474,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q117: dedup threshold sweep (`Dedup.dedupThresholdSweep`) — the
+    * dedup twin of q114's classifier calibration: per candidate
+    * jaccard bar τ ∈ {0.3, 0.5, 0.7, 0.9}, the pairs, touched docs,
+    * families, would-be drops, and surviving corpus size, from ONE
+    * run of the pair kernel at the loosest bar. The corpus's planted
+    * dups are all near-exact (every bar reads the same), so the query
+    * plants a GRADIENT: every 25th doc gets a prefix-truncated twin
+    * at 35/50/65/80/95% length — similarities spread across the
+    * sweep, and each bar drops a different family set. Hard oracle:
+    * the q32 shingle CTEs over the augmented corpus (materialized
+    * once) re-filtered per τ, each with its own recursive min-label
+    * closure. */
+  def q117DedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val frac = lit(0.35) + (col("doc_id") % 125) / lit(25) * lit(0.15)
+    val twins = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(ws, lit(1), ceil(size(ws) * frac).cast("int"))).as("text"))
+    Dedup.dedupThresholdSweep(docs.unionByName(twins),
+      thresholds = Seq(0.3, 0.5, 0.7, 0.9))
+  }
+
   /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
     * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
     * panel for probe vector 0 over a 64-candidate exact prefilter.
@@ -2710,6 +2734,53 @@ object PipelineQueries {
         """SELECT true AS lambda1_degenerates, true AS first_pick_argmax,
           |       true AS greedy_certificate, true AS diversity_bites,
           |       true AS servable""".stripMargin,
+      "q117_dedup_sweep" -> {
+        val ts = Seq(0.3, 0.5, 0.7, 0.9)
+        val per = ts.zipWithIndex.map { case (t, i) =>
+          s"""pr$i AS (SELECT da, db FROM pm WHERE jac >= $t),
+             |ed$i AS (SELECT da AS u, db AS v FROM pr$i
+             |         UNION SELECT db, da FROM pr$i),
+             |cc$i(node, comp) AS (
+             |  SELECT u, u FROM ed$i
+             |  UNION
+             |  SELECT e.v, c.comp FROM cc$i c JOIN ed$i e ON e.u = c.node),
+             |lab$i AS (SELECT node, MIN(comp) AS comp FROM cc$i GROUP BY node),
+             |st$i AS (SELECT CAST($t AS DOUBLE) AS threshold,
+             |  (SELECT COUNT(*) FROM pr$i)::BIGINT AS n_pairs,
+             |  (SELECT COUNT(*) FROM lab$i)::BIGINT AS n_docs_in_families,
+             |  (SELECT COUNT(DISTINCT comp) FROM lab$i)::BIGINT AS n_families)"""
+            .stripMargin
+        }.mkString(",\n")
+        // the q32 shingle chain over the AUGMENTED corpus (prefix-
+        // truncated twins at a 35-95% length gradient); the planted
+        // similarities spread across the sweep so each bar bites
+        s"""WITH RECURSIVE aug AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |    array_to_string(ws[1:CAST(CEIL(len(ws)
+           |      * (0.35 + ((doc_id % 125) / 25) * 0.15)) AS INT)], ' ')
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |        FROM documents WHERE doc_id % 25 = 0)),
+           |w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM aug),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
+           |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+           |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+           |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+           |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |n AS (SELECT doc_id, len(s) AS cnt FROM sh),
+           |p AS (SELECT da, db,
+           |        ROUND(common::DOUBLE / (na.cnt + nb.cnt - common), 4) AS jac
+           |      FROM c JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id),
+           |pm AS MATERIALIZED (SELECT * FROM p),
+           |$per,
+           |st AS (${ts.indices.map(i => s"SELECT * FROM st$i").mkString(" UNION ALL ")})
+           |SELECT threshold, n_pairs, n_docs_in_families, n_families,
+           |  n_docs_in_families - n_families AS n_dropped,
+           |  (SELECT COUNT(*) FROM aug)::BIGINT
+           |    - (n_docs_in_families - n_families) AS n_survivors
+           |FROM st ORDER BY threshold""".stripMargin
+      },
       "q116_leakage_safe_splits" -> {
         import graft.operators.Packing
         val cut90 = Packing.pctCutoffHex(90.0)
@@ -2748,6 +2819,10 @@ object PipelineQueries {
              |  FROM nodes n CROSS JOIN nn LEFT JOIN c$i ON n.node = c$i.node)"""
             .stripMargin
         }.mkString(",\n")
+        // feeders MATERIALIZED: sh/nodes/nn are referenced by all ten
+        // iteration CTEs, and DuckDB re-inlines plain CTEs per
+        // reference — without this the corpus edge build ran 10× (the
+        // r10 q68-oracle lesson; 4.1 s → ms at sf0.01)
         s"""WITH srcs AS (SELECT source,
            |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
            |  FROM (SELECT DISTINCT source FROM documents)),
@@ -2757,11 +2832,12 @@ object PipelineQueries {
            |       JOIN srcs t ON t.idx = (d.doc_id * 7 + 3) % cnt.s),
            |ag AS (SELECT src, dst, COUNT(*)::BIGINT AS w FROM ed GROUP BY src, dst),
            |ow AS (SELECT src, SUM(w)::BIGINT AS ow FROM ag GROUP BY src),
-           |sh AS (SELECT ag.src, ag.dst, ag.w::DOUBLE / ow.ow::DOUBLE AS share
+           |sh AS MATERIALIZED (SELECT ag.src, ag.dst,
+           |       ag.w::DOUBLE / ow.ow::DOUBLE AS share
            |       FROM ag JOIN ow USING (src)),
-           |nodes AS (SELECT DISTINCT node FROM
+           |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
            |  (SELECT src AS node FROM sh UNION ALL SELECT dst FROM sh)),
-           |nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+           |nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM nodes),
            |p0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
            |$prIters
            |SELECT node, ROUND(r, 6) AS pagerank FROM p10 ORDER BY node"""
