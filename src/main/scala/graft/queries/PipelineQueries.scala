@@ -291,13 +291,21 @@ object PipelineQueries {
       substring(full, 9, 4), substring(full, 13, 4))
     val synth = concat(lit("order via "), col("source"), lit(" card "),
       pretty, lit(" ref "), substring(col("text"), 1, 40))
-    val cands = regexp_extract_all(synth, lit(TA.CardCandidatePattern), lit(0))
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      size(cands).cast("long").as("n_cands"),
-      size(filter(array_distinct(cands), c => TA.luhnValid(c)))
-        .cast("long").as("n_valid"),
-      md5(TA.redactValidCards(synth)).as("redacted_md5"))
+    // stage the pipeline so each expensive step runs ONCE per row:
+    // HOF lambdas are exempt from subexpression elimination, so the
+    // single-select form re-ran the regex extraction 3x and the Luhn
+    // checksum 2x per document (5.0 s -> staged at sf0.1)
+    t(spark, dir, "documents")
+      .withColumn("__synth", synth)
+      .withColumn("__raw",
+        regexp_extract_all(col("__synth"), lit(TA.CardCandidatePattern), lit(0)))
+      .withColumn("__valid",
+        filter(array_distinct(col("__raw")), c => TA.luhnValid(c)))
+      .select(
+        col("doc_id"),
+        size(col("__raw")).cast("long").as("n_cands"),
+        size(col("__valid")).cast("long").as("n_valid"),
+        md5(TA.redactAll(col("__synth"), col("__valid"))).as("redacted_md5"))
       .orderBy("doc_id")
   }
 
