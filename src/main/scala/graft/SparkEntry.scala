@@ -149,7 +149,8 @@ object SparkEntry {
     "q114_calibration" -> (PipelineQueries.q114Calibration _),
     "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _),
     "q116_leakage_safe_splits" -> (PipelineQueries.q116LeakageSafeSplits _),
-    "q117_dedup_sweep" -> (PipelineQueries.q117DedupSweep _)
+    "q117_dedup_sweep" -> (PipelineQueries.q117DedupSweep _),
+    "q118_badword_gate" -> (PipelineQueries.q118BadwordGate _)
   )
 
   def oracleSql: Map[String, String] = Map(

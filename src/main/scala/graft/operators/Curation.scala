@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,57 @@ object Curation {
     }
   }
 
+  /** Listed-token count for [[badwordGate]] — exposed so a pipeline
+    * can EMIT the signal (an audit table, a threshold sweep) rather
+    * than gate on it. Tokens are whitespace-split, lowercased, and
+    * stripped of surrounding punctuation ("Word," matches "word") —
+    * so the count mirrors exactly in SQL. The list rides the closure
+    * as a hash set: O(1) membership per token where any builtin
+    * array/isin form pays O(|list|) per token — 1000× the work at
+    * published list sizes (the same argument as [[listGate]]'s Bloom
+    * tier UDF). */
+  def badwordCount(textCol: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "badwordCount: empty word list")
+    val set = words.iterator.map(_.toLowerCase).toSet
+    val cnt = udf((toks: Seq[String]) =>
+      if (toks == null) 0L
+      else toks.count(t =>
+        set.contains(t.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", ""))).toLong)
+    cnt(filter(split(lower(textCol), " "), t => t =!= ""))
+  }
+
+  /** Token-level word-list gate — the published C4 TEXT filter
+    * (Raffel et al. 2020 §2.2: drop any page containing a word from
+    * the public "bad words" list), the content-side sibling of
+    * [[listGate]]'s URL tier: that one gates on the page's ADDRESS
+    * before any text is read, this one on its token content.
+    * `maxFrac = 0` is the hard C4 rule — ANY listed token drops the
+    * document; `maxFrac > 0` is the soft fraction policy (keep while
+    * listed tokens / tokens ≤ maxFrac — the variant that spares
+    * medical/legal text carrying a single flagged term). The fraction
+    * compares in exact INTEGER arithmetic on a 4-decimal grid
+    * (n_bad·10000 ≤ round(maxFrac·10000)·n_toks), so the verdict is
+    * engine-independent. A document with no tokens is kept (no
+    * evidence, no verdict).
+    *
+    * Scale shape: the list is driver metadata BY CONTRACT (published
+    * lists are 400–2,000 words — a few KB riding the task closure);
+    * the gate is ONE row-local pass over the token array — zero
+    * shuffle, zero joins, scan-speed at any corpus size. */
+  def badwordGate(docs: DataFrame, words: Seq[String],
+                  maxFrac: Double = 0.0,
+                  textCol: Column = col("text")): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac < 1.0,
+      s"badwordGate: maxFrac must be in [0, 1): $maxFrac")
+    val nBad = badwordCount(textCol, words)
+    if (maxFrac == 0.0) docs.filter(nBad === 0L)
+    else {
+      val nToks = size(filter(split(lower(textCol), " "), t => t =!= ""))
+      docs.filter(
+        nBad * 10000L <= lit(math.round(maxFrac * 10000)) * nToks.cast("long"))
+    }
+  }
+
   /** The per-increment gate prefix of [[curate]] for micro-batch /
     * incremental use: optional [[listGate]] blocklist FIRST, optional
     * markup cleaning, then quality gate → repetition gate → exact
@@ -155,14 +206,21 @@ object Curation {
   def gateBatch(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                 cleanMarkupFirst: Boolean = false,
                 blocklist: Option[DataFrame] = None,
-                blocklistKey: String = "source"): DataFrame = {
+                blocklistKey: String = "source",
+                badwords: Option[Seq[String]] = None,
+                badwordMaxFrac: Double = 0.0): DataFrame = {
     // the list gate runs FIRST — cheapest verdict, no text touched for
     // a blocked domain (the published gate order)
     val listed = blocklist.fold(docs)(bl => listGate(docs, bl, blocklistKey))
+    // then the C4 word-list text gate — one row-local token pass,
+    // still cheaper than the fused signal kernel behind the quality
+    // and repetition gates below
+    val worded =
+      badwords.fold(listed)(ws => badwordGate(listed, ws, badwordMaxFrac))
     val cleaned =
       if (cleanMarkupFirst)
-        listed.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
-      else listed
+        worded.withColumn("text", TextAnalysis.cleanMarkup(col("text")))
+      else worded
     // quality + repetition are row-local signals off the fused kernel
     // (one text pass): one filter, no join, no dispatch — the gate
     // prefix is a pure scan up to the one content shuffle exact dedup

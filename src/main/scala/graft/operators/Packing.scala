@@ -170,16 +170,18 @@ object Packing {
     * few; a window partition would be terabytes). Instead the order
     * key's first hex byte pre-buckets each source into 256 hash-ordered
     * slices, turning the selection into:
-    *  (1) per (source, bucket) token sums — a map-side-combined agg down
-    *      to a sources x 256 table;
-    *  (2) a running bucket-prefix window per source over that TINY
-    *      table — the only cross-partition cumulation, at driver scale;
-    *  (3) broadcast the classified buckets back onto the corpus: a
-    *      fully-funded bucket (prefix + bucket total <= budget) keeps
-    *      every row with NO window at all; a drained bucket (prefix >=
-    *      budget) drops every row; only the single BOUNDARY bucket per
-    *      source runs the fine cumulative window — over 1/256th of one
-    *      source.
+    *  (1) per (source, bucket) token sums — ONE map-side-combined agg
+    *      down to a sources x <=256 table, COLLECTED as driver metadata
+    *      (bounded by source cardinality — the q97 contract); the token
+    *      expression runs over the corpus exactly once, in this job;
+    *  (2) driver-side bucket classification against each budget (the
+    *      hash-prefix cumulation is monotone in the bucket id, so the
+    *      fully-funded buckets are exactly a bucket-id PREFIX): a full
+    *      bucket keeps every row with NO window and NO token recompute
+    *      at all; a drained bucket drops every row; only the single
+    *      BOUNDARY bucket per source — the one the budget crosses
+    *      inside — runs the fine cumulative window, over 1/256th of one
+    *      source, the only rows whose token expression evaluates twice.
     * The selected set equals the naive global window's exactly: a doc's
     * global running-before = its bucket's prefix + its in-bucket
     * running-before (the bucket id is the order key's leading byte, so
@@ -213,11 +215,9 @@ object Packing {
     // sortBy (ADVICE r12). Null-source rows keep the sibling
     // mixToBudgets contract: no budget entry, never selected.
     val srcStr = sourceCol.cast("string")
-    val stats = docs.groupBy(srcStr.as("__src"))
-      .agg(sum(tokenCol.cast("long")).as("__tok"))
-      .collect().collect { case r if !r.isNullAt(0) => (r.getString(0), r.getLong(1)) }
-      .sortBy(_._1)
-    val pows = stats.map { case (s, t) => (s, math.pow(t.toDouble, alpha)) }
+    val stats = bucketTokenStats(docs, srcStr, tokenCol, key, keep = None)
+    val totals = stats.map { case (s, arr) => (s, arr.sum) }.toSeq.sortBy(_._1)
+    val pows = totals.map { case (s, t) => (s, math.pow(t.toDouble, alpha)) }
     val z = pows.map(_._2).foldLeft(0.0)(_ + _)
     val budgets = pows.map { case (s, w) =>
       s -> math.round(w / z * totalTokens / budgetGrain) * budgetGrain
@@ -225,7 +225,8 @@ object Packing {
     val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
       case (acc, (s, b)) => when(srcStr === s, lit(b)).otherwise(acc)
     }
-    mixToBudgets(docs, budgets, srcStr, tokenCol, key)
+    val cuts = stats.map { case (s, arr) => s -> classifyBuckets(arr, budgets(s)) }
+    selectByCuts(docs, cuts, budgets, srcStr, tokenCol, key)
       .withColumn("__mix_budget", budgetCol)
   }
 
@@ -281,34 +282,96 @@ object Packing {
   def mixToBudgets(docs: DataFrame, budgets: Map[String, Long],
                    sourceCol: Column, tokenCol: Column, key: Column): DataFrame = {
     require(budgets.nonEmpty, "mixToBudgets: empty budget map")
-    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
-      case (acc, (s, b)) => when(sourceCol === s, lit(b)).otherwise(acc)
+    val srcStr = sourceCol.cast("string")
+    val stats =
+      bucketTokenStats(docs, srcStr, tokenCol, key, keep = Some(budgets.keySet))
+    val cuts = stats.map { case (s, arr) => s -> classifyBuckets(arr, budgets(s)) }
+    selectByCuts(docs, cuts, budgets, srcStr, tokenCol, key)
+  }
+
+  /** The ONE corpus job behind [[mixToBudgets]]/[[temperatureMix]]:
+    * per-(source, first-hash-byte-bucket) token sums, map-side
+    * combinable down to a sources × ≤256 table collected as driver
+    * metadata (bounded by source cardinality — the q97 contract).
+    * Null sources drop (no budget identity exists for them); `keep`
+    * restricts the scan's token evaluation to budgeted sources. */
+  private def bucketTokenStats(docs: DataFrame, srcStr: Column,
+                               tokenCol: Column, key: Column,
+                               keep: Option[Set[String]]): Map[String, Array[Long]] = {
+    val scoped = keep match {
+      case Some(ks) => docs.filter(srcStr.isin(ks.toSeq: _*))
+      case None => docs.filter(srcStr.isNotNull)
     }
-    val helper = Seq("__src", "__budget", "__h", "__bkt", "__tok",
-      "__before", "__all", "__touch")
+    val rows = scoped
+      .groupBy(srcStr.as("__src"),
+        conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int").as("__bkt"))
+      .agg(sum(tokenCol.cast("long")).as("__btok"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      val arr = Array.fill(256)(0L)
+      rs.foreach(r => if (!r.isNullAt(2)) arr(r.getInt(1)) = r.getLong(2))
+      s -> arr
+    }
+  }
+
+  /** One source's bucket classification against its budget. The
+    * hash-prefix cumulation is monotone in the bucket id, so the fully
+    * funded buckets are exactly the prefix below `fullBelow`;
+    * `boundary` is the single bucket the budget crosses inside (its
+    * running-before rides along as the fine window's offset); buckets
+    * past it are drained. */
+  private final case class BucketCut(fullBelow: Int, boundary: Option[(Int, Long)])
+
+  private def classifyBuckets(btoks: Array[Long], budget: Long): BucketCut = {
+    var before = 0L
+    var i = 0
+    while (i < btoks.length && before + btoks(i) <= budget) {
+      before += btoks(i); i += 1
+    }
+    BucketCut(i, if (i < btoks.length && before < budget) Some((i, before)) else None)
+  }
+
+  /** Rebuild the selection from driver-classified buckets: full buckets
+    * are a pure row-local filter (no token recompute, no join); only
+    * the boundary buckets — at most one per source — run the fine
+    * cumulative window, each over ~1/256th of its source. */
+  private def selectByCuts(docs: DataFrame, cuts: Map[String, BucketCut],
+                           budgets: Map[String, Long], srcStr: Column,
+                           tokenCol: Column, key: Column): DataFrame = {
+    val helper = Seq("__src", "__h", "__bkt")
     val base = docs
-      .withColumn("__src", sourceCol)
-      .withColumn("__budget", budget)
-      .filter(col("__budget") >= 0L)
+      .withColumn("__src", srcStr)
       .withColumn("__h", md5(key.cast("string")))
       .withColumn("__bkt", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
-      .withColumn("__tok", tokenCol.cast("long"))
-    val wB = Window.partitionBy("__src").orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = base.groupBy("__src", "__bkt")
-      .agg(sum("__tok").as("__btok"), first("__budget").as("__b"))
-      .withColumn("__before", coalesce(sum(col("__btok")).over(wB), lit(0L)))
-      .select(col("__src"), col("__bkt"), col("__before"),
-        (col("__before") + col("__btok") <= col("__b")).as("__all"),
-        (col("__before") < col("__b")).as("__touch"))
-    val joined = base.join(broadcast(buckets), Seq("__src", "__bkt"))
-    val full = joined.filter(col("__all"))
-    val wF = Window.partitionBy("__src", "__bkt").orderBy(col("__h"), key)
-    val boundary = joined.filter(!col("__all") && col("__touch"))
-      .withColumn("__cum", sum(col("__tok")).over(wF))
-      .filter(col("__before") + col("__cum") - col("__tok") < col("__budget"))
-      .drop("__cum")
-    full.unionByName(boundary).drop(helper: _*)
+    val sorted = cuts.toSeq.sortBy(_._1)
+    val fullCond = sorted.foldLeft(lit(false)) { case (acc, (s, c)) =>
+      when(col("__src") === s, col("__bkt") < c.fullBelow).otherwise(acc)
+    }
+    val full = base.filter(fullCond)
+    val bCuts = sorted.collect { case (s, BucketCut(_, Some((bk, bef)))) => (s, bk, bef) }
+    val out =
+      if (bCuts.isEmpty) full
+      else {
+        val bCond = bCuts.map { case (s, bk, _) =>
+          col("__src") === s && col("__bkt") === bk
+        }.reduce(_ || _)
+        val befCol = bCuts.foldLeft(lit(0L)) { case (acc, (s, _, bef)) =>
+          when(col("__src") === s, lit(bef)).otherwise(acc)
+        }
+        val budCol = bCuts.foldLeft(lit(0L)) { case (acc, (s, _, _)) =>
+          when(col("__src") === s, lit(budgets(s))).otherwise(acc)
+        }
+        // one boundary bucket per source, so partitioning by source alone
+        // keeps the fine window's groups at ~source/256 rows
+        val wF = Window.partitionBy("__src").orderBy(col("__h"), key)
+        val boundary = base.filter(bCond)
+          .withColumn("__tok", tokenCol.cast("long"))
+          .withColumn("__cum", sum(col("__tok")).over(wF))
+          .filter(befCol + col("__cum") - col("__tok") < budCol)
+          .drop("__cum", "__tok")
+        full.unionByName(boundary)
+      }
+    out.drop(helper: _*)
   }
 
   /** Leakage-safe train/val/test splits — [[assignSplits]] made

@@ -70,9 +70,12 @@ object QualityClassifier {
 
   /** Score candidates against a trained model. Output per doc:
     * (doc_id, n_toks, llr, keep) — llr at 4 decimals, keep = llr > 0,
-    * ordered by doc_id. */
+    * ordered by doc_id. Pass `ordered = false` when the output feeds a
+    * join/filter rather than a report — the presentation sort is a
+    * global exchange a consumer that only probes doc_ids never needs. */
   def score(candidates: DataFrame, m: NbModel,
-            broadcastVocabLimit: Long = 2000000L): DataFrame = {
+            broadcastVocabLimit: Long = 2000000L,
+            ordered: Boolean = true): DataFrame = {
     val dispatched =
       if (SizeDispatch.atMost(m.weights, broadcastVocabLimit)) broadcast(m.weights)
       else m.weights.hint("shuffle_hash")
@@ -88,13 +91,14 @@ object QualityClassifier {
       .select(col("doc_id"), col("n_toks"),
         col("llr_dec").cast(DoubleType).as("llr"),
         (col("llr_dec") > 0).as("keep"))
-      .orderBy("doc_id")
+      .transform(d => if (ordered) d.orderBy("doc_id") else d)
   }
 
   /** Train on `pos`/`neg`, score `candidates` — the one-shot q84 form. */
   def trainScore(candidates: DataFrame, pos: DataFrame, neg: DataFrame,
-                 broadcastVocabLimit: Long = 2000000L): DataFrame =
-    score(candidates, train(pos, neg), broadcastVocabLimit)
+                 broadcastVocabLimit: Long = 2000000L,
+                 ordered: Boolean = true): DataFrame =
+    score(candidates, train(pos, neg), broadcastVocabLimit, ordered)
 
   /** Calibration table — the operating-point sheet every filter paper
     * publishes before picking a threshold (the llr > 0 default in

@@ -36,14 +36,22 @@ object TextSearch {
     *
     * Scale shape: ONE token pass feeds the (doc, tok) count (map-side
     * combinable — the exchange carries per-task distinct pairs, not
-    * instances); df re-aggregates THAT table (never re-scans text); the
-    * idf join is vocab-keyed on the aggregated tables (shuffle-hash,
-    * AQE skew backstop — a vocab-sized build never broadcasts); N rides
-    * a one-row broadcast. The per-doc ranking window partitions by
-    * doc_id, so every group is bounded by a single document's vocab —
-    * no giant-group hazard at any corpus size. Scores round to 4
-    * decimals BEFORE ranking (exact DECIMAL compare, token-asc ties) so
-    * the ranking mirrors engine-independently; emitted tfidf is DOUBLE. */
+    * instances; the identical aggregate subtree under both consumers
+    * means ReuseExchange runs the tokenize once); df re-aggregates
+    * THAT table (never re-scans text); the idf join is vocab-keyed on
+    * the aggregated tables (shuffle-hash, AQE skew backstop — a
+    * vocab-sized build never broadcasts); N rides a one-row broadcast.
+    * The per-doc ranking window partitions by doc_id, so every group
+    * is bounded by a single document's vocab — no giant-group hazard
+    * at any corpus size, and WindowGroupLimit caps each group at the
+    * top k before the final sort. (An r13 experiment replaced the tf
+    * aggregate with a row-local sorted-run-length HOF chain — zero tf
+    * shuffle on paper, 4× slower in practice: higher-order functions
+    * are CodegenFallback, so the per-element lambda interpretation
+    * costs more than the map-side-combined exchange it saved. The
+    * aggregate form stays.) Scores round to 4 decimals BEFORE ranking
+    * (exact DECIMAL compare, token-asc ties) so the ranking mirrors
+    * engine-independently; emitted tfidf is DOUBLE. */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"),

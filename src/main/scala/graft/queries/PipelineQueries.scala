@@ -506,6 +506,34 @@ object PipelineQueries {
       thresholds = Seq(0.3, 0.5, 0.7, 0.9))
   }
 
+  /** q118: token-level badword gate (`Curation.badwordGate` — the C4
+    * text filter, Raffel et al. 2020 §2.2, the content-side sibling of
+    * q102's URL list tier). The synthetic corpus is clean, so sentinel
+    * list tokens are PLANTED: doc_id % 5 appends one bare hit,
+    * doc_id % 7 a capitalized + punctuation-wrapped + repeated triple
+    * (case folding, punctuation stripping and MULTIPLICITY all bite;
+    * % 35 docs carry both, 4 hits). Emits per-doc token/hit counts and
+    * both published policy verdicts — the hard any-hit rule and the 2%
+    * soft fraction on the exact integer grid. Gate parity (the actual
+    * filtered sets equal the keep columns) is asserted in CurationSpec.
+    * Hard oracle: the token pipeline mirrors 1:1. */
+  def q118BadwordGate(spark: SparkSession, dir: String): DataFrame = {
+    val words = Seq("grawlix", "obscenix", "profanix")
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(" grawlix"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(" Obscenix, profanix! obscenix")).otherwise(lit("")))
+    val nToks = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+      .cast("long")
+    val nBad = graft.operators.Curation.badwordCount(col("text"), words)
+    t(spark, dir, "documents").withColumn("text", planted)
+      .select(col("doc_id"), nToks.as("n_toks"), nBad.as("n_bad"),
+        (nBad === 0L).as("keep_hard"),
+        (nBad * 10000L <= lit(200L) * nToks).as("keep_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
     * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
     * panel for probe vector 0 over a 64-candidate exact prefilter.
@@ -1592,12 +1620,16 @@ object PipelineQueries {
     val s1 = Storage.track(
       HeuristicRules.gopherFilter(counted(cand, o0)).transform(counted(_, o1))
         .localCheckpoint(true))
-    val keepIds = QualityClassifier.trainScore(s1, pos, neg)
+    val keepIds = QualityClassifier.trainScore(s1, pos, neg, ordered = false)
       .filter(col("keep")).select("doc_id")
-    val s2 = counted(s1.join(keepIds, Seq("doc_id"), "left_semi"), o2)
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val s3 = counted(s2.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn"), o3)
+    // the downstream stages only need (text-hash, lang), so the dedup
+    // exchange carries ~50-byte rows, never document text; min_by ==
+    // the rank-1-by-doc_id row (doc ids are unique) and its partial
+    // aggregation is map-side combinable where a window can't be
+    val slim = s1.select(col("doc_id"), col("lang"), md5(col("text")).as("__th"))
+    val s2 = counted(slim.join(keepIds, Seq("doc_id"), "left_semi"), o2)
+    val s3 = counted(s2.groupBy("__th")
+      .agg(min_by(col("lang"), col("doc_id")).as("lang")), o3)
     val k = 20L
     val n4 = s3.groupBy("lang").agg(count(lit(1)).as("n")).collect()
       .map(r => math.min(k, r.getLong(1))).sum
@@ -2789,6 +2821,28 @@ object PipelineQueries {
            |    - (n_docs_in_families - n_families) AS n_survivors
            |FROM st ORDER BY threshold""".stripMargin
       },
+      "q118_badword_gate" ->
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    text || CASE WHEN doc_id % 5 = 0 THEN ' grawlix' ELSE '' END
+          |         || CASE WHEN doc_id % 7 = 0
+          |              THEN ' Obscenix, profanix! obscenix' ELSE '' END AS t
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(lower(t), ' '), x -> x <> '') AS tk
+          |  FROM planted),
+          |counts AS (
+          |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+          |    CAST(len(list_filter(tk, x -> list_contains(
+          |      ['grawlix', 'obscenix', 'profanix'],
+          |      regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'))))
+          |      AS BIGINT) AS n_bad
+          |  FROM toks)
+          |SELECT doc_id, n_toks, n_bad,
+          |  n_bad = 0 AS keep_hard,
+          |  n_bad * 10000 <= 200 * n_toks AS keep_frac
+          |FROM counts ORDER BY doc_id""".stripMargin,
       "q116_leakage_safe_splits" -> {
         import graft.operators.Packing
         val cut90 = Packing.pctCutoffHex(90.0)

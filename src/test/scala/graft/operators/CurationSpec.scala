@@ -160,6 +160,55 @@ class CurationSpec extends SparkSpec {
     assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L))
   }
 
+  test("badwordGate: hard rule drops any hit; case/punctuation/multiplicity counted") {
+    val words = Seq("grawlix", "obscenix")
+    val docs = Seq(
+      (1L, "a perfectly clean document about gardens"),
+      (2L, "one grawlix appears in this otherwise long clean text body here"),
+      (3L, "shouted Grawlix! twice, grawlix again"),
+      (4L, ""),
+      (5L, "obscenix")
+    ).toDF("doc_id", "text")
+    // hard C4 rule: any hit drops; the empty doc is kept (no evidence)
+    val hard = Curation.badwordGate(docs, words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hard === Set(1L, 4L))
+    // counts: case folds, punctuation strips, multiplicity counts
+    val counts = docs.select(col("doc_id"),
+        Curation.badwordCount(col("text"), words).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+    // soft fraction: doc 2 is 1 hit / 11 tokens ~ 9% -> kept at 10%,
+    // dropped at 5%; doc 5 is 100% bad, dropped at any bar
+    val soft10 = Curation.badwordGate(docs, words, maxFrac = 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(soft10 === Set(1L, 2L, 4L))
+    val soft5 = Curation.badwordGate(docs, words, maxFrac = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(soft5 === Set(1L, 4L))
+  }
+
+  test("badwordGate: zero shuffle — the gate is a pure row-local filter") {
+    val docs = Seq((1L, "clean text"), (2L, "has grawlix inside")).toDF("doc_id", "text")
+    val plan = Curation.badwordGate(docs, Seq("grawlix"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"badwordGate must not shuffle:\n$plan")
+  }
+
+  test("gateBatch: a badword doc falls at the word gate, clean docs continue") {
+    val docs = Seq(
+      (1L, "the cat and the dog walk to the old mouse near a very tall green tree"),
+      (2L, "a bright green garden grows with one grawlix by the quiet river bank today")
+    ).toDF("doc_id", "text")
+    // control: without the word list both docs pass the text gates
+    val control = Curation.gateBatch(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(control === Set(1L, 2L))
+    val gated = Curation.gateBatch(docs, badwords = Some(Seq("grawlix")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === Set(1L))
+  }
+
   test("curate: clean corpus passes every stage untouched") {
     val clean = Seq(
       (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
