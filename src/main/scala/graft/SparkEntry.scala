@@ -150,7 +150,9 @@ object SparkEntry {
     "q115_domain_pagerank" -> (PipelineQueries.q115DomainPagerank _),
     "q116_leakage_safe_splits" -> (PipelineQueries.q116LeakageSafeSplits _),
     "q117_dedup_sweep" -> (PipelineQueries.q117DedupSweep _),
-    "q118_badword_gate" -> (PipelineQueries.q118BadwordGate _)
+    "q118_badword_gate" -> (PipelineQueries.q118BadwordGate _),
+    "q119_hybrid_rrf" -> (PipelineQueries.q119HybridRrf _),
+    "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _)
   )
 
   def oracleSql: Map[String, String] = Map(

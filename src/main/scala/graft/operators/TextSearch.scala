@@ -73,6 +73,36 @@ object TextSearch {
       .orderBy("doc_id", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009 — the
+    * standard hybrid-retrieval combiner: RRF beats learned fusion on
+    * rank lists it never trained on, and every lexical+vector stack
+    * runs it): score(d) = Σ_r 1/(k0 + rank_r(d)) over the input rank
+    * lists, k0 = 60 as published. Fusing RANKS, not scores, is the
+    * point — BM25 scores and cosine similarities live on incomparable
+    * scales, ranks don't.
+    *
+    * Each contribution quantizes to an 8-decimal DECIMAL BEFORE the
+    * sum, so the fused score is an order-independent exact sum —
+    * engine-portable and partition-order-free (a raw double sum is
+    * neither). Inputs are (doc_id, rank) tables — the rankers'
+    * ALREADY-BOUNDED top-k outputs (ranks from 1); the union + one
+    * map-side-combinable aggregate + TakeOrdered head are all bounded
+    * by Σ list sizes, never corpus-sized. */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rank lists")
+    require(topK > 0 && k0 > 0, s"rrfFuse: bad knobs topK=$topK k0=$k0")
+    val contribs = rankings.map(_.select(col("doc_id"),
+      round(lit(1.0) / (lit(k0) + col("rank")), 8)
+        .cast(DecimalType(18, 8)).as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("rrf_dec"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_dec").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("rrf_dec").cast(DoubleType).as("rrf"),
+        col("n_lists"))
+  }
+
   def bm25TopK(docs: DataFrame, query: String, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qToks = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq

@@ -534,6 +534,59 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q119: hybrid retrieval via reciprocal-rank fusion
+    * (`TextSearch.rrfFuse`, Cormack et al. 2009) — the lexical BM25
+    * top-20 (the q87 query) and the semantic cosine top-20 (the q26
+    * probe) fuse into one ranking: score(d) = Σ 1/(60 + rank_r(d)),
+    * each contribution an exact 8-decimal DECIMAL so the fused sum is
+    * order-independent and engine-portable. Documents and embeddings
+    * share the id space (the q89 convention), so a doc ranked by both
+    * modalities climbs — the whole point of hybrid retrieval. Hard
+    * oracle: the q87 and q26 CTE chains, ranked, unioned, fused. */
+  def q119HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val lex = graft.operators.TextSearch.bm25TopK(
+        t(spark, dir, "documents"), "spark vector query merge", k = k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val sem = Similarity.cosineTopK(t(spark, dir, "embeddings"),
+        probeId = 0L, k = k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.TextSearch.rrfFuse(Seq(lex, sem), topK = 10)
+  }
+
+  /** q120: incremental SCD2 merge (`ChangeHistory.scd2Merge`) — the
+    * micro-batch continuation of q112: the change stream is cut at its
+    * time midpoint, the first half builds a standing history, the
+    * second half MERGES into it (a touched key's open version closes
+    * at its first new change; the increment chains by the scd2 rule;
+    * closed history streams through untouched). Hard oracle: DuckDB
+    * computes the FULL rebuild over the whole stream — row-for-row
+    * equality proves the incremental path reproduces rebuild
+    * semantics, the q109 scalable-vs-naive oracle pattern. */
+  def q120Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ChangeHistory
+    val ev = t(spark, dir, "events")
+      .filter(col("user_id") >= 100 && col("user_id") < 200)
+      .withColumn("__us", graft.Tables.epochMicros(col("ts")))
+    val mm = ev.agg(min("__us").as("a"), max("__us").as("b")).head()
+    val tSplit = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val op = when(col("event_id") % 19 === 0, lit("D")).otherwise(lit("U"))
+    val vals = Seq("value" -> col("value"))
+    val hist = ChangeHistory.scd2(
+      ev.filter(col("__us") < tSplit), key = col("user_id"),
+      tsMicros = col("__us"), seq = col("event_id"), op = op, values = vals)
+    ChangeHistory.scd2Merge(hist, ev.filter(col("__us") >= tSplit),
+        key = col("user_id"), tsMicros = col("__us"), seq = col("event_id"),
+        op = op, values = vals)
+      .select(col("key").as("user_id"), col("change_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "valid_from_us", "change_id")
+  }
+
   /** q113: MMR diversified re-ranking (`Similarity.mmrRerank`,
     * Carbonell & Goldstein 1998) — the k=10, λ=0.5 context-selection
     * panel for probe vector 0 over a 64-candidate exact prefilter.
@@ -2843,6 +2896,60 @@ object PipelineQueries {
           |  n_bad = 0 AS keep_hard,
           |  n_bad * 10000 <= 200 * n_toks AS keep_frac
           |FROM counts ORDER BY doc_id""".stripMargin,
+      "q119_hybrid_rrf" ->
+        """WITH q AS (SELECT unnest(['spark','vector','query','merge']) AS tok),
+          |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
+          |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+          |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT COUNT(*)::DOUBLE AS n,
+          |         AVG(len(string_split(lower(text),' '))) AS avgdl
+          |       FROM documents),
+          |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+          |          st.avgdl AS avgdl
+          |        FROM df, st),
+          |sc AS (SELECT tf.doc_id,
+          |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+          |           AS DECIMAL(14,4)) AS score
+          |       FROM tf JOIN idf USING (tok) GROUP BY 1),
+          |lex AS (SELECT doc_id,
+          |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          |        FROM sc QUALIFY rank <= 20),
+          |probe AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0),
+          |cs AS (SELECT vec_id,
+          |         ROUND(
+          |           list_sum(list_transform(list_zip(e.embedding, p.tv),
+          |             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          |           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |              * SQRT(list_sum(list_transform(p.tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+          |       FROM embeddings e, probe p WHERE e.vec_id != 0),
+          |sem AS (SELECT vec_id AS doc_id,
+          |          ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+          |        FROM cs QUALIFY rank <= 20),
+          |u AS (SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 8) AS DECIMAL(18,8)) AS c
+          |      FROM lex
+          |      UNION ALL
+          |      SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 8) AS DECIMAL(18,8))
+          |      FROM sem),
+          |f AS (SELECT doc_id, SUM(c) AS rrf_dec, COUNT(*) AS n_lists
+          |      FROM u GROUP BY doc_id)
+          |SELECT doc_id, rrf_dec::DOUBLE AS rrf, n_lists
+          |FROM f ORDER BY rrf_dec DESC, doc_id LIMIT 10""".stripMargin,
+      "q120_scd2_merge" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
+          |           FROM events WHERE user_id >= 100 AND user_id < 200),
+          |v AS (SELECT user_id, event_id, op, value, ts_us,
+          |        LEAD(ts_us) OVER (PARTITION BY user_id
+          |                          ORDER BY ts_us, event_id) AS vt
+          |      FROM c)
+          |SELECT user_id, event_id AS change_id, value,
+          |  ts_us AS valid_from_us, vt AS valid_to_us,
+          |  (vt IS NULL) AS is_current
+          |FROM v WHERE op <> 'D'
+          |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
       "q116_leakage_safe_splits" -> {
         import graft.operators.Packing
         val cut90 = Packing.pctCutoffHex(90.0)

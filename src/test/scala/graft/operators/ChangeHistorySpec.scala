@@ -57,4 +57,57 @@ class ChangeHistorySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
+
+  private def merged(histRows: Seq[(Long, Long, Long, String, Double)],
+                     batchRows: Seq[(Long, Long, Long, String, Double)]) = {
+    val hist = ChangeHistory.scd2(
+      histRows.toDF("k", "ts", "seq", "op", "v"),
+      key = col("k"), tsMicros = col("ts"), seq = col("seq"),
+      op = col("op"), values = Seq("v" -> col("v")))
+    ChangeHistory.scd2Merge(hist,
+        batchRows.toDF("k", "ts", "seq", "op", "v"),
+        key = col("k"), tsMicros = col("ts"), seq = col("seq"),
+        op = col("op"), values = Seq("v" -> col("v")))
+      .select("key", "change_id", "v", "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("key", "valid_from_us", "change_id")
+      .as[(Long, Long, Double, Long, Option[Long], Boolean)].collect().toSeq
+  }
+
+  test("scd2Merge equals the full rebuild on every split of a mixed stream") {
+    // keys exercising every merge path: 1 = open version updated twice
+    // in the batch; 2 = deleted by the batch; 3 = untouched; 4 = new in
+    // the batch; 5 = deleted in history, re-inserted by the batch
+    val stream = Seq(
+      (1L, 100L, 1L, "I", 1.0), (2L, 110L, 2L, "I", 2.0),
+      (3L, 120L, 3L, "I", 3.0), (5L, 130L, 4L, "I", 5.0),
+      (5L, 140L, 5L, "D", 0.0), (1L, 150L, 6L, "U", 1.5),
+      // ---- every split point below 200 keeps history < batch ----
+      (1L, 200L, 7L, "U", 1.6), (1L, 210L, 8L, "U", 1.7),
+      (2L, 220L, 9L, "D", 0.0), (4L, 230L, 10L, "I", 4.0),
+      (5L, 240L, 11L, "I", 5.5))
+    val full = history(stream: _*)
+    for (split <- Seq(160L, 205L, 225L)) {
+      val got = merged(stream.filter(_._2 < split), stream.filter(_._2 >= split))
+      assert(got === full, s"split at $split diverged from the full rebuild")
+    }
+  }
+
+  test("scd2Merge: a batch-only run over an empty history is just scd2") {
+    val batch = Seq((1L, 100L, 1L, "I", 1.0), (1L, 200L, 2L, "U", 2.0))
+    assert(merged(Seq((9L, 10L, 0L, "I", 9.0)), batch)
+      .filter(_._1 == 1L) === history(batch: _*))
+  }
+
+  test("scd2Merge: the history side does not shuffle under the broadcast bound") {
+    val hist = ChangeHistory.scd2(
+      Seq((1L, 100L, 1L, "I", 1.0)).toDF("k", "ts", "seq", "op", "v"),
+      col("k"), col("ts"), col("seq"), col("op"), Seq("v" -> col("v")))
+      .localCheckpoint(true)
+    val out = ChangeHistory.scd2Merge(hist,
+      Seq((1L, 200L, 2L, "U", 2.0)).toDF("k", "ts", "seq", "op", "v"),
+      col("k"), col("ts"), col("seq"), col("op"), Seq("v" -> col("v")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"first-change keys must broadcast into the history join:\n$plan")
+  }
 }

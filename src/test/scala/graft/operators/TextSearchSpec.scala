@@ -135,4 +135,37 @@ class TextSearchSpec extends SparkSpec {
     val b = TextSearch.bm25TopK(docs.repartition(7), "spark slow", k = 10).collect().toSeq
     assert(a === b)
   }
+
+  private def r8(x: Double) =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: closed-form fusion — a doc ranked by both lists beats single-list leaders") {
+    // list A: 10 first, 20 second; list B: 20 first, 30 second.
+    // doc 20 (rank 2 + rank 1) must outrank both single-list rank-1 docs.
+    val a = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rank")
+    val out = TextSearch.rrfFuse(Seq(a, b), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val c1 = r8(1.0 / 61); val c2 = r8(1.0 / 62)
+    assert(out === Seq((20L, c1 + c2, 2L), (10L, c1, 1L), (30L, c2, 1L)),
+      s"fusion: $out")
+  }
+
+  test("rrfFuse: single-list ties break by doc_id; topK bounds; k0 shifts weights") {
+    val a = Seq((5L, 1), (3L, 1)).toDF("doc_id", "rank") // equal ranks
+    val out = TextSearch.rrfFuse(Seq(a), topK = 1).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 3L)
+    val k5 = TextSearch.rrfFuse(Seq(a), topK = 2, k0 = 5).collect()
+      .map(_.getDouble(1)).toSeq
+    assert(k5 === Seq(r8(1.0 / 6), r8(1.0 / 6)))
+  }
+
+  test("rrfFuse is deterministic under repartition") {
+    val a = (1 to 50).map(i => (i.toLong, i)).toDF("doc_id", "rank")
+    val b = (1 to 50).map(i => ((51 - i).toLong, i)).toDF("doc_id", "rank")
+    val x = TextSearch.rrfFuse(Seq(a, b), topK = 10).collect().toSeq
+    val y = TextSearch.rrfFuse(Seq(a.repartition(7), b.repartition(3)), topK = 10)
+      .collect().toSeq
+    assert(x === y && x.nonEmpty)
+  }
 }
