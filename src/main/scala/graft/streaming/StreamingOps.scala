@@ -544,6 +544,121 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SCD2 history maintenance — the live end of the
+    * batch ↔ incremental ↔ streaming triple the engine keeps for its
+    * operators (q112 builds the history from a full change log, q120's
+    * `ChangeHistory.scd2Merge` folds one batch in; this keeps the
+    * history CURRENT under a live CDC change stream). The store has
+    * two areas matching the data's two temperatures:
+    *
+    *  - `closed/` — APPEND-ONLY: a version whose end is known never
+    *    changes again; each micro-batch overwrites only its own
+    *    `__ingest_batch=<id>` partition there (the
+    *    [[dedupedIngestToStore]] idempotence contract), so a year of
+    *    history costs zero rewrites;
+    *  - `open/` — the live snapshot, one row per key with an open
+    *    version, VERSIONED per batch: `__ingest_batch=<id>` holds the
+    *    full open set AFTER folding batch id, so a crash-replay reads
+    *    the exact pre-crash state (strictly `< id`) and recomputes
+    *    identical outputs. The open set is key-bounded —
+    *    dimension-table-sized, never stream-sized; reclaim superseded
+    *    snapshots with [[gcScd2OpenSnapshots]].
+    *
+    * Per batch: `merge = scd2Merge(openAsOf, batch)`; the closed-now
+    * rows land in `closed/`, the new open set becomes the next
+    * snapshot. Both are deterministic functions of (openAsOf, batch),
+    * so the at-least-once foreachBatch contract is effectively
+    * exactly-once. Ordering contract is [[graft.operators.ChangeHistory.scd2Merge]]'s:
+    * the CDC stream delivers changes in (ts, seq) order across batches
+    * — exactly what the (lsn, seq) replication discipline provides. */
+  def scd2IngestToStore(changes: DataFrame, storePath: String, checkpoint: String,
+                        key: org.apache.spark.sql.Column,
+                        tsMicros: org.apache.spark.sql.Column,
+                        seq: org.apache.spark.sql.Column,
+                        op: org.apache.spark.sql.Column,
+                        values: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.ChangeHistory
+        val merged = latestOpenSnapshot(spark, s"$storePath/open", beforeBatch = id)
+          match {
+            case Some(open) =>
+              ChangeHistory.scd2Merge(open, batch, key, tsMicros, seq, op, values)
+            case None =>
+              ChangeHistory.scd2(batch, key, tsMicros, seq, op, values)
+          }
+        // pin once (open-set + batch scale): the two writes below split it
+        val pinned = merged.localCheckpoint(true)
+        try {
+          pinned.filter(!col("is_current")).write.mode("overwrite")
+            .parquet(s"$storePath/closed/$IngestBatchCol=$id")
+          pinned.filter(col("is_current")).write.mode("overwrite")
+            .parquet(s"$storePath/open/$IngestBatchCol=$id")
+        } finally pinned.unpersist()
+      }
+      .start()
+
+  /** The newest committed open-set snapshot strictly before
+    * `beforeBatch` — the as-of read a crash-replayed batch needs. */
+  private def latestOpenSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                 openPath: String,
+                                 beforeBatch: Long): Option[DataFrame] = {
+    val dir = new java.io.File(openPath)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+      .flatMap(_.getName.stripPrefix(s"$IngestBatchCol=").toLongOption)
+      .filter(_ < beforeBatch)
+      .maxOption
+      .map(b => spark.read.parquet(s"$openPath/$IngestBatchCol=$b"))
+  }
+
+  /** Read a [[scd2IngestToStore]] history: every closed version ever
+    * written plus the latest open snapshot — exactly the table a full
+    * `ChangeHistory.scd2` rebuild of the concatenated change stream
+    * would produce (Scd2IngestSpec ties them row-for-row). None before
+    * the first batch. */
+  def readScd2Store(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String): Option[DataFrame] = {
+    val closedPath = s"$storePath/closed"
+    val dir = new java.io.File(closedPath)
+    val hasClosed = dir.isDirectory &&
+      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+    val closed =
+      if (!hasClosed) None
+      else
+        try Some(spark.read.parquet(closedPath).drop(IngestBatchCol))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val open = latestOpenSnapshot(spark, s"$storePath/open", Long.MaxValue)
+    (closed, open) match {
+      case (Some(c), Some(o)) => Some(c.unionByName(o))
+      case (c, o) => c.orElse(o)
+    }
+  }
+
+  /** Reclaim open-set snapshots superseded by the newest one. Safe any
+    * time the stream is between batches (a replayed batch only ever
+    * reads snapshots strictly below its own id, and the newest
+    * committed snapshot survives). Returns directories removed. */
+  def gcScd2OpenSnapshots(storePath: String): Int = {
+    val dir = new java.io.File(s"$storePath/open")
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+      .flatMap(f => f.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.map((_, f)))
+      .sortBy(_._1)
+    if (parts.length <= 1) 0
+    else parts.dropRight(1).map { case (_, f) =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f); 1
+    }.sum
+  }
+
   /** [[dedupedIngestToStore]] with the FULL curation gate in front —
     * the streaming end-state of `Curation.curate`: each micro-batch is
     * markup-cleaned (optional), quality-gated, repetition-gated and
