@@ -152,7 +152,8 @@ object SparkEntry {
     "q117_dedup_sweep" -> (PipelineQueries.q117DedupSweep _),
     "q118_badword_gate" -> (PipelineQueries.q118BadwordGate _),
     "q119_hybrid_rrf" -> (PipelineQueries.q119HybridRrf _),
-    "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _)
+    "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _),
+    "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(

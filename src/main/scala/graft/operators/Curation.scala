@@ -193,6 +193,38 @@ object Curation {
     }
   }
 
+  /** Corpus snapshot diff — the release audit between two corpus
+    * versions (the "what changed since v1" table a dataset card
+    * publishes — Gebru et al. 2021 datasheets practice — and the
+    * sanity gate before shipping a re-curated corpus: did the new
+    * threshold REALLY only drop near-dups?). Per document id:
+    * `added` / `removed` / `changed` (content hash differs) /
+    * `unchanged`. Ids are unique per snapshot by the store contract.
+    *
+    * Scale shape: content compares on md5(text) computed row-locally
+    * BEFORE the join, so the one full-outer id join — the only
+    * shuffle — exchanges (id, hash) rows, never document text; with
+    * both snapshots bucketed/partitioned by id the join co-locates
+    * and the shuffle disappears entirely. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   key: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = before.select(col(key).as("__k"), md5(col(textCol)).as("__ha"))
+    val b = after.select(col(key).as("__k"), md5(col(textCol)).as("__hb"))
+    a.join(b, Seq("__k"), "full_outer")
+      .select(col("__k").as(key),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** The release-notes rollup of [[snapshotDiff]]: status → count. */
+  def snapshotDiffSummary(before: DataFrame, after: DataFrame,
+                          key: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    snapshotDiff(before, after, key, textCol)
+      .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+
   /** The per-increment gate prefix of [[curate]] for micro-batch /
     * incremental use: optional [[listGate]] blocklist FIRST, optional
     * markup cleaning, then quality gate → repetition gate → exact

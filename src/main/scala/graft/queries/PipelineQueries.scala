@@ -558,6 +558,26 @@ object PipelineQueries {
     graft.operators.TextSearch.rrfFuse(Seq(lex, sem), topK = 10)
   }
 
+  /** q121: corpus snapshot diff (`Curation.snapshotDiff`) — the
+    * release audit between two corpus versions. The "v2" snapshot is
+    * derived deterministically in both engines: every doc_id % 10 == 1
+    * document is dropped (removed), every % 7 == 0 surviving document
+    * gets an appended edit (changed), and 30 fresh documents arrive at
+    * doc_id + 10000 (added); everything else is unchanged. Hard
+    * oracle: one FULL OUTER id join over row-local content hashes. */
+  def q121SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("fresh capture "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+    graft.operators.Curation.snapshotDiff(docs, v2).orderBy("doc_id")
+  }
+
   /** q120: incremental SCD2 merge (`ChangeHistory.scd2Merge`) — the
     * micro-batch continuation of q112: the change stream is cut at its
     * time midpoint, the first half builds a standing history, the
@@ -2937,6 +2957,23 @@ object PipelineQueries {
           |      FROM u GROUP BY doc_id)
           |SELECT doc_id, rrf_dec::DOUBLE AS rrf, n_lists
           |FROM f ORDER BY rrf_dec DESC, doc_id LIMIT 10""".stripMargin,
+      "q121_snapshot_diff" ->
+        """WITH v2 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 1
+          |  UNION ALL
+          |  SELECT doc_id + 10000, 'fresh capture ' || text
+          |  FROM documents WHERE doc_id < 30),
+          |a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+          |b AS (SELECT doc_id, md5(text) AS hb FROM v2)
+          |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |  CASE WHEN a.doc_id IS NULL THEN 'added'
+          |       WHEN b.doc_id IS NULL THEN 'removed'
+          |       WHEN ha = hb THEN 'unchanged'
+          |       ELSE 'changed' END AS status
+          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "q120_scd2_merge" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op

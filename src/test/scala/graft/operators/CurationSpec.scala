@@ -209,6 +209,26 @@ class CurationSpec extends SparkSpec {
     assert(gated === Set(1L))
   }
 
+  test("snapshotDiff: all four statuses; text never rides the exchange") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(v1, v2)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    val sum = Curation.snapshotDiffSummary(v1, v2)
+      .as[(String, Long)].collect().toSeq
+    assert(sum === Seq(("added", 1L), ("changed", 1L),
+      ("removed", 1L), ("unchanged", 1L)))
+    // the join exchanges (id, hash) projections — the text column must
+    // be pruned before the shuffle
+    val plan = Curation.snapshotDiff(v1, v2).queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Exchange[^+]*text.*") ||
+      !plan.contains("text"), s"text must not reach the exchange:\n$plan")
+    // identical snapshots: everything unchanged
+    assert(Curation.snapshotDiff(v1, v1).filter($"status" =!= "unchanged").count() === 0L)
+  }
+
   test("curate: clean corpus passes every stage untouched") {
     val clean = Seq(
       (1L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
