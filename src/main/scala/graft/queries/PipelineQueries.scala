@@ -589,19 +589,28 @@ object PipelineQueries {
     * semantics, the q109 scalable-vs-naive oracle pattern. */
   def q120Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.ChangeHistory
+    // even-user slice: a different change stream than q112's, and one
+    // that is non-empty at EVERY sf (sf0.001 only has users 0-14)
     val ev = t(spark, dir, "events")
-      .filter(col("user_id") >= 100 && col("user_id") < 200)
+      .filter(col("user_id") % 2 === 0)
       .withColumn("__us", graft.Tables.epochMicros(col("ts")))
-    val mm = ev.agg(min("__us").as("a"), max("__us").as("b")).head()
-    val tSplit = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
     val op = when(col("event_id") % 19 === 0, lit("D")).otherwise(lit("U"))
     val vals = Seq("value" -> col("value"))
-    val hist = ChangeHistory.scd2(
-      ev.filter(col("__us") < tSplit), key = col("user_id"),
-      tsMicros = col("__us"), seq = col("event_id"), op = op, values = vals)
-    ChangeHistory.scd2Merge(hist, ev.filter(col("__us") >= tSplit),
-        key = col("user_id"), tsMicros = col("__us"), seq = col("event_id"),
-        op = op, values = vals)
+    val mm = ev.agg(min("__us").as("a"), max("__us").as("b")).head()
+    val out =
+      if (mm.isNullAt(0))
+        ChangeHistory.scd2(ev, key = col("user_id"), tsMicros = col("__us"),
+          seq = col("event_id"), op = op, values = vals)
+      else {
+        val tSplit = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val hist = ChangeHistory.scd2(
+          ev.filter(col("__us") < tSplit), key = col("user_id"),
+          tsMicros = col("__us"), seq = col("event_id"), op = op, values = vals)
+        ChangeHistory.scd2Merge(hist, ev.filter(col("__us") >= tSplit),
+          key = col("user_id"), tsMicros = col("__us"), seq = col("event_id"),
+          op = op, values = vals)
+      }
+    out
       .select(col("key").as("user_id"), col("change_id"), col("value"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
       .orderBy("user_id", "valid_from_us", "change_id")
@@ -2977,7 +2986,7 @@ object PipelineQueries {
       "q120_scd2_merge" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
-          |           FROM events WHERE user_id >= 100 AND user_id < 200),
+          |           FROM events WHERE user_id % 2 = 0),
           |v AS (SELECT user_id, event_id, op, value, ts_us,
           |        LEAD(ts_us) OVER (PARTITION BY user_id
           |                          ORDER BY ts_us, event_id) AS vt
