@@ -153,7 +153,8 @@ object SparkEntry {
     "q118_badword_gate" -> (PipelineQueries.q118BadwordGate _),
     "q119_hybrid_rrf" -> (PipelineQueries.q119HybridRrf _),
     "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _),
-    "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _)
+    "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _),
+    "q122_nb_langid" -> (PipelineQueries.q122NbLangid _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -99,6 +99,89 @@ object QualityClassifier {
                  broadcastVocabLimit: Long = 2000000L,
                  ordered: Boolean = true): DataFrame =
     score(candidates, train(pos, neg), broadcastVocabLimit, ordered)
+
+  /** Multiclass multinomial naive Bayes — the supervised classifier
+    * behind langid.py (Lui & Baldwin 2012) and fastText-supervised
+    * label tasks (Joulin et al. 2017): language ID, domain routing —
+    * generalizing the binary [[train]]/[[score]] pair to an arbitrary
+    * label column. Add-1 smoothing; prediction is
+    * argmax_l [ ln p(l) + Σ_t ln p(t|l) ] with the per-doc scores
+    * compared on their exact 4-decimal DECIMAL form, ties to the
+    * lexicographically FIRST label (the q84 convention — the verdict
+    * is engine-independent).
+    *
+    * Scale shape: ONE seed-side aggregate pivots (tok, label) counts
+    * into a seed-vocab-sized weight table — labels are BOUNDED driver
+    * metadata, one pivot column each; label totals and priors are
+    * label-cardinality scalars. Candidates explode once, LEFT-join
+    * the weight table (size-dispatched: broadcast under
+    * `broadcastVocabLimit`, shuffle-hash with the AQE skew backstop
+    * above it — a hot token only skews the probe side) and aggregate
+    * per doc: the candidate corpus shuffles exactly once. Tokens the
+    * training vocab never saw take each label's smoothing-only
+    * weight; docs with no tokens fall back to the prior argmax via
+    * the final left join.
+    *
+    * Output per candidate: (doc_id, n_toks, pred, score) — score is
+    * the winning label's posterior log-score as DOUBLE (null for a
+    * token-free doc). */
+  def trainScoreMulti(candidates: DataFrame, seeds: DataFrame,
+                      labelCol: Column,
+                      broadcastVocabLimit: Long = 2000000L): DataFrame = {
+    val lblSeeds = seeds.withColumn("__lbl", labelCol.cast("string"))
+      .filter(col("__lbl").isNotNull)
+    val labels = lblSeeds.select("__lbl").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.nonEmpty, "trainScoreMulti: no labels in seeds")
+    def cnt(l: String) = s"__c_$l"
+    val counts0 = lblSeeds
+      .select(col("__lbl"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").pivot("__lbl", labels).agg(count(lit(1)))
+      .select(col("tok") +:
+        labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(cnt(l))): _*)
+    val counts = Storage.track(counts0.localCheckpoint(true))
+    val totRow = counts.agg(count(lit(1)).as("__v"),
+      labels.map(l => sum(col(cnt(l))).as(s"__n_$l")): _*).head()
+    val v = totRow.getLong(0).toDouble
+    val nl = labels.zipWithIndex.map { case (l, i) =>
+      l -> totRow.getLong(i + 1).toDouble
+    }.toMap
+    val docCounts = lblSeeds.groupBy("__lbl").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val totalDocs = docCounts.values.sum
+    val prior = labels.map(l => l -> math.log(docCounts(l) / totalDocs)).toMap
+    val w0 = labels.map(l => l -> math.log(1.0 / (nl(l) + v))).toMap
+    val weights = counts.select(col("tok") +: labels.map(l =>
+      log((col(cnt(l)) + 1L).cast(DoubleType) / lit(nl(l) + v)).as(s"__w_$l")): _*)
+    val dispatched =
+      if (SizeDispatch.atMost(weights, broadcastVocabLimit)) broadcast(weights)
+      else weights.hint("shuffle_hash")
+    // unlike the binary score (whose oracle counts them), empty tokens
+    // are dropped on BOTH sides here — a whitespace-only doc routes to
+    // the prior-argmax fallback, not a smoothing-only "score"
+    val scored = toks(candidates).filter(col("tok") =!= "")
+      .join(dispatched, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        labels.map(l => (lit(prior(l)) + sum(coalesce(col(s"__w_$l"), lit(w0(l)))))
+          .cast(DecimalType(14, 4)).as(s"__s_$l")): _*)
+    val (bestLbl, bestScore) = labels.tail.foldLeft(
+      (lit(labels.head): Column, col(s"__s_${labels.head}"))) {
+      case ((bl, bs), l) =>
+        (when(col(s"__s_$l") > bs, lit(l)).otherwise(bl),
+          when(col(s"__s_$l") > bs, col(s"__s_$l")).otherwise(bs))
+    }
+    val perDoc = scored.select(col("doc_id"), col("n_toks"),
+      bestLbl.as("__pred"), bestScore.cast(DoubleType).as("score"))
+    val priorArgmax = labels.minBy(l => (-prior(l), l))
+    candidates.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("__pred"), lit(priorArgmax)).as("pred"),
+        col("score"))
+      .orderBy("doc_id")
+  }
 
   /** Calibration table — the operating-point sheet every filter paper
     * publishes before picking a threshold (the llr > 0 default in

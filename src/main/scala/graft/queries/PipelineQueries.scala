@@ -578,6 +578,25 @@ object PipelineQueries {
     graft.operators.Curation.snapshotDiff(docs, v2).orderBy("doc_id")
   }
 
+  /** q122: trained multiclass NB language classifier
+    * (`QualityClassifier.trainScoreMulti` — the langid.py /
+    * fastText-supervised pattern, the LEARNED complement of q29's
+    * n-gram heuristic langid): train per-language token models on the
+    * md5-half of the corpus (the q114 stable split), predict the
+    * held-out half's language, compare to the truth column. Hard
+    * oracle: the pivoted count / smoothed log-weight / argmax chain
+    * mirrored with the same fold order and DECIMAL(14,4) compare. */
+  def q122NbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val half = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    graft.operators.QualityClassifier.trainScoreMulti(
+        candidates = docs.filter(half), seeds = docs.filter(!half),
+        labelCol = col("lang"))
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .withColumn("match", col("pred") === col("actual"))
+      .orderBy("doc_id")
+  }
+
   /** q120: incremental SCD2 merge (`ChangeHistory.scd2Merge`) — the
     * micro-batch continuation of q112: the change stream is cut at its
     * time midpoint, the first half builds a standing history, the
@@ -2983,6 +3002,72 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q122_nb_langid" -> {
+        // label set is static here (the synthetic corpus carries these
+        // five langs in every md5-half at every sf); the Spark side
+        // derives it from the train half and sorts — identical order
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val cCols = langs.map(l =>
+          s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
+        val nCols = langs.map(l => s"SUM(c_$l)::DOUBLE AS n_$l").mkString(", ")
+        val dCols = langs.map(l =>
+          s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::DOUBLE AS d_$l")
+          .mkString(", ")
+        val tCols = langs.map(l =>
+          s"SUM(COALESCE(ln((c_$l + 1) / (n_$l + v)), ln(1.0 / (n_$l + v)))) AS t_$l")
+          .mkString(",\n|         ")
+        val sCols = langs.map(l =>
+          s"CAST(ln((SELECT d_$l FROM dc) / (SELECT td FROM dc)) + t_$l AS DECIMAL(14,4)) AS s_$l")
+          .mkString(",\n|         ")
+        // argmax fold in sorted label order, strict > so ties keep the
+        // earlier label — the exact Spark fold
+        val (lblFold, _) = langs.tail.foldLeft(
+          (s"'${langs.head}'", s"s_${langs.head}")) { case ((lb, bb), l) =>
+          (s"CASE WHEN s_$l > $bb THEN '$l' ELSE $lb END",
+            s"CASE WHEN s_$l > $bb THEN s_$l ELSE $bb END")
+        }
+        val (_, bestFold) = langs.tail.foldLeft(
+          (s"'${langs.head}'", s"s_${langs.head}")) { case ((lb, bb), l) =>
+          (s"CASE WHEN s_$l > $bb THEN '$l' ELSE $lb END",
+            s"CASE WHEN s_$l > $bb THEN s_$l ELSE $bb END")
+        }
+        val (paFold, _) = langs.tail.foldLeft(
+          (s"'${langs.head}'", s"p_${langs.head}")) { case ((lb, bb), l) =>
+          (s"CASE WHEN p_$l > $bb THEN '$l' ELSE $lb END",
+            s"CASE WHEN p_$l > $bb THEN p_$l ELSE $bb END")
+        }
+        val pCols = langs.map(l => s"ln(d_$l / td) AS p_$l").mkString(", ")
+        s"""WITH tr AS (SELECT doc_id, text, lang FROM documents
+           |            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+           |te AS (SELECT doc_id, text FROM documents
+           |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+           |tk AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM tr),
+           |c AS (SELECT tok, $cCols FROM tk WHERE tok <> '' GROUP BY tok),
+           |tot AS (SELECT COUNT(*)::DOUBLE AS v, $nCols FROM c),
+           |dc AS (SELECT COUNT(*)::DOUBLE AS td, $dCols FROM tr),
+           |pa AS (SELECT $paFold AS prior_pred
+           |       FROM (SELECT $pCols FROM dc)),
+           |ctk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |        FROM te),
+           |sums AS (SELECT doc_id, COUNT(*) AS n_toks,
+           |         $tCols
+           |         FROM (SELECT * FROM ctk WHERE tok <> '') q
+           |         LEFT JOIN c USING (tok) CROSS JOIN tot GROUP BY doc_id),
+           |sc AS (SELECT doc_id, n_toks,
+           |         $sCols
+           |       FROM sums),
+           |am AS (SELECT doc_id, n_toks,
+           |         $lblFold AS pred,
+           |         CAST($bestFold AS DOUBLE) AS score
+           |       FROM sc)
+           |SELECT te.doc_id, COALESCE(am.n_toks, 0) AS n_toks,
+           |  COALESCE(am.pred, (SELECT prior_pred FROM pa)) AS pred,
+           |  am.score, d.lang AS actual,
+           |  COALESCE(am.pred, (SELECT prior_pred FROM pa)) = d.lang AS match
+           |FROM te LEFT JOIN am ON te.doc_id = am.doc_id
+           |JOIN documents d ON te.doc_id = d.doc_id
+           |ORDER BY te.doc_id""".stripMargin
+      },
       "q120_scd2_merge" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op

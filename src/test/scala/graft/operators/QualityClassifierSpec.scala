@@ -102,4 +102,50 @@ class QualityClassifierSpec extends SparkSpec {
     // the held-out set is a strict subset of the 120 seed ids, non-empty
     assert(tp + fp + fn < 120 && tp + fn > 0)
   }
+
+  test("trainScoreMulti: separable labels classify perfectly; unseen vocab falls to priors") {
+    import org.apache.spark.sql.functions.col
+    val seeds = Seq(
+      (1L, "hund katze maus hund", "de"), (2L, "katze hund", "de"),
+      (3L, "dog cat mouse", "en"), (4L, "cat dog dog", "en"), (5L, "mouse dog", "en"),
+      (6L, "chien chat", "fr"), (7L, "chat souris chien", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val cands = Seq(
+      (10L, "hund hund katze"), (11L, "dog mouse"), (12L, "chat chien chien"),
+      (13L, "zzz qqq"), // unseen vocab everywhere -> every token takes w0 -> prior argmax
+      (14L, "")         // no tokens -> prior-argmax fallback, n_toks 0
+    ).toDF("doc_id", "text")
+    val got = QualityClassifier.trainScoreMulti(cands, seeds, col("lang"))
+      .select("doc_id", "n_toks", "pred")
+      .as[(Long, Long, String)].collect().toSeq
+    // en has the most seed docs AND the most tokens -> prior and w0 argmax
+    assert(got === Seq((10L, 3L, "de"), (11L, 2L, "en"), (12L, 3L, "fr"),
+      (13L, 2L, "en"), (14L, 0L, "en")), s"got $got")
+  }
+
+  test("trainScoreMulti: exact score ties break to the lexicographically first label") {
+    import org.apache.spark.sql.functions.col
+    // perfectly symmetric classes: same doc count, same token counts
+    val seeds = Seq(
+      (1L, "aaa bbb", "l2"), (2L, "ccc ddd", "l1")
+    ).toDF("doc_id", "text", "lang")
+    // a doc of one token from each class scores identically under both
+    val cands = Seq((10L, "aaa ccc")).toDF("doc_id", "text")
+    val got = QualityClassifier.trainScoreMulti(cands, seeds, col("lang"))
+      .select("pred").as[String].collect().toSeq
+    assert(got === Seq("l1"))
+  }
+
+  test("trainScoreMulti is deterministic under repartition") {
+    import org.apache.spark.sql.functions.col
+    val seeds = (0L until 80L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon zeta",
+        if (i % 2 == 0) "a" else "b")).toDF("doc_id", "text", "lang")
+    val cands = (100L until 140L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta" else "zeta delta")).toDF("doc_id", "text")
+    val x = QualityClassifier.trainScoreMulti(cands, seeds, col("lang")).collect().toSeq
+    val y = QualityClassifier.trainScoreMulti(
+      cands.repartition(7), seeds.repartition(5), col("lang")).collect().toSeq
+    assert(x === y && x.nonEmpty)
+  }
 }
