@@ -154,7 +154,8 @@ object SparkEntry {
     "q119_hybrid_rrf" -> (PipelineQueries.q119HybridRrf _),
     "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _),
     "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _),
-    "q122_nb_langid" -> (PipelineQueries.q122NbLangid _)
+    "q122_nb_langid" -> (PipelineQueries.q122NbLangid _),
+    "q123_pipeline_v5" -> (PipelineQueries.q123PipelineV5 _)
   )
 
   def oracleSql: Map[String, String] = Map(

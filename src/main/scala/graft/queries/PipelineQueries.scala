@@ -597,6 +597,55 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q123: composed r13-late pipeline (the q94/q100/q105 pattern over
+    * THIS session's gates — proof the new operators compose in the
+    * published order): sentinel-planted corpus → domain blocklist
+    * (q102) → badword text gate (q118, hard rule) → LEARNED
+    * language-ID gate (q122's NB model, trained on the held-out
+    * md5-half, keep pred = 'en') → temperature mixture (q97), ONE
+    * query with a five-row integer manifest. The gate chain up to the
+    * langid fan-out is row-local and PINS there (the q94 staging
+    * contract: the NB scoring branch and the semi-join probe both
+    * read the pin, and the o0–o2 observes fire exactly once, on the
+    * pin materialization); o3 and the manifest's mix count ride the
+    * mix's own two actions — zero extra count jobs. Hard oracle: the
+    * q118 token chain, the shared `nbLangidCtes` body and the q97 mix
+    * block composed as one CTE chain. */
+  def q123PipelineV5(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    import scala.concurrent.duration._
+    import graft.operators.{Curation, Packing, QualityClassifier, Storage}
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val half = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    val planted = docs.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(" grawlix")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(" Obscenix, profanix! obscenix")).otherwise(lit(""))))
+    val Seq(o0, o1, o2, o3) = Seq.fill(4)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
+    val bl = Seq("src2", "src5").toDF("source")
+    val s1 = Curation.listGate(counted(planted.filter(half), o0), bl, "source")
+      .transform(counted(_, o1))
+    val s2 = counted(
+      Curation.badwordGate(s1, Seq("grawlix", "obscenix", "profanix")), o2)
+    val s2p = Storage.track(s2.localCheckpoint(true))
+    val keep = QualityClassifier
+      .trainScoreMulti(s2p, docs.filter(!half), col("lang"))
+      .filter(col("pred") === "en").select("doc_id")
+    val s3 = counted(s2p.join(keep, Seq("doc_id"), "left_semi"), o3)
+    val sel = Packing.temperatureMix(s3, totalTokens = 5000L, alpha = 0.5,
+      sourceCol = col("source"), tokenCol = TA.wsTokenCount(col("text")),
+      key = col("doc_id"))
+    val n4 = sel.count()
+    def n(o: Observation): Long =
+      scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+    Seq(("0_input", n(o0)), ("1_blocklist", n(o1)), ("2_badword", n(o2)),
+      ("3_langid", n(o3)), ("4_mix", n4))
+      .toDF("stage", "n_docs").orderBy("stage")
+  }
+
   /** q120: incremental SCD2 merge (`ChangeHistory.scd2Merge`) — the
     * micro-batch continuation of q112: the change stream is cut at its
     * time midpoint, the first half builds a standing history, the
@@ -2217,6 +2266,61 @@ object PipelineQueries {
       l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
     }.toMap
     val allStops = TA.StopWords.flatMap(_._2).map(w => s"'$w'").mkString("(", ",", ")")
+    /** The q122/q123 shared NB-langid scoring chain: train the
+      * multiclass NB on the md5-UPPER half of documents (original,
+      * unplanted text), score the rows of `teSrc` (doc_id, text).
+      * Emits CTEs tr/tk/c/tot/dc/pa/ctk/sums/sc/am — one SQL body, so
+      * the standalone classifier and the composed pipeline's langid
+      * gate cannot drift. Label set is static (the synthetic corpus
+      * carries these five langs in every md5-half at every sf); the
+      * Spark side derives it from the train half and sorts —
+      * identical order. The argmax folds in sorted label order with
+      * strict >, so ties keep the earlier label — the exact Spark
+      * fold. */
+    def nbLangidCtes(teSrc: String): String = {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cCols = langs.map(l =>
+        s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
+      val nCols = langs.map(l => s"SUM(c_$l)::DOUBLE AS n_$l").mkString(", ")
+      val dCols = langs.map(l =>
+        s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::DOUBLE AS d_$l")
+        .mkString(", ")
+      val tCols = langs.map(l =>
+        s"SUM(COALESCE(ln((c_$l + 1) / (n_$l + v)), ln(1.0 / (n_$l + v)))) AS t_$l")
+        .mkString(",\n|         ")
+      val sCols = langs.map(l =>
+        s"CAST(ln((SELECT d_$l FROM dc) / (SELECT td FROM dc)) + t_$l AS DECIMAL(14,4)) AS s_$l")
+        .mkString(",\n|         ")
+      def fold(pfx: String) = langs.tail.foldLeft(
+        (s"'${langs.head}'", s"${pfx}_${langs.head}")) { case ((lb, bb), l) =>
+        (s"CASE WHEN ${pfx}_$l > $bb THEN '$l' ELSE $lb END",
+          s"CASE WHEN ${pfx}_$l > $bb THEN ${pfx}_$l ELSE $bb END")
+      }
+      val (lblFold, bestFold) = fold("s")
+      val (paFold, _) = fold("p")
+      val pCols = langs.map(l => s"ln(d_$l / td) AS p_$l").mkString(", ")
+      s"""tr AS (SELECT doc_id, text, lang FROM documents
+         |            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+         |tk AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM tr),
+         |c AS (SELECT tok, $cCols FROM tk WHERE tok <> '' GROUP BY tok),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS v, $nCols FROM c),
+         |dc AS (SELECT COUNT(*)::DOUBLE AS td, $dCols FROM tr),
+         |pa AS (SELECT $paFold AS prior_pred
+         |       FROM (SELECT $pCols FROM dc)),
+         |ctk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM $teSrc),
+         |sums AS (SELECT doc_id, COUNT(*) AS n_toks,
+         |         $tCols
+         |         FROM (SELECT * FROM ctk WHERE tok <> '') q
+         |         LEFT JOIN c USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         |sc AS (SELECT doc_id, n_toks,
+         |         $sCols
+         |       FROM sums),
+         |am AS (SELECT doc_id, n_toks,
+         |         $lblFold AS pred,
+         |         CAST($bestFold AS DOUBLE) AS score
+         |       FROM sc)""".stripMargin
+    }
     /** The composed-curation oracle (q68/q102), parameterized on the
       * corpus slice and an optional stage-0 blocklist predicate — one
       * SQL body, so the two manifests cannot drift from each other. */
@@ -3002,72 +3106,57 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
-      "q122_nb_langid" -> {
-        // label set is static here (the synthetic corpus carries these
-        // five langs in every md5-half at every sf); the Spark side
-        // derives it from the train half and sorts — identical order
-        val langs = Seq("de", "en", "es", "fr", "zh")
-        val cCols = langs.map(l =>
-          s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
-        val nCols = langs.map(l => s"SUM(c_$l)::DOUBLE AS n_$l").mkString(", ")
-        val dCols = langs.map(l =>
-          s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::DOUBLE AS d_$l")
-          .mkString(", ")
-        val tCols = langs.map(l =>
-          s"SUM(COALESCE(ln((c_$l + 1) / (n_$l + v)), ln(1.0 / (n_$l + v)))) AS t_$l")
-          .mkString(",\n|         ")
-        val sCols = langs.map(l =>
-          s"CAST(ln((SELECT d_$l FROM dc) / (SELECT td FROM dc)) + t_$l AS DECIMAL(14,4)) AS s_$l")
-          .mkString(",\n|         ")
-        // argmax fold in sorted label order, strict > so ties keep the
-        // earlier label — the exact Spark fold
-        val (lblFold, _) = langs.tail.foldLeft(
-          (s"'${langs.head}'", s"s_${langs.head}")) { case ((lb, bb), l) =>
-          (s"CASE WHEN s_$l > $bb THEN '$l' ELSE $lb END",
-            s"CASE WHEN s_$l > $bb THEN s_$l ELSE $bb END")
-        }
-        val (_, bestFold) = langs.tail.foldLeft(
-          (s"'${langs.head}'", s"s_${langs.head}")) { case ((lb, bb), l) =>
-          (s"CASE WHEN s_$l > $bb THEN '$l' ELSE $lb END",
-            s"CASE WHEN s_$l > $bb THEN s_$l ELSE $bb END")
-        }
-        val (paFold, _) = langs.tail.foldLeft(
-          (s"'${langs.head}'", s"p_${langs.head}")) { case ((lb, bb), l) =>
-          (s"CASE WHEN p_$l > $bb THEN '$l' ELSE $lb END",
-            s"CASE WHEN p_$l > $bb THEN p_$l ELSE $bb END")
-        }
-        val pCols = langs.map(l => s"ln(d_$l / td) AS p_$l").mkString(", ")
-        s"""WITH tr AS (SELECT doc_id, text, lang FROM documents
-           |            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
-           |te AS (SELECT doc_id, text FROM documents
+      "q123_pipeline_v5" ->
+        s"""WITH pl AS (SELECT doc_id, source,
+           |    text || CASE WHEN doc_id % 5 = 0 THEN ' grawlix' ELSE '' END
+           |         || CASE WHEN doc_id % 7 = 0
+           |              THEN ' Obscenix, profanix! obscenix' ELSE '' END AS text
+           |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+           |s1 AS (SELECT * FROM pl WHERE source NOT IN ('src2', 'src5')),
+           |bwt AS (SELECT doc_id,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS tkn
+           |        FROM s1),
+           |s2 AS (SELECT s1.* FROM s1 JOIN bwt USING (doc_id)
+           |       WHERE len(list_filter(bwt.tkn, x -> list_contains(
+           |         ['grawlix', 'obscenix', 'profanix'],
+           |         regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')))) = 0),
+           |${nbLangidCtes("s2")},
+           |s3 AS (SELECT s2.* FROM s2 LEFT JOIN am ON s2.doc_id = am.doc_id
+           |       WHERE COALESCE(am.pred, (SELECT prior_pred FROM pa)) = 'en'),
+           |md AS (SELECT source, doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           |         md5(CAST(doc_id AS VARCHAR)) AS h FROM s3),
+           |msm AS (SELECT source, SUM(tok)::DOUBLE AS st FROM md GROUP BY source),
+           |mz AS (SELECT list_reduce(list_prepend(0.0,
+           |         list(POW(st, 0.5) ORDER BY source)), (a, b) -> a + b) AS z
+           |       FROM msm),
+           |mb AS (SELECT source,
+           |         CAST(ROUND(POW(st, 0.5) / mz.z * 5000 / 50) AS BIGINT) * 50 AS budget
+           |       FROM msm, mz),
+           |mc AS (SELECT source, doc_id, tok,
+           |         SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+           |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           - tok AS bef
+           |       FROM md),
+           |mk AS (SELECT mc.doc_id FROM mc JOIN mb USING (source)
+           |       WHERE mc.bef < mb.budget)
+           |SELECT '0_input' AS stage, (SELECT COUNT(*) FROM pl)::BIGINT AS n_docs
+           |UNION ALL SELECT '1_blocklist', (SELECT COUNT(*) FROM s1)
+           |UNION ALL SELECT '2_badword', (SELECT COUNT(*) FROM s2)
+           |UNION ALL SELECT '3_langid', (SELECT COUNT(*) FROM s3)
+           |UNION ALL SELECT '4_mix', (SELECT COUNT(*) FROM mk)
+           |ORDER BY stage""".stripMargin,
+      "q122_nb_langid" ->
+        s"""WITH te AS (SELECT doc_id, text FROM documents
            |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
-           |tk AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM tr),
-           |c AS (SELECT tok, $cCols FROM tk WHERE tok <> '' GROUP BY tok),
-           |tot AS (SELECT COUNT(*)::DOUBLE AS v, $nCols FROM c),
-           |dc AS (SELECT COUNT(*)::DOUBLE AS td, $dCols FROM tr),
-           |pa AS (SELECT $paFold AS prior_pred
-           |       FROM (SELECT $pCols FROM dc)),
-           |ctk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-           |        FROM te),
-           |sums AS (SELECT doc_id, COUNT(*) AS n_toks,
-           |         $tCols
-           |         FROM (SELECT * FROM ctk WHERE tok <> '') q
-           |         LEFT JOIN c USING (tok) CROSS JOIN tot GROUP BY doc_id),
-           |sc AS (SELECT doc_id, n_toks,
-           |         $sCols
-           |       FROM sums),
-           |am AS (SELECT doc_id, n_toks,
-           |         $lblFold AS pred,
-           |         CAST($bestFold AS DOUBLE) AS score
-           |       FROM sc)
+           |${nbLangidCtes("te")}
            |SELECT te.doc_id, COALESCE(am.n_toks, 0) AS n_toks,
            |  COALESCE(am.pred, (SELECT prior_pred FROM pa)) AS pred,
            |  am.score, d.lang AS actual,
            |  COALESCE(am.pred, (SELECT prior_pred FROM pa)) = d.lang AS match
            |FROM te LEFT JOIN am ON te.doc_id = am.doc_id
            |JOIN documents d ON te.doc_id = d.doc_id
-           |ORDER BY te.doc_id""".stripMargin
-      },
+           |ORDER BY te.doc_id""".stripMargin,
       "q120_scd2_merge" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
