@@ -155,7 +155,8 @@ object SparkEntry {
     "q120_scd2_merge" -> (PipelineQueries.q120Scd2Merge _),
     "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _),
     "q122_nb_langid" -> (PipelineQueries.q122NbLangid _),
-    "q123_pipeline_v5" -> (PipelineQueries.q123PipelineV5 _)
+    "q123_pipeline_v5" -> (PipelineQueries.q123PipelineV5 _),
+    "q124_scd2_asof" -> (PipelineQueries.q124Scd2AsOf _)
   )
 
   def oracleSql: Map[String, String] = Map(

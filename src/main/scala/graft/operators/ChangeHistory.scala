@@ -42,6 +42,19 @@ object ChangeHistory {
       .drop("__op")
   }
 
+  /** Point-in-time dimension snapshot from an SCD2 history — "the
+    * table as of T", the warehouse time-travel read every type-2
+    * consumer runs: rows whose validity interval covers `tsMicros`
+    * (half-open [valid_from, valid_to): a version is visible AT its
+    * change time and invisible at the instant it is superseded — the
+    * Kimball convention [[scd2]]'s lead() bounds encode). A pure
+    * row-local filter: no shuffle, and with the history stored sorted
+    * or partitioned on the validity bounds it prunes to the covering
+    * files at any size. */
+  def snapshotAsOf(history: DataFrame, tsMicros: Long): DataFrame =
+    history.filter(col("valid_from_us") <= tsMicros &&
+      (col("valid_to_us").isNull || col("valid_to_us") > tsMicros))
+
   /** Incremental SCD2 merge — apply a NEW batch of CDC changes to an
     * EXISTING history (the daily/micro-batch warehouse pattern: a full
     * rebuild re-reads the whole change log; the merge touches only the

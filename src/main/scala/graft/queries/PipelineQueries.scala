@@ -597,6 +597,29 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q124: SCD2 point-in-time snapshot (`ChangeHistory.snapshotAsOf`
+    * — the time-travel read of the q112 history: "the dimension table
+    * as of T"): build q112's history and read it at the stream's time
+    * midpoint; half-open interval semantics — a version is visible AT
+    * its change time, invisible the instant it is superseded. Hard
+    * oracle: the q112 chain filtered by the same covering predicate,
+    * T derived with identical integer arithmetic in both engines. */
+  def q124Scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("user_id") < 100)
+      .withColumn("__us", graft.Tables.epochMicros(col("ts")))
+    val mm = ev.agg(min("__us"), max("__us")).head()
+    val tMid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val hist = graft.operators.ChangeHistory.scd2(
+      ev, key = col("user_id"), tsMicros = col("__us"),
+      seq = col("event_id"),
+      op = when(col("event_id") % 19 === 0, lit("D")).otherwise(lit("U")),
+      values = Seq("value" -> col("value")))
+    graft.operators.ChangeHistory.snapshotAsOf(hist, tMid)
+      .select(col("key").as("user_id"), col("change_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us", "change_id")
+  }
+
   /** q123: composed r13-late pipeline (the q94/q100/q105 pattern over
     * THIS session's gates — proof the new operators compose in the
     * published order): sentinel-planted corpus → domain blocklist
@@ -3106,6 +3129,20 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q124_scd2_asof" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
+          |           FROM events WHERE user_id < 100),
+          |mid AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS t FROM c),
+          |v AS (SELECT user_id, event_id, op, value, ts_us,
+          |        LEAD(ts_us) OVER (PARTITION BY user_id
+          |                          ORDER BY ts_us, event_id) AS vt
+          |      FROM c)
+          |SELECT user_id, event_id AS change_id, value,
+          |  ts_us AS valid_from_us, vt AS valid_to_us
+          |FROM v, mid
+          |WHERE op <> 'D' AND ts_us <= mid.t AND (vt IS NULL OR vt > mid.t)
+          |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
       "q123_pipeline_v5" ->
         s"""WITH pl AS (SELECT doc_id, source,
            |    text || CASE WHEN doc_id % 5 = 0 THEN ' grawlix' ELSE '' END

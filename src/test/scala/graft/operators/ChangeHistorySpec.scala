@@ -98,6 +98,28 @@ class ChangeHistorySpec extends SparkSpec {
       .filter(_._1 == 1L) === history(batch: _*))
   }
 
+  test("snapshotAsOf: half-open intervals — visible at change time, gone when superseded") {
+    val hist = ChangeHistory.scd2(
+      Seq((1L, 100L, 1L, "I", 1.0), (1L, 200L, 2L, "U", 2.0),
+        (2L, 150L, 3L, "I", 5.0), (2L, 250L, 4L, "D", 0.0))
+        .toDF("k", "ts", "seq", "op", "v"),
+      col("k"), col("ts"), col("seq"), col("op"), Seq("v" -> col("v")))
+    def at(t: Long): Map[Long, Double] =
+      ChangeHistory.snapshotAsOf(hist, t)
+        .select("key", "v").as[(Long, Double)].collect().toMap
+    assert(at(50L) === Map.empty, "before any change: empty table")
+    assert(at(100L) === Map(1L -> 1.0), "visible AT its own change time")
+    assert(at(199L) === Map(1L -> 1.0, 2L -> 5.0))
+    assert(at(200L) === Map(1L -> 2.0, 2L -> 5.0),
+      "superseded version invisible at the instant of the update")
+    assert(at(250L) === Map(1L -> 2.0), "the delete removes key 2 at its time")
+    assert(at(999L) === Map(1L -> 2.0), "the open version serves forever")
+    // row-local: no shuffle beyond the history build itself
+    val plan = ChangeHistory.snapshotAsOf(hist, 200L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
   test("scd2Merge: the history side does not shuffle under the broadcast bound") {
     val hist = ChangeHistory.scd2(
       Seq((1L, 100L, 1L, "I", 1.0)).toDF("k", "ts", "seq", "op", "v"),
