@@ -719,7 +719,9 @@ object StreamingOps {
                            vecThreshold: Double = 0.95, vecNProbe: Int = 4,
                            rebuildStaleness: Option[Double] = None,
                            blocklist: Option[DataFrame] = None,
-                           blocklistKey: String = "source")
+                           blocklistKey: String = "source",
+                           badwords: Option[Seq[String]] = None,
+                           badwordMaxFrac: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
@@ -737,11 +739,12 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{broadcast, col}
-        // blocklist gate first (same replay caveat as classifierSeeds:
-        // the list must read the same data across restarts — point it
-        // at an immutable snapshot)
+        // blocklist gate first, then the C4 badword text gate (q118),
+        // then the signal battery — the published order; same replay
+        // caveat as classifierSeeds: lists must read the same data
+        // across restarts — point them at immutable snapshots
         val heuristic = graft.operators.Curation.gateBatch(batch, cfg,
-          cleanMarkupFirst, blocklist, blocklistKey)
+          cleanMarkupFirst, blocklist, blocklistKey, badwords, badwordMaxFrac)
         val gated = model.fold(heuristic) { m =>
           // the keep set is bounded by the micro-batch: broadcast semi
           val keep = graft.operators.QualityClassifier.score(heuristic, m)

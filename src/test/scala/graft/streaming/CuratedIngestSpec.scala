@@ -103,6 +103,41 @@ class CuratedIngestSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("curatedIngestToStore: the badword text gate rejects listed-token docs per batch; replay idempotent") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur-bw-in")
+    val store = java.nio.file.Files.createTempDirectory("cur-bw-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-bw-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    writeInput(inDir, "0.json", t0, Seq(
+      (60L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
+      (61L, "a bright green garden grows with one Grawlix! by the quiet river bank today")))
+    writeInput(inDir, "1.json", t0 + 30000, Seq(
+      (70L, "the old sailor tells a long story about distant winter storms near rocky shores"),
+      (71L, "the old sailor tells a grawlix story about distant winter storms near rocky shores")))
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        badwords = Some(Seq("grawlix")))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((60L, 0L), (70L, 1L))
+    assert(storeRows() === expected,
+      "listed-token docs (incl. case/punctuation-wrapped) fall in BOTH batches")
+
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expected)
+  }
+
   test("curatedIngestToStore: the trained classifier gate rejects spam-shaped docs per batch") {
     val inDir = java.nio.file.Files.createTempDirectory("cur4-in")
     val store = java.nio.file.Files.createTempDirectory("cur4-store").toString
