@@ -156,7 +156,8 @@ object SparkEntry {
     "q121_snapshot_diff" -> (PipelineQueries.q121SnapshotDiff _),
     "q122_nb_langid" -> (PipelineQueries.q122NbLangid _),
     "q123_pipeline_v5" -> (PipelineQueries.q123PipelineV5 _),
-    "q124_scd2_asof" -> (PipelineQueries.q124Scd2AsOf _)
+    "q124_scd2_asof" -> (PipelineQueries.q124Scd2AsOf _),
+    "q125_packed_sequences" -> (PipelineQueries.q125PackedSequences _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -45,6 +45,40 @@ object Packing {
       .withColumn("bin", floor((col("cum") - tokenCol) / lit(capacity)))
   }
 
+  /** Materialize the packed training sequences — the LAST MILE to the
+    * data loader (GPT-style sequence packing, Brown et al. 2020 §2.1:
+    * documents concatenate into fixed-capacity contexts in stream
+    * order with an end-of-sequence sentinel between them):
+    * [[packByTokenBudget]] assigns the bins, then each (shard, bin)
+    * group concatenates its documents' token arrays with `eos`
+    * appended per document. Output: (shard, bin, n_docs, n_tokens,
+    * tokens) — n_tokens counts document tokens (the fill mass), not
+    * the sentinels.
+    *
+    * Scale shape: the bin assignment is q54's shard-local cumulative
+    * window (per-shard serial by contract — shard first for
+    * parallelism); the ONE shuffle after it is the (shard, bin)
+    * aggregation, whose groups are bounded by the bin CAPACITY in
+    * tokens (an oversize document occupies its bins alone) — no
+    * giant-group hazard at any corpus size. In-group order is
+    * deterministic: the collected (order, tokens) structs SORT before
+    * flattening, never trusting collect_list's arrival order. */
+  def materializeBins(docs: DataFrame, capacity: Long, shardCol: Column,
+                      tokensCol: Column, orderCol: Column,
+                      eos: String = "<eos>"): DataFrame = {
+    val binned = packByTokenBudget(
+      docs.withColumn("__tk", tokensCol), capacity, shardCol,
+      size(col("__tk")).cast("long"), orderCol)
+      .withColumn("__ord", orderCol)
+    binned.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__tk")).cast("long")).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__ord").as("o"), col("__tk").as("t")))),
+          s => concat(s.getField("t"), array(lit(eos))))).as("tokens"))
+      .orderBy("shard", "bin")
+  }
+
   /** Per-bin packing summary (the shape a loader manifest needs):
     * documents per bin, token fill, fill ratio at `capacity`. */
   def packSummary(docs: DataFrame, capacity: Long,

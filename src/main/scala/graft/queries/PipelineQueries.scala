@@ -597,6 +597,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q125: packed-sequence materialization (`Packing.materializeBins`
+    * — GPT-style sequence packing's last mile: the actual concatenated
+    * token streams a data loader consumes, not just bin ids): 512-token
+    * bins over 8 shards, documents joined in stream order with an
+    * `<eos>` sentinel each. The sequences compare by md5 of their
+    * space-joined form (the driver comparator is scalar-only). Hard
+    * oracle: the q54 cumulative-bin rule + ordered list flatten. */
+  def q125PackedSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.materializeBins(
+      t(spark, dir, "documents"), capacity = 512L,
+      shardCol = pmod(col("doc_id"), lit(8)),
+      tokensCol = filter(split(lower(col("text")), " "), t => t =!= ""),
+      orderCol = col("doc_id"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(" ", col("tokens"))).as("seq_md5"))
+      .orderBy("shard", "bin")
+
   /** q124: SCD2 point-in-time snapshot (`ChangeHistory.snapshotAsOf`
     * — the time-travel read of the q112 history: "the dimension table
     * as of T"): build q112's history and read it at the stream's time
@@ -3129,6 +3146,24 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q125_packed_sequences" ->
+        """WITH d AS (SELECT doc_id % 8 AS shard, doc_id,
+          |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          |           FROM documents),
+          |c AS (SELECT shard, doc_id, w,
+          |        SUM(len(w)) OVER (PARTITION BY shard ORDER BY doc_id
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |      FROM d),
+          |b AS (SELECT shard, doc_id, w,
+          |        CAST(FLOOR((cum - len(w)) / 512.0) AS BIGINT) AS bin FROM c),
+          |g AS (SELECT shard, bin, COUNT(*) AS n_docs,
+          |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+          |        flatten(list_transform(list(w ORDER BY doc_id),
+          |          x -> list_append(x, '<eos>'))) AS tokens
+          |      FROM b GROUP BY shard, bin)
+          |SELECT shard, bin, n_docs, n_tokens,
+          |  md5(array_to_string(tokens, ' ')) AS seq_md5
+          |FROM g ORDER BY shard, bin""".stripMargin,
       "q124_scd2_asof" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
           |             CASE WHEN event_id % 19 = 0 THEN 'D' ELSE 'U' END AS op

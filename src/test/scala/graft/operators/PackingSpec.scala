@@ -38,6 +38,40 @@ class PackingSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("materializeBins: sequences concatenate in stream order with eos per doc") {
+    val docs = Seq(
+      (0L, Seq("a", "b", "c")), (1L, Seq("d", "e")), (2L, Seq("f", "g", "h")),
+      (3L, Seq("i"))
+    ).toDF("doc_id", "w")
+    // capacity 5: cum-before 0,3,5,8 -> bins 0,0,1,1
+    val got = Packing.materializeBins(docs, capacity = 5L,
+        shardCol = lit(0), tokensCol = col("w"), orderCol = col("doc_id"))
+      .select("bin", "n_docs", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Seq[String])].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 5L, Seq("a", "b", "c", "<eos>", "d", "e", "<eos>")),
+      (1L, 2L, 4L, Seq("f", "g", "h", "<eos>", "i", "<eos>"))))
+    // determinism: the in-group order comes from the sorted structs,
+    // not collect_list arrival order
+    val re = Packing.materializeBins(docs.repartition(7), capacity = 5L,
+        shardCol = lit(0), tokensCol = col("w"), orderCol = col("doc_id"))
+      .select("bin", "n_docs", "n_tokens", "tokens")
+      .as[(Long, Long, Long, Seq[String])].collect().toSeq
+    assert(re === got)
+  }
+
+  test("materializeBins: an oversize doc occupies its bins alone; shards pack independently") {
+    val docs = Seq(
+      (0L, 0, Seq("a", "b")), (1L, 0, (1 to 7).map(i => s"t$i")), (2L, 0, Seq("c")),
+      (3L, 1, Seq("x", "y", "z"))
+    ).toDF("doc_id", "shard_in", "w")
+    val got = Packing.materializeBins(docs, capacity = 3L,
+        shardCol = col("shard_in"), tokensCol = col("w"), orderCol = col("doc_id"))
+      .select("shard", "bin", "n_docs").as[(Int, Long, Long)].collect().toSet
+    // shard 0: cum-before 0,2,9 -> bins 0,0,3 (the giant spills past 1-2)
+    assert(got === Set((0, 0L, 2L), (0, 3L, 1L), (1, 0L, 1L)))
+  }
+
   test("hashSampleCond: deterministic, repartition-invariant, ~pct of rows") {
     val df = spark.range(0, 10000).select(col("id").as("doc_id"))
     val kept1 = df.filter(Packing.hashSampleCond(col("doc_id"), 20.0))
