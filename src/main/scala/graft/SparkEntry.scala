@@ -157,7 +157,9 @@ object SparkEntry {
     "q122_nb_langid" -> (PipelineQueries.q122NbLangid _),
     "q123_pipeline_v5" -> (PipelineQueries.q123PipelineV5 _),
     "q124_scd2_asof" -> (PipelineQueries.q124Scd2AsOf _),
-    "q125_packed_sequences" -> (PipelineQueries.q125PackedSequences _)
+    "q125_packed_sequences" -> (PipelineQueries.q125PackedSequences _),
+    "q126_rerank" -> (PipelineQueries.q126Rerank _),
+    "q126_check_rerank" -> (PipelineQueries.q126CheckRerank _)
   )
 
   def oracleSql: Map[String, String] = Map(

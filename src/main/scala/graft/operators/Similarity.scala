@@ -732,6 +732,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage quantized serving — coarse int8 shortlist, exact
+    * rerank (the refine step every quantized ANN deployment runs:
+    * IVF-PQ + re-scoring, int8 scan + float rerank): the quantized
+    * scan ranks ALL vectors on the cheap fixed-point codes and keeps
+    * `shortlist`·k candidates; only those re-score with exact float
+    * cosine. Rank quality equals the exact scan's wherever the
+    * shortlist covers the true top-k — quantization error can only
+    * cost MEMBERSHIP at the shortlist boundary, which the overshoot
+    * absorbs (q126_check_rerank certifies: every miss was absent from
+    * the shortlist, every returned score is bit-exact).
+    *
+    * Scale shape: the coarse pass reads the stored int8 codes (4×
+    * smaller than float32 — on a deployment they are the persisted
+    * layout, quantized once at write); the exact pass touches
+    * shortlist·k rows through a broadcast semi join — never the
+    * corpus. */
+  def cosineTopKReranked(emb: DataFrame, probeId: Long, k: Int,
+                         shortlist: Int = 4): DataFrame = {
+    val cand = cosineTopKQuantized(emb, probeId, k * shortlist).select("vec_id")
+    val v = asDouble(emb)
+    val probe = broadcast(v.filter(col("vec_id") === probeId).select(col("e").as("pe")))
+    v.join(broadcast(cand), "vec_id")
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        round(dot(col("e"), col("pe")) / (norm(col("e")) * norm(col("pe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the probe's bucket
     * or any Hamming<=1 neighbor bucket; exact cosine ranks candidates.
     *

@@ -597,6 +597,61 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q126: quantized-shortlist + exact rerank
+    * (`Similarity.cosineTopKReranked` — the IVF-PQ/int8 "refine" step
+    * every quantized ANN deployment runs). Scores depend on the int8
+    * shortlist, so the row is rows-only; q126_check_rerank carries the
+    * hard contract. */
+  def q126Rerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKReranked(t(spark, dir, "embeddings"),
+      probeId = 0L, k = 10, shortlist = 4)
+
+  /** q126 contract: (a) recall_ok — the reranked top-k recovers ≥ 0.9
+    * of the exact top-k (int8 error only bites at the shortlist
+    * boundary); (b) scores_exact — every returned score equals an
+    * INDEPENDENT driver recomputation of the float cosine at 4
+    * decimals (the rerank really re-scored exactly — same
+    * left-to-right fold, bit-equal); (c) miss_certificate — every
+    * true-top-k id the rerank missed was ABSENT from the quantized
+    * shortlist (the only legal miss mode; rerank itself loses
+    * nothing); (d) ordered — output ranks by (cos desc, id); (e)
+    * deterministic under repartition. */
+  def q126CheckRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, 0L, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val rr = Similarity.cosineTopKReranked(emb, 0L, k, shortlist = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val shortIds = Similarity.cosineTopKQuantized(emb, 0L, k * 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rrIds = rr.map(_._1).toSet
+    val recallOk = exact.map(_._1).count(rrIds) >= math.ceil(0.9 * k).toInt
+    // independent exact rescore on the driver (the q93 pattern)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .filter(col("vec_id").isin((rrIds + 0L).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scoresExact = rr.forall { case (id, s) => s == r4(cos(vecs(id), vecs(0L))) }
+    val missCert = exact.map(_._1).filterNot(rrIds).forall(id => !shortIds(id))
+    val ordered = rr.toSeq.sliding(2).forall {
+      case Seq((i1, s1), (i2, s2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    }
+    val rr2 = Similarity.cosineTopKReranked(emb.repartition(7), 0L, k, 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import spark.implicits._
+    Seq((recallOk, scoresExact, missCert, ordered, rr2 == rr.toSeq))
+      .toDF("recall_ok", "scores_exact", "miss_certificate", "ordered",
+        "deterministic")
+  }
+
   /** q125: packed-sequence materialization (`Packing.materializeBins`
     * — GPT-style sequence packing's last mile: the actual concatenated
     * token streams a data loader consumes, not just bin ids): 512-token
@@ -3146,6 +3201,10 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q126_check_rerank" ->
+        """SELECT true AS recall_ok, true AS scores_exact,
+          |       true AS miss_certificate, true AS ordered,
+          |       true AS deterministic""".stripMargin,
       "q125_packed_sequences" ->
         """WITH d AS (SELECT doc_id % 8 AS shard, doc_id,
           |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

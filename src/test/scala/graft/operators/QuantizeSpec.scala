@@ -73,6 +73,25 @@ class QuantizeSpec extends SparkSpec {
     assert(quant.size === 5)
   }
 
+  test("cosineTopKReranked: exact scores on the shortlist; cluster recall like the exact scan") {
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val vs = for (c <- 0 until 4; _ <- 0 until 12)
+      yield centers(c).map(_ + rnd.nextGaussian() * 0.01)
+    val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(emb, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rr = Similarity.cosineTopKReranked(emb, 0L, 5, shortlist = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the shortlist covers the cluster (5*4 = 20 > 11 mates), so the
+    // rerank reproduces the EXACT scan identically — scores included
+    assert(rr === exact, s"rerank $rr vs exact $exact")
+    // k bounds and shortlist stays within the cluster-mates property
+    assert(rr.size === 5 && rr.forall { case (id, _) => id >= 1L && id <= 11L })
+  }
+
   test("int8Local (driver-side probe quantizer) matches the column form bit-for-bit") {
     val rnd = new scala.util.Random(41)
     val vs = Seq.fill(100)(Array.fill(24)(rnd.nextGaussian() * (rnd.nextInt(5) + 1))) ++
