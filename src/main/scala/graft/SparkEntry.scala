@@ -159,7 +159,8 @@ object SparkEntry {
     "q124_scd2_asof" -> (PipelineQueries.q124Scd2AsOf _),
     "q125_packed_sequences" -> (PipelineQueries.q125PackedSequences _),
     "q126_rerank" -> (PipelineQueries.q126Rerank _),
-    "q126_check_rerank" -> (PipelineQueries.q126CheckRerank _)
+    "q126_check_rerank" -> (PipelineQueries.q126CheckRerank _),
+    "q127_quality_quantile" -> (PipelineQueries.q127QualityQuantile _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -193,6 +193,44 @@ object Curation {
     }
   }
 
+  /** Per-group top-quantile gate — "keep the best `frac` of each
+    * source by score" (the FineWeb-edu-style practice: filter
+    * thresholds are set as score QUANTILES, not absolute values, so
+    * every source contributes its best instead of score-rich sources
+    * drowning the rest). The cut is VALUE-BASED: keep score ≥ the
+    * group's largest score whose descending cumulative count reaches
+    * ceil(frac·n) — ties at the cut all keep, so the verdict is
+    * deterministic without any per-document total order (the q83
+    * convention). `scoreCol` must be exactly comparable (the
+    * 4-decimal DECIMAL every scorer here emits); `frac` quantizes to
+    * the same grid, making the keep-count test pure INTEGER
+    * arithmetic (cum·10⁴ ≥ frac_q·n — no ceil-of-double boundary
+    * hazard). Null scores and null groups drop.
+    *
+    * Scale shape: the only corpus shuffle is the (group, score)
+    * histogram aggregate — BOUNDED at ≤ 10⁴+1 distinct 4-decimal
+    * values per group for scores in [0, 1] — so the cumulative window
+    * runs over histogram rows, never documents, and the
+    * group-cardinality cut table broadcasts back for a row-local
+    * filter. No per-document window at any corpus size. */
+  def keepTopQuantile(docs: DataFrame, scoreCol: Column, groupCol: Column,
+                      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"keepTopQuantile: frac=$frac")
+    val fq = math.round(frac * 10000)
+    val base = docs.withColumn("__g", groupCol).withColumn("__s", scoreCol)
+      .filter(col("__s").isNotNull)
+    val w = Window.partitionBy("__g").orderBy(col("__s").desc)
+    val cuts = base.groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
+      .filter(col("__cum") * 10000L >= lit(fq) * col("__n"))
+      .groupBy("__g").agg(max(col("__s")).as("__cut"))
+    import org.apache.spark.sql.functions.broadcast
+    base.join(broadcast(cuts), Seq("__g"))
+      .filter(col("__s") >= col("__cut"))
+      .drop("__g", "__s", "__cut")
+  }
+
   /** Corpus snapshot diff — the release audit between two corpus
     * versions (the "what changed since v1" table a dataset card
     * publishes — Gebru et al. 2021 datasheets practice — and the

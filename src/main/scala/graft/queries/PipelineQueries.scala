@@ -597,6 +597,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q127: per-source quality-quantile gate
+    * (`Curation.keepTopQuantile` — keep each source's best 30% by the
+    * q30 quality score; the FineWeb-edu-style quantile threshold that
+    * stops score-rich sources drowning the rest). Value-based cut with
+    * tie overshoot, exact integer keep-count test. Hard oracle: the
+    * q30 quality CTE + the histogram-cumulative cut mirrored 1:1. */
+  def q127QualityQuantile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.keepTopQuantile(
+        t(spark, dir, "documents"),
+        scoreCol = TA.qualityScore(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(14, 4)),
+        groupCol = col("source"), frac = 0.3)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** q126: quantized-shortlist + exact rerank
     * (`Similarity.cosineTopKReranked` — the IVF-PQ/int8 "refine" step
     * every quantized ANN deployment runs). Scores depend on the int8
@@ -3201,6 +3216,25 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q127_quality_quantile" ->
+        s"""WITH d AS (SELECT doc_id, source, lower(text) AS t,
+           |             string_split(lower(text),' ') AS w FROM documents),
+           |q AS (SELECT doc_id, source, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM d),
+           |h AS (SELECT source, q, COUNT(*) AS c FROM q GROUP BY source, q),
+           |cc AS (SELECT source, q,
+           |         SUM(c) OVER (PARTITION BY source ORDER BY q DESC) AS cum,
+           |         SUM(c) OVER (PARTITION BY source) AS n FROM h),
+           |cut AS (SELECT source, MAX(q) AS cut FROM cc
+           |        WHERE cum * 10000 >= 3000 * n GROUP BY source)
+           |SELECT q.doc_id, q.source FROM q JOIN cut USING (source)
+           |WHERE q.q >= cut.cut
+           |ORDER BY doc_id""".stripMargin,
       "q126_check_rerank" ->
         """SELECT true AS recall_ok, true AS scores_exact,
           |       true AS miss_certificate, true AS ordered,

@@ -209,6 +209,34 @@ class CurationSpec extends SparkSpec {
     assert(gated === Set(1L))
   }
 
+  test("keepTopQuantile: value-based cut, tie overshoot, per-group independence") {
+    def dec(x: Double) = new java.math.BigDecimal(x.toString).setScale(4)
+    val docs = Seq(
+      // group a: scores 0.9 x2, 0.8 x2, 0.1 x6 -> ceil(0.3*10)=3:
+      // cum(0.9)=2 < 3, cum(0.8)=4 >= 3 -> cut 0.8, FOUR keep (ties)
+      (1L, "a", 0.9), (2L, "a", 0.9), (3L, "a", 0.8), (4L, "a", 0.8),
+      (5L, "a", 0.1), (6L, "a", 0.1), (7L, "a", 0.1), (8L, "a", 0.1),
+      (9L, "a", 0.1), (10L, "a", 0.1),
+      // group b: 0.5 x1, 0.2 x2 -> ceil(0.3*3)=1 -> cut 0.5, one keeps
+      (21L, "b", 0.5), (22L, "b", 0.2), (23L, "b", 0.2)
+    ).map { case (id, g, s) => (id, g, dec(s)) }.toDF("doc_id", "g", "s")
+    val kept = Curation.keepTopQuantile(docs, col("s"), col("g"), frac = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 21L))
+    // frac = 1 keeps everything; null scores drop
+    val all = Curation.keepTopQuantile(docs, col("s"), col("g"), frac = 1.0)
+    assert(all.count() === 13L)
+    val withNull = docs.withColumn("s",
+      when(col("doc_id") === 1L, lit(null)).otherwise(col("s")))
+    val keptN = Curation.keepTopQuantile(withNull, col("s"), col("g"), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptN.contains(1L), "null-score rows never keep")
+    // determinism under repartition
+    val re = Curation.keepTopQuantile(docs.repartition(7), col("s"), col("g"), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === kept)
+  }
+
   test("snapshotDiff: all four statuses; text never rides the exchange") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
