@@ -160,7 +160,8 @@ object SparkEntry {
     "q125_packed_sequences" -> (PipelineQueries.q125PackedSequences _),
     "q126_rerank" -> (PipelineQueries.q126Rerank _),
     "q126_check_rerank" -> (PipelineQueries.q126CheckRerank _),
-    "q127_quality_quantile" -> (PipelineQueries.q127QualityQuantile _)
+    "q127_quality_quantile" -> (PipelineQueries.q127QualityQuantile _),
+    "q128_attribute_sheet" -> (PipelineQueries.q128AttributeSheet _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -117,4 +117,10 @@ object HeuristicRules {
     * row-local predicate over the same signal expressions, no join. */
   def gopherFilter(docs: DataFrame, cfg: GopherConfig = GopherConfig()): DataFrame =
     docs.filter(ruleCols(signalCols().toMap, cfg).map(_._2).reduce(_ && _))
+
+  /** The whole battery as ONE row-local boolean Column — for embedding
+    * the verdict in a wider projection (the q128 attribute sheet)
+    * without a join or a second text pass. */
+  def gopherKeepCol(cfg: GopherConfig = GopherConfig()): Column =
+    ruleCols(signalCols().toMap, cfg).map(_._2).reduce(_ && _)
 }

@@ -597,6 +597,35 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q128: the attribute sheet — compute-once signal export (the
+    * Dolma "attributes" practice: score the corpus ONCE and persist
+    * the signals beside it, so every future filter ablation is a
+    * cheap re-threshold over the sheet instead of a fresh 100 TB text
+    * pass): per doc, the word count, the q80 mean-word-length signal,
+    * the q98 format verdict, the q30 quality-gate verdict (q ≥ 0.44,
+    * the q68 threshold) and the q80 Gopher-battery keep — ONE pure
+    * row-local projection, zero shuffle, every signal an
+    * already-oracled kernel. The q30 score itself is exported as a
+    * VERDICT, not a raw float: a multi-op float chain rounded per-doc
+    * is the cross-engine boundary-flip class the cross-SF gate caught
+    * here (Spark HALF_UP on the exact expansion vs DuckDB's
+    * shortest-repr rounding diverged on 3 of 5,000 docs at the 4th
+    * decimal) — thresholds compare robustly, raw 4th decimals do not.
+    * Hard oracle: the q30/q98/q80 formula bodies combined. */
+  def q128AttributeSheet(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TA.wsTokenCount(col("text")).as("n_words"),
+        TA.meanWordLen(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(14, 4))
+          .cast(org.apache.spark.sql.types.DoubleType).as("mean_word_len"),
+        TA.formatOf(col("text")).as("format"),
+        (TA.qualityScore(col("text")) >= 0.44).as("quality_keep"),
+        graft.operators.HeuristicRules.gopherKeepCol().as("gopher_keep"))
+      .orderBy("doc_id")
+  }
+
   /** q127: per-source quality-quantile gate
     * (`Curation.keepTopQuantile` — keep each source's best 30% by the
     * q30 quality score; the FineWeb-edu-style quantile threshold that
@@ -3216,6 +3245,65 @@ object PipelineQueries {
           |       ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q128_attribute_sheet" ->
+        s"""WITH d AS (SELECT doc_id, text, lower(text) AS t,
+           |             string_split(lower(text),' ') AS w,
+           |             string_split(text, chr(10)) AS ls FROM documents),
+           |g AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_words,
+           |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+           |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+           |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+           |            + CAST((len(t) - len(replace(t,'…','')))/1 AS BIGINT))::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+           |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))::DOUBLE
+           |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+           |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'…')))::DOUBLE
+           |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+           |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+           |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+           |FROM d),
+           |q AS (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM d),
+           |f AS (SELECT doc_id,
+           |  CAST(ROUND((
+           |      (len(text) - len(replace(text, '{', '')))
+           |    + (len(text) - len(replace(text, '}', '')))
+           |    + (len(text) - len(replace(text, '(', '')))
+           |    + (len(text) - len(replace(text, ')', '')))
+           |    + (len(text) - len(replace(text, ';', '')))
+           |    + (len(text) - len(replace(text, '=', '')))
+           |    + (len(text) - len(replace(text, '<', '')))
+           |    + (len(text) - len(replace(text, '>', '')))
+           |    + (len(text) - len(replace(text, '[', '')))
+           |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
+           |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS sym,
+           |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ind,
+           |  CAST(ROUND(len(list_filter(ls, l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS pipe,
+           |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
+           |FROM d)
+           |SELECT d.doc_id, g.n_words,
+           |  g.mean_word_len::DOUBLE AS mean_word_len,
+           |  CASE WHEN f.pipe >= 0.5 THEN 'table'
+           |       WHEN f.sym >= 0.04 AND (f.ind >= 0.2 OR f.semi >= 0.2) THEN 'code'
+           |       ELSE 'prose' END AS format,
+           |  (q.q >= 0.44) AS quality_keep,
+           |  (g.n_words >= 50 AND g.n_words <= 100000 AND g.mean_word_len >= 3.0
+           |   AND g.mean_word_len <= 10.0 AND g.symbol_ratio < 0.1
+           |   AND g.bullet_frac < 0.9 AND g.ellipsis_frac < 0.3
+           |   AND g.alpha_frac >= 0.8 AND g.stop_hits >= 2) AS gopher_keep
+           |FROM d JOIN g USING (doc_id) JOIN q USING (doc_id) JOIN f USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
       "q127_quality_quantile" ->
         s"""WITH d AS (SELECT doc_id, source, lower(text) AS t,
            |             string_split(lower(text),' ') AS w FROM documents),

@@ -46,6 +46,19 @@ class HeuristicRulesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"the filter form must not shuffle:\n$plan")
   }
 
+  test("gopherKeepCol embeds the battery verdict in a wider projection, join-free") {
+    val viaSignals = HeuristicRules.gopherSignals(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val sheet = docs.select(col("doc_id"),
+        HeuristicRules.gopherKeepCol().as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(sheet === viaSignals)
+    val plan = docs.select(col("doc_id"), HeuristicRules.gopherKeepCol())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the column form must be a pure projection:\n$plan")
+  }
+
   test("signals stay in the documented ranges on the corpus tables") {
     val sig = HeuristicRules.gopherSignals(
       graft.Tables.load(spark, sfDir, "documents"))
