@@ -161,7 +161,9 @@ object SparkEntry {
     "q126_rerank" -> (PipelineQueries.q126Rerank _),
     "q126_check_rerank" -> (PipelineQueries.q126CheckRerank _),
     "q127_quality_quantile" -> (PipelineQueries.q127QualityQuantile _),
-    "q128_attribute_sheet" -> (PipelineQueries.q128AttributeSheet _)
+    "q128_attribute_sheet" -> (PipelineQueries.q128AttributeSheet _),
+    "q129_url_param_sort" -> (PipelineQueries.q129UrlParamSort _),
+    "q130_check_takedown" -> (PipelineQueries.q130CheckTakedown _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -207,24 +207,54 @@ object Curation {
     * arithmetic (cum·10⁴ ≥ frac_q·n — no ceil-of-double boundary
     * hazard). Null scores and null groups drop.
     *
-    * Scale shape: the only corpus shuffle is the (group, score)
-    * histogram aggregate — BOUNDED at ≤ 10⁴+1 distinct 4-decimal
-    * values per group for scores in [0, 1] — so the cumulative window
-    * runs over histogram rows, never documents, and the
-    * group-cardinality cut table broadcasts back for a row-local
-    * filter. No per-document window at any corpus size. */
+    * Scale shape: the scored projection is PINNED once (`pin`, default
+    * a LAZY localCheckpoint pinch-point — swap for a parquet round-trip
+    * on a cluster), because the score is typically a text-pass kernel
+    * with TWO consumers — the histogram and the final filter; unpinned,
+    * the full text pass ran twice (13.7× DuckDB at sf0.1; two corpus
+    * scans at 100 TB where one + bounded metadata suffices). The only
+    * corpus shuffle is the (group, score) histogram aggregate — BOUNDED
+    * at ≤ 10⁴+1 distinct 4-decimal values per group for scores in
+    * [0, 1], so it collects as driver metadata (the ccnetBuckets
+    * contract; its collect is also the action that materializes the lazy
+    * pin — one job, not pin-then-histogram). Cuts are exact integer
+    * arithmetic over the ORDERED histogram (sorted by the engine, so the
+    * driver never compares engine-typed score values), and ride back as
+    * a broadcast LocalRelation for a row-local filter — no per-document
+    * window, no second aggregation tree, two jobs total at any corpus
+    * size. */
   def keepTopQuantile(docs: DataFrame, scoreCol: Column, groupCol: Column,
-                      frac: Double): DataFrame = {
+                      frac: Double,
+                      pin: DataFrame => DataFrame =
+                        df => Storage.track(df.localCheckpoint(false))): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"keepTopQuantile: frac=$frac")
     val fq = math.round(frac * 10000)
-    val base = docs.withColumn("__g", groupCol).withColumn("__s", scoreCol)
-      .filter(col("__s").isNotNull)
-    val w = Window.partitionBy("__g").orderBy(col("__s").desc)
-    val cuts = base.groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
-      .filter(col("__cum") * 10000L >= lit(fq) * col("__n"))
-      .groupBy("__g").agg(max(col("__s")).as("__cut"))
+    val base = pin(docs.withColumn("__g", groupCol).withColumn("__s", scoreCol)
+      .filter(col("__s").isNotNull))
+    // bounded histogram (see scaladoc), sorted by the ENGINE — score
+    // descending within group — so the driver pass is order-blind
+    val hist = base.groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__g"), col("__s").desc).collect()
+    val nByG = scala.collection.mutable.HashMap.empty[Any, Long]
+    hist.foreach(r => nByG(r.get(0)) = nByG.getOrElse(r.get(0), 0L) + r.getLong(2))
+    // first (= highest) score whose descending cumulative count reaches
+    // ceil(frac*n) — ties at the cut all keep (cum*10^4 >= fq*n, exact
+    // integer arithmetic; identical to the r13 window/max-filter form)
+    val cum = scala.collection.mutable.HashMap.empty[Any, Long]
+    val cutRows = hist.flatMap { r =>
+      val g = r.get(0)
+      val before = cum.getOrElse(g, 0L)
+      val after = before + r.getLong(2)
+      cum(g) = after
+      if (before * 10000L < fq * nByG(g) && after * 10000L >= fq * nByG(g))
+        Some(org.apache.spark.sql.Row(g, r.get(1)))
+      else None
+    }
+    val spark = docs.sparkSession
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema("__g"), base.schema("__s").copy(name = "__cut")))
+    val cuts = spark.createDataFrame(
+      java.util.Arrays.asList(cutRows: _*), cutSchema)
     import org.apache.spark.sql.functions.broadcast
     base.join(broadcast(cuts), Seq("__g"))
       .filter(col("__s") >= col("__cut"))

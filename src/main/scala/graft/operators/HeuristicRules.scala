@@ -46,16 +46,22 @@ object HeuristicRules {
 
   /** The 4-decimal signal columns over `text` — shared by the signal
     * table and the filter form (both stay pure row-local projections). */
-  private def signalCols(): Seq[(String, Column)] = {
-    val t = lower(col("text"))
-    val ws = split(t, " ")
+  private def signalCols(): Seq[(String, Column)] =
+    signalColsFrom(lower(col("text")), split(lower(col("text")), " "),
+      split(col("text"), "\n"))
+
+  /** [[signalCols]] over pre-staged lowered text / lowered token array /
+    * RAW line array — for multi-signal projections that stage the splits
+    * once per row (see `TextAnalysis.punctRatioFrom`); the ASTs are
+    * operand-identical, so verdicts are bit-equal. */
+  private def signalColsFrom(t: Column, ws: Column,
+                             lines: Column): Seq[(String, Column)] = {
     val nWords = size(ws).cast(LongType)
     val denomW = greatest(nWords, lit(1L)).cast(DoubleType)
     val meanLen = (aggregate(ws, lit(0L), (a, w) => a + length(w))
       .cast(DoubleType) / denomW)
     val symbols = occurrences(t, "#") + occurrences(t, "...") + occurrences(t, "…")
     val symbolRatio = symbols.cast(DoubleType) / denomW
-    val lines = split(col("text"), "\n")
     val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
     val bulletFrac = size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
@@ -123,4 +129,35 @@ object HeuristicRules {
     * without a join or a second text pass. */
   def gopherKeepCol(cfg: GopherConfig = GopherConfig()): Column =
     ruleCols(signalCols().toMap, cfg).map(_._2).reduce(_ && _)
+
+  /** [[gopherKeepCol]] over pre-staged lowered text / lowered token
+    * array / RAW line array — the staged form for multi-signal
+    * projections (q128): the battery reads the staged columns instead of
+    * re-lowering and re-splitting the text per rule. Bit-equal verdicts. */
+  def gopherKeepColFrom(t: Column, ws: Column, lines: Column,
+                        cfg: GopherConfig = GopherConfig()): Column =
+    ruleCols(signalColsFrom(t, ws, lines).toMap, cfg).map(_._2).reduce(_ && _)
+
+  /** The battery verdict rebuilt over pre-counted INTEGER signals (the
+    * attribute-sheet kernel, `TextAnalysis.attributeSignalsUdf`): the
+    * fraction ASTs mirror [[signalColsFrom]] operand-for-operand
+    * (integer÷integer double division, round-4, DECIMAL(14,4) compare),
+    * so verdicts are bit-identical to the HOF-chain form. */
+  def gopherKeepFromCounts(nWords: Column, sumLen: Column, gopherSyms: Column,
+                           nLines: Column, bulletLines: Column,
+                           ellipsisLines: Column, alphaWords: Column,
+                           enStopHits: Column,
+                           cfg: GopherConfig = GopherConfig()): Column = {
+    val denomW = greatest(nWords.cast(LongType), lit(1L)).cast(DoubleType)
+    val nL = greatest(nLines, lit(1L)).cast(DoubleType)
+    val s: Map[String, Column] = Map(
+      "n_words" -> nWords.cast(LongType),
+      "mean_word_len" -> dec4(round(sumLen.cast(DoubleType) / denomW, 4)),
+      "symbol_ratio" -> dec4(round(gopherSyms.cast(DoubleType) / denomW, 4)),
+      "bullet_frac" -> dec4(round(bulletLines.cast(DoubleType) / nL, 4)),
+      "ellipsis_frac" -> dec4(round(ellipsisLines.cast(DoubleType) / nL, 4)),
+      "alpha_frac" -> dec4(round(alphaWords.cast(DoubleType) / denomW, 4)),
+      "stop_hits" -> enStopHits.cast(LongType))
+    ruleCols(s, cfg).map(_._2).reduce(_ && _)
+  }
 }

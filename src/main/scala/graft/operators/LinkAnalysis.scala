@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   *    there, so the tier is deterministic-per-plan but not
   *    oracle-mirrorable — the driver tier is the verified semantics,
   *    the distributed tier its documented at-scale twin.
-  * Dangling mass is NOT redistributed (the simplified form; a node
-  * with no out-edges leaks its damped mass) — mirrored identically in
-  * the oracle. */
+  * Dangling mass: the DEFAULT form does not redistribute it (a node
+  * with no out-edges leaks its damped mass — the simplified form the
+  * q115 oracle mirrors bit-for-bit), `redistributeDangling = true`
+  * adds the published correction (Page et al. 1999): each iteration
+  * the dangling nodes' total mass D spreads uniformly, r'(v) =
+  * (1-d)/n + d*(contrib(v) + D/n), conserving Σr = 1 on any graph —
+  * one scalar per iteration on the driver tier (folded in sorted node
+  * order, reproducible), one one-row broadcast per iteration on the
+  * distributed tier. */
 object LinkAnalysis {
 
   /** Weighted PageRank. `edges` columns: (src, dst, weight). Returns
     * (node, pagerank) with pagerank rounded to 6 decimals. */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               maxDriverEdges: Long = 4000000L): DataFrame = {
+               maxDriverEdges: Long = 4000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters > 0 && damping > 0 && damping < 1,
       s"pageRank: bad knobs iters=$iters damping=$damping")
     val spark = edges.sparkSession
@@ -51,13 +58,18 @@ object LinkAnalysis {
       // exactly the oracle's list(x ORDER BY src) fold
       val byDst = e.map { case (s, d, w) => (d, s, w.toDouble / outW(s).toDouble) }
         .sortBy(t => (t._1, t._2)).groupBy(_._1)
+      val dangling = nodes.filterNot(outW.contains) // sorted (nodes is)
       var r = nodes.map(_ -> 1.0 / n).toMap
       (1 to iters).foreach { _ =>
         val contrib = byDst.map { case (d, es) =>
           d -> es.foldLeft(0.0) { case (acc, (_, s, share)) => acc + r(s) * share }
         }
+        // dangling mass folded in sorted node order — reproducible
+        val dShare = if (!redistributeDangling) 0.0
+          else dangling.foldLeft(0.0)((acc, v) => acc + r(v)) / n
         r = nodes.map(v =>
-          v -> ((1.0 - damping) / n + damping * contrib.getOrElse(v, 0.0))).toMap
+          v -> ((1.0 - damping) / n +
+            damping * (contrib.getOrElse(v, 0.0) + dShare))).toMap
       }
       nodes.map(v => (v, r(v))).toSeq.toDF("node", "pr")
         .select(col("node"), round(col("pr"), 6).as("pagerank"))
@@ -72,14 +84,25 @@ object LinkAnalysis {
         sh.select(col("src").as("node")).union(sh.select(col("dst")))
           .distinct().localCheckpoint(true))
       val n = nodes.count().toDouble
+      lazy val srcs = Storage.track( // built only when redistribution is on
+        sh.select(col("src")).distinct().localCheckpoint(true))
       var ranks = nodes.withColumn("r", lit(1.0 / n))
       (1 to iters).foreach { i =>
         val contrib = sh.join(ranks, sh("src") === ranks("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("r") * col("share")).as("contrib"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
+        // dangling mass: ONE one-row aggregate riding a broadcast —
+        // the ranks of nodes with no out-edges, spread uniformly
+        val base = nodes.join(contrib, Seq("node"), "left")
+        val withD =
+          if (!redistributeDangling) base.withColumn("__d", lit(0.0))
+          else base.crossJoin(broadcast(
+            ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+              .agg(coalesce(sum(col("r")), lit(0.0)).as("__d"))))
+        ranks = withD
           .select(col("node"),
-            (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("__d") / lit(n)))
               .as("r"))
         if (i % 3 == 0 && i < iters)
           ranks = Storage.track(ranks.localCheckpoint(true))

@@ -54,18 +54,24 @@ object Manifests {
     * unioned with `live` partitions STRICTLY ABOVE the watermark —
     * superseded partitions excluded even if the GC never ran, `batchCol`
     * normalized to LONG so as-of `< id` filters work uniformly. Without
-    * a manifest, `live` passes through untouched. */
+    * a manifest, `live` passes through untouched. The epoch∪live union
+    * is by NAME with missing columns null-filled on either side — the
+    * schema-evolution policy (a column added after the last compaction
+    * exists only on the live side until the next compaction folds it
+    * into the epoch; see `StreamingOps.readCorpusStore`). */
   def readView(spark: SparkSession, storeDir: String, batchCol: String,
                live: Option[DataFrame]): Option[DataFrame] =
     read(storeDir) match {
       case None => live
       case Some((e, covers)) =>
-        val compacted = spark.read.parquet(epochPath(storeDir, e))
+        val compacted =
+          spark.read.option("mergeSchema", "true").parquet(epochPath(storeDir, e))
         Some(live match {
           case None => compacted
           case Some(l) =>
             compacted.unionByName(l.filter(col(batchCol) > covers)
-              .withColumn(batchCol, col(batchCol).cast("long")))
+              .withColumn(batchCol, col(batchCol).cast("long")),
+              allowMissingColumns = true)
         })
     }
 

@@ -327,15 +327,18 @@ object Packing {
     * per-(source, first-hash-byte-bucket) token sums, map-side
     * combinable down to a sources × ≤256 table collected as driver
     * metadata (bounded by source cardinality — the q97 contract).
-    * Null sources drop (no budget identity exists for them); `keep`
+    * Null sources drop (no budget identity exists for them), and so do
+    * null order keys (no hash bucket exists for them — the pre-r13
+    * join-based path dropped them silently; without the filter a null
+    * `__bkt` group row NPEs the driver fold, ADVICE r13); `keep`
     * restricts the scan's token evaluation to budgeted sources. */
   private def bucketTokenStats(docs: DataFrame, srcStr: Column,
                                tokenCol: Column, key: Column,
                                keep: Option[Set[String]]): Map[String, Array[Long]] = {
-    val scoped = keep match {
+    val scoped = (keep match {
       case Some(ks) => docs.filter(srcStr.isin(ks.toSeq: _*))
       case None => docs.filter(srcStr.isNotNull)
-    }
+    }).filter(key.isNotNull)
     val rows = scoped
       .groupBy(srcStr.as("__src"),
         conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int").as("__bkt"))

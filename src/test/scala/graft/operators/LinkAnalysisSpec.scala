@@ -50,4 +50,38 @@ class LinkAnalysisSpec extends SparkSpec {
     val dist = ranks(edges, maxDriverEdges = 0L)
     assert(dist === drv)
   }
+
+  private def ranksD(edges: Seq[(String, String, Long)],
+                     maxDriverEdges: Long = 4000000L): Map[String, Double] =
+    LinkAnalysis.pageRank(edges.toDF("src", "dst", "weight"),
+        maxDriverEdges = maxDriverEdges, redistributeDangling = true)
+      .as[(String, Double)].collect().toMap
+
+  test("dangling redistribution conserves mass on a dangling-heavy graph") {
+    // three of five nodes are dangling sinks; the published form keeps
+    // the total at 1 (to rounding), the simplified form leaks it
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "d", 1L),
+      ("a", "e", 2L))
+    val simplified = ranks(edges)
+    val published = ranksD(edges)
+    assert(simplified.values.sum < 0.9)
+    assert(math.abs(published.values.sum - 1.0) < 1e-4)
+    // heavier-weighted sink still ranks above its siblings
+    assert(published("e") > published("c"))
+  }
+
+  test("dangling-free graph: redistribution is a no-op") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    assert(ranksD(edges) === ranks(edges))
+  }
+
+  test("distributed tier matches driver tier with redistribution on") {
+    val edges = (0L until 30L).map(i =>
+      (s"h${i % 7}", s"h${(i * 5 + 2) % 9}", 1L + i % 2)) // h7/h8 dangle
+    val drv = ranksD(edges)
+    val dist = ranksD(edges, maxDriverEdges = 0L)
+    assert(math.abs(drv.values.sum - 1.0) < 1e-4)
+    // float fold order differs across tiers; compare at 6 decimals
+    drv.foreach { case (k, v) => assert(math.abs(dist(k) - v) < 1e-6) }
+  }
 }

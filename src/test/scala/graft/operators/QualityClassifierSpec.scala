@@ -123,6 +123,21 @@ class QualityClassifierSpec extends SparkSpec {
       (13L, 2L, "en"), (14L, 0L, "en")), s"got $got")
   }
 
+  test("trainScoreMulti: hostile label values (dots, backticks, spaces) resolve fine") {
+    import org.apache.spark.sql.functions.col
+    // ADVICE r13: helper columns used to splice raw label values into
+    // column names — '.', '`' and whitespace broke col(...) resolution.
+    // Labels now appear only as comparison literals (index-keyed cols).
+    val seeds = Seq(
+      (1L, "hund katze maus", "de.DE x"), (2L, "katze hund", "de.DE x"),
+      (3L, "dog cat mouse", "en`US"), (4L, "cat dog", "en`US")
+    ).toDF("doc_id", "text", "lang")
+    val cands = Seq((10L, "hund katze"), (11L, "dog cat")).toDF("doc_id", "text")
+    val got = QualityClassifier.trainScoreMulti(cands, seeds, col("lang"))
+      .select("doc_id", "pred").as[(Long, String)].collect().toSeq
+    assert(got === Seq((10L, "de.DE x"), (11L, "en`US")), s"got $got")
+  }
+
   test("trainScoreMulti: exact score ties break to the lexicographically first label") {
     import org.apache.spark.sql.functions.col
     // perfectly symmetric classes: same doc count, same token counts

@@ -43,6 +43,41 @@ class UrlsSpec extends SparkSpec {
       Seq("/Path/To/Page", "not a url"))
   }
 
+  private def canonS(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"), sortParams = true).as("c"))
+      .as[String].collect().toSeq
+
+  test("sortParams tier: permuted param orders collapse; singletons unchanged") {
+    assert(canonS(
+      "http://a.com/p?b=2&a=1",
+      "http://a.com/p?a=1&b=2",
+      "http://a.com/p?b=2&utm_x=9&a=1",
+      "http://a.com/p?page=2",
+      "http://a.com/p?utm_a=1",
+      "http://a.com/p/") === Seq(
+      "http://a.com/p?a=1&b=2",
+      "http://a.com/p?a=1&b=2",
+      "http://a.com/p?a=1&b=2", // tracking strip composes with the sort
+      "http://a.com/p?page=2",
+      "http://a.com/p",
+      "http://a.com/p"))
+  }
+
+  test("dedupByUrl with sortParams collapses permuted-param variants") {
+    val docs = Seq(
+      (1L, "aa", "http://a.com/p?x=1&y=2"),
+      (2L, "bbb", "http://a.com/p?y=2&x=1"),
+      (3L, "c", "http://a.com/p?x=1")).toDF("doc_id", "text", "url")
+    val got = Urls.dedupByUrl(docs, col("url"), col("doc_id"), col("text"),
+        sortParams = true)
+      .orderBy("canonical_url")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("http://a.com/p?x=1", 1L, 3L, 1L),
+      ("http://a.com/p?x=1&y=2", 2L, 2L, 3L)))
+  }
+
   test("dedupByUrl keeps the longest text, ties to lowest id, counts variants") {
     val docs = Seq(
       (1L, "short", "HTTP://WWW.A.com/p?utm_x=1"),

@@ -92,8 +92,20 @@ class Scd2IngestSpec extends SparkSpec {
     run()
     assert(storeRows() === rebuild)
 
-    // GC: only the newest open snapshot survives, the view is unchanged
-    assert(StreamingOps.gcScd2OpenSnapshots(store) === 1)
+    // crash-state GC safety (ADVICE r13): with batch 1's commit missing
+    // the newest snapshot is UNCOMMITTED — commit-aware GC must keep it
+    // AND the newest committed one (batch 0, the replay's read target)
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    assert(StreamingOps.gcScd2OpenSnapshots(store, Some(ckpt)) === 0)
+    run() // replay batch 1 — its `< 1` snapshot survived GC
+    assert(storeRows() === rebuild)
+
+    // checkpoint-less GC keeps the two newest (conservative bound)
+    assert(StreamingOps.gcScd2OpenSnapshots(store) === 0)
+    // commit-aware GC: both batches committed -> only the newest
+    // snapshot survives, the view is unchanged
+    assert(StreamingOps.gcScd2OpenSnapshots(store, Some(ckpt)) === 1)
     assert(storeRows() === rebuild)
   }
 
