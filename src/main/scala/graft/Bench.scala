@@ -36,7 +36,12 @@ object Bench {
       // r7 per-iteration stats (rdds=0, stor_mb=0 — not a storage leak).
       .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // FATAL, not ERROR: a single transient task retry's DAGScheduler
+    // stack trace burned ~70% of the r13 artifact's 2000-char stdout
+    // tail (VERDICT r13 minor #5) — the sweep's own failed_count +
+    // per-query error strings carry every real failure, so retried-task
+    // noise has no business in a Bench session's stdout
+    spark.sparkContext.setLogLevel("FATAL")
 
     /** Post-drain storage gauge: (tracked persistent RDDs, block-manager
       * bytes in use). A non-zero RDD count or growing byte gauge after an

@@ -163,7 +163,8 @@ object SparkEntry {
     "q127_quality_quantile" -> (PipelineQueries.q127QualityQuantile _),
     "q128_attribute_sheet" -> (PipelineQueries.q128AttributeSheet _),
     "q129_url_param_sort" -> (PipelineQueries.q129UrlParamSort _),
-    "q130_check_takedown" -> (PipelineQueries.q130CheckTakedown _)
+    "q130_check_takedown" -> (PipelineQueries.q130CheckTakedown _),
+    "q131_check_attr_upkeep" -> (PipelineQueries.q131CheckAttrUpkeep _)
   )
 
   def oracleSql: Map[String, String] = Map(

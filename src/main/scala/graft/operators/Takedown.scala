@@ -170,4 +170,59 @@ object Takedown {
     }
     TakedownReport(touched.map(_._2).sum, rewritten.toSeq)
   }
+
+  /** Erase a key's ENTIRE history from an
+    * [[graft.streaming.StreamingOps.scd2IngestToStore]] store — the
+    * GDPR erasure verb for dimension history: every closed version of
+    * the key goes from the touched `closed/__ingest_batch=<b>`
+    * partitions, and the key leaves EVERY retained open snapshot (a
+    * crash-replay may read any snapshot the commit-aware GC kept, so a
+    * cleansed newest snapshot alone is not erasure). Only touched
+    * leaves rewrite; untouched closed partitions stay byte-identical.
+    * With `checkpoint`, touched units belonging to a batch above the
+    * last COMMITTED one are refused — that batch's replay recomputes
+    * its outputs from the raw change stream, which still contains the
+    * key, resurrecting it; retry after the commit lands (and note the
+    * change STREAM itself is upstream data this store cannot erase). */
+  def deleteFromScd2Store(spark: SparkSession, storePath: String,
+                          keys: Seq[Any], keyCol: String = "key",
+                          checkpoint: Option[String] = None): TakedownReport = {
+    require(keys.nonEmpty, "deleteFromScd2Store: empty key list")
+    import graft.streaming.StreamingOps
+    val bc = StreamingOps.IngestBatchCol
+    val del = col(keyCol).isin(keys: _*)
+    var deleted = 0L
+    val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
+    def guard(area: String, touched: Seq[Long]): Unit = checkpoint.foreach { cp =>
+      val last = StreamingOps.lastCommittedBatch(cp).getOrElse(-1L)
+      val unsafe = touched.filter(_ > last)
+      require(unsafe.isEmpty,
+        s"deleteFromScd2Store: $area batches ${unsafe.mkString(",")} are above " +
+          s"the checkpoint's last committed batch $last — their crash-replay " +
+          "recomputes from the change stream and would resurrect the key; " +
+          "retry after the commit lands")
+    }
+    Seq("closed", "open").foreach { area =>
+      recover(s"$storePath/$area")
+      // ONE partition-pruned discovery job per area (the batch col
+      // comes from the dir names; INT by discovery — cast)
+      val d = new java.io.File(s"$storePath/$area")
+      val has = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .exists(f => f.isDirectory && f.getName.startsWith(s"$bc="))
+      val touched =
+        if (!has) Seq.empty[(Long, Long)]
+        else spark.read.option("mergeSchema", "true")
+          .parquet(s"$storePath/$area").filter(del)
+          .groupBy(col(bc).cast("long").as(bc)).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      guard(area, touched.map(_._1))
+      touched.foreach { case (b, n) =>
+        deleted += n
+        val kept = spark.read.parquet(s"$storePath/$area/$bc=$b").filter(!del)
+        replaceLeaf(s"$storePath/$area", s"$bc=$b", kept)
+        rewritten += s"$area/$bc=$b"
+      }
+    }
+    TakedownReport(deleted, rewritten.toSeq)
+  }
 }

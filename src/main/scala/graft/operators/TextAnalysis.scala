@@ -375,11 +375,14 @@ object TextAnalysis {
     * imperative text pass per row via [[attributeSignalsUdf]]; every
     * emitted value is a Catalyst float/boolean expression over the
     * integer signals, bit-identical to the oracled HOF-chain kernels.
-    * Zero shuffle — rides the scan at any corpus size. */
+    * Zero shuffle — rides the scan at any corpus size. `ordered = false`
+    * skips the presentation sort (sidecar writes don't want the global
+    * exchange). */
   def attributeSheet(docs: DataFrame,
-                     qualityThreshold: Double = 0.44): DataFrame = {
+                     qualityThreshold: Double = 0.44,
+                     ordered: Boolean = true): DataFrame = {
     val s = col("__sig")
-    docs.withColumn("__sig", attributeSignalsUdf(col("text")))
+    val sheet = docs.withColumn("__sig", attributeSignalsUdf(col("text")))
       .select(
         col("doc_id"),
         s.getField("_1").as("n_words"),
@@ -394,7 +397,7 @@ object TextAnalysis {
           bulletLines = s.getField("_15"), ellipsisLines = s.getField("_16"),
           alphaWords = s.getField("_6"), enStopHits = s.getField("_7"))
           .as("gopher_keep"))
-      .orderBy("doc_id")
+    if (ordered) sheet.orderBy("doc_id") else sheet
   }
 
   /** Content-defined bag fingerprint: md5 over the sorted distinct token

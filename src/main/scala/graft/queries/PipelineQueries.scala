@@ -769,6 +769,69 @@ object PipelineQueries {
       "bm25_clean", "ivf_forgets", "idempotent")
   }
 
+  /** q131 contract: incremental attribute-sheet sidecar upkeep (r14 —
+    * the q128 compute-once practice kept CURRENT against a growing
+    * store): builds a two-batch store from the documents table, runs
+    * upkeep, lands a third batch, and asserts
+    *  (a) incremental_only_new — the second upkeep scores ONLY the new
+    *      batch, and the old batch's sidecar partition stays
+    *      byte-identical (the signals are computed exactly once);
+    *  (b) matches_direct — the assembled sheet equals a direct
+    *      attribute-kernel run over the whole store, row for row;
+    *  (c) current_after_takedown — a taken-down doc's attributes drop
+    *      from the read immediately, and Takedown.deleteFromStore on
+    *      the sidecar dir itself reclaims the physical row (same
+    *      layout, same verb);
+    *  (d) idempotent — a third upkeep scores nothing. */
+  def q131CheckAttrUpkeep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Manifests, Takedown}
+    import graft.streaming.StreamingOps
+    val bc = StreamingOps.IngestBatchCol
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    def hashDir(d: String): Seq[(String, String)] = {
+      val root = java.nio.file.Paths.get(d)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          out += ((root.relativize(p).toString,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString))
+        }
+      }
+      out.sortBy(_._1).toSeq
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val row = try {
+      (0 to 1).foreach(b => docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$store/$bc=$b"))
+      val first = StreamingOps.upkeepAttributeSheet(spark, store)
+      val b0 = hashDir(s"$store/${StreamingOps.AttributesDir}/$bc=0")
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .write.mode("overwrite").parquet(s"$store/$bc=2")
+      val second = StreamingOps.upkeepAttributeSheet(spark, store)
+      val incrementalOnlyNew = first == Seq(0L, 1L) && second == Seq(2L) &&
+        hashDir(s"$store/${StreamingOps.AttributesDir}/$bc=0") == b0
+      val sheet = StreamingOps.readAttributeSheet(spark, store).get
+      val direct = TA.attributeSheet(
+        StreamingOps.readCorpusStore(spark, store).get.drop(bc))
+      val matchesDirect = sheet.orderBy("doc_id")
+        .select(direct.columns.map(col): _*).collect().toSeq ==
+        direct.collect().toSeq
+      val victim = 3L
+      Takedown.deleteFromStore(spark, store, Seq(victim))
+      val afterRead = StreamingOps.readAttributeSheet(spark, store).get
+      val logical = afterRead.filter(col("doc_id") === victim).count() == 0L
+      val physical = Takedown.deleteFromStore(spark,
+        s"$store/${StreamingOps.AttributesDir}", Seq(victim)).deletedRows == 1L
+      val idem = StreamingOps.upkeepAttributeSheet(spark, store).isEmpty
+      (incrementalOnlyNew, matchesDirect, logical && physical, idem)
+    } finally Manifests.rmTree(java.nio.file.Paths.get(store))
+    import spark.implicits._
+    Seq(row).toDF("incremental_only_new", "matches_direct",
+      "current_after_takedown", "idempotent")
+  }
+
   /** q126: quantized-shortlist + exact rerank
     * (`Similarity.cosineTopKReranked` — the IVF-PQ/int8 "refine" step
     * every quantized ANN deployment runs). Scores depend on the int8
@@ -3191,6 +3254,9 @@ object PipelineQueries {
           |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
           |  MAX(l)::BIGINT AS kept_len
           |FROM w GROUP BY canon ORDER BY canonical_url""".stripMargin,
+      "q131_check_attr_upkeep" ->
+        """SELECT true AS incremental_only_new, true AS matches_direct,
+          |  true AS current_after_takedown, true AS idempotent""".stripMargin,
       "q130_check_takedown" ->
         """SELECT true AS store_deleted, true AS untouched_identical,
           |  true AS manifest_stable, true AS bm25_clean,

@@ -430,12 +430,20 @@ object StreamingOps {
                       path: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val dir = new java.io.File(path)
-    val hasBatches = dir.isDirectory &&
-      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+    // explicit batch-dir roots + basePath instead of the store root:
+    // partition dirs (name contains '=') are exempt from Spark's
+    // underscore/dot path filter, so this read works even when the
+    // store root ITSELF is underscore-prefixed (the `_attributes`
+    // sidecar is a store in this layout and shares every verb,
+    // including Takedown.deleteFromStore)
+    val batchDirs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+      .map(_.getPath).sorted
     val live =
-      if (!hasBatches) None
+      if (batchDirs.isEmpty) None
       else
-        try Some(spark.read.option("mergeSchema", "true").parquet(path))
+        try Some(spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(batchDirs.toIndexedSeq: _*))
         catch {
           // every admitted partition so far was empty -> no data files to
           // infer a schema from; an empty store and no store are the same
@@ -492,6 +500,120 @@ object StreamingOps {
       cur, path, IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Nil,
       gc = checkpoint.isEmpty)
     CompactionState(e, covers)
+  }
+
+  /** Retention / TTL — the last store-lifecycle verb (with ingest /
+    * compact / GC / takedown / schema evolution): drop every batch with
+    * id at or below `uptoBatch` wholesale (crawl snapshots age out,
+    * licensed slices expire). Two regimes by where the rows live:
+    *  - LIVE batch partitions ≤ uptoBatch: plain directory removal —
+    *    batch-aligned retention is free, the reason the store
+    *    partitions by ingest batch in the first place;
+    *  - rows folded into a compaction epoch: rewritten out through the
+    *    same Manifests protocol compaction uses (new epoch minus the
+    *    expired batches, atomic flip; `covers_upto` NEVER shrinks — the
+    *    watermark means "batches ≤ W are not live partitions", which
+    *    expiry preserves) — the epoch rewrite is skipped when no epoch
+    *    row is in range.
+    * Also drops the expired batches' attribute-sidecar partitions (the
+    * sheet must never outlive its documents). With `checkpoint`, the
+    * bound must sit at or below the last committed batch (an
+    * uncommitted batch's replay would re-create its partition — the
+    * compactStore guard). Returns (liveDirsRemoved, epochRewritten). */
+  def expireBatches(spark: org.apache.spark.sql.SparkSession, path: String,
+                    uptoBatch: Long,
+                    checkpoint: Option[String] = None): (Int, Boolean) = {
+    import org.apache.spark.sql.functions.col
+    checkpoint.foreach { cp =>
+      val last = lastCommittedBatch(cp).getOrElse(-1L)
+      require(uptoBatch <= last,
+        s"expireBatches: uptoBatch=$uptoBatch exceeds the checkpoint's last " +
+          s"committed batch $last — an uncommitted batch's crash-replay " +
+          "would re-create its partition")
+    }
+    import graft.operators.Manifests
+    def dropLive(root: String): Int = {
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol=") &&
+          f.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.exists(_ <= uptoBatch))
+      dirs.foreach(f => Manifests.rmTree(f.toPath))
+      dirs.length
+    }
+    val epochRewritten = Manifests.read(path) match {
+      case Some((e, covers)) =>
+        val ep = spark.read.parquet(Manifests.epochPath(path, e))
+        val kept = ep.filter(col(IngestBatchCol) > uptoBatch)
+        val keptN = kept.count()
+        if (ep.count() == keptN) false
+        else {
+          // an emptied epoch stays a legal reader (coalesce(1) forces
+          // one zero-row part file, so schema inference survives); the
+          // manifest watermark stays at `covers` — it only ever grows
+          // (the compactView monotonicity contract)
+          (if (keptN == 0L) kept.coalesce(1) else kept)
+            .write.mode("overwrite").parquet(Manifests.epochPath(path, e + 1))
+          Manifests.flip(path, e + 1, covers)
+          Manifests.rmTree(java.nio.file.Paths.get(Manifests.epochPath(path, e)))
+          true
+        }
+      case None => false
+    }
+    val removed = dropLive(path) + dropLive(s"$path/$AttributesDir")
+    (removed, epochRewritten)
+  }
+
+  /** Name of the attribute-sheet sidecar beside a corpus store —
+    * underscore-prefixed, so the store's own partitioned read never
+    * sees it (the Manifests `_compaction` convention). */
+  val AttributesDir = "_attributes"
+
+  /** Incremental attribute-sheet upkeep — the Dolma compute-once
+    * practice kept CURRENT against a growing store (q128 scores a
+    * static corpus once; a daily ingest needs the sheet to follow):
+    * computes `TextAnalysis.attributeSheet` for every store batch that
+    * has no sidecar partition yet and writes each as
+    * `_attributes/__ingest_batch=<b>` — one kernel pass per NEW batch,
+    * old batches never re-scored, idempotent per batch (overwrite own
+    * partition, the ingest-sink replay contract). Batch ids survive
+    * compaction as the epoch's data column, so upkeep and compaction
+    * compose in either order. Call at any batch boundary (a foreachBatch
+    * epilogue, a nightly job). Returns the batch ids scored. */
+  def upkeepAttributeSheet(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String,
+                           qualityThreshold: Double = 0.44): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val view = readCorpusStore(spark, storePath).getOrElse(return Nil)
+    val storeBatches = view.select(col(IngestBatchCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val attrRoot = s"$storePath/$AttributesDir"
+    val done = Option(new java.io.File(attrRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+      .flatMap(_.getName.stripPrefix(s"$IngestBatchCol=").toLongOption).toSet
+    val todo = (storeBatches -- done).toSeq.sorted
+    todo.foreach { b =>
+      graft.operators.TextAnalysis.attributeSheet(
+          view.filter(col(IngestBatchCol) === b).drop(IngestBatchCol),
+          qualityThreshold, ordered = false)
+        .write.mode("overwrite").parquet(s"$attrRoot/$IngestBatchCol=$b")
+    }
+    todo
+  }
+
+  /** Read the attribute sheet, CURRENT against the store: sidecar
+    * partitions semi-joined to the live view by doc id, so attributes
+    * of taken-down documents drop out even before their physical rows
+    * are reclaimed (reclaim them with `Takedown.deleteFromStore` on the
+    * `_attributes` dir itself — same partition layout, same verb). */
+  def readAttributeSheet(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String,
+                         idCol: String = "doc_id"): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    for {
+      sheet <- readCorpusStore(spark, s"$storePath/$AttributesDir")
+      view <- readCorpusStore(spark, storePath)
+    } yield sheet.join(view.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
   /** The last batch id the Structured Streaming checkpoint has COMMITTED

@@ -149,6 +149,45 @@ class TakedownSpec extends SparkSpec {
     assert(Similarity.deleteFromIvfIndex(spark, path, victims) === 0L)
   }
 
+  test("SCD2 erasure: a key's whole history goes from closed AND every open snapshot") {
+    val s = tmpDir("td-scd2")
+    val bc = StreamingOps.IngestBatchCol
+    def vrow(k: Long, cid: Long, cur: Boolean) =
+      (k, cid, cid.toDouble, cid * 100L,
+        if (cur) None else Some(cid * 100L + 100L), cur)
+    val cols = Seq("key", "change_id", "v", "valid_from_us", "valid_to_us", "is_current")
+    Seq(vrow(1L, 1L, cur = false), vrow(2L, 2L, cur = false))
+      .toDF(cols: _*).coalesce(1).write.parquet(s"$s/closed/$bc=0")
+    Seq(vrow(2L, 4L, cur = false)).toDF(cols: _*)
+      .coalesce(1).write.parquet(s"$s/closed/$bc=1")
+    // two retained open snapshots (the commit-aware GC can keep both)
+    Seq(vrow(1L, 3L, cur = true), vrow(2L, 4L, cur = true))
+      .toDF(cols: _*).coalesce(1).write.parquet(s"$s/open/$bc=0")
+    Seq(vrow(1L, 3L, cur = true), vrow(2L, 5L, cur = true))
+      .toDF(cols: _*).coalesce(1).write.parquet(s"$s/open/$bc=1")
+    val untouched = hashDir(s"$s/closed/$bc=1") // key 1 never lived there
+    val r = Takedown.deleteFromScd2Store(spark, s, Seq(1L))
+    assert(r.deletedRows === 3L) // closed b0 + both open snapshots
+    assert(r.rewrittenUnits.toSet ===
+      Set(s"closed/$bc=0", s"open/$bc=0", s"open/$bc=1"))
+    assert(hashDir(s"$s/closed/$bc=1") === untouched)
+    val v = StreamingOps.readScd2Store(spark, s).get
+    assert(v.filter(col("key") === 1L).count() === 0L)
+    assert(v.select("key", "change_id").as[(Long, Long)].collect().sorted.toSeq
+      === Seq((2L, 2L), (2L, 4L), (2L, 5L)))
+    // the OLDER snapshot was cleansed too: a replay-style read below
+    // batch 1 no longer sees the key
+    val older = spark.read.parquet(s"$s/open/$bc=0")
+    assert(older.filter(col("key") === 1L).count() === 0L)
+    // replay-resurrection guard
+    val ckpt = tmpDir("td-scd2-ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt, "commits"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "0"), "{}")
+    val e = intercept[IllegalArgumentException](
+      Takedown.deleteFromScd2Store(spark, s, Seq(2L), checkpoint = Some(ckpt)))
+    assert(e.getMessage.contains("resurrect"))
+  }
+
   /** Sorted (relative-name, md5) pairs of a dir's data files. */
   private def hashDir(dir: String): Seq[(String, String)] = {
     val root = java.nio.file.Paths.get(dir)
