@@ -49,6 +49,23 @@ class AttributeKernelSpec extends SparkSpec {
     assert(r === Seq((None, true), (Some(0.3), false)))
   }
 
+  test("single-pass plans: one kernel site in the sheet, zero past the quantile pin") {
+    // the sheet runs its kernel exactly once per row (one invocation
+    // site in the optimized plan — the PlanAudit structural contract)
+    val sheet = TextAnalysis.attributeSheet(docs)
+    assert(PlanAudit.scalaUdfSites(sheet) === 1)
+    // keepTopQuantile's returned plan reads the PIN: the score kernel
+    // already ran at the checkpoint, so the plan has ZERO live kernel
+    // sites — the r13 double-text-pass defect is structurally gone
+    val gated = Curation.keepTopQuantile(docs,
+      TextAnalysis.qualityScoreKernel(org.apache.spark.sql.functions.col("text"))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 4)),
+      org.apache.spark.sql.functions.col("source"), frac = 0.3)
+    assert(PlanAudit.scalaUdfSites(gated) === 0)
+    assert(gated.count() > 0)
+    Storage.releaseAll(true)
+  }
+
   test("wsTokenCountFast equals wsTokenCount on every corpus row and edge shapes") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "a  b ", " a").toDF("text")
