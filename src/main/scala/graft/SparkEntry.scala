@@ -164,7 +164,8 @@ object SparkEntry {
     "q128_attribute_sheet" -> (PipelineQueries.q128AttributeSheet _),
     "q129_url_param_sort" -> (PipelineQueries.q129UrlParamSort _),
     "q130_check_takedown" -> (PipelineQueries.q130CheckTakedown _),
-    "q131_check_attr_upkeep" -> (PipelineQueries.q131CheckAttrUpkeep _)
+    "q131_check_attr_upkeep" -> (PipelineQueries.q131CheckAttrUpkeep _),
+    "q132_check_dedup_aliases" -> (PipelineQueries.q132CheckDedupAliases _)
   )
 
   def oracleSql: Map[String, String] = Map(

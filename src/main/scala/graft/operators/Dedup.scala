@@ -1214,6 +1214,40 @@ object Dedup {
     increment.join(d, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupAgainstCorpus]] plus the PROVENANCE it normally discards:
+    * (survivors, aliases) where `aliases` maps every REJECTED increment
+    * document to the corpus document that flagged it — (doc_id, kept_id,
+    * jaccard), kept_id = the best match (highest jaccard, ties to the
+    * lowest corpus id — a deterministic min-struct, no window). The
+    * answer to "where did my document go" that every production dedup
+    * owes its users (audits, takedown propagation — deleting a kept doc
+    * means its aliases' content is no longer represented — and dedup-rate
+    * debugging by source).
+    *
+    * Scale shape: the pair kernel runs ONCE (pinned lazily; pairs are
+    * increment-bounded — the crossDup contract), both outputs derive
+    * from the pin; the alias aggregate is one map-side-combinable
+    * max-struct over increment-bounded rows. */
+  def dedupAgainstCorpusWithAliases(corpus: DataFrame, increment: DataFrame,
+                                    threshold: Double = 0.5, n: Int = 3,
+                                    broadcastableFlagged: Long = 5000000L)
+      : (DataFrame, DataFrame) = {
+    val pairs = Storage.track(
+      crossDup0(corpus, increment, threshold, n).localCheckpoint(false))
+    val dup = pairs.select(col("inc_id").as("doc_id")).distinct()
+    val d =
+      if (SizeDispatch.atMost(increment, broadcastableFlagged)) broadcast(dup)
+      else dup.hint("shuffle_hash")
+    val survivors = increment.join(d, Seq("doc_id"), "left_anti")
+    val aliases = pairs
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min(struct((-col("jac")).as("nj"), col("corpus_id").as("kept_id"),
+        col("jac").as("j"))).as("m"))
+      .select(col("doc_id"), col("m.kept_id").as("kept_id"),
+        col("m.j").as("jaccard"))
+    (survivors, aliases)
+  }
+
   // ------------------------------------------- vector-side incremental
   /** Embedding-side incremental near-dup probe — the VECTOR analogue of
     * [[crossDupPairs]] (VERDICT r8 missing #2): which vectors of a new

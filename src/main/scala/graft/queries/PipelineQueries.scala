@@ -832,6 +832,57 @@ object PipelineQueries {
       "current_after_takedown", "idempotent")
   }
 
+  /** q132 contract: dedup provenance aliases (r14 — the answer to
+    * "where did my document go" a production dedup owes its users:
+    * audits, takedown propagation, per-source dedup-rate debugging).
+    * Corpus = even doc_ids; increment = odd doc_ids, where every
+    * id % 10 == 1 doc is REPLACED by an exact copy of its even
+    * neighbor's text (a planted cross dup with a known best match).
+    *  (a) disjoint_cover — survivors ∪ aliased == the increment,
+    *      disjoint (nothing lost, nothing double-counted);
+    *  (b) best_match — every planted dup's alias points at its even
+    *      neighbor with jaccard 1.0;
+    *  (c) survivors_clean — no survivor is a near-dup of the corpus
+    *      (re-checked through the plain dedup path);
+    *  (d) deterministic — identical output under repartition. */
+  def q132CheckDedupAliases(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Storage}
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + 1L).as("doc_id"), col("text").as("__etext"))
+    val inc = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(even, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 1 && col("__etext").isNotNull,
+          col("__etext")).otherwise(col("text")).as("text"))
+    val (surv, al) = Dedup.dedupAgainstCorpusWithAliases(corpus, inc, 0.5, 3)
+    val survIds = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    val alRows = al.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val aliasIds = alRows.map(_._1).toSet
+    val disjointCover = (survIds ++ aliasIds) == incIds &&
+      survIds.intersect(aliasIds).isEmpty
+    val planted = incIds.filter(i => i % 10 == 1 && incIds.contains(i))
+      .filter(i => i % 10 == 1)
+    val bestMatch = planted.forall(i =>
+      alRows.exists(a => a._1 == i && a._2 == i - 1 && a._3 == 1.0))
+    val survClean = Dedup.dedupAgainstCorpus(corpus,
+      inc.filter(col("doc_id").isin(survIds.toSeq: _*)), 0.5, 3)
+      .count() == survIds.size
+    val (s2, a2) = Dedup.dedupAgainstCorpusWithAliases(
+      corpus.repartition(7), inc.repartition(5), 0.5, 3)
+    val deterministic =
+      s2.select("doc_id").collect().map(_.getLong(0)).toSet == survIds &&
+        a2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet == alRows.toSet
+    Storage.releaseAll(true)
+    import spark.implicits._
+    Seq((disjointCover, bestMatch, survClean, deterministic))
+      .toDF("disjoint_cover", "best_match", "survivors_clean", "deterministic")
+  }
+
   /** q126: quantized-shortlist + exact rerank
     * (`Similarity.cosineTopKReranked` — the IVF-PQ/int8 "refine" step
     * every quantized ANN deployment runs). Scores depend on the int8
@@ -3254,6 +3305,9 @@ object PipelineQueries {
           |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
           |  MAX(l)::BIGINT AS kept_len
           |FROM w GROUP BY canon ORDER BY canonical_url""".stripMargin,
+      "q132_check_dedup_aliases" ->
+        """SELECT true AS disjoint_cover, true AS best_match,
+          |  true AS survivors_clean, true AS deterministic""".stripMargin,
       "q131_check_attr_upkeep" ->
         """SELECT true AS incremental_only_new, true AS matches_direct,
           |  true AS current_after_takedown, true AS idempotent""".stripMargin,

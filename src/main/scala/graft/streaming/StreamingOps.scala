@@ -661,8 +661,16 @@ object StreamingOps {
     * asymmetry — the corpus never shuffles), and the per-batch
     * partition layout keeps writes bounded by the increment. Compact
     * old partitions offline if small-batch file counts accumulate. */
+  /** Name of the dedup-provenance sidecar beside a corpus store: per
+    * rejected document, the corpus document that flagged it —
+    * `_aliases/__ingest_batch=<id>` rows (doc_id, kept_id, jaccard).
+    * Underscore-prefixed like `_attributes`; read it with
+    * `readCorpusStore(spark, s"$store/_aliases")`. */
+  val AliasesDir = "_aliases"
+
   def dedupedIngestToStore(docs: DataFrame, storePath: String, checkpoint: String,
-                           threshold: Double = 0.5, n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+                           threshold: Double = 0.5, n: Int = 3,
+                           aliases: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -673,9 +681,21 @@ object StreamingOps {
             .drop(IngestBatchCol))
           .getOrElse(spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), batch.schema))
-        graft.operators.Dedup.dedupAgainstCorpus(corpus, batch, threshold, n)
-          .write.mode("overwrite")
-          .parquet(s"$storePath/$IngestBatchCol=$id")
+        if (!aliases)
+          graft.operators.Dedup.dedupAgainstCorpus(corpus, batch, threshold, n)
+            .write.mode("overwrite")
+            .parquet(s"$storePath/$IngestBatchCol=$id")
+        else {
+          // provenance mode: ONE pair-kernel pass feeds both outputs;
+          // both writes overwrite their own batch partition, so the
+          // at-least-once replay contract holds for the pair
+          val (survivors, al) = graft.operators.Dedup
+            .dedupAgainstCorpusWithAliases(corpus, batch, threshold, n)
+          survivors.write.mode("overwrite")
+            .parquet(s"$storePath/$IngestBatchCol=$id")
+          al.coalesce(1).write.mode("overwrite")
+            .parquet(s"$storePath/$AliasesDir/$IngestBatchCol=$id")
+        }
       }
       .start()
 
