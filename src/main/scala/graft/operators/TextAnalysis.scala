@@ -187,7 +187,7 @@ object TextAnalysis {
   /** [[qualityScore]] rebuilt over the kernel's integer signals — the
     * expression AST mirrors the original operand-for-operand so the
     * doubles are bit-identical. */
-  private[operators] def qualityFromSignals(s: Column): Column = {
+  private[graft] def qualityFromSignals(s: Column): Column = {
     val nw = s.getField("_1")
     val sr = s.getField("_2").cast(DoubleType) / greatest(nw, lit(1L)).cast(DoubleType)
     val mwl = s.getField("_3").cast(DoubleType) / greatest(nw, lit(1L)).cast(DoubleType)
@@ -272,7 +272,7 @@ object TextAnalysis {
     * counts are UTF-16 units (== Spark codepoint length for BMP text). */
   private[operators] val EnStopSeq: Seq[String] = StopWords.toMap.apply("en")
 
-  private[operators] val attributeSignalsUdf = udf((text: String) =>
+  private[graft] val attributeSignalsUdf = udf((text: String) =>
     if (text == null)
       null.asInstanceOf[(Long, Long, Long, Long, Long, Long, Long, Long,
         Long, Long, Long, Long, Long, Long, Long, Long)]
@@ -355,7 +355,7 @@ object TextAnalysis {
     * ratio ASTs mirror [[formatSignalsFrom]] operand-for-operand
     * (integer÷integer double division, round-4, DECIMAL compare), so
     * verdicts are bit-identical. */
-  private[operators] def formatFromSignals(s: Column): Column = {
+  private[graft] def formatFromSignals(s: Column): Column = {
     val nChars = greatest(s.getField("_9"), lit(1L)).cast(DoubleType)
     val nLines = greatest(s.getField("_11"), lit(1L)).cast(DoubleType)
     val symbolDensity = dec4(round(s.getField("_10").cast(DoubleType) / nChars, 4))

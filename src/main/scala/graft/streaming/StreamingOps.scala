@@ -661,6 +661,56 @@ object StreamingOps {
     * asymmetry — the corpus never shuffles), and the per-batch
     * partition layout keeps writes bounded by the increment. Compact
     * old partitions offline if small-batch file counts accumulate. */
+  /** Streaming corpus-quality drift monitor — the data-quality
+    * dashboard a live ingest runs NEXT TO the gates (the gates decide
+    * per document; this watches the DISTRIBUTION drift per source that
+    * tells an operator a crawl went bad, an encoding broke, or a spam
+    * source turned on — before the corpus absorbs a week of it): per
+    * (event-time window, source) — doc count, mean quality (exact
+    * 4-decimal DECIMAL average of per-doc DECIMAL scores, so the value
+    * is order-independent), quality-gate and Gopher-battery keep
+    * counts, code-format count, and token volume.
+    *
+    * Scale shape: ONE attribute-kernel pass per row (the q128/q131
+    * kernel) feeding a watermarked windowed aggregate — map-side
+    * combinable, state bounded per (window, source) by the watermark
+    * horizon, append-mode safe. Rates are left to the reader
+    * (n_keep / n_docs) so the emitted row is pure integers + one exact
+    * decimal — the cross-engine-robust export convention. */
+  def qualityDriftMonitor(docs: DataFrame, tsCol: String, sourceCol: String,
+                          window_ : String = "1 hour",
+                          watermark: String = "2 hours",
+                          qualityThreshold: Double = 0.44): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import graft.operators.{HeuristicRules, TextAnalysis}
+    val s = col("__sig")
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sig", TextAnalysis.attributeSignalsUdf(col("text")))
+      .withColumn("__q",
+        TextAnalysis.qualityFromSignals(s).cast(DecimalType(14, 4)))
+      .withColumn("__keep", col("__q") >= qualityThreshold)
+      .withColumn("__gk", HeuristicRules.gopherKeepFromCounts(
+        nWords = s.getField("_1"), sumLen = s.getField("_3"),
+        gopherSyms = s.getField("_8"), nLines = s.getField("_11"),
+        bulletLines = s.getField("_15"), ellipsisLines = s.getField("_16"),
+        alphaWords = s.getField("_6"), enStopHits = s.getField("_7")))
+      .withColumn("__code", TextAnalysis.formatFromSignals(s) === "code")
+      .withColumn("__nw", s.getField("_1"))
+      .groupBy(window(col(tsCol), window_), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("__q")).cast(DecimalType(14, 4)).cast(DoubleType)
+          .as("mean_quality"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+        sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(when(col("__code"), 1L).otherwise(0L)).as("n_code"),
+        sum(col("__nw")).as("n_words"))
+      .select(col("window.start").as("w"), col(sourceCol), col("n_docs"),
+        col("mean_quality"), col("n_quality_keep"), col("n_gopher_keep"),
+        col("n_code"), col("n_words"))
+  }
+
   /** Name of the dedup-provenance sidecar beside a corpus store: per
     * rejected document, the corpus document that flagged it —
     * `_aliases/__ingest_batch=<id>` rows (doc_id, kept_id, jaccard).

@@ -479,4 +479,48 @@ class StreamingOpsSpec extends SparkSpec {
       .groupBy(_._1).map(_._2.maxBy(_._2)).toArray.sortBy(x => (x._1, x._2))
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("qualityDriftMonitor: per-source drift surfaces in the windowed sheet") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF().toDF("ts", "source", "text")
+    val out = StreamingOps.qualityDriftMonitor(docs, "ts", "source",
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append).start()
+    val prose = "the cat and the dog of a house is to be seen and the end is near"
+    val soup = "zxq pqw wvb qqq kjl zzz yyy xxx www vvv uuu ttt sss rrr!!!"
+    // window 0: src_a healthy; window 1: src_a degrades to word soup
+    // while src_b stays healthy
+    in.addData((ts(1), "src_a", prose), (ts(3), "src_a", prose),
+      (ts(2), "src_b", prose))
+    in.addData((ts(11), "src_a", soup), (ts(13), "src_a", soup),
+      (ts(12), "src_b", prose))
+    q.processAllAvailable()
+    in.addData((ts(59), "src_b", prose)) // advance the watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drift").collect()
+      .map(r => ((r.getAs[Timestamp]("w").toString, r.getAs[String]("source")),
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_quality"),
+          r.getAs[Long]("n_quality_keep")))).toMap
+    val a0 = rows(("2024-01-01 10:00:00.0", "src_a"))
+    val a1 = rows(("2024-01-01 10:10:00.0", "src_a"))
+    val b1 = rows(("2024-01-01 10:10:00.0", "src_b"))
+    assert(a0._1 === 2L && a1._1 === 2L)
+    // the drift: src_a's mean quality drops hard, its keep-rate goes to 0
+    assert(a0._2 > 0.5 && a0._3 === 2L)
+    assert(a1._2 < 0.45 && a1._3 === 0L, s"a1=$a1")
+    // the healthy source is unchanged across the same windows
+    assert(b1._2 === a0._2 && b1._3 === 1L)
+    // the per-window mean equals the batch kernel's per-doc mean exactly
+    import graft.operators.{TextAnalysis => TAo}
+    val direct = Seq(prose, prose).toDF("text")
+      .select(TAo.qualityScoreKernel(org.apache.spark.sql.functions.col("text"))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 4)).as("q"))
+      .agg(org.apache.spark.sql.functions.avg("q")
+        .cast(org.apache.spark.sql.types.DecimalType(14, 4))
+        .cast(org.apache.spark.sql.types.DoubleType)).head().getDouble(0)
+    assert(a0._2 === direct)
+  }
 }
