@@ -165,7 +165,9 @@ object SparkEntry {
     "q129_url_param_sort" -> (PipelineQueries.q129UrlParamSort _),
     "q130_check_takedown" -> (PipelineQueries.q130CheckTakedown _),
     "q131_check_attr_upkeep" -> (PipelineQueries.q131CheckAttrUpkeep _),
-    "q132_check_dedup_aliases" -> (PipelineQueries.q132CheckDedupAliases _)
+    "q132_check_dedup_aliases" -> (PipelineQueries.q132CheckDedupAliases _),
+    "q133_probe_sweep" -> (PipelineQueries.q133ProbeSweep _),
+    "q133_check_probe_sweep" -> (PipelineQueries.q133CheckProbeSweep _)
   )
 
   def oracleSql: Map[String, String] = Map(

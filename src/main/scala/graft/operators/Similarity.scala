@@ -454,6 +454,90 @@ object Similarity {
       gc = checkpoint.isEmpty)
   }
 
+  /** IVF probe-recall sweep — the (nProbe → recall, scanned fraction)
+    * tuning table every ANN deployment publishes before picking its
+    * operating point (recall@k tracks the probed fraction on
+    * noise-similarity corpora — q36's measured lesson — so the knob is
+    * a cost/recall trade someone must SEE to set): for `nQueries`
+    * deterministically-sampled query vectors (top by xxhash64(vec_id),
+    * the centroid-sample convention), compare the exact top-k against
+    * the IVF top-k at each probe width.
+    *
+    * Scale shape — ONE corpus pass for the WHOLE sweep: the bounded
+    * query set explodes against the assigned table (corpus × Q rows,
+    * map-side), ONE window pass keeps the per-(query, list) top-k, and
+    * everything after — exact top-k (merge of all lists), per-width
+    * top-k (merge of the probed lists), recalls, scanned fractions —
+    * is driver arithmetic over the collected Q × nLists × k rows plus
+    * the nLists-row list-size table. No per-width job, no second scan.
+    * Monotonicity is structural: candidates(p) ⊆ candidates(p+1) and
+    * both sides break ties (cos desc, vec_id), so recall never
+    * decreases and reaches EXACTLY 1.0 at full probe.
+    * Output: (n_probe, mean_recall DECIMAL(14,4) as double,
+    * scanned_frac likewise), ordered by n_probe. */
+  def probeRecallSweep(emb: DataFrame, nLists: Int = 16, k: Int = 10,
+                       probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                       nQueries: Int = 8): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nLists),
+      s"probeRecallSweep: probes $probes out of [1, $nLists]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idx = buildIvfIndex(emb, nLists)
+    val qRows = asDouble(emb)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nQueries)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per-query centroid ranking (driver-side: nLists dot products each)
+    val listRank: Map[Long, Array[Int]] = qRows.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      qid -> idx.centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (x, y) => x * y }.sum / qn, i)
+      }.sortBy(t => (-t._1, t._2)).map(_._2)
+    }.toMap
+    val listSizes = idx.assigned.groupBy("list").count().collect()
+      .map(r => r.get(0).asInstanceOf[Number].intValue -> r.getLong(1)).toMap
+    val total = listSizes.values.sum.toDouble
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
+    val qArr = typedLit(qRows.map { case (qid, qv) => (qid, qv.toSeq) }.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "list").orderBy(col("cos").desc, col("vec_id"))
+    // corpus × Q scoring pass; per-(query, list) top-k keeps the
+    // collected table at Q × nLists × k rows no matter the corpus size
+    val perList = idx.assigned
+      .select(col("vec_id"), col("e"), col("list"), explode(qArr).as("q"))
+      .filter(col("vec_id") =!= col("q._1"))
+      .select(col("q._1").as("qid"), col("vec_id"), col("list"),
+        round(vec_dot(col("e"), col("q._2")) /
+          (vec_norm(col("e")) * vec_norm(col("q._2"))), 4).as("cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("qid", "list", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].intValue,
+        r.getLong(2), r.getDouble(3)))
+    def topK(qid: Long, lists: Set[Int]): Seq[Long] =
+      perList.filter(r => r._1 == qid && lists.contains(r._2))
+        .sortBy(r => (-r._4, r._3)).take(k).map(_._3).toSeq
+    val allLists = (0 until idx.nLists).toSet
+    val exact = qRows.map { case (qid, _) => qid -> topK(qid, allLists).toSet }.toMap
+    val out = probes.distinct.sorted.map { p =>
+      val recalls = qRows.map { case (qid, _) =>
+        val got = topK(qid, listRank(qid).take(p).toSet).toSet
+        got.intersect(exact(qid)).size.toDouble / exact(qid).size
+      }
+      val scanned = qRows.map { case (qid, _) =>
+        listRank(qid).take(p).map(l => listSizes.getOrElse(l, 0L)).sum / total
+      }
+      (p, recalls.sum / recalls.length, scanned.sum / scanned.length)
+    }
+    out.toDF("n_probe", "r", "s")
+      .select(col("n_probe"),
+        col("r").cast(org.apache.spark.sql.types.DecimalType(14, 4))
+          .cast("double").as("mean_recall"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(14, 4))
+          .cast("double").as("scanned_frac"))
+      .orderBy("n_probe")
+  }
+
   /** Delete vectors by id from a persisted IVF index WITHOUT a rebuild
     * (the takedown verb — opt-out/DMCA/GDPR removals must reach the
     * index too, or a kNN probe keeps serving the deleted content):

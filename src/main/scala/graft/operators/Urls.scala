@@ -90,6 +90,139 @@ object Urls {
     concat(h2, r4)
   }
 
+  // ---------------------------------------- imperative kernel (r14)
+  /** [[canonicalizeUrl]] as ONE imperative string pass — the q128/q127
+    * kernel pattern applied to the canonicalization chain: the Column
+    * form pays ~6 Java-regex evaluations plus a split/sort HOF per row
+    * (measured 11× DuckDB at sf1 — a real marginal cost, the q97 regex
+    * engine gap, not fixed overhead), where one hand-rolled scan does
+    * the same work allocation-free. Semantics replicate the Column
+    * chain operator-for-operator — `#.*` strips to end-of-LINE
+    * (Java `.` excludes \n), tracking-name alternation with regex
+    * backtracking order, `split(-1)` empty-field behavior, bytewise
+    * param sort (== Spark/DuckDB binary order for the ASCII URLs this
+    * targets) — and UrlKernelSpec asserts bit-equality against the
+    * Column chain over the full synthetic corpus and an adversarial
+    * edge list. Nondeterministic as a materialization barrier. */
+  private def isTrackingAt(s: String, i: Int): Int = {
+    // returns the index just past "name=" when s[i..] starts with a
+    // tracking-param name followed by '=', else -1 (regex alternation
+    // order: utm_[a-z]+ | fbclid | gclid | msclkid | ref)
+    if (s.startsWith("utm_", i)) {
+      var j = i + 4
+      while (j < s.length && s.charAt(j) >= 'a' && s.charAt(j) <= 'z') j += 1
+      if (j > i + 4 && j < s.length && s.charAt(j) == '=') return j + 1
+    }
+    for (name <- TrackingNames) {
+      if (s.startsWith(name, i) && i + name.length < s.length &&
+        s.charAt(i + name.length) == '=') return i + name.length + 1
+    }
+    -1
+  }
+
+  private val TrackingNames = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  private[operators] def canonicalizeLocal(url: String,
+                                           sortParams: Boolean): String = {
+    if (url == null) return null
+    // trim: Spark's trim() strips 0x20 only
+    var a = 0
+    var b = url.length
+    while (a < b && url.charAt(a) == ' ') a += 1
+    while (b > a && url.charAt(b - 1) == ' ') b -= 1
+    val t = url.substring(a, b)
+    // 1. '#.*' replace-all: each '#' deletes through end-of-line
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '#') {
+        while (i < t.length && t.charAt(i) != '\n') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    val c0 = sb.toString
+    // 2-4. head = ^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*
+    var headEnd = 0
+    if (c0.nonEmpty && Character.isLetter(c0.charAt(0)) && c0.charAt(0) < 128) {
+      var j = 1
+      def schemeChar(ch: Char): Boolean =
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9') || ch == '+' || ch == '.' || ch == '-'
+      while (j < c0.length && schemeChar(c0.charAt(j))) j += 1
+      if (c0.startsWith("://", j)) {
+        var k = j + 3
+        while (k < c0.length && c0.charAt(k) != '/' && c0.charAt(k) != '?' &&
+          c0.charAt(k) != '#') k += 1
+        headEnd = k
+      }
+    }
+    val rawHead = c0.substring(0, headEnd)
+    val rest = c0.substring(headEnd)
+    val h1 = rawHead.toLowerCase(java.util.Locale.ROOT)
+      .replace("://www.", "://")
+    val h2 =
+      if (h1.startsWith("http://") && h1.endsWith(":80"))
+        h1.substring(0, h1.length - 3)
+      else if (h1.startsWith("https://") && h1.endsWith(":443"))
+        h1.substring(0, h1.length - 4)
+      else h1
+    // 5. unify separators, strip tracking params (leftmost non-overlap)
+    val r1 = rest.replace('?', '&')
+    val rb = new java.lang.StringBuilder(r1.length)
+    var m = 0
+    while (m < r1.length) {
+      val c = r1.charAt(m)
+      if (c == '&') {
+        val past = isTrackingAt(r1, m + 1)
+        if (past >= 0) {
+          m = past
+          while (m < r1.length && r1.charAt(m) != '&') m += 1
+        } else { rb.append(c); m += 1 }
+      } else { rb.append(c); m += 1 }
+    }
+    val r2 = rb.toString
+    // 5b/5c. param handling
+    val r3 =
+      if (!sortParams) {
+        val p = r2.indexOf('&')
+        if (p >= 0) r2.substring(0, p) + "?" + r2.substring(p + 1) else r2
+      } else {
+        val parts = r2.split("&", -1)
+        val ps = parts.drop(1).filter(_.nonEmpty).sorted
+        if (ps.nonEmpty) parts(0) + "?" + ps.mkString("&") else parts(0)
+      }
+    // 6. trailing [?&]+ then one trailing '/' — replicating Java
+    // regex's '$': it also matches BEFORE a final line terminator
+    // (CR LF, LF, CR, NEL, LS, PS at the very end), so a
+    // dirty URL like "a?\n" strips its '?' exactly as the Column form
+    val ftLen = {
+      val n = r3.length
+      if (n >= 2 && r3.charAt(n - 2) == '\r' && r3.charAt(n - 1) == '\n') 2
+      else if (n >= 1 && {
+        val c = r3.charAt(n - 1)
+        c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+      }) 1
+      else 0
+    }
+    val body = r3.substring(0, r3.length - ftLen)
+    val term = r3.substring(r3.length - ftLen)
+    var e = body.length
+    while (e > 0 && (body.charAt(e - 1) == '?' || body.charAt(e - 1) == '&')) e -= 1
+    var b4 = body.substring(0, e)
+    if (b4.endsWith("/")) b4 = b4.substring(0, b4.length - 1)
+    h2 + b4 + term
+  }
+
+  private val canonSortedUdf =
+    udf((u: String) => canonicalizeLocal(u, sortParams = true)).asNondeterministic()
+  private val canonUdf =
+    udf((u: String) => canonicalizeLocal(u, sortParams = false)).asNondeterministic()
+
+  /** Kernel form of [[canonicalizeUrl]] — bit-equal values, one
+    * imperative pass (see kernel scaladoc above). */
+  def canonicalizeUrlKernel(url: Column, sortParams: Boolean = false): Column =
+    if (sortParams) canonSortedUdf(url) else canonUdf(url)
+
   /** URL-level dedup: one row per canonical URL, keeping the richest
     * capture (longest text, ties to the lowest id — the deterministic
     * twin of CommonCrawl's keep-latest). ONE shuffle on the canonical
@@ -99,7 +232,7 @@ object Urls {
                  idCol: Column, textCol: Column,
                  sortParams: Boolean = false): DataFrame =
     docs
-      .withColumn("__canon", canonicalizeUrl(urlCol, sortParams))
+      .withColumn("__canon", canonicalizeUrlKernel(urlCol, sortParams))
       .groupBy(col("__canon").as("canonical_url"))
       .agg(
         count(lit(1)).cast(LongType).as("n_variants"),

@@ -883,6 +883,44 @@ object PipelineQueries {
       .toDF("disjoint_cover", "best_match", "survivors_clean", "deterministic")
   }
 
+  /** q133: IVF probe-recall sweep (`Similarity.probeRecallSweep`) —
+    * the (nProbe → recall@k, scanned fraction) tuning table every ANN
+    * deployment publishes before picking its operating point. Depends
+    * on the IVF clustering, so the row is rows-only;
+    * q133_check_probe_sweep carries the hard contract. */
+  def q133ProbeSweep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.probeRecallSweep(t(spark, dir, "embeddings"),
+      nLists = 16, k = 10, probes = Seq(1, 2, 4, 8, 12, 16), nQueries = 8)
+
+  /** q133 contract: (a) recall monotone non-decreasing in nProbe and
+    * EXACTLY 1.0 at full probe (candidates(p) ⊆ candidates(p+1), shared
+    * (cos desc, id) tiebreak — structural, so any violation is a bug,
+    * not noise); (b) scanned fraction strictly increasing to 1.0;
+    * (c) beats_random — mean recall EXCEEDS the scanned fraction at
+    * every width (an index no better than random list selection has
+    * recall ≈ share — q36's noise-similarity lesson; at sf0.01 the
+    * sweep measures 0.83 recall at 0.50 share, real pruning value);
+    * (d) the sweep is deterministic under repartition (sampled queries
+    * are hash-chosen, centroids seeded — the q36 convention). */
+  def q133CheckProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    def sweep(e: DataFrame) = Similarity.probeRecallSweep(e,
+      nLists = 16, k = 10, probes = Seq(1, 2, 4, 8, 12, 16), nQueries = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val a = sweep(emb)
+    val monotoneRecall = a.sliding(2).forall(w => w(1)._2 >= w(0)._2)
+    val fullProbeExact = a.last._2 == 1.0
+    val scannedOk = a.sliding(2).forall(w => w(1)._3 > w(0)._3) &&
+      a.last._3 == 1.0
+    // strict everywhere except full probe, where recall == share == 1
+    val beatsRandom = a.forall(r => r._2 > r._3 || r._3 == 1.0)
+    val deterministic = sweep(emb.repartition(7)).toSeq == a.toSeq
+    import spark.implicits._
+    Seq((monotoneRecall, fullProbeExact, scannedOk, beatsRandom, deterministic))
+      .toDF("monotone_recall", "full_probe_exact", "scanned_monotone",
+        "beats_random", "deterministic")
+  }
+
   /** q126: quantized-shortlist + exact rerank
     * (`Similarity.cosineTopKReranked` — the IVF-PQ/int8 "refine" step
     * every quantized ANN deployment runs). Scores depend on the int8
@@ -3305,6 +3343,10 @@ object PipelineQueries {
           |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
           |  MAX(l)::BIGINT AS kept_len
           |FROM w GROUP BY canon ORDER BY canonical_url""".stripMargin,
+      "q133_check_probe_sweep" ->
+        """SELECT true AS monotone_recall, true AS full_probe_exact,
+          |  true AS scanned_monotone, true AS beats_random,
+          |  true AS deterministic""".stripMargin,
       "q132_check_dedup_aliases" ->
         """SELECT true AS disjoint_cover, true AS best_match,
           |  true AS survivors_clean, true AS deterministic""".stripMargin,
