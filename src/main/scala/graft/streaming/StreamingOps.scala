@@ -515,8 +515,8 @@ object StreamingOps {
     *    watermark means "batches ≤ W are not live partitions", which
     *    expiry preserves) — the epoch rewrite is skipped when no epoch
     *    row is in range.
-    * Also drops the expired batches' attribute-sidecar partitions (the
-    * sheet must never outlive its documents). With `checkpoint`, the
+    * Also drops the expired batches' sidecar partitions — attributes
+    * AND dedup aliases (neither must outlive its documents). With `checkpoint`, the
     * bound must sit at or below the last committed batch (an
     * uncommitted batch's replay would re-create its partition — the
     * compactStore guard). Returns (liveDirsRemoved, epochRewritten). */
@@ -559,7 +559,8 @@ object StreamingOps {
         }
       case None => false
     }
-    val removed = dropLive(path) + dropLive(s"$path/$AttributesDir")
+    val removed = dropLive(path) + dropLive(s"$path/$AttributesDir") +
+      dropLive(s"$path/$AliasesDir")
     (removed, epochRewritten)
   }
 

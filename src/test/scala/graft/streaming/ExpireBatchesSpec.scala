@@ -25,8 +25,13 @@ class ExpireBatchesSpec extends SparkSpec {
     val s = java.nio.file.Files.createTempDirectory("ttl-live").toString
     (0L to 2L).foreach(b => writeBatch(s, b, Seq(b * 10, b * 10 + 1)))
     StreamingOps.upkeepAttributeSheet(spark, s)
+    // an alias sidecar partition for batch 1 ages out with it
+    Seq((99L, 10L, 1.0)).toDF("doc_id", "kept_id", "jaccard")
+      .coalesce(1).write.parquet(s"$s/${StreamingOps.AliasesDir}/$bc=1")
     val (removed, epoch) = StreamingOps.expireBatches(spark, s, uptoBatch = 1L)
-    assert(removed === 4 && !epoch) // 2 store dirs + 2 sidecar dirs
+    assert(removed === 5 && !epoch) // 2 store + 2 attribute + 1 alias dirs
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s, StreamingOps.AliasesDir, s"$bc=1")))
     assert(ids(s) === Seq(20L, 21L))
     assert(StreamingOps.readAttributeSheet(spark, s).get
       .select("doc_id").as[Long].collect().sorted.toSeq === Seq(20L, 21L))
