@@ -235,6 +235,13 @@ class CurationSpec extends SparkSpec {
     val re = Curation.keepTopQuantile(docs.repartition(7), col("s"), col("g"), 0.3)
       .select("doc_id").as[Long].collect().toSet
     assert(re === kept)
+    // the pin is a pure PLAN choice: an identity pin (score evaluated
+    // in both consumers) selects the identical set
+    val noPin = Curation.keepTopQuantile(docs, col("s"), col("g"), 0.3,
+        pin = df => df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noPin === kept)
+    Storage.releaseAll(true)
   }
 
   test("snapshotDiff: all four statuses; text never rides the exchange") {
