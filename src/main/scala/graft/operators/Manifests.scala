@@ -2,27 +2,53 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.Path
 
 /** The shared commit protocol for store compaction (text corpus store
   * and IVF index store): a consolidated epoch directory under an
   * underscore-prefixed `_compaction` dir (invisible to Spark's file
   * index, so half-written epochs can never leak into readers) plus a
-  * tiny manifest JSON whose ATOMIC replace is the single commit point.
+  * tiny manifest whose atomic appearance is the single commit point.
   * Readers construct their view from the manifest alone; superseded
   * inputs are garbage the best-effort GC may or may not have removed.
+  *
+  * Commit primitive (r15 — the distributed-filesystem port): manifests
+  * are VERSIONED, one immutable `manifest-<epoch>.json` per commit,
+  * and [[read]] selects the highest epoch. Committing is a tmp write
+  * plus a rename to a destination that never existed — the one rename
+  * semantic every Hadoop filesystem shares (atomic on HDFS and POSIX;
+  * on an object store the destination appears as one complete object).
+  * The old single-file protocol needed rename-OVER-existing, which is
+  * POSIX-only; a legacy `manifest.json` is still read (lowest
+  * priority) so pre-port stores stay readable. Epoch numbers are
+  * strictly growing by construction (every writer commits `prev+1`),
+  * so max-epoch selection and last-writer-wins agree. Superseded
+  * manifest files are garbage, reclaimed with the epoch dirs by
+  * [[gcSuperseded]].
   */
 object Manifests {
 
   val CompactDir = "_compaction"
 
-  /** Read a store's committed (epoch, coversUpTo), if any. */
+  private val ManifestRe = """manifest-(\d+)\.json""".r
+  private val BodyRe = """"epoch"\s*:\s*(\d+).*"covers_upto"\s*:\s*(-?\d+)""".r
+
+  private def parse(s: String): Option[(Long, Long)] =
+    BodyRe.findFirstMatchIn(s).map(g => (g.group(1).toLong, g.group(2).toLong))
+
+  /** Read a store's committed (epoch, coversUpTo), if any: the highest
+    * versioned manifest, else the legacy single-file manifest. */
   def read(storeDir: String): Option[(Long, Long)] = {
-    val m = java.nio.file.Paths.get(storeDir, CompactDir, "manifest.json")
-    if (!java.nio.file.Files.isRegularFile(m)) None
+    val mdir = Fs.path(storeDir, CompactDir)
+    val versioned = Fs.list(mdir).filter(_.isFile)
+      .flatMap(f => f.getPath.getName match {
+        case ManifestRe(e) => Some((e.toLong, f.getPath))
+        case _ => None
+      })
+    if (versioned.nonEmpty) parse(Fs.readString(versioned.maxBy(_._1)._2))
     else {
-      val s = java.nio.file.Files.readString(m)
-      val re = """"epoch"\s*:\s*(\d+).*"covers_upto"\s*:\s*(-?\d+)""".r
-      re.findFirstMatchIn(s).map(g => (g.group(1).toLong, g.group(2).toLong))
+      val legacy = new Path(mdir, "manifest.json")
+      if (Fs.isFile(legacy)) parse(Fs.readString(legacy)) else None
     }
   }
 
@@ -30,25 +56,20 @@ object Manifests {
   def epochPath(storeDir: String, epoch: Long): String =
     s"$storeDir/$CompactDir/epoch-$epoch"
 
-  /** Commit an epoch: tmp write + atomic move. Everything before this
-    * call is invisible; everything after it is the new view. */
+  /** Commit an epoch: tmp write + rename to the fresh versioned
+    * manifest name. Everything before this call is invisible;
+    * everything after it is the new view. */
   def flip(storeDir: String, epoch: Long, coversUpTo: Long): Unit = {
-    val mdir = java.nio.file.Paths.get(storeDir, CompactDir)
-    java.nio.file.Files.createDirectories(mdir)
-    val tmp = mdir.resolve(".manifest.tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"epoch":$epoch,"covers_upto":$coversUpTo}""")
-    java.nio.file.Files.move(tmp, mdir.resolve("manifest.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val mdir = Fs.path(storeDir, CompactDir)
+    Fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".manifest-$epoch.tmp")
+    Fs.writeString(tmp, s"""{"epoch":$epoch,"covers_upto":$coversUpTo}""")
+    Fs.rename(tmp, new Path(mdir, s"manifest-$epoch.json"))
   }
 
   /** Recursive delete, no-op on absence — for best-effort GC of
     * superseded inputs (readers never depend on it). */
-  def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+  def rmTree(p: String): Unit = Fs.rmTree(new Path(p))
 
   /** The compacted READ view of a store: the committed epoch (if any)
     * unioned with `live` partitions STRICTLY ABOVE the watermark —
@@ -119,24 +140,31 @@ object Manifests {
   }
 
   /** Delete everything the committed manifest has superseded: batch
-    * dirs ≤ `covers_upto` and epoch dirs other than the committed one.
-    * Idempotent; safe whenever no reader is mid-execution on a view
-    * older than the current manifest (readers built after the flip
-    * never touch these files). Returns the number of dirs removed. */
+    * dirs ≤ `covers_upto`, epoch dirs other than the committed one, and
+    * manifest files older than the committed one. Idempotent; safe
+    * whenever no reader is mid-execution on a view older than the
+    * current manifest (readers built after the flip never touch these
+    * files). Returns the number of dirs removed. */
   def gcSuperseded(storeDir: String, batchCol: String): Int =
     read(storeDir) match {
       case None => 0
       case Some((epoch, covers)) =>
-        val batchDirs = Option(new java.io.File(storeDir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith(s"$batchCol=") &&
-            f.getName.stripPrefix(s"$batchCol=").toLong <= covers)
-        val oldEpochs = Option(
-            new java.io.File(s"$storeDir/$CompactDir").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("epoch-") &&
-            f.getName.stripPrefix("epoch-").toLong != epoch)
-        (batchDirs ++ oldEpochs).foreach(f => rmTree(f.toPath))
+        val batchDirs = Fs.list(Fs.path(storeDir))
+          .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$batchCol=") &&
+            f.getPath.getName.stripPrefix(s"$batchCol=").toLong <= covers)
+          .map(_.getPath)
+        val mdir = Fs.path(storeDir, CompactDir)
+        val oldEpochs = Fs.list(mdir)
+          .filter(f => f.isDirectory && f.getPath.getName.startsWith("epoch-") &&
+            f.getPath.getName.stripPrefix("epoch-").toLong != epoch)
+          .map(_.getPath)
+        val oldManifests = Fs.list(mdir).filter(_.isFile)
+          .flatMap(f => f.getPath.getName match {
+            case ManifestRe(e) if e.toLong != epoch => Some(f.getPath)
+            case _ => None
+          })
+        (batchDirs ++ oldEpochs).foreach(Fs.rmTree)
+        oldManifests.foreach(Fs.rm)
         batchDirs.length + oldEpochs.length
     }
 }

@@ -369,7 +369,7 @@ object Similarity {
     // absent sidecar (pre-r12 index) -> None; anything else (corrupt
     // meta, transient IO) must SURFACE — it is the drift gauge's input
     val base =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "meta"))) None
+      if (!Fs.isDir(Fs.path(root, "meta"))) None
       else Some(spark.read.parquet(s"$root/meta").head()
         .getAs[Double]("build_mean_cohesion"))
     val n = m.getAs[Long]("n")
@@ -575,7 +575,10 @@ object Similarity {
       else s"$IngestBatchCol=$b/list=${r.get(1)}"
     }.distinct.sorted
     units.foreach { unit =>
-      val kept = spark.read.parquet(s"$aDir/$unit").filter(!del)
+      // NULL-safe negation (ADVICE r14): !isin is NULL for a NULL id
+      // and would silently drop null-id rows from the rewrite
+      val kept = spark.read.parquet(s"$aDir/$unit")
+        .filter(!coalesce(del, lit(false)))
       Takedown.replaceLeaf(aDir, unit, kept)
     }
     touched.map(_.getLong(2)).sum
@@ -654,13 +657,12 @@ object Similarity {
       case None => 0
       case Some((g, _)) =>
         val topLevel = Seq("centroids", "assigned", "meta")
-          .map(d => new java.io.File(path, d)).filter(_.isDirectory)
-        val oldGens = Option(
-            new java.io.File(s"$path/${Manifests.CompactDir}").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("epoch-") &&
-            f.getName.stripPrefix("epoch-").toLong != g)
-        (topLevel ++ oldGens).foreach(f => Manifests.rmTree(f.toPath))
+          .map(d => Fs.path(path, d)).filter(Fs.isDir)
+        val oldGens = Fs.list(Fs.path(path, Manifests.CompactDir))
+          .filter(f => f.isDirectory && f.getPath.getName.startsWith("epoch-") &&
+            f.getPath.getName.stripPrefix("epoch-").toLong != g)
+          .map(_.getPath)
+        (topLevel ++ oldGens).foreach(Fs.rmTree)
         topLevel.size + oldGens.length
     }
 

@@ -48,30 +48,31 @@ object Takedown {
 
   final case class TakedownReport(deletedRows: Long, rewrittenUnits: Seq[String])
 
-  private def p(parts: String*): java.nio.file.Path =
-    java.nio.file.Paths.get(parts.head, parts.tail: _*)
+  private def p(parts: String*): org.apache.hadoop.fs.Path =
+    Fs.path(parts.head, parts.tail: _*)
 
-  private def mv(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    java.nio.file.Files.createDirectories(to.getParent)
-    java.nio.file.Files.move(from, to,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  /** Directory move via the one rename semantic every Hadoop
+    * filesystem shares (destination never exists): atomic on HDFS and
+    * POSIX — the swap's commit points. */
+  private def mv(from: org.apache.hadoop.fs.Path,
+                 to: org.apache.hadoop.fs.Path): Unit =
+    Fs.rename(from, to)
 
   /** Leaf data dirs under `stage` (dirs whose entries are all files),
     * as store-relative unit paths. */
-  private def units(stageRoot: java.nio.file.Path): Seq[String] =
-    if (!java.nio.file.Files.isDirectory(stageRoot)) Nil
+  private def units(stageRoot: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!Fs.isDir(stageRoot)) Nil
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      def walk(d: java.io.File): Unit = {
-        val kids = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      def walk(d: org.apache.hadoop.fs.Path, rel: String): Unit = {
+        val kids = Fs.list(d)
         val subdirs = kids.filter(_.isDirectory)
-        if (subdirs.isEmpty && kids.nonEmpty)
-          out += stageRoot.relativize(d.toPath).toString
-        else subdirs.foreach(walk)
+        if (subdirs.isEmpty && kids.nonEmpty) out += rel
+        else subdirs.foreach(s =>
+          walk(s.getPath,
+            if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
       }
-      walk(stageRoot.toFile)
+      walk(stageRoot, "")
       out.toSeq
     }
 
@@ -80,26 +81,26 @@ object Takedown {
   def recover(storeDir: String): Int = {
     var n = 0
     val tmpRoot = p(storeDir, Tmp)
-    if (java.nio.file.Files.isDirectory(tmpRoot)) {
-      Manifests.rmTree(tmpRoot); n += 1 // incomplete write: leaf intact
+    if (Fs.isDir(tmpRoot)) {
+      Fs.rmTree(tmpRoot); n += 1 // incomplete write: leaf intact
     }
     units(p(storeDir, New)).foreach { u =>
       // a completed `new` is the authoritative replacement: anything
       // still at the leaf is the pre-delete version headed for `old`
       val leaf = p(storeDir, u)
       val old = p(storeDir, Old, u)
-      if (java.nio.file.Files.exists(leaf)) {
-        Manifests.rmTree(old)
+      if (Fs.exists(leaf)) {
+        Fs.rmTree(old)
         mv(leaf, old)
       }
       mv(p(storeDir, New, u), leaf)
-      Manifests.rmTree(old)
+      Fs.rmTree(old)
       n += 1
     }
     units(p(storeDir, Old)).foreach { u => // cleanup-only leftovers
-      Manifests.rmTree(p(storeDir, Old, u)); n += 1
+      Fs.rmTree(p(storeDir, Old, u)); n += 1
     }
-    Seq(New, Old).foreach(s => Manifests.rmTree(p(storeDir, s)))
+    Seq(New, Old).foreach(s => Fs.rmTree(p(storeDir, s)))
     n
   }
 
@@ -113,8 +114,8 @@ object Takedown {
     val old = p(storeDir, Old, unit)
     mv(leaf, old)
     mv(p(storeDir, New, unit), leaf)
-    Manifests.rmTree(old)
-    Seq(Tmp, New, Old).foreach(s => Manifests.rmTree(p(storeDir, s)))
+    Fs.rmTree(old)
+    Seq(Tmp, New, Old).foreach(s => Fs.rmTree(p(storeDir, s)))
   }
 
   /** Delete named ids from a [[graft.streaming.StreamingOps.dedupedIngestToStore]]-
@@ -132,9 +133,20 @@ object Takedown {
     recover(path)
     import graft.streaming.StreamingOps
     val batchCol = StreamingOps.IngestBatchCol
+    // PHYSICAL erasure first (ADVICE r14): superseded live partitions
+    // (batches ≤ covers after a deferred-GC compaction) are invisible
+    // to the merged view, so the discovery below would never rewrite
+    // them — yet they can still hold a physical copy of a deleted id.
+    // Reclaim them now; deleteFromStore is a quiet-moment maintenance
+    // verb by contract, the same safety window gcStore itself needs.
+    Manifests.gcSuperseded(path, batchCol)
     val view = StreamingOps.readCorpusStore(spark, path).getOrElse(
       return TakedownReport(0L, Nil))
+    // NULL-safe negation (ADVICE r14): under three-valued logic
+    // `!isin` is NULL for a NULL id, and filter would silently DROP
+    // unrelated null-id rows from every rewritten partition
     val del = col(idCol).isin(ids: _*)
+    val keep = !org.apache.spark.sql.functions.coalesce(del, lit(false))
     // partition discovery types the batch col INT on a manifest-less
     // store (readView only normalizes to LONG past a compaction) — cast
     val touched = view.filter(del)
@@ -157,14 +169,14 @@ object Takedown {
     val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
     live.sortBy(_._1).foreach { case (b, _) =>
       val unit = s"$batchCol=$b"
-      val kept = spark.read.parquet(s"$path/$unit").filter(!del)
+      val kept = spark.read.parquet(s"$path/$unit").filter(keep)
       replaceLeaf(path, unit, kept)
       rewritten += unit
     }
     if (inEpoch.nonEmpty) {
       val e = manifest.get._1
       val unit = s"${Manifests.CompactDir}/epoch-$e"
-      val kept = spark.read.parquet(s"$path/$unit").filter(!del)
+      val kept = spark.read.parquet(s"$path/$unit").filter(keep)
       replaceLeaf(path, unit, kept)
       rewritten += unit
     }
@@ -191,6 +203,8 @@ object Takedown {
     import graft.streaming.StreamingOps
     val bc = StreamingOps.IngestBatchCol
     val del = col(keyCol).isin(keys: _*)
+    // NULL-safe negation (ADVICE r14) — null-key rows must survive
+    val keep = !org.apache.spark.sql.functions.coalesce(del, lit(false))
     var deleted = 0L
     val rewritten = scala.collection.mutable.ArrayBuffer.empty[String]
     def guard(area: String, touched: Seq[Long]): Unit = checkpoint.foreach { cp =>
@@ -206,9 +220,8 @@ object Takedown {
       recover(s"$storePath/$area")
       // ONE partition-pruned discovery job per area (the batch col
       // comes from the dir names; INT by discovery — cast)
-      val d = new java.io.File(s"$storePath/$area")
-      val has = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .exists(f => f.isDirectory && f.getName.startsWith(s"$bc="))
+      val has = Fs.listDirNames(Fs.path(storePath, area))
+        .exists(_.startsWith(s"$bc="))
       val touched =
         if (!has) Seq.empty[(Long, Long)]
         else spark.read.option("mergeSchema", "true")
@@ -218,7 +231,7 @@ object Takedown {
       guard(area, touched.map(_._1))
       touched.foreach { case (b, n) =>
         deleted += n
-        val kept = spark.read.parquet(s"$storePath/$area/$bc=$b").filter(!del)
+        val kept = spark.read.parquet(s"$storePath/$area/$bc=$b").filter(keep)
         replaceLeaf(s"$storePath/$area", s"$bc=$b", kept)
         rewritten += s"$area/$bc=$b"
       }

@@ -723,7 +723,7 @@ object PipelineQueries {
         .withColumn("text", when(col("doc_id") === 5L,
           lit("graft takedown sentinel zebra zebra zebra")).otherwise(col("text")))
       planted.write.mode("overwrite").parquet(s"$store/.plant")
-      Manifests.rmTree(java.nio.file.Paths.get(store, s"$bc=2"))
+      Manifests.rmTree(s"$store/$bc=2")
       java.nio.file.Files.move(java.nio.file.Paths.get(store, ".plant"),
         java.nio.file.Paths.get(store, s"$bc=2"))
       val hitBefore = TextSearch.bm25TopK(
@@ -762,7 +762,7 @@ object PipelineQueries {
         ivfForgets, idem)
     } finally {
       Seq(store, ivfPath).foreach(d =>
-        Manifests.rmTree(java.nio.file.Paths.get(d)))
+        Manifests.rmTree(d))
     }
     import spark.implicits._
     Seq(row).toDF("store_deleted", "untouched_identical", "manifest_stable",
@@ -826,7 +826,7 @@ object PipelineQueries {
         s"$store/${StreamingOps.AttributesDir}", Seq(victim)).deletedRows == 1L
       val idem = StreamingOps.upkeepAttributeSheet(spark, store).isEmpty
       (incrementalOnlyNew, matchesDirect, logical && physical, idem)
-    } finally Manifests.rmTree(java.nio.file.Paths.get(store))
+    } finally Manifests.rmTree(store)
     import spark.implicits._
     Seq(row).toDF("incremental_only_new", "matches_direct",
       "current_after_takedown", "idempotent")

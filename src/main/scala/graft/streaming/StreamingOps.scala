@@ -429,16 +429,16 @@ object StreamingOps {
   def readCorpusStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val dir = new java.io.File(path)
+    import graft.operators.Fs
     // explicit batch-dir roots + basePath instead of the store root:
     // partition dirs (name contains '=') are exempt from Spark's
     // underscore/dot path filter, so this read works even when the
     // store root ITSELF is underscore-prefixed (the `_attributes`
     // sidecar is a store in this layout and shares every verb,
     // including Takedown.deleteFromStore)
-    val batchDirs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
-      .map(_.getPath).sorted
+    val batchDirs = Fs.list(Fs.path(path))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol="))
+      .map(_.getPath.toString).sorted
     val live =
       if (batchDirs.isEmpty) None
       else
@@ -531,13 +531,13 @@ object StreamingOps {
           s"committed batch $last — an uncommitted batch's crash-replay " +
           "would re-create its partition")
     }
-    import graft.operators.Manifests
+    import graft.operators.{Fs, Manifests}
     def dropLive(root: String): Int = {
-      val dirs = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol=") &&
-          f.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.exists(_ <= uptoBatch))
-      dirs.foreach(f => Manifests.rmTree(f.toPath))
+      val dirs = Fs.list(Fs.path(root))
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol=") &&
+          f.getPath.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.exists(_ <= uptoBatch))
+        .map(_.getPath)
+      dirs.foreach(Fs.rmTree)
       dirs.length
     }
     val epochRewritten = Manifests.read(path) match {
@@ -554,7 +554,7 @@ object StreamingOps {
           (if (keptN == 0L) kept.coalesce(1) else kept)
             .write.mode("overwrite").parquet(Manifests.epochPath(path, e + 1))
           Manifests.flip(path, e + 1, covers)
-          Manifests.rmTree(java.nio.file.Paths.get(Manifests.epochPath(path, e)))
+          Manifests.rmTree(Manifests.epochPath(path, e))
           true
         }
       case None => false
@@ -588,10 +588,9 @@ object StreamingOps {
     val storeBatches = view.select(col(IngestBatchCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     val attrRoot = s"$storePath/$AttributesDir"
-    val done = Option(new java.io.File(attrRoot).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
-      .flatMap(_.getName.stripPrefix(s"$IngestBatchCol=").toLongOption).toSet
+    val done = graft.operators.Fs.listDirNames(graft.operators.Fs.path(attrRoot))
+      .filter(_.startsWith(s"$IngestBatchCol="))
+      .flatMap(_.stripPrefix(s"$IngestBatchCol=").toLongOption).toSet
     val todo = (storeBatches -- done).toSeq.sorted
     todo.foreach { b =>
       graft.operators.TextAnalysis.attributeSheet(
@@ -624,9 +623,9 @@ object StreamingOps {
     * exactly the batch a crash would replay). None before the first
     * commit. */
   def lastCommittedBatch(checkpoint: String): Option[Long] = {
-    val commits = new java.io.File(checkpoint, "commits")
-    Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap(f => f.getName.toLongOption)
+    import graft.operators.Fs
+    Fs.list(Fs.path(checkpoint, "commits"))
+      .flatMap(f => f.getPath.getName.toLongOption)
       .maxOption
   }
 
@@ -813,10 +812,10 @@ object StreamingOps {
   private def latestOpenSnapshot(spark: org.apache.spark.sql.SparkSession,
                                  openPath: String,
                                  beforeBatch: Long): Option[DataFrame] = {
-    val dir = new java.io.File(openPath)
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
-      .flatMap(_.getName.stripPrefix(s"$IngestBatchCol=").toLongOption)
+    import graft.operators.Fs
+    Fs.listDirNames(Fs.path(openPath))
+      .filter(_.startsWith(s"$IngestBatchCol="))
+      .flatMap(_.stripPrefix(s"$IngestBatchCol=").toLongOption)
       .filter(_ < beforeBatch)
       .maxOption
       .map(b => spark.read.parquet(s"$openPath/$IngestBatchCol=$b"))
@@ -830,9 +829,9 @@ object StreamingOps {
   def readScd2Store(spark: org.apache.spark.sql.SparkSession,
                     storePath: String): Option[DataFrame] = {
     val closedPath = s"$storePath/closed"
-    val dir = new java.io.File(closedPath)
-    val hasClosed = dir.isDirectory &&
-      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
+    val hasClosed = graft.operators.Fs
+      .listDirNames(graft.operators.Fs.path(closedPath))
+      .exists(_.startsWith(s"$IngestBatchCol="))
     val closed =
       if (!hasClosed) None
       else
@@ -869,10 +868,11 @@ object StreamingOps {
     * Returns directories removed. */
   def gcScd2OpenSnapshots(storePath: String,
                           checkpoint: Option[String] = None): Int = {
-    val dir = new java.io.File(s"$storePath/open")
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$IngestBatchCol="))
-      .flatMap(f => f.getName.stripPrefix(s"$IngestBatchCol=").toLongOption.map((_, f)))
+    import graft.operators.Fs
+    val parts = Fs.list(Fs.path(storePath, "open"))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol="))
+      .flatMap(f => f.getPath.getName.stripPrefix(s"$IngestBatchCol=")
+        .toLongOption.map((_, f.getPath)))
       .sortBy(_._1)
     val ids = parts.map(_._1)
     val keep: Set[Long] = checkpoint match {
@@ -885,11 +885,7 @@ object StreamingOps {
       case None => ids.takeRight(2).toSet
     }
     parts.filterNot(p => keep(p._1)).map { case (_, f) =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(f); 1
+      Fs.rmTree(f); 1
     }.sum
   }
 
