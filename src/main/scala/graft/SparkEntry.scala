@@ -167,7 +167,8 @@ object SparkEntry {
     "q131_check_attr_upkeep" -> (PipelineQueries.q131CheckAttrUpkeep _),
     "q132_check_dedup_aliases" -> (PipelineQueries.q132CheckDedupAliases _),
     "q133_probe_sweep" -> (PipelineQueries.q133ProbeSweep _),
-    "q133_check_probe_sweep" -> (PipelineQueries.q133CheckProbeSweep _)
+    "q133_check_probe_sweep" -> (PipelineQueries.q133CheckProbeSweep _),
+    "q134_url_percent" -> (PipelineQueries.q134UrlPercent _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -669,6 +669,34 @@ object PipelineQueries {
       .orderBy("canonical_url")
   }
 
+  /** q134: percent-encoding URL normalization + dedup (r15; VERDICT
+    * r14 missing #5 — `%7E` vs `~` and `%2f` vs `%2F` escape the q110/
+    * q129 tiers exactly the way permuted params did before r14). Every
+    * doc gets a synthetic URL for its GROUP (doc_id % 20) emitted in
+    * one of three escape dialects — uppercase-hex unreserved escapes,
+    * the bare characters, lowercase hex with the params PERMUTED — so
+    * the three collapse iff the percent tier (decode unreserved,
+    * uppercase reserved hex) composes with the sort tier. Hard oracle:
+    * DuckDB mirrors the split-at-% / list_transform / from_hex chain
+    * 1:1, then the q129 sort chain. */
+  def q134UrlPercent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Urls
+    val d = col("doc_id")
+    val g = d % 20
+    val v = d % 3
+    val path = when(v === 0, lit("/%7Edocs/item-"))
+      .when(v === 1, lit("/~docs/item-"))
+      .otherwise(lit("/%7edocs/item-"))
+    val qs = when(v === 0, lit("?x=%41&tag=%2Fv"))
+      .when(v === 1, lit("?x=A&tag=%2fv"))
+      .otherwise(lit("?tag=%2Fv&x=%41"))
+    val url = concat(lit("http://"), col("source"), lit(".example.com"),
+      path, g.cast("string"), qs)
+    Urls.dedupByUrl(t(spark, dir, "documents"), url, col("doc_id"),
+        col("text"), sortParams = true, normalizePercent = true)
+      .orderBy("canonical_url")
+  }
+
   /** q130 contract: takedown / delete-by-id across the corpus store AND
     * the IVF index (VERDICT r13 missing #1 — the one store-lifecycle
     * verb that was absent). Builds a three-batch store from the
@@ -3371,6 +3399,63 @@ object PipelineQueries {
           |    || CASE WHEN doc_id % 4 = 0 THEN '&utm_x=1' ELSE '' END AS url
           |  FROM documents),
           |c0 AS (SELECT doc_id, text, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM u),
+          |hp AS (SELECT doc_id, text, c,
+          |         regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head FROM c0),
+          |h1 AS (SELECT doc_id, text, replace(lower(head), '://www.', '://') AS h,
+          |         substr(c, len(head) + 1) AS rest FROM hp),
+          |h2 AS (SELECT doc_id, text,
+          |         CASE WHEN starts_with(h, 'http://') AND ends_with(h, ':80')
+          |                THEN substr(h, 1, len(h) - 3)
+          |              WHEN starts_with(h, 'https://') AND ends_with(h, ':443')
+          |                THEN substr(h, 1, len(h) - 4)
+          |              ELSE h END AS h, rest FROM h1),
+          |r2 AS (SELECT doc_id, text, h,
+          |         regexp_replace(replace(rest, '?', '&'),
+          |           '&(${graft.operators.Urls.TrackingParams})=[^&]*', '', 'g') AS r
+          |       FROM h2),
+          |r3 AS (SELECT doc_id, text, h,
+          |         list_sort(list_filter(string_split(r, '&')[2:], x -> x <> '')) AS ps,
+          |         string_split(r, '&')[1] AS p0 FROM r2),
+          |r4 AS (SELECT doc_id, text, h,
+          |         CASE WHEN len(ps) > 0
+          |              THEN p0 || '?' || array_to_string(ps, '&')
+          |              ELSE p0 END AS r FROM r3),
+          |cn AS (SELECT doc_id, text,
+          |         h || regexp_replace(regexp_replace(r, '[?&]+$$', '', 'g'), '/$$', '', 'g')
+          |           AS canon FROM r4),
+          |w AS (SELECT canon, doc_id, len(text) AS l,
+          |        ROW_NUMBER() OVER (PARTITION BY canon
+          |                           ORDER BY len(text) DESC, doc_id) AS rn
+          |      FROM cn)
+          |SELECT canon AS canonical_url, COUNT(*)::BIGINT AS n_variants,
+          |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+          |  MAX(l)::BIGINT AS kept_len
+          |FROM w GROUP BY canon ORDER BY canonical_url""".stripMargin,
+      "q134_url_percent" ->
+        // mirrors Urls.normalizePercentUrl (split at '%', decode
+        // unreserved escapes via from_hex, uppercase the rest) then
+        // the canonicalizeUrl(sortParams=true) chain — q129's mirror
+        s"""WITH u AS (SELECT doc_id, text,
+          |    'http://' || source || '.example.com'
+          |    || CASE WHEN doc_id % 3 = 0 THEN '/%7Edocs/item-'
+          |            WHEN doc_id % 3 = 1 THEN '/~docs/item-'
+          |            ELSE '/%7edocs/item-' END
+          |    || CAST(doc_id % 20 AS VARCHAR)
+          |    || CASE WHEN doc_id % 3 = 0 THEN '?x=%41&tag=%2Fv'
+          |            WHEN doc_id % 3 = 1 THEN '?x=A&tag=%2fv'
+          |            ELSE '?tag=%2Fv&x=%41' END AS url
+          |  FROM documents),
+          |pp AS (SELECT doc_id, text, string_split(url, '%') AS parts FROM u),
+          |np AS (SELECT doc_id, text,
+          |    parts[1] || array_to_string(list_transform(parts[2:], e ->
+          |      CASE WHEN regexp_matches(upper(substr(e, 1, 2)),
+          |               '^(${graft.operators.Urls.UnreservedHexRe})$$')
+          |           THEN decode(from_hex(upper(substr(e, 1, 2)))) || substr(e, 3)
+          |           WHEN regexp_matches(upper(substr(e, 1, 2)), '^[0-9A-F]{2}$$')
+          |           THEN '%' || upper(substr(e, 1, 2)) || substr(e, 3)
+          |           ELSE '%' || e END), '') AS url
+          |  FROM pp),
+          |c0 AS (SELECT doc_id, text, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM np),
           |hp AS (SELECT doc_id, text, c,
           |         regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head FROM c0),
           |h1 AS (SELECT doc_id, text, replace(lower(head), '://www.', '://') AS h,

@@ -14,14 +14,16 @@ class UrlKernelSpec extends SparkSpec {
 
   private def assertEqualOn(urls: org.apache.spark.sql.DataFrame): Unit =
     Seq(false, true).foreach { sp =>
-      val bad = urls
-        .select(col("u"),
-          Urls.canonicalizeUrl(col("u"), sp).as("chain"),
-          Urls.canonicalizeUrlKernel(col("u"), sp).as("kernel"))
-        .filter(!(col("chain") <=> col("kernel")))
-        .collect()
-      assert(bad.isEmpty,
-        s"sortParams=$sp mismatches:\n${bad.take(5).mkString("\n")}")
+      Seq(false, true).foreach { np =>
+        val bad = urls
+          .select(col("u"),
+            Urls.canonicalizeUrl(col("u"), sp, np).as("chain"),
+            Urls.canonicalizeUrlKernel(col("u"), sp, np).as("kernel"))
+          .filter(!(col("chain") <=> col("kernel")))
+          .collect()
+        assert(bad.isEmpty,
+          s"sortParams=$sp normalizePercent=$np mismatches:\n${bad.take(5).mkString("\n")}")
+      }
     }
 
   test("kernel == chain on the q110/q129 synthetic corpus URLs") {
@@ -69,7 +71,25 @@ class UrlKernelSpec extends SparkSpec {
       "http://a.com/p?A=1&a=0", // case-sensitive param sort
       "http://www.only-www.com", "http://wwwx.a.com/p",
       "HTTPS://B.com:443", "http://a.com:8080:80/p",
-      "http://a.com/p?z=9&y=8&x=7&utm_x=0&w=6")
+      "http://a.com/p?z=9&y=8&x=7&utm_x=0&w=6",
+      // ADVICE r14: '#.*' stops at EVERY Java line terminator, not \n
+      "http://a.com/p#f\rmore", "http://a.com/p#f\u0085more",
+      "http://a.com/p#f\u2028more?a=1", "http://a.com/p#f\u2029more",
+      "http://a.com/p#a\r\nb#c", "http://a.com/p?a=1\u0085",
+      // ADVICE r14: non-BMP param sort — UTF-16 order puts surrogates
+      // (U+10000+) BEFORE U+E000..FFFF; codepoint order is the chain's
+      "http://a.com/p?😀=1&�=2", // 😀 (supp.) vs U+FFFD
+      "http://a.com/p?k=😀&k=�&b=1",
+      "http://a.com/p?\uE000=1&𐀀=2",
+      // percent tier edges: unreserved decode, hex uppercase, reserved
+      // kept, malformed kept, '%' at end, double-%, case variants
+      "http://a.com/%7Euser/p", "http://a.com/%7euser?x=%41%61",
+      "http://a.com/a%2fb?q=%2F", "http://a.com/p?a=%zz&b=%4",
+      "http://a.com/p%", "http://a.com/p%%41", "http://a.com/%",
+      "http://%77%77%77.a.com/p", "HTTP://a.com/%54%65%73%74",
+      "http://a.com/p?%75tm_x=1&page=2", // decodes to utm_x -> stripped
+      "http://a.com/p?a=%3d1%26b", "http://a.com/%2e%2E/p",
+      "http://a.com/p?utm_%78=1") // %78 in the NAME decodes to x
     assertEqualOn(edges.toDF("u"))
     // null passes through both forms
     val r = Seq(null.asInstanceOf[String]).toDF("u")
