@@ -231,10 +231,33 @@ object Curation {
     val fq = math.round(frac * 10000)
     val base = pin(docs.withColumn("__g", groupCol).withColumn("__s", scoreCol)
       .filter(col("__s").isNotNull))
+    // ENFORCED contract (ADVICE r14): the histogram collect is bounded
+    // only because the score is quantized — an unrounded double makes
+    // (group × distinct score) corpus-scale and the collect a driver
+    // OOM. Require the DECIMAL grid every scorer here emits, and cap
+    // the collected rows with a clear error as defense in depth (a
+    // quantized score over pathologically many groups must fail loud,
+    // not flatten the driver).
+    base.schema("__s").dataType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        require(d.scale <= 4,
+          s"keepTopQuantile: scoreCol is DECIMAL(${d.precision},${d.scale}) — " +
+            "scale must be <= 4 (the quantized-grid contract that bounds the " +
+            "histogram collect; cast the score to DecimalType(14, 4))")
+      case t =>
+        throw new IllegalArgumentException(
+          s"keepTopQuantile: scoreCol must be a quantized DECIMAL (got $t) — " +
+            "an unrounded score makes the (group, score) histogram corpus-" +
+            "scale; cast to DecimalType(14, 4) like every scorer here")
+    }
+    val HistCap = 1000000
     // bounded histogram (see scaladoc), sorted by the ENGINE — score
     // descending within group — so the driver pass is order-blind
     val hist = base.groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
-      .orderBy(col("__g"), col("__s").desc).collect()
+      .orderBy(col("__g"), col("__s").desc).limit(HistCap + 1).collect()
+    require(hist.length <= HistCap,
+      s"keepTopQuantile: (group, score) histogram exceeds $HistCap rows — " +
+        "not driver metadata; reduce group cardinality or coarsen the score grid")
     val nByG = scala.collection.mutable.HashMap.empty[Any, Long]
     hist.foreach(r => nByG(r.get(0)) = nByG.getOrElse(r.get(0), 0L) + r.getLong(2))
     // first (= highest) score whose descending cumulative count reaches

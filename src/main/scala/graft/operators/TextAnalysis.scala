@@ -142,9 +142,9 @@ object TextAnalysis {
     * Marked nondeterministic as a MATERIALIZATION BARRIER (the function
     * is pure): a deterministic UDF gets inlined by CollapseProject /
     * PushDownPredicate into every consuming filter and projection,
-    * re-running the kernel once per reference. Char counts are UTF-16
-    * units (== Spark's codepoint `length` for BMP text — the corpus
-    * surface; supplementary-plane chars would diverge). */
+    * re-running the kernel once per reference. Char counts are
+    * CODEPOINTS (== Spark's `length`; ADVICE r14 — the UTF-16 form
+    * diverged on supplementary-plane text). */
   private lazy val AllStopSet: Set[String] = StopWords.flatMap(_._2).toSet
 
   private[operators] val curationSignalsUdf = udf((text: String) =>
@@ -164,10 +164,12 @@ object TextAnalysis {
         i += 1
       }
       var clean = 0L
+      var surr = 0L // low surrogates: UTF-16 length − surr = codepoints
       var j = 0
       while (j < lt.length) {
         val c = lt.charAt(j)
         if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') clean += 1
+        if (java.lang.Character.isLowSurrogate(c)) surr += 1
         j += 1
       }
       var top = 0L
@@ -181,7 +183,11 @@ object TextAnalysis {
           k += 1
         }
       }
-      (ws.length.toLong, stop, sumLen, lt.length.toLong, clean, seen.size.toLong, top)
+      // codepoint counts (ADVICE r14): Spark's length() counts
+      // codepoints; spaces are never surrogates, so the words' summed
+      // codepoint length is sumLen − surr too
+      (ws.length.toLong, stop, sumLen - surr, lt.length.toLong - surr,
+        clean, seen.size.toLong, top)
     }).asNondeterministic()
 
   /** [[qualityScore]] rebuilt over the kernel's integer signals — the
@@ -230,13 +236,15 @@ object TextAnalysis {
         i += 1
       }
       var clean = 0L
+      var surr = 0L // low surrogates — see curationSignalsUdf
       var j = 0
       while (j < lt.length) {
         val c = lt.charAt(j)
         if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') clean += 1
+        if (java.lang.Character.isLowSurrogate(c)) surr += 1
         j += 1
       }
-      (ws.length.toLong, stop, sumLen, lt.length.toLong, clean)
+      (ws.length.toLong, stop, sumLen - surr, lt.length.toLong - surr, clean)
     }).asNondeterministic()
 
   /** [[dupWordFrac]] over the kernel signals (bit-identical). */
@@ -269,8 +277,13 @@ object TextAnalysis {
     * Substring counts ('...', '…', '#') use leftmost non-overlapping
     * stepping — exactly the replace-count arithmetic of the Column form.
     * Nondeterministic as a materialization barrier (pure function); char
-    * counts are UTF-16 units (== Spark codepoint length for BMP text). */
+    * counts are CODEPOINTS (== Spark's length(); ADVICE r14 — the
+    * UTF-16 form diverged on supplementary-plane text). */
   private[operators] val EnStopSeq: Seq[String] = StopWords.toMap.apply("en")
+
+  /** Bitmask index per English stopword — O(1) lookup in the kernel's
+    * word loop instead of a linear Seq scan (VERDICT r14 minor). */
+  private val EnStopIdx: Map[String, Int] = EnStopSeq.zipWithIndex.toMap
 
   private[graft] val attributeSignalsUdf = udf((text: String) =>
     if (text == null)
@@ -296,13 +309,14 @@ object TextAnalysis {
           j += 1
         }
         if (hasAlpha) alphaWords += 1
-        val ei = EnStopSeq.indexOf(w)
+        val ei = EnStopIdx.getOrElse(w, -1)
         if (ei >= 0) enMask |= 1 << ei
         i += 1
       }
       var cleanLen = 0L
       var hashCnt = 0L
       var uniEllipsis = 0L
+      var surrLt = 0L // low surrogates — see curationSignalsUdf
       var k = 0
       while (k < lt.length) {
         val c = lt.charAt(k)
@@ -310,6 +324,7 @@ object TextAnalysis {
           cleanLen += 1
         if (c == '#') hashCnt += 1
         if (c == '…') uniEllipsis += 1
+        if (java.lang.Character.isLowSurrogate(c)) surrLt += 1
         k += 1
       }
       // leftmost non-overlapping "..." count (replace-count semantics)
@@ -317,12 +332,14 @@ object TextAnalysis {
       var from = lt.indexOf("...")
       while (from >= 0) { dots += 1; from = lt.indexOf("...", from + 3) }
       var codeSyms = 0L
+      var surrRaw = 0L
       var m = 0
       while (m < text.length) {
         val c = text.charAt(m)
         if (c == '{' || c == '}' || c == '(' || c == ')' || c == ';' ||
           c == '=' || c == '<' || c == '>' || c == '[' || c == ']')
           codeSyms += 1
+        if (java.lang.Character.isLowSurrogate(c)) surrRaw += 1
         m += 1
       }
       val lines = text.split("\n", -1)
@@ -345,9 +362,11 @@ object TextAnalysis {
         if (l.endsWith("...") || l.endsWith("…")) ellipL += 1
         n += 1
       }
-      (ws.length.toLong, stopAll, sumLen, lt.length.toLong, cleanLen,
-        alphaWords, java.lang.Integer.bitCount(enMask).toLong,
-        hashCnt + dots + uniEllipsis, text.length.toLong, codeSyms,
+      // codepoint counts for _3/_4/_9 (ADVICE r14; spaces are never
+      // surrogates, so the summed word length shares lt's correction)
+      (ws.length.toLong, stopAll, sumLen - surrLt, lt.length.toLong - surrLt,
+        cleanLen, alphaWords, java.lang.Integer.bitCount(enMask).toLong,
+        hashCnt + dots + uniEllipsis, text.length.toLong - surrRaw, codeSyms,
         lines.length.toLong, indentL, pipeL, semiL, bulletL, ellipL)
     }).asNondeterministic()
 

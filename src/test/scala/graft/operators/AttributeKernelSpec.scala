@@ -39,6 +39,33 @@ class AttributeKernelSpec extends SparkSpec {
     assert(both.filter(!(col("hof") <=> col("kernel"))).count() === 0)
   }
 
+  test("kernels count CODEPOINTS — non-BMP text agrees with the chain (ADVICE r14)") {
+    import spark.implicits._
+    // supplementary-plane chars are 2 UTF-16 units but 1 codepoint —
+    // exactly where the pre-r15 kernels diverged from Spark's length()
+    val nb = Seq(
+      (1L, "the quick 😀 fox and a 😀😁 dog"),
+      (2L, "code 𐀀 { x = 1; }\n  indented 😀 line..."),
+      (3L, "😀😁😂"),
+      (4L, "mixed é世界 and 🌍 world")
+    ).toDF("doc_id", "text")
+    val q = nb.select(
+      TextAnalysis.qualityScore(col("text")).as("hof"),
+      TextAnalysis.qualityScoreKernel(col("text")).as("kernel"))
+    assert(q.filter(!(col("hof") <=> col("kernel"))).count() === 0)
+    val sheetK = TextAnalysis.attributeSheet(nb, qualityThreshold = 0.44)
+    val sheetH = nb.select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanWordLen(col("text"))
+          .cast(DecimalType(14, 4)).cast(DoubleType).as("mean_word_len"),
+        TextAnalysis.formatOf(col("text")).as("format"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.44).as("quality_keep"),
+        HeuristicRules.gopherKeepCol().as("gopher_keep"))
+      .orderBy("doc_id")
+    assert(sheetK.collect().toSeq === sheetH.collect().toSeq)
+  }
+
   test("kernels pass nulls through") {
     import spark.implicits._
     val d = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")

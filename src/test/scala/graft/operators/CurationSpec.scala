@@ -220,6 +220,8 @@ class CurationSpec extends SparkSpec {
       // group b: 0.5 x1, 0.2 x2 -> ceil(0.3*3)=1 -> cut 0.5, one keeps
       (21L, "b", 0.5), (22L, "b", 0.2), (23L, "b", 0.2)
     ).map { case (id, g, s) => (id, g, dec(s)) }.toDF("doc_id", "g", "s")
+      // the r15 guard enforces the quantized-grid type contract
+      .withColumn("s", col("s").cast(org.apache.spark.sql.types.DecimalType(14, 4)))
     val kept = Curation.keepTopQuantile(docs, col("s"), col("g"), frac = 0.3)
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L, 4L, 21L))
@@ -241,6 +243,18 @@ class CurationSpec extends SparkSpec {
         pin = df => df)
       .select("doc_id").as[Long].collect().toSet
     assert(noPin === kept)
+    // ADVICE r14: the quantized-score contract is ENFORCED, not
+    // trusted — an unrounded double score (corpus-scale histogram)
+    // is refused before any collect
+    val dbl = Seq((1L, "a", 0.123456789)).toDF("doc_id", "g", "s")
+    val e = intercept[IllegalArgumentException](
+      Curation.keepTopQuantile(dbl, col("s"), col("g"), 0.3))
+    assert(e.getMessage.contains("DECIMAL"))
+    val wideScale = Seq((1L, "a", BigDecimal(0.123456789).setScale(9)))
+      .toDF("doc_id", "g", "s")
+    val e2 = intercept[IllegalArgumentException](
+      Curation.keepTopQuantile(wideScale, col("s"), col("g"), 0.3))
+    assert(e2.getMessage.contains("scale"))
     Storage.releaseAll(true)
   }
 
