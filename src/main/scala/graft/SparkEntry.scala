@@ -168,7 +168,8 @@ object SparkEntry {
     "q132_check_dedup_aliases" -> (PipelineQueries.q132CheckDedupAliases _),
     "q133_probe_sweep" -> (PipelineQueries.q133ProbeSweep _),
     "q133_check_probe_sweep" -> (PipelineQueries.q133CheckProbeSweep _),
-    "q134_url_percent" -> (PipelineQueries.q134UrlPercent _)
+    "q134_url_percent" -> (PipelineQueries.q134UrlPercent _),
+    "q135_check_pq" -> (PipelineQueries.q135CheckPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
