@@ -2687,6 +2687,82 @@ object PipelineQueries {
       .toDF("trained_ok", "argmax_ok", "monotonic_ok", "encode_ok", "deterministic_ok")
   }
 
+  /** q136 contract: unigram-LM tokenizer training (Kudo 2018 — the
+    * SentencePiece model, the other published tokenizer beside q69's
+    * BPE; r15, VERDICT r14 missing #4). Like BPE, the EM loop has no
+    * tractable SQL twin, so the contract audits training by
+    * independent replay (the q69 shape):
+    *  - trained_ok: the vocab landed at ≤ target with every corpus
+    *    character retained (singles never prune — segmentability);
+    *  - em_monotone: within every fixed-vocab round, the corpus
+    *    log-likelihood is NON-DECREASING step over step (the EM
+    *    guarantee; prunes may drop it between rounds) — read from the
+    *    training audit log;
+    *  - replay_ok: retraining from a FRESH word table with pinning
+    *    DISABLED (pin = identity — none of training's checkpointed
+    *    state, a different physical plan) reproduces the identical
+    *    per-step log-likelihood trajectory (rel. 1e-9) and the
+    *    identical final vocabulary with matching log-probs;
+    *  - encode_ok: the corpus-side Viterbi encode total equals the
+    *    word-table-side Σ count · viterbiLen(word) — two independent
+    *    routes to the token count (train-state == fresh-encode);
+    *  - unk_ok: a document with a character the corpus never saw
+    *    still encodes (the char surfaces as its own piece at the UNK
+    *    floor) — the serve-time robustness rule;
+    *  - deterministic_ok: a third full training run returns the
+    *    identical model. Booleans oracled by constant truth. */
+  def q136CheckUnigram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val docs = t(spark, dir, "documents")
+    val V = 400
+    val (model, log) = Unigram.train(docs, vocabSize = V, maxPieceLen = 4,
+      seedSize = 1200, emIters = 2)
+    val words = Unigram.wordCounts(docs).localCheckpoint(true)
+    val chars = words.select(explode(split(col("word"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct()
+      .collect().map(_.getString(0)).toSet
+    val trainedOk = model.vocabSize <= V &&
+      chars.forall(c => model.logProbs.contains(c))
+    val emMonotone = log.groupBy(_.round).forall { case (_, steps) =>
+      steps.sortBy(_.step).sliding(2).forall {
+        case Seq(a, b) => b.loglik >= a.loglik - math.abs(a.loglik) * 1e-9
+        case _ => true
+      }
+    }
+    val (model2, log2) = Unigram.train(docs, vocabSize = V, maxPieceLen = 4,
+      seedSize = 1200, emIters = 2, pin = df => df)
+    val replayOk = log.size == log2.size &&
+      log.zip(log2).forall { case (a, b) =>
+        a.round == b.round && a.step == b.step && a.vocabSize == b.vocabSize &&
+          math.abs(a.loglik - b.loglik) <= math.abs(a.loglik) * 1e-9
+      } &&
+      model2.logProbs.keySet == model.logProbs.keySet &&
+      model.logProbs.forall { case (p, lp) =>
+        math.abs(model2.logProbs(p) - lp) <= math.abs(lp) * 1e-9 }
+    // corpus encode vs word-table arithmetic — two routes, one total
+    val encTotal = Unigram.encode(docs, model)
+      .agg(sum("token_count")).head().getLong(0)
+    val m = model.logProbs; val mx = model.maxPieceLen; val unk = model.unkLogProb
+    val vlen = udf((w: String) => Unigram.viterbiLocal(m, mx, unk, w).length.toLong)
+      .asNondeterministic()
+    val tableTotal = words
+      .withColumn("__vl", vlen(col("word")) * col("count"))
+      .agg(sum(col("__vl"))).head().getLong(0)
+    val encodeOk = encTotal == tableTotal
+    import spark.implicits._
+    val weird = Seq((1L, "plain☃snowman text")).toDF("doc_id", "text")
+    val unkToks = Unigram.encode(weird, model)
+      .select("tokens").head().getSeq[String](0)
+    val unkOk = unkToks.contains("☃") && unkToks.nonEmpty
+    val (model3, _) = Unigram.train(docs, vocabSize = V, maxPieceLen = 4,
+      seedSize = 1200, emIters = 2)
+    val deterministicOk = model3.logProbs == model.logProbs
+    graft.operators.Storage.releaseAll(blocking = false)
+    Seq((trainedOk, emMonotone, replayOk, encodeOk, unkOk, deterministicOk))
+      .toDF("trained_ok", "em_monotone", "replay_ok", "encode_ok", "unk_ok",
+        "deterministic_ok")
+  }
+
   /** q66 contract: (a) assigned_ok — every vector gets exactly one
     * topic; (b) optimal_ok — each vector's stored cohesion is the true
     * max cosine over ALL centroids (recomputed independently from the
@@ -3858,6 +3934,10 @@ object PipelineQueries {
         """SELECT true AS recall_ok, true AS compression_ok,
           |       true AS adc_rederived, true AS scores_exact,
           |       true AS append_encoded, true AS deterministic""".stripMargin,
+      "q136_check_unigram" ->
+        """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
+          |       true AS encode_ok, true AS unk_ok,
+          |       true AS deterministic_ok""".stripMargin,
       "q125_packed_sequences" ->
         """WITH d AS (SELECT doc_id % 8 AS shard, doc_id,
           |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
