@@ -197,18 +197,20 @@ object Multimodal {
     * Bin k targets frequency fMin·(fMax/fMin)^(k/15) with fMin=100 Hz,
     * fMax=min(8000, Nyquist) — the layout a cheap audio-content filter
     * (speech/music/tone discrimination) reads. */
-  private[operators] def spectralFeature(wav: WavPcm, window: Int = 4096): Array[Float] = {
-    val s = wav.samples
-    val n = math.min(s.length, window)
-    val out = new Array[Float](16)
-    if (n < 16 || wav.sampleRate <= 0) return out
-    val from = (s.length - n) / 2
+  /** 16-bin RAW-power Goertzel envelope of samples[from, from+n) —
+    * log-spaced bins 100 Hz..Nyquist(≤8 kHz), Hann-windowed. Shared by
+    * [[spectralFeature]] (log1p + max-normalize) and [[audioHash]]
+    * (log + mean-threshold bits). */
+  private def goertzel16(s: Array[Double], from: Int, n: Int,
+                         sampleRate: Int): Array[Double] = {
+    val out = new Array[Double](16)
+    if (n < 16 || sampleRate <= 0) return out
     val fMin = 100.0
-    val fMax = math.min(8000.0, wav.sampleRate / 2.0)
+    val fMax = math.min(8000.0, sampleRate / 2.0)
     var k = 0
     while (k < 16) {
       val f = fMin * math.pow(fMax / fMin, k / 15.0)
-      val w = 2.0 * math.Pi * f / wav.sampleRate
+      val w = 2.0 * math.Pi * f / sampleRate
       val coeff = 2.0 * math.cos(w)
       var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
       var i = 0
@@ -219,10 +221,18 @@ object Multimodal {
         s2 = s1; s1 = s0
         i += 1
       }
-      val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
-      out(k) = math.log1p(math.max(power, 0.0)).toFloat
+      out(k) = math.max(s1 * s1 + s2 * s2 - coeff * s1 * s2, 0.0)
       k += 1
     }
+    out
+  }
+
+  private[operators] def spectralFeature(wav: WavPcm, window: Int = 4096): Array[Float] = {
+    val s = wav.samples
+    val n = math.min(s.length, window)
+    if (n < 16 || wav.sampleRate <= 0) return new Array[Float](16)
+    val from = (s.length - n) / 2
+    val out = goertzel16(s, from, n, wav.sampleRate).map(p => math.log1p(p).toFloat)
     val mx = out.max
     if (mx > 0f) { var i = 0; while (i < 16) { out(i) /= mx; i += 1 } }
     out
@@ -239,6 +249,95 @@ object Multimodal {
       else None
     }).toDF("media_id", "spectrum")
   }
+
+  // -------------------------------------------------- audio near-dup
+  /** 64-bit perceptual audio signature (r15 — closes the multimodal
+    * dedup asymmetry: images had dHash + hamming64Pairs, audio had
+    * spectral features but no pairing kernel): 4 time windows (clip
+    * quarters, ≤4096 samples each) × the 16-bin Goertzel power
+    * envelope, bit (w·16+k) set iff bin k's power is within 12 dB of
+    * the WINDOW MAX — a spectral peak mask (the band-energy
+    * thresholding of classic audio fingerprints, Haitsma & Kalker
+    * 2002, with the threshold anchored at the peak instead of the
+    * mean). Uniform gain scales every power by the same g², so the
+    * power/max ratio — and every bit — is invariant by construction;
+    * re-encode noise lives ≥30 dB below the content peaks and cannot
+    * cross a −12 dB mask, while a different tone/chord moves the
+    * peak set itself. (Mean- or median-anchored thresholds fail on
+    * SPARSE spectra: a pure tone leaves the threshold sitting in the
+    * noise floor, where bits are coin flips — measured before this
+    * form was chosen.) */
+  /** 16 log-band ENERGIES of samples[from, from+n): power summed over
+    * every exact-DFT-bin frequency falling in the band (Goertzel per
+    * DFT bin — O(n · nBins), partition-local). Unlike the 16
+    * point-filters of [[goertzel16]] (near-delta responses a tone
+    * between centers falls through — measured before this form), a
+    * band INTEGRATES, so content lands in its band wherever it sits
+    * and broadband noise stays spread thin. */
+  private def bandEnergies16(s: Array[Double], from: Int, n: Int,
+                             sampleRate: Int): Array[Double] = {
+    val out = new Array[Double](16)
+    if (n < 32 || sampleRate <= 0) return out
+    val fMin = 100.0
+    val fMax = math.min(8000.0, sampleRate / 2.0)
+    val df = sampleRate.toDouble / n
+    val lr = math.log(fMax / fMin)
+    var j = math.max(1, math.ceil(fMin / df).toInt)
+    val jMax = math.min(math.floor(fMax / df).toInt, n / 2)
+    while (j <= jMax) {
+      val w = 2.0 * math.Pi * j / n
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < n) { s0 = s(from + i) + coeff * s1 - s2; s2 = s1; s1 = s0; i += 1 }
+      val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      var k = ((math.log(j * df / fMin) / lr) * 16).toInt
+      if (k >= 16) k = 15
+      if (k >= 0) out(k) += math.max(p, 0.0)
+      j += 1
+    }
+    out
+  }
+
+  private[operators] def audioHash(wav: WavPcm): Long = {
+    val s = wav.samples
+    if (s.length < 128 || wav.sampleRate <= 0) return 0L
+    val q = s.length / 4
+    var h = 0L
+    var w = 0
+    while (w < 4) {
+      val n = math.min(q, 2048)
+      val env = bandEnergies16(s, w * q, n, wav.sampleRate)
+      val mx = env.max
+      val thresh = mx / math.pow(10.0, 1.2) // -12 dB of the window max
+      var k = 0
+      while (k < 16) {
+        if (mx > 0.0 && env(k) > thresh) h |= 1L << (w * 16 + k)
+        k += 1
+      }
+      w += 1
+    }
+    h
+  }
+
+  /** Perceptual signatures of the decodable audio rows: (media_id,
+    * ahash). Partition-local decode + hash — zero shuffle; rows that
+    * do not decode are absent. Feed `Dedup.hamming64Pairs` for the
+    * audio near-duplicate pairs. */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind == "audio") decodeWav(m.bytes).map(w => (m.media_id, audioHash(w)))
+      else None
+    }).toDF("media_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs end-to-end: decode → audioHash →
+    * banded Hamming pairing (the image pipeline's exact shape —
+    * `Dedup.hamming64Pairs` reused unchanged). */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      audioHashes(media), idCol = "media_id", hashCol = "ahash", maxHamming = maxHamming)
 
   // ------------------------------------------------- video (ISO-BMFF)
   /** Parsed MP4/ISO-BMFF container metadata — everything a pipeline's

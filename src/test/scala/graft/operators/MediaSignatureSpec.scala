@@ -105,4 +105,59 @@ class MediaSignatureSpec extends SparkSpec {
     val rows = Multimodal.spectralFeatures(media).select("media_id").as[Long].collect().toSeq
     assert(rows === Seq(1L))
   }
+
+  /** WAV with explicit amplitude and deterministic noise — the planted
+    * "same recording, different mastering" variants for the audio
+    * near-dup test (level shift = uniform gain; noise = re-encode
+    * quantization proxy). Same RIFF layout as syntheticWavAt. */
+  private def toneWav(freqHz: Double, amp: Double, noise: Double,
+                      sampleRate: Int = 8000, nSamples: Int = 8192): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes); w32(36L + dataLen); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16L); w16(1); w16(1); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * 2); w16(2); w16(16)
+    out.write("data".getBytes); w32(dataLen.toLong)
+    val rnd = new scala.util.Random(42L)
+    var i = 0
+    while (i < nSamples) {
+      val clean = amp * math.sin(2 * math.Pi * freqHz * i / sampleRate)
+      val s = ((clean + noise * (rnd.nextDouble() - 0.5)) * 32767).toInt
+      w16(s & 0xffff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  test("audio near-dup pairs: re-encoded/level-shifted variants found, distinct tones not") {
+    // 1 = master, 2 = level-shifted (gain 0.3x), 3 = re-encode proxy
+    // (1% quantization noise), 4/5 = genuinely different tones
+    val media = Seq(
+      MediaRecord(1L, "audio", toneWav(500.0, 0.5, 0.0), 0, 0, 8000, "wav"),
+      MediaRecord(2L, "audio", toneWav(500.0, 0.15, 0.0), 0, 0, 8000, "wav"),
+      MediaRecord(3L, "audio", toneWav(500.0, 0.5, 0.01), 0, 0, 8000, "wav"),
+      MediaRecord(4L, "audio", toneWav(2000.0, 0.5, 0.0), 0, 0, 8000, "wav"),
+      MediaRecord(5L, "audio", toneWav(3100.0, 0.5, 0.0), 0, 0, 8000, "wav"),
+      MediaRecord(6L, "audio", Array[Byte](9, 9), 0, 0, 0, "bin"), // undecodable
+      MediaRecord(7L, "image", png(1L), 32, 32, 0, "png")) // non-audio
+      .toDS()
+    val pairs = Multimodal.audioNearDupPairs(media)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // the variant family pairs up completely
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    // gain invariance is exact: scaling preserves the bin ORDER, so
+    // the level-shifted signature is bit-identical
+    val h1 = Multimodal.audioHash(
+      Multimodal.decodeWav(toneWav(500.0, 0.5, 0.0)).get)
+    val h2 = Multimodal.audioHash(
+      Multimodal.decodeWav(toneWav(500.0, 0.15, 0.0)).get)
+    assert(h1 === h2)
+    // distinct tones sit well past the pairing threshold in every
+    // window (a 2-bit flip per window = 8 total; threshold is 3)
+    val h4 = Multimodal.audioHash(
+      Multimodal.decodeWav(toneWav(2000.0, 0.5, 0.0)).get)
+    assert(java.lang.Long.bitCount(h1 ^ h4) > 3 + 2)
+  }
 }
