@@ -170,7 +170,8 @@ object SparkEntry {
     "q133_check_probe_sweep" -> (PipelineQueries.q133CheckProbeSweep _),
     "q134_url_percent" -> (PipelineQueries.q134UrlPercent _),
     "q135_check_pq" -> (PipelineQueries.q135CheckPq _),
-    "q136_check_unigram" -> (PipelineQueries.q136CheckUnigram _)
+    "q136_check_unigram" -> (PipelineQueries.q136CheckUnigram _),
+    "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _)
   )
 
   def oracleSql: Map[String, String] = Map(

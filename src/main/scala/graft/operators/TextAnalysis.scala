@@ -203,6 +203,37 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - pr), 4)
   }
 
+  /** The quality score as an EXACT scaled integer (score·10⁴,
+    * half-up) — pure BIGINT arithmetic over the kernel's signals, no
+    * doubles anywhere: with a = stop_hits, b = max(n_words,1),
+    * c = sum_word_len, d = text_len − clean_len, e = max(text_len,1),
+    *
+    *   q = 0.4·a/b + 0.3·min(c/(10b), 1) + 0.3·(1 − d/e)
+    *   q·10⁴ = N/D with N = 40000·a·e + 3000·e·min(c,10b) + 30000·b·(e−d),
+    *           D = 10·b·e,  q4 = (2N + D) div (2D)  (half-up, exact).
+    *
+    * This is the TRUE real-arithmetic rounding — [[qualityFromSignals]]
+    * evaluates the same formula in doubles and its 4th decimal can
+    * round differently from ANY other engine's double pipeline on a
+    * handful of docs (the q128 verdict-export lesson). Small-group
+    * aggregates of raw scores (q137's per-window means) need the exact
+    * form on both sides to hash-match at any group size. */
+  private[graft] def qualityQ4FromSignals(s: Column): Column = {
+    val a = s.getField("_2")
+    val b = greatest(s.getField("_1"), lit(1L))
+    val c = s.getField("_3")
+    val d = s.getField("_4") - s.getField("_5")
+    val e = greatest(s.getField("_4"), lit(1L))
+    val n = lit(40000L) * a * e + lit(3000L) * e * least(c, lit(10L) * b) +
+      lit(30000L) * b * (e - d)
+    val dd = lit(10L) * b * e
+    // integral div via (x − x mod y)/y: x ≤ ~2e15 stays double-exact
+    // and the quotient is an exact integer, so the cast is lossless
+    val x = lit(2L) * n + dd
+    val y = lit(2L) * dd
+    ((x - pmod(x, y)) / y).cast("long")
+  }
+
   /** [[qualityScore]] computed through the one-pass integer-signal
     * kernel ([[curationSignalsUdf]] → [[qualityFromSignals]]): the float
     * AST mirrors the HOF chain operand-for-operand, so values are

@@ -2687,6 +2687,30 @@ object PipelineQueries {
       .toDF("trained_ok", "argmax_ok", "monotonic_ok", "encode_ok", "deterministic_ok")
   }
 
+  /** q137: the quality-drift sheet in BATCH form — the drift monitor's
+    * own arithmetic (r14's `StreamingOps.qualityDriftMonitor` was
+    * streaming-ScalaTest only; VERDICT r14 next #7 ordered the oracle
+    * row) driven through THE SAME CODE PATH: `withWatermark` is a
+    * no-op on a batch Dataset, so the batch sheet IS the monitor —
+    * per (1-hour event-time window, source): doc count, exact
+    * DECIMAL(14,4) mean quality, quality-gate keeps, Gopher keeps,
+    * code-format count, token volume. Event time is synthesized
+    * doc_id-minutes past a fixed hour-aligned epoch (both engines
+    * derive it with the same integer arithmetic). The window start
+    * exports as epoch SECONDS (BIGINT — the cross-engine-robust
+    * timestamp convention). Hard oracle: the q128 signal bodies per
+    * (window, source), the mean as the monitor's own one-step
+    * half-up integer rounding (round(Σq·10⁴ / n) / 10⁴ — pure `div`
+    * arithmetic both engines reproduce bit-for-bit). */
+  def q137DriftSheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+    graft.streaming.StreamingOps.qualityDriftMonitor(docs, "ts", "source")
+      .withColumn("w", col("w").cast("long"))
+      .orderBy("w", "source")
+  }
+
   /** q136 contract: unigram-LM tokenizer training (Kudo 2018 — the
     * SentencePiece model, the other published tokenizer beside q69's
     * BPE; r15, VERDICT r14 missing #4). Like BPE, the EM loop has no
@@ -3938,6 +3962,90 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q137_drift_sheet" ->
+        // the q128 signal bodies aggregated per (hour window, source);
+        // the mean rides the EXACT integer per-doc score (q4 = the
+        // true half-up rounding of the quality formula in BIGINT
+        // rationals — no doubles, so both engines agree bit-for-bit
+        // even in 3-doc groups where the double pipelines' 4th
+        // decimals diverge), then the monitor's one-step integer
+        // mean: mean = floor((2*sum(q4) + n)/(2n)) / 10^4. The KEEP
+        // verdict stays on the double score (the q128 convention —
+        // thresholds compare robustly).
+        s"""WITH d AS (SELECT doc_id, source, text, lower(text) AS t,
+           |             string_split(lower(text),' ') AS w,
+           |             string_split(text, chr(10)) AS ls,
+           |             ((1704067200 + doc_id * 60) // 3600) * 3600 AS wstart
+           |           FROM documents),
+           |q AS (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q,
+           |  (SELECT ((2 * (40000 * a * e + 3000 * e * least(c, 10 * b) + 30000 * b * (e - d2)) + 10 * b * e)
+           |           // (2 * 10 * b * e))::BIGINT
+           |   FROM (SELECT len(list_filter(w, x -> x IN $allStops))::BIGINT AS a,
+           |                greatest(len(w), 1)::BIGINT AS b,
+           |                list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (aa,bb) -> aa + bb)::BIGINT AS c,
+           |                (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::BIGINT AS d2,
+           |                greatest(len(t), 1)::BIGINT AS e)) AS q4
+           |  FROM d),
+           |g AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_words,
+           |  CAST(ROUND(list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS mean_word_len,
+           |  CAST(ROUND((CAST((len(t) - len(replace(t,'#',''))) / 1 AS BIGINT)
+           |            + CAST((len(t) - len(replace(t,'...','')))/3 AS BIGINT)
+           |            + CAST((len(t) - len(replace(t,'…','')))/1 AS BIGINT))::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS symbol_ratio,
+           |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l,'- ') OR starts_with(l,'* ') OR starts_with(l,'•')))::DOUBLE
+           |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS bullet_frac,
+           |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l,'...') OR ends_with(l,'…')))::DOUBLE
+           |       / greatest(len(ls),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ellipsis_frac,
+           |  CAST(ROUND(len(list_filter(w, x -> regexp_matches(x,'[a-z]')))::DOUBLE
+           |       / greatest(len(w),1)::DOUBLE, 4) AS DECIMAL(14,4)) AS alpha_frac,
+           |  CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','is'])) AS BIGINT) AS stop_hits
+           |FROM d),
+           |f AS (SELECT doc_id,
+           |  CAST(ROUND((
+           |      (len(text) - len(replace(text, '{', '')))
+           |    + (len(text) - len(replace(text, '}', '')))
+           |    + (len(text) - len(replace(text, '(', '')))
+           |    + (len(text) - len(replace(text, ')', '')))
+           |    + (len(text) - len(replace(text, ';', '')))
+           |    + (len(text) - len(replace(text, '=', '')))
+           |    + (len(text) - len(replace(text, '<', '')))
+           |    + (len(text) - len(replace(text, '>', '')))
+           |    + (len(text) - len(replace(text, '[', '')))
+           |    + (len(text) - len(replace(text, ']', ''))))::DOUBLE
+           |    / greatest(len(text), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS sym,
+           |  CAST(ROUND(len(list_filter(ls, l -> starts_with(l, '  ') OR starts_with(l, chr(9))))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS ind,
+           |  CAST(ROUND(len(list_filter(ls, l -> (len(l) - len(replace(l, '|', ''))) >= 2))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS pipe,
+           |  CAST(ROUND(len(list_filter(ls, l -> ends_with(l, ';') OR ends_with(l, '{') OR ends_with(l, '}')))::DOUBLE
+           |    / greatest(len(ls), 1)::DOUBLE, 4) AS DECIMAL(14,4)) AS semi
+           |FROM d),
+           |j AS (SELECT d.wstart, d.source, q.q, q.q4, g.n_words,
+           |        (q.q >= 0.44) AS qkeep,
+           |        (g.n_words >= 50 AND g.n_words <= 100000 AND g.mean_word_len >= 3.0
+           |         AND g.mean_word_len <= 10.0 AND g.symbol_ratio < 0.1
+           |         AND g.bullet_frac < 0.9 AND g.ellipsis_frac < 0.3
+           |         AND g.alpha_frac >= 0.8 AND g.stop_hits >= 2) AS gkeep,
+           |        (f.pipe < 0.5 AND f.sym >= 0.04 AND (f.ind >= 0.2 OR f.semi >= 0.2)) AS iscode
+           |      FROM d JOIN q USING (doc_id) JOIN g USING (doc_id) JOIN f USING (doc_id)),
+           |a AS (SELECT wstart, source, COUNT(*)::BIGINT AS n_docs,
+           |        SUM(q4) AS s,
+           |        SUM(CASE WHEN qkeep THEN 1 ELSE 0 END)::BIGINT AS n_quality_keep,
+           |        SUM(CASE WHEN gkeep THEN 1 ELSE 0 END)::BIGINT AS n_gopher_keep,
+           |        SUM(CASE WHEN iscode THEN 1 ELSE 0 END)::BIGINT AS n_code,
+           |        SUM(n_words)::BIGINT AS n_words
+           |      FROM j GROUP BY wstart, source)
+           |SELECT wstart AS w, source, n_docs,
+           |  (((2 * s + n_docs) // (2 * n_docs)) / 10000.0) AS mean_quality,
+           |  n_quality_keep, n_gopher_keep, n_code, n_words
+           |FROM a ORDER BY w, source""".stripMargin,
       "q125_packed_sequences" ->
         """WITH d AS (SELECT doc_id % 8 AS shard, doc_id,
           |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

@@ -690,6 +690,11 @@ object StreamingOps {
       .withColumn("__sig", TextAnalysis.attributeSignalsUdf(col("text")))
       .withColumn("__q",
         TextAnalysis.qualityFromSignals(s).cast(DecimalType(14, 4)))
+      // EXACT integer score for the mean (q137's cross-engine
+      // convention): the double-evaluated __q's 4th decimal can round
+      // differently engine-to-engine on rare docs — immaterial for
+      // the ≥threshold verdict, fatal for a small-group mean's hash
+      .withColumn("__q4", TextAnalysis.qualityQ4FromSignals(s))
       .withColumn("__keep", col("__q") >= qualityThreshold)
       .withColumn("__gk", HeuristicRules.gopherKeepFromCounts(
         nWords = s.getField("_1"), sumLen = s.getField("_3"),
@@ -700,12 +705,19 @@ object StreamingOps {
       .withColumn("__nw", s.getField("_1"))
       .groupBy(window(col(tsCol), window_), col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
-        avg(col("__q")).cast(DecimalType(14, 4)).cast(DoubleType)
-          .as("mean_quality"),
+        sum(col("__q4")).as("__s"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_quality_keep"),
         sum(when(col("__gk"), 1L).otherwise(0L)).as("n_gopher_keep"),
         sum(when(col("__code"), 1L).otherwise(0L)).as("n_code"),
         sum(col("__nw")).as("n_words"))
+      // exact order-independent 4-decimal mean by PURE INTEGER
+      // arithmetic: round_half_up(Σq·10⁴ / n) / 10⁴. (Spark's decimal
+      // avg rounds TWICE — at the division scale, then the cast — a
+      // sequence no portable SQL mirror reproduces; one-step half-up
+      // is the cross-engine-exact convention, q137's oracle mirrors
+      // it with the same div.)
+      .withColumn("mean_quality",
+        expr("(2 * __s + n_docs) div (2 * n_docs)").cast(DoubleType) / 10000.0)
       .select(col("window.start").as("w"), col(sourceCol), col("n_docs"),
         col("mean_quality"), col("n_quality_keep"), col("n_gopher_keep"),
         col("n_code"), col("n_words"))

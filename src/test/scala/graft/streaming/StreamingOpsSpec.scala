@@ -513,14 +513,16 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a1._2 < 0.45 && a1._3 === 0L, s"a1=$a1")
     // the healthy source is unchanged across the same windows
     assert(b1._2 === a0._2 && b1._3 === 1L)
-    // the per-window mean equals the batch kernel's per-doc mean exactly
+    // the per-window mean equals the batch kernel's per-doc scores
+    // pushed through the monitor's own integer rounding (one-step
+    // half-up: round(Σq·10⁴ / n) / 10⁴)
     import graft.operators.{TextAnalysis => TAo}
-    val direct = Seq(prose, prose).toDF("text")
-      .select(TAo.qualityScoreKernel(org.apache.spark.sql.functions.col("text"))
-        .cast(org.apache.spark.sql.types.DecimalType(14, 4)).as("q"))
-      .agg(org.apache.spark.sql.functions.avg("q")
-        .cast(org.apache.spark.sql.types.DecimalType(14, 4))
-        .cast(org.apache.spark.sql.types.DoubleType)).head().getDouble(0)
+    val q4s = Seq(prose, prose).toDF("text")
+      .select((TAo.qualityScoreKernel(org.apache.spark.sql.functions.col("text"))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 4)) * 10000)
+        .cast("long").as("q4"))
+      .as[Long].collect()
+    val direct = ((2 * q4s.sum + q4s.length) / (2L * q4s.length)) / 10000.0
     assert(a0._2 === direct)
   }
 }
