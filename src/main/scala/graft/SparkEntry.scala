@@ -171,7 +171,8 @@ object SparkEntry {
     "q134_url_percent" -> (PipelineQueries.q134UrlPercent _),
     "q135_check_pq" -> (PipelineQueries.q135CheckPq _),
     "q136_check_unigram" -> (PipelineQueries.q136CheckUnigram _),
-    "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _)
+    "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
+    "q138_lang_segments" -> (PipelineQueries.q138LangSegments _)
   )
 
   def oracleSql: Map[String, String] = Map(

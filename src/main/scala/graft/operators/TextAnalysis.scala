@@ -76,6 +76,53 @@ object TextAnalysis {
     when(anyHit, argmax).otherwise(lit("und"))
   }
 
+  // ---------------------------------- per-block language segmentation
+  /** Per-paragraph language ID (r15; CCNet's practice — Wenzek et al.
+    * 2020 run language identification per PARAGRAPH, because crawled
+    * pages mix languages: boilerplate in one, content in another,
+    * quoted passages in a third; a doc-level verdict (q29) mislabels
+    * the minority mass and a mixed page needs FLAGGING before it
+    * poisons a monolingual corpus): one struct per blank-line block —
+    * (lang, nw) via the q29 stopword argmax and the whitespace word
+    * count. A pure row-local HOF projection; stage the result as a
+    * column when several consumers read it (HOF lambdas are exempt
+    * from subexpression elimination). */
+  def langSegments(text: Column): Column =
+    transform(split(text, "\n\n"), b =>
+      struct(langId(b).as("lang"),
+        size(words(lower(b))).cast(LongType).as("nw")))
+
+  /** Document language profile over [[langSegments]] output: block
+    * count, MAJORITY language (argmax of per-language word mass over
+    * identified blocks, q29's fixed priority order on ties; 'und' when
+    * nothing identifies), the minority word fraction (mass outside the
+    * majority language over identified mass, exact 4-decimal DECIMAL)
+    * and the mixed flag (minority mass > 0). All row-local. */
+  def langProfileFrom(per: Column): Column = {
+    def sumFor(l: String): Column =
+      aggregate(filter(per, p => p.getField("lang") === l),
+        lit(0L), (a, p) => a + p.getField("nw"))
+    val langs = StopWords.map(_._1)
+    val sums = langs.map(l => l -> sumFor(l))
+    val idw = sums.map(_._2).reduce(_ + _)
+    val majority = sums.zipWithIndex.foldRight(lit("und")) {
+      case (((l, s), i), rest) =>
+        val geAll = sums.drop(i + 1).map { case (_, o) => s >= o }
+          .foldLeft(lit(true))(_ && _)
+        when(geAll, lit(l)).otherwise(rest)
+    }
+    val majorityOrUnd = when(idw > 0, majority).otherwise(lit("und"))
+    val majorW = sums.foldRight(lit(0L)) { case ((l, s), rest) =>
+      when(majorityOrUnd === l, s).otherwise(rest)
+    }
+    val minFrac = dec4(round((idw - majorW).cast(DoubleType) /
+      greatest(idw, lit(1L)).cast(DoubleType), 4))
+    struct(size(per).cast(LongType).as("n_blocks"),
+      majorityOrUnd.as("majority_lang"),
+      minFrac.as("minority_frac"),
+      (minFrac > dec4(lit(0.0))).as("mixed"))
+  }
+
   /** Punctuation ratio: chars outside [a-z0-9 ] over total chars. */
   def punctRatio(text: Column): Column = punctRatioFrom(lower(text))
 

@@ -2711,6 +2711,38 @@ object PipelineQueries {
       .orderBy("w", "source")
   }
 
+  /** q138: per-block language segmentation + mixed-page report (r15;
+    * CCNet — Wenzek et al. 2020 §4 — identifies language per
+    * PARAGRAPH: crawled pages mix languages, a doc-level verdict
+    * mislabels the minority mass, and a monolingual corpus wants
+    * mixed pages FLAGGED): pages are synthesized by appending a
+    * French block to every 4th doc and a German block to every 8th,
+    * so the planted minority mass and the doc's own language interact
+    * (a French doc's French plant is NOT mixed — the rule is about
+    * language mass, not block count); per doc — block count, majority
+    * language by identified word mass (q29's argmax priority on
+    * ties), exact 4-decimal minority fraction, mixed flag. One staged
+    * row-local projection (the segments array computes ONCE), zero
+    * shuffle before the presentation sort. */
+  def q138LangSegments(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val frBlock = "le la les et un est le la les et un est"
+    val deBlock = "der die und das ein ist der die und das ein ist"
+    val page = concat(col("text"),
+      when(d % 4 === 0, lit("\n\n" + frBlock)).otherwise(lit("")),
+      when(d % 8 === 0, lit("\n\n" + deBlock)).otherwise(lit("")))
+    val prof = col("__prof")
+    t(spark, dir, "documents")
+      .withColumn("__per", TA.langSegments(page))
+      .withColumn("__prof", TA.langProfileFrom(col("__per")))
+      .select(col("doc_id"),
+        prof.getField("n_blocks").as("n_blocks"),
+        prof.getField("majority_lang").as("majority_lang"),
+        prof.getField("minority_frac").cast(DoubleType).as("minority_frac"),
+        prof.getField("mixed").as("mixed"))
+      .orderBy("doc_id")
+  }
+
   /** q136 contract: unigram-LM tokenizer training (Kudo 2018 — the
     * SentencePiece model, the other published tokenizer beside q69's
     * BPE; r15, VERDICT r14 missing #4). Like BPE, the EM loop has no
@@ -3962,6 +3994,61 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q138_lang_segments" ->
+        // per-block q29 argmax via UNNEST, majority by identified word
+        // mass with the same fixed priority, exact DECIMAL fraction
+        s"""WITH pg AS (SELECT doc_id,
+           |    text || CASE WHEN doc_id % 4 = 0
+           |                 THEN chr(10) || chr(10) || 'le la les et un est le la les et un est'
+           |                 ELSE '' END
+           |         || CASE WHEN doc_id % 8 = 0
+           |                 THEN chr(10) || chr(10) || 'der die und das ein ist der die und das ein ist'
+           |                 ELSE '' END AS page
+           |  FROM documents),
+           |b AS (SELECT doc_id, unnest(string_split(page, chr(10) || chr(10))) AS blk FROM pg),
+           |s AS (SELECT doc_id,
+           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("en")})) AS s_en,
+           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("de")})) AS s_de,
+           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("fr")})) AS s_fr,
+           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("es")})) AS s_es,
+           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("zh")})) AS s_zh,
+           |  len(string_split(lower(blk),' '))::BIGINT AS nw
+           |  FROM b),
+           |l AS (SELECT doc_id, nw,
+           |  CASE WHEN s_en + s_de + s_fr + s_es + s_zh = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+           |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+           |       WHEN s_es >= s_zh THEN 'es'
+           |       ELSE 'zh' END AS blang
+           |  FROM s),
+           |a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+           |  SUM(CASE WHEN blang = 'en' THEN nw ELSE 0 END)::BIGINT AS w_en,
+           |  SUM(CASE WHEN blang = 'de' THEN nw ELSE 0 END)::BIGINT AS w_de,
+           |  SUM(CASE WHEN blang = 'fr' THEN nw ELSE 0 END)::BIGINT AS w_fr,
+           |  SUM(CASE WHEN blang = 'es' THEN nw ELSE 0 END)::BIGINT AS w_es,
+           |  SUM(CASE WHEN blang = 'zh' THEN nw ELSE 0 END)::BIGINT AS w_zh
+           |  FROM l GROUP BY doc_id),
+           |m AS (SELECT doc_id, n_blocks,
+           |  (w_en + w_de + w_fr + w_es + w_zh) AS idw,
+           |  CASE WHEN w_en + w_de + w_fr + w_es + w_zh = 0 THEN 'und'
+           |       WHEN w_en >= w_de AND w_en >= w_fr AND w_en >= w_es AND w_en >= w_zh THEN 'en'
+           |       WHEN w_de >= w_fr AND w_de >= w_es AND w_de >= w_zh THEN 'de'
+           |       WHEN w_fr >= w_es AND w_fr >= w_zh THEN 'fr'
+           |       WHEN w_es >= w_zh THEN 'es'
+           |       ELSE 'zh' END AS majority_lang,
+           |  w_en, w_de, w_fr, w_es, w_zh
+           |  FROM a)
+           |SELECT doc_id, n_blocks, majority_lang,
+           |  CAST(ROUND((idw - CASE majority_lang WHEN 'en' THEN w_en WHEN 'de' THEN w_de
+           |                    WHEN 'fr' THEN w_fr WHEN 'es' THEN w_es
+           |                    WHEN 'zh' THEN w_zh ELSE 0 END)::DOUBLE
+           |       / greatest(idw, 1)::DOUBLE, 4) AS DECIMAL(14,4))::DOUBLE AS minority_frac,
+           |  (CAST(ROUND((idw - CASE majority_lang WHEN 'en' THEN w_en WHEN 'de' THEN w_de
+           |                    WHEN 'fr' THEN w_fr WHEN 'es' THEN w_es
+           |                    WHEN 'zh' THEN w_zh ELSE 0 END)::DOUBLE
+           |       / greatest(idw, 1)::DOUBLE, 4) AS DECIMAL(14,4)) > 0) AS mixed
+           |FROM m ORDER BY doc_id""".stripMargin,
       "q137_drift_sheet" ->
         // the q128 signal bodies aggregated per (hour window, source);
         // the mean rides the EXACT integer per-doc score (q4 = the
