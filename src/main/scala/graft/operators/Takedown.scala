@@ -183,6 +183,61 @@ object Takedown {
     TakedownReport(touched.map(_._2).sum, rewritten.toSeq)
   }
 
+  /** Aliases ORPHANED by a takedown (r15 — the propagation question a
+    * provenance-keeping dedup owes its takedown verb: the `_aliases`
+    * sidecar maps each REJECTED document to the kept near-duplicate
+    * that represents it, so deleting a kept document leaves its
+    * aliases' content unrepresented in the corpus): returns the alias
+    * rows whose `kept_id` is a deleted id — the RE-INGEST candidate
+    * list (their texts were never admitted, so re-admission must go
+    * back to the upstream source; this surfaces exactly who to fetch).
+    * `ids` is bounded driver metadata by the takedown contract; one
+    * partitioned scan of the sidecar view. Call BEFORE
+    * [[eraseAliasReferences]] — erasure removes the evidence. */
+  def orphanedAliases(spark: SparkSession, storePath: String,
+                      deletedIds: Seq[Any]): DataFrame = {
+    require(deletedIds.nonEmpty, "orphanedAliases: empty id list")
+    import graft.streaming.StreamingOps
+    StreamingOps.readCorpusStore(spark, s"$storePath/${StreamingOps.AliasesDir}")
+      .map(_.filter(col("kept_id").isin(deletedIds: _*)))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Erase every `_aliases` reference to the named ids — rows where
+    * the id appears as the rejected document (`doc_id`) OR as the
+    * kept representative (`kept_id`). [[deleteFromStore]] removes the
+    * DOCUMENT; a GDPR-grade erasure also wants the provenance rows
+    * that keep naming the id. Same crash-safe per-leaf swap as every
+    * takedown rewrite ([[replaceLeaf]] after [[recover]]); only
+    * partitions containing a reference rewrite, null-id rows survive
+    * (the r15 three-valued-logic rule). Returns rows erased. */
+  def eraseAliasReferences(spark: SparkSession, storePath: String,
+                           ids: Seq[Any]): Long = {
+    require(ids.nonEmpty, "eraseAliasReferences: empty id list")
+    import graft.streaming.StreamingOps
+    val bc = StreamingOps.IngestBatchCol
+    val root = s"$storePath/${StreamingOps.AliasesDir}"
+    recover(root)
+    val view = StreamingOps.readCorpusStore(spark, root).getOrElse(return 0L)
+    val del = col("doc_id").isin(ids: _*) || col("kept_id").isin(ids: _*)
+    val keep = !org.apache.spark.sql.functions.coalesce(del, lit(false))
+    val touched = view.filter(del)
+      .groupBy(col(bc).cast("long").as(bc))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val manifest = Manifests.read(root)
+    val covers = manifest.map(_._2).getOrElse(Long.MinValue)
+    val units = touched.map { case (b, _) =>
+      if (b <= covers) s"${Manifests.CompactDir}/epoch-${manifest.get._1}"
+      else s"$bc=$b"
+    }.distinct.sorted
+    units.foreach { unit =>
+      val kept = spark.read.parquet(s"$root/$unit").filter(keep)
+      replaceLeaf(root, unit, kept)
+    }
+    touched.map(_._2).sum
+  }
+
   /** Erase a key's ENTIRE history from an
     * [[graft.streaming.StreamingOps.scd2IngestToStore]] store — the
     * GDPR erasure verb for dimension history: every closed version of

@@ -203,4 +203,41 @@ class TakedownSpec extends SparkSpec {
     }
     out.sortBy(_._1).toSeq
   }
+
+  test("alias propagation: orphans surfaced, references erased, untouched partitions intact") {
+    val bc = StreamingOps.IngestBatchCol
+    val al = StreamingOps.AliasesDir
+    val store = tmpDir("td-alias")
+    // store: batch 0 keeps 1,2; batch 1 keeps 10. Aliases: 5->1, 6->2
+    // (batch 0); 15->10, 16->2 (batch 1)
+    writeBatch(store, 0, Seq(1L, 2L))
+    writeBatch(store, 1, Seq(10L))
+    Seq((5L, 1L, 1.0), (6L, 2L, 0.9)).toDF("doc_id", "kept_id", "jaccard")
+      .coalesce(1).write.parquet(s"$store/$al/$bc=0")
+    Seq((15L, 10L, 0.8), (16L, 2L, 0.7)).toDF("doc_id", "kept_id", "jaccard")
+      .coalesce(1).write.parquet(s"$store/$al/$bc=1")
+    // take down kept doc 2: aliases 6 and 16 are orphaned (re-ingest list)
+    val orphans = Takedown.orphanedAliases(spark, store, Seq(2L))
+      .select("doc_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(orphans === Set((6L, 2L), (16L, 2L)))
+    // deleting a non-kept id orphans nothing
+    assert(Takedown.orphanedAliases(spark, store, Seq(999L)).count() === 0L)
+    // erase every reference to 2 (as kept_id) and to 15 (as doc_id);
+    // batch 0's partition stays byte-identical when untouched
+    val erased = Takedown.eraseAliasReferences(spark, store, Seq(15L))
+    assert(erased === 1L)
+    val before0 = hashDir(s"$store/$al/$bc=0")
+    assert(Takedown.eraseAliasReferences(spark, store, Seq(2L)) === 2L)
+    assert(hashDir(s"$store/$al/$bc=0") !== before0) // 6->2 left batch 0
+    val left = StreamingOps.readCorpusStore(spark, s"$store/$al").get
+      .select("doc_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(left === Set((5L, 1L)))
+    // idempotent: nothing left to erase
+    assert(Takedown.eraseAliasReferences(spark, store, Seq(2L, 15L)) === 0L)
+    // erasure composes with a compacted sidecar (epoch rewrite in place)
+    StreamingOps.compactStore(spark, s"$store/$al", uptoBatch = 1L)
+    assert(Takedown.eraseAliasReferences(spark, store, Seq(1L)) === 1L)
+    assert(StreamingOps.readCorpusStore(spark, s"$store/$al").isEmpty ||
+      StreamingOps.readCorpusStore(spark, s"$store/$al").get.count() === 0L)
+  }
 }
