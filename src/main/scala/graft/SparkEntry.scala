@@ -172,7 +172,8 @@ object SparkEntry {
     "q135_check_pq" -> (PipelineQueries.q135CheckPq _),
     "q136_check_unigram" -> (PipelineQueries.q136CheckUnigram _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
-    "q138_lang_segments" -> (PipelineQueries.q138LangSegments _)
+    "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
+    "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _)
   )
 
   def oracleSql: Map[String, String] = Map(

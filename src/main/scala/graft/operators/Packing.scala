@@ -45,6 +45,143 @@ object Packing {
       .withColumn("bin", floor((col("cum") - tokenCol) / lit(capacity)))
   }
 
+  /** One packing strategy (Krell et al. 2021, "Efficient Sequence
+    * Packing without Cross-contamination"): a bin RECIPE — the
+    * descending multiset of document lengths one bin holds — plus how
+    * many bins use it. The whole strategy table is driver metadata
+    * (recipes over ≤ capacity distinct lengths), which is the paper's
+    * point: at bounded sequence length, packing is a function of the
+    * LENGTH HISTOGRAM, never of the corpus. */
+  final case class PackStrategy(id: Int, recipe: Seq[Long], count: Long) {
+    def fill: Long = recipe.sum
+  }
+
+  /** Histogram best-fit-decreasing packing (r15; Krell et al. 2021 —
+    * the offline packer that beats the streaming next-fit loaders use:
+    * BFD reaches ~min-padding packings, and because document lengths
+    * are BOUNDED by the training context, the entire optimization runs
+    * on the ≤`capacity`-row length histogram on the driver):
+    *
+    *  1. ONE map-side-combinable histogram aggregate (length → count;
+    *     lengths clamp to [1, capacity] — an over-long doc packs alone
+    *     and its truncation is the loader's concern);
+    *  2. driver BFD over COUNT-BATCHED recipe classes: lengths process
+    *     descending; each takes the open class with the smallest
+    *     residual that fits (ties to the lexicographically smallest
+    *     recipe — fully deterministic), same-length docs stacking to
+    *     the class's per-bin capacity exactly as per-item best-fit
+    *     would; the output is the [[PackStrategy]] table;
+    *  3. assignment back to documents WITHOUT corpus-scale driver
+    *     traffic: docs rank within their length by the q109 two-pass
+    *     bucketed rank (a 256-way hash-bucket count whose per-length
+    *     cumulative offsets come from a window over the AGGREGATE, then
+    *     a bounded per-(length, bucket) row_number — no giant per-length
+    *     window group at any corpus size), and a broadcast slot table
+    *     (per (length, strategy): rank range → base bin + stride) maps
+    *     rank → bin id by pure integer arithmetic.
+    *
+    * Returns (assignment with `bin`/`__len` columns appended, strategy
+    * table). Deterministic for a given corpus: the recipes, the bin
+    * ids and every doc's assignment are reproducible on any engine or
+    * partitioning. */
+  def packBestFit(docs: DataFrame, capacity: Long, tokenCol: Column,
+                  orderCol: Column): (DataFrame, Seq[PackStrategy]) = {
+    require(capacity > 0 && capacity <= 65536,
+      s"packBestFit: capacity=$capacity (the histogram contract needs a bounded length domain)")
+    val lenCol = greatest(least(tokenCol.cast("long"), lit(capacity)), lit(1L))
+    val base = docs.withColumn("__len", lenCol)
+    val hist = base.groupBy("__len").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (hist.isEmpty) return (base.withColumn("bin", lit(-1L)).limit(0), Nil)
+    // --- driver BFD over count-batched recipe classes
+    val classes = scala.collection.mutable.HashMap.empty[Vector[Long], Long]
+    def residual(r: Vector[Long]): Long = capacity - r.sum
+    hist.keys.toSeq.sorted(Ordering[Long].reverse).foreach { len =>
+      var need = hist(len)
+      while (need > 0) {
+        // smallest residual that fits; ties to the smallest recipe
+        val cand = classes.iterator
+          .filter { case (r, c) => c > 0 && residual(r) >= len }
+          .reduceOption { (a, b) =>
+            val (ra, rb) = (residual(a._1), residual(b._1))
+            if (ra < rb) a
+            else if (rb < ra) b
+            else if (Ordering.Implicits.seqOrdering[Vector, Long].lt(a._1, b._1)) a
+            else b
+          }
+        cand match {
+          case Some((r, c)) =>
+            val perBin = residual(r) / len // ≥ 1
+            val take = math.min(need, c * perBin)
+            val fullBins = take / perBin
+            val rem = take % perBin
+            if (fullBins > 0) {
+              classes(r ++ Vector.fill(perBin.toInt)(len)) =
+                classes.getOrElse(r ++ Vector.fill(perBin.toInt)(len), 0L) + fullBins
+            }
+            if (rem > 0) {
+              classes(r ++ Vector.fill(rem.toInt)(len)) =
+                classes.getOrElse(r ++ Vector.fill(rem.toInt)(len), 0L) + 1L
+            }
+            val used = fullBins + (if (rem > 0) 1L else 0L)
+            if (c - used == 0L) classes.remove(r) else classes(r) = c - used
+            need -= take
+          case None =>
+            val perBin = capacity / len // ≥ 1
+            val fullBins = need / perBin
+            val rem = need % perBin
+            if (fullBins > 0)
+              classes(Vector.fill(perBin.toInt)(len)) =
+                classes.getOrElse(Vector.fill(perBin.toInt)(len), 0L) + fullBins
+            if (rem > 0)
+              classes(Vector.fill(rem.toInt)(len)) =
+                classes.getOrElse(Vector.fill(rem.toInt)(len), 0L) + 1L
+            need = 0
+        }
+      }
+    }
+    val strategies = classes.toSeq
+      .sortBy(_._1)(Ordering.Implicits.seqOrdering[Vector, Long])
+      .zipWithIndex
+      .map { case ((recipe, c), i) => PackStrategy(i, recipe, c) }
+    // --- slot table: per (length, strategy) the rank range and stride
+    val bases = strategies.scanLeft(0L)(_ + _.count)
+    val slotRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)] // (len, lo, hi, base, m)
+    val loByLen = scala.collection.mutable.HashMap.empty[Long, Long]
+    strategies.foreach { s =>
+      s.recipe.groupBy(identity).toSeq.sortBy(_._1).foreach { case (len, occ) =>
+        val m = occ.size.toLong
+        val demand = s.count * m
+        val lo = loByLen.getOrElse(len, 0L)
+        slotRows += ((len, lo, lo + demand, bases(s.id), m))
+        loByLen(len) = lo + demand
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = slotRows.toSeq.toDF("__slen", "__lo", "__hi", "__base", "__m")
+    // --- q109 two-pass per-length rank (no giant per-length window)
+    val ranked0 = base
+      .withColumn("__h", md5(concat_ws(":", lit("pack"), orderCol.cast("string"))))
+      .withColumn("__bkt", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val wOff = Window.partitionBy("__len").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked0.groupBy("__len", "__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__len", "__bkt", "__off")
+    val wIn = Window.partitionBy("__len", "__bkt").orderBy(col("__h"), orderCol)
+    val ranked = ranked0.join(offsets, Seq("__len", "__bkt"))
+      .withColumn("__r", col("__off") + row_number().over(wIn) - 1)
+    val assigned = ranked
+      .join(broadcast(slots),
+        col("__len") === col("__slen") && col("__r") >= col("__lo") &&
+          col("__r") < col("__hi"))
+      .withColumn("bin", col("__base") + expr("(__r - __lo) DIV __m"))
+      .drop("__h", "__bkt", "__off", "__r", "__slen", "__lo", "__hi", "__base", "__m")
+    (assigned, strategies)
+  }
+
   /** Materialize the packed training sequences — the LAST MILE to the
     * data loader (GPT-style sequence packing, Brown et al. 2020 §2.1:
     * documents concatenate into fixed-capacity contexts in stream

@@ -2743,6 +2743,73 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q139 contract: histogram best-fit-decreasing sequence packing
+    * (r15; Krell et al. 2021 — the offline packer that beats the
+    * streaming next-fit loaders use; because lengths are BOUNDED by
+    * the training context, the whole optimization runs on the
+    * ≤capacity-row length histogram as driver metadata, and the
+    * corpus only pays one histogram aggregate + a two-pass rank +
+    * a broadcast slot join). Packing has no tractable SQL twin (BFD
+    * is a sequential driver fixpoint), so the contract audits the
+    * result independently — the q69/q104 shape:
+    *  - valid_ok: every bin's token sum ≤ capacity, recomputed
+    *    DISTRIBUTED from the assignment;
+    *  - conserve_ok: every document lands in exactly one bin, total
+    *    docs and token mass conserved;
+    *  - recipes_ok: per-bin sorted length lists, recomputed
+    *    distributed, equal their strategy's recipe EXACTLY for every
+    *    bin (driver plan == physical packing);
+    *  - beats_nextfit_ok: BFD uses no more bins than the strict
+    *    in-order next-fit a streaming loader gets (re-simulated
+    *    independently on the driver from the doc_id-ordered lengths);
+    *  - deterministic_ok: a repartitioned rerun assigns every doc the
+    *    identical bin. Booleans oracled by constant truth. */
+  def q139CheckBfd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val docs = t(spark, dir, "documents")
+    val cap = 512L
+    val tok = TA.wsTokenCountFast(col("text"))
+    val (asg0, strategies) = Packing.packBestFit(docs, cap, tok, col("doc_id"))
+    val asg = asg0.select(col("doc_id"), col("__len"), col("bin"))
+      .localCheckpoint(true)
+    val perBin = asg.groupBy("bin")
+      .agg(sum("__len").as("fill"), count(lit(1)).as("n"),
+        sort_array(collect_list(col("__len")), asc = false).as("lens"))
+      .localCheckpoint(true)
+    val validOk = perBin.filter(col("fill") > cap).count() == 0L
+    val nDocs = docs.count()
+    val conserveOk = asg.count() == nDocs &&
+      asg.select("doc_id").distinct().count() == nDocs &&
+      perBin.agg(sum("n")).head().getLong(0) == nDocs
+    // strategy recipes vs physical bins (distributed comparison)
+    import spark.implicits._
+    val expected = strategies
+      .flatMap(s => Seq((s.id.toLong, s.recipe, s.count)))
+      .toDF("sid", "recipe", "cnt")
+    val bases = strategies.scanLeft(0L)(_ + _.count)
+    val sidOf = udf((bin: Long) =>
+      strategies.indices.find(i => bin >= bases(i) && bin < bases(i + 1))
+        .map(_.toLong).getOrElse(-1L))
+    val recipesOk = perBin
+      .withColumn("sid", sidOf(col("bin")))
+      .join(broadcast(expected), Seq("sid"))
+      .filter(!(col("lens") === col("recipe"))).count() == 0L
+    // independent next-fit simulation (doc_id order — the streaming
+    // loader's reality); test-SF corpus lengths are driver-collectable
+    val lens = docs.select(greatest(least(tok.cast("long"), lit(cap)), lit(1L)))
+      .orderBy(col("doc_id")).as[Long].collect()
+    var bins = 0L; var room = 0L
+    lens.foreach { l => if (l > room) { bins += 1; room = cap - l } else room -= l }
+    val nBfd = strategies.map(_.count).sum
+    val beatsOk = nBfd <= bins
+    val (asg2, _) = Packing.packBestFit(docs.repartition(7), cap, tok, col("doc_id"))
+    val detOk = asg2.select(col("doc_id"), col("bin"))
+      .except(asg.select(col("doc_id"), col("bin"))).count() == 0L
+    Seq((validOk, conserveOk, recipesOk, beatsOk, detOk))
+      .toDF("valid_ok", "conserve_ok", "recipes_ok", "beats_nextfit_ok",
+        "deterministic_ok")
+  }
+
   /** q136 contract: unigram-LM tokenizer training (Kudo 2018 — the
     * SentencePiece model, the other published tokenizer beside q69's
     * BPE; r15, VERDICT r14 missing #4). Like BPE, the EM loop has no
@@ -3994,6 +4061,9 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q139_check_bfd" ->
+        """SELECT true AS valid_ok, true AS conserve_ok, true AS recipes_ok,
+          |       true AS beats_nextfit_ok, true AS deterministic_ok""".stripMargin,
       "q138_lang_segments" ->
         // per-block q29 argmax via UNNEST, majority by identified word
         // mass with the same fixed priority, exact DECIMAL fraction

@@ -345,4 +345,28 @@ class PackingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("1", 200L), ("2", 700L)))
   }
+
+  test("packBestFit: closed-form BFD beats in-order next-fit; recipes and bins exact") {
+    // lens [8,5,5,2] at capacity 10: BFD packs {8,2} + {5,5} = 2 bins;
+    // next-fit in doc order needs 3 ([8], [5,5], [2])
+    val docs = Seq((1L, 8L), (2L, 5L), (3L, 5L), (4L, 2L)).toDF("doc_id", "tok")
+    val (asg, strategies) = Packing.packBestFit(docs, 10L, col("tok"), col("doc_id"))
+    assert(strategies.map(_.count).sum === 2L)
+    assert(strategies.map(_.recipe.sorted.toList).sortBy(_.head).toList ===
+      List(List(2L, 8L), List(5L, 5L)))
+    val byBin = asg.select(col("bin"), col("tok")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted.toList }
+    assert(byBin.values.toSet === Set(List(2L, 8L), List(5L, 5L)))
+    // same-length stacking: 6 docs of len 3 at cap 10 -> two bins of
+    // [3,3,3] (per-item best-fit stacks into the open bin first)
+    val docs2 = (1L to 6L).map(i => (i, 3L)).toDF("doc_id", "tok")
+    val (_, s2) = Packing.packBestFit(docs2, 10L, col("tok"), col("doc_id"))
+    assert(s2.map(_.count).sum === 2L)
+    assert(s2.forall(_.recipe === Seq(3L, 3L, 3L)))
+    // over-long docs clamp to capacity and pack alone
+    val docs3 = Seq((1L, 25L), (2L, 4L)).toDF("doc_id", "tok")
+    val (_, s3) = Packing.packBestFit(docs3, 10L, col("tok"), col("doc_id"))
+    assert(s3.map(_.count).sum === 2L)
+    Storage.releaseAll(true)
+  }
 }
