@@ -173,7 +173,8 @@ object SparkEntry {
     "q136_check_unigram" -> (PipelineQueries.q136CheckUnigram _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
-    "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _)
+    "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),
+    "q140_pipeline_v6" -> (PipelineQueries.q140PipelineV6 _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -2743,6 +2743,71 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q140: composed r15 pipeline (the q94/q100/q105/q123 pattern over
+    * THIS round's gates — proof they compose in the published crawl
+    * order): every doc gets a synthetic URL in one of two escape
+    * DIALECTS per pair (uppercase-hex unreserved escapes + sorted
+    * params vs bare chars + permuted params — collapsing iff the q134
+    * percent ∘ q129 sort tiers compose) and a page with the q138
+    * foreign-block plants; then
+    *   1. URL-level dedup (percent + sort tiers): 500 → 250 winners
+    *      (richest capture per canonical URL);
+    *   2. language gate: winners whose page's minority word mass
+    *      reaches 5% drop (the CCNet mixed-page rule, q138);
+    *   3. quality gate (q30 ≥ 0.44, through the q127 kernel).
+    * ONE query with a four-row integer manifest; stage counts ride
+    * observe() metrics, the URL stage is one max-struct aggregate +
+    * a key semi join, the language/quality gates are row-local.
+    * Hard oracle: the SHARED pctSortCanonCtes + blockLangCtes bodies
+    * (the exact fragments q134/q138 verify) + the q30 quality CTE —
+    * the composition cannot drift from the operators it composes. */
+  def q140PipelineV6(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    import scala.concurrent.duration._
+    import graft.operators.Urls
+    val docs = t(spark, dir, "documents")
+    val d = col("doc_id")
+    val grp = expr("doc_id DIV 2")
+    // FIXED host (the pair's two docs come from different sources, so
+    // a source-keyed host would defeat the collapse); WWW. on one
+    // dialect so the strip tier participates too
+    val url = concat(
+      when(d % 2 === 0, concat(lit("http://WWW.example.com/%7Edocs/item-"),
+          grp.cast("string"), lit("?x=%41&tag=%2Fv")))
+        .otherwise(concat(lit("http://example.com/~docs/item-"),
+          grp.cast("string"), lit("?tag=%2fv&x=A"))))
+    val frBlock = "le la les et un est le la les et un est"
+    val deBlock = "der die und das ein ist der die und das ein ist"
+    val page = concat(col("text"),
+      when(d % 4 === 0, lit("\n\n" + frBlock)).otherwise(lit("")),
+      when(d % 8 === 0, lit("\n\n" + deBlock)).otherwise(lit("")))
+    val Seq(o0, o1, o2) = Seq.fill(3)(Observation())
+    def counted(df: DataFrame, o: Observation): DataFrame =
+      df.observe(o, count(lit(1)).as("n"))
+    // stage 1: winners of the canonical-URL collapse (kept ids are a
+    // per-group aggregate — corpus-scale, so the join back is a plain
+    // key semi join, never a broadcast assumption)
+    val winners = Urls.dedupByUrl(counted(docs, o0), url, d, col("text"),
+      sortParams = true, normalizePercent = true)
+      .select(col("kept_doc_id").as("doc_id"))
+    val s1 = counted(docs.join(winners, Seq("doc_id"), "left_semi"), o1)
+    // stage 2: CCNet mixed-page gate over the q138 profile
+    val s2 = counted(
+      s1.withColumn("__per", TA.langSegments(page))
+        .withColumn("__prof", TA.langProfileFrom(col("__per")))
+        .filter(col("__prof").getField("minority_frac") < 0.05)
+        .drop("__per", "__prof"), o2)
+    // stage 3: quality gate through the kernel (bit-equal to the chain)
+    val n3 = s2.filter(TA.qualityScoreKernel(col("text"))
+      .cast(DecimalType(14, 4)) >= 0.44).count()
+    def n(o: Observation): Long =
+      scala.concurrent.Await.result(o.future, 120.seconds).getAs[Long]("n")
+    import spark.implicits._
+    Seq(("0_input", n(o0)), ("1_url", n(o1)), ("2_lang", n(o2)),
+      ("3_quality", n3))
+      .toDF("stage", "n_docs").orderBy("stage")
+  }
+
   /** q139 contract: histogram best-fit-decreasing sequence packing
     * (r15; Krell et al. 2021 — the offline packer that beats the
     * streaming next-fit loaders use; because lengths are BOUNDED by
@@ -3014,6 +3079,92 @@ object PipelineQueries {
       l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
     }.toMap
     val allStops = TA.StopWords.flatMap(_._2).map(w => s"'$w'").mkString("(", ",", ")")
+    /** Shared percent-decode + param-sort URL canonicalization chain
+      * (the q134 mirror of `Urls.canonicalizeUrl(sortParams = true,
+      * normalizePercent = true)`): the input CTE `u` must provide
+      * (doc_id, text, url); yields CTEs through `cn` (doc_id, text,
+      * canon). ONE body shared by q134 and q140 so the composed
+      * pipeline cannot drift from the operator it composes. */
+    val pctSortCanonCtes: String =
+      s"""pp AS (SELECT doc_id, text, string_split(url, '%') AS parts FROM u),
+         |np AS (SELECT doc_id, text,
+         |    parts[1] || array_to_string(list_transform(parts[2:], e ->
+         |      CASE WHEN regexp_matches(upper(substr(e, 1, 2)),
+         |               '^(${graft.operators.Urls.UnreservedHexRe})$$')
+         |           THEN decode(from_hex(upper(substr(e, 1, 2)))) || substr(e, 3)
+         |           WHEN regexp_matches(upper(substr(e, 1, 2)), '^[0-9A-F]{2}$$')
+         |           THEN '%' || upper(substr(e, 1, 2)) || substr(e, 3)
+         |           ELSE '%' || e END), '') AS url
+         |  FROM pp),
+         |c0 AS (SELECT doc_id, text, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM np),
+         |hp AS (SELECT doc_id, text, c,
+         |         regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head FROM c0),
+         |h1 AS (SELECT doc_id, text, replace(lower(head), '://www.', '://') AS h,
+         |         substr(c, len(head) + 1) AS rest FROM hp),
+         |h2 AS (SELECT doc_id, text,
+         |         CASE WHEN starts_with(h, 'http://') AND ends_with(h, ':80')
+         |                THEN substr(h, 1, len(h) - 3)
+         |              WHEN starts_with(h, 'https://') AND ends_with(h, ':443')
+         |                THEN substr(h, 1, len(h) - 4)
+         |              ELSE h END AS h, rest FROM h1),
+         |r2 AS (SELECT doc_id, text, h,
+         |         regexp_replace(replace(rest, '?', '&'),
+         |           '&(${graft.operators.Urls.TrackingParams})=[^&]*', '', 'g') AS r
+         |       FROM h2),
+         |r3 AS (SELECT doc_id, text, h,
+         |         list_sort(list_filter(string_split(r, '&')[2:], x -> x <> '')) AS ps,
+         |         string_split(r, '&')[1] AS p0 FROM r2),
+         |r4 AS (SELECT doc_id, text, h,
+         |         CASE WHEN len(ps) > 0
+         |              THEN p0 || '?' || array_to_string(ps, '&')
+         |              ELSE p0 END AS r FROM r3),
+         |cn AS (SELECT doc_id, text,
+         |         h || regexp_replace(regexp_replace(r, '[?&]+$$', '', 'g'), '/$$', '', 'g')
+         |           AS canon FROM r4)""".stripMargin
+    /** Shared per-block language-profile chain (the q138 mirror of
+      * `TextAnalysis.langSegments`/`langProfileFrom`): the input CTE
+      * `pg` must provide (doc_id, page); yields CTEs through `lm`
+      * (doc_id, n_blocks, idw, majority_lang, major_w). Shared by
+      * q138 and q140. */
+    val blockLangCtes: String =
+      s"""lb AS (SELECT doc_id, unnest(string_split(page, chr(10) || chr(10))) AS blk FROM pg),
+         |ls AS (SELECT doc_id,
+         |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("en")})) AS s_en,
+         |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("de")})) AS s_de,
+         |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("fr")})) AS s_fr,
+         |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("es")})) AS s_es,
+         |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("zh")})) AS s_zh,
+         |  len(string_split(lower(blk),' '))::BIGINT AS nw
+         |  FROM lb),
+         |ll AS (SELECT doc_id, nw,
+         |  CASE WHEN s_en + s_de + s_fr + s_es + s_zh = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS blang
+         |  FROM ls),
+         |la AS (SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+         |  SUM(CASE WHEN blang = 'en' THEN nw ELSE 0 END)::BIGINT AS w_en,
+         |  SUM(CASE WHEN blang = 'de' THEN nw ELSE 0 END)::BIGINT AS w_de,
+         |  SUM(CASE WHEN blang = 'fr' THEN nw ELSE 0 END)::BIGINT AS w_fr,
+         |  SUM(CASE WHEN blang = 'es' THEN nw ELSE 0 END)::BIGINT AS w_es,
+         |  SUM(CASE WHEN blang = 'zh' THEN nw ELSE 0 END)::BIGINT AS w_zh
+         |  FROM ll GROUP BY doc_id),
+         |lm AS (SELECT doc_id, n_blocks,
+         |  (w_en + w_de + w_fr + w_es + w_zh) AS idw,
+         |  CASE WHEN w_en + w_de + w_fr + w_es + w_zh = 0 THEN 'und'
+         |       WHEN w_en >= w_de AND w_en >= w_fr AND w_en >= w_es AND w_en >= w_zh THEN 'en'
+         |       WHEN w_de >= w_fr AND w_de >= w_es AND w_de >= w_zh THEN 'de'
+         |       WHEN w_fr >= w_es AND w_fr >= w_zh THEN 'fr'
+         |       WHEN w_es >= w_zh THEN 'es'
+         |       ELSE 'zh' END AS majority_lang,
+         |  CASE WHEN w_en >= w_de AND w_en >= w_fr AND w_en >= w_es AND w_en >= w_zh THEN w_en
+         |       WHEN w_de >= w_fr AND w_de >= w_es AND w_de >= w_zh THEN w_de
+         |       WHEN w_fr >= w_es AND w_fr >= w_zh THEN w_fr
+         |       WHEN w_es >= w_zh THEN w_es
+         |       ELSE w_zh END AS major_w
+         |  FROM la)""".stripMargin
     /** The q122/q123 shared NB-langid scoring chain: train the
       * multiclass NB on the md5-UPPER half of documents (original,
       * unplanted text), score the rows of `teSrc` (doc_id, text).
@@ -3735,7 +3886,7 @@ object PipelineQueries {
       "q134_url_percent" ->
         // mirrors Urls.normalizePercentUrl (split at '%', decode
         // unreserved escapes via from_hex, uppercase the rest) then
-        // the canonicalizeUrl(sortParams=true) chain — q129's mirror
+        // the canonicalizeUrl(sortParams=true) chain — ONE shared body (pctSortCanonCtes) with q140
         s"""WITH u AS (SELECT doc_id, text,
           |    'http://' || source || '.example.com'
           |    || CASE WHEN doc_id % 3 = 0 THEN '/%7Edocs/item-'
@@ -3746,41 +3897,7 @@ object PipelineQueries {
           |            WHEN doc_id % 3 = 1 THEN '?x=A&tag=%2fv'
           |            ELSE '?tag=%2Fv&x=%41' END AS url
           |  FROM documents),
-          |pp AS (SELECT doc_id, text, string_split(url, '%') AS parts FROM u),
-          |np AS (SELECT doc_id, text,
-          |    parts[1] || array_to_string(list_transform(parts[2:], e ->
-          |      CASE WHEN regexp_matches(upper(substr(e, 1, 2)),
-          |               '^(${graft.operators.Urls.UnreservedHexRe})$$')
-          |           THEN decode(from_hex(upper(substr(e, 1, 2)))) || substr(e, 3)
-          |           WHEN regexp_matches(upper(substr(e, 1, 2)), '^[0-9A-F]{2}$$')
-          |           THEN '%' || upper(substr(e, 1, 2)) || substr(e, 3)
-          |           ELSE '%' || e END), '') AS url
-          |  FROM pp),
-          |c0 AS (SELECT doc_id, text, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM np),
-          |hp AS (SELECT doc_id, text, c,
-          |         regexp_extract(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head FROM c0),
-          |h1 AS (SELECT doc_id, text, replace(lower(head), '://www.', '://') AS h,
-          |         substr(c, len(head) + 1) AS rest FROM hp),
-          |h2 AS (SELECT doc_id, text,
-          |         CASE WHEN starts_with(h, 'http://') AND ends_with(h, ':80')
-          |                THEN substr(h, 1, len(h) - 3)
-          |              WHEN starts_with(h, 'https://') AND ends_with(h, ':443')
-          |                THEN substr(h, 1, len(h) - 4)
-          |              ELSE h END AS h, rest FROM h1),
-          |r2 AS (SELECT doc_id, text, h,
-          |         regexp_replace(replace(rest, '?', '&'),
-          |           '&(${graft.operators.Urls.TrackingParams})=[^&]*', '', 'g') AS r
-          |       FROM h2),
-          |r3 AS (SELECT doc_id, text, h,
-          |         list_sort(list_filter(string_split(r, '&')[2:], x -> x <> '')) AS ps,
-          |         string_split(r, '&')[1] AS p0 FROM r2),
-          |r4 AS (SELECT doc_id, text, h,
-          |         CASE WHEN len(ps) > 0
-          |              THEN p0 || '?' || array_to_string(ps, '&')
-          |              ELSE p0 END AS r FROM r3),
-          |cn AS (SELECT doc_id, text,
-          |         h || regexp_replace(regexp_replace(r, '[?&]+$$', '', 'g'), '/$$', '', 'g')
-          |           AS canon FROM r4),
+          |$pctSortCanonCtes,
           |w AS (SELECT canon, doc_id, len(text) AS l,
           |        ROW_NUMBER() OVER (PARTITION BY canon
           |                           ORDER BY len(text) DESC, doc_id) AS rn
@@ -4061,6 +4178,51 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q140_pipeline_v6" ->
+        // the SHARED pctSortCanonCtes + blockLangCtes fragments (the
+        // exact bodies q134/q138 verify) + the q30 quality CTE, so the
+        // composed manifest cannot drift from the composed operators
+        s"""WITH u AS (SELECT doc_id, text,
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN 'http://WWW.example.com/%7Edocs/item-'
+           |              || CAST(doc_id // 2 AS VARCHAR) || '?x=%41&tag=%2Fv'
+           |         ELSE 'http://example.com/~docs/item-'
+           |              || CAST(doc_id // 2 AS VARCHAR) || '?tag=%2fv&x=A' END AS url
+           |  FROM documents),
+           |$pctSortCanonCtes,
+           |w AS (SELECT canon, doc_id,
+           |        ROW_NUMBER() OVER (PARTITION BY canon
+           |                           ORDER BY len(text) DESC, doc_id) AS rn
+           |      FROM cn),
+           |win AS (SELECT doc_id FROM w WHERE rn = 1),
+           |pg AS (SELECT d.doc_id,
+           |    d.text || CASE WHEN d.doc_id % 4 = 0
+           |                   THEN chr(10) || chr(10) || 'le la les et un est le la les et un est'
+           |                   ELSE '' END
+           |           || CASE WHEN d.doc_id % 8 = 0
+           |                   THEN chr(10) || chr(10) || 'der die und das ein ist der die und das ein ist'
+           |                   ELSE '' END AS page
+           |  FROM documents d JOIN win USING (doc_id)),
+           |$blockLangCtes,
+           |keepl AS (SELECT doc_id FROM lm
+           |  WHERE CAST(ROUND((idw - major_w)::DOUBLE
+           |        / greatest(idw, 1)::DOUBLE, 4) AS DECIMAL(14,4)) < 0.05),
+           |qd AS (SELECT d.doc_id, lower(d.text) AS t,
+           |         string_split(lower(d.text),' ') AS w
+           |       FROM documents d JOIN keepl USING (doc_id)),
+           |qq AS (SELECT doc_id, CAST(ROUND(
+           |    0.4 * (len(list_filter(w, x -> x IN $allStops))::DOUBLE / greatest(len(w), 1)::DOUBLE)
+           |  + 0.3 * least((list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a + b)::DOUBLE
+           |                 / greatest(len(w), 1)::DOUBLE) / 10.0, 1.0)
+           |  + 0.3 * (1.0 - (len(t) - len(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           |                 / greatest(len(t), 1)::DOUBLE), 4) AS DECIMAL(14,4)) AS q
+           |  FROM qd)
+           |SELECT stage, n_docs FROM (
+           |  SELECT '0_input' AS stage, COUNT(*)::BIGINT AS n_docs FROM documents
+           |  UNION ALL SELECT '1_url', COUNT(*)::BIGINT FROM win
+           |  UNION ALL SELECT '2_lang', COUNT(*)::BIGINT FROM keepl
+           |  UNION ALL SELECT '3_quality', COUNT(*)::BIGINT FROM qq WHERE q >= 0.44
+           |) ORDER BY stage""".stripMargin,
       "q139_check_bfd" ->
         """SELECT true AS valid_ok, true AS conserve_ok, true AS recipes_ok,
           |       true AS beats_nextfit_ok, true AS deterministic_ok""".stripMargin,
@@ -4075,50 +4237,13 @@ object PipelineQueries {
            |                 THEN chr(10) || chr(10) || 'der die und das ein ist der die und das ein ist'
            |                 ELSE '' END AS page
            |  FROM documents),
-           |b AS (SELECT doc_id, unnest(string_split(page, chr(10) || chr(10))) AS blk FROM pg),
-           |s AS (SELECT doc_id,
-           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("en")})) AS s_en,
-           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("de")})) AS s_de,
-           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("fr")})) AS s_fr,
-           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("es")})) AS s_es,
-           |  len(list_filter(string_split(lower(blk),' '), x -> x IN ${stopIn("zh")})) AS s_zh,
-           |  len(string_split(lower(blk),' '))::BIGINT AS nw
-           |  FROM b),
-           |l AS (SELECT doc_id, nw,
-           |  CASE WHEN s_en + s_de + s_fr + s_es + s_zh = 0 THEN 'und'
-           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-           |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-           |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-           |       WHEN s_es >= s_zh THEN 'es'
-           |       ELSE 'zh' END AS blang
-           |  FROM s),
-           |a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
-           |  SUM(CASE WHEN blang = 'en' THEN nw ELSE 0 END)::BIGINT AS w_en,
-           |  SUM(CASE WHEN blang = 'de' THEN nw ELSE 0 END)::BIGINT AS w_de,
-           |  SUM(CASE WHEN blang = 'fr' THEN nw ELSE 0 END)::BIGINT AS w_fr,
-           |  SUM(CASE WHEN blang = 'es' THEN nw ELSE 0 END)::BIGINT AS w_es,
-           |  SUM(CASE WHEN blang = 'zh' THEN nw ELSE 0 END)::BIGINT AS w_zh
-           |  FROM l GROUP BY doc_id),
-           |m AS (SELECT doc_id, n_blocks,
-           |  (w_en + w_de + w_fr + w_es + w_zh) AS idw,
-           |  CASE WHEN w_en + w_de + w_fr + w_es + w_zh = 0 THEN 'und'
-           |       WHEN w_en >= w_de AND w_en >= w_fr AND w_en >= w_es AND w_en >= w_zh THEN 'en'
-           |       WHEN w_de >= w_fr AND w_de >= w_es AND w_de >= w_zh THEN 'de'
-           |       WHEN w_fr >= w_es AND w_fr >= w_zh THEN 'fr'
-           |       WHEN w_es >= w_zh THEN 'es'
-           |       ELSE 'zh' END AS majority_lang,
-           |  w_en, w_de, w_fr, w_es, w_zh
-           |  FROM a)
+           |$blockLangCtes
            |SELECT doc_id, n_blocks, majority_lang,
-           |  CAST(ROUND((idw - CASE majority_lang WHEN 'en' THEN w_en WHEN 'de' THEN w_de
-           |                    WHEN 'fr' THEN w_fr WHEN 'es' THEN w_es
-           |                    WHEN 'zh' THEN w_zh ELSE 0 END)::DOUBLE
+           |  CAST(ROUND((idw - major_w)::DOUBLE
            |       / greatest(idw, 1)::DOUBLE, 4) AS DECIMAL(14,4))::DOUBLE AS minority_frac,
-           |  (CAST(ROUND((idw - CASE majority_lang WHEN 'en' THEN w_en WHEN 'de' THEN w_de
-           |                    WHEN 'fr' THEN w_fr WHEN 'es' THEN w_es
-           |                    WHEN 'zh' THEN w_zh ELSE 0 END)::DOUBLE
+           |  (CAST(ROUND((idw - major_w)::DOUBLE
            |       / greatest(idw, 1)::DOUBLE, 4) AS DECIMAL(14,4)) > 0) AS mixed
-           |FROM m ORDER BY doc_id""".stripMargin,
+           |FROM lm ORDER BY doc_id""".stripMargin,
       "q137_drift_sheet" ->
         // the q128 signal bodies aggregated per (hour window, source);
         // the mean rides the EXACT integer per-doc score (q4 = the
