@@ -123,6 +123,112 @@ object TextAnalysis {
       (minFrac > dec4(lit(0.0))).as("mixed"))
   }
 
+  // ------------------- language-profile kernel (the q127/q128 pattern)
+  private lazy val StopLangMask: Map[String, Int] =
+    StopWords.zipWithIndex.flatMap { case ((_, ws), i) =>
+      ws.map(w => w -> (1 << i))
+    }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).reduce(_ | _) }
+
+  /** [[langSegments]] ∘ [[langProfileFrom]] as ONE imperative pass —
+    * the Column chain pays, per BLOCK, five interpreted stopword
+    * filters plus the lambda dispatch, and the profile re-reads the
+    * segments array once per language mass (q140 measured 13× DuckDB
+    * at sf0.1 on the chain). The kernel replicates the chain
+    * operator-for-operator: plain `split("\n\n")`/`split(" ", -1)`
+    * semantics (empties kept — word counts INCLUDE them, exactly like
+    * Spark's split), per-language hit counts via one masked map probe
+    * per word (a word can sit in several languages' stop sets — 'un'
+    * is French AND Spanish — so the mask, not a single-lang map),
+    * the q29 argmax priority, and `round(x, 4)` as the exact binary
+    * expansion HALF_UP (new BigDecimal(double)) the chain's round
+    * computes. Returns (n_blocks, majority_lang, minority_frac·10⁴,
+    * mixed); [[langProfileKernel]] rebuilds the chain's struct with
+    * the DECIMAL(14,4) fraction. Bit-equality is spec'd in
+    * LangSegmentsSpec. Nondeterministic as a materialization barrier. */
+  private[operators] def langProfileLocal(page: String): (Long, String, Long, Boolean) = {
+    val langs = StopWords.map(_._1)
+    val masses = new Array[Long](langs.length)
+    val blocks = page.split("\n\n", -1)
+    var bi = 0
+    while (bi < blocks.length) {
+      val parts = blocks(bi).toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val hits = new Array[Long](langs.length)
+      var any = false
+      var wi = 0
+      while (wi < parts.length) {
+        val m = StopLangMask.getOrElse(parts(wi), 0)
+        if (m != 0) {
+          any = true
+          var l = 0
+          while (l < langs.length) {
+            if ((m & (1 << l)) != 0) hits(l) += 1
+            l += 1
+          }
+        }
+        wi += 1
+      }
+      if (any) {
+        // q29 argmax: first lang whose count >= every later lang's
+        var best = 0
+        var found = false
+        var i = 0
+        while (i < langs.length && !found) {
+          var ge = true
+          var j = i + 1
+          while (j < langs.length && ge) {
+            if (hits(i) < hits(j)) ge = false
+            j += 1
+          }
+          if (ge) { best = i; found = true }
+          i += 1
+        }
+        masses(best) += parts.length.toLong
+      }
+      bi += 1
+    }
+    var idw = 0L
+    var i = 0
+    while (i < masses.length) { idw += masses(i); i += 1 }
+    var majIdx = -1
+    if (idw > 0) {
+      var k = 0
+      while (k < masses.length && majIdx < 0) {
+        var ge = true
+        var j = k + 1
+        while (j < masses.length && ge) {
+          if (masses(k) < masses(j)) ge = false
+          j += 1
+        }
+        if (ge) majIdx = k
+        k += 1
+      }
+    }
+    val majority = if (majIdx < 0) "und" else langs(majIdx)
+    val majorW = if (majIdx < 0) 0L else masses(majIdx)
+    val x = (idw - majorW).toDouble / math.max(idw, 1L).toDouble
+    val frac4 = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).longValueExact()
+    (blocks.length.toLong, majority, frac4, frac4 > 0L)
+  }
+
+  private val langProfileUdf =
+    udf((page: String) =>
+      if (page == null) null.asInstanceOf[(Long, String, Long, Boolean)]
+      else langProfileLocal(page)).asNondeterministic()
+
+  /** Kernel form of [[langSegments]] ∘ [[langProfileFrom]] — bit-equal
+    * struct (n_blocks, majority_lang, minority_frac DECIMAL(14,4),
+    * mixed), one imperative pass per page. */
+  def langProfileKernel(page: Column): Column = {
+    val k = langProfileUdf(page)
+    struct(k.getField("_1").as("n_blocks"),
+      k.getField("_2").as("majority_lang"),
+      (k.getField("_3") * lit(new java.math.BigDecimal("0.0001")))
+        .cast(DecimalType(14, 4)).as("minority_frac"),
+      k.getField("_4").as("mixed"))
+  }
+
   /** Punctuation ratio: chars outside [a-z0-9 ] over total chars. */
   def punctRatio(text: Column): Column = punctRatioFrom(lower(text))
 

@@ -2732,9 +2732,12 @@ object PipelineQueries {
       when(d % 4 === 0, lit("\n\n" + frBlock)).otherwise(lit("")),
       when(d % 8 === 0, lit("\n\n" + deBlock)).otherwise(lit("")))
     val prof = col("__prof")
+    // one imperative pass per page (TA.langProfileKernel — bit-equal
+    // to the langSegments∘langProfileFrom chain, LangSegmentsSpec):
+    // the chain paid five interpreted stopword filters per BLOCK plus
+    // six re-reads of the segments array (13× DuckDB at sf0.1)
     t(spark, dir, "documents")
-      .withColumn("__per", TA.langSegments(page))
-      .withColumn("__prof", TA.langProfileFrom(col("__per")))
+      .withColumn("__prof", TA.langProfileKernel(page))
       .select(col("doc_id"),
         prof.getField("n_blocks").as("n_blocks"),
         prof.getField("majority_lang").as("majority_lang"),
@@ -2793,10 +2796,9 @@ object PipelineQueries {
     val s1 = counted(docs.join(winners, Seq("doc_id"), "left_semi"), o1)
     // stage 2: CCNet mixed-page gate over the q138 profile
     val s2 = counted(
-      s1.withColumn("__per", TA.langSegments(page))
-        .withColumn("__prof", TA.langProfileFrom(col("__per")))
+      s1.withColumn("__prof", TA.langProfileKernel(page))
         .filter(col("__prof").getField("minority_frac") < 0.05)
-        .drop("__per", "__prof"), o2)
+        .drop("__prof"), o2)
     // stage 3: quality gate through the kernel (bit-equal to the chain)
     val n3 = s2.filter(TA.qualityScoreKernel(col("text"))
       .cast(DecimalType(14, 4)) >= 0.44).count()

@@ -47,6 +47,33 @@ class LangSegmentsSpec extends SparkSpec {
     assert(maj2 === "und" && !mixed2)
   }
 
+  test("kernel == chain bit-for-bit over the q138 corpus and edge pages") {
+    val docs = spark.read.parquet(s"$sfDirDocs/documents.parquet")
+    val d = col("doc_id")
+    val frB = "le la les et un est le la les et un est"
+    val deB = "der die und das ein ist der die und das ein ist"
+    val page = concat(col("text"),
+      when(d % 4 === 0, lit("\n\n" + frB)).otherwise(lit("")),
+      when(d % 8 === 0, lit("\n\n" + deB)).otherwise(lit("")))
+    def chain(p: org.apache.spark.sql.Column) =
+      TextAnalysis.langProfileFrom(TextAnalysis.langSegments(p))
+    val bad = docs
+      .select(chain(page).as("c"), TextAnalysis.langProfileKernel(page).as("k"))
+      .filter(!(col("c") <=> col("k")))
+      .count()
+    assert(bad === 0L)
+    // edges: empty page, blank blocks, multi-lang overlap word 'un'
+    // (French AND Spanish stop sets), und-only, trailing separators
+    val edges = Seq("", "\n\n", "a\n\n\n\nb", "un un un",
+      s"$en\n\n", "  \n\nzzz", "un le\n\nun el", "the\n\nthe\n\nthe")
+      .toDF("p")
+    val badE = edges
+      .select(chain(col("p")).as("c"), TextAnalysis.langProfileKernel(col("p")).as("k"))
+      .filter(!(col("c") <=> col("k")))
+      .collect()
+    assert(badE.isEmpty, badE.mkString("\n"))
+  }
+
   test("tie breaks by the fixed q29 priority (en before de)") {
     val de = "der die und das ein ist der die und das ein ist der"
     // en block with exactly 13 words vs de block with 13 words
