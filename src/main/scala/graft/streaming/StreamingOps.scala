@@ -963,7 +963,8 @@ object StreamingOps {
                            blocklist: Option[DataFrame] = None,
                            blocklistKey: String = "source",
                            badwords: Option[Seq[String]] = None,
-                           badwordMaxFrac: Double = 0.0)
+                           badwordMaxFrac: Double = 0.0,
+                           langMinorityMax: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one benchmark-side aggregation for the stream's whole lifetime
     val bloom = benchmark.map(b =>
@@ -985,8 +986,16 @@ object StreamingOps {
         // then the signal battery — the published order; same replay
         // caveat as classifierSeeds: lists must read the same data
         // across restarts — point them at immutable snapshots
-        val heuristic = graft.operators.Curation.gateBatch(batch, cfg,
+        val heuristic0 = graft.operators.Curation.gateBatch(batch, cfg,
           cleanMarkupFirst, blocklist, blocklistKey, badwords, badwordMaxFrac)
+        // CCNet mixed-page gate (r15; the q138/q140 rule, live): a doc
+        // whose minority-language word mass reaches the bound drops —
+        // a pure row-local kernel filter, deterministic per batch, so
+        // the replay-idempotence argument is unchanged
+        val heuristic = langMinorityMax.fold(heuristic0) { mx =>
+          heuristic0.filter(graft.operators.TextAnalysis
+            .langProfileKernel(col("text")).getField("minority_frac") <= mx)
+        }
         val gated = model.fold(heuristic) { m =>
           // the keep set is bounded by the micro-batch: broadcast semi
           val keep = graft.operators.QualityClassifier.score(heuristic, m)

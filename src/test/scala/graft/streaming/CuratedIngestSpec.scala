@@ -138,6 +138,41 @@ class CuratedIngestSpec extends SparkSpec {
     assert(storeRows() === expected)
   }
 
+  test("curatedIngestToStore: the mixed-page language gate drops minority-mass docs per batch; replay idempotent") {
+    val inDir = java.nio.file.Files.createTempDirectory("cur-lang-in")
+    val store = java.nio.file.Files.createTempDirectory("cur-lang-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-lang-ck").toString
+    val t0 = System.currentTimeMillis() - 60000
+    val frTail = "\n\nle la les et un est le la les et un est le la les et un est"
+    writeInput(inDir, "0.json", t0, Seq(
+      (60L, "a bright green garden grows by the quiet river bank under heavy summer rain"),
+      (61L, "a bright green garden grows by the quiet river bank under heavy summer rain" + frTail)))
+    writeInput(inDir, "1.json", t0 + 30000, Seq(
+      (70L, "the old sailor tells a long story about distant winter storms near rocky shores"),
+      (71L, "the old sailor tells a long story about distant winter storms near rocky shores" + frTail)))
+
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.toString)
+      val q = StreamingOps.curatedIngestToStore(docs, store, ckpt,
+        langMinorityMax = Some(0.05))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    def storeRows(): Seq[(Long, Long)] =
+      StreamingOps.readCorpusStore(spark, store).get
+        .select(col("doc_id"), col(StreamingOps.IngestBatchCol).cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    val expected = Seq((60L, 0L), (70L, 1L))
+    assert(storeRows() === expected,
+      "the foreign-block doc falls to the minority-mass rule in BOTH batches")
+    assert(java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(storeRows() === expected)
+  }
+
   test("curatedIngestToStore: the trained classifier gate rejects spam-shaped docs per batch") {
     val inDir = java.nio.file.Files.createTempDirectory("cur4-in")
     val store = java.nio.file.Files.createTempDirectory("cur4-store").toString
