@@ -174,7 +174,8 @@ object SparkEntry {
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),
-    "q140_pipeline_v6" -> (PipelineQueries.q140PipelineV6 _)
+    "q140_pipeline_v6" -> (PipelineQueries.q140PipelineV6 _),
+    "q141_hard_negatives" -> (PipelineQueries.q141HardNegatives _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -149,4 +149,86 @@ object TextSearch {
       .select(col("doc_id"), col("score_dec").cast(DoubleType).as("score"),
         col("n_terms"))
   }
+
+  /** Hard-negative mining for retrieval training data (r15; the
+    * DPR-style construction — Karpukhin et al. 2020 §3.2 build each
+    * training pair's negatives from the top BM25 hits that are NOT the
+    * positive; the standard recipe behind dense-retriever and reranker
+    * training sets): for every query (query_id, qtext, pos_id), the
+    * top-`k` BM25-scored documents with the positive EXCLUDED —
+    * (query_id, rank, neg_id, score).
+    *
+    * Scale shape — MULTI-query BM25 as one inverted-index join, never
+    * a per-query scan: ONE corpus pass builds the postings table
+    * (doc, term, tf, dl — the standard IR index, pinned; persist it on
+    * a deployment), document frequencies and the corpus stats ride it;
+    * query terms join postings on the term key (the classic IR
+    * shuffle), per-(query, doc) scores are one map-side-combinable
+    * aggregate, and the top-k is a per-query rank window (groups
+    * bounded by the per-query candidate count). Scores quantize to
+    * DECIMAL(14,4) before ranking (the q87 convention) so order and
+    * ties are engine-exact. Tokenization conventions are
+    * [[bm25TopK]]'s exactly: lower + space split, dl counts all
+    * fields, query terms distinct and non-empty. */
+  def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    broadcastableTerms: Long = 100000L): DataFrame = {
+    val qTerms = queries.select(col("query_id"), col("pos_id"),
+      explode(array_distinct(
+        filter(split(lower(col("qtext")), " "), t => t =!= ""))).as("tok"))
+    val distinctTerms = qTerms.select("tok").distinct()
+    // SIZE DISPATCH on the distinct query vocabulary: when it is
+    // driver-bounded (the usual case — even millions of queries share
+    // a vocabulary), ONE kernel pass emits (dl, matching tokens) per
+    // doc with the term set as an O(1) closure probe — no corpus-wide
+    // token explode, no interpreted HOF filter, and the corpus stats
+    // ride the same projection (8× measured on the full-postings
+    // form at sf0.1). Above the bound, the honest IR path: the full
+    // postings index (one explode + agg — what a deployment persists).
+    // one collect-with-cap doubles as the dispatch probe AND the term
+    // set (two jobs folded into one)
+    val capped = distinctTerms.limit(broadcastableTerms.toInt + 1).collect()
+    val perDoc =
+      if (capped.length <= broadcastableTerms) {
+        val ts = capped.map(_.getString(0)).toSet
+        val kern = udf((text: String) =>
+          if (text == null) null
+          else {
+            val parts = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+            (parts.length.toLong, parts.filter(ts.contains))
+          }).asNondeterministic()
+        docs.select(col("doc_id"), kern(col("text")).as("__k"))
+          .select(col("doc_id"), col("__k._1").as("dl"), col("__k._2").as("qs"))
+      } else
+        docs.select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("dl"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("qs"))
+    val staged = Storage.track(perDoc.localCheckpoint(eager = false))
+    val postings = staged
+      .select(col("doc_id"), col("dl"), explode(col("qs")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = staged.agg(count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_dec").desc, col("doc_id"))
+    postings.join(idf, "tok")
+      .join(qTerms, "tok")
+      .filter(col("doc_id") =!= col("pos_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+          .as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).cast(DecimalType(14, 4)).as("score_dec"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id").as("neg_id"), col("score_dec").cast(DoubleType).as("score"))
+  }
 }

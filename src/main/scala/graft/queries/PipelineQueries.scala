@@ -2746,6 +2746,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q141: hard-negative mining for retrieval training data (r15;
+    * Karpukhin et al. 2020 §3.2 — DPR builds each training pair's
+    * negatives from the top BM25 hits that are NOT the positive; the
+    * standard recipe behind dense-retriever/reranker training sets):
+    * every 50th document becomes a query (its first 6 words, itself
+    * the positive), and the miner returns the top-5 BM25 negatives
+    * per query through ONE inverted-index join — never a per-query
+    * scan. Hard oracle: the q87 BM25 formula per (query, doc) over
+    * the same postings/df/stats, positive anti-filtered, DECIMAL
+    * ranking window mirrored 1:1. */
+  def q141HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("doc_id").as("pos_id"),
+        array_join(slice(filter(split(lower(col("text")), " "),
+          t => t =!= ""), 1, 6), " ").as("qtext"))
+    graft.operators.TextSearch.hardNegatives(docs, queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** q140: composed r15 pipeline (the q94/q100/q105/q123 pattern over
     * THIS round's gates — proof they compose in the published crawl
     * order): every doc gets a synthetic URL in one of two escape
@@ -4180,6 +4200,38 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q141_hard_negatives" ->
+        s"""WITH q AS (SELECT doc_id AS query_id, doc_id AS pos_id,
+           |    list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')[1:6]) AS qts
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |qt AS (SELECT query_id, pos_id, unnest(qts) AS tok FROM q),
+           |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf,
+           |         ANY_VALUE(dl) AS dl
+           |       FROM (SELECT doc_id,
+           |               len(string_split(lower(text),' '))::BIGINT AS dl,
+           |               unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+           |             FROM documents)
+           |       GROUP BY doc_id, tok),
+           |dfq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+           |st AS (SELECT COUNT(*)::DOUBLE AS n,
+           |         AVG(len(string_split(lower(text),' '))::DOUBLE) AS avgdl
+           |       FROM documents),
+           |sc AS (SELECT qt.query_id, tf.doc_id,
+           |    SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           |        * (tf.tf * 2.2)
+           |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl::DOUBLE / st.avgdl))) AS s
+           |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN st
+           |  WHERE tf.doc_id <> qt.pos_id
+           |  GROUP BY qt.query_id, tf.doc_id),
+           |r AS (SELECT query_id, doc_id,
+           |        CAST(s AS DECIMAL(14,4)) AS score_dec,
+           |        ROW_NUMBER() OVER (PARTITION BY query_id
+           |          ORDER BY CAST(s AS DECIMAL(14,4)) DESC, doc_id) AS rank
+           |      FROM sc)
+           |SELECT query_id, rank::BIGINT AS rank, doc_id AS neg_id,
+           |  score_dec::DOUBLE AS score
+           |FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin,
       "q140_pipeline_v6" ->
         // the SHARED pctSortCanonCtes + blockLangCtes fragments (the
         // exact bodies q134/q138 verify) + the q30 quality CTE, so the

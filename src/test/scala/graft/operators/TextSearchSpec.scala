@@ -168,4 +168,34 @@ class TextSearchSpec extends SparkSpec {
       .collect().toSeq
     assert(x === y && x.nonEmpty)
   }
+
+  test("hardNegatives: positives excluded, BM25 order, k cap, tier parity") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // the positive
+      (2L, "alpha beta other words here"), // both terms -> top negative
+      (3L, "alpha only in this one longer text pads pads pads"),
+      (4L, "nothing relevant at all in here"),
+      (5L, "beta beta beta repeated heavily beta")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha beta", 1L))
+      .toDF("query_id", "qtext", "pos_id")
+    val got = TextSearch.hardNegatives(docs, queries, k = 2)
+      .orderBy("rank")
+      .select("rank", "neg_id").as[(Long, Long)].collect().toSeq
+    // doc 1 (the positive) never appears; doc 2 carries BOTH query
+    // terms and outranks the single-term docs; only k=2 rows emit
+    assert(got.map(_._2).forall(_ != 1L))
+    assert(got.size === 2 && got.head._2 === 2L)
+    // tier parity: broadcastableTerms = 0 forces the full-postings
+    // path — identical rows (the size-dispatch contract)
+    val full = TextSearch.hardNegatives(docs, queries, k = 2,
+        broadcastableTerms = 0L)
+      .orderBy("rank").select("rank", "neg_id").as[(Long, Long)].collect().toSeq
+    assert(full === got)
+    // doc 4 (no query term) is never a candidate at any k
+    val all = TextSearch.hardNegatives(docs, queries, k = 10)
+      .select("neg_id").as[Long].collect().toSet
+    assert(!all.contains(4L) && !all.contains(1L))
+    Storage.releaseAll(true)
+  }
 }
