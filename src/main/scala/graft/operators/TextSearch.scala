@@ -172,7 +172,8 @@ object TextSearch {
     * fields, query terms distinct and non-empty. */
   def hardNegatives(docs: DataFrame, queries: DataFrame, k: Int = 10,
                     k1: Double = 1.2, b: Double = 0.75,
-                    broadcastableTerms: Long = 100000L): DataFrame = {
+                    broadcastableTerms: Long = 100000L,
+                    maxDfFrac: Double = 0.5): DataFrame = {
     val qTerms = queries.select(col("query_id"), col("pos_id"),
       explode(array_distinct(
         filter(split(lower(col("qtext")), " "), t => t =!= ""))).as("tok"))
@@ -211,7 +212,18 @@ object TextSearch {
     val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = staged.agg(count(lit(1)).cast(DoubleType).as("n"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
+    // COMMON-TERM PRUNING (the stopword-pruning every production IR
+    // stack applies at candidate generation — Lucene's CommonTermsQuery
+    // class of optimization): a query term matching more than
+    // `maxDfFrac` of the corpus contributes idf ≈ log(1+1/…) ≈ 0 to
+    // the score but N rows per query to the join — at sf1 a first-6-
+    // words query containing 'the' blew the score join to 50M rows
+    // into one aggregate (measured: minutes). Dropping such terms
+    // bounds candidates per query by the RARE terms' postings, which
+    // is the whole point of an inverted index. The oracle applies the
+    // same df bound, so the semantics stay engine-exact.
     val idf = df.crossJoin(broadcast(stats))
+      .filter(col("df").cast(DoubleType) <= lit(maxDfFrac) * col("n"))
       .select(col("tok"),
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
         col("avgdl"))

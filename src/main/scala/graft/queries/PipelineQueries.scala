@@ -4222,6 +4222,7 @@ object PipelineQueries {
            |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl::DOUBLE / st.avgdl))) AS s
            |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN st
            |  WHERE tf.doc_id <> qt.pos_id
+           |    AND dfq.df::DOUBLE <= 0.5 * st.n
            |  GROUP BY qt.query_id, tf.doc_id),
            |r AS (SELECT query_id, doc_id,
            |        CAST(s AS DECIMAL(14,4)) AS score_dec,

@@ -179,7 +179,9 @@ class TextSearchSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val queries = Seq((100L, "alpha beta", 1L))
       .toDF("query_id", "qtext", "pos_id")
-    val got = TextSearch.hardNegatives(docs, queries, k = 2)
+    // maxDfFrac = 1.0 disables common-term pruning on the tiny toy
+    // corpus (both query terms sit in 3/5 docs)
+    val got = TextSearch.hardNegatives(docs, queries, k = 2, maxDfFrac = 1.0)
       .orderBy("rank")
       .select("rank", "neg_id").as[(Long, Long)].collect().toSeq
     // doc 1 (the positive) never appears; doc 2 carries BOTH query
@@ -189,13 +191,21 @@ class TextSearchSpec extends SparkSpec {
     // tier parity: broadcastableTerms = 0 forces the full-postings
     // path — identical rows (the size-dispatch contract)
     val full = TextSearch.hardNegatives(docs, queries, k = 2,
-        broadcastableTerms = 0L)
+        broadcastableTerms = 0L, maxDfFrac = 1.0)
       .orderBy("rank").select("rank", "neg_id").as[(Long, Long)].collect().toSeq
     assert(full === got)
     // doc 4 (no query term) is never a candidate at any k
-    val all = TextSearch.hardNegatives(docs, queries, k = 10)
+    val all = TextSearch.hardNegatives(docs, queries, k = 10, maxDfFrac = 1.0)
       .select("neg_id").as[Long].collect().toSet
     assert(!all.contains(4L) && !all.contains(1L))
+    // common-term pruning: at the default bound both terms (df 3/5)
+    // prune and no candidate survives — the posting-blow-up guard;
+    // a rare term still mines
+    assert(TextSearch.hardNegatives(docs, queries, k = 10).count() === 0L)
+    val rare = Seq((101L, "gamma", 2L)).toDF("query_id", "qtext", "pos_id")
+    val r = TextSearch.hardNegatives(docs, rare, k = 10)
+      .select("neg_id").as[Long].collect().toSeq
+    assert(r === Seq(1L)) // gamma only in doc 1; pos 2 excluded anyway
     Storage.releaseAll(true)
   }
 }
