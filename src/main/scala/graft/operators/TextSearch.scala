@@ -204,7 +204,19 @@ object TextSearch {
         docs.select(col("doc_id"),
           size(split(lower(col("text")), " ")).cast("long").as("dl"),
           filter(split(lower(col("text")), " "), t => t =!= "").as("qs"))
-    val staged = Storage.track(perDoc.localCheckpoint(eager = false))
+    // SPREAD BEFORE THE PIN: a compact parquet corpus reads as a
+    // couple of input partitions, and since every downstream join
+    // broadcasts its small side, the whole explode → join → aggregate
+    // expansion INHERITS them — at sf1 the 38M-row score pipeline ran
+    // as ONE task (minutes, measured). A post-checkpoint repartition
+    // does NOT fix it: AQE's local-shuffle-read conversion aligns the
+    // reduce side back to the map tasks when no downstream operator
+    // demands the distribution (also measured). Partitioning the
+    // compact (doc, dl, matched-tokens) rows BEFORE the checkpoint
+    // materializes 32-way blocks the local reads must follow.
+    val sp = math.max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    val staged = Storage.track(
+      perDoc.repartition(sp, col("doc_id")).localCheckpoint(eager = false))
     val postings = staged
       .select(col("doc_id"), col("dl"), explode(col("qs")).as("tok"))
       .groupBy("doc_id", "tok")
@@ -213,29 +225,42 @@ object TextSearch {
     val stats = staged.agg(count(lit(1)).cast(DoubleType).as("n"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
     // COMMON-TERM PRUNING (the stopword-pruning every production IR
-    // stack applies at candidate generation — Lucene's CommonTermsQuery
-    // class of optimization): a query term matching more than
+    // stack applies at candidate generation — Lucene's
+    // CommonTermsQuery shape): a query term matching more than
     // `maxDfFrac` of the corpus contributes idf ≈ log(1+1/…) ≈ 0 to
     // the score but N rows per query to the join — at sf1 a first-6-
     // words query containing 'the' blew the score join to 50M rows
     // into one aggregate (measured: minutes). Dropping such terms
-    // bounds candidates per query by the RARE terms' postings, which
-    // is the whole point of an inverted index. The oracle applies the
-    // same df bound, so the semantics stay engine-exact.
-    val idf = df.crossJoin(broadcast(stats))
-      .filter(col("df").cast(DoubleType) <= lit(maxDfFrac) * col("n"))
-      .select(col("tok"),
+    // bounds candidates per query by the RARE terms' postings — which
+    // is the whole point of an inverted index — EXCEPT each query's
+    // least-frequent term always survives (a query must not lose its
+    // entire term set on a stopword-dense corpus; an all-common query
+    // legitimately matches everything, and that is its honest cost).
+    // The oracle applies the same rule, so semantics stay engine-exact.
+    val qdf = qTerms.join(df, "tok")
+    val mins = qdf.groupBy("query_id").agg(min("df").as("__mindf"))
+    val kept = qdf.join(mins, "query_id").crossJoin(broadcast(stats))
+      .filter(col("df").cast(DoubleType) <= lit(maxDfFrac) * col("n") ||
+        col("df") === col("__mindf"))
+      .select(col("query_id"), col("pos_id"), col("tok"),
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
         col("avgdl"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score_dec").desc, col("doc_id"))
-    postings.join(idf, "tok")
-      .join(qTerms, "tok")
+    postings.join(kept, "tok")
       .filter(col("doc_id") =!= col("pos_id"))
       .select(col("query_id"), col("doc_id"),
         (col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
           .as("s"))
+      // EXPLICIT query-keyed exchange serving both the score aggregate
+      // (clustering on a group-key subset) and the rank window: the
+      // (query, doc, s) rows compress brutally (sequential ids), so
+      // AQE's byte-based coalesce folded the post-join shuffle to ONE
+      // partition and the final agg + sort + rank-limit ran minutes
+      // single-threaded at sf1 (measured); a fixed partition count
+      // opts out of the coalesce, and one exchange serves both ops
+      .repartition(sp, col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("s")).cast(DecimalType(14, 4)).as("score_dec"))
       .withColumn("rank", row_number().over(w))

@@ -4216,13 +4216,16 @@ object PipelineQueries {
            |st AS (SELECT COUNT(*)::DOUBLE AS n,
            |         AVG(len(string_split(lower(text),' '))::DOUBLE) AS avgdl
            |       FROM documents),
+           |qm AS (SELECT qt.query_id, MIN(dfq.df) AS mindf
+           |       FROM qt JOIN dfq USING (tok) GROUP BY qt.query_id),
            |sc AS (SELECT qt.query_id, tf.doc_id,
            |    SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
            |        * (tf.tf * 2.2)
            |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl::DOUBLE / st.avgdl))) AS s
-           |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN st
+           |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+           |       JOIN qm ON qm.query_id = qt.query_id CROSS JOIN st
            |  WHERE tf.doc_id <> qt.pos_id
-           |    AND dfq.df::DOUBLE <= 0.5 * st.n
+           |    AND (dfq.df::DOUBLE <= 0.5 * st.n OR dfq.df = qm.mindf)
            |  GROUP BY qt.query_id, tf.doc_id),
            |r AS (SELECT query_id, doc_id,
            |        CAST(s AS DECIMAL(14,4)) AS score_dec,

@@ -198,14 +198,18 @@ class TextSearchSpec extends SparkSpec {
     val all = TextSearch.hardNegatives(docs, queries, k = 10, maxDfFrac = 1.0)
       .select("neg_id").as[Long].collect().toSet
     assert(!all.contains(4L) && !all.contains(1L))
-    // common-term pruning: at the default bound both terms (df 3/5)
-    // prune and no candidate survives — the posting-blow-up guard;
-    // a rare term still mines
-    assert(TextSearch.hardNegatives(docs, queries, k = 10).count() === 0L)
-    val rare = Seq((101L, "gamma", 2L)).toDF("query_id", "qtext", "pos_id")
-    val r = TextSearch.hardNegatives(docs, rare, k = 10)
+    // common-term pruning with the min-df survivor rule: a query mixing
+    // a rare term with common ones keeps ONLY the rare term at the
+    // default bound (alpha/beta sit in 3/5 docs > 50%; gamma is rare),
+    // so candidates come from gamma's postings alone
+    val mixed = Seq((102L, "alpha beta gamma", 5L))
+      .toDF("query_id", "qtext", "pos_id")
+    val m = TextSearch.hardNegatives(docs, mixed, k = 10)
       .select("neg_id").as[Long].collect().toSeq
-    assert(r === Seq(1L)) // gamma only in doc 1; pos 2 excluded anyway
+    assert(m === Seq(1L)) // gamma only in doc 1 (pos 5 irrelevant)
+    // an ALL-common query still mines (its least-frequent term
+    // survives — a query must never lose its whole term set)
+    assert(TextSearch.hardNegatives(docs, queries, k = 10).count() > 0L)
     Storage.releaseAll(true)
   }
 }
