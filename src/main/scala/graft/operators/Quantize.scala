@@ -72,11 +72,14 @@ object Quantize {
     * codes — 8 bytes for a 64-dim float32 vector at the defaults (32×;
     * scalar int8 is 4×). `codebooks(s)(c)` is subspace s's centroid c. */
   final case class PqCodebook(m: Int, dsub: Int,
-                              codebooks: Array[Array[Array[Double]]]) {
+                              codebooks: Array[Array[Array[Double]]],
+                              rot: Option[Array[Array[Double]]] = None) {
     def nCentroids: Int = codebooks(0).length
     require(m == codebooks.length && codebooks.forall(_.forall(_.length == dsub)),
       s"inconsistent PQ codebook: m=$m dsub=$dsub")
     require(nCentroids <= 256, s"PQ codes are one byte: nCentroids=$nCentroids")
+    require(rot.forall(r => r.length == m * dsub && r.forall(_.length == m * dsub)),
+      s"rotation must be ${m * dsub}x${m * dsub}")
   }
 
   /** Driver-side PQ training over a bounded sample: plain Euclidean
@@ -125,10 +128,14 @@ object Quantize {
   }
 
   /** Encode one vector to its m one-byte codes (nearest centroid per
-    * subspace, Euclidean; ties to the lowest code — deterministic). */
-  def pqEncodeLocal(cb: PqCodebook, v: Array[Double]): Array[Byte] = {
-    require(v.length == cb.m * cb.dsub,
-      s"pqEncodeLocal: dim=${v.length} != m*dsub=${cb.m * cb.dsub}")
+    * subspace, Euclidean; ties to the lowest code — deterministic).
+    * An OPQ codebook ([[opqTrainLocal]]) rotates the vector into the
+    * codebook's decorrelated basis first — the codebooks LIVE in the
+    * rotated space, so every consumer composes unchanged. */
+  def pqEncodeLocal(cb: PqCodebook, v0: Array[Double]): Array[Byte] = {
+    require(v0.length == cb.m * cb.dsub,
+      s"pqEncodeLocal: dim=${v0.length} != m*dsub=${cb.m * cb.dsub}")
+    val v = cb.rot.fold(v0)(r => rotateLocal(r, v0))
     val out = new Array[Byte](cb.m)
     var s = 0
     while (s < cb.m) {
@@ -149,7 +156,10 @@ object Quantize {
     out
   }
 
-  /** Reconstruct a vector from its codes (the PQ approximation). */
+  /** Reconstruct a vector from its codes (the PQ approximation), in
+    * the ORIGINAL space: an OPQ codebook's concatenated centroids live
+    * in the rotated basis, so the reconstruction rotates back (Rᵀ —
+    * the inverse of an orthonormal R). */
   def pqDecodeLocal(cb: PqCodebook, codes: Array[Byte]): Array[Double] = {
     val out = new Array[Double](cb.m * cb.dsub)
     var s = 0
@@ -158,7 +168,7 @@ object Quantize {
       System.arraycopy(cent, 0, out, s * cb.dsub, cb.dsub)
       s += 1
     }
-    out
+    cb.rot.fold(out)(r => rotateTLocal(r, out))
   }
 
   /** Distributed encode: BINARY column of exactly m bytes per vector —
@@ -174,9 +184,13 @@ object Quantize {
     * centroid's squared norm. One m×nCentroids table pair per probe —
     * driver metadata; the scan then scores a row with m byte lookups
     * and adds, never touching floats per dimension. */
-  def pqAdcLut(cb: PqCodebook, probe: Array[Double]): (Array[Array[Double]], Array[Array[Double]]) = {
-    require(probe.length == cb.m * cb.dsub,
-      s"pqAdcLut: dim=${probe.length} != m*dsub=${cb.m * cb.dsub}")
+  def pqAdcLut(cb: PqCodebook, probe0: Array[Double]): (Array[Array[Double]], Array[Array[Double]]) = {
+    require(probe0.length == cb.m * cb.dsub,
+      s"pqAdcLut: dim=${probe0.length} != m*dsub=${cb.m * cb.dsub}")
+    // OPQ: the probe meets the codes in the rotated basis; R is
+    // orthonormal so dot products and norms are preserved and the ADC
+    // score keeps its meaning — cosine(probe, reconstruction)
+    val probe = cb.rot.fold(probe0)(r => rotateLocal(r, probe0))
     val dots = Array.tabulate(cb.m) { s =>
       cb.codebooks(s).map { c =>
         var d = 0.0; var i = 0
@@ -190,6 +204,331 @@ object Quantize {
       d
     })
     (dots, sq)
+  }
+
+  // ------------------------------------------ OPQ rotation (r15)
+  /** y = R·v (R given as rows). */
+  def rotateLocal(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val n = r.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = r(i)
+      var d = 0.0; var j = 0
+      while (j < n) { d += row(j) * v(j); j += 1 }
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
+  /** y = Rᵀ·v — the inverse rotation for orthonormal R. */
+  def rotateTLocal(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val n = r.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = r(i); val vi = v(i)
+      var j = 0
+      while (j < n) { out(j) += row(j) * vi; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed iteration cap), exact
+    * enough for a d×d covariance (off-diagonal driven below 1e-12 of
+    * the Frobenius norm). Returns (eigenvalues, eigenvectors-as-rows),
+    * sorted by DESCENDING eigenvalue, ties to the lower original
+    * index. The eigenvector rows are orthonormal to machine precision
+    * — they form the rotation bank [[pcaRotation]] permutes. */
+  def jacobiEigenSym(a0: Array[Array[Double]], maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var fro = 0.0
+    locally { var i = 0; while (i < n) { var j = 0; while (j < n) { fro += a(i)(j) * a(i)(j); j += 1 }; i += 1 } }
+    val eps = 1e-24 * math.max(fro, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > eps) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += 2 * apq * apq
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 -> 45 degrees
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray, order.map(i => v(i)).toArray)
+  }
+
+  /** OPQ rotation via PCA + eigenvalue-balanced subspace allocation
+    * (Gong, Lazebnik, Gordo, Perronnin 2013, "Iterated Quantization" /
+    * "Optimized Product Quantization" — the parametric OPQ-P variant:
+    * rotate into the PCA basis, then PERMUTE the principal directions
+    * into the m subspaces so the products of per-subspace eigenvalues
+    * balance — each codebook then faces comparable variance instead of
+    * subspace 0 eating every high-variance raw dimension). Greedy
+    * allocation: principal directions in descending-eigenvalue order,
+    * each to the non-full bucket with the smallest Σ log λ so far
+    * (products balance in log space; ties to the lowest bucket).
+    *
+    * Covariance comes from the SAME bounded deterministic sample the
+    * PQ codebooks train on (the kmeansCentroids contract — driver
+    * metadata, never a corpus pass; a d×d second moment needs ~d
+    * samples, the 4096-row sample is 64× that at d=64). The rotation
+    * is pure geometry — cos(R·a, R·b) = cos(a, b) exactly — so exact
+    * reranks and returned scores are untouched.
+    *
+    * Returns R with the eigenvector rows bucket-ordered: subspace s of
+    * the rotated vector is rows [s·dsub, (s+1)·dsub). */
+  def pcaRotation(samples: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    require(samples.nonEmpty, "pcaRotation: empty sample")
+    val d = samples(0).length
+    require(d % m == 0, s"pcaRotation: dim=$d not divisible by m=$m")
+    val dsub = d / m
+    val n = samples.length.toDouble
+    val mean = new Array[Double](d)
+    samples.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    locally { var i = 0; while (i < d) { mean(i) /= n; i += 1 } }
+    val cov = Array.ofDim[Double](d, d)
+    samples.foreach { v =>
+      var i = 0
+      while (i < d) {
+        val xi = v(i) - mean(i)
+        var j = i
+        while (j < d) { cov(i)(j) += xi * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+        i += 1
+      } }
+    val (evals, evecs) = jacobiEigenSym(cov)
+    // greedy balanced allocation of the d principal directions
+    val logSum = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    (0 until d).foreach { e =>
+      var best = -1; var bestLog = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (buckets(b).size < dsub && logSum(b) < bestLog) { best = b; bestLog = logSum(b) }
+        b += 1
+      }
+      buckets(best) += e
+      logSum(best) += math.log(math.max(evals(e), 1e-12))
+    }
+    buckets.flatMap(_.iterator.map(evecs(_))).toArray
+  }
+
+  /** Orthogonal Procrustes: the R maximizing tr(R·A) over orthogonal
+    * matrices — R = V·Uᵀ for A = U·Σ·Vᵀ (the closed-form rotation
+    * update of OPQ's non-parametric alternation). The SVD comes from
+    * the symmetric eigendecomposition of AᵀA ([[jacobiEigenSym]]);
+    * near-null singular directions complete by Gram–Schmidt against
+    * the unit basis, and the CALLER accept-tests the result (the
+    * safeguarded alternation keeps monotonicity regardless). */
+  def procrustesLocal(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    val ata = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += a(k)(i) * a(k)(j); k += 1 }
+        ata(i)(j) = s; ata(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val (lam, vRows) = jacobiEigenSym(ata) // vRows(k) = right-singular vector k
+    val sig = lam.map(l => math.sqrt(math.max(l, 0.0)))
+    val tol = math.max(sig.headOption.getOrElse(0.0), 1e-300) * 1e-10
+    // u_k = A·v_k / σ_k for the well-conditioned directions
+    val u = Array.ofDim[Double](d, d)
+    val have = Array.fill(d)(false)
+    var k = 0
+    while (k < d) {
+      if (sig(k) > tol) {
+        var r = 0
+        while (r < d) {
+          var s = 0.0; var c = 0
+          while (c < d) { s += a(r)(c) * vRows(k)(c); c += 1 }
+          u(k)(r) = s / sig(k)
+          r += 1
+        }
+        have(k) = true
+      }
+      k += 1
+    }
+    // complete near-null directions: Gram–Schmidt unit-basis fill
+    var e = 0
+    k = 0
+    while (k < d) {
+      if (!have(k)) {
+        var placed = false
+        while (!placed && e < d) {
+          val cand = new Array[Double](d); cand(e) = 1.0
+          var kk = 0
+          while (kk < d) {
+            if (have(kk) || kk < k) {
+              var dp = 0.0; var c = 0
+              while (c < d) { dp += cand(c) * u(kk)(c); c += 1 }
+              c = 0
+              while (c < d) { cand(c) -= dp * u(kk)(c); c += 1 }
+            }
+            kk += 1
+          }
+          val n2 = math.sqrt(cand.map(x => x * x).sum)
+          if (n2 > 1e-6) {
+            var c = 0
+            while (c < d) { u(k)(c) = cand(c) / n2; c += 1 }
+            have(k) = true; placed = true
+          }
+          e += 1
+        }
+      }
+      k += 1
+    }
+    // R = V·Uᵀ: R(i)(j) = Σ_k v_k(i)·u_k(j)
+    Array.tabulate(d, d)((i2, j2) => {
+      var s = 0.0; var k2 = 0
+      while (k2 < d) { s += vRows(k2)(i2) * u(k2)(j2); k2 += 1 }
+      s
+    })
+  }
+
+  private def isOrthonormal(r: Array[Array[Double]], eps: Double = 1e-8): Boolean = {
+    val d = r.length
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += r(i)(k) * r(j)(k); k += 1 }
+        if (math.abs(dot - (if (i == j) 1.0 else 0.0)) > eps) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** OPQ training (Gong et al. 2013, the NON-PARAMETRIC alternation,
+    * safeguarded): start from the PCA/eigenvalue-balanced rotation
+    * ([[pcaRotation]] — the paper's parametric init), then alternate
+    *   (1) train per-subspace codebooks on the rotated sample,
+    *   (2) fix the codes, solve the optimal rotation in closed form
+    *       ([[procrustesLocal]] on A = Σ xᵢ·cᵢᵀ),
+    * accepting a step ONLY if the measured sample MSE improves (the
+    * explicit accept test makes monotonicity unconditional — rank
+    * deficiency or float noise can never regress the model). Finally
+    * the result is compared against plain PQ on the same sample and
+    * the better one ships (identity rotation is a legal OPQ solution,
+    * so the returned codebook is NEVER worse than [[pqTrainLocal]] —
+    * the q142 contract asserts exactly this inequality). Deterministic
+    * end-to-end: deterministic covariance and k-means seeding,
+    * fixed-order Jacobi, fixed round count. */
+  def opqTrainLocal(samples: Array[Array[Double]], m: Int,
+                    nCentroids: Int = 256, iters: Int = 5,
+                    opqRounds: Int = 6): PqCodebook = {
+    def trainAt(r: Array[Array[Double]]): (PqCodebook, Double) = {
+      val plain = pqTrainLocal(samples.map(rotateLocal(r, _)), m, nCentroids, iters)
+      val cb = PqCodebook(plain.m, plain.dsub, plain.codebooks, Some(r))
+      (cb, pqMseLocal(cb, samples))
+    }
+    val d = samples(0).length
+    var (bestCb, bestMse) = trainAt(pcaRotation(samples, m))
+    var round = 0
+    var improved = true
+    while (round < opqRounds && improved) {
+      improved = false
+      // fix the codes under the current model; c_i = rotated-space recon
+      val r = bestCb.rot.get
+      val aMat = Array.ofDim[Double](d, d)
+      samples.foreach { x =>
+        val codes = pqEncodeLocal(bestCb, x)
+        var s = 0
+        while (s < bestCb.m) {
+          val cent = bestCb.codebooks(s)(codes(s) & 0xFF)
+          var i = 0
+          while (i < bestCb.dsub) {
+            val ci = cent(i); val row = s * bestCb.dsub + i
+            var j = 0
+            while (j < d) { aMat(j)(row) += x(j) * ci; j += 1 }
+            i += 1
+          }
+          s += 1
+        }
+      }
+      // A = Σ x_i c_iᵀ with A(row=x-dim)(col=c-dim)? tr(R·A) needs
+      // A(i)(j) = Σ x_i(j-th? ) — built above as aMat(xdim)(cdim)
+      val cand = procrustesLocal(aMat)
+      if (isOrthonormal(cand)) {
+        val (cb2, mse2) = trainAt(cand)
+        if (mse2 < bestMse) { bestCb = cb2; bestMse = mse2; improved = true }
+      }
+      round += 1
+    }
+    // identity is a legal rotation: never ship a rotation that loses
+    // to plain PQ on its own training sample
+    val plain = pqTrainLocal(samples, m, nCentroids, iters)
+    if (pqMseLocal(plain, samples) < bestMse)
+      PqCodebook(plain.m, plain.dsub, plain.codebooks,
+        Some(Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)))
+    else bestCb
+  }
+
+  /** Mean squared reconstruction error of a codebook over a sample —
+    * the quantity OPQ's balanced rotation drives down vs plain PQ (the
+    * q142 contract measures exactly this, same sample, same m, same
+    * k-means procedure). */
+  def pqMseLocal(cb: PqCodebook, samples: Array[Array[Double]]): Double = {
+    var tot = 0.0
+    samples.foreach { v =>
+      val rec = pqDecodeLocal(cb, pqEncodeLocal(cb, v))
+      var i = 0
+      while (i < v.length) { val x = v(i) - rec(i); tot += x * x; i += 1 }
+    }
+    tot / samples.length
   }
 
   /** Driver twin of the ADC scan's score: approximate cosine of the

@@ -350,27 +350,57 @@ object Similarity {
     * list-independent). */
   def writeIvfIndexPq(index: IvfIndex, path: String, m: Int = 8,
                       nCentroids: Int = 256, sampleSize: Int = 4096): Unit = {
-    val sample = index.assigned
+    val sample = pqTrainingSample(index, sampleSize)
+    val cb = graft.operators.Quantize.pqTrainLocal(sample, m, nCentroids)
+    writeIvfBase(index, path, Some(cb))
+  }
+
+  /** [[writeIvfIndexPq]] with the OPQ rotation tier (r15; Gong et al.
+    * 2013): the PQ codebooks train in a PCA-rotated, eigenvalue-
+    * balanced basis ([[graft.operators.Quantize.opqTrainLocal]]), so
+    * correlated raw dimensions stop concentrating the variance in a
+    * few subspaces and the SAME m bytes carry measurably less
+    * reconstruction error (the q142 contract asserts MSE(OPQ) ≤
+    * MSE(plain PQ) on the shared training sample). The rotation is a
+    * d×d orthonormal matrix riding the `pq_codebook` sidecar (rows
+    * with `sub = -1`); cosine is rotation-invariant, so [[probeIvfPq]],
+    * [[appendIvfBatch]] and [[rebuildIvfIndex]] compose UNCHANGED —
+    * encode rotates in, the ADC LUT rotates the probe, the exact
+    * rerank never sees the rotation at all. */
+  def writeIvfIndexOpq(index: IvfIndex, path: String, m: Int = 8,
+                       nCentroids: Int = 256, sampleSize: Int = 4096): Unit = {
+    val sample = pqTrainingSample(index, sampleSize)
+    val cb = graft.operators.Quantize.opqTrainLocal(sample, m, nCentroids)
+    writeIvfBase(index, path, Some(cb))
+  }
+
+  /** The bounded deterministic PQ/OPQ training sample — the
+    * kmeansCentroids contract (driver metadata via one TakeOrdered in
+    * xxhash64 order; never a corpus pass). */
+  private def pqTrainingSample(index: IvfIndex, sampleSize: Int): Array[Array[Double]] =
+    index.assigned
       .select(col("vec_id"), col("e"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
-    val cb = graft.operators.Quantize.pqTrainLocal(sample, m, nCentroids)
-    writeIvfBase(index, path, Some(cb))
-  }
 
   private def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
                               cb: graft.operators.Quantize.PqCodebook): Unit = {
     import spark.implicits._
-    cb.codebooks.zipWithIndex.flatMap { case (book, s) =>
+    val rotRows = cb.rot.toSeq.flatMap(_.zipWithIndex.map {
+      case (row, i) => (-1, i, row.toSeq) // sub = -1: the OPQ rotation bank
+    })
+    (cb.codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
-    }.toSeq.toDF("sub", "idx", "c").coalesce(1)
+    }.toSeq ++ rotRows).toDF("sub", "idx", "c").coalesce(1)
       .write.mode("overwrite").parquet(dir)
   }
 
   /** The PQ codebook sidecar of a persisted index (committed
-    * generation), if the index was written with the PQ tier. */
+    * generation), if the index was written with the PQ tier. Rows with
+    * `sub = -1` are the OPQ rotation (absent on a plain-PQ index —
+    * legacy sidecars read back unchanged). */
   def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                      path: String): Option[graft.operators.Quantize.PqCodebook] = {
     val dir = s"${indexRoot(path)}/pq_codebook"
@@ -379,9 +409,11 @@ object Similarity {
       val rows = spark.read.parquet(dir)
         .orderBy("sub", "idx")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      val m = rows.map(_._1).max + 1
-      val books = Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
-      Some(graft.operators.Quantize.PqCodebook(m, books(0)(0).length, books))
+      val (rotRows, bookRows) = rows.partition(_._1 == -1)
+      val rot = if (rotRows.isEmpty) None else Some(rotRows.sortBy(_._2).map(_._3))
+      val m = bookRows.map(_._1).max + 1
+      val books = Array.tabulate(m)(s => bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+      Some(graft.operators.Quantize.PqCodebook(m, books(0)(0).length, books, rot))
     }
   }
 

@@ -799,6 +799,129 @@ object PipelineQueries {
         "append_encoded", "deterministic")
   }
 
+  /** q142 contract: OPQ rotation for the IVF-PQ index (r15 second
+    * session; Gong et al. 2013 — PCA basis + eigenvalue-balanced
+    * allocation of principal directions to the m subspaces, the
+    * published upgrade every large PQ deployment applies when raw
+    * dimensions are correlated). Builds the index over the embeddings
+    * table with `Similarity.writeIvfIndexOpq`, re-opens it cold, and
+    * asserts:
+    *  (a) rot_orthonormal — the READ-BACK rotation satisfies
+    *      max|R·Rᵀ − I| ≤ 1e-9 (driver re-derivation from the
+    *      `pq_codebook` sidecar's sub = -1 rows);
+    *  (b) mse_improves — on the SAME bounded training sample, same m,
+    *      same k-means procedure, at a code budget where quantization
+    *      error is substantive (16 centroids), the OPQ codebook's mean
+    *      squared reconstruction error ≤ plain PQ's — the paper's
+    *      claim, measured;
+    *  (c) recall_ok — `probeIvfPq` through the rotated index recovers
+    *      ≥ 0.9 of the exact brute-force top-10 over 5 probes at the
+    *      q135 operating point (rotation is invisible to the exact
+    *      rerank — cosine is rotation-invariant);
+    *  (d) adc_rederived — the scan's ADC scores re-derive exactly from
+    *      read-back codes + codebooks + rotation;
+    *  (e) scores_exact — returned scores are exact float cosines at 4
+    *      decimals (never ADC approximations);
+    *  (f) append_encoded — an appended planted duplicate encodes
+    *      through the SAME rotation and surfaces top-1 at score 1.0
+    *      via a fresh read;
+    *  (g) deterministic — retraining on the same sample reproduces the
+    *      identical rotation and codebooks, and the probe repeats. */
+  def q142CheckOpq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quantize, Similarity}
+    val emb = t(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("q142-opq").toString
+    val idx = Similarity.buildIvfIndex(emb, nLists = 16)
+    Similarity.writeIvfIndexOpq(idx, path, m = 8, nCentroids = 256)
+    val cb = Similarity.readPqCodebook(spark, path).get
+    // (a) orthonormality from the read-back sidecar
+    val r = cb.rot.getOrElse(throw new IllegalStateException("no rotation read back"))
+    val d = r.length
+    var maxDev = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += r(i)(k) * r(j)(k); k += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        maxDev = math.max(maxDev, math.abs(dot - want))
+        j += 1
+      }
+      i += 1
+    }
+    val rotOrthonormal = maxDev <= 1e-9
+    // (b) the MSE claim on the shared sample — re-derive the exact
+    // deterministic sample the write used, compare at 16 centroids
+    val sample = idx.assigned.select(col("vec_id"), col("e"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val msePlain = Quantize.pqMseLocal(Quantize.pqTrainLocal(sample, 8, 16), sample)
+    val mseOpq = Quantize.pqMseLocal(Quantize.opqTrainLocal(sample, 8, 16), sample)
+    val mseImproves = mseOpq <= msePlain
+    // (c)+(e) recall and exact scores at the q135 operating point
+    val vecOf = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Double](1).toArray).toMap
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var q = 0
+      while (q < a.length) { dd += a(q) * b(q); na += a(q) * a(q); nb += b(q) * b(q); q += 1 }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 10
+    var hit = 0; var denom = 0
+    var scoresExact = true
+    (0L to 4L).foreach { pid =>
+      val pv = vecOf(pid)
+      val got = Similarity.probeIvfPq(spark, path, pv, k, nProbe = 16,
+        shortlist = 16, excludeId = Some(pid)).collect()
+        .map(r2 => (r2.getLong(0), r2.getDouble(1)))
+      val exact = Similarity.cosineTopK(emb, pid, k).collect().map(_.getLong(0)).toSet
+      hit += got.map(_._1).count(exact); denom += k
+      val ids = got.map(_._1).toSeq
+      val vs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .filter(col("vec_id").isin(ids: _*))
+        .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Double](1).toArray).toMap
+      scoresExact &&= got.forall { case (id, s) => s == r4(cosL(vs(id), pv)) }
+    }
+    val recallOk = hit >= math.ceil(0.9 * denom).toInt
+    // (d) independent driver re-derivation of the ADC scan's scores
+    val re = Similarity.readIvfIndex(spark, path)
+    val pv0 = vecOf(0L)
+    val adcUdf = Quantize.pqAdcScoreUdf(cb, pv0)
+    val sampleRows = re.assigned.orderBy("vec_id").limit(20)
+      .select(col("vec_id"), col("pq"), adcUdf(col("pq")).as("adc")).collect()
+    val (dots, sq) = Quantize.pqAdcLut(cb, pv0)
+    val pn0 = math.sqrt(pv0.map(x => x * x).sum)
+    val adcRederived = sampleRows.forall { row =>
+      row.getDouble(2) == Quantize.pqAdcScoreLocal(dots, sq, pn0,
+        row.getAs[Array[Byte]]("pq"))
+    }
+    // (f) append encodes through the same rotation
+    import spark.implicits._
+    val planted = Seq((90002L, pv0.toSeq)).toDF("vec_id", "embedding")
+    Similarity.appendIvfBatch(re, planted, path, batchId = 1L)
+    val top = Similarity.probeIvfPq(spark, path, pv0, k = 1, nProbe = 16,
+      excludeId = Some(0L)).head()
+    val appendEncoded = top.getLong(0) == 90002L && top.getDouble(1) == 1.0
+    // (g) determinism: retrain reproduces rotation+codebooks, probe repeats
+    val cbAgain = Quantize.opqTrainLocal(sample, 8, 256)
+    val retrainSame =
+      cbAgain.rot.get.flatten.toSeq == r.flatten.toSeq &&
+      cbAgain.codebooks.flatten.flatten.toSeq == cb.codebooks.flatten.flatten.toSeq
+    val g1 = Similarity.probeIvfPq(spark, path, pv0, k, nProbe = 16,
+      excludeId = Some(0L)).collect().toSeq
+    val g2 = Similarity.probeIvfPq(spark, path, pv0, k, nProbe = 16,
+      excludeId = Some(0L)).collect().toSeq
+    graft.operators.Manifests.rmTree(path)
+    Seq((rotOrthonormal, mseImproves, recallOk, adcRederived, scoresExact,
+        appendEncoded, retrainSame && g1 == g2))
+      .toDF("rot_orthonormal", "mse_improves", "recall_ok", "adc_rederived",
+        "scores_exact", "append_encoded", "deterministic")
+  }
+
   /** q130 contract: takedown / delete-by-id across the corpus store AND
     * the IVF index (VERDICT r13 missing #1 — the one store-lifecycle
     * verb that was absent). Builds a three-batch store from the
@@ -4200,6 +4323,11 @@ object PipelineQueries {
         """SELECT true AS trained_ok, true AS em_monotone, true AS replay_ok,
           |       true AS encode_ok, true AS unk_ok,
           |       true AS deterministic_ok""".stripMargin,
+      "q142_check_opq" ->
+        """SELECT true AS rot_orthonormal, true AS mse_improves,
+          |       true AS recall_ok, true AS adc_rederived,
+          |       true AS scores_exact, true AS append_encoded,
+          |       true AS deterministic""".stripMargin,
       "q141_hard_negatives" ->
         s"""WITH q AS (SELECT doc_id AS query_id, doc_id AS pos_id,
            |    list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')[1:6]) AS qts
