@@ -184,11 +184,12 @@ object ChangeHistory {
       if (!hasUnchanged) col(c)
       else when(array_contains(col(graft.cdc.Envelope.UnchangedCol), c) &&
         col("__in_base").isNotNull, oldC).otherwise(col(c))
-    val contribType = // shared struct shape so array() unifies
+    val contribType = // shared struct shape so array() unifies; the
+      // sign rides BOTH the row count and the value mass
       (sign: Int, g: Seq[Column], v: Column) =>
         struct((g.zip(groupKeys).map { case (c, n) => c.as(s"__g_$n") } :+
           lit(sign.toLong).as("__dn") :+
-          v.cast(sumType).as("__dv")): _*)
+          (v.cast(sumType) * lit(sign)).cast(sumType).as("__dv")): _*)
     val retract = when(col("__in_base").isNotNull,
       contribType(-1, groupKeys.map(g => col(s"__old_$g")), col("__old_v")))
     val insert = when(col("op") =!= "D",

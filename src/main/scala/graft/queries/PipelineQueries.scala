@@ -922,6 +922,55 @@ object PipelineQueries {
         "scores_exact", "append_encoded", "deterministic")
   }
 
+  /** q143: incremental aggregate-view maintenance from CDC batches
+    * (r15 second session; Gupta & Mumick 1995 — classic IVM for the
+    * self-maintainable COUNT/SUM aggregates). A per-status order-value
+    * view is maintained across THREE change batches synthesized from
+    * the orders table — never recomputed from the base:
+    *   batch 0: INSERT every order (status, price DECIMAL(14,2));
+    *   batch 1: UPDATE keys %7==0 (price doubles, status moves to 'U'
+    *            — a cross-GROUP move), DELETE keys %5==0 ∧ %7≠0;
+    *   batch 2: re-INSERT keys %10==0 ∧ %7≠0 (price+1000, status 'R').
+    * Each round applies `ChangeHistory.maintainAggView` (the view) and
+    * `Envelope.applyChanges` (the base) to the same batch — the A13
+    * sink pairing. The oracle computes the NET final state directly:
+    * the maintained view must equal the from-scratch aggregate
+    * row-for-row (exact DECIMAL sums — hard oracle). Scale shape: the
+    * base never shuffles (touched keys broadcast in), deltas aggregate
+    * at batch size, the view merges at group cardinality. */
+  def q143IvmAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Envelope
+    import graft.operators.ChangeHistory
+    val o = t(spark, dir, "orders")
+    val key = col("o_orderkey")
+    val price = col("o_totalprice").cast("decimal(14,2)")
+    def b(op: String, lsn: Column, status: Column, v: Column) =
+      Seq(lit(op).as("op"), lsn.as("lsn"), lit(0L).as("seq"),
+        key.as("o_orderkey"), status.as("o_orderstatus"), v.as("o_price"))
+    val b0 = o.select(b("I", key, col("o_orderstatus"), price): _*)
+    val b1 = o.filter(pmod(key, lit(7)) === 0)
+      .select(b("U", key, lit("U"), (price * 2).cast("decimal(14,2)")): _*)
+      .unionByName(o.filter(pmod(key, lit(5)) === 0 && pmod(key, lit(7)) =!= 0)
+        .select(b("D", key, col("o_orderstatus"), price): _*))
+    val b2 = o.filter(pmod(key, lit(10)) === 0 && pmod(key, lit(7)) =!= 0)
+      .select(b("I", key, lit("R"), (price + 1000).cast("decimal(14,2)")): _*)
+    var base = b0.select("o_orderkey", "o_orderstatus", "o_price").limit(0)
+    var view: Option[DataFrame] = None
+    Seq(b0, b1, b2).foreach { batch =>
+      view = Some(ChangeHistory.maintainAggView(view, base, batch,
+        rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+        valueCol = "o_price"))
+      base = Envelope.applyChanges(base, batch, Seq("o_orderkey"))
+    }
+    // decimal arithmetic stays internal; the export is the exact
+    // DECIMAL(18,2)'s nearest double — identical in both engines (the
+    // Verify shape-guard convention)
+    view.get
+      .select(col("o_orderstatus"), col("n_rows"), col("n_val"),
+        col("sum_val").cast("decimal(18,2)").cast("double").as("sum_val"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q130 contract: takedown / delete-by-id across the corpus store AND
     * the IVF index (VERDICT r13 missing #1 — the one store-lifecycle
     * verb that was absent). Builds a three-batch store from the
@@ -4328,6 +4377,27 @@ object PipelineQueries {
           |       true AS recall_ok, true AS adc_rederived,
           |       true AS scores_exact, true AS append_encoded,
           |       true AS deterministic""".stripMargin,
+      // the IVM oracle computes the NET final state of the three
+      // synthesized batches from scratch — the maintained view must
+      // equal it row-for-row (survivors: everything except deleted
+      // non-reinserted keys; %7 updates double + move to 'U', %10
+      // re-inserts land at +1000 under 'R')
+      "q143_ivm_agg" ->
+        """WITH fin AS (
+          |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+          |              WHEN o_orderkey % 10 = 0 THEN 'R'
+          |              ELSE o_orderstatus END AS o_orderstatus,
+          |         CASE WHEN o_orderkey % 7 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2))
+          |              WHEN o_orderkey % 10 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 1000 AS DECIMAL(14,2))
+          |              ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS val
+          |  FROM orders
+          |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0)
+          |SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
+          |       COUNT(val)::BIGINT AS n_val,
+          |       CAST(CAST(SUM(val) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
+          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
       "q141_hard_negatives" ->
         s"""WITH q AS (SELECT doc_id AS query_id, doc_id AS pos_id,
            |    list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')[1:6]) AS qts
