@@ -225,4 +225,48 @@ object ChangeHistory {
           coalesce(col("__ddv"), lit(0).cast(sumType))).cast(sumType).as("sum_val")): _*)
       .filter(col("n_rows") > 0)
   }
+
+  /** Incremental DISTINCT-COUNT view via persisted mergeable HLL
+    * sketches — the Druid/Pinot sketch-rollup pattern: per group the
+    * view stores a DataSketches HLL sketch (BINARY, fixed size) plus
+    * its estimate, and each change batch folds in with ONE sketch
+    * aggregation and a group-sized union merge. At 100 TB this is what
+    * makes "unique users per source, ever" a dashboard read instead of
+    * a corpus scan: sketch union is associative and loss-free, so
+    * pre-aggregated batch sketches compose to exactly the one-shot
+    * sketch of the union (estimates are identical — the q144 contract
+    * asserts it).
+    *
+    * Semantics are DISTINCT-EVER (the set-union view): I/U/R rows
+    * contribute their (group, value); DELETE and TRUNCATE do not
+    * retract — an HLL can only grow, and "uniques ever seen" is the
+    * metric these rollups track (a retractable distinct needs the q12
+    * exact path or a recompute; that asymmetry is fundamental, not an
+    * implementation gap). NULL values contribute nothing; a NULL group
+    * key is a group like any other. Unlike [[maintainAggView]] this
+    * view is SELF-maintainable — no base table read at all. */
+  def maintainDistinctView(view: Option[DataFrame], typedChanges: DataFrame,
+                           groupKeys: Seq[String], valueCol: String,
+                           lgConfigK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = typedChanges.sparkSession
+    val delta = typedChanges
+      .filter(col("op").isin("I", "U", "R") && col(valueCol).isNotNull)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("__ds"))
+      .filter(col("__ds").isNotNull)
+    val prior = view.getOrElse(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(groupKeys.map(g => typedChanges.schema(g).copy(name = g)) ++
+        Seq(StructField("sketch", BinaryType), StructField("uniques", LongType)))))
+    val l = prior.alias("v"); val r = delta.alias("d")
+    val cond = groupKeys.map(g => col(s"v.$g") <=> col(s"d.$g")).reduce(_ && _)
+    val merged = when(col("sketch").isNotNull && col("__ds").isNotNull,
+        hll_union(col("sketch"), col("__ds")))
+      .otherwise(coalesce(col("sketch"), col("__ds")))
+    l.join(r, cond, "full_outer")
+      .select(groupKeys.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++ Seq(
+        merged.as("sketch"),
+        hll_sketch_estimate(merged).as("uniques")): _*)
+  }
 }
