@@ -226,6 +226,91 @@ object ChangeHistory {
       .filter(col("n_rows") > 0)
   }
 
+  /** Incremental MIN/MAX view — the published completion of the IVM
+    * family (Gupta, Mumick & Subrahmanian 1993, "Maintaining Views
+    * Incrementally": MIN/MAX are NOT self-maintainable under deletes —
+    * retracting the current extremum needs the base — so the
+    * maintenance rule is RECOMPUTE ONLY THE AFFECTED GROUPS): groups
+    * untouched by the batch keep their rows verbatim (never read,
+    * never recomputed); groups the batch touches — a touched key's OLD
+    * group or its NEW one — recompute from the post-batch base through
+    * one semi join on the batch-sized affected-group list (broadcast
+    * under `broadcastKeyBound`; with the base partitioned/bucketed by
+    * the group key this prunes to the affected partitions at any
+    * scale). `newBase` is the [[graft.cdc.Envelope.applyChanges]]
+    * output for the SAME batch — the q143 caller pairing. The view
+    * carries per group: n_rows, min_val, max_val (SQL semantics: NULLs
+    * ignored, all-NULL group → NULL extrema); groups whose last row
+    * disappears vanish with the recompute.
+    *
+    * The uniform recompute-affected rule is deliberate: an
+    * insert-only-group fast path (extrema are monotone under inserts)
+    * saves nothing at the group sizes that matter and forks the
+    * semantics; the affected-group set is batch-bounded either way.
+    *
+    * `base` is the PRE-batch state and `newBase` the applyChanges
+    * output for the same batch — the pair every q143-style caller
+    * already holds. Both are needed for correctness, not convenience:
+    * a DELETE under replica identity DEFAULT carries only key columns
+    * (its typedView group column is null), and a group-moving UPDATE
+    * carries only the NEW group — the DEPARTED group is recoverable
+    * only from the pre-batch rows of the touched keys. Recomputing a
+    * group that did not actually change is value-idempotent, so the
+    * affected set only has to be a superset. */
+  def maintainMinMaxView(view: Option[DataFrame], base: DataFrame,
+                         newBase: DataFrame, typedChanges: DataFrame,
+                         rowKeys: Seq[String], groupKeys: Seq[String],
+                         valueCol: String,
+                         broadcastKeyBound: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = typedChanges.sparkSession
+    val vType = newBase.schema(valueCol).dataType
+    // the applyChanges ordering/truncate discipline: past a TRUNCATE
+    // every pre-existing group is affected (the view resets); the
+    // truncate-or-not split rides the same broadcast watermark
+    val seqC = if (typedChanges.columns.contains("seq")) col("seq") else lit(0L)
+    val pos = struct(col("lsn"), seqC)
+    val tmax = typedChanges.agg(max(when(col("op") === "T", pos)).as("__tmax"))
+    val priorRaw = view.getOrElse(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(groupKeys.map(g => newBase.schema(g).copy(name = g)) ++
+        Seq(StructField("n_rows", LongType),
+          StructField("min_val", vType), StructField("max_val", vType)))))
+    val prior = priorRaw.crossJoin(broadcast(tmax))
+      .filter(col("__tmax").isNull).drop("__tmax")
+    val basePruned = base.crossJoin(broadcast(tmax))
+      .filter(col("__tmax").isNull).drop("__tmax")
+    val changes = typedChanges.crossJoin(broadcast(tmax))
+      .filter(col("op") =!= "T" && (col("__tmax").isNull || pos > col("__tmax")))
+      .drop("__tmax")
+    // affected ⊇ batch-carried NEW groups ∪ pre-batch groups of the
+    // touched keys (the departed side); TOAST-unchanged group columns
+    // contribute a harmless extra NULL-group recompute
+    val touchedKeys = changes.select(rowKeys.map(col): _*).distinct()
+    val batchGroups = changes.select(groupKeys.map(col): _*)
+    val keySide =
+      if (SizeDispatch.atMost(touchedKeys, broadcastKeyBound)) broadcast(touchedKeys)
+      else touchedKeys.hint("shuffle_hash")
+    val oldGroups = basePruned.join(keySide, rowKeys)
+      .select(groupKeys.map(col): _*)
+    val affected = batchGroups.unionByName(oldGroups).distinct()
+    val affSide =
+      if (SizeDispatch.atMost(affected, broadcastKeyBound)) broadcast(affected)
+      else affected.hint("shuffle_hash")
+    // recompute ONLY the affected groups from the post-batch base
+    val joinCond = (b: String) => groupKeys.map(g =>
+      col(s"$b.$g") <=> col(s"a.$g")).reduce(_ && _)
+    val recomputed = newBase.alias("b")
+      .join(affSide.alias("a"), joinCond("b"), "left_semi")
+      .groupBy(groupKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_val"), max(col(valueCol)).as("max_val"))
+    // untouched view rows pass through; affected rows are replaced
+    val kept = prior.alias("v")
+      .join(affSide.alias("a"), joinCond("v"), "left_anti")
+    kept.unionByName(recomputed)
+  }
+
   /** Incremental DISTINCT-COUNT view via persisted mergeable HLL
     * sketches — the Druid/Pinot sketch-rollup pattern: per group the
     * view stores a DataSketches HLL sketch (BINARY, fixed size) plus

@@ -938,9 +938,11 @@ object PipelineQueries {
     * row-for-row (exact DECIMAL sums — hard oracle). Scale shape: the
     * base never shuffles (touched keys broadcast in), deltas aggregate
     * at batch size, the view merges at group cardinality. */
-  def q143IvmAgg(spark: SparkSession, dir: String): DataFrame = {
-    import graft.cdc.Envelope
-    import graft.operators.ChangeHistory
+  /** The shared q143/q145 change-stream synthesis: three deterministic
+    * CDC batches over orders (insert all → update %7 doubling the
+    * price and moving status to 'U' + delete %5∧¬%7 → re-insert
+    * %10∧¬%7 at price+1000 under 'R'). Returns (batches, emptyBase). */
+  private def ivmOrderBatches(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val o = t(spark, dir, "orders")
     val key = col("o_orderkey")
     val price = col("o_totalprice").cast("decimal(14,2)")
@@ -954,13 +956,27 @@ object PipelineQueries {
         .select(b("D", key, col("o_orderstatus"), price): _*))
     val b2 = o.filter(pmod(key, lit(10)) === 0 && pmod(key, lit(7)) =!= 0)
       .select(b("I", key, lit("R"), (price + 1000).cast("decimal(14,2)")): _*)
-    var base = b0.select("o_orderkey", "o_orderstatus", "o_price").limit(0)
+    (Seq(b0, b1, b2), b0.select("o_orderkey", "o_orderstatus", "o_price").limit(0))
+  }
+
+  def q143IvmAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Envelope
+    import graft.operators.ChangeHistory
+    val (batches, empty) = ivmOrderBatches(spark, dir)
+    // pin base and view between rounds — production MATERIALIZES both
+    // as per-batch snapshots (ivmIngestToStore); chaining the rounds
+    // lazily instead would recompute round N-1's plan inside every
+    // consumer of round N (multiplicative plan growth)
+    var base = empty
     var view: Option[DataFrame] = None
-    Seq(b0, b1, b2).foreach { batch =>
-      view = Some(ChangeHistory.maintainAggView(view, base, batch,
-        rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
-        valueCol = "o_price"))
-      base = Envelope.applyChanges(base, batch, Seq("o_orderkey"))
+    batches.foreach { batch =>
+      view = Some(graft.operators.Storage.track(
+        ChangeHistory.maintainAggView(view, base, batch,
+          rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+          valueCol = "o_price").localCheckpoint(true)))
+      base = graft.operators.Storage.track(
+        Envelope.applyChanges(base, batch, Seq("o_orderkey"))
+          .localCheckpoint(true))
     }
     // decimal arithmetic stays internal; the export is the exact
     // DECIMAL(18,2)'s nearest double — identical in both engines (the
@@ -968,6 +984,38 @@ object PipelineQueries {
     view.get
       .select(col("o_orderstatus"), col("n_rows"), col("n_val"),
         col("sum_val").cast("decimal(18,2)").cast("double").as("sum_val"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q145: incremental MIN/MAX view — the NON-self-maintainable half
+    * of the IVM family (Gupta, Mumick & Subrahmanian 1993): deleting
+    * the current extremum cannot be fixed from the delta, so affected
+    * groups — and ONLY affected groups — recompute from the post-batch
+    * base (`ChangeHistory.maintainMinMaxView`; the batch-1 deletes and
+    * the %7 status moves make both retraction paths bite, including
+    * groups whose extremum leaves). Same three-batch synthesis as
+    * q143; the oracle computes the net final MIN/MAX from scratch. */
+  def q145IvmMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Envelope
+    import graft.operators.ChangeHistory
+    val (batches, empty) = ivmOrderBatches(spark, dir)
+    // snapshot pinning between rounds — the q143 rationale
+    var base = empty
+    var view: Option[DataFrame] = None
+    batches.foreach { batch =>
+      val newBase = graft.operators.Storage.track(
+        Envelope.applyChanges(base, batch, Seq("o_orderkey"))
+          .localCheckpoint(true))
+      view = Some(graft.operators.Storage.track(
+        ChangeHistory.maintainMinMaxView(view, base, newBase, batch,
+          rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+          valueCol = "o_price").localCheckpoint(true)))
+      base = newBase
+    }
+    view.get
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("min_val").cast("double").as("min_val"),
+        col("max_val").cast("double").as("max_val"))
       .orderBy("o_orderstatus")
   }
 
@@ -4463,6 +4511,23 @@ object PipelineQueries {
           |SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
           |       COUNT(val)::BIGINT AS n_val,
           |       CAST(CAST(SUM(val) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
+          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q145's oracle: identical fin CTE, MIN/MAX over the net state
+      "q145_ivm_minmax" ->
+        """WITH fin AS (
+          |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+          |              WHEN o_orderkey % 10 = 0 THEN 'R'
+          |              ELSE o_orderstatus END AS o_orderstatus,
+          |         CASE WHEN o_orderkey % 7 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2))
+          |              WHEN o_orderkey % 10 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 1000 AS DECIMAL(14,2))
+          |              ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS val
+          |  FROM orders
+          |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0)
+          |SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
+          |       CAST(MIN(val) AS DOUBLE) AS min_val,
+          |       CAST(MAX(val) AS DOUBLE) AS max_val
           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
       "q141_hard_negatives" ->
         s"""WITH q AS (SELECT doc_id AS query_id, doc_id AS pos_id,
