@@ -311,6 +311,94 @@ object ChangeHistory {
     kept.unionByName(recomputed)
   }
 
+  /** One side of a [[maintainJoinView]] maintenance step: the
+    * pre-batch state, the applyChanges output for the same batch, the
+    * typedView batch itself, and the side's row keys. An untouched
+    * side passes its state twice with an empty batch. */
+  final case class IvmSide(base: DataFrame, newBase: DataFrame,
+                           typedChanges: DataFrame, rowKeys: Seq[String])
+
+  /** Incremental JOIN-view maintenance — the delta-join member of the
+    * IVM family (Blakeley, Larson & Tompa 1986, "Efficiently Updating
+    * Materialized Views"): a denormalized inner-join view V = L ⋈ R
+    * stays current under CDC batches on EITHER side without ever
+    * re-joining the untouched keys. The same affected-superset rule as
+    * [[maintainMinMaxView]], lifted to join keys: a join key is
+    * affected if a batch row carries it (the arriving side) or a
+    * touched row held it pre-batch (the departing side — a
+    * replica-identity-DEFAULT DELETE and a key-moving UPDATE carry
+    * nothing else); recomputing an unchanged key is value-idempotent,
+    * so the superset is safe. Untouched view rows pass through an anti
+    * join verbatim; affected keys re-join from the two POST-batch
+    * states, each restricted by one broadcast semi join (bases
+    * bucketed on the join key prune to the affected partitions at any
+    * scale). A TRUNCATE on either side empties the pass-through and
+    * recomputes from that side's full new key set — all distributed,
+    * riding the same broadcast watermark as applyChanges.
+    *
+    * Non-join column names must be disjoint across the sides (the
+    * natural-join shape — TPC-H-style prefixed schemas satisfy it by
+    * construction). The maintained view EQUALS `newL ⋈ newR` after
+    * every batch — the q146 oracle and JoinViewSpec assert it. */
+  def maintainJoinView(view: Option[DataFrame], left: IvmSide, right: IvmSide,
+                       joinKeys: Seq[String],
+                       broadcastKeyBound: Long = 10000000L): DataFrame = {
+    // the truncate probe is a DRIVER-side one-row aggregate per side —
+    // the SizeDispatch cost class this verb already pays; folding it
+    // into the plan instead would lazily full-scan newBase every batch
+    // just in case a truncate happened
+    def sidePieces(s: IvmSide): (DataFrame, Boolean) = {
+      val seqC = if (s.typedChanges.columns.contains("seq")) col("seq") else lit(0L)
+      val pos = struct(col("lsn"), seqC)
+      val trow = s.typedChanges
+        .agg(max(when(col("op") === "T", pos)).as("t")).head()
+      val truncated = !trow.isNullAt(0)
+      val changes0 = s.typedChanges.filter(col("op") =!= "T")
+      val changes =
+        if (!truncated) changes0
+        else {
+          val t = trow.getStruct(0)
+          changes0.filter(pos > struct(lit(t.getLong(0)), lit(t.getLong(1))))
+        }
+      val affected =
+        if (truncated)
+          // every pre-existing join row dies; every key of the side's
+          // new state recomputes
+          s.newBase.select(joinKeys.map(col): _*)
+        else {
+          val touched = changes.select(s.rowKeys.map(col): _*).distinct()
+          val keySide =
+            if (SizeDispatch.atMost(touched, broadcastKeyBound)) broadcast(touched)
+            else touched.hint("shuffle_hash")
+          val oldKeys = s.base.join(keySide, s.rowKeys)
+            .select(joinKeys.map(col): _*)
+          changes.select(joinKeys.map(col): _*).unionByName(oldKeys)
+        }
+      (affected, truncated)
+    }
+    val (affL, truncL) = sidePieces(left)
+    val (affR, truncR) = sidePieces(right)
+    val affected = affL.unionByName(affR).distinct()
+    val affSide =
+      if (SizeDispatch.atMost(affected, broadcastKeyBound)) broadcast(affected)
+      else affected.hint("shuffle_hash")
+    def restrict(df: DataFrame): DataFrame = {
+      val cond = joinKeys.map(k => df(k) <=> affSide(k)).reduce(_ && _)
+      df.join(affSide, cond, "left_semi")
+    }
+    val recomputed = restrict(left.newBase).join(restrict(right.newBase), joinKeys)
+    val prior = view.getOrElse(recomputed.limit(0))
+    // untouched rows pass through — unless a TRUNCATE on either side
+    // invalidated every pre-existing join row
+    val kept =
+      if (truncL || truncR) prior.limit(0)
+      else {
+        val keptCond = joinKeys.map(k => prior(k) <=> affSide(k)).reduce(_ && _)
+        prior.join(affSide, keptCond, "left_anti")
+      }
+    kept.unionByName(recomputed)
+  }
+
   /** Incremental DISTINCT-COUNT view via persisted mergeable HLL
     * sketches — the Druid/Pinot sketch-rollup pattern: per group the
     * view stores a DataSketches HLL sketch (BINARY, fixed size) plus

@@ -948,7 +948,8 @@ object PipelineQueries {
     val price = col("o_totalprice").cast("decimal(14,2)")
     def b(op: String, lsn: Column, status: Column, v: Column) =
       Seq(lit(op).as("op"), lsn.as("lsn"), lit(0L).as("seq"),
-        key.as("o_orderkey"), status.as("o_orderstatus"), v.as("o_price"))
+        key.as("o_orderkey"), col("o_custkey").as("c_custkey"),
+        status.as("o_orderstatus"), v.as("o_price"))
     val b0 = o.select(b("I", key, col("o_orderstatus"), price): _*)
     val b1 = o.filter(pmod(key, lit(7)) === 0)
       .select(b("U", key, lit("U"), (price * 2).cast("decimal(14,2)")): _*)
@@ -956,27 +957,26 @@ object PipelineQueries {
         .select(b("D", key, col("o_orderstatus"), price): _*))
     val b2 = o.filter(pmod(key, lit(10)) === 0 && pmod(key, lit(7)) =!= 0)
       .select(b("I", key, lit("R"), (price + 1000).cast("decimal(14,2)")): _*)
-    (Seq(b0, b1, b2), b0.select("o_orderkey", "o_orderstatus", "o_price").limit(0))
+    (Seq(b0, b1, b2),
+      b0.select("o_orderkey", "c_custkey", "o_orderstatus", "o_price").limit(0))
   }
 
   def q143IvmAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.Envelope
     import graft.operators.ChangeHistory
     val (batches, empty) = ivmOrderBatches(spark, dir)
-    // pin base and view between rounds — production MATERIALIZES both
-    // as per-batch snapshots (ivmIngestToStore); chaining the rounds
-    // lazily instead would recompute round N-1's plan inside every
-    // consumer of round N (multiplicative plan growth)
+    // the three rounds chain LAZILY: at this batch count the repeated
+    // subplans are cheap parquet re-scans, measurably faster than
+    // materializing each round (localCheckpoint pinning was tried and
+    // reverted — production materializes per-batch snapshots through
+    // the STORE instead: ivmIngestToStore)
     var base = empty
     var view: Option[DataFrame] = None
     batches.foreach { batch =>
-      view = Some(graft.operators.Storage.track(
-        ChangeHistory.maintainAggView(view, base, batch,
-          rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
-          valueCol = "o_price").localCheckpoint(true)))
-      base = graft.operators.Storage.track(
-        Envelope.applyChanges(base, batch, Seq("o_orderkey"))
-          .localCheckpoint(true))
+      view = Some(ChangeHistory.maintainAggView(view, base, batch,
+        rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+        valueCol = "o_price"))
+      base = Envelope.applyChanges(base, batch, Seq("o_orderkey"))
     }
     // decimal arithmetic stays internal; the export is the exact
     // DECIMAL(18,2)'s nearest double — identical in both engines (the
@@ -999,17 +999,14 @@ object PipelineQueries {
     import graft.cdc.Envelope
     import graft.operators.ChangeHistory
     val (batches, empty) = ivmOrderBatches(spark, dir)
-    // snapshot pinning between rounds — the q143 rationale
+    // lazy chaining — the q143 rationale
     var base = empty
     var view: Option[DataFrame] = None
     batches.foreach { batch =>
-      val newBase = graft.operators.Storage.track(
-        Envelope.applyChanges(base, batch, Seq("o_orderkey"))
-          .localCheckpoint(true))
-      view = Some(graft.operators.Storage.track(
-        ChangeHistory.maintainMinMaxView(view, base, newBase, batch,
-          rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
-          valueCol = "o_price").localCheckpoint(true)))
+      val newBase = Envelope.applyChanges(base, batch, Seq("o_orderkey"))
+      view = Some(ChangeHistory.maintainMinMaxView(view, base, newBase, batch,
+        rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+        valueCol = "o_price"))
       base = newBase
     }
     view.get
@@ -1017,6 +1014,52 @@ object PipelineQueries {
         col("min_val").cast("double").as("min_val"),
         col("max_val").cast("double").as("max_val"))
       .orderBy("o_orderstatus")
+  }
+
+  /** q146: incremental JOIN-view maintenance from CDC batches on BOTH
+    * sides (Blakeley, Larson & Tompa 1986 — the delta-join member of
+    * the IVM family; `ChangeHistory.maintainJoinView`): a denormalized
+    * orders ⋈ customer enrichment view stays current while orders churn
+    * through the q143 three-batch synthesis AND customers churn too
+    * (acctbal updates on %6, deletes on %9∧¬%6 — a right-side delete
+    * retracts every joined order row). Only batch-affected join keys
+    * ever re-join; untouched view rows pass through an anti join. The
+    * oracle joins the two NET final states from scratch. */
+  def q146IvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Envelope
+    import graft.operators.ChangeHistory
+    import graft.operators.ChangeHistory.IvmSide
+    val (obatches, oEmpty) = ivmOrderBatches(spark, dir)
+    val c = t(spark, dir, "customer")
+    val ckey = col("c_custkey")
+    val bal = col("c_acctbal").cast("decimal(14,2)")
+    def cb(op: String, v: Column) =
+      Seq(lit(op).as("op"), ckey.as("lsn"), lit(0L).as("seq"),
+        ckey.as("c_custkey"), v.as("c_bal"))
+    val c0 = c.select(cb("I", bal): _*)
+    val c1 = c.filter(pmod(ckey, lit(6)) === 0)
+      .select(cb("U", (bal + 10).cast("decimal(14,2)")): _*)
+      .unionByName(c.filter(pmod(ckey, lit(9)) === 0 && pmod(ckey, lit(6)) =!= 0)
+        .select(cb("D", bal): _*))
+    val cEmptyBatch = c0.limit(0)
+    val cEmpty = c0.select("c_custkey", "c_bal").limit(0)
+    val cbatches = Seq(c0, c1, cEmptyBatch)
+    var (lb, rb) = (oEmpty, cEmpty)
+    var view: Option[DataFrame] = None
+    obatches.zip(cbatches).foreach { case (ob, cbatch) =>
+      val nl = Envelope.applyChanges(lb, ob, Seq("o_orderkey"))
+      val nr = Envelope.applyChanges(rb, cbatch, Seq("c_custkey"))
+      view = Some(ChangeHistory.maintainJoinView(view,
+        IvmSide(lb, nl, ob, Seq("o_orderkey")),
+        IvmSide(rb, nr, cbatch, Seq("c_custkey")),
+        joinKeys = Seq("c_custkey")))
+      lb = nl; rb = nr
+    }
+    view.get
+      .select(col("o_orderkey"), col("c_custkey"), col("o_orderstatus"),
+        col("o_price").cast("double").as("o_price"),
+        col("c_bal").cast("double").as("c_bal"))
+      .orderBy("o_orderkey")
   }
 
   /** q144 contract: incremental distinct-count view via persisted
@@ -4529,6 +4572,30 @@ object PipelineQueries {
           |       CAST(MIN(val) AS DOUBLE) AS min_val,
           |       CAST(MAX(val) AS DOUBLE) AS max_val
           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q146's oracle: join the two NET final states from scratch
+      "q146_ivm_join" ->
+        """WITH ofin AS (
+          |  SELECT o_orderkey, o_custkey AS c_custkey,
+          |         CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+          |              WHEN o_orderkey % 10 = 0 THEN 'R'
+          |              ELSE o_orderstatus END AS o_orderstatus,
+          |         CAST(CASE WHEN o_orderkey % 7 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2))
+          |              WHEN o_orderkey % 10 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 1000 AS DECIMAL(14,2))
+          |              ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS DOUBLE) AS o_price
+          |  FROM orders
+          |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0),
+          |cfin AS (
+          |  SELECT c_custkey,
+          |         CAST(CASE WHEN c_custkey % 6 = 0
+          |                THEN CAST(CAST(c_acctbal AS DECIMAL(14,2)) + 10 AS DECIMAL(14,2))
+          |              ELSE CAST(c_acctbal AS DECIMAL(14,2)) END AS DOUBLE) AS c_bal
+          |  FROM customer
+          |  WHERE c_custkey % 6 = 0 OR c_custkey % 9 <> 0)
+          |SELECT o_orderkey, c_custkey, o_orderstatus, o_price, c_bal
+          |FROM ofin JOIN cfin USING (c_custkey)
+          |ORDER BY o_orderkey""".stripMargin,
       "q141_hard_negatives" ->
         s"""WITH q AS (SELECT doc_id AS query_id, doc_id AS pos_id,
            |    list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')[1:6]) AS qts
