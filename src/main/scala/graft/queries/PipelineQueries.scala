@@ -1124,6 +1124,35 @@ object PipelineQueries {
         "deterministic")
   }
 
+  /** q147: BM25 search through the PERSISTED inverted text index after
+    * a full lifecycle (r15 second session; the text-side twin of the
+    * persisted IVF index — `graft.operators.TextIndex`): build over
+    * two thirds of the corpus, APPEND the remaining third as an
+    * incremental batch, physically DELETE every doc_id % 97 == 0
+    * (postings and doclens both), then search a re-opened index. The
+    * oracle computes BM25 from scratch over exactly the surviving
+    * documents with the q87 formula — so index maintenance (df shifts,
+    * corpus-stats shifts, bucket-pruned scan) must be EXACT, not just
+    * plausible. The 20-row result materializes before the temp index
+    * is reclaimed. */
+  def q147TextIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("q147-idx").toString
+    TextIndex.build(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), path,
+      nBuckets = 16)
+    TextIndex.append(docs.filter(pmod(col("doc_id"), lit(3)) === 2), path,
+      batchId = 1L)
+    val victims = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, path, victims)
+    val out = TextIndex.search(spark, path, "data stream table join", k = 25)
+    val rows = out.collect()
+    graft.operators.Manifests.rmTree(path)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, out.schema)
+  }
+
   /** q130 contract: takedown / delete-by-id across the corpus store AND
     * the IVF index (VERDICT r13 missing #1 — the one store-lifecycle
     * verb that was absent). Builds a three-batch store from the
@@ -4530,6 +4559,30 @@ object PipelineQueries {
           |       true AS recall_ok, true AS adc_rederived,
           |       true AS scores_exact, true AS append_encoded,
           |       true AS deterministic""".stripMargin,
+      // the q87 formula over exactly the surviving documents (the
+      // index saw build(⅔) + append(⅓) + delete(%97) before the search)
+      "q147_text_index" ->
+        """WITH q AS (SELECT unnest(['data','stream','table','join']) AS tok),
+          |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+          |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM docs),
+          |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+          |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT COUNT(*)::DOUBLE AS n,
+          |         AVG(len(string_split(lower(text),' '))) AS avgdl
+          |       FROM docs),
+          |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+          |          st.avgdl AS avgdl
+          |        FROM df, st),
+          |sc AS (SELECT tf.doc_id,
+          |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+          |           AS DECIMAL(14,4)) AS score,
+          |         COUNT(*) AS n_terms
+          |       FROM tf JOIN idf USING (tok) GROUP BY 1)
+          |SELECT doc_id, sc.score::DOUBLE AS score, n_terms FROM sc
+          |ORDER BY sc.score DESC, doc_id LIMIT 25""".stripMargin,
       "q144_check_distinct_view" ->
         """SELECT true AS within_bound, true AS merge_exact,
           |       true AS delete_insensitive, true AS roundtrip,
