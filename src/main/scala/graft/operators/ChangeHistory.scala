@@ -405,10 +405,12 @@ object ChangeHistory {
     * its estimate, and each change batch folds in with ONE sketch
     * aggregation and a group-sized union merge. At 100 TB this is what
     * makes "unique users per source, ever" a dashboard read instead of
-    * a corpus scan: sketch union is associative and loss-free, so
-    * pre-aggregated batch sketches compose to exactly the one-shot
-    * sketch of the union (estimates are identical — the q144 contract
-    * asserts it).
+    * a corpus scan: sketch union yields a valid
+    * sketch of the union with the SAME error bounds — though not
+    * bit-identical to direct building (the union path targets a
+    * different internal HLL representation, so estimates can differ
+    * within the rsd at dense cardinalities; the q144 contract bounds
+    * chained-vs-one-shot at 2%).
     *
     * Semantics are DISTINCT-EVER (the set-union view): I/U/R rows
     * contribute their (group, value); DELETE and TRUNCATE do not
