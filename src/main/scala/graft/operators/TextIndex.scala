@@ -77,6 +77,16 @@ object TextIndex {
   private def nBucketsOf(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getInt(0)
 
+  /** Pin the bucket count for a PURE-STREAMING index (no offline
+    * build): idempotent — an existing meta sidecar wins, so replays
+    * and restarts can never re-shard the layout. */
+  def ensureMeta(spark: SparkSession, path: String, nBuckets: Int): Unit =
+    if (!Fs.isDir(Fs.path(s"$path/meta"))) {
+      import spark.implicits._
+      Seq(nBuckets).toDF("n_buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
   /** Incremental append: the batch writes ONLY its own partitions in
     * both stores (the idempotent crash-replay contract — a replayed
     * batch overwrites itself). Buckets come from the meta sidecar, so

@@ -867,6 +867,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingest into the persisted inverted text index — the
+    * text twin of the vector-ingest sink: each micro-batch of
+    * (doc_id, text) appends its postings and doclens under its OWN
+    * `__ingest_batch=id` partitions ([[graft.operators.TextIndex.append]]),
+    * so the at-least-once foreachBatch contract is idempotent by the
+    * store convention, and a search mid-stream is exact over whatever
+    * batches have landed. The bucket count pins at first batch
+    * (`ensureMeta` — an existing layout always wins, so restarts can
+    * never re-shard). Compact with [[graft.operators.TextIndex.compact]]
+    * at quiet moments; take down with `TextIndex.delete`. */
+  def textIndexIngest(docs: DataFrame, indexPath: String, checkpoint: String,
+                      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextIndex.ensureMeta(batch.sparkSession, indexPath, nBuckets)
+        graft.operators.TextIndex.append(batch, indexPath, id)
+      }
+      .start()
+
   /** The latest maintained aggregate view of an [[ivmIngestToStore]]
     * store (None before the first batch). Group-cardinality — a
     * dashboard-sized read regardless of stream volume. */
