@@ -173,6 +173,11 @@ object TextIndex {
       case (sub, extraCols) =>
         val dir = s"$path/$sub"
         Takedown.recover(dir)
+        // physical erasure first (the ADVICE r14 deleteFromStore rule):
+        // superseded live partitions are invisible to the merged view
+        // but can still hold a copy of a victim after a deferred-GC
+        // compaction — reclaim before discovery so no copy survives
+        Manifests.gcSuperseded(dir, IngestBatchCol)
         val view = readCorpusStore(spark, dir).getOrElse(return removed)
         val groupCols = (IngestBatchCol +: extraCols).map {
           case IngestBatchCol => col(IngestBatchCol).cast("long").as(IngestBatchCol)
