@@ -44,14 +44,21 @@ object TextIndex {
     filter(split(lower(text), " "), t => t =!= "")
 
   /** dl mirrors bm25TopK exactly: split-token count INCLUDING empties
-    * (`size(split(lower(text), " "))`). */
+    * (`size(split(lower(text), " "))`). Postings are POSITIONAL (the
+    * Lucene convention): `pos` holds the token's offsets in the RAW
+    * split sequence — empties keep their slot, so a double space never
+    * fabricates adjacency — sorted for determinism (collect_list order
+    * is not). [[search]] ignores positions; [[searchPhrase]] needs
+    * them. */
   private def perDoc(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame) = {
     val postings = docs
       .select(col("doc_id"),
         size(split(lower(col("text")), " ")).cast("long").as("dl"),
-        explode(toks(col("text"))).as("tok"))
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("pos"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets)).cast("int"))
     val doclen = docs.select(col("doc_id"),
       size(split(lower(col("text")), " ")).cast("long").as("dl"))
@@ -153,6 +160,83 @@ object TextIndex {
       .limit(k)
       .select(col("doc_id"), col("score_dec").cast(DoubleType).as("score"),
         col("n_terms"))
+  }
+
+  /** PHRASE search through the positional postings (q148): documents
+    * where the phrase's tokens appear CONSECUTIVELY in the raw token
+    * sequence, ranked by the q87 BM25 of the phrase's distinct terms
+    * (corpus-wide df/stats — the standard phrase-query semantics:
+    * positions gate membership, term statistics rank). Scale shape:
+    * the postings scan prunes to the phrase terms' buckets exactly
+    * like [[search]]; per candidate doc the term→positions map is
+    * row-local and the adjacency test is one HOF over the first
+    * term's positions (`exists(p → ∀i: pos(tᵢ) ∋ p+i)`) — no join
+    * beyond the per-doc gather, no UDF. Emits (doc_id, score,
+    * n_hits = phrase occurrence count), score DESC, ties to low id.
+    * Repeated tokens in the phrase are handled (the offset fold uses
+    * the term at each position). Indexes written before the
+    * positional layout raise a pointed error. */
+  def searchPhrase(spark: SparkSession, path: String, phrase: String,
+                   k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.streaming.StreamingOps.readCorpusStore
+    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "searchPhrase: empty phrase")
+    val uniq = terms.distinct
+    val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
+      throw new IllegalStateException(s"no doclen store at $path"))
+    val nBuckets = nBucketsOf(spark, path)
+    import scala.jdk.CollectionConverters._
+    val hashes = spark.createDataFrame(
+        uniq.map(t => org.apache.spark.sql.Row(t)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType))))
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets)).cast("int").as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val postings = readCorpusStore(spark, s"$path/postings").getOrElse(
+      throw new IllegalStateException(s"no postings store at $path"))
+    require(postings.columns.contains("pos"),
+      s"searchPhrase: the index at $path predates positional postings — rebuild it")
+    val pruned = postings
+      .filter(col("bucket").isin(hashes: _*) && col("tok").isin(uniq: _*))
+    // per-doc gather: tok -> positions, plus the scoring inputs
+    val gathered = pruned
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("pos")))).as("pm"),
+        map_from_entries(collect_list(struct(col("tok"), col("tf")))).as("tm"),
+        first(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === uniq.size) // must hold every term
+    // adjacency: occurrences = positions p of term 0 with term i at p+i
+    val hitsExpr = size(filter(col("pm").getItem(terms.head),
+      p => terms.zipWithIndex.tail
+        .map { case (t, i) => array_contains(col("pm").getItem(t), p + i) }
+        .foldLeft(lit(true))(_ && _)))
+    val candidates = gathered
+      .withColumn("n_hits", hitsExpr.cast("long"))
+      .filter(col("n_hits") > 0)
+    // rank by the q87 BM25 of the distinct terms (corpus-wide df/stats)
+    val df = pruned.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = doclen.agg(count(lit(1)).cast(DoubleType).as("n"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val perTerm = candidates.select(col("doc_id"), col("n_hits"), col("dl"),
+        explode(col("tm")).as(Seq("tok", "tf")))
+      .join(broadcast(idf), "tok")
+      .select(col("doc_id"), col("n_hits"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+          .as("s"))
+    perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast(DecimalType(14, 4)).as("score_dec"),
+        first(col("n_hits")).as("n_hits"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_dec").cast(DoubleType).as("score"),
+        col("n_hits"))
   }
 
   /** Takedown: physically erase documents from BOTH stores, touching

@@ -1177,6 +1177,22 @@ object PipelineQueries {
     TextIndex.search(spark, path, "data stream table join", k = 25)
   }
 
+  /** q148: PHRASE search through the positional postings of the SAME
+    * lifecycle-exercised index as q147 (build ⅔ → append ⅓ → delete
+    * %97): documents where "table hash" appears with the tokens
+    * CONSECUTIVE in the raw token sequence, ranked by the q87 BM25 of
+    * the phrase's terms (corpus-wide df/stats — positions gate
+    * membership, term statistics rank; the Lucene phrase-query
+    * semantics). The oracle mirrors the adjacency with a 1-indexed
+    * list-lambda over the split sequence and the exact q87 formula
+    * restricted to phrase matchers. */
+  def q148PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    q147TextIndex(spark, dir) // ensure the memoized index exists
+    val path = q147Index.get((spark, dir))
+    TextIndex.searchPhrase(spark, path, "table hash", k = 20)
+  }
+
   /** q130 contract: takedown / delete-by-id across the corpus store AND
     * the IVF index (VERDICT r13 missing #1 — the one store-lifecycle
     * verb that was absent). Builds a three-batch store from the
@@ -4607,6 +4623,36 @@ object PipelineQueries {
           |       FROM tf JOIN idf USING (tok) GROUP BY 1)
           |SELECT doc_id, sc.score::DOUBLE AS score, n_terms FROM sc
           |ORDER BY sc.score DESC, doc_id LIMIT 25""".stripMargin,
+      // adjacency over the SAME raw split sequence (1-indexed lists in
+      // DuckDB; relative offsets are index-base-agnostic), the q87
+      // formula over the q147 survivors, restricted to phrase matchers
+      "q148_phrase_search" ->
+        """WITH q AS (SELECT unnest(['table','hash']) AS tok),
+          |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+          |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM docs),
+          |hits AS (SELECT doc_id,
+          |    len(list_filter(generate_series(1, len(wl)-1),
+          |        i -> wl[i] = 'table' AND wl[i+1] = 'hash'))::BIGINT AS n_hits
+          |  FROM d),
+          |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+          |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT COUNT(*)::DOUBLE AS n,
+          |         AVG(len(string_split(lower(text),' '))) AS avgdl
+          |       FROM docs),
+          |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+          |          st.avgdl AS avgdl
+          |        FROM df, st),
+          |sc AS (SELECT tf.doc_id,
+          |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+          |           AS DECIMAL(14,4)) AS score
+          |       FROM tf JOIN idf USING (tok) GROUP BY 1
+          |       HAVING COUNT(*) = 2)
+          |SELECT sc.doc_id, sc.score::DOUBLE AS score, hits.n_hits
+          |FROM sc JOIN hits USING (doc_id) WHERE hits.n_hits > 0
+          |ORDER BY sc.score DESC, sc.doc_id LIMIT 20""".stripMargin,
       "q144_check_distinct_view" ->
         """SELECT true AS within_bound, true AS merge_consistent,
           |       true AS delete_insensitive, true AS roundtrip,

@@ -87,6 +87,54 @@ class TextIndexSpec extends SparkSpec {
     Manifests.rmTree(path)
   }
 
+  test("phrase search: adjacency gates membership, BM25 ranks, occurrences count") {
+    val path = tmp()
+    val corpus = Seq(
+      (1L, "the green tree stands near the river"),          // exact phrase
+      (2L, "green leaves on a tall tree"),                   // both words, NOT adjacent
+      (3L, "a green tree and another green tree here"),      // two occurrences
+      (4L, "tree green is reversed order"),                  // reversed — no match
+      (5L, "completely unrelated text about rivers"),
+      (6L, "green  tree")                                    // double space: raw slots differ
+    ).toDF("doc_id", "text")
+    TextIndex.build(corpus, path, nBuckets = 8)
+    val got = TextIndex.searchPhrase(spark, path, "green tree", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1).toSet === Set(1L, 3L))
+    assert(got.find(_._1 == 3L).get._3 === 2L) // two occurrences counted
+    assert(got.find(_._1 == 1L).get._3 === 1L)
+    // doc 6's double space breaks raw adjacency (slot between the words)
+    assert(!got.exists(_._1 == 6L))
+    // three-word phrase
+    val tri = TextIndex.searchPhrase(spark, path, "the green tree", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(tri.map(_._1) === Seq(1L))
+    // repeated-token phrase
+    val rep = TextIndex.searchPhrase(spark, path, "green tree and another green", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(rep.map(_._1) === Seq(3L))
+    // one-word phrase: membership by term, occurrences = tf
+    val one = TextIndex.searchPhrase(spark, path, "green", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(one.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 6L))
+    assert(one.find(_._1 == 3L).get._3 === 2L)
+    Manifests.rmTree(path)
+  }
+
+  test("phrase search composes with the lifecycle: append and delete shift results") {
+    val path = tmp()
+    TextIndex.build(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), path, 8)
+    TextIndex.append(Seq((2L, "alpha beta delta"), (3L, "beta alpha"))
+      .toDF("doc_id", "text"), path, batchId = 1L)
+    val got = TextIndex.searchPhrase(spark, path, "alpha beta", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1).toSet === Set(1L, 2L))
+    TextIndex.delete(spark, path, Seq(1L))
+    assert(TextIndex.searchPhrase(spark, path, "alpha beta", k = 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq === Seq(2L))
+    Manifests.rmTree(path)
+  }
+
   test("bucket pruning reaches the scan: only the query terms' buckets are read") {
     val path = tmp()
     TextIndex.build(docs, path, nBuckets = 16)
