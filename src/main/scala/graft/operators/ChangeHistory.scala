@@ -311,6 +311,68 @@ object ChangeHistory {
     kept.unionByName(recomputed)
   }
 
+  /** Incremental TOP-K view — the ranked generalization of
+    * [[maintainMinMaxView]] (k = 1 of it is the max), maintained by the
+    * same affected-group-recompute rule: a top-k is not
+    * self-maintainable under deletes (evicting a top row needs the
+    * base's next-best), so groups the batch touches recompute their
+    * top-k from the post-batch base through one broadcast semi join;
+    * untouched groups pass through an anti join verbatim. The view
+    * carries (groupKeys..., rank 1..k, rowKeys..., orderCol) with rank
+    * by orderCol DESC, ties to the low row key — deterministic, and
+    * exactly mirrorable as a ROW_NUMBER window (the q149 oracle).
+    * `base`/`newBase` are the pre/post applyChanges pair, for the same
+    * reason as min/max: the DEPARTED group of a key-only delete or a
+    * group-moving update is only in the pre-batch rows. */
+  def maintainTopKView(view: Option[DataFrame], base: DataFrame,
+                       newBase: DataFrame, typedChanges: DataFrame,
+                       rowKeys: Seq[String], groupKeys: Seq[String],
+                       orderCol: String, k: Int,
+                       broadcastKeyBound: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k > 0, s"maintainTopKView: k=$k")
+    val spark = typedChanges.sparkSession
+    val seqC = if (typedChanges.columns.contains("seq")) col("seq") else lit(0L)
+    val pos = struct(col("lsn"), seqC)
+    val tmax = typedChanges.agg(max(when(col("op") === "T", pos)).as("__tmax"))
+    val priorRaw = view.getOrElse(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(groupKeys.map(g => newBase.schema(g).copy(name = g)) ++
+        Seq(StructField("rank", IntegerType)) ++
+        rowKeys.map(rk => newBase.schema(rk).copy(name = rk)) :+
+        newBase.schema(orderCol).copy(name = orderCol))))
+    val prior = priorRaw.crossJoin(broadcast(tmax))
+      .filter(col("__tmax").isNull).drop("__tmax")
+    val basePruned = base.crossJoin(broadcast(tmax))
+      .filter(col("__tmax").isNull).drop("__tmax")
+    val changes = typedChanges.crossJoin(broadcast(tmax))
+      .filter(col("op") =!= "T" && (col("__tmax").isNull || pos > col("__tmax")))
+      .drop("__tmax")
+    val touchedKeys = changes.select(rowKeys.map(col): _*).distinct()
+    val keySide =
+      if (SizeDispatch.atMost(touchedKeys, broadcastKeyBound)) broadcast(touchedKeys)
+      else touchedKeys.hint("shuffle_hash")
+    val affected = changes.select(groupKeys.map(col): _*)
+      .unionByName(basePruned.join(keySide, rowKeys).select(groupKeys.map(col): _*))
+      .distinct()
+    val affSide =
+      if (SizeDispatch.atMost(affected, broadcastKeyBound)) broadcast(affected)
+      else affected.hint("shuffle_hash")
+    val joinCond = (b: String) => groupKeys.map(g =>
+      col(s"$b.$g") <=> col(s"a.$g")).reduce(_ && _)
+    val w = Window.partitionBy(groupKeys.map(col): _*)
+      .orderBy(col(orderCol).desc +: rowKeys.map(col(_).asc): _*)
+    val recomputed = newBase.alias("b")
+      .join(affSide.alias("a"), joinCond("b"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(groupKeys.map(col) ++ (col("rank") +: rowKeys.map(col)) :+
+        col(orderCol): _*)
+    val kept = prior.alias("v")
+      .join(affSide.alias("a"), joinCond("v"), "left_anti")
+    kept.unionByName(recomputed)
+  }
+
   /** One side of a [[maintainJoinView]] maintenance step: the
     * pre-batch state, the applyChanges output for the same batch, the
     * typedView batch itself, and the side's row keys. An untouched

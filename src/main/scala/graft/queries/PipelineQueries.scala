@@ -1019,6 +1019,35 @@ object PipelineQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** q149: incremental TOP-K view — the ranked dashboard pattern ("top
+    * 3 orders per status, maintained"), kept current by the q145
+    * affected-group-recompute rule (`ChangeHistory.maintainTopKView`;
+    * a top-k is not self-maintainable under deletes — evicting a top
+    * row needs the base's next-best). Same three-batch synthesis; the
+    * batch-1 deletes evict top rows, the %7 updates double prices INTO
+    * the top set and move groups. Oracle: ROW_NUMBER over the net
+    * state. */
+  def q149IvmTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Envelope
+    import graft.operators.ChangeHistory
+    val (batches, empty) = ivmOrderBatches(spark, dir)
+    var base = empty
+    var view: Option[DataFrame] = None
+    batches.foreach { batch =>
+      val newBase = graft.operators.Storage.track(
+        Envelope.applyChanges(base, batch, Seq("o_orderkey")).persist())
+      view = Some(graft.operators.Storage.track(
+        ChangeHistory.maintainTopKView(view, base, newBase, batch,
+          rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+          orderCol = "o_price", k = 3).persist()))
+      base = newBase
+    }
+    view.get
+      .select(col("o_orderstatus"), col("rank"), col("o_orderkey"),
+        col("o_price").cast("double").as("o_price"))
+      .orderBy("o_orderstatus", "rank")
+  }
+
   /** q146: incremental JOIN-view maintenance from CDC batches on BOTH
     * sides (Blakeley, Larson & Tompa 1986 — the delta-join member of
     * the IVM family; `ChangeHistory.maintainJoinView`): a denormalized
@@ -4695,6 +4724,26 @@ object PipelineQueries {
           |       CAST(MIN(val) AS DOUBLE) AS min_val,
           |       CAST(MAX(val) AS DOUBLE) AS max_val
           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q149's oracle: ROW_NUMBER over the same net state
+      "q149_ivm_topk" ->
+        """WITH fin AS (
+          |  SELECT o_orderkey,
+          |         CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+          |              WHEN o_orderkey % 10 = 0 THEN 'R'
+          |              ELSE o_orderstatus END AS o_orderstatus,
+          |         CASE WHEN o_orderkey % 7 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2))
+          |              WHEN o_orderkey % 10 = 0
+          |                THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 1000 AS DECIMAL(14,2))
+          |              ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS val
+          |  FROM orders
+          |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0),
+          |r AS (SELECT o_orderstatus, o_orderkey, val,
+          |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          |                           ORDER BY val DESC, o_orderkey)::INT AS rank
+          |      FROM fin)
+          |SELECT o_orderstatus, rank, o_orderkey, CAST(val AS DOUBLE) AS o_price
+          |FROM r WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
       // q146's oracle: join the two NET final states from scratch
       "q146_ivm_join" ->
         """WITH ofin AS (
