@@ -408,20 +408,19 @@ object ChangeHistory {
     // the truncate probe is a DRIVER-side one-row aggregate per side —
     // the SizeDispatch cost class this verb already pays; folding it
     // into the plan instead would lazily full-scan newBase every batch
-    // just in case a truncate happened
+    // just in case a truncate happened. Only the BOOLEAN crosses to the
+    // driver (the truncated/untouched split is control flow); the
+    // watermark VALUE stays columnar via the same broadcast crossJoin
+    // as the sibling verbs, so lsn/seq types never round-trip through
+    // Row accessors (ADVICE r15: getLong threw on non-Long lsn).
     def sidePieces(s: IvmSide): (DataFrame, Boolean) = {
       val seqC = if (s.typedChanges.columns.contains("seq")) col("seq") else lit(0L)
       val pos = struct(col("lsn"), seqC)
-      val trow = s.typedChanges
-        .agg(max(when(col("op") === "T", pos)).as("t")).head()
-      val truncated = !trow.isNullAt(0)
-      val changes0 = s.typedChanges.filter(col("op") =!= "T")
-      val changes =
-        if (!truncated) changes0
-        else {
-          val t = trow.getStruct(0)
-          changes0.filter(pos > struct(lit(t.getLong(0)), lit(t.getLong(1))))
-        }
+      val tmax = s.typedChanges.agg(max(when(col("op") === "T", pos)).as("__tmax"))
+      val truncated = !tmax.head().isNullAt(0)
+      val changes = s.typedChanges.crossJoin(broadcast(tmax))
+        .filter(col("op") =!= "T" && (col("__tmax").isNull || pos > col("__tmax")))
+        .drop("__tmax")
       val affected =
         if (truncated)
           // every pre-existing join row dies; every key of the side's
@@ -498,8 +497,13 @@ object ChangeHistory {
         Seq(StructField("sketch", BinaryType), StructField("uniques", LongType)))))
     val l = prior.alias("v"); val r = delta.alias("d")
     val cond = groupKeys.map(g => col(s"v.$g") <=> col(s"d.$g")).reduce(_ && _)
+    // allowDifferentLgConfigK: a view resumed with a different lgConfigK
+    // than its persisted sketches unions at the SMALLER lgK (slightly
+    // higher rsd on those groups) instead of throwing mid-batch deep
+    // inside the union (ADVICE r15) — the mergeable-sketch downgrade
+    // rule every DataSketches deployment relies on
     val merged = when(col("sketch").isNotNull && col("__ds").isNotNull,
-        hll_union(col("sketch"), col("__ds")))
+        hll_union(col("sketch"), col("__ds"), allowDifferentLgConfigK = true))
       .otherwise(coalesce(col("sketch"), col("__ds")))
     l.join(r, cond, "full_outer")
       .select(groupKeys.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++ Seq(

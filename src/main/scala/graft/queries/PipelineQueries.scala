@@ -1185,15 +1185,23 @@ object PipelineQueries {
   // searches a persisted index — rebuilding the store on every bench
   // iteration would measure index construction six times and the
   // serving path never (the index is immutable once the lifecycle
-  // finishes, so reuse is sound; a fresh session rebuilds)
+  // finishes, so reuse is sound; a fresh session rebuilds). The key is
+  // a session-ID STRING, not the SparkSession object (ADVICE r15: an
+  // object key pins every session for the process lifetime), and each
+  // created index registers a JVM shutdown hook so the temp tree is
+  // reclaimed like every other temp path in this file.
   private val q147Index =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionKey(spark: SparkSession, dir: String): String =
+    s"${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$dir"
 
   def q147TextIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextIndex
-    val path = q147Index.computeIfAbsent((spark, dir), { _ =>
+    val path = q147Index.computeIfAbsent(sessionKey(spark, dir), { _ =>
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val p = java.nio.file.Files.createTempDirectory("q147-idx").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
       TextIndex.build(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), p,
         nBuckets = 16)
       TextIndex.append(docs.filter(pmod(col("doc_id"), lit(3)) === 2), p,
@@ -1218,7 +1226,7 @@ object PipelineQueries {
   def q148PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextIndex
     q147TextIndex(spark, dir) // ensure the memoized index exists
-    val path = q147Index.get((spark, dir))
+    val path = q147Index.get(sessionKey(spark, dir))
     TextIndex.searchPhrase(spark, path, "table hash", k = 20)
   }
 

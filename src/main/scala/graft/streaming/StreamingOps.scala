@@ -860,10 +860,15 @@ object StreamingOps {
         val newView = ChangeHistory.maintainAggView(prevView, prevBase, batch,
           rowKeys, groupKeys, valueCol)
         val newBase = graft.cdc.Envelope.applyChanges(prevBase, batch, rowKeys)
-        newView.coalesce(1).write.mode("overwrite")
-          .parquet(s"$storePath/view/$IngestBatchCol=$id")
+        // base FIRST, view LAST (ADVICE r15): the two writes are not one
+        // atomic commit, and readers join view->base — a crash between
+        // them must leave a reader on an at-worst STALE view over a
+        // newer base (consistent-enough until the replay), never a new
+        // view over a base that does not yet contain its rows
         newBase.write.mode("overwrite")
           .parquet(s"$storePath/base/$IngestBatchCol=$id")
+        newView.coalesce(1).write.mode("overwrite")
+          .parquet(s"$storePath/view/$IngestBatchCol=$id")
       }
       .start()
 
