@@ -179,6 +179,7 @@ object SparkEntry {
     "q147_text_index" -> (PipelineQueries.q147TextIndex _),
     "q148_phrase_search" -> (PipelineQueries.q148PhraseSearch _),
     "q149_ivm_topk" -> (PipelineQueries.q149IvmTopK _),
+    "q150_store_sql" -> (PipelineQueries.q150StoreSql _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL over the engine's own stores (r15 verdict, next-round #1): every
+  * CDC-fed store this engine maintains — corpus stores, SCD2 histories,
+  * IVM view/base snapshots, the text index's postings/doclen, the IVF
+  * index's lists — becomes a plain table a user can `SELECT` from:
+  *
+  * {{{
+  *   spark.read.format("graft-store").load("/stores/corpus")
+  *   CREATE TEMPORARY VIEW corpus
+  *     USING `graft-store` OPTIONS (path '/stores/corpus')
+  *   CREATE TEMPORARY VIEW order_rollup
+  *     USING `graft-store` OPTIONS (path '/stores/ivm', layout 'ivm-view')
+  * }}}
+  *
+  * The relation serves EXACTLY the programmatic readers' semantics —
+  * manifest + live merge with superseded partitions excluded, schema
+  * evolution by name with null backfill, snapshot-max selection for IVM
+  * stores, closed ∪ open for SCD2 — because it delegates to them: the
+  * scan is the composed store view itself ([[graft.streaming.StreamingOps
+  * .readCorpusStore]] and siblings), planned by Catalyst like any other
+  * query. That choice is deliberate against a bespoke DSv2 reader: the
+  * store view is a UNION of two physical layouts (a compacted epoch
+  * carrying the batch id as a data column, live directories carrying it
+  * as a partition), which no single file-scan relation expresses, and a
+  * hand-rolled row reader would abandon Spark's vectorized parquet scan
+  * — the one thing that matters at 100 TB. Here the inner plan keeps
+  * vectorization, whole-stage codegen, AQE, and — asserted by
+  * GraftStoreSourceSpec — partition pruning on `__ingest_batch`/`bucket`
+  * dirs and parquet data-filter pushdown, because the pushed-down
+  * filters and the column projection are applied INSIDE the delegated
+  * plan before it is compiled to an RDD.
+  *
+  * Layouts (`layout` option):
+  *  - `corpus` (default): [[graft.streaming.StreamingOps.readCorpusStore]]
+  *    — ingest stores, attribute sheets, text-index postings/doclen,
+  *    IVF list stores (any `__ingest_batch=` + `_compaction` tree);
+  *  - `ivm-view` / `ivm-base`: the latest committed snapshot of an
+  *    [[graft.streaming.StreamingOps.ivmIngestToStore]] store;
+  *  - `scd2`: [[graft.streaming.StreamingOps.readScd2Store]] — every
+  *    closed version plus the open snapshot.
+  *
+  * The reference has no SQL surface at all (its terminal consumer is a
+  * callback, `CdcConsumer.java:6-12`); this is the seam that turns the
+  * engine's maintained stores into warehouse tables. */
+class GraftStoreSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-store"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store: a 'path' option (or load(path)) is required"))
+    val layout = parameters.getOrElse("layout", "corpus")
+    require(GraftStoreRelation.Layouts.contains(layout),
+      s"graft-store: unknown layout '$layout' — one of " +
+        GraftStoreRelation.Layouts.mkString(", "))
+    new GraftStoreRelation(sqlContext.sparkSession, path, layout)
+  }
+}
+
+object GraftStoreRelation {
+  val Layouts: Seq[String] = Seq("corpus", "ivm-view", "ivm-base", "scd2")
+
+  /** Translate a pushed-down source filter to a Column over `df`, None
+    * when the filter has no Column equivalent (Spark re-applies every
+    * filter above the scan regardless — see `unhandledFilters` — so an
+    * untranslated filter costs pruning, never correctness). NULL
+    * three-valued logic is preserved by construction: each translation
+    * is the Column operator the filter is defined as. */
+  private[sources] def translate(df: DataFrame, f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(df(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(df(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(df(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(df(a) >= lit(v))
+    case LessThan(a, v) => Some(df(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(df(a) <= lit(v))
+    case In(a, vs) => Some(df(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(df(a).isNull)
+    case IsNotNull(a) => Some(df(a).isNotNull)
+    case StringStartsWith(a, v) => Some(df(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(df(a).endsWith(v))
+    case StringContains(a, v) => Some(df(a).contains(v))
+    case And(l, r) =>
+      (translate(df, l), translate(df, r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        // one conjunct still prunes on its own
+        case (a, b) => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for { a <- translate(df, l); b <- translate(df, r) } yield a || b
+    case Not(c) =>
+      // NOT must see its child's NULLs (three-valued logic), so a
+      // partially-translated child may not be negated
+      translate(df, c).map(not)
+    case _ => None
+  }
+}
+
+/** The relation behind `graft-store` — see [[GraftStoreSource]]. */
+class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
+    extends BaseRelation with PrunedFilteredScan {
+
+  import graft.streaming.StreamingOps
+
+  private def view: DataFrame = {
+    val v = layout match {
+      case "corpus" => StreamingOps.readCorpusStore(spark, path)
+      case "ivm-view" => StreamingOps.readIvmView(spark, path)
+      case "ivm-base" => StreamingOps.readIvmBase(spark, path)
+      case "scd2" => StreamingOps.readScd2Store(spark, path)
+    }
+    v.getOrElse(throw new IllegalStateException(
+      s"graft-store: no $layout store at $path"))
+  }
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = view.schema
+
+  // the delegated plan already produces InternalRows; skipping the
+  // Row round-trip keeps the scan at native speed (the BaseRelation
+  // contract for needConversion=false — buildScan returns the internal
+  // representation; stable here because the engine pins its Spark)
+  override def needConversion: Boolean = false
+
+  // every filter is RE-APPLIED by Spark above this scan; the copy
+  // pushed into the delegated plan below exists for partition pruning
+  // and parquet pushdown, so claiming them handled is never required
+  // for correctness and double evaluation of a pruned scan is cheap
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** The delegated inner plan for one scan: store view → pushed
+    * filters → column pruning. Package-visible so the spec can assert
+    * the plan shape (PartitionFilters on `__ingest_batch`/`bucket`,
+    * PushedFilters on data columns, ReadSchema pruned). */
+  private[sources] def planFor(requiredColumns: Array[String],
+                               filters: Array[Filter]): DataFrame = {
+    val base = view
+    // plain .filter already drops NULL-evaluating rows (the source
+    // Filter semantics) — no coalesce wrapper, which would block the
+    // parquet PushedFilters translation
+    val filtered = filters
+      .flatMap(GraftStoreRelation.translate(base, _))
+      .foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] =
+    planFor(requiredColumns, filters)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}

@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Manifests
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL over the engine's stores (`graft-store`): the relation must
+  * serve EXACTLY the programmatic readers' semantics for every layout,
+  * and the delegated inner plan must keep the scan properties that
+  * matter at 100 TB — partition pruning on the batch/bucket dirs,
+  * parquet data-filter pushdown, column pruning. */
+class GraftStoreSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bc = StreamingOps.IngestBatchCol
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-store").toString
+
+  private def docs: DataFrame = spark.read
+    .parquet(s"$sfDirDocs/documents.parquet").select("doc_id", "text", "source")
+
+  /** Three live batches split by doc_id % 3 — the ingest-store layout. */
+  private def mkStore(p: String): Unit =
+    (0 to 2).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$p/$bc=$b")
+    }
+
+  private def sortedRows(df: DataFrame): Seq[(Long, String)] =
+    df.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  test("load() equals readCorpusStore across the full lifecycle") {
+    val p = tmp()
+    mkStore(p)
+    // exercise the merge semantics: compact batches 0-1 into an epoch,
+    // then take down some ids (epoch leaf swap + live leaf rewrite)
+    StreamingOps.compactStore(spark, p, uptoBatch = 1L)
+    graft.operators.Takedown.deleteFromStore(spark, p,
+      ids = docs.select("doc_id").as[Long].collect().filter(_ % 97 == 0).toSeq)
+    val viaFormat = spark.read.format("graft-store").load(p)
+    val direct = StreamingOps.readCorpusStore(spark, p).get
+    assert(sortedRows(viaFormat) === sortedRows(direct))
+    assert(viaFormat.count() === direct.count())
+    Manifests.rmTree(p)
+  }
+
+  test("pure SQL through CREATE TEMPORARY VIEW, with WHERE and aggregates") {
+    val p = tmp()
+    mkStore(p)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_docs
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    val got = spark.sql(
+      """SELECT source, count(*) AS n, sum(doc_id) AS s
+        |FROM gs_docs WHERE doc_id % 2 = 0 GROUP BY source ORDER BY source
+        |""".stripMargin).as[(String, Long, Long)].collect().toSeq
+    val want = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    spark.sql("DROP VIEW gs_docs")
+    Manifests.rmTree(p)
+  }
+
+  test("pushed filters keep three-valued logic: NULL ids neither match nor leak") {
+    val p = tmp()
+    Seq((Some(1L), "a"), (None, "b"), (Some(10L), "c"))
+      .toDF("doc_id", "source").write.parquet(s"$p/$bc=0")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_nulls
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    assert(spark.sql("SELECT source FROM gs_nulls WHERE doc_id > 5")
+      .as[String].collect().toSeq === Seq("c"))
+    assert(spark.sql("SELECT source FROM gs_nulls WHERE doc_id IS NULL")
+      .as[String].collect().toSeq === Seq("b"))
+    assert(spark.sql("SELECT source FROM gs_nulls WHERE NOT (doc_id > 5)")
+      .as[String].collect().toSeq === Seq("a"))
+    spark.sql("DROP VIEW gs_nulls")
+    Manifests.rmTree(p)
+  }
+
+  test("plan: batch-dir partition pruning, parquet pushdown, column pruning") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val p = tmp()
+    mkStore(p)
+    val rel = new GraftStoreRelation(spark, p, "corpus")
+    val plan = rel.planFor(Array("doc_id"),
+        Array(EqualTo(bc, 2), GreaterThan("doc_id", 100L)))
+      .queryExecution.executedPlan.toString
+    // the batch filter lands on the partition column of the live scan
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*__ingest_batch[^\\]]*2\\).*"),
+      s"no batch-dir pruning in:\n$plan")
+    // the data filter reaches the parquet reader
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(doc_id,100\\).*"),
+      s"no parquet pushdown in:\n$plan")
+    // only the required column is read
+    assert(plan.matches("(?s).*ReadSchema: struct<doc_id:bigint>.*"),
+      s"column pruning missed in:\n$plan")
+    Manifests.rmTree(p)
+  }
+
+  test("ivm-view / ivm-base layouts serve the latest committed snapshot") {
+    val p = tmp()
+    Seq(("O", 1L), ("F", 2L)).toDF("status", "n_rows")
+      .write.parquet(s"$p/view/$bc=0")
+    Seq(("O", 5L), ("F", 7L), ("P", 1L)).toDF("status", "n_rows")
+      .write.parquet(s"$p/view/$bc=1")
+    Seq((1L, "O"), (2L, "F")).toDF("k", "status")
+      .write.parquet(s"$p/base/$bc=1")
+    val v = spark.read.format("graft-store").option("layout", "ivm-view").load(p)
+    assert(v.as[(String, Long)].collect().sortBy(_._1).toSeq ===
+      Seq(("F", 7L), ("O", 5L), ("P", 1L)))
+    val b = spark.read.format("graft-store").option("layout", "ivm-base").load(p)
+    assert(b.count() === 2L)
+    Manifests.rmTree(p)
+  }
+
+  test("scd2 layout serves closed ∪ open, like readScd2Store") {
+    val p = tmp()
+    Seq((1L, "v1", 10L, Some(20L), false)).toDF(
+        "key", "val", "valid_from_us", "valid_to_us", "is_current")
+      .write.parquet(s"$p/closed/$bc=0")
+    Seq((1L, "v2", 20L, Option.empty[Long], true)).toDF(
+        "key", "val", "valid_from_us", "valid_to_us", "is_current")
+      .write.parquet(s"$p/open/$bc=0")
+    val got = spark.read.format("graft-store").option("layout", "scd2").load(p)
+    val direct = StreamingOps.readScd2Store(spark, p).get
+    assert(got.orderBy("valid_from_us").collect().toSeq ===
+      direct.orderBy("valid_from_us").collect().toSeq)
+    assert(got.count() === 2L)
+    Manifests.rmTree(p)
+  }
+
+  test("unknown layout and missing store fail with pointed errors") {
+    val p = tmp()
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-store").option("layout", "nope").load(p)
+    }
+    assert(e1.getMessage.contains("unknown layout"))
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft-store").load(s"$p/absent")
+    }
+    assert(e2.getMessage.contains("no corpus store"))
+    Manifests.rmTree(p)
+  }
+}
