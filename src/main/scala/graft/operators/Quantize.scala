@@ -71,9 +71,18 @@ object Quantize {
     * `nCentroids`-entry codebook, and a vector encodes to m one-byte
     * codes — 8 bytes for a 64-dim float32 vector at the defaults (32×;
     * scalar int8 is 4×). `codebooks(s)(c)` is subspace s's centroid c. */
+  /** `residual = true` marks an IVFADC codebook (Jégou et al. 2011
+    * §IV.B): the codes encode `rot(v − c_list)` — the vector's residual
+    * against its coarse IVF centroid — instead of `rot(v)`. Residuals
+    * concentrate near zero, so the SAME m bytes carry materially less
+    * reconstruction error (the q151 contract measures the improvement).
+    * Train/encode/decode take whatever vector the caller passes; the
+    * flag tells the SERVING path (ADC) to use the per-(probe, list)
+    * tables of [[pqAdcLutResidual]]. */
   final case class PqCodebook(m: Int, dsub: Int,
                               codebooks: Array[Array[Array[Double]]],
-                              rot: Option[Array[Array[Double]]] = None) {
+                              rot: Option[Array[Array[Double]]] = None,
+                              residual: Boolean = false) {
     def nCentroids: Int = codebooks(0).length
     require(m == codebooks.length && codebooks.forall(_.forall(_.length == dsub)),
       s"inconsistent PQ codebook: m=$m dsub=$dsub")
@@ -205,6 +214,74 @@ object Quantize {
     })
     (dots, sq)
   }
+
+  // ------------------------------------- IVFADC residual tier (r16)
+  /** Per-(probe, list) ADC tables for a RESIDUAL codebook (Jégou et al.
+    * 2011 §IV.B): the stored codes reconstruct the residual in the
+    * rotated basis, so the served vector is v̂ = c_l + Rᵀ·d(codes) and
+    *
+    *   dot(p, v̂)  = dot(p, c_l) + Σ_s dot((R·p)_s, book_s[code_s])
+    *   |v̂|²       = |c_l|² + 2·Σ_s dot((R·c_l)_s, book_s[code_s])
+    *                + Σ_s |book_s[code_s]|²
+    *
+    * Tables per probe: the probe-side `dots` and centroid-norm `sq`
+    * (list-independent, shared with the raw tier) plus, per probed
+    * list, a scalar pair (dot(p, c_l), |c_l|²) and one m×nCentroids
+    * `cross` table — nProbe × m × 256 doubles total, driver metadata
+    * exactly as the raw LUT is. */
+  final case class ResidualLut(dots: Array[Array[Double]],
+                               sq: Array[Array[Double]],
+                               probeNorm: Double,
+                               constDot: Map[Int, Double],
+                               constSq: Map[Int, Double],
+                               cross: Map[Int, Array[Array[Double]]])
+
+  def pqAdcLutResidual(cb: PqCodebook, probe: Array[Double],
+                       listCentroids: Map[Int, Array[Double]]): ResidualLut = {
+    require(cb.residual, "pqAdcLutResidual: codebook is not residual-encoded")
+    val (dots, sq) = pqAdcLut(cb, probe)
+    val pn = math.sqrt(probe.map(x => x * x).sum)
+    val constDot = listCentroids.map { case (l, c) =>
+      l -> c.zip(probe).map { case (x, y) => x * y }.sum
+    }
+    val constSq = listCentroids.map { case (l, c) => l -> c.map(x => x * x).sum }
+    val cross = listCentroids.map { case (l, c0) =>
+      val c = cb.rot.fold(c0)(r => rotateLocal(r, c0))
+      l -> Array.tabulate(cb.m) { s =>
+        cb.codebooks(s).map { cent =>
+          var d = 0.0; var i = 0
+          while (i < cb.dsub) { d += c(s * cb.dsub + i) * cent(i); i += 1 }
+          d
+        }
+      }
+    }
+    ResidualLut(dots, sq, pn, constDot, constSq, cross)
+  }
+
+  /** Driver twin of the residual ADC scan's score — approximate
+    * cosine(probe, c_list + Rᵀ·decode(codes)). */
+  def pqAdcScoreResidualLocal(lut: ResidualLut, list: Int,
+                              codes: Array[Byte]): Double = {
+    var num = lut.constDot(list)
+    var den = lut.constSq(list)
+    val cr = lut.cross(list)
+    var s = 0
+    while (s < codes.length) {
+      val c = codes(s) & 0xFF
+      num += lut.dots(s)(c)
+      den += 2.0 * cr(s)(c) + lut.sq(s)(c)
+      s += 1
+    }
+    val d = lut.probeNorm * math.sqrt(math.max(den, 0.0))
+    if (d == 0.0) 0.0 else num / d
+  }
+
+  /** Residual-ADC scoring kernel: the scan reads (list, pq) only. */
+  def pqAdcScoreResidualUdf(lut: ResidualLut): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((list: Int, codes: Array[Byte]) =>
+      if (codes == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(pqAdcScoreResidualLocal(lut, list, codes)))
+      .asNondeterministic()
 
   // ------------------------------------------ OPQ rotation (r15)
   /** y = R·v (R given as rows). */
