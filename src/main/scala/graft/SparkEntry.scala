@@ -181,6 +181,7 @@ object SparkEntry {
     "q149_ivm_topk" -> (PipelineQueries.q149IvmTopK _),
     "q150_store_sql" -> (PipelineQueries.q150StoreSql _),
     "q151_check_ivfadc" -> (PipelineQueries.q151CheckIvfadc _),
+    "q152_check_quantile_view" -> (PipelineQueries.q152CheckQuantileView _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

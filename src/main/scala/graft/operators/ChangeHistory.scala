@@ -481,6 +481,50 @@ object ChangeHistory {
     * implementation gap). NULL values contribute nothing; a NULL group
     * key is a group like any other. Unlike [[maintainAggView]] this
     * view is SELF-maintainable — no base table read at all. */
+  /** Incremental QUANTILE view via persisted mergeable GK sketches —
+    * the q144 pattern with [[QuantileSketch]] as the per-group state
+    * (r16; VERDICT r15 next #5): "p95 latency per source, maintained"
+    * becomes a dashboard read. Per group the view stores the serialized
+    * sketch plus `n_val` and one estimate column per requested
+    * quantile; each change batch folds in with ONE sketch aggregation
+    * at delta size and a group-sized pairwise merge.
+    *
+    * Semantics are INSERT-MONOTONE like the HLL view: I/U/R rows
+    * contribute their (group, value); DELETE and TRUNCATE do not
+    * retract — a GK summary only grows, and the retractable alternative
+    * is the exact q39 path or a recompute (the same fundamental
+    * asymmetry [[maintainDistinctView]] documents). NULL values
+    * contribute nothing; a NULL group key is a group like any other.
+    * Self-maintainable — no base table read. Estimates carry the GK
+    * bound: true rank within ε·n (the q152 contract measures it). */
+  def maintainQuantileView(view: Option[DataFrame], typedChanges: DataFrame,
+                           groupKeys: Seq[String], valueCol: String,
+                           quantiles: Seq[(Double, String)],
+                           relativeError: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(quantiles.nonEmpty, "maintainQuantileView: no quantiles requested")
+    val spark = typedChanges.sparkSession
+    val delta = typedChanges
+      .filter(col("op").isin("I", "U", "R") && col(valueCol).isNotNull)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(QuantileSketch.sketchAgg(col(valueCol).cast("double"), relativeError)
+        .as("__qs"))
+    val prior = view.getOrElse(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(groupKeys.map(g => typedChanges.schema(g).copy(name = g)) ++
+        (StructField("sketch", BinaryType) +: StructField("n_val", LongType) +:
+          quantiles.map { case (_, n) => StructField(n, DoubleType) }))))
+    val l = prior.alias("v"); val r = delta.alias("d")
+    val cond = groupKeys.map(g => col(s"v.$g") <=> col(s"d.$g")).reduce(_ && _)
+    val merged = QuantileSketch.mergeSketches(col("sketch"), col("__qs"))
+    l.join(r, cond, "full_outer")
+      .select(groupKeys.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++
+        (merged.as("sketch") +: QuantileSketch.countOf(merged).as("n_val") +:
+          quantiles.map { case (q, n) =>
+            QuantileSketch.quantileOf(q)(merged).as(n)
+          }): _*)
+  }
+
   def maintainDistinctView(view: Option[DataFrame], typedChanges: DataFrame,
                            groupKeys: Seq[String], valueCol: String,
                            lgConfigK: Int = 12): DataFrame = {

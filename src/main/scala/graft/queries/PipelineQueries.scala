@@ -1375,6 +1375,98 @@ object PipelineQueries {
         "adc_rederived", "scores_exact", "append_encoded", "deterministic")
   }
 
+  /** q152 contract: incremental QUANTILE view via persisted mergeable
+    * GK sketches (r16; VERDICT r15 next #5 — the q144 HLL pattern with
+    * `QuantileSketch` as the per-group state; Greenwald & Khanna 2001
+    * via Spark's own QuantileSummaries). Three insert batches
+    * synthesized from events (value per event_type, split by
+    * event_id % 3) maintain p50/p90 per group; asserts:
+    *  (a) within_bound — every chained estimate's TRUE RANK in the
+    *      exact per-group value set is within ε·n (+1 for ties) of the
+    *      target rank, ε = 0.01 — the GK guarantee, measured in Spark
+    *      (one join against the events table, no driver values);
+    *  (b) merge_consistent — the one-shot sketch's estimates satisfy
+    *      the same rank bound, and chained-vs-one-shot ranks agree
+    *      within 2·ε·n + 2 (two valid sketches of the same data);
+    *  (c) delete_insensitive — folding a batch of DELETEs leaves every
+    *      estimate and n_val identical (insert-monotone semantics, the
+    *      q144 asymmetry: a GK summary cannot retract);
+    *  (d) roundtrip — the view survives a parquet write/read between
+    *      batches (sketches are stored bytes in an explicit codec, not
+    *      session state);
+    *  (e) deterministic — the chain repeats identically. */
+  def q152CheckQuantileView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ChangeHistory
+    import spark.implicits._
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val eps = 0.01
+    val ev = t(spark, dir, "events")
+      .select(lit("I").as("op"), col("event_id").as("lsn"), lit(0L).as("seq"),
+        col("event_id"), col("event_type"), col("value"))
+    val batches = (0 to 2).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    def chain(bs: Seq[DataFrame]): DataFrame =
+      bs.foldLeft(Option.empty[DataFrame]) { (v, b) =>
+        Some(ChangeHistory.maintainQuantileView(v, b, Seq("event_type"), "value",
+          qs, eps))
+      }.get
+    def estimates(v: DataFrame): Map[String, (Long, Double, Double)] =
+      v.select(col("event_type"), col("n_val"), col("p50"), col("p90"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val view = graft.operators.Storage.track(chain(batches).persist())
+    val est = estimates(view)
+    // (a)+(b) rank bounds, computed in Spark: one aggregation over the
+    // events table per view (estimates broadcast in as a literal map)
+    def ranksOk(m: Map[String, (Long, Double, Double)]): Boolean = {
+      val estDf = m.toSeq.map { case (g, (_, p50, p90)) => (g, p50, p90) }
+        .toDF("event_type", "e50", "e90")
+      val ranks = t(spark, dir, "events").filter(col("value").isNotNull)
+        .join(broadcast(estDf), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("value") < col("e90"), 1L).otherwise(0L)).as("lt90"))
+        .collect()
+      ranks.nonEmpty && ranks.forall { r =>
+        val n = r.getLong(1).toDouble
+        def ok(q: Double, le: Long, lt: Long): Boolean =
+          le >= (q - eps) * n - 1 && lt <= (q + eps) * n + 1
+        ok(0.5, r.getLong(2), r.getLong(3)) && ok(0.9, r.getLong(4), r.getLong(5))
+      }
+    }
+    val oneShot = estimates(chain(Seq(ev)))
+    val withinBound = ranksOk(est) && est.keySet == oneShot.keySet
+    val oneShotBound = ranksOk(oneShot)
+    // chained vs one-shot rank agreement: both are valid ε-sketches, so
+    // compare their VALUE estimates by rank distance through the bound
+    // above (each within ε of target → within 2ε + slack of each other);
+    // assert the cheap sufficient condition: both bounds hold AND the
+    // group counts agree exactly
+    val mergeConsistent = oneShotBound &&
+      est.forall { case (g, (n, _, _)) => oneShot(g)._1 == n }
+    // (c) deletes don't retract
+    val dels = ev.withColumn("op", lit("D"))
+    val afterDel = estimates(ChangeHistory.maintainQuantileView(
+      Some(view), dels, Seq("event_type"), "value", qs, eps))
+    val deleteInsensitive = afterDel == est
+    // (d) parquet roundtrip between batches
+    val tmp = java.nio.file.Files.createTempDirectory("q152-qv").toString
+    chain(batches.take(2)).write.mode("overwrite").parquet(tmp)
+    val resumed = estimates(ChangeHistory.maintainQuantileView(
+      Some(spark.read.parquet(tmp)), batches(2), Seq("event_type"), "value",
+      qs, eps))
+    val roundtrip = resumed == est
+    // (e) determinism
+    val deterministic = estimates(chain(batches)) == est
+    graft.operators.Manifests.rmTree(tmp)
+    Seq((withinBound, mergeConsistent, deleteInsensitive, roundtrip, deterministic))
+      .toDF("within_bound", "merge_consistent", "delete_insensitive", "roundtrip",
+        "deterministic")
+  }
+
   /** q150: SQL over a CDC-maintained store through the `graft-store`
     * data source (r16; VERDICT r15 next #1 — the stores were reachable
     * only from programmatic Scala): a corpus store is built from the
@@ -4848,6 +4940,10 @@ object PipelineQueries {
           |       true AS fidelity_improves, true AS recall_ok,
           |       true AS adc_rederived, true AS scores_exact,
           |       true AS append_encoded, true AS deterministic""".stripMargin,
+      "q152_check_quantile_view" ->
+        """SELECT true AS within_bound, true AS merge_consistent,
+          |       true AS delete_insensitive, true AS roundtrip,
+          |       true AS deterministic""".stripMargin,
       // the q87 formula over exactly the surviving documents (the
       // index saw build(⅔) + append(⅓) + delete(%97) before the search)
       "q147_text_index" ->

@@ -872,6 +872,33 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming incremental QUANTILE view — the sink for
+    * [[graft.operators.ChangeHistory.maintainQuantileView]] (r16). The
+    * quantile view is SELF-maintainable (insert-monotone GK sketches —
+    * no base table read), so the store is the `view/` snapshot area
+    * alone: each batch reads the newest committed snapshot strictly
+    * before it, folds in, and overwrites its own
+    * `view/__ingest_batch=id` — the ivmIngestToStore crash-replay
+    * contract with half the writes. Read with [[readIvmView]]; GC with
+    * [[gcIvmSnapshots]] (the absent `base/` area is a no-op). */
+  def quantileIngestToStore(changes: DataFrame, storePath: String,
+                            checkpoint: String, groupKeys: Seq[String],
+                            valueCol: String,
+                            quantiles: Seq[(Double, String)],
+                            relativeError: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val prevView = latestOpenSnapshot(spark, s"$storePath/view", beforeBatch = id)
+        graft.operators.ChangeHistory.maintainQuantileView(prevView, batch,
+            groupKeys, valueCol, quantiles, relativeError)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$storePath/view/$IngestBatchCol=$id")
+      }
+      .start()
+
   /** Streaming ingest into the persisted inverted text index — the
     * text twin of the vector-ingest sink: each micro-batch of
     * (doc_id, text) appends its postings and doclens under its OWN

@@ -85,4 +85,28 @@ class CdcIvmE2eSpec extends SparkSpec {
     assert(mm.get.select("g", "n_rows", "min_val", "max_val")
       .as[(String, Long, Long, Long)].collect().toSeq === Seq(("b", 2L, 15L, 30L)))
   }
+
+  test("maintained quantile view tracks the decoded stream (insert-monotone)") {
+    import spark.implicits._
+    val typed = Envelope.typedView(ReplayDecode.batchDf(spark, writeFixture()), rel)
+    val txids = typed.select("txid").distinct().orderBy("txid")
+      .as[Long].collect().toSeq
+    var qv: Option[DataFrame] = None
+    txids.foreach { tx =>
+      val batch = typed.filter(col("txid") === tx)
+      qv = Some(ChangeHistory.maintainQuantileView(qv, batch,
+        groupKeys = Seq("g"), valueCol = "v", quantiles = Seq(0.5 -> "p50")))
+    }
+    // insert-monotone: every I/U value ever seen contributes; deletes
+    // and TOAST-unchanged sentinels do not. Stream values per group:
+    //   a: 10 (k1 I), 20 (k2 I)      — the later moves/deletes don't retract
+    //   b: 30 (k3 I), 15 (k1 U->b)   (k3's TOAST update carries v
+    //                                 UNCHANGED -> typedView nulls it -> skipped)
+    val got = qv.get.select("g", "n_val", "p50")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) === Seq(("a", 2L), ("b", 2L)))
+    // GK at eps=0.01 over 2 values returns an exact element
+    assert(Seq(10.0, 20.0).contains(got(0)._3))
+    assert(Seq(15.0, 30.0).contains(got(1)._3))
+  }
 }
