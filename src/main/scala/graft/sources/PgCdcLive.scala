@@ -279,16 +279,32 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
     // released before the commit arrives — losing records), so they gate
     // safe points AND veto the overflow cut
     val streamed = scala.collection.mutable.Set.empty[Int]
+    // proto v3 2PC: a prepared tx is open from 'b' (or streamed 'p')
+    // until its DECISION 'K'/'r'. Unlike replay (which re-decodes from
+    // frame 0), the live source decodes only the acked-and-released
+    // slice — a batch boundary inside the prepared-undecided window
+    // would ack the content frames away before the decision arrives, so
+    // the WHOLE b..K/r window gates safe points and vetoes the overflow
+    // cut (atomicity over admission liveness: one in-doubt XA tx
+    // head-of-line blocks later data exactly as ordered delivery
+    // requires; PostgreSQL redelivers from the unacked LSN on restart)
+    val preparedOpen = scala.collection.mutable.Set.empty[String]
     var safeWithinCap: LsnOffset = null // furthest tx-safe point within `cap` rows
     var firstSafeBeyond: LsnOffset = null // first tx-safe point past the cap (atomic fallback)
     var atCap: LsnOffset = null // key of the cap'th data row (overflow cut point)
-    var atCapStreamedOpen = false
+    var atCapUnsplittable = false
     var rows = 0
     pending.foreach { f =>
       if (isChange(f.bytes)) rows += 1
       f.bytes.headOption.map(_.toChar) match {
         case Some('B') => open = true
         case Some('C') => open = false
+        case Some('b') => preparedOpen += gidAt(f.bytes, 29)
+        case Some('p') =>
+          streamed -= ByteBuffer.wrap(f.bytes, 26, 4).getInt
+          preparedOpen += gidAt(f.bytes, 30)
+        case Some('K') => preparedOpen -= gidAt(f.bytes, 30)
+        case Some('r') => preparedOpen -= gidAt(f.bytes, 38)
         case Some('S') => streamed += ByteBuffer.wrap(f.bytes, 1, 4).getInt
         case Some('c') => streamed -= ByteBuffer.wrap(f.bytes, 1, 4).getInt
         case Some('A') =>
@@ -296,21 +312,29 @@ class PgCdcLiveStream(source: ReplicationFrameSource,
           if (ByteBuffer.wrap(f.bytes, 5, 4).getInt == top) streamed -= top
         case _ => ()
       }
-      if (!open && streamed.isEmpty) {
+      if (!open && streamed.isEmpty && preparedOpen.isEmpty) {
         if (rows <= cap) safeWithinCap = LsnOffset(f.lsn, f.seq)
         else if (firstSafeBeyond == null) firstSafeBeyond = LsnOffset(f.lsn, f.seq)
       }
       if (rows == cap && atCap == null) {
         atCap = LsnOffset(f.lsn, f.seq)
-        atCapStreamedOpen = streamed.nonEmpty
+        atCapUnsplittable = streamed.nonEmpty || preparedOpen.nonEmpty
       }
     }
     if (safeWithinCap != null) safeWithinCap // atomic batch within the cap
-    // overflow flush: cut mid-tx — v1 txns only (a streamed tx's buffered
-    // frames would be lost across the cut)
-    else if (allowMidTxFlush && atCap != null && !atCapStreamedOpen) atCap
+    // overflow flush: cut mid-tx — v1 txns only (a streamed or prepared
+    // tx's buffered frames would be lost across the cut)
+    else if (allowMidTxFlush && atCap != null && !atCapUnsplittable) atCap
     else if (firstSafeBeyond != null) firstSafeBeyond // extend to the tx's COMMIT
     else s // tx open beyond everything buffered: wait for more
+  }
+
+  /** The gid cstring of a 2PC frame, at its documented byte offset
+    * ('b': 29, 'p'/'K': 30, 'r': 38). */
+  private def gidAt(bytes: Array[Byte], off: Int): String = {
+    var end = off
+    while (end < bytes.length && bytes(end) != 0) end += 1
+    new String(bytes, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** txid of the transaction open just after offset `at` (scan of the
@@ -423,6 +447,13 @@ object LiveDecode {
     // within the slice
     val pending = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
+    // v3 2PC assembly (same shape as ReplayDecode): the b..K/r window
+    // never splits across batches (latestOffset gates safe points on
+    // undecided prepared txs), so buffers resolve within the slice
+    var prepGid: Option[String] = None
+    var prepTx = -1L
+    val prepared = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[ChangeRecord]]
     def changeRec(op: Char, lsn: Long, seq: Long, tx: Long, meta: PgOutput.RelationMeta,
                   cells: PgOutput.Cells, before: PgOutput.Cells): ChangeRecord =
       ChangeRecord(
@@ -436,20 +467,44 @@ object LiveDecode {
       metas.map(m => ChangeRecord("T", lsn, tx, m.schema, m.table,
         Map.empty, Vector.empty, Map.empty, seq))
     frames.iterator.flatMap { case (lsn, seq, bytes) =>
+      def route(rec: => ChangeRecord): Seq[ChangeRecord] = prepGid match {
+        case Some(g) => prepared(g) += rec; Nil
+        case None => Seq(rec)
+      }
+      def routeAll(recs: => Seq[ChangeRecord]): Seq[ChangeRecord] = prepGid match {
+        case Some(g) => prepared(g) ++= recs; Nil
+        case None => recs
+      }
+      def curTx: Long = if (prepGid.isDefined) prepTx else if (txid >= 0) txid else lsn
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
+        case Some(PgOutput.BeginPrepare(_, _, xid, gid)) =>
+          prepGid = Some(gid); prepTx = xid.toLong & 0xffffffffL
+          prepared.getOrElseUpdate(gid, scala.collection.mutable.ArrayBuffer.empty)
+          Nil
+        case Some(_: PgOutput.Prepare) => prepGid = None; Nil
+        case Some(PgOutput.CommitPrepared(_, _, _, gid)) =>
+          prepared.remove(gid).map(_.toSeq).getOrElse(Nil)
+        case Some(PgOutput.RollbackPrepared(_, _, _, gid)) =>
+          prepared.remove(gid); Nil
+        case Some(PgOutput.StreamPrepare(_, _, xid, gid)) =>
+          prepared(gid) = pending.remove(xid)
+            .map(_.map(_._2)).getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+          Nil
         case Some(PgOutput.Change(op, meta, cells, before)) =>
-          Seq(changeRec(op, lsn, seq, if (txid >= 0) txid else lsn, meta, cells, before))
+          route(changeRec(op, lsn, seq, curTx, meta, cells, before))
         case Some(PgOutput.Truncate(metas, _, _)) =>
-          truncRecs(lsn, seq, if (txid >= 0) txid else lsn, metas)
+          routeAll(truncRecs(lsn, seq, curTx, metas))
         case Some(m: PgOutput.LogicalMessage) =>
-          Seq(Envelope.messageRecord(lsn,
-            if (m.transactional && txid >= 0) txid else lsn, m, seq))
+          if (m.transactional)
+            route(Envelope.messageRecord(lsn, if (prepGid.isDefined) prepTx
+              else if (txid >= 0) txid else lsn, m, seq))
+          else Seq(Envelope.messageRecord(lsn, lsn, m, seq))
         case Some(tm: PgOutput.TypeMessage) =>
-          Seq(Envelope.typeRecord(lsn, if (txid >= 0) txid else lsn, tm, seq))
+          route(Envelope.typeRecord(lsn, curTx, tm, seq))
         case Some(om: PgOutput.OriginMessage) =>
-          Seq(Envelope.originRecord(lsn, if (txid >= 0) txid else lsn, om, seq))
+          route(Envelope.originRecord(lsn, curTx, om, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
             ((msgXid, changeRec(op, lsn, seq, top.toLong & 0xffffffffL, meta, cells, before)))

@@ -41,6 +41,17 @@ object ReplayDecode {
     // sub != top discards just the subtransaction's records)
     val pending = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeRecord)]]
+    // proto v3 two-phase assembly: a prepared transaction's content
+    // (b..P, or a streamed tx resolved by 'p') buffers per gid and is
+    // DECIDED arbitrarily later — emitted whole in the batch containing
+    // COMMIT PREPARED ('K'), discarded at ROLLBACK PREPARED ('r').
+    // decode-from-0 makes the prepared-undecided window restart-safe:
+    // a batch cut between P and K rebuilds the buffer on every replay.
+    // Prepared records carry txid = the b frame's xid (unsigned).
+    var prepGid: Option[String] = None
+    var prepTx = -1L
+    val prepared = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[ChangeRecord]]
     // per-frame arrival seq within an equal-LSN run — (lsn, seq) totally
     // orders records (LSNs repeat across consecutive pgoutput frames)
     var seqLsn = Long.MinValue
@@ -61,25 +72,59 @@ object ReplayDecode {
         Map.empty, Vector.empty, Map.empty, seq))
     frames.iterator.take(emitUntil).zipWithIndex.flatMap { case ((lsn, bytes), idx) =>
       if (lsn == seqLsn) seq += 1L else { seqLsn = lsn; seq = 0L }
+      // route a record: into the open prepared buffer (regardless of the
+      // emit window — the decision frame decides where it emits), else
+      // emitted inline when inside the window
+      def route(rec: => ChangeRecord): Seq[ChangeRecord] = prepGid match {
+        case Some(g) => prepared(g) += rec; Nil
+        case None => if (idx >= emitFrom) Seq(rec) else Nil
+      }
+      def routeAll(recs: => Seq[ChangeRecord]): Seq[ChangeRecord] = prepGid match {
+        case Some(g) => prepared(g) ++= recs; Nil
+        case None => if (idx >= emitFrom) recs else Nil
+      }
+      def curTx: Long = if (prepGid.isDefined) prepTx else if (txid >= 0) txid else lsn
       decoder.decode(ByteBuffer.wrap(bytes)) match {
         case Some(PgOutput.Begin) => txid = lsn; Nil
         case Some(PgOutput.Commit) => txid = -1L; Nil
-        case Some(PgOutput.Change(op, meta, cells, before)) if idx >= emitFrom =>
-          Seq(changeRec(op, lsn, if (txid >= 0) txid else lsn, meta, cells, before))
-        case Some(PgOutput.Truncate(metas, _, _)) if idx >= emitFrom =>
-          truncRecs(lsn, if (txid >= 0) txid else lsn, metas)
-        case Some(m: PgOutput.LogicalMessage) if idx >= emitFrom =>
+        case Some(PgOutput.BeginPrepare(_, _, xid, gid)) =>
+          prepGid = Some(gid); prepTx = xid.toLong & 0xffffffffL
+          prepared.getOrElseUpdate(gid, scala.collection.mutable.ArrayBuffer.empty)
+          Nil
+        case Some(_: PgOutput.Prepare) => prepGid = None; Nil
+        case Some(PgOutput.CommitPrepared(_, _, _, gid)) =>
+          // unknown gid (decided before the capture started): nothing
+          // buffered, nothing to deliver
+          val recs = prepared.remove(gid).map(_.toSeq).getOrElse(Nil)
+          if (idx >= emitFrom) recs else Nil
+        case Some(PgOutput.RollbackPrepared(_, _, _, gid)) =>
+          prepared.remove(gid); Nil
+        case Some(PgOutput.StreamPrepare(_, _, xid, gid)) =>
+          // a streamed tx's segments resolve into the prepared-undecided
+          // state instead of applying — K/r decide later
+          prepared(gid) = pending.remove(xid)
+            .map(_.map(_._2)).getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+          Nil
+        case Some(PgOutput.Change(op, meta, cells, before)) =>
+          route(changeRec(op, lsn, curTx, meta, cells, before))
+        case Some(PgOutput.Truncate(metas, _, _)) =>
+          routeAll(truncRecs(lsn, curTx, metas))
+        case Some(m: PgOutput.LogicalMessage) =>
           // transactional: scoped to the enclosing tx; non-transactional:
           // standalone at its own position (txid = own lsn, like the
-          // out-of-tx DML singleton path)
-          Seq(Envelope.messageRecord(lsn,
-            if (m.transactional && txid >= 0) txid else lsn, m, seq))
-        case Some(tm: PgOutput.TypeMessage) if idx >= emitFrom =>
-          Seq(Envelope.typeRecord(lsn, if (txid >= 0) txid else lsn, tm, seq))
-        case Some(om: PgOutput.OriginMessage) if idx >= emitFrom =>
+          // out-of-tx DML singleton path) — and never buffered into a
+          // prepared tx (it does not belong to it)
+          if (m.transactional)
+            route(Envelope.messageRecord(lsn, if (prepGid.isDefined) prepTx
+              else if (txid >= 0) txid else lsn, m, seq))
+          else if (idx >= emitFrom) Seq(Envelope.messageRecord(lsn, lsn, m, seq))
+          else Nil
+        case Some(tm: PgOutput.TypeMessage) =>
+          route(Envelope.typeRecord(lsn, curTx, tm, seq))
+        case Some(om: PgOutput.OriginMessage) =>
           // ORIGIN tags the enclosing transaction (sent just after BEGIN
           // in cascaded setups) — scope it like transactional messages
-          Seq(Envelope.originRecord(lsn, if (txid >= 0) txid else lsn, om, seq))
+          route(Envelope.originRecord(lsn, curTx, om, seq))
         case Some(PgOutput.Streamed(top, msgXid, PgOutput.Change(op, meta, cells, before))) =>
           // buffered regardless of the emit window — the commit decides
           pending.getOrElseUpdate(top, scala.collection.mutable.ArrayBuffer.empty) +=
@@ -206,8 +251,17 @@ class PgCdcReplayStream(path: String, maxFramesPerTrigger: Int,
       bytes(0).toChar match {
         case 'B' => open = true
         case 'C' => open = false
+        // v3 2PC: the b..P content phase must not split (same rule as
+        // B..C); the prepared-UNDECIDED window P..K/r IS cuttable here —
+        // replay re-decodes from frame 0, so the buffer rebuilds and the
+        // tx still delivers whole in the batch containing its decision
+        case 'b' => open = true
+        case 'P' => open = false
         case 'S' => streamed += ByteBuffer.wrap(bytes, 1, 4).getInt
         case 'c' => streamed -= ByteBuffer.wrap(bytes, 1, 4).getInt
+        // STREAM PREPARE resolves the streamed segments into the
+        // prepared-undecided state: xid sits after tag+flags+3×Int64
+        case 'p' => streamed -= ByteBuffer.wrap(bytes, 26, 4).getInt
         case 'A' =>
           val top = ByteBuffer.wrap(bytes, 1, 4).getInt
           if (ByteBuffer.wrap(bytes, 5, 4).getInt == top) streamed -= top

@@ -108,6 +108,28 @@ object PgOutput {
     * (differs under subtransactions — the StreamAbort discard key). */
   final case class Streamed(xid: Int, msgXid: Int, inner: Message) extends Message
 
+  // --------------------------- proto_version=3 two-phase commit (PG 15+)
+  // A prepared (XA-style) transaction streams its content at PREPARE
+  // TRANSACTION time as b(BEGIN PREPARE)..DML..P(PREPARE) and is DECIDED
+  // arbitrarily later by K (COMMIT PREPARED: deliver) or r (ROLLBACK
+  // PREPARED: discard). A streamed (v2) transaction that prepares ends
+  // its segments with p (STREAM PREPARE) instead of c, then K/r decide.
+  // The reference pins proto_version=1 (`CdcEngine.java:31,62-65`) and
+  // never sees prepared transactions at all; the repo's sources deliver
+  // them atomically at the decision, never split (r16; VERDICT r15 next
+  // #4 — the Debezium-class deployment tier). Field layouts per the
+  // PostgreSQL docs, "Logical Replication Message Formats".
+  final case class BeginPrepare(prepareLsn: Long, endLsn: Long, xid: Int,
+                                gid: String) extends Message
+  final case class Prepare(prepareLsn: Long, endLsn: Long, xid: Int,
+                           gid: String) extends Message
+  final case class CommitPrepared(commitLsn: Long, endLsn: Long, xid: Int,
+                                  gid: String) extends Message
+  final case class RollbackPrepared(prepareEndLsn: Long, rollbackEndLsn: Long,
+                                    xid: Int, gid: String) extends Message
+  final case class StreamPrepare(prepareLsn: Long, endLsn: Long, xid: Int,
+                                 gid: String) extends Message
+
   /** Empty since round 9: every recognized frame type is decoded ('Y'
     * and 'O' were the last dropped ones — the reference drops Y/O/T/M,
     * `PgWalMessageDecoder.java:60-61`). Kept so the "recognized but
@@ -115,7 +137,8 @@ object PgOutput {
     * frames worth skipping. */
   val DroppedTypes: Set[Char] = Set.empty
   val KnownTypes: Set[Char] =
-    Set('R', 'B', 'C', 'I', 'U', 'D', 'T', 'M', 'Y', 'O', 'S', 'E', 'c', 'A')
+    Set('R', 'B', 'C', 'I', 'U', 'D', 'T', 'M', 'Y', 'O', 'S', 'E', 'c', 'A',
+      'b', 'P', 'K', 'r', 'p')
 }
 
 /** Stateful decoder: the relation registry makes it order-dependent
@@ -215,6 +238,42 @@ final class PgOutputDecoder {
         Some(OriginMessage(buf.getLong(), readCString(buf)))
       case 'A' =>
         Some(StreamAbort(buf.getInt(), buf.getInt()))
+      case 'b' =>
+        // Byte1('b'), Int64 prepare LSN, Int64 end LSN, Int64 prepare
+        // timestamp, Int32 xid, String gid
+        val pLsn = buf.getLong(); val eLsn = buf.getLong()
+        buf.getLong() // prepare timestamp
+        Some(BeginPrepare(pLsn, eLsn, buf.getInt(), readCString(buf)))
+      case 'P' =>
+        // Byte1('P'), Int8 flags (0), Int64 prepare LSN, Int64 end LSN,
+        // Int64 prepare timestamp, Int32 xid, String gid
+        buf.get() // flags
+        val pLsn = buf.getLong(); val eLsn = buf.getLong()
+        buf.getLong()
+        Some(Prepare(pLsn, eLsn, buf.getInt(), readCString(buf)))
+      case 'K' =>
+        // Byte1('K'), Int8 flags (0), Int64 commit LSN, Int64 end LSN,
+        // Int64 commit timestamp, Int32 xid, String gid
+        buf.get()
+        val cLsn = buf.getLong(); val eLsn = buf.getLong()
+        buf.getLong()
+        Some(CommitPrepared(cLsn, eLsn, buf.getInt(), readCString(buf)))
+      case 'r' =>
+        // Byte1('r'), Int8 flags (0), Int64 prepare-end LSN, Int64
+        // rollback-end LSN, Int64 prepare ts, Int64 rollback ts,
+        // Int32 xid, String gid
+        buf.get()
+        val pe = buf.getLong(); val re = buf.getLong()
+        buf.getLong(); buf.getLong()
+        Some(RollbackPrepared(pe, re, buf.getInt(), readCString(buf)))
+      case 'p' =>
+        // Byte1('p'), Int8 flags (0), Int64 prepare LSN, Int64 end LSN,
+        // Int64 prepare timestamp, Int32 xid, String gid — ends a
+        // STREAMED transaction's segments in the prepared-undecided state
+        buf.get()
+        val pLsn = buf.getLong(); val eLsn = buf.getLong()
+        buf.getLong()
+        Some(StreamPrepare(pLsn, eLsn, buf.getInt(), readCString(buf)))
       case c if PgOutput.DroppedTypes(c) => None
       case c => throw new IllegalArgumentException(s"unknown pgoutput message type '$c'")
     }
@@ -352,6 +411,31 @@ object PgOutputEncoder {
   def streamCommit(xid: Int, commitLsn: Long = 0L, endLsn: Long = 0L): Array[Byte] =
     Array('c'.toByte) ++ int32(xid) ++ Array(0.toByte) ++
       int64(commitLsn) ++ int64(endLsn) ++ int64(0L)
+
+  def beginPrepare(xid: Int, gid: String, prepareLsn: Long = 0L,
+                   endLsn: Long = 0L): Array[Byte] =
+    Array('b'.toByte) ++ int64(prepareLsn) ++ int64(endLsn) ++ int64(0L) ++
+      int32(xid) ++ cstr(gid)
+
+  def prepare(xid: Int, gid: String, prepareLsn: Long = 0L,
+              endLsn: Long = 0L): Array[Byte] =
+    Array('P'.toByte, 0.toByte) ++ int64(prepareLsn) ++ int64(endLsn) ++
+      int64(0L) ++ int32(xid) ++ cstr(gid)
+
+  def commitPrepared(xid: Int, gid: String, commitLsn: Long = 0L,
+                     endLsn: Long = 0L): Array[Byte] =
+    Array('K'.toByte, 0.toByte) ++ int64(commitLsn) ++ int64(endLsn) ++
+      int64(0L) ++ int32(xid) ++ cstr(gid)
+
+  def rollbackPrepared(xid: Int, gid: String, prepareEndLsn: Long = 0L,
+                       rollbackEndLsn: Long = 0L): Array[Byte] =
+    Array('r'.toByte, 0.toByte) ++ int64(prepareEndLsn) ++ int64(rollbackEndLsn) ++
+      int64(0L) ++ int64(0L) ++ int32(xid) ++ cstr(gid)
+
+  def streamPrepare(xid: Int, gid: String, prepareLsn: Long = 0L,
+                    endLsn: Long = 0L): Array[Byte] =
+    Array('p'.toByte, 0.toByte) ++ int64(prepareLsn) ++ int64(endLsn) ++
+      int64(0L) ++ int32(xid) ++ cstr(gid)
 
   def streamAbort(xid: Int, subXid: Int): Array[Byte] =
     Array('A'.toByte) ++ int32(xid) ++ int32(subXid)

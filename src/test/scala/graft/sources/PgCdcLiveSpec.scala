@@ -150,6 +150,68 @@ class PgCdcLiveSpec extends SparkSpec {
     assert(recs.map(r => (r.columns("id"), r.txid)) === Vector(("10", 700L), ("11", 700L)))
   }
 
+  test("proto v3 2PC: the live b..K window never splits; delivery at K; rollback discards") {
+    val fs: Seq[(Long, Array[Byte])] = Seq(
+      e.relation(rel), // 300
+      e.beginPrepare(900, "g1"), // 301
+      e.insert(1, Seq(Some("10"), Some("x"))), // 302
+      e.insert(1, Seq(Some("11"), Some("y"))), // 303
+      e.prepare(900, "g1"), // 304
+      e.begin(), // 305: v1 tx inside the undecided window
+      e.insert(1, Seq(Some("12"), Some("z"))), // 306
+      e.commit(), // 307
+      e.commitPrepared(900, "g1"), // 308
+      e.beginPrepare(901, "g2"), // 309
+      e.insert(1, Seq(Some("13"), Some("w"))), // 310
+      e.prepare(901, "g2"), // 311
+      e.rollbackPrepared(901, "g2"), // 312
+      e.insert(1, Seq(Some("14"), Some("v"))) // 313: singleton
+    ).zipWithIndex.map { case (f, i) => (300L + i, f) }
+    // the live source decodes only acked-away slices, so the WHOLE
+    // b..K window gates safe points: with the cap inside the window the
+    // batch extends to the decision at 308
+    val (atom, _) = newStream(cap = 4, fs = fs)
+    assert(end(atom, 0L, 1) === 300L) // only the pre-b point is safe
+    assert(end(atom, 300L, 2) === 308L) // atomic extension to K
+    assert(end(atom, 300L, 3) === 308L)
+    // overflow mode: the mid-window cut is vetoed (buffered prepared
+    // frames would be acked away before the decision)
+    val (over, _) = newStream(cap = 2, overflow = true, fs = fs)
+    assert(end(over, 300L, 2) === 308L)
+    // assembly: the v1 tx emits at its own position; the prepared tx's
+    // rows emit at K with the b frame's xid
+    val p = atom.planInputPartitions(LsnOffset(300L), LsnOffset(308L))(0)
+      .asInstanceOf[LivePartition]
+    val recs = LiveDecode.decode(p.relationFrames, p.frames, p.openTxid).toVector
+    assert(recs.map(r => (r.columns("id"), r.txid)) ===
+      Vector(("12", 305L), ("10", 900L), ("11", 900L)))
+    // the rolled-back window: gated until 'r', then discarded
+    val (tail, _) = newStream(cap = 10, fs = fs)
+    assert(end(tail, 308L, 1) === 312L) // the r frame closes the window
+    val p2 = tail.planInputPartitions(LsnOffset(308L), LsnOffset(313L))(0)
+      .asInstanceOf[LivePartition]
+    val recs2 = LiveDecode.decode(p2.relationFrames, p2.frames, p2.openTxid).toVector
+    assert(recs2.map(r => (r.columns("id"), r.txid)) === Vector(("14", 313L)))
+  }
+
+  test("proto v3 2PC: a streamed tx resolved by 'p' gates and assembles at K") {
+    val fs: Seq[(Long, Array[Byte])] = Seq(
+      e.relation(rel), // 400
+      e.streamStart(700), // 401
+      e.streamed(700, e.insert(1, Seq(Some("20"), Some("x")))), // 402
+      e.streamStop(), // 403
+      e.streamPrepare(700, "g3"), // 404
+      e.commitPrepared(700, "g3") // 405
+    ).zipWithIndex.map { case (f, i) => (400L + i, f) }
+    val (s, _) = newStream(cap = 10, fs = fs)
+    // 'p' swaps streamed→prepared without opening a safe point; only K does
+    assert(end(s, 400L, 1) === 405L)
+    val p = s.planInputPartitions(LsnOffset(400L), LsnOffset(405L))(0)
+      .asInstanceOf[LivePartition]
+    val recs = LiveDecode.decode(p.relationFrames, p.frames, p.openTxid).toVector
+    assert(recs.map(r => (r.columns("id"), r.txid)) === Vector(("20", 700L)))
+  }
+
   test("a RELATION announced inside a streamed segment decodes then and in later batches") {
     // Real servers re-send RELATION inside every streamed transaction,
     // xid-prefixed ('R' + Int32 xid + body). The registry cache must

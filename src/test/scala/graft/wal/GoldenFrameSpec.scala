@@ -27,9 +27,9 @@ class GoldenFrameSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
-  test("golden frames decode message-by-message (multi-relation, TOAST, arrays, v2, truncate)") {
+  test("golden frames decode message-by-message (multi-relation, TOAST, arrays, v2, truncate, 2PC)") {
     val frames = FrameFile.read(goldenBytes)
-    assert(frames.size === 37)
+    assert(frames.size === 53)
     val d = new PgOutputDecoder
     val msgs = frames.map { case (_, b) => d.decode(ByteBuffer.wrap(b)) }
 
@@ -115,6 +115,38 @@ class GoldenFrameSpec extends SparkSpec {
     val Some(Change('I', _, b3Cells, _)) = msgs(35)
     assert(b3Cells("data") === Some("\\000\\\\A\\377"))
     assert(msgs(36) === Some(Commit))
+
+    // proto v3 two-phase commit: full real bodies (LSNs, timestamps,
+    // xid, gid cstring) — a decoder misreading any Int64 would corrupt
+    // the gid and fail the match
+    assert(msgs(37) === Some(BeginPrepare(0x01000900L, 0x01000901L, 2100,
+      "golden-gid-commit")))
+    val Some(Change('I', _, p1Cells, _)) = msgs(38)
+    assert(p1Cells("id") === Some("10"))
+    assert(msgs(39) === Some(Prepare(0x01000900L, 0x01000901L, 2100,
+      "golden-gid-commit")))
+    assert(msgs(40) === Some(BeginPrepare(0x01000A00L, 0x01000A01L, 2200,
+      "golden-gid-abort")))
+    val Some(Change('I', _, p2Cells, _)) = msgs(41)
+    assert(p2Cells("id") === Some("11"))
+    assert(msgs(42) === Some(Prepare(0x01000A00L, 0x01000A01L, 2200,
+      "golden-gid-abort")))
+    // an ordinary tx decided INSIDE the undecided window
+    assert(msgs(43) === Some(Begin))
+    assert(msgs(45) === Some(Commit))
+    assert(msgs(46) === Some(CommitPrepared(0x01000900L, 0x01000902L, 2100,
+      "golden-gid-commit")))
+    assert(msgs(47) === Some(RollbackPrepared(0x01000A01L, 0x01000A02L, 2200,
+      "golden-gid-abort")))
+    // streamed tx resolved by STREAM PREPARE, then committed
+    assert(msgs(48) === Some(StreamStart(2400, firstSegment = true)))
+    val Some(Streamed(2400, 2400, Change('I', _, spCells, _))) = msgs(49)
+    assert(spCells("id") === Some("12"))
+    assert(msgs(50) === Some(StreamStop))
+    assert(msgs(51) === Some(StreamPrepare(0x01000C00L, 0x01000C01L, 2400,
+      "golden-gid-stream")))
+    assert(msgs(52) === Some(CommitPrepared(0x01000C00L, 0x01000C02L, 2400,
+      "golden-gid-stream")))
   }
 
   test("golden file end-to-end: replay -> typed view -> applyChanges") {
@@ -127,13 +159,19 @@ class GoldenFrameSpec extends SparkSpec {
     // I I U D (txn 1234 -> txid = BEGIN frame lsn), streamed I (real xid
     // 999; txn 1001 aborted), T+T (truncate txn), M+M (transactional
     // fence + standalone tick; the streamed-aborted message discarded),
-    // I+I (bytea txn)
+    // I+I (bytea txn), then the 2PC block: committed-prepared widgets
+    // I (id 10, txid = the b frame's xid 2100; the rolled-back id 11
+    // never surfaces), the interleaved blobs I, the stream-prepared
+    // widgets I (id 12, txid 2400)
     assert(rows.map(_.getAs[String]("op")).toSeq ===
-      Seq("Y", "O", "I", "I", "U", "D", "I", "T", "T", "M", "M", "I", "I", "I"))
+      Seq("Y", "O", "I", "I", "U", "D", "I", "T", "T", "M", "M", "I", "I", "I",
+        "I", "I", "I"))
     assert(rows(6).getAs[Long]("txid") === 999L)
     assert(rows.map(_.getAs[String]("table")).toSeq ===
       Seq("", "", "widgets", "gadgets", "gadgets", "gadgets", "widgets", "widgets", "gadgets",
-        "", "", "blobs", "blobs", "blobs"))
+        "", "", "blobs", "blobs", "blobs", "widgets", "blobs", "widgets"))
+    assert(rows(14).getAs[Long]("txid") === 2100L)
+    assert(rows(16).getAs[Long]("txid") === 2400L)
 
     // typed catalog views: the Y row maps the user-type OID to its name;
     // the O row carries the origin node and its commit LSN
@@ -197,21 +235,30 @@ class GoldenFrameSpec extends SparkSpec {
     }
     val states = Envelope.applyAll(env, d2.relations.values.toSeq)
     assert(states.keySet === Set(("public", "widgets"), ("public", "gadgets"), ("public", "blobs")))
-    assert(states(("public", "widgets")).count() === 0L && states(("public", "gadgets")).count() === 0L)
-    assert(states(("public", "blobs")).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // widgets: truncated mid-stream, then the two committed-PREPARED
+    // inserts (10 via b..P..K, 12 via streamed 'p'..K) land after it;
+    // the rolled-back prepared insert (11) never materializes
+    assert(states(("public", "widgets")).select("id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 12L))
+    assert(states(("public", "gadgets")).count() === 0L)
+    assert(states(("public", "blobs")).select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
 
-    // applyChanges conformance: the trailing truncate wipes widgets...
+    // applyChanges conformance: the mid-stream truncate wipes the
+    // earlier widgets; the later prepared-committed inserts survive it
     val empty = Seq.empty[(Long, java.math.BigDecimal)].toDF("id", "price")
       .withColumn("price", col("price").cast("decimal(10,2)"))
       .withColumn("tags", lit(null).cast("array<string>"))
       .withColumn("note", lit(null).cast("string"))
       .withColumn("flag", lit(null).cast("boolean"))
       .select("id", "price", "tags", "note", "flag")
-    assert(Envelope.applyChanges(empty, typed, Seq("id")).count() === 0L)
-    // ...and without it, both committed inserts (incl. the streamed txn's,
-    // minus the aborted one) materialize
+    assert(Envelope.applyChanges(empty, typed, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(10L, 12L))
+    // ...and without the truncate, every committed insert (incl. the
+    // streamed txn's, minus the aborted and rolled-back ones) materializes
     val beforeTrunc = Envelope.applyChanges(empty,
       typed.filter(col("op") =!= "T"), Seq("id"))
-    assert(beforeTrunc.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(beforeTrunc.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 10L, 12L))
   }
 }

@@ -99,6 +99,23 @@ def message(prefix, content, transactional, lsn):
     return (b"M" + i8(1 if transactional else 0) + i64(lsn)
             + cstr(prefix) + i32(len(content)) + content)
 
+# proto_version=3 two-phase commit (PG 15+), layouts per the docs
+def begin_prepare(lsn, end_lsn, xid, gid):
+    return b"b" + i64(lsn) + i64(end_lsn) + i64(PG_EPOCH_TS) + i32(xid) + cstr(gid)
+
+def prepare(lsn, end_lsn, xid, gid):
+    return b"P" + i8(0) + i64(lsn) + i64(end_lsn) + i64(PG_EPOCH_TS) + i32(xid) + cstr(gid)
+
+def commit_prepared(lsn, end_lsn, xid, gid):
+    return b"K" + i8(0) + i64(lsn) + i64(end_lsn) + i64(PG_EPOCH_TS) + i32(xid) + cstr(gid)
+
+def rollback_prepared(pe, re_, xid, gid):
+    return (b"r" + i8(0) + i64(pe) + i64(re_) + i64(PG_EPOCH_TS)
+            + i64(PG_EPOCH_TS) + i32(xid) + cstr(gid))
+
+def stream_prepare(lsn, end_lsn, xid, gid):
+    return b"p" + i8(0) + i64(lsn) + i64(end_lsn) + i64(PG_EPOCH_TS) + i32(xid) + cstr(gid)
+
 
 NUMERIC_10_2 = ((10 << 16) | 2) + 4
 
@@ -169,6 +186,28 @@ frames = [
     begin(0x0100_0800, 1800),
     insert(5003, [("t", "3"), ("t", "\\000\\\\A\\377")]),
     commit(0x0100_0800, 0x0100_0801),
+    # proto v3 two-phase commit: one prepared tx commits, one rolls
+    # back, and an ordinary v1 tx interleaves INSIDE the undecided
+    # window (PG serializes per-tx at prepare/commit time, so a decided
+    # tx can land between another's PREPARE and COMMIT PREPARED)
+    begin_prepare(0x0100_0900, 0x0100_0901, 2100, "golden-gid-commit"),
+    insert(5001, [("t", "10"), ("t", "5.00"), ("t", "{}"), ("n",), ("t", "t")]),
+    prepare(0x0100_0900, 0x0100_0901, 2100, "golden-gid-commit"),
+    begin_prepare(0x0100_0A00, 0x0100_0A01, 2200, "golden-gid-abort"),
+    insert(5001, [("t", "11"), ("t", "6.00"), ("t", "{}"), ("n",), ("t", "f")]),
+    prepare(0x0100_0A00, 0x0100_0A01, 2200, "golden-gid-abort"),
+    begin(0x0100_0B00, 2300),
+    insert(5003, [("t", "4"), ("t", "\\x0a0b")]),
+    commit(0x0100_0B00, 0x0100_0B01),
+    commit_prepared(0x0100_0900, 0x0100_0902, 2100, "golden-gid-commit"),
+    rollback_prepared(0x0100_0A01, 0x0100_0A02, 2200, "golden-gid-abort"),
+    # a STREAMED tx that prepares ('p' ends its segments) then commits
+    stream_start(2400, True),
+    streamed(2400, insert(5001, [("t", "12"), ("t", "7.00"), ("t", "{}"),
+                                 ("n",), ("t", "t")])),
+    stream_stop(),
+    stream_prepare(0x0100_0C00, 0x0100_0C01, 2400, "golden-gid-stream"),
+    commit_prepared(0x0100_0C00, 0x0100_0C02, 2400, "golden-gid-stream"),
 ]
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/golden_pgoutput.bin"
