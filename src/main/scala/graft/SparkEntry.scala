@@ -182,6 +182,9 @@ object SparkEntry {
     "q150_store_sql" -> (PipelineQueries.q150StoreSql _),
     "q151_check_ivfadc" -> (PipelineQueries.q151CheckIvfadc _),
     "q152_check_quantile_view" -> (PipelineQueries.q152CheckQuantileView _),
+    "q153_slop_search" -> (PipelineQueries.q153SlopSearch _),
+    "q154_stop_search" -> (PipelineQueries.q154StopSearch _),
+    "q155_check_porter" -> (PipelineQueries.q155CheckPorter _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

@@ -43,46 +43,75 @@ object TextIndex {
   private def toks(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
-  /** dl mirrors bm25TopK exactly: split-token count INCLUDING empties
-    * (`size(split(lower(text), " "))`). Postings are POSITIONAL (the
-    * Lucene convention): `pos` holds the token's offsets in the RAW
-    * split sequence — empties keep their slot, so a double space never
-    * fabricates adjacency — sorted for determinism (collect_list order
-    * is not). [[search]] ignores positions; [[searchPhrase]] needs
-    * them. */
-  private def perDoc(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame) = {
-    val postings = docs
-      .select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("dl"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
+  /** Under the `simple` analyzer, dl mirrors bm25TopK exactly:
+    * split-token count INCLUDING empties (`size(split(lower(text),
+    * " "))`) and positions are offsets in the RAW split sequence —
+    * empties keep their slot, so a double space never fabricates
+    * adjacency (the pre-analyzer q147/q148 contract, byte-compatible).
+    * Under `stop`/`english`, dl is the ANALYZED token count (the
+    * Lucene norm — stopwords carry no length mass) and positions are
+    * offsets in the analyzed sequence (adjacency/slop measured across
+    * removed stopwords — the documented deviation from Lucene's
+    * position gaps). Positions sorted for determinism (collect_list
+    * order is not). */
+  private def perDoc(docs: DataFrame, nBuckets: Int,
+                     analyzer: String): (DataFrame, DataFrame) = {
+    val (exploded, dl) = analyzer match {
+      case Analyzer.Simple =>
+        (docs.select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("dl"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= ""),
+          size(split(lower(col("text")), " ")).cast("long"))
+      case a =>
+        val toks = Analyzer.analyze(a, col("text"))
+        (docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+          posexplode(toks).as(Seq("pos", "tok"))),
+          size(toks).cast("long"))
+    }
+    val postings = exploded
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
         sort_array(collect_list(col("pos"))).as("pos"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets)).cast("int"))
-    val doclen = docs.select(col("doc_id"),
-      size(split(lower(col("text")), " ")).cast("long").as("dl"))
+    val doclen = docs.select(col("doc_id"), dl.as("dl"))
     (postings, doclen)
   }
 
   /** Build the index from scratch (base batch `-1`, the store
-    * convention). ONE pass over the corpus per store. */
-  def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    * convention). ONE pass over the corpus per store. The analyzer is
+    * PINNED in the meta sidecar — every later append/search analyzes
+    * with it, and mixed-analyzer operations are impossible by
+    * construction. */
+  def build(docs: DataFrame, path: String, nBuckets: Int = 64,
+            analyzer: String = Analyzer.Simple): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (postings, doclen) = perDoc(docs, nBuckets)
+    require(Analyzer.Names.contains(analyzer),
+      s"unknown analyzer '$analyzer' — one of ${Analyzer.Names.mkString(", ")}")
+    val (postings, doclen) = perDoc(docs, nBuckets, analyzer)
     postings.withColumn(IngestBatchCol, lit(-1L))
       .write.mode("overwrite").partitionBy(IngestBatchCol, "bucket")
       .parquet(s"$path/postings")
     doclen.withColumn(IngestBatchCol, lit(-1L))
       .write.mode("overwrite").partitionBy(IngestBatchCol)
       .parquet(s"$path/doclen")
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+    Seq((nBuckets, analyzer)).toDF("n_buckets", "analyzer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def nBucketsOf(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  /** The analyzer pinned at build time; pre-analyzer indexes (meta
+    * without the column) are `simple` — exactly their write-time
+    * behavior. */
+  private def analyzerOf(spark: SparkSession, path: String): String = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (meta.columns.contains("analyzer"))
+      meta.select("analyzer").head().getString(0)
+    else Analyzer.Simple
+  }
 
   /** Bucket of one token, evaluated LOCALLY through the SAME Catalyst
     * expression the write path plans (`pmod(xxhash64(tok), n)`; seed 42
@@ -106,13 +135,14 @@ object TextIndex {
     * committed parquet footer, and gating on the dir would brick the
     * index (every later ensureMeta a no-op, every nBucketsOf a read
     * failure) — an unreadable meta is rewritten instead. */
-  def ensureMeta(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+  def ensureMeta(spark: SparkSession, path: String, nBuckets: Int,
+                 analyzer: String = Analyzer.Simple): Unit = {
     val readable =
       try { nBucketsOf(spark, path); true }
       catch { case scala.util.control.NonFatal(_) => false }
     if (!readable) {
       import spark.implicits._
-      Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      Seq((nBuckets, analyzer)).toDF("n_buckets", "analyzer").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -124,7 +154,7 @@ object TextIndex {
   def append(docs: DataFrame, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     val nBuckets = nBucketsOf(spark, path)
-    val (postings, doclen) = perDoc(docs, nBuckets)
+    val (postings, doclen) = perDoc(docs, nBuckets, analyzerOf(spark, path))
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/$IngestBatchCol=$batchId")
     doclen.write.mode("overwrite")
@@ -147,7 +177,7 @@ object TextIndex {
   def search(spark: SparkSession, path: String, query: String, k: Int = 20,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val qToks = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val qToks = Analyzer.analyzeLocal(analyzerOf(spark, path), query).distinct
     val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
       throw new IllegalStateException(s"no doclen store at $path"))
     if (qToks.isEmpty)
@@ -205,9 +235,49 @@ object TextIndex {
     * positional layout raise a pointed error. */
   def searchPhrase(spark: SparkSession, path: String, phrase: String,
                    k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // adjacency: occurrences = positions p of term 0 with term i at p+i
+    positionalSearch(spark, path, phrase, k, k1, b, "searchPhrase") { terms =>
+      size(filter(col("pm").getItem(terms.head),
+        p => terms.zipWithIndex.tail
+          .map { case (t, i) => array_contains(col("pm").getItem(t), p + i) }
+          .foldLeft(lit(true))(_ && _)))
+    }
+  }
+
+  /** PROXIMITY search (slop-k; r16): documents where the phrase's terms
+    * appear IN ORDER within a window of `(n-1) + slop` positions —
+    * slop = 0 is exactly [[searchPhrase]]'s consecutive match, each
+    * extra slop unit allows one more position of total spread (the
+    * ordered-window proximity semantics; Lucene's sloppy phrase adds
+    * unordered permutations, which this deliberately does not). Match
+    * existence from a start position uses the GREEDY chain — each next
+    * term takes its earliest position after the current one — which is
+    * span-minimal, so greedy failure implies no chain fits the window.
+    * Ranked by the same BM25; n_hits counts the chain-rooted matches. */
+  def searchSlop(spark: SparkSession, path: String, phrase: String,
+                 slop: Int, k: Int = 20, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(slop >= 0, s"searchSlop: slop=$slop")
+    positionalSearch(spark, path, phrase, k, k1, b, "searchSlop") { terms =>
+      size(filter(col("pm").getItem(terms.head), p => {
+        val fin = terms.tail.foldLeft(p)((cur, t) =>
+          array_min(filter(col("pm").getItem(t), e => e > cur)))
+        fin.isNotNull && (fin - p) <= lit(terms.size - 1 + slop)
+      }))
+    }
+  }
+
+  /** Shared positional-search body: analyze the phrase with the index's
+    * pinned analyzer, prune postings to the terms' buckets, score with
+    * ONE pass ([[scoredPostings]] — df as a window inside the scoring
+    * pass), gather per-doc positions + score together, then let
+    * `hitsFor(terms)` count occurrences over the `pm` positions map. */
+  private def positionalSearch(spark: SparkSession, path: String,
+                               phrase: String, k: Int, k1: Double, b: Double,
+                               what: String)(hitsFor: Seq[String] => Column): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
-    require(terms.nonEmpty, "searchPhrase: empty phrase")
+    val terms = Analyzer.analyzeLocal(analyzerOf(spark, path), phrase).toSeq
+    require(terms.nonEmpty, s"$what: empty phrase (after analysis)")
     val uniq = terms.distinct
     val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
       throw new IllegalStateException(s"no doclen store at $path"))
@@ -216,7 +286,7 @@ object TextIndex {
     val postings = readCorpusStore(spark, s"$path/postings").getOrElse(
       throw new IllegalStateException(s"no postings store at $path"))
     require(postings.columns.contains("pos"),
-      s"searchPhrase: the index at $path predates positional postings — rebuild it")
+      s"$what: the index at $path predates positional postings — rebuild it")
     val pruned = postings
       .filter(col("bucket").isin(hashes: _*) && col("tok").isin(uniq: _*))
     // ONE pass over the pruned postings (r16): each (doc, term) row is
@@ -232,13 +302,8 @@ object TextIndex {
         sum(col("s")).as("score_sum"),
         count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === uniq.size) // must hold every term
-    // adjacency: occurrences = positions p of term 0 with term i at p+i
-    val hitsExpr = size(filter(col("pm").getItem(terms.head),
-      p => terms.zipWithIndex.tail
-        .map { case (t, i) => array_contains(col("pm").getItem(t), p + i) }
-        .foldLeft(lit(true))(_ && _)))
     gathered
-      .withColumn("n_hits", hitsExpr.cast("long"))
+      .withColumn("n_hits", hitsFor(terms).cast("long"))
       .filter(col("n_hits") > 0)
       .orderBy(col("score_sum").cast(DecimalType(14, 4)).desc, col("doc_id"))
       .limit(k)

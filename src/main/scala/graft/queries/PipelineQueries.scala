@@ -1467,6 +1467,127 @@ object PipelineQueries {
         "deterministic")
   }
 
+  /** q153: PROXIMITY (slop) search through the positional postings of
+    * the SAME lifecycle-exercised index as q147/q148 (r16; VERDICT r15
+    * next #6 — the ordered-window generalization of the phrase query):
+    * documents where "table hash" appears IN ORDER within a window of
+    * 1 + slop positions (slop = 2 here), ranked by the q87 BM25 of the
+    * terms. The Spark side tests match existence with the GREEDY chain
+    * (earliest next-term position — span-minimal, so greedy failure
+    * implies no chain fits); the oracle mirrors it as an existential
+    * window scan over the same raw split sequence. */
+  def q153SlopSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    q147TextIndex(spark, dir) // ensure the memoized index exists
+    val path = q147Index.get(sessionKey(spark, dir))
+    TextIndex.searchSlop(spark, path, "table hash", slop = 2, k = 20)
+  }
+
+  /** q154: BM25 search through an index built with the STOP analyzer
+    * (r16; the analyzer tier — lowercase + split + stopword removal,
+    * the explicit 33-word [[graft.operators.Analyzer.StopWords]] policy
+    * mirrored verbatim in the oracle): document length becomes the
+    * ANALYZED token count (the Lucene norm — stopwords carry no length
+    * mass), df/avgdl shift accordingly, and the QUERY analyzes with the
+    * same pinned analyzer, so "the data of stream table" searches for
+    * exactly (data, stream, table). Setup memoized per (session, dir) —
+    * the q147 discipline. */
+  private val q154Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q154StopSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analyzer, TextIndex}
+    val path = q154Index.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val p = java.nio.file.Files.createTempDirectory("q154-idx").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
+      TextIndex.build(docs, p, nBuckets = 16, analyzer = Analyzer.Stop)
+      p
+    })
+    TextIndex.search(spark, path, "the data of stream table", k = 25)
+  }
+
+  /** q155 contract: the classic PORTER STEMMER + the `english` analyzer
+    * tier (r16; Porter 1980, "An algorithm for suffix stripping" —
+    * implemented from the paper, dependency-free; no SQL engine in the
+    * sandbox can mirror a stemmer, so the gate is the paper's own
+    * example vectors plus integration through the index). Asserts:
+    *  (a) vectors_ok — every published example pair from the paper's
+    *      rule tables stems to its full-algorithm output;
+    *  (b) columnar_parity — the columnar analyzer kernel equals the
+    *      driver twin token-for-token over real documents;
+    *  (c) morphology_found — a planted doc containing only inflected
+    *      variants ("connections connecting connected") is FOUND by the
+    *      stem-sharing query "connection connects" through an `english`
+    *      index, and NOT through a `simple` index of the same corpus;
+    *  (d) analyzer_pinned — meta records the analyzer; a query through
+    *      the english index analyzes with it after a cold re-open, and
+    *      an append through the same index stems consistently;
+    *  (e) deterministic — search repeats identically. */
+  def q155CheckPorter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analyzer, TextIndex}
+    import spark.implicits._
+    // (a) example pairs from the paper (full-algorithm outputs)
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit",
+      "digitizer" -> "digit", "radicalli" -> "radic",
+      "generalizations" -> "gener", "oscillators" -> "oscil",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "adjustable" -> "adjust",
+      "defensible" -> "defens", "replacement" -> "replac",
+      "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "effective" -> "effect",
+      "controlling" -> "control", "rolling" -> "roll")
+    val vectorsOk = vectors.forall { case (in, want) =>
+      Analyzer.porterStem(in) == want
+    }
+    // (b) columnar kernel == driver twin on real text
+    val docs = t(spark, dir, "documents").select("doc_id", "text").limit(200)
+    val colSide = docs.select(col("doc_id"),
+        graft.operators.Analyzer.analyze(Analyzer.English, col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val columnarParity = docs.select("doc_id", "text").collect().forall { r =>
+      colSide(r.getLong(0)) == Analyzer.analyzeLocal(Analyzer.English, r.getString(1))
+    }
+    // (c) morphology through the index, english vs simple
+    val planted = Seq((990001L, "connections connecting connected globally")).toDF("doc_id", "text")
+    val corpus = t(spark, dir, "documents").select("doc_id", "text").unionByName(planted)
+    val pe = java.nio.file.Files.createTempDirectory("q155-en").toString
+    val ps = java.nio.file.Files.createTempDirectory("q155-si").toString
+    TextIndex.build(corpus, pe, nBuckets = 16, analyzer = Analyzer.English)
+    TextIndex.build(corpus, ps, nBuckets = 16, analyzer = Analyzer.Simple)
+    val q = "connection connects"
+    val hitsEn = TextIndex.search(spark, pe, q, k = 50).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val hitsSi = TextIndex.search(spark, ps, q, k = 50).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val morphologyFound = hitsEn.contains(990001L) && !hitsSi.contains(990001L)
+    // (d) analyzer pinned through meta: cold re-open + append stem consistently
+    val planted2 = Seq((990002L, "connectivity connects connectedly")).toDF("doc_id", "text")
+    TextIndex.append(planted2, pe, batchId = 1L)
+    val after = TextIndex.search(spark, pe, "connect", k = 50).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val analyzerPinned = after.contains(990001L) && after.contains(990002L)
+    // (e) determinism
+    val g1 = TextIndex.search(spark, pe, q, k = 20).collect().toSeq
+    val g2 = TextIndex.search(spark, pe, q, k = 20).collect().toSeq
+    Seq(pe, ps).foreach(graft.operators.Manifests.rmTree)
+    Seq((vectorsOk, columnarParity, morphologyFound, analyzerPinned, g1 == g2))
+      .toDF("vectors_ok", "columnar_parity", "morphology_found",
+        "analyzer_pinned", "deterministic")
+  }
+
   /** q150: SQL over a CDC-maintained store through the `graft-store`
     * data source (r16; VERDICT r15 next #1 — the stores were reachable
     * only from programmatic Scala): a corpus store is built from the
@@ -4944,6 +5065,71 @@ object PipelineQueries {
         """SELECT true AS within_bound, true AS merge_consistent,
           |       true AS delete_insensitive, true AS roundtrip,
           |       true AS deterministic""".stripMargin,
+      "q155_check_porter" ->
+        """SELECT true AS vectors_ok, true AS columnar_parity,
+          |       true AS morphology_found, true AS analyzer_pinned,
+          |       true AS deterministic""".stripMargin,
+      // q153's oracle: the q148 shape with the adjacency widened to the
+      // ordered slop-2 window (exists a 'hash' within 3 raw positions
+      // after each 'table' — nearest-exists ⟺ some-exists, so the
+      // Spark side's greedy chain and this existential scan agree)
+      "q153_slop_search" ->
+        """WITH q AS (SELECT unnest(['table','hash']) AS tok),
+          |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+          |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM docs),
+          |hits AS (SELECT doc_id,
+          |    len(list_filter(generate_series(1, len(wl)),
+          |        i -> wl[i] = 'table' AND
+          |             len(list_filter(generate_series(i+1, least(i+3, len(wl))),
+          |                 j -> wl[j] = 'hash')) > 0))::BIGINT AS n_hits
+          |  FROM d),
+          |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+          |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT COUNT(*)::DOUBLE AS n,
+          |         AVG(len(string_split(lower(text),' '))) AS avgdl
+          |       FROM docs),
+          |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+          |          st.avgdl AS avgdl
+          |        FROM df, st),
+          |sc AS (SELECT tf.doc_id,
+          |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+          |           AS DECIMAL(14,4)) AS score
+          |       FROM tf JOIN idf USING (tok) GROUP BY 1
+          |       HAVING COUNT(*) = 2)
+          |SELECT sc.doc_id, sc.score::DOUBLE AS score, hits.n_hits
+          |FROM sc JOIN hits USING (doc_id) WHERE hits.n_hits > 0
+          |ORDER BY sc.score DESC, sc.doc_id LIMIT 20""".stripMargin,
+      // q154's oracle: the q87 BM25 arithmetic over STOP-analyzed
+      // tokens — the engine's explicit 33-word stopword policy inlined
+      // verbatim, dl = analyzed token count (the Lucene norm)
+      "q154_stop_search" -> {
+        val stops = graft.operators.Analyzer.StopWords
+          .map(w => s"'$w'").mkString("(", ",", ")")
+        s"""WITH q AS (SELECT unnest(['data','stream','table']) AS tok),
+           |d AS (SELECT doc_id,
+           |        list_filter(string_split(lower(text),' '),
+           |                    x -> x <> '' AND x NOT IN $stops) AS wl
+           |      FROM documents),
+           |toks AS (SELECT doc_id, len(wl)::BIGINT AS dl, unnest(wl) AS tok FROM d),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+           |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(len(wl)) AS avgdl FROM d),
+           |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+           |          st.avgdl AS avgdl
+           |        FROM df, st),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+           |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+           |           AS DECIMAL(14,4)) AS score,
+           |         COUNT(*) AS n_terms
+           |       FROM tf JOIN idf USING (tok) GROUP BY 1)
+           |SELECT doc_id, sc.score::DOUBLE AS score, n_terms FROM sc
+           |ORDER BY sc.score DESC, doc_id LIMIT 25""".stripMargin
+      },
       // the q87 formula over exactly the surviving documents (the
       // index saw build(⅔) + append(⅓) + delete(%97) before the search)
       "q147_text_index" ->

@@ -569,6 +569,154 @@ object StreamingOps {
     * sees it (the Manifests `_compaction` convention). */
   val AttributesDir = "_attributes"
 
+  /** Name of the data-skipping stats sidecar beside a corpus store. */
+  val StatsDir = "_stats"
+
+  /** Store-level DATA SKIPPING (r16; VERDICT r15 next #7 — the
+    * Delta-style file-pruning tier: at 100 TB, pruning on a NON-layout
+    * column is the difference between touching 3 leaves and 30,000):
+    * maintain per-leaf min/max column stats in a `_stats` sidecar, one
+    * parquet partition per store batch (and one `epoch-<e>` row set per
+    * committed compaction epoch), with rows
+    * (column, min_num, max_num, min_str, max_str, n_rows). Numeric
+    * bounds are DOUBLES — a conservative superset for every numeric
+    * type (exact through 2^53; beyond that the cast still brackets the
+    * true bounds, so pruning stays safe). Stats stay CONSERVATIVE
+    * under the whole lifecycle by construction:
+    *  - append: a new batch has no stats row until the next upkeep —
+    *    readers treat missing stats as MUST-READ;
+    *  - takedown: deleting rows can only shrink a leaf's value set, so
+    *    the recorded bounds remain valid supersets (never rewritten);
+    *  - compaction/TTL: superseded batches' stats rows turn stale but
+    *    harmless (their dirs are gone from the view); upkeep writes the
+    *    new epoch's stats and drops rows for vanished leaves.
+    * Idempotent per leaf — the sidecar is itself a tiny partitioned
+    * store (one parquet dir per leaf, overwritten whole). Returns the
+    * leaf names scored this call. */
+  def upkeepStoreStats(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String, cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Fs, Manifests}
+    require(cols.nonEmpty, "upkeepStoreStats: no columns")
+    val statsRoot = s"$storePath/$StatsDir"
+    val liveLeaves = Fs.listDirNames(Fs.path(storePath))
+      .filter(_.startsWith(s"$IngestBatchCol="))
+    val epochLeaf = Manifests.read(storePath).map { case (e, _) => s"epoch-$e" }
+    val leaves = (liveLeaves ++ epochLeaf).toSeq
+    val done = Fs.listDirNames(Fs.path(statsRoot)).toSet
+    // drop stats for leaves the lifecycle has superseded/expired
+    (done -- leaves.map(leafDirName)).foreach(d =>
+      Fs.rmTree(Fs.path(statsRoot, d)))
+    val todo = leaves.filterNot(l => done.contains(leafDirName(l)))
+    todo.foreach { leaf =>
+      val dataPath =
+        if (leaf.startsWith("epoch-"))
+          s"$storePath/${Manifests.CompactDir}/$leaf"
+        else s"$storePath/$leaf"
+      val df = spark.read.parquet(dataPath)
+      val present = cols.filter(df.columns.contains)
+      val aggs = present.flatMap { c =>
+        val numeric = df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        }
+        if (numeric) Seq(
+          min(col(c)).cast("double").as(s"__mn_$c"),
+          max(col(c)).cast("double").as(s"__mx_$c"),
+          lit(null).cast("string").as(s"__sn_$c"),
+          lit(null).cast("string").as(s"__sx_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"__mn_$c"),
+          lit(null).cast("double").as(s"__mx_$c"),
+          min(col(c)).cast("string").as(s"__sn_$c"),
+          max(col(c)).cast("string").as(s"__sx_$c"))
+      } :+ count(lit(1)).as("__n")
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      import spark.implicits._
+      present.map { c =>
+        (c, Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble),
+          Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble),
+          Option(row.getAs[String](s"__sn_$c")),
+          Option(row.getAs[String](s"__sx_$c")),
+          row.getAs[Long]("__n"))
+      }.toDF("column", "min_num", "max_num", "min_str", "max_str", "n_rows")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$statsRoot/${leafDirName(leaf)}")
+    }
+    todo
+  }
+
+  private def leafDirName(leaf: String): String =
+    leaf.replace("=", "__EQ__") // '=' dirs would read as partitions
+
+  /** One inclusive numeric range predicate for [[readCorpusStorePruned]]. */
+  final case class SkipRange(column: String, lo: Double, hi: Double)
+
+  /** [[readCorpusStore]] with stats-based leaf skipping: batch
+    * partitions (and the compaction epoch) whose recorded [min, max]
+    * provably cannot satisfy EVERY given range are never opened — their
+    * directories are excluded from the scan's file index entirely (the
+    * spec asserts via `inputFiles`). Leaves with NO stats row (a batch
+    * newer than the last upkeep) are always read — missing stats can
+    * only cost speed, never rows. The ranges are a PRE-FILTER on
+    * leaves; callers still apply the actual row filter (exactly like
+    * parquet row-group skipping). None when nothing remains. */
+  def readCorpusStorePruned(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            ranges: Seq[SkipRange]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Fs, Manifests}
+    require(ranges.nonEmpty, "readCorpusStorePruned: no ranges — use readCorpusStore")
+    val statsRoot = s"$path/$StatsDir"
+    // leaf -> column -> (min, max); absent leaf or column = must-read
+    def boundsOf(leafDir: String): Option[Map[String, (Double, Double)]] = {
+      val p = Fs.path(statsRoot, leafDirName(leafDir))
+      if (!Fs.isDir(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select("column", "min_num", "max_num").collect()
+        .flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        }.toMap)
+    }
+    def keep(leafDir: String): Boolean = boundsOf(leafDir) match {
+      case None => true // no stats yet -> must read
+      case Some(bounds) => ranges.forall { rg =>
+        bounds.get(rg.column) match {
+          case None => true // column untracked -> must read
+          case Some((mn, mx)) => mx >= rg.lo && mn <= rg.hi
+        }
+      }
+    }
+    val keptBatchDirs = Fs.list(Fs.path(path))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol="))
+      .map(_.getPath)
+      .filter(p => keep(p.getName))
+      .map(_.toString).sorted
+    val live =
+      if (keptBatchDirs.isEmpty) None
+      else
+        try Some(spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(keptBatchDirs.toIndexedSeq: _*))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    Manifests.read(path) match {
+      case None => live
+      case Some((e, covers)) =>
+        val epochKept = keep(s"epoch-$e")
+        val compacted =
+          if (!epochKept) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(Manifests.epochPath(path, e)))
+        val liveAbove = live.map(_.filter(col(IngestBatchCol) > covers)
+          .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long")))
+        (compacted, liveAbove) match {
+          case (Some(c), Some(l)) =>
+            Some(c.unionByName(l, allowMissingColumns = true))
+          case (c, l) => c.orElse(l)
+        }
+    }
+  }
+
   /** Incremental attribute-sheet upkeep — the Dolma compute-once
     * practice kept CURRENT against a growing store (q128 scores a
     * static corpus once; a daily ingest needs the sheet to follow):
