@@ -136,13 +136,60 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
   // for correctness and double evaluation of a pruned scan is cheap
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** Numeric range bounds implied by the pushed conjuncts, for the
+    * stats-sidecar skip (inclusive, conservative: a strict bound uses
+    * its value — at worst a boundary leaf is read, never skipped
+    * wrongly; disjunctions/other shapes contribute nothing). */
+  private def skipRangesFrom(filters: Array[Filter]): Seq[StreamingOps.SkipRange] = {
+    val lo = scala.collection.mutable.Map.empty[String, Double]
+    val hi = scala.collection.mutable.Map.empty[String, Double]
+    def low(a: String, v: Any): Unit = v match {
+      case n: Number =>
+        val d = n.doubleValue()
+        lo(a) = math.max(lo.getOrElse(a, Double.NegativeInfinity), d)
+      case _ => ()
+    }
+    def high(a: String, v: Any): Unit = v match {
+      case n: Number =>
+        val d = n.doubleValue()
+        hi(a) = math.min(hi.getOrElse(a, Double.PositiveInfinity), d)
+      case _ => ()
+    }
+    def walk(f: Filter): Unit = f match {
+      case GreaterThan(a, v) => low(a, v)
+      case GreaterThanOrEqual(a, v) => low(a, v)
+      case LessThan(a, v) => high(a, v)
+      case LessThanOrEqual(a, v) => high(a, v)
+      case EqualTo(a, v) => low(a, v); high(a, v)
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    (lo.keySet ++ hi.keySet).toSeq.sorted.map(a => StreamingOps.SkipRange(a,
+      lo.getOrElse(a, Double.NegativeInfinity),
+      hi.getOrElse(a, Double.PositiveInfinity)))
+  }
+
   /** The delegated inner plan for one scan: store view → pushed
-    * filters → column pruning. Package-visible so the spec can assert
-    * the plan shape (PartitionFilters on `__ingest_batch`/`bucket`,
-    * PushedFilters on data columns, ReadSchema pruned). */
+    * filters → column pruning. On a `corpus` store with a maintained
+    * `_stats` sidecar ([[StreamingOps.upkeepStoreStats]]), numeric
+    * range conjuncts additionally prune whole LEAVES before the file
+    * index is even built — the Delta-style skipping tier, reached from
+    * pure SQL (a leaf without stats is always read, so the result is
+    * identical either way). Package-visible so the spec can assert the
+    * plan shape (PartitionFilters on `__ingest_batch`/`bucket`,
+    * PushedFilters on data columns, ReadSchema pruned, skipped leaves
+    * absent from inputFiles). */
   private[sources] def planFor(requiredColumns: Array[String],
                                filters: Array[Filter]): DataFrame = {
-    val base = view
+    val skips = if (layout == "corpus") skipRangesFrom(filters) else Nil
+    val base =
+      if (skips.nonEmpty &&
+          graft.operators.Fs.isDir(
+            graft.operators.Fs.path(path, StreamingOps.StatsDir)))
+        StreamingOps.readCorpusStorePruned(spark, path, skips)
+          .getOrElse(view.limit(0))
+      else view
     // plain .filter already drops NULL-evaluating rows (the source
     // Filter semantics) — no coalesce wrapper, which would block the
     // parquet PushedFilters translation

@@ -105,6 +105,50 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("SQL filters auto-skip leaves via the stats sidecar; results identical") {
+    val p = tmp()
+    // disjoint doc_id ranges per batch — the regime where skipping bites
+    import org.apache.spark.sql.functions.{col => c}
+    (0 to 2).foreach { b =>
+      docs.filter(c("doc_id") >= b * 160 && c("doc_id") < (b + 1) * 160)
+        .write.mode("overwrite").parquet(s"$p/$bc=$b")
+    }
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    // the inner delegated plan (what buildScan compiles — a V1 relation
+    // hides its files from DataFrame.inputFiles, so the file-level
+    // assert goes through planFor, fed exactly the filters Spark pushes
+    // for this WHERE clause under the PrunedFilteredScan contract)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val rel = new GraftStoreRelation(spark, p, "corpus")
+    val inner = rel.planFor(Array("doc_id", "source"),
+      Array(GreaterThanOrEqual("doc_id", 170L), LessThanOrEqual("doc_id", 200L)))
+    assert(inner.inputFiles.nonEmpty &&
+      inner.inputFiles.forall(_.contains(s"$bc=1")), inner.inputFiles.toSeq)
+    // equality filters skip too
+    val innerE = rel.planFor(Array("doc_id"), Array(EqualTo("doc_id", 330L)))
+    assert(innerE.inputFiles.forall(_.contains(s"$bc=2")))
+    // and the SQL-level result over the same store is identical to the
+    // unskipped read (skip is a pre-filter, never a row change)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_skip
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    val q = spark.sql(
+      "SELECT doc_id, source FROM gs_skip WHERE doc_id >= 170 AND doc_id <= 200")
+    val want = StreamingOps.readCorpusStore(spark, p).get
+      .filter(c("doc_id").between(170, 200))
+    assert(sortedRows(q) === sortedRows(want) && q.count() > 0)
+    // a fresh batch without stats is always read (must-read on missing)
+    docs.filter(c("doc_id") === 5L).write.parquet(s"$p/$bc=3")
+    val inner3 = rel.planFor(Array("doc_id"), Array(LessThanOrEqual("doc_id", 10L)))
+    assert(inner3.inputFiles.exists(_.contains(s"$bc=3")) &&
+      inner3.inputFiles.exists(_.contains(s"$bc=0")) &&
+      !inner3.inputFiles.exists(_.contains(s"$bc=2")))
+    assert(spark.sql("SELECT count(*) FROM gs_skip WHERE doc_id <= 10").head().getLong(0) ===
+      StreamingOps.readCorpusStore(spark, p).get.filter(c("doc_id") <= 10).count())
+    spark.sql("DROP VIEW gs_skip")
+    Manifests.rmTree(p)
+  }
+
   test("ivm-view / ivm-base layouts serve the latest committed snapshot") {
     val p = tmp()
     Seq(("O", 1L), ("F", 2L)).toDF("status", "n_rows")
