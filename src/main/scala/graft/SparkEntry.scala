@@ -185,6 +185,7 @@ object SparkEntry {
     "q153_slop_search" -> (PipelineQueries.q153SlopSearch _),
     "q154_stop_search" -> (PipelineQueries.q154StopSearch _),
     "q155_check_porter" -> (PipelineQueries.q155CheckPorter _),
+    "q156_skip_sql" -> (PipelineQueries.q156SkipSql _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

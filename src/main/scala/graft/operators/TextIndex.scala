@@ -100,18 +100,20 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def nBucketsOf(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
-
-  /** The analyzer pinned at build time; pre-analyzer indexes (meta
-    * without the column) are `simple` — exactly their write-time
-    * behavior. */
-  private def analyzerOf(spark: SparkSession, path: String): String = {
+  /** (nBuckets, analyzer) from the meta sidecar — ONE read per call
+    * (the meta is a serving-path fixed cost; two separate reads would
+    * double it). Pre-analyzer indexes (meta without the column) are
+    * `simple` — exactly their write-time behavior. */
+  private def metaOf(spark: SparkSession, path: String): (Int, String) = {
     val meta = spark.read.parquet(s"$path/meta")
-    if (meta.columns.contains("analyzer"))
-      meta.select("analyzer").head().getString(0)
-    else Analyzer.Simple
+    val hasAnalyzer = meta.columns.contains("analyzer")
+    val row = meta.head()
+    (row.getAs[Int]("n_buckets"),
+      if (hasAnalyzer) row.getAs[String]("analyzer") else Analyzer.Simple)
   }
+
+  private def nBucketsOf(spark: SparkSession, path: String): Int =
+    metaOf(spark, path)._1
 
   /** Bucket of one token, evaluated LOCALLY through the SAME Catalyst
     * expression the write path plans (`pmod(xxhash64(tok), n)`; seed 42
@@ -153,8 +155,8 @@ object TextIndex {
     * the layout stays probe-compatible forever. */
   def append(docs: DataFrame, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val nBuckets = nBucketsOf(spark, path)
-    val (postings, doclen) = perDoc(docs, nBuckets, analyzerOf(spark, path))
+    val (nBuckets, analyzer) = metaOf(spark, path)
+    val (postings, doclen) = perDoc(docs, nBuckets, analyzer)
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/$IngestBatchCol=$batchId")
     doclen.write.mode("overwrite")
@@ -177,13 +179,13 @@ object TextIndex {
   def search(spark: SparkSession, path: String, query: String, k: Int = 20,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val qToks = Analyzer.analyzeLocal(analyzerOf(spark, path), query).distinct
+    val (nBuckets, analyzer) = metaOf(spark, path)
+    val qToks = Analyzer.analyzeLocal(analyzer, query).distinct
     val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
       throw new IllegalStateException(s"no doclen store at $path"))
     if (qToks.isEmpty)
       return doclen.select(col("doc_id")).limit(0)
         .withColumn("score", lit(0.0)).withColumn("n_terms", lit(0L))
-    val nBuckets = nBucketsOf(spark, path)
     val hashes = qToks.map(bucketOf(_, nBuckets)).distinct
     val postings = readCorpusStore(spark, s"$path/postings").getOrElse(
       throw new IllegalStateException(s"no postings store at $path"))
@@ -276,12 +278,12 @@ object TextIndex {
                                phrase: String, k: Int, k1: Double, b: Double,
                                what: String)(hitsFor: Seq[String] => Column): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val terms = Analyzer.analyzeLocal(analyzerOf(spark, path), phrase).toSeq
+    val (nBuckets, analyzer) = metaOf(spark, path)
+    val terms = Analyzer.analyzeLocal(analyzer, phrase).toSeq
     require(terms.nonEmpty, s"$what: empty phrase (after analysis)")
     val uniq = terms.distinct
     val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
       throw new IllegalStateException(s"no doclen store at $path"))
-    val nBuckets = nBucketsOf(spark, path)
     val hashes = uniq.map(bucketOf(_, nBuckets)).distinct
     val postings = readCorpusStore(spark, s"$path/postings").getOrElse(
       throw new IllegalStateException(s"no postings store at $path"))

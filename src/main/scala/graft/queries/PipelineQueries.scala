@@ -1588,6 +1588,45 @@ object PipelineQueries {
         "analyzer_pinned", "deterministic")
   }
 
+  /** q156: data-skipping through pure SQL (r16; VERDICT r15 next #7
+    * driver-gated): the q150 store additionally maintains min/max stats
+    * per leaf (`upkeepStoreStats`), and a ranged SQL query through the
+    * `graft-store` relation consults them — leaves whose bounds cannot
+    * satisfy the pushed conjuncts are never opened (the Delta-style
+    * skipping tier; GraftStoreSourceSpec asserts the file-level skip,
+    * this row gates the RESULT through DuckDB at both SFs: skipping
+    * must never change rows). Batches split documents by doc_id RANGE
+    * (not modulo) so the per-leaf bounds are disjoint and the skip
+    * actually bites: the WHERE range below touches one of three
+    * leaves. */
+  private val q156Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q156SkipSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val path = q156Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents")
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val p = java.nio.file.Files.createTempDirectory("q156-store").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
+      (0 to 2).foreach { b =>
+        docs.filter(col("doc_id") >= b * n / 3 && col("doc_id") < (b + 1) * n / 3)
+          .write.mode("overwrite").parquet(s"$p/${StreamingOps.IngestBatchCol}=$b")
+      }
+      StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "n_chars"))
+      p
+    })
+    val viewName = s"gs_q156_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM $viewName
+         |WHERE doc_id >= 100 AND doc_id <= 160 AND n_chars > 50
+         |GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin)
+  }
+
   /** q150: SQL over a CDC-maintained store through the `graft-store`
     * data source (r16; VERDICT r15 next #1 — the stores were reachable
     * only from programmatic Scala): a corpus store is built from the
@@ -5246,6 +5285,14 @@ object PipelineQueries {
           |      FROM fin)
           |SELECT o_orderstatus, rank, o_orderkey, CAST(val AS DOUBLE) AS o_price
           |FROM r WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
+      // q156's oracle: the same ranged aggregate over raw documents —
+      // leaf skipping on the Spark side must never change rows
+      "q156_skip_sql" ->
+        """SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |FROM documents
+          |WHERE doc_id >= 100 AND doc_id <= 160 AND n_chars > 50
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin,
       // q150's oracle: the same aggregate over the raw documents minus
       // the taken-down ids (the store's logical content after build ->
       // compact -> takedown; the Spark side reads it through pure SQL

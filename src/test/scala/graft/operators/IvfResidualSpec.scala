@@ -106,6 +106,28 @@ class IvfResidualSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("OPQ composes with residual encoding: rotation trains on residuals, MSE still wins") {
+    val df = clustered(32, 8, seed = 77L)
+    val idx = Similarity.buildIvfIndex(df, nLists = 32)
+    val (pRaw, pRes) = (tmp(), tmp())
+    Similarity.writeIvfIndexPq(idx, pRaw, m = 4, nCentroids = 8)
+    Similarity.writeIvfIndexPqResidual(idx, pRes, m = 4, nCentroids = 8, opq = true)
+    val cbRes = Similarity.readPqCodebook(spark, pRes).get
+    assert(cbRes.residual && cbRes.rot.isDefined) // both tiers marked
+    val cbRaw = Similarity.readPqCodebook(spark, pRaw).get
+    val rows = idx.assigned.select(col("vec_id"), col("e"), col("list"))
+      .collect().map(r => (r.getSeq[Double](1).toArray, r.getInt(2)))
+    assert(mseOver(cbRes, idx.centroids, rows) < mseOver(cbRaw, idx.centroids, rows))
+    // the probe path serves through rotation + residual together
+    val probe = df.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val got = Similarity.probeIvfPq(spark, pRes, probe, k = 5, nProbe = 8,
+      shortlist = 8, excludeId = Some(0L)).collect()
+    assert(got.map(_.getLong(0)).forall(id => id >= 1L && id <= 7L))
+    Storage.releaseAll()
+    Seq(pRaw, pRes).foreach(Manifests.rmTree)
+  }
+
   test("lifecycle composes: append encodes residuals; compact + delete keep probes exact") {
     val df = clustered(8, 16, seed = 55L)
     val idx = Similarity.buildIvfIndex(df, nLists = 8)
