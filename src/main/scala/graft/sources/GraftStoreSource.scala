@@ -49,7 +49,8 @@ import org.apache.spark.sql.types.StructType
   * The reference has no SQL surface at all (its terminal consumer is a
   * callback, `CdcConsumer.java:6-12`); this is the seam that turns the
   * engine's maintained stores into warehouse tables. */
-class GraftStoreSource extends RelationProvider with DataSourceRegister {
+class GraftStoreSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
 
@@ -63,10 +64,72 @@ class GraftStoreSource extends RelationProvider with DataSourceRegister {
         GraftStoreRelation.Layouts.mkString(", "))
     new GraftStoreRelation(sqlContext.sparkSession, path, layout)
   }
+
+  /** WRITE path: `df.write.format("graft-store").save(path)` (and SQL
+    * `INSERT INTO` through [[GraftStoreRelation.insert]]) lands the
+    * rows as ONE new `__ingest_batch=<id>` partition — the store
+    * convention every lifecycle verb builds on. The batch id is the
+    * next free id (max of live partitions and the compaction watermark,
+    * plus one), or an explicit `option("batch", id)` for the
+    * idempotent-replay contract (a replayed id overwrites exactly its
+    * own partition). SaveMode semantics: Append/ErrorIfExists/Ignore
+    * apply to the BATCH PARTITION being written; Overwrite of a whole
+    * store is REFUSED with a pointed error — stores are
+    * lifecycle-managed (takedown / expireBatches / compactStore are the
+    * rewrite verbs), and a silent rm-rf semantic under a generic writer
+    * flag is how corpora die. Only the `corpus` layout is writable
+    * (IVM/SCD2 stores are maintained by their sinks). */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store: a 'path' option (or save(path)) is required"))
+    val layout = parameters.getOrElse("layout", "corpus")
+    require(layout == "corpus",
+      s"graft-store: layout '$layout' is not writable — corpus stores take " +
+        "batch writes; IVM/SCD2 stores are maintained by their streaming sinks")
+    require(mode != SaveMode.Overwrite,
+      "graft-store: SaveMode.Overwrite would replace a lifecycle-managed " +
+        "store wholesale — use the store verbs (Takedown.deleteFromStore, " +
+        "StreamingOps.expireBatches/compactStore), or write one batch " +
+        "with option(\"batch\", id)")
+    val bc = graft.streaming.StreamingOps.IngestBatchCol
+    require(!data.columns.contains(bc),
+      s"graft-store: '$bc' is the store's partition column — drop it from the data")
+    val batch = parameters.get("batch").map(_.toLong)
+      .getOrElse(GraftStoreRelation.nextBatchId(path))
+    val dir = graft.operators.Fs.path(path, s"$bc=$batch")
+    val exists = graft.operators.Fs.isDir(dir)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-store: batch $batch already exists at $path " +
+            "(SaveMode.ErrorIfExists); use Append or option(\"batch\", ...)")
+      case SaveMode.Ignore if exists => ()
+      case _ =>
+        data.write.mode("overwrite").parquet(dir.toString)
+    }
+    new GraftStoreRelation(sqlContext.sparkSession, path, "corpus")
+  }
 }
 
 object GraftStoreRelation {
   val Layouts: Seq[String] = Seq("corpus", "ivm-view", "ivm-base", "scd2")
+
+  /** Next free batch id for a corpus store: one past the max of the
+    * live partition ids and the compaction watermark (the base build's
+    * -1 included), 0 on an empty store. */
+  private[sources] def nextBatchId(path: String): Long = {
+    import graft.operators.{Fs, Manifests}
+    val bc = graft.streaming.StreamingOps.IngestBatchCol
+    val live = Fs.listDirNames(Fs.path(path))
+      .filter(_.startsWith(s"$bc="))
+      .flatMap(_.stripPrefix(s"$bc=").toLongOption)
+    val covers = Manifests.read(path).map(_._2)
+    (live ++ covers).maxOption.map(_ + 1).getOrElse(0L)
+  }
 
   /** Translate a pushed-down source filter to a Column over `df`, None
     * when the filter has no Column equivalent (Spark re-applies every
@@ -105,7 +168,24 @@ object GraftStoreRelation {
 
 /** The relation behind `graft-store` — see [[GraftStoreSource]]. */
 class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO <graft-store view>`: one new batch partition —
+    * the [[GraftStoreSource]] write path's semantics (corpus only,
+    * INSERT OVERWRITE refused: stores are lifecycle-managed). */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(layout == "corpus",
+      s"graft-store: layout '$layout' is not writable — corpus stores take " +
+        "batch inserts; IVM/SCD2 stores are maintained by their streaming sinks")
+    require(!overwrite,
+      "graft-store: INSERT OVERWRITE would replace a lifecycle-managed store " +
+        "wholesale — use the store verbs (Takedown.deleteFromStore, " +
+        "StreamingOps.expireBatches/compactStore)")
+    val bc = graft.streaming.StreamingOps.IngestBatchCol
+    val batch = GraftStoreRelation.nextBatchId(path)
+    data.drop(bc).write.mode("overwrite")
+      .parquet(s"$path/$bc=$batch")
+  }
 
   import graft.streaming.StreamingOps
 

@@ -181,6 +181,50 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("write path: df.write lands batches; INSERT INTO appends; overwrite refused") {
+    val p = tmp()
+    val b0 = Seq((1L, "a", "s0"), (2L, "b", "s1")).toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "c", "s0")).toDF("doc_id", "text", "source")
+    // first write -> batch 0; append -> batch 1
+    b0.write.format("graft-store").save(p)
+    b1.write.format("graft-store").mode("append").save(p)
+    assert(StreamingOps.readCorpusStore(spark, p).get
+      .select("doc_id", StreamingOps.IngestBatchCol)
+      .as[(Long, Long)].collect().sorted.toSeq ===
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    // idempotent replay: option("batch") overwrites exactly its own partition
+    Seq((3L, "c2", "s0")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").mode("append").option("batch", "1").save(p)
+    assert(StreamingOps.readCorpusStore(spark, p).get
+      .filter(col("doc_id") === 3L).select("text").as[String].head() === "c2")
+    // SQL INSERT INTO appends the next batch (NULL for the exposed batch col)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_w
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    spark.sql("INSERT INTO gs_w VALUES (4, 'd', 's2', NULL)")
+    assert(StreamingOps.readCorpusStore(spark, p).get
+      .filter(col("doc_id") === 4L)
+      .select(col(StreamingOps.IngestBatchCol).cast("long")).as[Long].head() === 2L)
+    // refusals: whole-store overwrite, reserved column, non-corpus layout
+    intercept[IllegalArgumentException] {
+      b0.write.format("graft-store").mode("overwrite").save(p)
+    }
+    intercept[IllegalArgumentException] {
+      b0.withColumn(StreamingOps.IngestBatchCol, lit(9L))
+        .write.format("graft-store").mode("append").save(p)
+    }
+    intercept[IllegalArgumentException] {
+      b0.write.format("graft-store").mode("append")
+        .option("layout", "ivm-view").save(p)
+    }
+    // ErrorIfExists on an existing batch id
+    intercept[IllegalStateException] {
+      b0.write.format("graft-store").option("batch", "0").save(p)
+    }
+    spark.sql("DROP VIEW gs_w")
+    Manifests.rmTree(p)
+  }
+
   test("unknown layout and missing store fail with pointed errors") {
     val p = tmp()
     val e1 = intercept[IllegalArgumentException] {
