@@ -59,15 +59,21 @@ object Analyzer {
   }
 
   /** Driver twin for query-side analysis — identical output to
-    * [[analyze]] on the same text (spec-asserted). */
-  def analyzeLocal(name: String, text: String): Seq[String] = name match {
-    case Simple => text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
-    case Stop => text.toLowerCase.split(" ")
-      .filter(t => t.nonEmpty && !stopSet(t)).toSeq
-    case English => text.toLowerCase.split(" ")
-      .filter(t => t.nonEmpty && !stopSet(t)).map(porterStem).toSeq
-    case other => throw new IllegalArgumentException(
-      s"unknown analyzer '$other' — one of ${Names.mkString(", ")}")
+    * [[analyze]] on the same text (spec-asserted). Lowercasing pins
+    * Locale.ROOT: Spark's `lower()` is locale-independent, and a
+    * JVM-default-locale lowercase (e.g. Turkish 'I' → 'ı') would break
+    * the write/query analyzer-parity contract the index relies on. */
+  def analyzeLocal(name: String, text: String): Seq[String] = {
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    name match {
+      case Simple => lowered.split(" ").filter(_.nonEmpty).toSeq
+      case Stop => lowered.split(" ")
+        .filter(t => t.nonEmpty && !stopSet(t)).toSeq
+      case English => lowered.split(" ")
+        .filter(t => t.nonEmpty && !stopSet(t)).map(porterStem).toSeq
+      case other => throw new IllegalArgumentException(
+        s"unknown analyzer '$other' — one of ${Names.mkString(", ")}")
+    }
   }
 
   private val stemArrayUdf = udf((toks: Seq[String]) =>

@@ -153,7 +153,7 @@ object Curation {
     * tier UDF). */
   def badwordCount(textCol: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "badwordCount: empty word list")
-    val set = words.iterator.map(_.toLowerCase).toSet
+    val set = words.iterator.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val cnt = udf((toks: Seq[String]) =>
       if (toks == null) 0L
       else toks.count(t =>

@@ -49,7 +49,7 @@ object Dedup {
     * text; documents shorter than n words get an empty shingle set
     * (mirrors the DuckDB oracle's `range(1, greatest(len-1,1))`). */
   private[operators] def shingleSet(text: String, n: Int): Array[String] = {
-    val ws = text.toLowerCase.split(" ", -1)
+    val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (ws.length < n) Array.empty[String]
     else {
       val out = new java.util.LinkedHashSet[String]

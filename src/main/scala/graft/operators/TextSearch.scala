@@ -105,7 +105,11 @@ object TextSearch {
 
   def bm25TopK(docs: DataFrame, query: String, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qToks = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    // Locale.ROOT: query-side tokens must match the columnar lower()
+    // (locale-independent) — a Turkish-locale JVM would otherwise
+    // produce 'ı' for 'I' and miss every indexed occurrence
+    val qToks = query.toLowerCase(java.util.Locale.ROOT)
+      .split(" ").filter(_.nonEmpty).distinct.toSeq
     // an empty query matches nothing — return the empty result with the
     // output schema instead of letting the HOF reduce below throw
     // (review r12: the pre-r12 isin() filter degraded gracefully)

@@ -5287,8 +5287,14 @@ object PipelineQueries {
           |FROM r WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
       // q156's oracle: the same ranged aggregate over raw documents —
       // leaf skipping on the Spark side must never change rows
+      // sum over a BIGINT column MUST be cast back to BIGINT: DuckDB's
+      // sum(BIGINT) returns HUGEINT (int128), which the driver's client
+      // path renders as a float ("211.0") while the Spark parquet side
+      // is int64 ("211") — rows and schema match, hashes don't (the
+      // r16 q150/q156 driver reds; every other oracle already casts)
       "q156_skip_sql" ->
-        """SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        """SELECT source, lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents
           |WHERE doc_id >= 100 AND doc_id <= 160 AND n_chars > 50
           |GROUP BY source, lang
@@ -5297,8 +5303,9 @@ object PipelineQueries {
       // the taken-down ids (the store's logical content after build ->
       // compact -> takedown; the Spark side reads it through pure SQL
       // over the graft-store relation)
-      "q150_store_sql" ->
-        """SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      "q150_store_sql" -> // sum cast: see the q156 comment above
+        """SELECT source, lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       min(doc_id) AS min_id, max(doc_id) AS max_id
           |FROM documents
           |WHERE doc_id % 97 <> 0 AND doc_id % 2 = 0 AND n_chars > 50

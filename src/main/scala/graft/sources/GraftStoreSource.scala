@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -98,18 +98,36 @@ class GraftStoreSource extends RelationProvider with CreatableRelationProvider
     val bc = graft.streaming.StreamingOps.IngestBatchCol
     require(!data.columns.contains(bc),
       s"graft-store: '$bc' is the store's partition column — drop it from the data")
-    val batch = parameters.get("batch").map(_.toLong)
-      .getOrElse(GraftStoreRelation.nextBatchId(path))
-    val dir = graft.operators.Fs.path(path, s"$bc=$batch")
-    val exists = graft.operators.Fs.isDir(dir)
-    mode match {
-      case SaveMode.ErrorIfExists if exists =>
-        throw new IllegalStateException(
-          s"graft-store: batch $batch already exists at $path " +
-            "(SaveMode.ErrorIfExists); use Append or option(\"batch\", ...)")
-      case SaveMode.Ignore if exists => ()
-      case _ =>
-        data.write.mode("overwrite").parquet(dir.toString)
+    parameters.get("batch").map(_.toLong) match {
+      case Some(batch) =>
+        // the idempotent-replay contract: an EXPLICIT id overwrites
+        // exactly its own partition (a replayed micro-batch lands
+        // byte-identical on retry). This path assumes one writer per
+        // batch id — ids are the caller's ledger (a streaming query's
+        // epochs, an ingest job's run ids), so two writers sharing an
+        // id is the same bug as two jobs sharing a checkpoint dir.
+        val dir = graft.operators.Fs.path(path, s"$bc=$batch")
+        val exists = graft.operators.Fs.isDir(dir)
+        mode match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(
+              s"graft-store: batch $batch already exists at $path " +
+                "(SaveMode.ErrorIfExists); use Append or option(\"batch\", ...)")
+          case SaveMode.Ignore if exists => ()
+          case _ =>
+            data.write.mode("overwrite").parquet(dir.toString)
+            // a rewritten partition's sidecar rows describe the OLD
+            // contents — drop them so the next upkeep re-scores (stale
+            // stats would skip leaves that now hold matching rows)
+            graft.streaming.StreamingOps.invalidateBatchSidecars(path, batch)
+        }
+      case None =>
+        // implicit id: land atomically under the NEXT free id —
+        // write to a hidden temp dir, rename into place (rename to an
+        // existing destination throws on every Hadoop filesystem), so
+        // two concurrent writers computing the same id surface an
+        // error instead of the second silently clobbering the first
+        GraftStoreRelation.landNextBatch(data, path)
     }
     new GraftStoreRelation(sqlContext.sparkSession, path, "corpus")
   }
@@ -120,7 +138,9 @@ object GraftStoreRelation {
 
   /** Next free batch id for a corpus store: one past the max of the
     * live partition ids and the compaction watermark (the base build's
-    * -1 included), 0 on an empty store. */
+    * -1 included), 0 on an empty store. Read-then-act — callers that
+    * need collision SAFETY land via [[landNextBatch]], whose rename
+    * step turns a lost race into an error instead of a clobber. */
   private[sources] def nextBatchId(path: String): Long = {
     import graft.operators.{Fs, Manifests}
     val bc = graft.streaming.StreamingOps.IngestBatchCol
@@ -131,12 +151,50 @@ object GraftStoreRelation {
     (live ++ covers).maxOption.map(_ + 1).getOrElse(0L)
   }
 
-  /** Translate a pushed-down source filter to a Column over `df`, None
-    * when the filter has no Column equivalent (Spark re-applies every
-    * filter above the scan regardless — see `unhandledFilters` — so an
-    * untranslated filter costs pruning, never correctness). NULL
-    * three-valued logic is preserved by construction: each translation
-    * is the Column operator the filter is defined as. */
+  /** Land `data` as the next free batch partition ATOMICALLY: write to
+    * a dot-prefixed temp dir (invisible to every store read), then
+    * rename into place. [[graft.operators.Fs.rename]] refuses an
+    * existing destination on every Hadoop filesystem, so a concurrent
+    * writer that computed the same id makes THIS writer fail loudly —
+    * never a silent overwrite of the other writer's rows. Returns the
+    * landed batch id. (`idOverride` exists for the spec to stage the
+    * lost race deterministically.) */
+  private[sources] def landNextBatch(data: DataFrame, path: String,
+                                     idOverride: Option[Long] = None): Long = {
+    import graft.operators.Fs
+    val bc = graft.streaming.StreamingOps.IngestBatchCol
+    val batch = idOverride.getOrElse(nextBatchId(path))
+    val tmp = Fs.path(path, s".tmp-ingest-${java.util.UUID.randomUUID()}")
+    data.write.mode("overwrite").parquet(tmp.toString)
+    val dest = Fs.path(path, s"$bc=$batch")
+    def lostRace(cleanup: => Unit, cause: Throwable): Nothing = {
+      cleanup
+      throw new IllegalStateException(
+        s"graft-store: batch $batch at $path was landed by a concurrent " +
+          "writer between id assignment and commit — retry the write", cause)
+    }
+    if (Fs.exists(dest)) lostRace(Fs.rmTree(tmp), null)
+    try Fs.rename(tmp, dest)
+    catch { case e: java.io.IOException => lostRace(Fs.rmTree(tmp), e) }
+    // HDFS refuses rename-onto-existing (atomic); the LOCAL filesystem
+    // instead NESTS the source inside an existing destination dir —
+    // detect that, unwind it, and surface the same lost-race error
+    val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+    if (Fs.isDir(nested)) lostRace(Fs.rmTree(nested), null)
+    batch
+  }
+
+  /** EXACT translation of a pushed-down source filter to a Column over
+    * `df`: Some only when the WHOLE filter (every leaf under every
+    * connective) has a Column equivalent, None otherwise. Exactness is
+    * load-bearing: a partially-translated child under Not would negate
+    * a STRONGER predicate than the original (NOT(A AND B) ⇒ NOT(A)
+    * drops rows with A true, B false — and `unhandledFilters` cannot
+    * restore rows a scan already dropped), so And here requires both
+    * sides; the sound one-conjunct-still-prunes weakening lives only in
+    * [[translateConjuncts]], which is never applied under a Not/Or.
+    * NULL three-valued logic is preserved by construction: each
+    * translation is the Column operator the filter is defined as. */
   private[sources] def translate(df: DataFrame, f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(df(a) === lit(v))
     case EqualNullSafe(a, v) => Some(df(a) <=> lit(v))
@@ -151,19 +209,25 @@ object GraftStoreRelation {
     case StringEndsWith(a, v) => Some(df(a).endsWith(v))
     case StringContains(a, v) => Some(df(a).contains(v))
     case And(l, r) =>
-      (translate(df, l), translate(df, r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        // one conjunct still prunes on its own
-        case (a, b) => a.orElse(b)
-      }
+      for { a <- translate(df, l); b <- translate(df, r) } yield a && b
     case Or(l, r) =>
       for { a <- translate(df, l); b <- translate(df, r) } yield a || b
-    case Not(c) =>
-      // NOT must see its child's NULLs (three-valued logic), so a
-      // partially-translated child may not be negated
-      translate(df, c).map(not)
+    case Not(c) => translate(df, c).map(not)
     case _ => None
   }
+
+  /** Pruning translation of ONE TOP-LEVEL pushed filter: the filter's
+    * top-level conjuncts, each translated exactly, untranslatable ones
+    * dropped. Sound because each top-level conjunct is individually
+    * implied by the whole filter (rows failing it fail the filter), so
+    * applying any subset inside the scan never drops a matching row —
+    * the weakening that is UNSOUND under Not/Or stays impossible here
+    * because recursion only descends through And. */
+  private[sources] def translateConjuncts(df: DataFrame, f: Filter): Seq[Column] =
+    f match {
+      case And(l, r) => translateConjuncts(df, l) ++ translateConjuncts(df, r)
+      case other => translate(df, other).toSeq
+    }
 }
 
 /** The relation behind `graft-store` — see [[GraftStoreSource]]. */
@@ -172,7 +236,13 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
 
   /** SQL `INSERT INTO <graft-store view>`: one new batch partition —
     * the [[GraftStoreSource]] write path's semantics (corpus only,
-    * INSERT OVERWRITE refused: stores are lifecycle-managed). */
+    * INSERT OVERWRITE refused: stores are lifecycle-managed). The
+    * relation's schema exposes the reserved batch column, so INSERT
+    * syntactically requires a value for it; the store ASSIGNS ids, so
+    * any non-NULL value is REFUSED (same posture as the writer's
+    * static refusal — previously a non-NULL id was silently dropped).
+    * The check rides inside the single write pass (no second scan of
+    * a possibly-expensive SELECT feeding the INSERT). */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(layout == "corpus",
       s"graft-store: layout '$layout' is not writable — corpus stores take " +
@@ -182,9 +252,15 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
         "wholesale — use the store verbs (Takedown.deleteFromStore, " +
         "StreamingOps.expireBatches/compactStore)")
     val bc = graft.streaming.StreamingOps.IngestBatchCol
-    val batch = GraftStoreRelation.nextBatchId(path)
-    data.drop(bc).write.mode("overwrite")
-      .parquet(s"$path/$bc=$batch")
+    val checked =
+      if (!data.columns.contains(bc)) data
+      else data.filter(coalesce(assert_true(col(bc).isNull,
+          lit(s"graft-store: '$bc' is assigned by the store — INSERT NULL " +
+            "for it (or write through df.write.format(\"graft-store\"))")),
+          lit(true)))
+        .drop(bc)
+    GraftStoreRelation.landNextBatch(checked, path)
+    ()
   }
 
   import graft.streaming.StreamingOps
@@ -263,18 +339,27 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
   private[sources] def planFor(requiredColumns: Array[String],
                                filters: Array[Filter]): DataFrame = {
     val skips = if (layout == "corpus") skipRangesFrom(filters) else Nil
-    val base =
+    val base0 =
       if (skips.nonEmpty &&
           graft.operators.Fs.isDir(
             graft.operators.Fs.path(path, StreamingOps.StatsDir)))
         StreamingOps.readCorpusStorePruned(spark, path, skips)
           .getOrElse(view.limit(0))
       else view
+    // under schema evolution a column can live ONLY in pruned-away
+    // leaves — the pruned view (schema-merged over kept dirs alone)
+    // then lacks it, and the select below would throw even though the
+    // correct answer (those leaves contribute no rows, the column is
+    // all-NULL in what remains) is computable. Backfill typed NULLs
+    // against the relation's full schema; a no-op on the common path.
+    val base = schema.fields
+      .filterNot(f => base0.columns.contains(f.name))
+      .foldLeft(base0)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     // plain .filter already drops NULL-evaluating rows (the source
     // Filter semantics) — no coalesce wrapper, which would block the
     // parquet PushedFilters translation
     val filtered = filters
-      .flatMap(GraftStoreRelation.translate(base, _))
+      .flatMap(GraftStoreRelation.translateConjuncts(base, _))
       .foldLeft(base)(_ filter _)
     filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
   }

@@ -649,6 +649,23 @@ object StreamingOps {
   private def leafDirName(leaf: String): String =
     leaf.replace("=", "__EQ__") // '=' dirs would read as partitions
 
+  /** Drop the sidecar rows (stats + attribute sheet) for ONE live batch
+    * partition. Every writer that REWRITES an existing batch in place —
+    * the `option("batch", id)` idempotent-replay contract of the
+    * graft-store write path — must call this: upkeep never re-scores a
+    * leaf that already has a sidecar row, so bounds/attributes recorded
+    * for the OLD contents would otherwise go stale, and stale stats are
+    * not conservative (a replayed batch with different values could be
+    * skipped while containing matching rows). Deleting the row restores
+    * the missing-stats = must-read posture until the next upkeep.
+    * No-op when the sidecars are absent. */
+  def invalidateBatchSidecars(storePath: String, batchId: Long): Unit = {
+    import graft.operators.Fs
+    val leaf = s"$IngestBatchCol=$batchId"
+    Fs.rmTree(Fs.path(s"$storePath/$StatsDir", leafDirName(leaf)))
+    Fs.rmTree(Fs.path(s"$storePath/$AttributesDir", leaf))
+  }
+
   /** One inclusive numeric range predicate for [[readCorpusStorePruned]]. */
   final case class SkipRange(column: String, lo: Double, hi: Double)
 

@@ -47,6 +47,20 @@ class AnalyzerSpec extends SparkSpec {
     }
   }
 
+  test("analyzeLocal is locale-independent (Turkish-I regression)") {
+    // Spark's lower() ignores the JVM default locale; the driver twin
+    // must too, or query tokens diverge from indexed tokens on a
+    // tr_TR JVM ('TITLE'.toLowerCase -> 'tıtle')
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(Analyzer.analyzeLocal(Analyzer.Simple, "TITLE FIX") ===
+        Seq("title", "fix"))
+      assert(Analyzer.analyzeLocal(Analyzer.English, "INDEXING TITLES") ===
+        Seq("index", "titl"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("unknown analyzer names are refused everywhere") {
     intercept[IllegalArgumentException](Analyzer.analyzeLocal("nope", "x"))
     intercept[IllegalArgumentException](Analyzer.analyze("nope", lit("x")))

@@ -225,6 +225,114 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("translate is EXACT; conjunct weakening only ever applies at top level") {
+    import org.apache.spark.sql.sources._
+    val p = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source").write.parquet(s"$p/$bc=0")
+    val df = spark.read.format("graft-store").load(p)
+    val opaque: Filter = AlwaysTrue // no Column translation (the `case _` arm)
+    val aEq: Filter = EqualTo("source", "a")
+    // And with an untranslatable side is NOT exact — returning the
+    // translated half would be a STRONGER predicate, and under Not it
+    // would drop (A true, B false) rows inside the scan, where Spark's
+    // re-applied filter can never restore them
+    assert(GraftStoreRelation.translate(df, And(aEq, opaque)).isEmpty)
+    assert(GraftStoreRelation.translate(df, Not(And(aEq, opaque))).isEmpty)
+    assert(GraftStoreRelation.translate(df, Or(aEq, opaque)).isEmpty)
+    assert(GraftStoreRelation.translate(df, Not(aEq)).nonEmpty)
+    // the sound weakening: a TOP-LEVEL conjunct still prunes alone
+    assert(GraftStoreRelation.translateConjuncts(df, And(aEq, opaque)).size === 1)
+    assert(GraftStoreRelation.translateConjuncts(df, Not(And(aEq, opaque))).isEmpty)
+    // end-to-end through the relation's own (unguarded) API: a scan fed
+    // Not(And(...)) with an opaque side must not drop any row inside
+    val rel = new GraftStoreRelation(spark, p, "corpus")
+    val inner = rel.planFor(Array("doc_id", "source"),
+      Array(Not(And(aEq, opaque))))
+    assert(inner.count() === 2L, "planFor dropped rows for an inexact Not(And)")
+    Manifests.rmTree(p)
+  }
+
+  test("replaying a batch id invalidates its sidecar stats — no stale skipping") {
+    val p = tmp()
+    // two disjoint-range batches, stats recorded
+    Seq((0L, "x", "s0"), (99L, "y", "s0")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$p/$bc=0")
+    Seq((200L, "z", "s1")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$p/$bc=1")
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    val statLeaf = graft.operators.Fs.path(
+      s"$p/${StreamingOps.StatsDir}", s"${bc}__EQ__1")
+    assert(graft.operators.Fs.isDir(statLeaf))
+    // replay batch 1 with DIFFERENT values (range now overlaps 0..99)
+    Seq((50L, "z2", "s1")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").mode("append").option("batch", "1").save(p)
+    // the stale stats row is gone -> the leaf is must-read again
+    assert(!graft.operators.Fs.isDir(statLeaf))
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_replay
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    // a range query that the OLD bounds [200,200] would have skipped
+    // must see the replayed row
+    assert(spark.sql("SELECT doc_id FROM gs_replay WHERE doc_id >= 40 AND doc_id <= 60")
+      .as[Long].collect().toSeq === Seq(50L))
+    spark.sql("DROP VIEW gs_replay")
+    Manifests.rmTree(p)
+  }
+
+  test("schema evolution: a column living only in pruned-away leaves reads as NULL") {
+    val p = tmp()
+    Seq((0L, "s0")).toDF("doc_id", "source").write.parquet(s"$p/$bc=0")
+    // batch 1 adds a column AND holds a disjoint doc_id range
+    Seq((200L, "s1", 7L)).toDF("doc_id", "source", "extra")
+      .write.parquet(s"$p/$bc=1")
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    val rel = new GraftStoreRelation(spark, p, "corpus")
+    // the range prunes away batch 1 — the only leaf carrying `extra`;
+    // the scan must still serve the column (typed NULL), not throw
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val inner = rel.planFor(Array("doc_id", "extra"),
+      Array(GreaterThanOrEqual("doc_id", 0L), LessThanOrEqual("doc_id", 10L)))
+    assert(inner.inputFiles.forall(_.contains(s"$bc=0")))
+    val rows = inner.collect()
+    assert(rows.length === 1 && rows.head.isNullAt(1))
+    Manifests.rmTree(p)
+  }
+
+  test("INSERT refuses a non-NULL value for the reserved batch column") {
+    val p = tmp()
+    Seq((1L, "a", "s0")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").save(p)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_refuse
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs_refuse VALUES (2, 'b', 's0', 7)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("assigned by the store")), e.toString)
+    // nothing landed: the store still has exactly its original row
+    assert(StreamingOps.readCorpusStore(spark, p).get.count() === 1L)
+    spark.sql("DROP VIEW gs_refuse")
+    Manifests.rmTree(p)
+  }
+
+  test("a lost id race fails loudly instead of clobbering the winner") {
+    val p = tmp()
+    Seq((1L, "a")).toDF("doc_id", "source")
+      .write.format("graft-store").save(p) // lands batch 0
+    // stage the race: a concurrent writer already landed id 0
+    val e = intercept[IllegalStateException] {
+      GraftStoreRelation.landNextBatch(
+        Seq((9L, "z")).toDF("doc_id", "source"), p, idOverride = Some(0L))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's rows survive untouched; no temp litter joins the view
+    assert(spark.read.format("graft-store").load(p)
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    Manifests.rmTree(p)
+  }
+
   test("unknown layout and missing store fail with pointed errors") {
     val p = tmp()
     val e1 = intercept[IllegalArgumentException] {
