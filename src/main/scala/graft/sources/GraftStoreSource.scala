@@ -292,23 +292,37 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
   // for correctness and double evaluation of a pruned scan is cheap
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  /** Numeric range bounds implied by the pushed conjuncts, for the
+  /** Range bounds implied by the pushed conjuncts, for the
     * stats-sidecar skip (inclusive, conservative: a strict bound uses
     * its value — at worst a boundary leaf is read, never skipped
-    * wrongly; disjunctions/other shapes contribute nothing). */
-  private def skipRangesFrom(filters: Array[Filter]): Seq[StreamingOps.SkipRange] = {
+    * wrongly; disjunctions/other shapes contribute nothing). Numeric
+    * comparisons yield [[StreamingOps.SkipRange]]; STRING equality and
+    * ranges yield [[StreamingOps.SkipStrRange]] under Spark's binary
+    * UTF-8 order (`WHERE source = 'src3'` skips every leaf whose
+    * recorded [min_str, max_str] excludes it); `In` contributes the
+    * min..max envelope of its values (numeric or string). */
+  private def skipRangesFrom(filters: Array[Filter]): Seq[StreamingOps.SkipPred] = {
     val lo = scala.collection.mutable.Map.empty[String, Double]
     val hi = scala.collection.mutable.Map.empty[String, Double]
+    val loS = scala.collection.mutable.Map.empty[String, String]
+    val hiS = scala.collection.mutable.Map.empty[String, String]
+    def cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     def low(a: String, v: Any): Unit = v match {
       case n: Number =>
         val d = n.doubleValue()
         lo(a) = math.max(lo.getOrElse(a, Double.NegativeInfinity), d)
+      case s: String =>
+        loS(a) = loS.get(a).filter(cmp(_, s) >= 0).getOrElse(s)
       case _ => ()
     }
     def high(a: String, v: Any): Unit = v match {
       case n: Number =>
         val d = n.doubleValue()
         hi(a) = math.min(hi.getOrElse(a, Double.PositiveInfinity), d)
+      case s: String =>
+        hiS(a) = hiS.get(a).filter(cmp(_, s) <= 0).getOrElse(s)
       case _ => ()
     }
     def walk(f: Filter): Unit = f match {
@@ -320,10 +334,35 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
       case And(l, r) => walk(l); walk(r)
       case _ => ()
     }
+    // In contributes min(vs)..max(vs) — the values' ENVELOPE, not the
+    // per-value conjunction fold low/high would compute — so it walks
+    // separately
+    def walkIn(f: Filter): Unit = f match {
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val nums = vs.collect { case n: Number => n.doubleValue() }
+        if (nums.length == vs.length) {
+          lo(a) = math.max(lo.getOrElse(a, Double.NegativeInfinity), nums.min)
+          hi(a) = math.min(hi.getOrElse(a, Double.PositiveInfinity), nums.max)
+        }
+        val strs = vs.collect { case s: String => s }
+        if (strs.length == vs.length) {
+          val mn = strs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+          val mx = strs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+          loS(a) = loS.get(a).filter(cmp(_, mn) >= 0).getOrElse(mn)
+          hiS(a) = hiS.get(a).filter(cmp(_, mx) <= 0).getOrElse(mx)
+        }
+      case And(l, r) => walkIn(l); walkIn(r)
+      case _ => ()
+    }
     filters.foreach(walk)
-    (lo.keySet ++ hi.keySet).toSeq.sorted.map(a => StreamingOps.SkipRange(a,
-      lo.getOrElse(a, Double.NegativeInfinity),
-      hi.getOrElse(a, Double.PositiveInfinity)))
+    filters.foreach(walkIn)
+    val numeric = (lo.keySet ++ hi.keySet).toSeq.sorted.map(a =>
+      StreamingOps.SkipRange(a,
+        lo.getOrElse(a, Double.NegativeInfinity),
+        hi.getOrElse(a, Double.PositiveInfinity)))
+    val strings = (loS.keySet ++ hiS.keySet).toSeq.sorted.map(a =>
+      StreamingOps.SkipStrRange(a, loS.get(a), hiS.get(a)))
+    numeric ++ strings
   }
 
   /** The delegated inner plan for one scan: store view → pushed

@@ -591,22 +591,32 @@ object StreamingOps {
     *    harmless (their dirs are gone from the view); upkeep writes the
     *    new epoch's stats and drops rows for vanished leaves.
     * Idempotent per leaf — the sidecar is itself a tiny partitioned
-    * store (one parquet dir per leaf, overwritten whole). Returns the
-    * leaf names scored this call. */
+    * store: one `leaf=<name>` PARTITION DIR per scored leaf,
+    * overwritten whole, so serving reads the ENTIRE sidecar in one
+    * partition-discovered scan ([[loadStoreStats]] — one job for N
+    * leaves, where the pre-r17 layout cost one read+collect PER LEAF:
+    * O(leaves) driver round-trips, the serving bottleneck at
+    * thousands of batches). A pre-r17 sidecar (leaf dirs not named
+    * `leaf=`) is wiped and re-scored once. Returns the leaf names
+    * scored this call. */
   def upkeepStoreStats(spark: org.apache.spark.sql.SparkSession,
                        storePath: String, cols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Fs, Manifests}
     require(cols.nonEmpty, "upkeepStoreStats: no columns")
     val statsRoot = s"$storePath/$StatsDir"
+    val preV2 = Fs.listDirNames(Fs.path(statsRoot))
+      .filterNot(_.startsWith("leaf="))
+    if (preV2.nonEmpty) Fs.rmTree(Fs.path(statsRoot)) // old layout: re-score
     val liveLeaves = Fs.listDirNames(Fs.path(storePath))
       .filter(_.startsWith(s"$IngestBatchCol="))
     val epochLeaf = Manifests.read(storePath).map { case (e, _) => s"epoch-$e" }
     val leaves = (liveLeaves ++ epochLeaf).toSeq
-    val done = Fs.listDirNames(Fs.path(statsRoot)).toSet
+    val done = Fs.listDirNames(Fs.path(statsRoot))
+      .map(_.stripPrefix("leaf=")).toSet
     // drop stats for leaves the lifecycle has superseded/expired
     (done -- leaves.map(leafDirName)).foreach(d =>
-      Fs.rmTree(Fs.path(statsRoot, d)))
+      Fs.rmTree(Fs.path(statsRoot, s"leaf=$d")))
     val todo = leaves.filterNot(l => done.contains(leafDirName(l)))
     todo.foreach { leaf =>
       val dataPath =
@@ -641,7 +651,7 @@ object StreamingOps {
           row.getAs[Long]("__n"))
       }.toDF("column", "min_num", "max_num", "min_str", "max_str", "n_rows")
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$statsRoot/${leafDirName(leaf)}")
+        .parquet(s"$statsRoot/leaf=${leafDirName(leaf)}")
     }
     todo
   }
@@ -662,46 +672,99 @@ object StreamingOps {
   def invalidateBatchSidecars(storePath: String, batchId: Long): Unit = {
     import graft.operators.Fs
     val leaf = s"$IngestBatchCol=$batchId"
-    Fs.rmTree(Fs.path(s"$storePath/$StatsDir", leafDirName(leaf)))
+    Fs.rmTree(Fs.path(s"$storePath/$StatsDir", s"leaf=${leafDirName(leaf)}"))
     Fs.rmTree(Fs.path(s"$storePath/$AttributesDir", leaf))
   }
 
-  /** One inclusive numeric range predicate for [[readCorpusStorePruned]]. */
+  /** One leaf-skipping predicate for [[readCorpusStorePruned]]. */
+  sealed trait SkipPred { def column: String }
+
+  /** Inclusive numeric range: keep leaves whose [min, max] overlaps
+    * [lo, hi]. */
   final case class SkipRange(column: String, lo: Double, hi: Double)
+      extends SkipPred
+
+  /** Inclusive STRING range (equality = both ends): keep leaves whose
+    * [min_str, max_str] overlaps [lo, hi] under Spark's own binary
+    * UTF-8 ordering (None = unbounded on that side). */
+  final case class SkipStrRange(column: String, lo: Option[String],
+                                hi: Option[String]) extends SkipPred
+
+  /** Compare like Spark's string ordering (binary over UTF-8 bytes) —
+    * java.lang.String.compareTo is UTF-16 code-unit order, which
+    * DISAGREES beyond the BMP; the stats were computed by Spark's
+    * min/max, so the skip decision must use Spark's order. */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Recorded bounds for one (leaf, column): numeric and/or string. */
+  final case class ColStats(minNum: Option[Double], maxNum: Option[Double],
+                            minStr: Option[String], maxStr: Option[String])
+
+  /** The WHOLE stats sidecar in ONE partition-discovered scan + one
+    * collect (metadata-scale: a few rows per leaf), keyed by the
+    * original leaf name (`__ingest_batch=3`, `epoch-0`). Empty when
+    * the sidecar is absent or pre-r17 (non-`leaf=` dirs) — both read
+    * conservatively as "no stats", i.e. every leaf must-read. */
+  def loadStoreStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Map[String, Map[String, ColStats]] = {
+    import graft.operators.Fs
+    val statsRoot = s"$path/$StatsDir"
+    val dirs = Fs.listDirNames(Fs.path(statsRoot))
+    if (dirs.isEmpty || !dirs.forall(_.startsWith("leaf="))) return Map.empty
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def optS(r: org.apache.spark.sql.Row, i: Int): Option[String] =
+      if (r.isNullAt(i)) None else Some(r.getString(i))
+    // the sidecar schema is static — passing it skips the footer
+    // schema-inference job, leaving exactly ONE job (the collect)
+    import org.apache.spark.sql.types._
+    val statsSchema = StructType(Seq(
+      StructField("column", StringType), StructField("min_num", DoubleType),
+      StructField("max_num", DoubleType), StructField("min_str", StringType),
+      StructField("max_str", StringType), StructField("n_rows", LongType),
+      StructField("leaf", StringType)))
+    spark.read.schema(statsSchema).parquet(statsRoot)
+      .select("leaf", "column", "min_num", "max_num", "min_str", "max_str")
+      .collect()
+      .groupBy(r => r.getString(0).replace("__EQ__", "="))
+      .map { case (leaf, rows) =>
+        leaf -> rows.map(r => r.getString(1) ->
+          ColStats(optD(r, 2), optD(r, 3), optS(r, 4), optS(r, 5))).toMap
+      }
+  }
 
   /** [[readCorpusStore]] with stats-based leaf skipping: batch
-    * partitions (and the compaction epoch) whose recorded [min, max]
-    * provably cannot satisfy EVERY given range are never opened — their
-    * directories are excluded from the scan's file index entirely (the
-    * spec asserts via `inputFiles`). Leaves with NO stats row (a batch
-    * newer than the last upkeep) are always read — missing stats can
-    * only cost speed, never rows. The ranges are a PRE-FILTER on
-    * leaves; callers still apply the actual row filter (exactly like
-    * parquet row-group skipping). None when nothing remains. */
+    * partitions (and the compaction epoch) whose recorded bounds
+    * provably cannot satisfy EVERY given predicate are never opened —
+    * their directories are excluded from the scan's file index
+    * entirely (the spec asserts via `inputFiles`). Leaves with NO
+    * stats row (a batch newer than the last upkeep) are always read —
+    * missing stats can only cost speed, never rows. The predicates
+    * are a PRE-FILTER on leaves; callers still apply the actual row
+    * filter (exactly like parquet row-group skipping). All leaves'
+    * bounds load in ONE scan ([[loadStoreStats]]), not one job per
+    * leaf. None when nothing remains. */
   def readCorpusStorePruned(spark: org.apache.spark.sql.SparkSession,
                             path: String,
-                            ranges: Seq[SkipRange]): Option[DataFrame] = {
+                            ranges: Seq[SkipPred]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Fs, Manifests}
     require(ranges.nonEmpty, "readCorpusStorePruned: no ranges — use readCorpusStore")
-    val statsRoot = s"$path/$StatsDir"
-    // leaf -> column -> (min, max); absent leaf or column = must-read
-    def boundsOf(leafDir: String): Option[Map[String, (Double, Double)]] = {
-      val p = Fs.path(statsRoot, leafDirName(leafDir))
-      if (!Fs.isDir(p)) None
-      else Some(spark.read.parquet(p.toString)
-        .select("column", "min_num", "max_num").collect()
-        .flatMap { r =>
-          if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some(r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
-        }.toMap)
-    }
-    def keep(leafDir: String): Boolean = boundsOf(leafDir) match {
+    val stats = loadStoreStats(spark, path)
+    def keep(leafDir: String): Boolean = stats.get(leafDir) match {
       case None => true // no stats yet -> must read
-      case Some(bounds) => ranges.forall { rg =>
-        bounds.get(rg.column) match {
-          case None => true // column untracked -> must read
-          case Some((mn, mx)) => mx >= rg.lo && mn <= rg.hi
+      case Some(bounds) => ranges.forall {
+        case SkipRange(c, lo, hi) => bounds.get(c) match {
+          case Some(ColStats(Some(mn), Some(mx), _, _)) => mx >= lo && mn <= hi
+          case _ => true // column untracked / non-numeric -> must read
+        }
+        case SkipStrRange(c, lo, hi) => bounds.get(c) match {
+          case Some(ColStats(_, _, Some(mn), Some(mx))) =>
+            lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+              hi.forall(h => utf8Cmp(mn, h) <= 0)
+          case _ => true
         }
       }
     }

@@ -149,6 +149,37 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("SQL string equality skips leaves via min_str/max_str; rows identical") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val p = tmp()
+    // one source value per batch — disjoint string bounds
+    (0 to 2).foreach { b =>
+      (0 until 30).map(i => ((b * 30 + i).toLong, s"doc $i", s"src$b"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$p/$bc=$b")
+    }
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "source"))
+    val rel = new GraftStoreRelation(spark, p, "corpus")
+    val inner = rel.planFor(Array("doc_id", "source"),
+      Array(EqualTo("source", "src1")))
+    assert(inner.inputFiles.nonEmpty &&
+      inner.inputFiles.forall(_.contains(s"$bc=1")), inner.inputFiles.toSeq)
+    // In() contributes its value envelope
+    val innerIn = rel.planFor(Array("doc_id"),
+      Array(In("source", Array("src1", "src2"))))
+    assert(!innerIn.inputFiles.exists(_.contains(s"$bc=0")) &&
+      innerIn.inputFiles.exists(_.contains(s"$bc=2")))
+    // and the SQL result equals the unskipped read
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_strskip
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    val got = spark.sql(
+      "SELECT count(*) FROM gs_strskip WHERE source = 'src1'").head().getLong(0)
+    assert(got === 30L)
+    spark.sql("DROP VIEW gs_strskip")
+    Manifests.rmTree(p)
+  }
+
   test("ivm-view / ivm-base layouts serve the latest committed snapshot") {
     val p = tmp()
     Seq(("O", 1L), ("F", 2L)).toDF("status", "n_rows")
@@ -261,7 +292,7 @@ class GraftStoreSourceSpec extends SparkSpec {
       .write.parquet(s"$p/$bc=1")
     StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
     val statLeaf = graft.operators.Fs.path(
-      s"$p/${StreamingOps.StatsDir}", s"${bc}__EQ__1")
+      s"$p/${StreamingOps.StatsDir}", s"leaf=${bc}__EQ__1")
     assert(graft.operators.Fs.isDir(statLeaf))
     // replay batch 1 with DIFFERENT values (range now overlaps 0..99)
     Seq((50L, "z2", "s1")).toDF("doc_id", "text", "source")

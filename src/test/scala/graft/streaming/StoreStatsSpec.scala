@@ -45,7 +45,7 @@ class StoreStatsSpec extends SparkSpec {
     assert(pruned.filter(col("doc_id").between(150, 160)).select("doc_id")
       .as[Long].collect().sorted.toSeq === want && want.size === 11)
     // string stats are recorded too (min_str/max_str populated)
-    val sRows = spark.read.parquet(s"$p/${StreamingOps.StatsDir}/${bc}__EQ__0")
+    val sRows = spark.read.parquet(s"$p/${StreamingOps.StatsDir}/leaf=${bc}__EQ__0")
       .filter(col("column") === "source").head()
     assert(sRows.getAs[String]("min_str") === "src0" &&
       sRows.getAs[String]("max_str") === "src2")
@@ -85,7 +85,7 @@ class StoreStatsSpec extends SparkSpec {
     assert(StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id")).isEmpty)
     val statNames = graft.operators.Fs.listDirNames(
       graft.operators.Fs.path(s"$p/${StreamingOps.StatsDir}"))
-    assert(statNames.toSet === Set("epoch-0", s"${bc}__EQ__2"))
+    assert(statNames.toSet === Set("leaf=epoch-0", s"leaf=${bc}__EQ__2"))
     Manifests.rmTree(p)
   }
 
@@ -101,6 +101,73 @@ class StoreStatsSpec extends SparkSpec {
     assert(pruned.filter(col("doc_id") === 100L).count() === 0L)
     assert(filesOf(pruned).forall(_.contains(s"$bc=1")))
     Manifests.rmTree(p)
+  }
+
+  test("loadStoreStats reads the whole sidecar in ONE Spark job") {
+    val p = tmp()
+    mkStore(p)
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "source"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stats = StreamingOps.loadStoreStats(spark, p)
+      // the listener bus is async — wait for the first event, then a
+      // grace beat so any SECOND job (which would disprove one-scan)
+      // has time to surface
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      // one collect over the partition-discovered sidecar — NOT one
+      // read+collect per leaf (the pre-r17 serving bottleneck:
+      // O(leaves) driver round-trips at thousands of batches)
+      assert(jobs.get() === 1, s"expected 1 job for 3 leaves, got ${jobs.get()}")
+      assert(stats.keySet === Set(s"$bc=0", s"$bc=1", s"$bc=2"))
+      assert(stats(s"$bc=1")("doc_id").minNum.get === 100.0 &&
+        stats(s"$bc=1")("doc_id").maxNum.get === 199.0)
+      assert(stats(s"$bc=2")("source") ===
+        StreamingOps.ColStats(None, None, Some("src0"), Some("src2")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Manifests.rmTree(p)
+  }
+
+  test("string equality/range skipping through min_str/max_str") {
+    val p = tmp()
+    // batches with DISJOINT source values — the string-skip regime
+    (0 to 2).foreach { b =>
+      (0 until 50).map(i => ((b * 50 + i).toLong, s"doc $i", s"src$b"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$p/$bc=$b")
+    }
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "source"))
+    // equality: src1 lives only in batch 1
+    val eq = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipStrRange("source", Some("src1"), Some("src1")))).get
+    assert(filesOf(eq).nonEmpty && filesOf(eq).forall(_.contains(s"$bc=1")),
+      filesOf(eq))
+    assert(eq.filter(col("source") === "src1").count() === 50L)
+    // range: source >= 'src2' admits only batch 2
+    val ge = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipStrRange("source", Some("src2"), None))).get
+    assert(filesOf(ge).forall(_.contains(s"$bc=2")), filesOf(ge))
+    // numeric-only stats on a string predicate = must-read (conservative)
+    val pn = tmp()
+    (0 to 1).foreach { b =>
+      Seq(((b * 10).toLong, s"src$b")).toDF("doc_id", "source")
+        .write.parquet(s"$pn/$bc=$b")
+    }
+    StreamingOps.upkeepStoreStats(spark, pn, Seq("doc_id")) // no source stats
+    val all = StreamingOps.readCorpusStorePruned(spark, pn,
+      Seq(StreamingOps.SkipStrRange("source", Some("src1"), Some("src1")))).get
+    assert(filesOf(all).exists(_.contains(s"$bc=0")) &&
+      filesOf(all).exists(_.contains(s"$bc=1")))
+    Manifests.rmTree(p); Manifests.rmTree(pn)
   }
 
   test("multi-range conjunction prunes on every range; untracked column must-read") {
