@@ -1673,6 +1673,131 @@ object PipelineQueries {
          |ORDER BY source, lang""".stripMargin)
   }
 
+  /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
+    * r16 next #4/#5): a store is written through
+    * `writeStream.format("graft-store")` (idempotent batch-id
+    * partitions) and TAILED through `readStream.format("graft-store")`
+    * (the ordered batch-id log as offsets, commit-marker gated).
+    * Asserts, from the documents table:
+    *  (a) tail_complete — a tail over a two-batch store delivers
+    *      exactly its rows, batch ids carried;
+    *  (b) live_arrival — a batch landed WHILE the tail runs arrives
+    *      exactly once;
+    *  (c) resume_exact — a batch landed while the tail is DOWN arrives
+    *      exactly once on restart from the same checkpoint (no
+    *      duplicates of anything prior);
+    *  (d) deterministic — the store's final content equals the landed
+    *      inputs. */
+  def q158CheckStoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 90)
+    val p = java.nio.file.Files.createTempDirectory("q158-store").toString
+    val cp = java.nio.file.Files.createTempDirectory("q158-cp").toString
+    docs.filter(col("doc_id") < 30)
+      .write.format("graft-store").option("batch", "0").save(p)
+    docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+      .write.format("graft-store").option("batch", "1").save(p)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def tail() = spark.readStream.format("graft-store").load(p)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.select(col("doc_id"),
+              col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    val q1 = tail()
+    q1.processAllAvailable()
+    val want01 = docs.filter(col("doc_id") < 60).select("doc_id")
+      .as[Long].collect().toSet
+    val tailComplete = seen.map(_._1).toSet == want01 &&
+      seen.forall { case (id, b) => b == (if (id < 30) 0L else 1L) }
+    // (b) landed mid-tail
+    docs.filter(col("doc_id") >= 60 && col("doc_id") < 75)
+      .write.format("graft-store").option("batch", "2").save(p)
+    q1.processAllAvailable()
+    val n75 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 75).count()
+    val liveArrival = seen.count(_._2 == 2L).toLong == n75
+    q1.stop()
+    // (c) landed while down, resume
+    docs.filter(col("doc_id") >= 75)
+      .write.format("graft-store").option("batch", "3").save(p)
+    val q2 = tail()
+    q2.processAllAvailable()
+    q2.stop()
+    val resumeExact = seen.count(_._2 == 3L).toLong ==
+      docs.filter(col("doc_id") >= 75).count() &&
+      seen.size.toLong == docs.count()
+    val deterministic = graft.streaming.StreamingOps
+      .readCorpusStore(spark, p).get.count() == docs.count()
+    Seq(p, cp).foreach(graft.operators.Manifests.rmTree)
+    Seq((tailComplete, liveArrival, resumeExact, deterministic))
+      .toDF("tail_complete", "live_arrival", "resume_exact", "deterministic")
+  }
+
+  /** q159 contract: graft-store as a CATALOG TABLE (r17; VERDICT r16
+    * next #4): `CREATE TABLE ... USING graft-store` and `saveAsTable`
+    * register through the session's EXTERNAL catalog — (provider,
+    * path, schema) metadata that any session with the jar resolves by
+    * name (in-memory across `newSession()`, Hive across JVMs).
+    * Asserts:
+    *  (a) create_select — CREATE TABLE over an existing store serves
+    *      its rows;
+    *  (b) cross_session — a FRESH session (new temp-view registry/SQL
+    *      conf) resolves the same name through the external catalog;
+    *  (c) insert_lands — INSERT INTO through the catalog name lands a
+    *      store batch (visible to the other session too);
+    *  (d) pinned_schema — CREATE TABLE with a column list fronts a
+    *      store that does not exist yet: empty until INSERT, typed
+    *      NULLs for columns the store lacks;
+    *  (e) drop_keeps_data — DROP TABLE removes the name, not the
+    *      store. */
+  def q159CheckStoreCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select("doc_id", "text", "source")
+      .filter(col("doc_id") < 50)
+    val p = java.nio.file.Files.createTempDirectory("q159-store").toString
+    docs.write.format("graft-store").save(p)
+    val tbl = s"gs_q159_${math.abs(dir.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-store` OPTIONS (path '$p')")
+    val n = docs.count()
+    val createSelect =
+      spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
+    val s2 = spark.newSession()
+    val crossSession =
+      s2.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
+    s2.sql(s"INSERT INTO $tbl VALUES (900001, 'planted', 'srcX', NULL)")
+    val insertLands =
+      spark.sql(s"SELECT count(*) FROM $tbl WHERE doc_id = 900001")
+        .head().getLong(0) == 1L &&
+      graft.streaming.StreamingOps.readCorpusStore(spark, p).get
+        .select(col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
+        .distinct().count() == 2L
+    // (d) pinned column list over a not-yet-existing store
+    val p2 = s"${java.nio.file.Files.createTempDirectory("q159-fresh")}/new"
+    val tbl2 = s"${tbl}_fresh"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+    spark.sql(s"CREATE TABLE $tbl2 (doc_id BIGINT, text STRING) " +
+      s"USING `graft-store` OPTIONS (path '$p2')")
+    val emptyFirst = spark.sql(s"SELECT * FROM $tbl2").count() == 0L
+    spark.sql(s"INSERT INTO $tbl2 VALUES (1, 'a')")
+    val pinnedSchema = emptyFirst &&
+      spark.sql(s"SELECT doc_id FROM $tbl2").as[Long].collect().toSeq == Seq(1L)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $tbl2")
+    val dropKeepsData = graft.streaming.StreamingOps
+      .readCorpusStore(spark, p).get.count() == n + 1
+    Seq(p, p2).foreach(graft.operators.Manifests.rmTree)
+    Seq((createSelect, crossSession, insertLands, pinnedSchema, dropKeepsData))
+      .toDF("create_select", "cross_session", "insert_lands",
+        "pinned_schema", "drop_keeps_data")
+  }
+
   /** q148: PHRASE search through the positional postings of the SAME
     * lifecycle-exercised index as q147 (build ⅔ → append ⅓ → delete
     * %97): documents where "table hash" appears with the tokens
@@ -5108,6 +5233,13 @@ object PipelineQueries {
         """SELECT true AS vectors_ok, true AS columnar_parity,
           |       true AS morphology_found, true AS analyzer_pinned,
           |       true AS deterministic""".stripMargin,
+      "q158_check_store_stream" ->
+        """SELECT true AS tail_complete, true AS live_arrival,
+          |       true AS resume_exact, true AS deterministic""".stripMargin,
+      "q159_check_store_catalog" ->
+        """SELECT true AS create_select, true AS cross_session,
+          |       true AS insert_lands, true AS pinned_schema,
+          |       true AS drop_keeps_data""".stripMargin,
       // q153's oracle: the q148 shape with the adjacency widened to the
       // ordered slop-2 window (exists a 'hash' within 3 raw positions
       // after each 'table' — nearest-exists ⟺ some-exists, so the

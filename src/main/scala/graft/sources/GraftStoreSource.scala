@@ -2,8 +2,10 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{assert_true, coalesce, col, lit, not}
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** SQL over the engine's own stores (r15 verdict, next-round #1): every
@@ -48,11 +50,97 @@ import org.apache.spark.sql.types.StructType
   *
   * The reference has no SQL surface at all (its terminal consumer is a
   * callback, `CdcConsumer.java:6-12`); this is the seam that turns the
-  * engine's maintained stores into warehouse tables. */
-class GraftStoreSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+  * engine's maintained stores into warehouse tables.
+  *
+  * Beyond batch SQL, the SAME format name serves (r17):
+  *  - CATALOG TABLES: `CREATE TABLE t USING graft-store OPTIONS (path
+  *    ...)` / `df.write.format("graft-store").option("path", ...)
+  *    .saveAsTable("t")` register through the session's external
+  *    catalog — metadata is (provider, path, optional schema), so the
+  *    entry round-trips any metastore (in-memory across
+  *    `spark.newSession()`, Hive across JVM restarts) and resolves by
+  *    provider name on any session with this jar. With an explicit
+  *    column list the table may point at a store that does not exist
+  *    yet (SchemaRelationProvider) — create, INSERT, then read;
+  *  - STREAMING SINK: `df.writeStream.format("graft-store")` lands
+  *    each micro-batch as `__ingest_batch=<streaming batch id>`,
+  *    overwriting exactly its own partition on replay — the same
+  *    idempotent contract every foreachBatch ingest sink in
+  *    [[graft.streaming.StreamingOps]] follows, reached without
+  *    writing any code. One stream owns a store it writes (ids are the
+  *    checkpoint's epochs);
+  *  - STREAMING SOURCE: `spark.readStream.format("graft-store")` TAILS
+  *    a store — every `__ingest_batch` partition that lands becomes a
+  *    micro-batch, offsets are the ordered batch-id log itself (the
+  *    Delta streaming-source pattern), so kill-resume is exact and a
+  *    downstream pipeline consumes precisely the batches writers land. */
+class GraftStoreSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
+
+  /** CREATE TABLE with an explicit column list: the schema is pinned
+    * by the catalog, so the table may front a store that has no
+    * batches yet (the create → INSERT INTO → SELECT workflow). Columns
+    * the store later lacks read as typed NULLs (the planFor backfill);
+    * extra store columns are simply not part of the table. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store: a 'path' option is required"))
+    val layout = parameters.getOrElse("layout", "corpus")
+    require(GraftStoreRelation.Layouts.contains(layout),
+      s"graft-store: unknown layout '$layout' — one of " +
+        GraftStoreRelation.Layouts.mkString(", "))
+    new GraftStoreRelation(sqlContext.sparkSession, path, layout, Some(schema))
+  }
+
+  /** V1 streaming SOURCE handshake: the stream's schema is the store
+    * view's (batch-id column included — provenance travels with the
+    * rows), or the user's explicit `.schema(...)` when tailing a store
+    * that has no batches yet. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStoreStreamSource.schemaFor(
+      sqlContext.sparkSession, parameters, schema))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store stream: a 'path' option (or load(path)) is required"))
+    new GraftStoreStreamSource(sqlContext.sparkSession, path,
+      GraftStoreStreamSource.schemaFor(sqlContext.sparkSession, parameters, schema))
+  }
+
+  /** V1 streaming SINK: append-only batch landings under the store
+    * partition convention. Update/Complete modes are refused — stores
+    * that need update semantics are maintained by their dedicated
+    * sinks (IVM, SCD2, quantile views). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store sink: a 'path' option is required"))
+    val layout = parameters.getOrElse("layout", "corpus")
+    require(layout == "corpus",
+      s"graft-store sink: layout '$layout' is not writable — IVM/SCD2 stores " +
+        "are maintained by their dedicated sinks (StreamingOps)")
+    require(outputMode == OutputMode.Append(),
+      s"graft-store sink: $outputMode is not supported — corpus stores are " +
+        "append-only batch logs (use the IVM sinks for update semantics)")
+    require(partitionColumns.isEmpty,
+      "graft-store sink: partitionBy is not supported — the store's layout " +
+        s"IS its partitioning (${graft.streaming.StreamingOps.IngestBatchCol})")
+    new GraftStoreStreamSink(path)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -90,7 +178,12 @@ class GraftStoreSource extends RelationProvider with CreatableRelationProvider
     require(layout == "corpus",
       s"graft-store: layout '$layout' is not writable — corpus stores take " +
         "batch writes; IVM/SCD2 stores are maintained by their streaming sinks")
-    require(mode != SaveMode.Overwrite,
+    // Overwrite of a NON-EMPTY store is refused; on an empty path it
+    // degrades to the first batch write (saveAsTable on a new table
+    // arrives as Overwrite — CreateDataSourceTableAsSelectCommand —
+    // and refusing that would block catalog registration entirely)
+    require(mode != SaveMode.Overwrite ||
+        GraftStoreRelation.nextBatchId(path) == 0L,
       "graft-store: SaveMode.Overwrite would replace a lifecycle-managed " +
         "store wholesale — use the store verbs (Takedown.deleteFromStore, " +
         "StreamingOps.expireBatches/compactStore), or write one batch " +
@@ -230,8 +323,12 @@ object GraftStoreRelation {
     }
 }
 
-/** The relation behind `graft-store` — see [[GraftStoreSource]]. */
-class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
+/** The relation behind `graft-store` — see [[GraftStoreSource]].
+  * `givenSchema` (a catalog table's pinned column list) overrides the
+  * store-derived schema and lets the relation front a store that does
+  * not exist yet (reads serve the empty frame until a batch lands). */
+class GraftStoreRelation(spark: SparkSession, path: String, layout: String,
+                         givenSchema: Option[StructType] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** SQL `INSERT INTO <graft-store view>`: one new batch partition —
@@ -272,13 +369,21 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
       case "ivm-base" => StreamingOps.readIvmBase(spark, path)
       case "scd2" => StreamingOps.readScd2Store(spark, path)
     }
-    v.getOrElse(throw new IllegalStateException(
-      s"graft-store: no $layout store at $path"))
+    v.getOrElse {
+      // a catalog table with a pinned column list may front a store
+      // with no batches yet — serve the empty frame of that schema
+      givenSchema match {
+        case Some(s) => spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), s)
+        case None => throw new IllegalStateException(
+          s"graft-store: no $layout store at $path")
+      }
+    }
   }
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType = view.schema
+  override val schema: StructType = givenSchema.getOrElse(view.schema)
 
   // the delegated plan already produces InternalRows; skipping the
   // Row round-trip keeps the scan at native speed (the BaseRelation
@@ -407,4 +512,181 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String)
                          filters: Array[Filter]): RDD[Row] =
     planFor(requiredColumns, filters)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** Offset for the graft-store streaming source: the FRONTIER batch id
+  * — every `__ingest_batch` with id < n has landed and been (or will
+  * be) delivered. The store's ordered batch-id log IS the offset
+  * space (the Delta streaming-source pattern): restart-safe because
+  * landed partitions are immutable and ids only grow. */
+final case class GraftStoreOffset(n: Long) extends Offset {
+  override val json: String = n.toString
+}
+
+/** TAIL a corpus store as a V1 streaming Source — see
+  * [[GraftStoreSource]]. Each getBatch serves the store view filtered
+  * to the id window (lo, hi], so rows arrive exactly once per
+  * checkpointed window, batches folded into a compaction epoch
+  * included (the view keeps their ids as a data column — compaction
+  * mid-tail loses nothing, though lifecycle ops that DELETE rows under
+  * an un-replayed window are the operator's to sequence, as with any
+  * file-log source). Writers must land ids monotonically — the
+  * convention every graft writer follows (landNextBatch, the streaming
+  * sink's epoch ids, the foreachBatch ingest sinks). */
+class GraftStoreStreamSource(spark: SparkSession, path: String,
+                             override val schema: StructType) extends Source {
+  import graft.streaming.StreamingOps
+  private val bc = StreamingOps.IngestBatchCol
+
+  private def offVal(o: Offset): Long = o match {
+    case GraftStoreOffset(n) => n
+    case other => other.json.trim.toLong // SerializedOffset on resume
+  }
+
+  /** A batch partition is LANDED once its commit marker (`_SUCCESS`,
+    * written last by the file committer; present from birth in a
+    * rename-landed dir) is visible. Gating the offset on the marker —
+    * not on directory existence — is what makes the tail race-free: a
+    * writer creates the partition dir FIRST and commits files into it,
+    * so a dir-existence frontier would announce a batch whose files
+    * are not there yet, and the engine would permanently commit an
+    * empty (or partial) window for it. */
+  private def landed(id: Long): Boolean =
+    graft.operators.Fs.isFile(
+      graft.operators.Fs.path(path, s"$bc=$id", "_SUCCESS"))
+
+  /** The COMMITTED frontier: one past the last id of the gap-free
+    * committed prefix (ids at or below the compaction watermark count
+    * as committed — their data lives in the epoch). Writers land ids
+    * densely ascending (streaming epochs, landNextBatch), so a hole
+    * is an in-flight batch the tail must wait for, never skip. */
+  override def getOffset: Option[Offset] = {
+    val covers = graft.operators.Manifests.read(path).map(_._2).getOrElse(-1L)
+    var frontier = math.max(0L, covers + 1L)
+    while (landed(frontier)) frontier += 1
+    if (frontier == 0L) None else Some(GraftStoreOffset(frontier))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import graft.operators.{Fs, Manifests}
+    val lo = start.map(offVal).getOrElse(0L)
+    val hi = offVal(end)
+    // read ONLY the window's own partitions — never the whole-store
+    // view filtered down. Two reasons: (a) scale — a tailing trigger
+    // opens the handful of dirs that just landed, not a file index
+    // over the entire store; (b) freshness — the path SET is new each
+    // window, so no cached index/listing from a previous trigger can
+    // be substituted (a whole-store read planned mid-stream was
+    // observed to serve a stale file list that silently dropped the
+    // newest partition's files).
+    val manifest = Manifests.read(path)
+    val covers = manifest.map(_._2).getOrElse(-1L)
+    // list the window's FILES through the filesystem directly and hand
+    // them to the reader with the EXPLICIT handshake schema: directory
+    // roots resolve through the JVM-shared listing cache, which the
+    // writer itself primes with the target listed EMPTY (the overwrite
+    // check runs before the files land) — a tailing source would then
+    // silently serve zero rows for the batch it was just told about.
+    // File roots bypass that cache, and the pinned schema removes the
+    // footer-inference pass (one less job per trigger).
+    def filesUnder(p: org.apache.hadoop.fs.Path): Seq[String] =
+      Fs.list(p).flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") && !n.contains("=")) Nil
+        else if (n.startsWith(".")) Nil
+        else if (s.isDirectory) filesUnder(s.getPath)
+        else Seq(s.getPath.toString)
+      }
+    val liveFiles = Fs.list(Fs.path(path))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$bc="))
+      .flatMap(f => f.getPath.getName.stripPrefix(s"$bc=").toLongOption
+        .map(id => (id, f.getPath)))
+      // dirs at ids ≤ covers are superseded by the epoch — skip them
+      .filter { case (id, _) => id >= lo && id < hi && id > covers }
+      .flatMap { case (_, dir) => filesUnder(dir) }.sorted
+    val live =
+      if (liveFiles.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .option("basePath", path).parquet(liveFiles.toIndexedSeq: _*)
+        .withColumn(bc, col(bc).cast("long")))
+    // batches folded into the compaction epoch keep their ids as a
+    // data column — serve any of them still inside the window
+    val epoch = manifest.filter { case (_, c) => c >= lo }.flatMap { case (e, _) =>
+      val ep = Fs.path(Manifests.epochPath(path, e))
+      val fs = filesUnder(ep)
+      if (fs.isEmpty) None
+      else Some(spark.read.schema(schema).option("basePath", ep.toString)
+        .parquet(fs.toIndexedSeq: _*)
+        .filter(col(bc).cast("long") >= lit(lo) && col(bc).cast("long") < lit(hi)))
+    }
+    val window = (epoch, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+      case (a, b) => a.orElse(b)
+    }
+    window match {
+      case None => org.apache.spark.sql.GraftStreamingBridge
+        .emptyStreaming(spark, schema)
+      case Some(w) =>
+        // project to the handshake schema: order pinned, columns that
+        // arrived by later schema evolution dropped, columns the early
+        // batches lack backfilled as typed NULLs, every field CAST to
+        // its declared type (partition-id inference can say int where
+        // the handshake said long — the engine splices these rows by
+        // position, so a width mismatch would corrupt, not error)
+        val aligned = schema.fields.foldLeft(w)((d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType)))
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        org.apache.spark.sql.GraftStreamingBridge.asStreaming(aligned)
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStoreStreamSource {
+  /** Stream schema resolution: explicit `.schema(...)` wins; otherwise
+    * the store view's schema (batch-id column included). A store with
+    * no batches yet REQUIRES the explicit schema — pointed error. */
+  private[sources] def schemaFor(spark: SparkSession,
+                                 parameters: Map[String, String],
+                                 given: Option[StructType]): StructType = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-store stream: a 'path' option (or load(path)) is required"))
+    val layout = parameters.getOrElse("layout", "corpus")
+    require(layout == "corpus",
+      s"graft-store stream: layout '$layout' is not tailable — the batch-id " +
+        "log is the corpus layout's; IVM/SCD2 stores stream via their sinks")
+    given.getOrElse(
+      graft.streaming.StreamingOps.readCorpusStore(spark, path)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-store stream: no store at $path yet — pass .schema(...) " +
+            "to start tailing an empty store")).schema)
+  }
+}
+
+/** V1 streaming Sink: land micro-batch `id` as the store partition
+  * `__ingest_batch=<id>`, overwriting exactly itself on replay — the
+  * at-least-once-to-exactly-once contract every graft ingest sink
+  * follows. The landed partition's sidecar rows are invalidated so a
+  * replayed batch can never serve stale skip bounds. One stream owns
+  * a store it writes: ids are the checkpoint's epochs, so a second
+  * writer (or manual landNextBatch) interleaving ids is the same bug
+  * as two jobs sharing a checkpoint dir. */
+class GraftStoreStreamSink(path: String) extends Sink {
+  import graft.streaming.StreamingOps
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val bc = StreamingOps.IngestBatchCol
+    require(!data.columns.contains(bc),
+      s"graft-store sink: '$bc' is the store's partition column — drop it")
+    // the incoming frame is the engine's incremental plan; re-wrap it
+    // as a batch frame (FileStreamSink pattern) for the parquet writer
+    org.apache.spark.sql.GraftStreamingBridge.asBatch(data)
+      .write.mode("overwrite").parquet(s"$path/$bc=$batchId")
+    StreamingOps.invalidateBatchSidecars(path, batchId)
+  }
+
+  override def toString: String = s"GraftStoreStreamSink[$path]"
 }

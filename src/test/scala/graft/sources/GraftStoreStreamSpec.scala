@@ -1,0 +1,220 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Manifests
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** graft-store as a STREAMING endpoint and a CATALOG table (r17):
+  * writeStream lands idempotent batch partitions, readStream tails the
+  * ordered batch-id log (kill-resume exact, compaction-transparent),
+  * and CREATE TABLE / saveAsTable register through the external
+  * catalog so any session resolves the store by name. */
+class GraftStoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bc = StreamingOps.IngestBatchCol
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("gs-stream").toString
+
+  test("writeStream sink lands batches; checkpoint resume never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmp(); val cp = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .format("graft-store").option("path", p)
+      .option("checkpointLocation", cp).start()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingOps.readCorpusStore(spark, p).get
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // two micro-batches -> two partitions, ids = streaming epochs
+    assert(got.select(col(bc).cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+    // resume on the SAME checkpoint (same MemoryStream instance —
+    // offsets are per-instance): nothing re-lands, new data appends
+    val q2 = in.toDF().toDF("doc_id", "text").writeStream
+      .format("graft-store").option("path", p)
+      .option("checkpointLocation", cp).start()
+    in.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = StreamingOps.readCorpusStore(spark, p).get
+    assert(after.count() === 4L &&
+      after.filter(col("doc_id") === 4L).count() === 1L)
+    // refusals: update mode, partitionBy, reserved column, ivm layout
+    intercept[Exception] {
+      in.toDF().toDF("doc_id", "text").groupBy("text").count().writeStream
+        .format("graft-store").option("path", p)
+        .outputMode("update").option("checkpointLocation", tmp()).start()
+    }
+    intercept[Exception] {
+      in.toDF().toDF("doc_id", "text").writeStream
+        .format("graft-store").option("path", p).partitionBy("text")
+        .option("checkpointLocation", tmp()).start()
+    }
+    Seq(p, cp).foreach(Manifests.rmTree)
+  }
+
+  test("readStream tails a store: arrivals become micro-batches, kill-resume exact") {
+    val p = tmp(); val cp = tmp()
+    def land(ids: Seq[Long], batch: Long): Unit =
+      ids.map((_, s"d$batch")).toDF("doc_id", "text")
+        .write.format("graft-store").mode("append")
+        .option("batch", batch.toString).save(p)
+    land(Seq(1L, 2L), 0L)
+    land(Seq(3L), 1L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def start() = spark.readStream.format("graft-store").load(p)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, mb: Long) =>
+        seen.synchronized {
+          seen ++= df.select(col("doc_id"), col(bc).cast("long"))
+            .collect().map(r => (mb, r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    assert(seen.map(t => (t._2, t._3)).sorted.toSeq ===
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    // a batch landing WHILE the stream runs arrives exactly once
+    land(Seq(4L), 2L)
+    q.processAllAvailable()
+    assert(seen.count(_._2 === 4L) === 1)
+    q.stop()
+    // a batch landing while the stream is DOWN arrives once on resume
+    land(Seq(5L), 3L)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.count(_._2 === 5L) === 1 && seen.size === 5)
+    Seq(p, cp).foreach(Manifests.rmTree)
+  }
+
+  test("tailing is compaction-transparent; empty store needs explicit schema") {
+    val p = tmp(); val cp = tmp()
+    Seq((1L, "a")).toDF("doc_id", "text").write.format("graft-store")
+      .option("batch", "0").save(p)
+    Seq((2L, "b")).toDF("doc_id", "text").write.format("graft-store")
+      .option("batch", "1").save(p)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format("graft-store").load(p)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L))
+    // compact the consumed window, then land more — the tail continues
+    // from its checkpoint untouched by the layout change
+    StreamingOps.compactStore(spark, p, uptoBatch = 1L)
+    Seq((3L, "c")).toDF("doc_id", "text").write.format("graft-store")
+      .option("batch", "2").save(p)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 3L))
+    // an empty store can only be tailed with an explicit schema
+    val pEmpty = tmp()
+    val e = intercept[IllegalStateException] {
+      spark.readStream.format("graft-store").load(pEmpty)
+    }
+    assert(e.getMessage.contains("pass .schema("))
+    val q3 = spark.readStream.format("graft-store")
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .withColumn(bc, lit(0L)).schema)
+      .load(pEmpty)
+      .writeStream.option("checkpointLocation", tmp())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    q3.processAllAvailable()
+    Seq((9L, "z")).toDF("doc_id", "text").write.format("graft-store").save(pEmpty)
+    q3.processAllAvailable(); q3.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 3L, 9L))
+    Seq(p, cp, pEmpty).foreach(Manifests.rmTree)
+  }
+
+  test("e2e: an ingest sink produces, a downstream tail consumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmp(); val cpIn = tmp(); val cpOut = tmp()
+    // producer: the near-dup-gated ingest sink writes store batches
+    val in = MemoryStream[(Long, String)]
+    val producer = StreamingOps.dedupedIngestToStore(
+      in.toDF().toDF("doc_id", "text"), p, cpIn, threshold = 0.9, n = 2)
+    in.addData((1L, "alpha beta gamma"), (2L, "wholly different words here"))
+    producer.processAllAvailable()
+    // consumer: tail the same store
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val consumer = spark.readStream.format("graft-store").load(p)
+      .writeStream.option("checkpointLocation", cpOut)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    consumer.processAllAvailable()
+    assert(seen.sorted.toSeq === Seq(1L, 2L))
+    // a duplicate of doc 1 is rejected by the producer -> the tail
+    // sees ONLY the survivor of the next batch
+    in.addData((3L, "alpha beta gamma"), (4L, "another novel document"))
+    producer.processAllAvailable()
+    consumer.processAllAvailable()
+    producer.stop(); consumer.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 4L))
+    Seq(p, cpIn, cpOut).foreach(Manifests.rmTree)
+  }
+
+  test("catalog tables: CREATE TABLE / saveAsTable resolve across sessions") {
+    val p = tmp()
+    Seq((1L, "a", "s0"), (2L, "b", "s1")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").save(p)
+    spark.sql("DROP TABLE IF EXISTS gs_cat")
+    spark.sql(s"CREATE TABLE gs_cat USING `graft-store` OPTIONS (path '$p')")
+    assert(spark.sql("SELECT count(*) FROM gs_cat").head().getLong(0) === 2L)
+    // the entry lives in the EXTERNAL catalog: a fresh session (new
+    // temp-view registry, new SQL conf — the in-JVM 'restart') resolves
+    // it by provider name; with a Hive metastore the same metadata
+    // round-trips across JVMs
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT sum(doc_id) AS s FROM gs_cat").head().getLong(0) === 3L)
+    // INSERT through the catalog table lands a store batch
+    s2.sql("INSERT INTO gs_cat VALUES (5, 'e', 's0', NULL)")
+    assert(spark.sql("SELECT count(*) FROM gs_cat").head().getLong(0) === 3L)
+    assert(StreamingOps.readCorpusStore(spark, p).get
+      .select(col(bc).cast("long")).distinct().count() === 2L)
+    // saveAsTable: lands a batch AND registers the name
+    val p2 = tmp()
+    spark.sql("DROP TABLE IF EXISTS gs_cat2")
+    Seq((7L, "x", "s9")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").option("path", p2).saveAsTable("gs_cat2")
+    assert(spark.table("gs_cat2").select("doc_id").as[Long].head() === 7L)
+    // DROP TABLE removes the name, never the store (external data)
+    spark.sql("DROP TABLE gs_cat")
+    spark.sql("DROP TABLE gs_cat2")
+    assert(StreamingOps.readCorpusStore(spark, p).get.count() === 3L)
+    Seq(p, p2).foreach(Manifests.rmTree)
+  }
+
+  test("catalog table with a pinned column list fronts a not-yet-existing store") {
+    val p = s"${tmp()}/fresh"
+    spark.sql("DROP TABLE IF EXISTS gs_fresh")
+    spark.sql(
+      s"""CREATE TABLE gs_fresh (doc_id BIGINT, text STRING)
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    assert(spark.sql("SELECT * FROM gs_fresh").count() === 0L)
+    spark.sql("INSERT INTO gs_fresh VALUES (1, 'a')")
+    assert(spark.sql("SELECT doc_id FROM gs_fresh").as[Long].collect().toSeq
+      === Seq(1L))
+    spark.sql("DROP TABLE gs_fresh")
+    Manifests.rmTree(p)
+  }
+}
