@@ -186,6 +186,7 @@ object SparkEntry {
     "q154_stop_search" -> (PipelineQueries.q154StopSearch _),
     "q155_check_porter" -> (PipelineQueries.q155CheckPorter _),
     "q156_skip_sql" -> (PipelineQueries.q156SkipSql _),
+    "q157_gap_slop" -> (PipelineQueries.q157GapSlop _),
     "q158_check_store_stream" -> (PipelineQueries.q158CheckStoreStream _),
     "q159_check_store_catalog" -> (PipelineQueries.q159CheckStoreCatalog _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),

@@ -79,6 +79,13 @@ object Analyzer {
   private val stemArrayUdf = udf((toks: Seq[String]) =>
     if (toks == null) null else toks.map(porterStem))
 
+  /** Scalar stemming kernel for exploded (token, position) rows — the
+    * positional write path ([[TextIndex]]) stems AFTER the explode so
+    * raw-sequence positions survive; same per-token cost as the array
+    * form. */
+  private[operators] val stemUdf =
+    udf((t: String) => if (t == null) null else porterStem(t))
+
   // ------------------------------------------ Porter stemmer (1980)
   /** The classic Porter algorithm, implemented from the published
     * paper: measure m over the [C](VC)^m[V] form, longest-match rule

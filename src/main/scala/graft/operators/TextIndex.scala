@@ -48,11 +48,17 @@ object TextIndex {
     * " "))`) and positions are offsets in the RAW split sequence —
     * empties keep their slot, so a double space never fabricates
     * adjacency (the pre-analyzer q147/q148 contract, byte-compatible).
-    * Under `stop`/`english`, dl is the ANALYZED token count (the
-    * Lucene norm — stopwords carry no length mass) and positions are
-    * offsets in the analyzed sequence (adjacency/slop measured across
-    * removed stopwords — the documented deviation from Lucene's
-    * position gaps). Positions sorted for determinism (collect_list
+    * Under `stop`/`english` (r17), positions are ALSO raw-sequence
+    * offsets — removed stopwords leave POSITION GAPS exactly like
+    * Lucene's StopFilter with position increments: the exact phrase
+    * "new york" does NOT match "new the york" (a false adjacency the
+    * pre-r17 analyzed-offset layout allowed), while slop ≥ 1 matches
+    * across the elided word. dl stays the ANALYZED token count (the
+    * Lucene norm — stopwords carry no length mass). The stemmer runs
+    * AFTER the positional explode so offsets survive. Query-side
+    * positions stay consecutive over the analyzed query terms (a
+    * stopword in the QUERY widens nothing — the common analyzer
+    * configuration). Positions sorted for determinism (collect_list
     * order is not). */
   private def perDoc(docs: DataFrame, nBuckets: Int,
                      analyzer: String): (DataFrame, DataFrame) = {
@@ -64,10 +70,16 @@ object TextIndex {
           .filter(col("tok") =!= ""),
           size(split(lower(col("text")), " ")).cast("long"))
       case a =>
-        val toks = Analyzer.analyze(a, col("text"))
-        (docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
-          posexplode(toks).as(Seq("pos", "tok"))),
-          size(toks).cast("long"))
+        val dlCol = size(Analyzer.analyze(a, col("text"))).cast("long")
+        val surviving = docs.select(col("doc_id"), dlCol.as("dl"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "" &&
+            !col("tok").isin(Analyzer.StopWords: _*))
+        val stemmed =
+          if (a == Analyzer.English)
+            surviving.withColumn("tok", Analyzer.stemUdf(col("tok")))
+          else surviving
+        (stemmed, dlCol)
     }
     val postings = exploded
       .groupBy(col("doc_id"), col("tok"))
@@ -96,20 +108,33 @@ object TextIndex {
     doclen.withColumn(IngestBatchCol, lit(-1L))
       .write.mode("overwrite").partitionBy(IngestBatchCol)
       .parquet(s"$path/doclen")
-    Seq((nBuckets, analyzer)).toDF("n_buckets", "analyzer").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    Seq((nBuckets, analyzer, "raw")).toDF("n_buckets", "analyzer", "positions")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** (nBuckets, analyzer) from the meta sidecar — ONE read per call
-    * (the meta is a serving-path fixed cost; two separate reads would
-    * double it). Pre-analyzer indexes (meta without the column) are
-    * `simple` — exactly their write-time behavior. */
-  private def metaOf(spark: SparkSession, path: String): (Int, String) = {
+  /** (nBuckets, analyzer, positions) from the meta sidecar — ONE read
+    * per call (the meta is a serving-path fixed cost; separate reads
+    * would multiply it). Pre-analyzer indexes (meta without the
+    * column) are `simple` — exactly their write-time behavior. The
+    * `positions` field records the position SEMANTICS the postings
+    * were written with: "raw" (raw-split offsets — gaps at removed
+    * stopwords, the Lucene semantics, everything written r17+ and
+    * every `simple` index ever) vs "analyzed" (the pre-r17 stop/
+    * english layout, offsets in the filtered sequence) — so a
+    * positional search can refuse an index whose stored offsets mean
+    * something else. */
+  private def metaOf(spark: SparkSession, path: String): (Int, String, String) = {
     val meta = spark.read.parquet(s"$path/meta")
     val hasAnalyzer = meta.columns.contains("analyzer")
+    val hasPositions = meta.columns.contains("positions")
     val row = meta.head()
-    (row.getAs[Int]("n_buckets"),
-      if (hasAnalyzer) row.getAs[String]("analyzer") else Analyzer.Simple)
+    val analyzer =
+      if (hasAnalyzer) row.getAs[String]("analyzer") else Analyzer.Simple
+    val positions =
+      if (hasPositions) row.getAs[String]("positions")
+      else if (analyzer == Analyzer.Simple) "raw" // simple was always raw
+      else "analyzed"
+    (row.getAs[Int]("n_buckets"), analyzer, positions)
   }
 
   private def nBucketsOf(spark: SparkSession, path: String): Int =
@@ -144,7 +169,8 @@ object TextIndex {
       catch { case scala.util.control.NonFatal(_) => false }
     if (!readable) {
       import spark.implicits._
-      Seq((nBuckets, analyzer)).toDF("n_buckets", "analyzer").coalesce(1)
+      Seq((nBuckets, analyzer, "raw"))
+        .toDF("n_buckets", "analyzer", "positions").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -155,7 +181,7 @@ object TextIndex {
     * the layout stays probe-compatible forever. */
   def append(docs: DataFrame, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val (nBuckets, analyzer) = metaOf(spark, path)
+    val (nBuckets, analyzer, _) = metaOf(spark, path)
     val (postings, doclen) = perDoc(docs, nBuckets, analyzer)
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/$IngestBatchCol=$batchId")
@@ -179,7 +205,7 @@ object TextIndex {
   def search(spark: SparkSession, path: String, query: String, k: Int = 20,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val (nBuckets, analyzer) = metaOf(spark, path)
+    val (nBuckets, analyzer, _) = metaOf(spark, path)
     val qToks = Analyzer.analyzeLocal(analyzer, query).distinct
     val doclen = readCorpusStore(spark, s"$path/doclen").getOrElse(
       throw new IllegalStateException(s"no doclen store at $path"))
@@ -278,7 +304,12 @@ object TextIndex {
                                phrase: String, k: Int, k1: Double, b: Double,
                                what: String)(hitsFor: Seq[String] => Column): DataFrame = {
     import graft.streaming.StreamingOps.readCorpusStore
-    val (nBuckets, analyzer) = metaOf(spark, path)
+    val (nBuckets, analyzer, positions) = metaOf(spark, path)
+    require(positions == "raw",
+      s"$what: the index at $path stores ANALYZED-sequence positions " +
+        "(the pre-gap stop/english layout) — its offsets collapse removed " +
+        "stopwords, so phrase/slop arithmetic would fabricate adjacency; " +
+        "rebuild the index for Lucene position-gap semantics")
     val terms = Analyzer.analyzeLocal(analyzer, phrase).toSeq
     require(terms.nonEmpty, s"$what: empty phrase (after analysis)")
     val uniq = terms.distinct

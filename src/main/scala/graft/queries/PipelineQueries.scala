@@ -1673,6 +1673,25 @@ object PipelineQueries {
          |ORDER BY source, lang""".stripMargin)
   }
 
+  /** q157: PROXIMITY search with LUCENE POSITION GAPS through a
+    * STOP-analyzed index (r17; VERDICT r16 next #6 — positions are now
+    * offsets in the RAW split sequence, so removed stopwords leave
+    * gaps): "stream table" within slop 1 means 'table' at most TWO raw
+    * positions after 'stream' — one elided stopword ("stream the
+    * table") or one real word ("stream big table") both count, exactly
+    * one position of spread either way. Reuses q154's memoized
+    * stop-analyzer index; ranked by the q154 BM25 (stop dl). The
+    * oracle mirrors the window over the RAW 1-indexed split and the
+    * BM25 over the stop-filtered sequence — under the pre-gap
+    * analyzed-offset layout this row would over-match (any number of
+    * stopwords between the terms collapsed to adjacency). */
+  def q157GapSlop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    q154StopSearch(spark, dir) // ensure the memoized stop index exists
+    val path = q154Index.get(sessionKey(spark, dir))
+    TextIndex.searchSlop(spark, path, "stream table", slop = 1, k = 25)
+  }
+
   /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
     * r16 next #4/#5): a store is written through
     * `writeStream.format("graft-store")` (idempotent batch-id
@@ -5233,6 +5252,42 @@ object PipelineQueries {
         """SELECT true AS vectors_ok, true AS columnar_parity,
           |       true AS morphology_found, true AS analyzer_pinned,
           |       true AS deterministic""".stripMargin,
+      // q157's oracle: the q153 window shape over the RAW split (one
+      // elided stopword and one real word cost the same single position
+      // of spread — the Lucene gap semantics), BM25 over the
+      // stop-filtered sequence (the q154 arithmetic)
+      "q157_gap_slop" -> {
+        val stops = graft.operators.Analyzer.StopWords
+          .map(w => s"'$w'").mkString("(", ",", ")")
+        s"""WITH q AS (SELECT unnest(['stream','table']) AS tok),
+           |d AS (SELECT doc_id, string_split(lower(text),' ') AS wl FROM documents),
+           |hits AS (SELECT doc_id,
+           |    len(list_filter(generate_series(1, len(wl)),
+           |        i -> wl[i] = 'stream' AND
+           |             len(list_filter(generate_series(i+1, least(i+2, len(wl))),
+           |                 j -> wl[j] = 'table')) > 0))::BIGINT AS n_hits
+           |  FROM d),
+           |da AS (SELECT doc_id,
+           |         list_filter(wl, x -> x <> '' AND x NOT IN $stops) AS al
+           |       FROM d),
+           |toks AS (SELECT doc_id, len(al)::BIGINT AS dl, unnest(al) AS tok FROM da),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+           |       FROM toks WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(len(al)) AS avgdl FROM da),
+           |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf,
+           |          st.avgdl AS avgdl
+           |        FROM df, st),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(ROUND(SUM(idf.idf * (tf.tf * 2.2) /
+           |           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / idf.avgdl))), 4)
+           |           AS DECIMAL(14,4)) AS score
+           |       FROM tf JOIN idf USING (tok) GROUP BY 1
+           |       HAVING COUNT(*) = 2)
+           |SELECT sc.doc_id, sc.score::DOUBLE AS score, hits.n_hits
+           |FROM sc JOIN hits USING (doc_id) WHERE hits.n_hits > 0
+           |ORDER BY sc.score DESC, sc.doc_id LIMIT 25""".stripMargin
+      },
       "q158_check_store_stream" ->
         """SELECT true AS tail_complete, true AS live_arrival,
           |       true AS resume_exact, true AS deterministic""".stripMargin,

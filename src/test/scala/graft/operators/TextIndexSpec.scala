@@ -188,6 +188,60 @@ class TextIndexSpec extends SparkSpec {
     Seq(path, pSimple).foreach(Manifests.rmTree)
   }
 
+  test("position gaps: elided stopwords keep Lucene phrase/slop semantics") {
+    val path = tmp()
+    val corpus = Seq(
+      (1L, "new york city"),
+      (2L, "new the york"),    // elided stopword -> gap of 2
+      (3L, "new of the york"), // gap of 3
+      (4L, "york then new"),   // wrong order — never matches
+      (5L, "new bridge york")  // non-stopword between -> same gap of 2
+    ).toDF("doc_id", "text")
+    TextIndex.build(corpus, path, nBuckets = 8, analyzer = Analyzer.Stop)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // exact phrase: only TRUE adjacency — "new the york" must NOT match
+    // (the pre-gap analyzed-offset layout matched it, a false positive)
+    assert(ids(TextIndex.searchPhrase(spark, path, "new york", k = 10))
+      === Set(1L))
+    // slop 1 matches ACROSS one elided stopword, exactly as across a
+    // real word — positions are raw-sequence offsets either way
+    assert(ids(TextIndex.searchSlop(spark, path, "new york", slop = 1, k = 10))
+      === Set(1L, 2L, 5L))
+    assert(ids(TextIndex.searchSlop(spark, path, "new york", slop = 2, k = 10))
+      === Set(1L, 2L, 3L, 5L))
+    // dl is still the ANALYZED count: the stopword carries no length
+    // mass, so docs 1 and 2 (both 2 surviving terms +1 unique) rank by
+    // the same norm
+    Manifests.rmTree(path)
+
+    // english: stems participate in gap arithmetic the same way
+    val pe = tmp()
+    TextIndex.build(Seq(
+      (6L, "connecting the networks"),
+      (7L, "connected networks")).toDF("doc_id", "text"),
+      pe, nBuckets = 8, analyzer = Analyzer.English)
+    assert(ids(TextIndex.searchPhrase(spark, pe, "connect network", k = 10))
+      === Set(7L))
+    assert(ids(TextIndex.searchSlop(spark, pe, "connect network", slop = 1, k = 10))
+      === Set(6L, 7L))
+    Manifests.rmTree(pe)
+
+    // a pre-gap stop/english index (meta without `positions`) is
+    // REFUSED by positional search with a pointed rebuild error
+    val pOld = tmp()
+    TextIndex.build(corpus, pOld, nBuckets = 8, analyzer = Analyzer.Stop)
+    Seq((8, Analyzer.Stop)).toDF("n_buckets", "analyzer").coalesce(1)
+      .write.mode("overwrite").parquet(s"$pOld/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchPhrase(spark, pOld, "new york", k = 10)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // plain BM25 search ignores positions — still served
+    assert(TextIndex.search(spark, pOld, "york", k = 10).count() > 0)
+    Manifests.rmTree(pOld)
+  }
+
   test("local bucketOf equals the distributed pmod(xxhash64) for varied tokens") {
     // the serving path computes query-term buckets via local Catalyst
     // eval (zero jobs); parity with the WRITE path's planned expression
