@@ -115,8 +115,12 @@ class GraftStoreSource extends RelationProvider with SchemaRelationProvider
                             parameters: Map[String, String]): Source = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-store stream: a 'path' option (or load(path)) is required"))
+    val maxBatches = parameters.get("maxBatchesPerTrigger").map(_.toLong)
+    maxBatches.foreach(n => require(n > 0,
+      s"graft-store stream: maxBatchesPerTrigger must be positive, got $n"))
     new GraftStoreStreamSource(sqlContext.sparkSession, path,
-      GraftStoreStreamSource.schemaFor(sqlContext.sparkSession, parameters, schema))
+      GraftStoreStreamSource.schemaFor(sqlContext.sparkSession, parameters, schema),
+      maxBatches)
   }
 
   /** V1 streaming SINK: append-only batch landings under the store
@@ -534,7 +538,9 @@ final case class GraftStoreOffset(n: Long) extends Offset {
   * convention every graft writer follows (landNextBatch, the streaming
   * sink's epoch ids, the foreachBatch ingest sinks). */
 class GraftStoreStreamSource(spark: SparkSession, path: String,
-                             override val schema: StructType) extends Source {
+                             override val schema: StructType,
+                             maxBatchesPerTrigger: Option[Long] = None)
+    extends Source {
   import graft.streaming.StreamingOps
   private val bc = StreamingOps.IngestBatchCol
 
@@ -555,30 +561,48 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     graft.operators.Fs.isFile(
       graft.operators.Fs.path(path, s"$bc=$id", "_SUCCESS"))
 
+  // highest end-offset handed to getBatch — the anchor for the
+  // maxBatchesPerTrigger cap (restored naturally on restart: the
+  // engine replays the checkpointed window through getBatch first)
+  @volatile private var delivered: Long = -1L
+
   /** The COMMITTED frontier: one past the last id of the gap-free
     * committed prefix (ids at or below the compaction watermark count
     * as committed — their data lives in the epoch). Writers land ids
     * densely ascending (streaming epochs, landNextBatch), so a hole
-    * is an in-flight batch the tail must wait for, never skip. */
+    * is an in-flight batch the tail must wait for, never skip. With
+    * `maxBatchesPerTrigger`, the announced offset advances at most
+    * that many ids past the last delivered window — a backfill over a
+    * long store becomes a sequence of bounded micro-batches instead
+    * of one giant first batch. */
   override def getOffset: Option[Offset] = {
     val covers = graft.operators.Manifests.read(path).map(_._2).getOrElse(-1L)
     var frontier = math.max(0L, covers + 1L)
     while (landed(frontier)) frontier += 1
-    if (frontier == 0L) None else Some(GraftStoreOffset(frontier))
+    val capped = maxBatchesPerTrigger match {
+      case Some(m) => math.min(frontier, math.max(delivered, 0L) + m)
+      case None => frontier
+    }
+    if (capped == 0L) None else Some(GraftStoreOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import graft.operators.{Fs, Manifests}
     val lo = start.map(offVal).getOrElse(0L)
     val hi = offVal(end)
+    delivered = math.max(delivered, hi)
     // read ONLY the window's own partitions — never the whole-store
     // view filtered down. Two reasons: (a) scale — a tailing trigger
     // opens the handful of dirs that just landed, not a file index
-    // over the entire store; (b) freshness — the path SET is new each
-    // window, so no cached index/listing from a previous trigger can
-    // be substituted (a whole-store read planned mid-stream was
-    // observed to serve a stale file list that silently dropped the
-    // newest partition's files).
+    // over the entire store; (b) cost — the explicit handshake schema
+    // below removes the per-trigger footer-inference pass, and the
+    // window dirs' file listing is one metadata RPC per new batch.
+    // (Freshness itself is guaranteed by the commit-marker frontier in
+    // getOffset: the engine polls offsets continuously, so it CAN see
+    // a partition dir the instant a writer creates it — before the
+    // files commit — and a frontier that counted bare dirs was
+    // observed to make the engine permanently commit an empty window
+    // for an in-flight batch.)
     val manifest = Manifests.read(path)
     val covers = manifest.map(_._2).getOrElse(-1L)
     // list the window's FILES through the filesystem directly and hand
@@ -658,6 +682,11 @@ object GraftStoreStreamSource {
     require(layout == "corpus",
       s"graft-store stream: layout '$layout' is not tailable — the batch-id " +
         "log is the corpus layout's; IVM/SCD2 stores stream via their sinks")
+    // validated HERE (the eager load()-time handshake) so a bad cap
+    // fails at definition, not on the stream thread mid-run
+    parameters.get("maxBatchesPerTrigger").map(_.toLong).foreach(n =>
+      require(n > 0,
+        s"graft-store stream: maxBatchesPerTrigger must be positive, got $n"))
     given.getOrElse(
       graft.streaming.StreamingOps.readCorpusStore(spark, path)
         .getOrElse(throw new IllegalStateException(

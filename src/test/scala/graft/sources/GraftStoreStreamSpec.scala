@@ -144,6 +144,41 @@ class GraftStoreStreamSpec extends SparkSpec {
     Seq(p, cp, pEmpty).foreach(Manifests.rmTree)
   }
 
+  test("maxBatchesPerTrigger bounds each micro-batch; backfill arrives in order") {
+    val p = tmp(); val cp = tmp()
+    (0L to 4L).foreach { b =>
+      Seq((b * 10, s"d$b")).toDF("doc_id", "text")
+        .write.format("graft-store").mode("append")
+        .option("batch", b.toString).save(p)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-store")
+      .option("maxBatchesPerTrigger", "2").load(p)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select(col(bc).cast("long")).as[Long]
+            .collect().distinct.sorted.toSeq
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    // a 5-batch backfill arrives as bounded windows (≤ 2 store batches
+    // per trigger), in order, nothing lost or duplicated
+    assert(nonEmpty.forall(_.size <= 2), nonEmpty)
+    assert(nonEmpty.flatten.toSeq === Seq(0L, 1L, 2L, 3L, 4L), nonEmpty)
+    // an invalid cap is refused
+    intercept[Exception] {
+      spark.readStream.format("graft-store")
+        .option("maxBatchesPerTrigger", "0").load(p)
+        .writeStream.option("checkpointLocation", tmp())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+    }
+    Seq(p, cp).foreach(Manifests.rmTree)
+  }
+
   test("e2e: an ingest sink produces, a downstream tail consumes") {
     implicit val sqlCtx = spark.sqlContext
     val p = tmp(); val cpIn = tmp(); val cpOut = tmp()
