@@ -189,6 +189,7 @@ object SparkEntry {
     "q157_gap_slop" -> (PipelineQueries.q157GapSlop _),
     "q158_check_store_stream" -> (PipelineQueries.q158CheckStoreStream _),
     "q159_check_store_catalog" -> (PipelineQueries.q159CheckStoreCatalog _),
+    "q160_store_asof" -> (PipelineQueries.q160StoreAsof _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

@@ -80,13 +80,22 @@ object Manifests {
     * schema-evolution policy (a column added after the last compaction
     * exists only on the live side until the next compaction folds it
     * into the epoch; see `StreamingOps.readCorpusStore`). */
+  /** `knownSchema` (a serving relation's pinned schema) replaces the
+    * epoch read's mergeSchema footer pass — one fewer Spark job per
+    * scan on the serving path; None keeps full schema discovery (the
+    * programmatic default). */
   def readView(spark: SparkSession, storeDir: String, batchCol: String,
-               live: Option[DataFrame]): Option[DataFrame] =
+               live: Option[DataFrame],
+               knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
     read(storeDir) match {
       case None => live
       case Some((e, covers)) =>
-        val compacted =
-          spark.read.option("mergeSchema", "true").parquet(epochPath(storeDir, e))
+        val reader = knownSchema match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read.option("mergeSchema", "true")
+        }
+        val compacted = reader.parquet(epochPath(storeDir, e))
         Some(live match {
           case None => compacted
           case Some(l) =>

@@ -1692,6 +1692,35 @@ object PipelineQueries {
     TextIndex.searchSlop(spark, path, "stream table", slop = 1, k = 25)
   }
 
+  /** q160: BATCH-WINDOW TIME TRAVEL through pure SQL (r17): the store
+    * exposes `__ingest_batch` as an ordinary column, and batch ids
+    * SURVIVE COMPACTION as the epoch's data column — so "the corpus as
+    * of ingest batch N" (the reproducible-training-snapshot read) is a
+    * plain `WHERE __ingest_batch <= N` through the graft-store view,
+    * no API surface at all. Over the q150 store (batches 0-1 folded
+    * into an epoch, batch 2 live, takedown %97), the window ≤ 1 reads
+    * EXCLUSIVELY epoch rows whose preserved ids gate them — the oracle
+    * recomputes the same window from raw documents (batch = doc_id%3).
+    * Semantics note (documented, not a snapshot log): the window is
+    * over RETAINED data — later takedowns apply to history too, which
+    * for the training-data use case (right-to-be-forgotten) is the
+    * required behavior. */
+  def q160StoreAsof(spark: SparkSession, dir: String): DataFrame = {
+    q150StoreSql(spark, dir) // ensure the memoized store + view exist
+    val viewName = s"gs_q150_${math.abs(dir.hashCode).toString}"
+    spark.sql(
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM $viewName
+         |WHERE $IngestBatchColSql <= 1 AND n_chars > 50
+         |GROUP BY source
+         |ORDER BY source""".stripMargin)
+  }
+
+  private def IngestBatchColSql: String =
+    graft.streaming.StreamingOps.IngestBatchCol
+
   /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
     * r16 next #4/#5): a store is written through
     * `writeStream.format("graft-store")` (idempotent batch-id
@@ -5291,6 +5320,17 @@ object PipelineQueries {
       "q158_check_store_stream" ->
         """SELECT true AS tail_complete, true AS live_arrival,
           |       true AS resume_exact, true AS deterministic""".stripMargin,
+      // q160's oracle: the batch window recomputed from raw documents
+      // (batch assignment is doc_id % 3; takedown removed %97; the
+      // Spark side reads ONLY epoch rows gated by their preserved ids)
+      "q160_store_asof" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents
+          |WHERE doc_id % 3 < 2 AND doc_id % 97 <> 0 AND n_chars > 50
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
       "q159_check_store_catalog" ->
         """SELECT true AS create_select, true AS cross_session,
           |       true AS insert_lands, true AS pinned_schema,

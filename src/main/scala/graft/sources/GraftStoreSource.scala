@@ -366,9 +366,15 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String,
 
   import graft.streaming.StreamingOps
 
-  private def view: DataFrame = {
+  /** The composed store view. `pinned = Some(schema)` replaces the
+    * scan's mergeSchema footer passes with the relation's own schema —
+    * the SERVING configuration (fewer Spark jobs per query; the
+    * relation's column set is fixed for its lifetime anyway, catalog
+    * tables by contract). `None` keeps full discovery — used exactly
+    * once, to DERIVE that schema. */
+  private def view(pinned: Option[StructType]): DataFrame = {
     val v = layout match {
-      case "corpus" => StreamingOps.readCorpusStore(spark, path)
+      case "corpus" => StreamingOps.readCorpusStore(spark, path, pinned)
       case "ivm-view" => StreamingOps.readIvmView(spark, path)
       case "ivm-base" => StreamingOps.readIvmBase(spark, path)
       case "scd2" => StreamingOps.readScd2Store(spark, path)
@@ -387,7 +393,8 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String,
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType = givenSchema.getOrElse(view.schema)
+  override val schema: StructType =
+    givenSchema.getOrElse(view(pinned = None).schema)
 
   // the delegated plan already produces InternalRows; skipping the
   // Row round-trip keeps the scan at native speed (the BaseRelation
@@ -487,13 +494,17 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String,
   private[sources] def planFor(requiredColumns: Array[String],
                                filters: Array[Filter]): DataFrame = {
     val skips = if (layout == "corpus") skipRangesFrom(filters) else Nil
+    // scans run with the relation's schema PINNED into the store reads
+    // — the per-query mergeSchema footer jobs (live + epoch) drop off
+    // the serving floor; the schema was discovered once at relation
+    // construction and is fixed for the relation's lifetime
     val base0 =
       if (skips.nonEmpty &&
           graft.operators.Fs.isDir(
             graft.operators.Fs.path(path, StreamingOps.StatsDir)))
-        StreamingOps.readCorpusStorePruned(spark, path, skips)
-          .getOrElse(view.limit(0))
-      else view
+        StreamingOps.readCorpusStorePruned(spark, path, skips, Some(schema))
+          .getOrElse(view(Some(schema)).limit(0))
+      else view(if (layout == "corpus") Some(schema) else None)
     // under schema evolution a column can live ONLY in pruned-away
     // leaves — the pruned view (schema-merged over kept dirs alone)
     // then lacks it, and the select below would throw even though the

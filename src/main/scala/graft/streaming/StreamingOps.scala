@@ -426,8 +426,15 @@ object StreamingOps {
     * union schema, null where a batch predates a column. mergeSchema
     * reads every file's footer at planning — metadata-scale, the price
     * of not rewriting history. */
+  /** `knownSchema` (a serving relation's pinned schema, e.g. the
+    * graft-store SQL relation) replaces BOTH reads' mergeSchema footer
+    * passes with the pinned schema — fewer Spark jobs per scan on a
+    * hot serving path; None (the default everywhere else) keeps full
+    * schema discovery, which is what schema evolution needs. */
   def readCorpusStore(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Option[DataFrame] = {
+                      path: String,
+                      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     import graft.operators.Fs
     // explicit batch-dir roots + basePath instead of the store root:
@@ -442,14 +449,19 @@ object StreamingOps {
     val live =
       if (batchDirs.isEmpty) None
       else
-        try Some(spark.read.option("mergeSchema", "true")
-          .option("basePath", path).parquet(batchDirs.toIndexedSeq: _*))
+        try {
+          val reader = knownSchema match {
+            case Some(s) => spark.read.schema(s)
+            case None => spark.read.option("mergeSchema", "true")
+          }
+          Some(reader.option("basePath", path).parquet(batchDirs.toIndexedSeq: _*))
+        }
         catch {
           // every admitted partition so far was empty -> no data files to
           // infer a schema from; an empty store and no store are the same
           case _: org.apache.spark.sql.AnalysisException => None
         }
-    graft.operators.Manifests.readView(spark, path, IngestBatchCol, live)
+    graft.operators.Manifests.readView(spark, path, IngestBatchCol, live, knownSchema)
   }
 
   /** Fold committed batch partitions into one consolidated epoch — the
@@ -748,10 +760,16 @@ object StreamingOps {
     * leaf. None when nothing remains. */
   def readCorpusStorePruned(spark: org.apache.spark.sql.SparkSession,
                             path: String,
-                            ranges: Seq[SkipPred]): Option[DataFrame] = {
+                            ranges: Seq[SkipPred],
+                            knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Fs, Manifests}
     require(ranges.nonEmpty, "readCorpusStorePruned: no ranges — use readCorpusStore")
+    def reader = knownSchema match { // see readCorpusStore
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
     val stats = loadStoreStats(spark, path)
     def keep(leafDir: String): Boolean = stats.get(leafDir) match {
       case None => true // no stats yet -> must read
@@ -776,7 +794,7 @@ object StreamingOps {
     val live =
       if (keptBatchDirs.isEmpty) None
       else
-        try Some(spark.read.option("mergeSchema", "true")
+        try Some(reader
           .option("basePath", path).parquet(keptBatchDirs.toIndexedSeq: _*))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     Manifests.read(path) match {
@@ -785,8 +803,7 @@ object StreamingOps {
         val epochKept = keep(s"epoch-$e")
         val compacted =
           if (!epochKept) None
-          else Some(spark.read.option("mergeSchema", "true")
-            .parquet(Manifests.epochPath(path, e)))
+          else Some(reader.parquet(Manifests.epochPath(path, e)))
         val liveAbove = live.map(_.filter(col(IngestBatchCol) > covers)
           .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long")))
         (compacted, liveAbove) match {

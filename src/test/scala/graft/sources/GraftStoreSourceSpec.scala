@@ -364,6 +364,38 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("serving floor: one SQL query through a compacted store runs ≤ 6 jobs") {
+    val p = tmp()
+    mkStore(p)
+    StreamingOps.compactStore(spark, p, uptoBatch = 1L) // epoch ∪ live shape
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW gs_floor
+         |USING `graft-store` OPTIONS (path '$p')""".stripMargin)
+    spark.sql("SELECT source, count(*) FROM gs_floor GROUP BY source").collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql("SELECT source, count(*) FROM gs_floor GROUP BY source").collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      // the r17 pinned-schema scan path: no per-query mergeSchema
+      // footer jobs for the live dirs or the epoch (was 8 jobs, now 6
+      // — this guards the structural count, the scheduler-round-trip
+      // budget of the serving floor at any scale)
+      assert(jobs.get() <= 6, s"serving floor regressed: ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    spark.sql("DROP VIEW gs_floor")
+    Manifests.rmTree(p)
+  }
+
   test("unknown layout and missing store fail with pointed errors") {
     val p = tmp()
     val e1 = intercept[IllegalArgumentException] {
