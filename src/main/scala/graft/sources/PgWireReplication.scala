@@ -706,7 +706,11 @@ class PgWireConnection(host: String, port: Int, user: String, database: String,
   * Options: `host` (default localhost), `port` (5432), `user`,
   * `password` (optional), `database`, `slot`, `publication`,
   * `protoVersion` ("1"; "2" negotiates `streaming 'on'` — in-progress
-  * transactions arrive as S..E segments, assembled by the source),
+  * transactions arrive as S..E segments, assembled by the source; "3"
+  * additionally negotiates `two_phase 'true'` AND bootstraps the slot
+  * two-phase-enabled — prepared transactions arrive as b..P/K windows
+  * delivered at COMMIT PREPARED), `messages` ("false"; "true" surfaces
+  * pg_logical_emit_message payloads as op='M' rows),
   * `bootstrap` ("true": create slot/publication if missing, A2–A3),
   * `sslmode` ("disable" | "allow" | "prefer" | "require" | "verify-ca" |
   * "verify-full"),
@@ -743,7 +747,12 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
       s"pgcdc-live: invalid $k identifier: '$v'")
   }
 
-  // A2/A3: idempotent bootstrap over a regular connection.
+  private val protoVersion = opt("protoVersion", "1").toInt
+
+  // A2/A3: idempotent bootstrap over a regular connection. At
+  // protoVersion >= 3 the slot is created TWO-PHASE (PG 15) so the
+  // server delivers prepared transactions at PREPARE time — the
+  // request side of the decoder's 2PC tier.
   if (opt("bootstrap", "true").toBoolean) {
     val control = PgWireConnection.connect(host, port, user, database, password,
       replication = false, sslMode = sslMode, sslRootCert = sslRootCert,
@@ -754,7 +763,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
       if (!exists(LivePgBootstrap.publicationExistsSql(publication)))
         control.simpleQuery(LivePgBootstrap.createPublicationSql(publication))
       if (!exists(LivePgBootstrap.slotExistsSql(slot)))
-        control.simpleQuery(LivePgBootstrap.createSlotSql(slot))
+        control.simpleQuery(LivePgBootstrap.createSlotSql(slot,
+          twoPhase = protoVersion >= 3))
     } finally control.close()
   }
 
@@ -767,8 +777,8 @@ class PgWireFrameSource(options: Map[String, String]) extends ReplicationFrameSo
   @volatile private var readerFailure: Throwable = _
 
   conn.startReplication(slot, options.get("startLsn").map(_.toLong).getOrElse(0L),
-    LivePgBootstrap.slotOptions(publication,
-      protoVersion = opt("protoVersion", "1").toInt))
+    LivePgBootstrap.slotOptions(publication, protoVersion = protoVersion,
+      messages = opt("messages", "false").toBoolean))
 
   private val reader = new Thread(() => {
     try while (!closed.get())

@@ -179,6 +179,35 @@ class GraftStoreStreamSpec extends SparkSpec {
     Seq(p, cp).foreach(Manifests.rmTree)
   }
 
+  test("Trigger.AvailableNow drains the landed prefix and terminates") {
+    val p = tmp(); val cp = tmp()
+    (0L to 2L).foreach { b =>
+      Seq((b, s"d$b")).toDF("doc_id", "text")
+        .write.format("graft-store").mode("append")
+        .option("batch", b.toString).save(p)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def once() = {
+      val q = spark.readStream.format("graft-store").load(p)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.select("doc_id").as[Long].collect() }
+          ()
+        }.start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    }
+    once() // one-shot batch job over a streaming checkpoint
+    assert(seen.sorted.toSeq === Seq(0L, 1L, 2L))
+    // the next scheduled run picks up ONLY what landed in between —
+    // the incremental-batch-job pattern (a nightly ingest catch-up)
+    Seq((3L, "d3")).toDF("doc_id", "text").write.format("graft-store")
+      .mode("append").option("batch", "3").save(p)
+    once()
+    assert(seen.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    Seq(p, cp).foreach(Manifests.rmTree)
+  }
+
   test("e2e: an ingest sink produces, a downstream tail consumes") {
     implicit val sqlCtx = spark.sqlContext
     val p = tmp(); val cpIn = tmp(); val cpOut = tmp()
