@@ -190,6 +190,7 @@ object SparkEntry {
     "q158_check_store_stream" -> (PipelineQueries.q158CheckStoreStream _),
     "q159_check_store_catalog" -> (PipelineQueries.q159CheckStoreCatalog _),
     "q160_store_asof" -> (PipelineQueries.q160StoreAsof _),
+    "q161_cluster_sql" -> (PipelineQueries.q161ClusterSql _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

@@ -93,7 +93,16 @@ object Layout {
     * cuts; for heavily skewed dimensions raise `files` (deeper, finer
     * quadrants) rather than relying on the sampler. */
   def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
-                    files: Int = 16): Unit = {
+                    files: Int = 16): Unit =
+    zClustered(df, a, b, files).write.mode("overwrite").parquet(path)
+
+  /** The aligned-quadrant z-order clustering itself, factored so store
+    * compaction ([[graft.streaming.StreamingOps.compactStore]]'s
+    * `clusterBy`) reuses the EXACT cut discipline writeZOrdered ships
+    * (aligned Morton quadrants — see above; an independent
+    * reimplementation would re-introduce the straddling-file risk). */
+  private[graft] def zClustered(df: DataFrame, a: String, b: String,
+                                files: Int): DataFrame = {
     val z = df.withColumn("__z", zValue(col(a), col(b)))
     val zmaxRow = z.agg(max("__z")).head()
     val zmax = if (zmaxRow.isNullAt(0)) 1L else math.max(zmaxRow.getLong(0), 1L)
@@ -104,6 +113,5 @@ object Layout {
     z.repartitionByRange(files, shiftrightunsigned(col("__z"), shift))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 }

@@ -112,9 +112,21 @@ object Manifests {
     * epoch. The watermark is REQUIRED monotone (review r12): a shrunken
     * `uptoBatch` would write an epoch missing the previous epoch's
     * tail rows and then delete their only copy — silent data loss. */
+  /** `clusterBy` (exclusive with `partitionCols`): cluster the epoch's
+    * FILES by the given key — one column range-partitions + sorts (each
+    * file spans a narrow range of it); two columns use the aligned
+    * Morton z-order ([[Layout.zClustered]] — each file spans a narrow
+    * rectangle of BOTH). The point is per-FILE min/max tightness: the
+    * stats sidecar records epoch bounds per file, so a clustered epoch
+    * is skippable INSIDE the leaf (the Delta OPTIMIZE ZORDER model). */
   def compactView(view: DataFrame, storeDir: String, batchCol: String,
                   uptoBatch: Long, targetFileRows: Long,
-                  partitionCols: Seq[String], gc: Boolean = true): (Long, Long) = {
+                  partitionCols: Seq[String], gc: Boolean = true,
+                  clusterBy: Seq[String] = Nil): (Long, Long) = {
+    require(clusterBy.isEmpty || partitionCols.isEmpty,
+      "compactView: clusterBy and partitionCols are exclusive")
+    require(clusterBy.size <= 2,
+      "compactView: clusterBy supports one (range) or two (z-order) columns")
     val prev = read(storeDir)
     prev.foreach { case (_, covers) =>
       require(uptoBatch >= covers,
@@ -128,9 +140,14 @@ object Manifests {
     val n = toCompact.count()
     require(n > 0, s"no rows at batch <= $uptoBatch in $storeDir")
     val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
-    val clustered =
-      if (partitionCols.isEmpty) toCompact.repartition(files)
-      else toCompact.repartition(files, partitionCols.map(col): _*)
+    val clustered = clusterBy match {
+      case Seq(c) =>
+        toCompact.repartitionByRange(files, col(c)).sortWithinPartitions(c)
+      case Seq(a, b) => Layout.zClustered(toCompact, a, b, files)
+      case _ =>
+        if (partitionCols.isEmpty) toCompact.repartition(files)
+        else toCompact.repartition(files, partitionCols.map(col): _*)
+    }
     val w = clustered.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(epochPath(storeDir, epoch))

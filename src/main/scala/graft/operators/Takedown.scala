@@ -178,6 +178,9 @@ object Takedown {
       val unit = s"${Manifests.CompactDir}/epoch-$e"
       val kept = spark.read.parquet(s"$path/$unit").filter(keep)
       replaceLeaf(path, unit, kept)
+      // the swap renames the epoch's files — per-file stats rows would
+      // reference vanished names; drop the sidecar, upkeep re-scores
+      StreamingOps.invalidateEpochStats(path, e)
       rewritten += unit
     }
     TakedownReport(touched.map(_._2).sum, rewritten.toSeq)

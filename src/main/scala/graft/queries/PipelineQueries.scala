@@ -1721,6 +1721,46 @@ object PipelineQueries {
   private def IngestBatchColSql: String =
     graft.streaming.StreamingOps.IngestBatchCol
 
+  /** q161: CLUSTERED COMPACTION + FILE-LEVEL SKIPPING through pure SQL
+    * (r17; the Delta OPTIMIZE ZORDER model completed): the whole store
+    * is compacted range-clustered on doc_id (`compactStore(clusterBy)`
+    * — each epoch file spans a narrow doc_id range), the stats sidecar
+    * records bounds PER EPOCH FILE, and a ranged SQL query through the
+    * graft-store view opens only the files whose bounds qualify — the
+    * intra-leaf skip the leaf-level tier cannot see (one consolidated
+    * epoch IS one leaf). StoreStatsSpec asserts the file-level skip
+    * via inputFiles; this row gates the RESULT through DuckDB at both
+    * SFs: clustering and skipping must never change rows. */
+  private val q161Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q161ClusterSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val path = q161Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents")
+      val p = java.nio.file.Files.createTempDirectory("q161-store").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
+      (0 to 2).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .write.mode("overwrite").parquet(s"$p/${StreamingOps.IngestBatchCol}=$b")
+      }
+      StreamingOps.compactStore(spark, p, uptoBatch = 2L,
+        targetFileRows = 100L, clusterBy = Seq("doc_id"))
+      StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "n_chars"))
+      p
+    })
+    val viewName = s"gs_q161_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM $viewName
+         |WHERE doc_id >= 120 AND doc_id <= 180 AND n_chars > 50
+         |GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin)
+  }
+
   /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
     * r16 next #4/#5): a store is written through
     * `writeStream.format("graft-store")` (idempotent batch-id
@@ -5320,6 +5360,16 @@ object PipelineQueries {
       "q158_check_store_stream" ->
         """SELECT true AS tail_complete, true AS live_arrival,
           |       true AS resume_exact, true AS deterministic""".stripMargin,
+      // q161's oracle: the same ranged aggregate over raw documents —
+      // clustered compaction + file-level skipping must never change
+      // rows (sum cast: the q156 HUGEINT discipline)
+      "q161_cluster_sql" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE doc_id >= 120 AND doc_id <= 180 AND n_chars > 50
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin,
       // q160's oracle: the batch window recomputed from raw documents
       // (batch assignment is doc_id % 3; takedown removed %97; the
       // Spark side reads ONLY epoch rows gated by their preserved ids)

@@ -497,7 +497,8 @@ object StreamingOps {
     * column. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
                    uptoBatch: Long, targetFileRows: Long = 5000000L,
-                   checkpoint: Option[String] = None): CompactionState = {
+                   checkpoint: Option[String] = None,
+                   clusterBy: Seq[String] = Nil): CompactionState = {
     checkpoint.foreach { cp =>
       val last = lastCommittedBatch(cp).getOrElse(throw new IllegalStateException(
         s"compactStore: checkpoint $cp has no committed batch — nothing is safely compactable"))
@@ -510,7 +511,7 @@ object StreamingOps {
       throw new IllegalStateException(s"nothing to compact at $path"))
     val (e, covers) = graft.operators.Manifests.compactView(
       cur, path, IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Nil,
-      gc = checkpoint.isEmpty)
+      gc = checkpoint.isEmpty, clusterBy = clusterBy)
     CompactionState(e, covers)
   }
 
@@ -653,15 +654,42 @@ object StreamingOps {
           min(col(c)).cast("string").as(s"__sn_$c"),
           max(col(c)).cast("string").as(s"__sx_$c"))
       } :+ count(lit(1)).as("__n")
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
       import spark.implicits._
-      present.map { c =>
-        (c, Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble),
-          Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble),
-          Option(row.getAs[String](s"__sn_$c")),
-          Option(row.getAs[String](s"__sx_$c")),
-          row.getAs[Long]("__n"))
-      }.toDF("column", "min_num", "max_num", "min_str", "max_str", "n_rows")
+      def colRows(row: org.apache.spark.sql.Row, file: Option[String])
+          : Seq[(String, Option[Double], Option[Double], Option[String],
+                 Option[String], Long, Option[String])] =
+        present.map { c =>
+          (c, Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble),
+            Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble),
+            Option(row.getAs[String](s"__sn_$c")),
+            Option(row.getAs[String](s"__sx_$c")),
+            row.getAs[Long]("__n"), file)
+        }
+      val rows =
+        if (leaf.startsWith("epoch-")) {
+          // the epoch is the big consolidated leaf — record bounds PER
+          // FILE (one grouped pass; file-count-scale rows), so a
+          // clustered epoch is skippable INSIDE the leaf, plus the
+          // whole-leaf rollup the leaf-level skip keeps using. File
+          // names stored as basenames: relocatable stores.
+          val perFile = df
+            .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val fileRows = perFile.toSeq.flatMap(r =>
+            colRows(r, Some(r.getAs[String]("__f"))))
+          val whole = present.map { c =>
+            val per = fileRows.filter(_._1 == c)
+            (c,
+              per.flatMap(_._2).reduceOption((a: Double, b: Double) => math.min(a, b)),
+              per.flatMap(_._3).reduceOption((a: Double, b: Double) => math.max(a, b)),
+              per.flatMap(_._4).reduceOption((a, b) => if (utf8Cmp(a, b) <= 0) a else b),
+              per.flatMap(_._5).reduceOption((a, b) => if (utf8Cmp(a, b) >= 0) a else b),
+              per.map(_._6).sum, Option.empty[String])
+          }
+          fileRows ++ whole
+        } else colRows(df.agg(aggs.head, aggs.tail: _*).head(), None)
+      rows.toDF("column", "min_num", "max_num", "min_str", "max_str",
+          "n_rows", "file")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$statsRoot/leaf=${leafDirName(leaf)}")
     }
@@ -688,6 +716,15 @@ object StreamingOps {
     Fs.rmTree(Fs.path(s"$storePath/$AttributesDir", leaf))
   }
 
+  /** Drop the stats rows for one EPOCH leaf. A takedown that rewrites
+    * the epoch swaps its FILES under new names — whole-leaf bounds
+    * would stay conservative (deletion only shrinks the value set),
+    * but the per-file rows now reference files that no longer exist,
+    * so the sidecar is dropped whole and the next upkeep re-scores. */
+  def invalidateEpochStats(storePath: String, epoch: Long): Unit =
+    graft.operators.Fs.rmTree(graft.operators.Fs.path(
+      s"$storePath/$StatsDir", s"leaf=${leafDirName(s"epoch-$epoch")}"))
+
   /** One leaf-skipping predicate for [[readCorpusStorePruned]]. */
   sealed trait SkipPred { def column: String }
 
@@ -710,17 +747,27 @@ object StreamingOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
-  /** Recorded bounds for one (leaf, column): numeric and/or string. */
+  /** Recorded bounds for one (leaf[, file], column): numeric and/or
+    * string. */
   final case class ColStats(minNum: Option[Double], maxNum: Option[Double],
                             minStr: Option[String], maxStr: Option[String])
 
+  /** One leaf's recorded stats: the whole-leaf bounds plus (for the
+    * compaction epoch) per-FILE bounds keyed by file basename — the
+    * intra-leaf skip tier a clustered epoch makes effective. */
+  final case class LeafStats(whole: Map[String, ColStats],
+                             perFile: Map[String, Map[String, ColStats]])
+
   /** The WHOLE stats sidecar in ONE partition-discovered scan + one
-    * collect (metadata-scale: a few rows per leaf), keyed by the
-    * original leaf name (`__ingest_batch=3`, `epoch-0`). Empty when
-    * the sidecar is absent or pre-r17 (non-`leaf=` dirs) — both read
-    * conservatively as "no stats", i.e. every leaf must-read. */
+    * collect (metadata-scale: a few rows per leaf, plus a few per
+    * epoch file), keyed by the original leaf name (`__ingest_batch=3`,
+    * `epoch-0`). Empty when the sidecar is absent or pre-r17
+    * (non-`leaf=` dirs) — both read conservatively as "no stats",
+    * i.e. every leaf must-read. Sidecars written before the per-file
+    * tier read with `file` as all-NULL (whole-leaf rows only) — the
+    * pinned schema backfills the missing column. */
   def loadStoreStats(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Map[String, Map[String, ColStats]] = {
+                     path: String): Map[String, LeafStats] = {
     import graft.operators.Fs
     val statsRoot = s"$path/$StatsDir"
     val dirs = Fs.listDirNames(Fs.path(statsRoot))
@@ -736,14 +783,19 @@ object StreamingOps {
       StructField("column", StringType), StructField("min_num", DoubleType),
       StructField("max_num", DoubleType), StructField("min_str", StringType),
       StructField("max_str", StringType), StructField("n_rows", LongType),
-      StructField("leaf", StringType)))
+      StructField("file", StringType), StructField("leaf", StringType)))
     spark.read.schema(statsSchema).parquet(statsRoot)
-      .select("leaf", "column", "min_num", "max_num", "min_str", "max_str")
+      .select("leaf", "file", "column", "min_num", "max_num",
+        "min_str", "max_str")
       .collect()
       .groupBy(r => r.getString(0).replace("__EQ__", "="))
       .map { case (leaf, rows) =>
-        leaf -> rows.map(r => r.getString(1) ->
-          ColStats(optD(r, 2), optD(r, 3), optS(r, 4), optS(r, 5))).toMap
+        def toMap(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(r => r.getString(2) ->
+            ColStats(optD(r, 3), optD(r, 4), optS(r, 5), optS(r, 6))).toMap
+        val (fileRows, wholeRows) = rows.partition(!_.isNullAt(1))
+        leaf -> LeafStats(toMap(wholeRows),
+          fileRows.groupBy(_.getString(1)).map { case (f, rs) => f -> toMap(rs) })
       }
   }
 
@@ -771,20 +823,21 @@ object StreamingOps {
       case None => spark.read.option("mergeSchema", "true")
     }
     val stats = loadStoreStats(spark, path)
+    def satisfiable(bounds: Map[String, ColStats]): Boolean = ranges.forall {
+      case SkipRange(c, lo, hi) => bounds.get(c) match {
+        case Some(ColStats(Some(mn), Some(mx), _, _)) => mx >= lo && mn <= hi
+        case _ => true // column untracked / non-numeric -> must read
+      }
+      case SkipStrRange(c, lo, hi) => bounds.get(c) match {
+        case Some(ColStats(_, _, Some(mn), Some(mx))) =>
+          lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+            hi.forall(h => utf8Cmp(mn, h) <= 0)
+        case _ => true
+      }
+    }
     def keep(leafDir: String): Boolean = stats.get(leafDir) match {
       case None => true // no stats yet -> must read
-      case Some(bounds) => ranges.forall {
-        case SkipRange(c, lo, hi) => bounds.get(c) match {
-          case Some(ColStats(Some(mn), Some(mx), _, _)) => mx >= lo && mn <= hi
-          case _ => true // column untracked / non-numeric -> must read
-        }
-        case SkipStrRange(c, lo, hi) => bounds.get(c) match {
-          case Some(ColStats(_, _, Some(mn), Some(mx))) =>
-            lo.forall(l => utf8Cmp(mx, l) >= 0) &&
-              hi.forall(h => utf8Cmp(mn, h) <= 0)
-          case _ => true
-        }
-      }
+      case Some(ls) => satisfiable(ls.whole)
     }
     val keptBatchDirs = Fs.list(Fs.path(path))
       .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol="))
@@ -801,9 +854,32 @@ object StreamingOps {
       case None => live
       case Some((e, covers)) =>
         val epochKept = keep(s"epoch-$e")
-        val compacted =
-          if (!epochKept) None
-          else Some(reader.parquet(Manifests.epochPath(path, e)))
+        // intra-leaf tier: with per-file rows recorded (a clustered
+        // epoch), open only the FILES whose bounds can satisfy every
+        // predicate — the Delta-style skip INSIDE the consolidated
+        // leaf. Absent per-file rows (or a vanished file — takedown
+        // swaps invalidate the sidecar, but stay safe regardless):
+        // whole-epoch read.
+        val perFile = stats.get(s"epoch-$e").map(_.perFile).getOrElse(Map.empty)
+        val epochRoot = Manifests.epochPath(path, e)
+        val fileSelection =
+          if (!epochKept || perFile.isEmpty) None
+          else {
+            val kept = perFile.filter(kv => satisfiable(kv._2)).keys.toSeq.sorted
+            val all = Fs.list(Fs.path(epochRoot)).filter(_.isFile)
+              .map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith("."))
+            // a data file without a stats row is must-read
+            val unscored = all.filterNot(perFile.contains)
+            if (kept.size + unscored.size >= all.size) None // nothing skipped
+            else Some((kept ++ unscored).map(n => s"$epochRoot/$n"))
+          }
+        val compacted = (epochKept, fileSelection) match {
+          case (false, _) => None
+          case (true, Some(files)) if files.isEmpty => None
+          case (true, Some(files)) => Some(reader.parquet(files: _*))
+          case (true, None) => Some(reader.parquet(epochRoot))
+        }
         val liveAbove = live.map(_.filter(col(IngestBatchCol) > covers)
           .withColumn(IngestBatchCol, col(IngestBatchCol).cast("long")))
         (compacted, liveAbove) match {

@@ -129,9 +129,9 @@ class StoreStatsSpec extends SparkSpec {
       // O(leaves) driver round-trips at thousands of batches)
       assert(jobs.get() === 1, s"expected 1 job for 3 leaves, got ${jobs.get()}")
       assert(stats.keySet === Set(s"$bc=0", s"$bc=1", s"$bc=2"))
-      assert(stats(s"$bc=1")("doc_id").minNum.get === 100.0 &&
-        stats(s"$bc=1")("doc_id").maxNum.get === 199.0)
-      assert(stats(s"$bc=2")("source") ===
+      assert(stats(s"$bc=1").whole("doc_id").minNum.get === 100.0 &&
+        stats(s"$bc=1").whole("doc_id").maxNum.get === 199.0)
+      assert(stats(s"$bc=2").whole("source") ===
         StreamingOps.ColStats(None, None, Some("src0"), Some("src2")))
     } finally spark.sparkContext.removeSparkListener(listener)
     Manifests.rmTree(p)
@@ -168,6 +168,83 @@ class StoreStatsSpec extends SparkSpec {
     assert(filesOf(all).exists(_.contains(s"$bc=0")) &&
       filesOf(all).exists(_.contains(s"$bc=1")))
     Manifests.rmTree(p); Manifests.rmTree(pn)
+  }
+
+  test("clustered epoch skips at FILE granularity; rows never change") {
+    val p = tmp()
+    mkStore(p) // doc_id 0..299 across three batches
+    // compact EVERYTHING, range-clustered on doc_id into ~6 files
+    StreamingOps.compactStore(spark, p, uptoBatch = 2L,
+      targetFileRows = 50L, clusterBy = Seq("doc_id"))
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id", "source"))
+    val stats = StreamingOps.loadStoreStats(spark, p)
+    val ls = stats("epoch-0")
+    assert(ls.perFile.size >= 4, s"expected multiple epoch files, got ${ls.perFile.keySet}")
+    // per-file doc_id spans are narrow (clustering) and the whole-leaf
+    // rollup brackets them
+    assert(ls.whole("doc_id").minNum.get === 0.0 &&
+      ls.whole("doc_id").maxNum.get === 299.0)
+    assert(ls.perFile.values.forall { m =>
+      val c = m("doc_id"); c.maxNum.get - c.minNum.get < 300.0 / 2 })
+    // a narrow range opens a strict subset of the epoch's files
+    val pruned = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipRange("doc_id", 150, 160))).get
+    val opened = filesOf(pruned)
+    assert(opened.nonEmpty && opened.size < ls.perFile.size, opened)
+    // and rows are identical to the unpruned read after the row filter
+    val want = StreamingOps.readCorpusStore(spark, p).get
+      .filter(col("doc_id").between(150, 160)).count()
+    assert(pruned.filter(col("doc_id").between(150, 160)).count() === want
+      && want === 11L)
+    Manifests.rmTree(p)
+  }
+
+  test("z-order clustered epoch prunes files on EITHER dimension") {
+    val p = tmp()
+    // two interleaved dimensions, 32x32 grid
+    (0 until 1024).map(i => (i.toLong, (i % 32).toLong, (i / 32).toLong))
+      .toDF("doc_id", "dx", "dy")
+      .write.parquet(s"$p/$bc=0")
+    StreamingOps.compactStore(spark, p, uptoBatch = 0L,
+      targetFileRows = 64L, clusterBy = Seq("dx", "dy"))
+    StreamingOps.upkeepStoreStats(spark, p, Seq("dx", "dy"))
+    val nFiles = StreamingOps.loadStoreStats(spark, p)("epoch-0").perFile.size
+    assert(nFiles >= 8)
+    def opened(rs: StreamingOps.SkipPred*): Int =
+      filesOf(StreamingOps.readCorpusStorePruned(spark, p, rs).get).size
+    // a narrow filter on EITHER dimension opens a subset of files —
+    // the multi-dimensional pruning single-column sorting cannot give
+    assert(opened(StreamingOps.SkipRange("dx", 0, 3)) < nFiles)
+    assert(opened(StreamingOps.SkipRange("dy", 0, 3)) < nFiles)
+    // correctness: the pruned rows equal the unpruned filter
+    val pruned = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipRange("dx", 0, 3))).get
+    assert(pruned.filter(col("dx") <= 3).count() ===
+      StreamingOps.readCorpusStore(spark, p).get.filter(col("dx") <= 3).count())
+    Manifests.rmTree(p)
+  }
+
+  test("takedown on a per-file-scored epoch invalidates its sidecar; reads stay correct") {
+    val p = tmp()
+    mkStore(p)
+    StreamingOps.compactStore(spark, p, uptoBatch = 2L,
+      targetFileRows = 50L, clusterBy = Seq("doc_id"))
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    assert(StreamingOps.loadStoreStats(spark, p)("epoch-0").perFile.nonEmpty)
+    // takedown swaps the epoch's files under new names
+    graft.operators.Takedown.deleteFromStore(spark, p, Seq(155L))
+    // the sidecar is gone (stale file names could otherwise be opened
+    // or skipped) -> the epoch is must-read until the next upkeep
+    assert(!StreamingOps.loadStoreStats(spark, p).contains("epoch-0"))
+    val pruned = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipRange("doc_id", 150, 160))).get
+    assert(pruned.filter(col("doc_id").between(150, 160)).count() === 10L)
+    // re-upkeep restores file-level skipping over the swapped files
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    val pruned2 = StreamingOps.readCorpusStorePruned(spark, p,
+      Seq(StreamingOps.SkipRange("doc_id", 150, 160))).get
+    assert(pruned2.filter(col("doc_id").between(150, 160)).count() === 10L)
+    Manifests.rmTree(p)
   }
 
   test("multi-range conjunction prunes on every range; untracked column must-read") {
