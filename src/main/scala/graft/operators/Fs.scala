@@ -93,9 +93,13 @@ object Fs {
     ()
   }
 
-  /** Rename `from` → `to` (parents created). The destination must not
-    * exist — the one rename semantic every Hadoop filesystem shares
-    * (rename-over-existing is POSIX-only; HDFS refuses it). Atomic on
+  /** Rename `from` → `to` (parents created). CAVEAT: when `to` is an
+    * EXISTING DIRECTORY, both HDFS and the local filesystem move the
+    * source INSIDE it (POSIX rename-into-dir semantics) and report
+    * success — they do not refuse. Callers that need
+    * collision-on-existing semantics must check for the nested result
+    * themselves (see GraftStoreRelation.landNextBatch, whose
+    * nested-dir detection is the load-bearing race check). Atomic on
     * HDFS and local; on object stores the destination appears as a
     * complete object. Failures surface (no silent `false`). */
   def rename(from: Path, to: Path): Unit = {

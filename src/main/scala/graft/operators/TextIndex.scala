@@ -178,10 +178,22 @@ object TextIndex {
   /** Incremental append: the batch writes ONLY its own partitions in
     * both stores (the idempotent crash-replay contract — a replayed
     * batch overwrites itself). Buckets come from the meta sidecar, so
-    * the layout stays probe-compatible forever. */
+    * the layout stays probe-compatible forever. An append under a
+    * non-`simple` analyzer writes RAW-sequence offsets, so a pre-r17
+    * stop/english index (meta positions="analyzed") is REFUSED — one
+    * append would permanently mix two position semantics in a single
+    * index (old batches' offsets collapse removed stopwords, new ones
+    * gap over them), which no later rebuild of just the new batches
+    * could untangle; the refusal points at the same rebuild the
+    * positional searches demand (ADVICE r17). */
   def append(docs: DataFrame, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val (nBuckets, analyzer, _) = metaOf(spark, path)
+    val (nBuckets, analyzer, positions) = metaOf(spark, path)
+    require(analyzer == Analyzer.Simple || positions == "raw",
+      s"TextIndex.append: the index at $path stores ANALYZED-sequence " +
+        "positions (the pre-gap stop/english layout) — appending would mix " +
+        "raw-offset postings into it and permanently corrupt phrase/slop " +
+        "arithmetic; rebuild the index for Lucene position-gap semantics")
     val (postings, doclen) = perDoc(docs, nBuckets, analyzer)
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/$IngestBatchCol=$batchId")

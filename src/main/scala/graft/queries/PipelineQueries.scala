@@ -1783,48 +1783,62 @@ object PipelineQueries {
       .filter(col("doc_id") < 90)
     val p = java.nio.file.Files.createTempDirectory("q158-store").toString
     val cp = java.nio.file.Files.createTempDirectory("q158-cp").toString
-    docs.filter(col("doc_id") < 30)
-      .write.format("graft-store").option("batch", "0").save(p)
-    docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
-      .write.format("graft-store").option("batch", "1").save(p)
-    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    def tail() = spark.readStream.format("graft-store").load(p)
-      .writeStream.option("checkpointLocation", cp)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        seen.synchronized {
-          seen ++= df.select(col("doc_id"),
-              col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-        }
-        ()
-      }.start()
-    val q1 = tail()
-    q1.processAllAvailable()
-    val want01 = docs.filter(col("doc_id") < 60).select("doc_id")
-      .as[Long].collect().toSet
-    val tailComplete = seen.map(_._1).toSet == want01 &&
-      seen.forall { case (id, b) => b == (if (id < 30) 0L else 1L) }
-    // (b) landed mid-tail
-    docs.filter(col("doc_id") >= 60 && col("doc_id") < 75)
-      .write.format("graft-store").option("batch", "2").save(p)
-    q1.processAllAvailable()
-    val n75 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 75).count()
-    val liveArrival = seen.count(_._2 == 2L).toLong == n75
-    q1.stop()
-    // (c) landed while down, resume
-    docs.filter(col("doc_id") >= 75)
-      .write.format("graft-store").option("batch", "3").save(p)
-    val q2 = tail()
-    q2.processAllAvailable()
-    q2.stop()
-    val resumeExact = seen.count(_._2 == 3L).toLong ==
-      docs.filter(col("doc_id") >= 75).count() &&
-      seen.size.toLong == docs.count()
-    val deterministic = graft.streaming.StreamingOps
-      .readCorpusStore(spark, p).get.count() == docs.count()
-    Seq(p, cp).foreach(graft.operators.Manifests.rmTree)
-    Seq((tailComplete, liveArrival, resumeExact, deterministic))
-      .toDF("tail_complete", "live_arrival", "resume_exact", "deterministic")
+    // cleanup in finally (ADVICE r17): a mid-query assertion or Spark
+    // failure must not leak the running stream (it would keep tailing a
+    // deleted dir) or the temp dirs into the rest of the session
+    var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try {
+      docs.filter(col("doc_id") < 30)
+        .write.format("graft-store").option("batch", "0").save(p)
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .write.format("graft-store").option("batch", "1").save(p)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def tail() = {
+        val q = spark.readStream.format("graft-store").load(p)
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            seen.synchronized {
+              seen ++= df.select(col("doc_id"),
+                  col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+            }
+            ()
+          }.start()
+        active = Some(q)
+        q
+      }
+      val q1 = tail()
+      q1.processAllAvailable()
+      val want01 = docs.filter(col("doc_id") < 60).select("doc_id")
+        .as[Long].collect().toSet
+      val tailComplete = seen.map(_._1).toSet == want01 &&
+        seen.forall { case (id, b) => b == (if (id < 30) 0L else 1L) }
+      // (b) landed mid-tail
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 75)
+        .write.format("graft-store").option("batch", "2").save(p)
+      q1.processAllAvailable()
+      val n75 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 75).count()
+      val liveArrival = seen.count(_._2 == 2L).toLong == n75
+      q1.stop()
+      active = None
+      // (c) landed while down, resume
+      docs.filter(col("doc_id") >= 75)
+        .write.format("graft-store").option("batch", "3").save(p)
+      val q2 = tail()
+      q2.processAllAvailable()
+      q2.stop()
+      active = None
+      val resumeExact = seen.count(_._2 == 3L).toLong ==
+        docs.filter(col("doc_id") >= 75).count() &&
+        seen.size.toLong == docs.count()
+      val deterministic = graft.streaming.StreamingOps
+        .readCorpusStore(spark, p).get.count() == docs.count()
+      Seq((tailComplete, liveArrival, resumeExact, deterministic))
+        .toDF("tail_complete", "live_arrival", "resume_exact", "deterministic")
+    } finally {
+      active.foreach(q => scala.util.Try(q.stop()))
+      Seq(p, cp).foreach(graft.operators.Manifests.rmTree)
+    }
   }
 
   /** q159 contract: graft-store as a CATALOG TABLE (r17; VERDICT r16
@@ -1849,41 +1863,48 @@ object PipelineQueries {
     val docs = t(spark, dir, "documents").select("doc_id", "text", "source")
       .filter(col("doc_id") < 50)
     val p = java.nio.file.Files.createTempDirectory("q159-store").toString
-    docs.write.format("graft-store").save(p)
-    val tbl = s"gs_q159_${math.abs(dir.hashCode)}"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl USING `graft-store` OPTIONS (path '$p')")
-    val n = docs.count()
-    val createSelect =
-      spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
-    val s2 = spark.newSession()
-    val crossSession =
-      s2.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
-    s2.sql(s"INSERT INTO $tbl VALUES (900001, 'planted', 'srcX', NULL)")
-    val insertLands =
-      spark.sql(s"SELECT count(*) FROM $tbl WHERE doc_id = 900001")
-        .head().getLong(0) == 1L &&
-      graft.streaming.StreamingOps.readCorpusStore(spark, p).get
-        .select(col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
-        .distinct().count() == 2L
-    // (d) pinned column list over a not-yet-existing store
     val p2 = s"${java.nio.file.Files.createTempDirectory("q159-fresh")}/new"
+    val tbl = s"gs_q159_${math.abs(dir.hashCode)}"
     val tbl2 = s"${tbl}_fresh"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl2")
-    spark.sql(s"CREATE TABLE $tbl2 (doc_id BIGINT, text STRING) " +
-      s"USING `graft-store` OPTIONS (path '$p2')")
-    val emptyFirst = spark.sql(s"SELECT * FROM $tbl2").count() == 0L
-    spark.sql(s"INSERT INTO $tbl2 VALUES (1, 'a')")
-    val pinnedSchema = emptyFirst &&
-      spark.sql(s"SELECT doc_id FROM $tbl2").as[Long].collect().toSeq == Seq(1L)
-    spark.sql(s"DROP TABLE $tbl")
-    spark.sql(s"DROP TABLE $tbl2")
-    val dropKeepsData = graft.streaming.StreamingOps
-      .readCorpusStore(spark, p).get.count() == n + 1
-    Seq(p, p2).foreach(graft.operators.Manifests.rmTree)
-    Seq((createSelect, crossSession, insertLands, pinnedSchema, dropKeepsData))
-      .toDF("create_select", "cross_session", "insert_lands",
-        "pinned_schema", "drop_keeps_data")
+    // cleanup in finally (ADVICE r17): a mid-query failure must not
+    // leak catalog entries (they'd poison a same-session rerun) or dirs
+    try {
+      docs.write.format("graft-store").save(p)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING `graft-store` OPTIONS (path '$p')")
+      val n = docs.count()
+      val createSelect =
+        spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
+      val s2 = spark.newSession()
+      val crossSession =
+        s2.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == n
+      s2.sql(s"INSERT INTO $tbl VALUES (900001, 'planted', 'srcX', NULL)")
+      val insertLands =
+        spark.sql(s"SELECT count(*) FROM $tbl WHERE doc_id = 900001")
+          .head().getLong(0) == 1L &&
+        graft.streaming.StreamingOps.readCorpusStore(spark, p).get
+          .select(col(graft.streaming.StreamingOps.IngestBatchCol).cast("long"))
+          .distinct().count() == 2L
+      // (d) pinned column list over a not-yet-existing store
+      spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+      spark.sql(s"CREATE TABLE $tbl2 (doc_id BIGINT, text STRING) " +
+        s"USING `graft-store` OPTIONS (path '$p2')")
+      val emptyFirst = spark.sql(s"SELECT * FROM $tbl2").count() == 0L
+      spark.sql(s"INSERT INTO $tbl2 VALUES (1, 'a')")
+      val pinnedSchema = emptyFirst &&
+        spark.sql(s"SELECT doc_id FROM $tbl2").as[Long].collect().toSeq == Seq(1L)
+      spark.sql(s"DROP TABLE $tbl")
+      spark.sql(s"DROP TABLE $tbl2")
+      val dropKeepsData = graft.streaming.StreamingOps
+        .readCorpusStore(spark, p).get.count() == n + 1
+      Seq((createSelect, crossSession, insertLands, pinnedSchema, dropKeepsData))
+        .toDF("create_select", "cross_session", "insert_lands",
+          "pinned_schema", "drop_keeps_data")
+    } finally {
+      Seq(tbl, tbl2).foreach(t =>
+        scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t")))
+      Seq(p, p2).foreach(graft.operators.Manifests.rmTree)
+    }
   }
 
   /** q148: PHRASE search through the positional postings of the SAME

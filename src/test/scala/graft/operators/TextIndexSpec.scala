@@ -239,6 +239,15 @@ class TextIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
     // plain BM25 search ignores positions — still served
     assert(TextIndex.search(spark, pOld, "york", k = 10).count() > 0)
+    // ... and APPEND is refused too (ADVICE r17): one append would
+    // permanently mix raw-offset postings into the analyzed-offset
+    // index — a corruption no later rebuild of just the new batches
+    // could untangle — and nothing else would warn at append time
+    val eApp = intercept[IllegalArgumentException] {
+      TextIndex.append(Seq((9L, "more new york text")).toDF("doc_id", "text"),
+        pOld, batchId = 0L)
+    }
+    assert(eApp.getMessage.contains("rebuild"))
     Manifests.rmTree(pOld)
   }
 

@@ -408,4 +408,31 @@ class GraftStoreSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("no corpus store"))
     Manifests.rmTree(p)
   }
+
+  test("crash point: sidecar invalidation runs BEFORE the replay overwrite") {
+    // VERDICT r17 wrong #1: a crash between the partition rewrite and
+    // the invalidation would leave NEW data under STALE bounds — the
+    // one ordering in which the skip tier drops matching rows. The
+    // order is now invalidate-first; stage the crash by making the
+    // WRITE itself fail after invalidation and assert the sidecar row
+    // is already gone (missing stats = must-read, the safe posture).
+    val p = tmp()
+    Seq((200L, "z", "s1")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$p/$bc=0")
+    StreamingOps.upkeepStoreStats(spark, p, Seq("doc_id"))
+    val statLeaf = graft.operators.Fs.path(
+      s"$p/${StreamingOps.StatsDir}", s"leaf=${bc}__EQ__0")
+    assert(graft.operators.Fs.isDir(statLeaf))
+    // a replay whose execution throws mid-write (assert_true trips)
+    val failing = Seq((50L, "z2", "s1")).toDF("doc_id", "text", "source")
+      .withColumn("doc_id",
+        when(assert_true(col("doc_id") < 0).isNull, col("doc_id")))
+    intercept[Throwable] {
+      failing.write.format("graft-store").mode("append")
+        .option("batch", "0").save(p)
+    }
+    assert(!graft.operators.Fs.isDir(statLeaf),
+      "sidecar survived a crashed replay write — stale-bounds window open")
+    Manifests.rmTree(p)
+  }
 }
