@@ -191,6 +191,9 @@ object SparkEntry {
     "q159_check_store_catalog" -> (PipelineQueries.q159CheckStoreCatalog _),
     "q160_store_asof" -> (PipelineQueries.q160StoreAsof _),
     "q161_cluster_sql" -> (PipelineQueries.q161ClusterSql _),
+    "q162_sql_optimize" -> (PipelineQueries.q162SqlOptimize _),
+    "q163_sql_delete" -> (PipelineQueries.q163SqlDelete _),
+    "q164_sql_vacuum" -> (PipelineQueries.q164SqlVacuum _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),
     "q138_lang_segments" -> (PipelineQueries.q138LangSegments _),
     "q139_check_bfd" -> (PipelineQueries.q139CheckBfd _),

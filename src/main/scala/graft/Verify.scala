@@ -13,6 +13,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the graft extensions (vector expressions + the store-lifecycle
+      // SQL statements) — the q162+ rows exercise spark.sql OPTIMIZE/
+      // VACUUM/UPKEEP/DELETE, which only parse with the extension on
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

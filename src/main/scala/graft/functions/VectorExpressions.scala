@@ -137,10 +137,14 @@ object VectorExpressions {
       (cs: Seq[Expression]) => { require(cs.size == 1, "vec_norm(a)"); VecNorm(cs(0)) }))
 }
 
-/** Session extension installing the vector expressions:
+/** Session extension installing the vector expressions AND the
+  * store-lifecycle SQL statements (OPTIMIZE / VACUUM / UPKEEP /
+  * DELETE over graft stores — [[graft.sql.GraftSqlCommands]]):
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.registrations.foreach(ext.injectFunction)
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+  }
 }

@@ -1761,6 +1761,131 @@ object PipelineQueries {
          |ORDER BY source, lang""".stripMargin)
   }
 
+  /** q162: the WHOLE store-maintenance loop through pure SQL (r18;
+    * VERDICT r17 next #1 — `OPTIMIZE`/`UPKEEP` were Scala-only): the
+    * store is range-batched from documents, then `OPTIMIZE … ZORDER BY
+    * (doc_id)` (clustered compaction — the q161 layout, now reached
+    * from SQL via the injected parser) and `UPKEEP … STATS` (the
+    * skipping sidecar) run as SQL statements, and the ranged SELECT
+    * reads through the resulting file-pruned view. The oracle is the
+    * same aggregate over raw documents: SQL-invoked lifecycle verbs
+    * must never change rows (the q161 gate pattern). */
+  private val q162Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q162SqlOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val path = q162Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents")
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val p = java.nio.file.Files.createTempDirectory("q162-store").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
+      (0 to 2).foreach { b =>
+        docs.filter(col("doc_id") >= b * n / 3 && col("doc_id") < (b + 1) * n / 3)
+          .write.mode("overwrite").parquet(s"$p/${StreamingOps.IngestBatchCol}=$b")
+      }
+      spark.sql(s"OPTIMIZE graft.`$p` ZORDER BY (doc_id) FILE ROWS 100").collect()
+      spark.sql(s"UPKEEP graft.`$p` STATS (doc_id, n_chars)").collect()
+      p
+    })
+    val viewName = s"gs_q162_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM $viewName
+         |WHERE doc_id >= 100 AND doc_id <= 160 AND n_chars > 50
+         |GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin)
+  }
+
+  /** q163: TAKEDOWN through SQL `DELETE` (r18): the parser claims
+    * `DELETE FROM <graft target> WHERE doc_id IN (…)` and runs
+    * `Takedown.deleteFromStore` — physical erasure across live batches
+    * AND the compacted epoch, sidecars invalidated. The store is
+    * mod-batched, batches 0–1 compacted (so victims live in BOTH the
+    * epoch and a live partition), victims are every doc_id % 101 == 0.
+    * The oracle excludes them from raw documents. */
+  private val q163Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q163SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val path = q163Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val p = java.nio.file.Files.createTempDirectory("q163-store").toString
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(p) }
+      (0 to 2).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .write.mode("overwrite").parquet(s"$p/${StreamingOps.IngestBatchCol}=$b")
+      }
+      spark.sql(s"OPTIMIZE graft.`$p` UPTO BATCH 1").collect()
+      val victims = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select("doc_id").as[Long].collect().sorted
+      spark.sql(s"DELETE FROM graft.`$p` " +
+        s"WHERE doc_id IN (${victims.mkString(", ")})").collect()
+      p
+    })
+    val viewName = s"gs_q163_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM $viewName
+         |GROUP BY source
+         |ORDER BY source""".stripMargin)
+  }
+
+  /** q164: RETENTION through SQL `VACUUM` (r18): batches 0–1 compact
+    * under a live-stream manifest (CHECKPOINT clause → GC deferred, as
+    * under real ingest), `VACUUM` reclaims the superseded inputs
+    * (never a logical change), then `VACUUM … EXPIRE UPTO BATCH 0`
+    * drops batch 0 wholesale (live-dir removal is free — the reason
+    * the store partitions by batch; epoch rows rewrite out through the
+    * atomic manifest flip). The oracle keeps documents whose batch
+    * (doc_id % 3) survived. */
+  private val q164Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q164SqlVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val path = q164Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      val docs = t(spark, dir, "documents")
+      val p = java.nio.file.Files.createTempDirectory("q164-store").toString
+      val cp = java.nio.file.Files.createTempDirectory("q164-cp").toString
+      sys.addShutdownHook {
+        Seq(p, cp).foreach(graft.operators.Manifests.rmTree)
+      }
+      (0 to 2).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .write.mode("overwrite").parquet(s"$p/${StreamingOps.IngestBatchCol}=$b")
+      }
+      // a checkpoint whose commit log covers the bound — the ingest
+      // stream's, were one running; its presence defers compaction GC
+      graft.operators.Fs.mkdirs(graft.operators.Fs.path(cp, "commits"))
+      graft.operators.Fs.writeString(
+        graft.operators.Fs.path(cp, "commits", "2"), "{}")
+      spark.sql(s"OPTIMIZE graft.`$p` UPTO BATCH 1 CHECKPOINT '$cp'").collect()
+      spark.sql(s"VACUUM graft.`$p`").collect()
+      spark.sql(s"VACUUM graft.`$p` EXPIRE UPTO BATCH 0 CHECKPOINT '$cp'").collect()
+      p
+    })
+    val viewName = s"gs_q164_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM $viewName
+         |GROUP BY source
+         |ORDER BY source""".stripMargin)
+  }
+
   /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
     * r16 next #4/#5): a store is written through
     * `writeStream.format("graft-store")` (idempotent batch-id
@@ -5391,6 +5516,36 @@ object PipelineQueries {
           |WHERE doc_id >= 120 AND doc_id <= 180 AND n_chars > 50
           |GROUP BY source, lang
           |ORDER BY source, lang""".stripMargin,
+      // q162's oracle: the same ranged aggregate over raw documents —
+      // SQL-invoked OPTIMIZE ZORDER + UPKEEP STATS must never change
+      // rows (the q161 gate pattern, verbs now SQL statements)
+      "q162_sql_optimize" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE doc_id >= 100 AND doc_id <= 160 AND n_chars > 50
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin,
+      // q163's oracle: raw documents minus the SQL-DELETEd victims
+      // (every doc_id % 101 == 0 — some in the epoch, some live)
+      "q163_sql_delete" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents
+          |WHERE doc_id % 101 <> 0
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
+      // q164's oracle: raw documents minus the SQL-EXPIREd batch 0
+      // (batch assignment is doc_id % 3)
+      "q164_sql_vacuum" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents
+          |WHERE doc_id % 3 <> 0
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
       // q160's oracle: the batch window recomputed from raw documents
       // (batch assignment is doc_id % 3; takedown removed %97; the
       // Spark side reads ONLY epoch rows gated by their preserved ids)
