@@ -1886,6 +1886,106 @@ object PipelineQueries {
          |ORDER BY source""".stripMargin)
   }
 
+  /** q165 contract: the IVM view-snapshot log as a STREAMING SOURCE
+    * (r18; VERDICT r17 next #2 — "notify me when the maintained view
+    * changes" is the IVM family's natural push consumer): CDC-shaped
+    * change batches flow through [[graft.streaming.StreamingOps
+    * .ivmIngestToStore]] while `readStream.format("graft-store")
+    * .option("layout", "ivm-view")` tails the store. Asserts, from the
+    * documents table:
+    *  (a) snapshots_exact — each committed view snapshot arrives
+    *      exactly once, WHOLE, its batch id carried, and equals the
+    *      from-scratch aggregate over the change prefix;
+    *  (b) live_arrival — a batch committed WHILE the tail runs
+    *      delivers its snapshot exactly once;
+    *  (c) resume_exact — a batch committed while the tail is DOWN
+    *      delivers exactly once on restart from the same checkpoint;
+    *  (d) deterministic — the final tailed state equals the batch
+    *      GROUP BY over all documents. */
+  def q165CheckIvmTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("double"))
+      .filter(col("doc_id") < 400)
+    val slices: Seq[Seq[(String, Long, Long, Long, String, Double)]] =
+      Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L)).map {
+        case (lo, hi) =>
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+            .map { case (id, src, n) => ("I", id, id, id, src, n) }
+      }
+    val store = java.nio.file.Files.createTempDirectory("q165-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("q165-ckpt").toString
+    val tailCp = java.nio.file.Files.createTempDirectory("q165-tail").toString
+    val producers = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long, Long, String, Double)]
+      val producer = StreamingOps.ivmIngestToStore(
+        in.toDF().toDF("op", "lsn", "seq", "k", "source", "v"),
+        store, ckpt, rowKeys = Seq("k"), groupKeys = Seq("source"),
+        valueCol = "v")
+      producers += producer
+      in.addData(slices(0): _*); producer.processAllAvailable()
+      in.addData(slices(1): _*); producer.processAllAvailable()
+      // tail: (snapshot id, source, sum) triples
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+      def tail() = {
+        val q = spark.readStream.format("graft-store")
+          .option("layout", "ivm-view").load(store)
+          .writeStream.option("checkpointLocation", tailCp)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            seen.synchronized {
+              seen ++= df.select(
+                  col(StreamingOps.IngestBatchCol).cast("long"),
+                  col("source"), col("sum_val"))
+                .as[(Long, String, Double)].collect()
+            }
+            ()
+          }.start()
+        producers += q
+        q
+      }
+      def expected(uptoSlice: Int): Set[(String, Double)] =
+        slices.take(uptoSlice + 1).flatten
+          .groupBy(_._5).map { case (s, rs) => (s, rs.map(_._6).sum) }.toSet
+      val q1 = tail()
+      q1.processAllAvailable()
+      val snapshotsExact =
+        seen.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet == expected(0) &&
+        seen.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet == expected(1) &&
+        seen.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L)
+      // (b) a batch committed while the tail runs
+      in.addData(slices(2): _*); producer.processAllAvailable()
+      q1.processAllAvailable()
+      val liveArrival =
+        seen.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet == expected(2) &&
+        seen.count(_._1 == 2L) == expected(2).size
+      q1.stop()
+      // (c) committed while the tail is down
+      in.addData(slices(3): _*); producer.processAllAvailable()
+      producer.stop()
+      val q2 = tail()
+      q2.processAllAvailable(); q2.stop()
+      val resumeExact =
+        seen.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet == expected(3) &&
+        seen.count(_._1 == 3L) == expected(3).size
+      val deterministic =
+        seen.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet ==
+          docs.groupBy(col("source")).agg(sum(col("n_chars")).as("s"))
+            .as[(String, Double)].collect().toSet
+      Seq((snapshotsExact, liveArrival, resumeExact, deterministic))
+        .toDF("snapshots_exact", "live_arrival", "resume_exact", "deterministic")
+    } finally {
+      producers.foreach(q => scala.util.Try(q.stop()))
+      Seq(store, ckpt, tailCp).foreach(graft.operators.Manifests.rmTree)
+    }
+  }
+
   /** q158 contract: graft-store as a STREAMING endpoint (r17; VERDICT
     * r16 next #4/#5): a store is written through
     * `writeStream.format("graft-store")` (idempotent batch-id
@@ -5505,6 +5605,9 @@ object PipelineQueries {
       },
       "q158_check_store_stream" ->
         """SELECT true AS tail_complete, true AS live_arrival,
+          |       true AS resume_exact, true AS deterministic""".stripMargin,
+      "q165_check_ivm_tail" ->
+        """SELECT true AS snapshots_exact, true AS live_arrival,
           |       true AS resume_exact, true AS deterministic""".stripMargin,
       // q161's oracle: the same ranged aggregate over raw documents —
       // clustered compaction + file-level skipping must never change

@@ -121,7 +121,8 @@ class GraftStoreSource extends RelationProvider with SchemaRelationProvider
     val holeWarnMs = parameters.get("holeWarnMillis").map(_.toLong).getOrElse(30000L)
     new GraftStoreStreamSource(sqlContext.sparkSession, path,
       GraftStoreStreamSource.schemaFor(sqlContext.sparkSession, parameters, schema),
-      maxBatches, holeWarnMs)
+      maxBatches, holeWarnMs,
+      layout = parameters.getOrElse("layout", "corpus"))
   }
 
   /** V1 streaming SINK: append-only batch landings under the store
@@ -507,20 +508,41 @@ class GraftStoreRelation(spark: SparkSession, path: String, layout: String,
     * plan shape (PartitionFilters on `__ingest_batch`/`bucket`,
     * PushedFilters on data columns, ReadSchema pruned, skipped leaves
     * absent from inputFiles). */
-  private[sources] def planFor(requiredColumns: Array[String],
-                               filters: Array[Filter]): DataFrame = {
-    val skips = if (layout == "corpus") skipRangesFrom(filters) else Nil
+  private[graft] def planFor(requiredColumns: Array[String],
+                             filters: Array[Filter]): DataFrame = {
+    val skips = skipRangesFrom(filters)
+    def hasStats(dir: String): Boolean =
+      graft.operators.Fs.isDir(
+        graft.operators.Fs.path(dir, StreamingOps.StatsDir))
+    // the typed empty frame for an everything-pruned scan
+    def empty: DataFrame = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
     // scans run with the relation's schema PINNED into the store reads
     // — the per-query mergeSchema footer jobs (live + epoch) drop off
     // the serving floor; the schema was discovered once at relation
-    // construction and is fixed for the relation's lifetime
-    val base0 =
-      if (skips.nonEmpty &&
-          graft.operators.Fs.isDir(
-            graft.operators.Fs.path(path, StreamingOps.StatsDir)))
+    // construction and is fixed for the relation's lifetime.
+    // Stats skipping applies to EVERY layout (r18; was corpus-only):
+    // corpus prunes batch leaves + epoch files, scd2 prunes closed
+    // history leaves + the open snapshot, ivm prunes its latest
+    // snapshot wholesale — each gated on its own `_stats` sidecar, so
+    // an un-upkept store takes the identical unpruned path.
+    val base0 = layout match {
+      case "corpus" if skips.nonEmpty && hasStats(path) =>
         StreamingOps.readCorpusStorePruned(spark, path, skips, Some(schema))
-          .getOrElse(view(Some(schema)).limit(0))
-      else view(if (layout == "corpus") Some(schema) else None)
+          .getOrElse(empty)
+      case "corpus" => view(Some(schema))
+      case "scd2" if skips.nonEmpty &&
+          (hasStats(s"$path/closed") || hasStats(s"$path/open")) =>
+        StreamingOps.readScd2StorePruned(spark, path, skips)
+          .getOrElse(empty)
+      case "ivm-view" if skips.nonEmpty && hasStats(s"$path/view") =>
+        StreamingOps.readIvmSnapshotPruned(spark, path, "view", skips)
+          .getOrElse(empty)
+      case "ivm-base" if skips.nonEmpty && hasStats(s"$path/base") =>
+        StreamingOps.readIvmSnapshotPruned(spark, path, "base", skips)
+          .getOrElse(empty)
+      case _ => view(None)
+    }
     // under schema evolution a column can live ONLY in pruned-away
     // leaves — the pruned view (schema-merged over kept dirs alone)
     // then lacks it, and the select below would throw even though the
@@ -576,16 +598,35 @@ final case class GraftStoreOffset(n: Long) extends Offset {
   * through [[latestOffset]] until the target is reached — AvailableNow
   * drains fully AND stays bounded per batch. (`Trigger.Once`, which
   * Spark deprecated for exactly this class of problem, still delivers
-  * a single capped window.) */
+  * a single capped window.)
+  *
+  * `layout = "ivm-view"` (r18, VERDICT r17 next #2) tails an
+  * [[graft.streaming.StreamingOps.ivmIngestToStore]] (or quantile)
+  * store's VIEW area instead: the snapshot-commit log
+  * (`view/__ingest_batch=<id>`) is the offset space, and each
+  * micro-batch delivers the COMPLETE committed view state(s) in its
+  * window, id carried — "notify me when the maintained view changes",
+  * the IVM family's natural push consumer. Snapshot ids are streaming
+  * epochs (dense); [[graft.streaming.StreamingOps.gcIvmSnapshots]]
+  * retains a suffix of them, so the frontier additionally fast-
+  * forwards past a GC'd prefix: a tail that fell behind the GC
+  * resumes at the oldest RETAINED state (each state is complete, so
+  * later states subsume elided ones — the state-changelog semantics;
+  * sequence GC with the tail to never elide, exactly the corpus
+  * expiry contract). */
 class GraftStoreStreamSource(spark: SparkSession, path: String,
                              override val schema: StructType,
                              maxBatchesPerTrigger: Option[Long] = None,
-                             holeWarnMillis: Long = 30000L)
+                             holeWarnMillis: Long = 30000L,
+                             layout: String = "corpus")
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import graft.streaming.StreamingOps
   private val bc = StreamingOps.IngestBatchCol
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  // the directory whose `__ingest_batch=` children are the offset log
+  private val idRoot: String =
+    if (layout == "ivm-view") s"$path/view" else path
 
   private def offVal(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o match {
@@ -603,7 +644,7 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     * empty (or partial) window for it. */
   private def landed(id: Long): Boolean =
     graft.operators.Fs.isFile(
-      graft.operators.Fs.path(path, s"$bc=$id", "_SUCCESS"))
+      graft.operators.Fs.path(idRoot, s"$bc=$id", "_SUCCESS"))
 
   // highest end-offset handed to getBatch — the anchor for the
   // maxBatchesPerTrigger cap (restored naturally on restart: the
@@ -650,8 +691,19 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     * walk resumes from `knownLanded` — immutability of landed ids
     * makes the cache exact, never merely heuristic. */
   private def uncappedFrontier(): Long = {
-    val covers = graft.operators.Manifests.read(path).map(_._2).getOrElse(-1L)
-    var frontier = math.max(math.max(0L, covers + 1L), knownLanded + 1L)
+    val base = layout match {
+      case "ivm-view" =>
+        // snapshot GC retains a SUFFIX of ids — fast-forward a frontier
+        // that fell below the oldest retained snapshot (state-changelog
+        // semantics: elided states are subsumed by the next retained one)
+        graft.operators.Fs.listDirNames(graft.operators.Fs.path(idRoot))
+          .filter(_.startsWith(s"$bc="))
+          .flatMap(_.stripPrefix(s"$bc=").toLongOption)
+          .minOption.getOrElse(0L)
+      case _ =>
+        graft.operators.Manifests.read(path).map(_._2 + 1L).getOrElse(0L)
+    }
+    var frontier = math.max(math.max(0L, base), knownLanded + 1L)
     while (probeLanded(frontier)) { knownLanded = frontier; frontier += 1 }
     checkHole(frontier)
     frontier
@@ -662,7 +714,7 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     if (frontier != lastFrontier) {
       lastFrontier = frontier; stuckSinceMs = now; holeWarning = None
     } else if (holeWarning.isEmpty && now - stuckSinceMs >= holeWarnMillis) {
-      val later = graft.operators.Fs.listDirNames(graft.operators.Fs.path(path))
+      val later = graft.operators.Fs.listDirNames(graft.operators.Fs.path(idRoot))
         .filter(_.startsWith(s"$bc="))
         .flatMap(_.stripPrefix(s"$bc=").toLongOption)
         .filter(id => id > frontier && landed(id))
@@ -725,6 +777,7 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     val lo = start.map(offVal).getOrElse(0L)
     val hi = offVal(end)
     delivered = math.max(delivered, hi)
+    if (layout == "ivm-view") return ivmBatch(lo, hi)
     // read ONLY the window's own partitions — never the whole-store
     // view filtered down. Two reasons: (a) scale — a tailing trigger
     // opens the handful of dirs that just landed, not a file index
@@ -800,6 +853,36 @@ class GraftStoreStreamSource(spark: SparkSession, path: String,
     }
   }
 
+  /** One tail window over an ivm/quantile VIEW area: each committed
+    * snapshot in (lo, hi] delivered WHOLE, its id as the batch column
+    * (snapshot dirs are written unpartitioned, so the id is attached
+    * as a literal per dir). Snapshots GC'd between offset commit and
+    * replay are skipped — their state is subsumed by a retained later
+    * one (the state-changelog contract documented on the class). */
+  private def ivmBatch(lo: Long, hi: Long): DataFrame = {
+    import graft.operators.Fs
+    val dataCols = schema.fields.filterNot(_.name == bc)
+    val snaps = Fs.list(Fs.path(idRoot))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$bc="))
+      .flatMap(f => f.getPath.getName.stripPrefix(s"$bc=").toLongOption
+        .map(id => (id, f.getPath)))
+      .filter { case (id, _) => id >= lo && id < hi }
+      .sortBy(_._1)
+      .map { case (id, dir) =>
+        spark.read.schema(StructType(dataCols)).parquet(dir.toString)
+          .withColumn(bc, lit(id))
+      }
+    val window = snaps.reduceOption(_ unionByName _)
+    window match {
+      case None => org.apache.spark.sql.GraftStreamingBridge
+        .emptyStreaming(spark, schema)
+      case Some(w) =>
+        val aligned = w.select(schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        org.apache.spark.sql.GraftStreamingBridge.asStreaming(aligned)
+    }
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -813,19 +896,28 @@ object GraftStoreStreamSource {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-store stream: a 'path' option (or load(path)) is required"))
     val layout = parameters.getOrElse("layout", "corpus")
-    require(layout == "corpus",
-      s"graft-store stream: layout '$layout' is not tailable — the batch-id " +
-        "log is the corpus layout's; IVM/SCD2 stores stream via their sinks")
+    require(layout == "corpus" || layout == "ivm-view",
+      s"graft-store stream: layout '$layout' is not tailable — corpus stores " +
+        "tail their batch-id log, ivm/quantile stores their view-snapshot " +
+        "log; scd2 histories and ivm BASE areas are replica-scale state, " +
+        "not a changelog (read them as batch relations)")
     // validated HERE (the eager load()-time handshake) so a bad cap
     // fails at definition, not on the stream thread mid-run
     parameters.get("maxBatchesPerTrigger").map(_.toLong).foreach(n =>
       require(n > 0,
         s"graft-store stream: maxBatchesPerTrigger must be positive, got $n"))
-    given.getOrElse(
-      graft.streaming.StreamingOps.readCorpusStore(spark, path)
-        .getOrElse(throw new IllegalStateException(
-          s"graft-store stream: no store at $path yet — pass .schema(...) " +
-            "to start tailing an empty store")).schema)
+    given.getOrElse {
+      val bc = graft.streaming.StreamingOps.IngestBatchCol
+      val view = layout match {
+        case "ivm-view" => graft.streaming.StreamingOps
+          .readIvmView(spark, path)
+          .map(_.withColumn(bc, lit(0L))) // id travels with each state
+        case _ => graft.streaming.StreamingOps.readCorpusStore(spark, path)
+      }
+      view.getOrElse(throw new IllegalStateException(
+        s"graft-store stream: no store at $path yet — pass .schema(...) " +
+          "to start tailing an empty store")).schema
+    }
   }
 }
 

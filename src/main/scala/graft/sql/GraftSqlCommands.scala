@@ -138,11 +138,14 @@ object GraftSqlCommands {
     }
   }
 
-  /** `VACUUM` → [[graft.streaming.StreamingOps.gcStore]] (reclaim
-    * superseded inputs — never a logical change), or with `EXPIRE UPTO
-    * BATCH n` → [[graft.streaming.StreamingOps.expireBatches]] (TTL —
-    * DROPS the expired batches' rows; the retention verb, named so in
-    * the statement itself). */
+  /** `VACUUM` — GC for every layout (r18: layout-aware): corpus →
+    * [[graft.streaming.StreamingOps.gcStore]] (reclaim superseded
+    * inputs), scd2 → [[graft.streaming.StreamingOps.gcScd2OpenSnapshots]],
+    * ivm → [[graft.streaming.StreamingOps.gcIvmSnapshots]] — never a
+    * logical change. With `EXPIRE UPTO BATCH n` (corpus only) →
+    * [[graft.streaming.StreamingOps.expireBatches]] (TTL — DROPS the
+    * expired batches' rows; the retention verb, named so in the
+    * statement itself). */
   final case class GraftVacuumCommand(target: Target, expireUpto: Option[Long],
                                       checkpoint: Option[String])
       extends LeafRunnableCommand {
@@ -150,20 +153,30 @@ object GraftSqlCommands {
       Seq(attr("removed_dirs", IntegerType), attr("epoch_rewritten", BooleanType))
     override def run(spark: SparkSession): Seq[Row] = {
       import graft.streaming.StreamingOps
-      val path = corpusPath(spark, target, "VACUUM")
-      expireUpto match {
-        case Some(upto) =>
+      val (path, layout) = target.resolve(spark)
+      (layout, expireUpto) match {
+        case ("corpus", Some(upto)) =>
           val (removed, rewritten) =
             StreamingOps.expireBatches(spark, path, upto, checkpoint)
           Seq(Row(removed, rewritten))
-        case None =>
+        case ("corpus", None) =>
           Seq(Row(StreamingOps.gcStore(path), false))
+        case (other, Some(_)) =>
+          fail(s"VACUUM … EXPIRE: layout '$other' has no batch TTL — " +
+            "snapshot stores retain only their commit-safe survivor set; " +
+            "plain VACUUM reclaims superseded snapshots")
+        case ("scd2", None) =>
+          Seq(Row(StreamingOps.gcScd2OpenSnapshots(path, checkpoint), false))
+        case (_, None) => // ivm-view / ivm-base share the snapshot GC
+          Seq(Row(StreamingOps.gcIvmSnapshots(path, checkpoint), false))
       }
     }
   }
 
   /** `UPKEEP … STATS (cols)` → [[graft.streaming.StreamingOps
-    * .upkeepStoreStats]]; `UPKEEP … ATTRIBUTES` →
+    * .upkeepStoreStats]] over the layout's data areas (corpus: the
+    * store itself; scd2: closed + open; ivm: the view/base area — the
+    * r18 skip-parity tier); `UPKEEP … ATTRIBUTES` (corpus only) →
     * [[graft.streaming.StreamingOps.upkeepAttributeSheet]]. */
   final case class GraftUpkeepCommand(target: Target, statsCols: Seq[String],
                                       threshold: Option[Double])
@@ -171,30 +184,53 @@ object GraftSqlCommands {
     override val output: Seq[Attribute] = Seq(attr("scored", IntegerType))
     override def run(spark: SparkSession): Seq[Row] = {
       import graft.streaming.StreamingOps
-      val path = corpusPath(spark, target, "UPKEEP")
+      val (path, layout) = target.resolve(spark)
       val n =
-        if (statsCols.nonEmpty) StreamingOps.upkeepStoreStats(spark, path, statsCols).size
-        else StreamingOps.upkeepAttributeSheet(spark, path,
-          threshold.getOrElse(0.44)).size
+        if (statsCols.nonEmpty) {
+          val areas = layout match {
+            case "corpus" => Seq(path)
+            case "scd2" => Seq(s"$path/closed", s"$path/open")
+            case "ivm-view" => Seq(s"$path/view")
+            case "ivm-base" => Seq(s"$path/base")
+          }
+          areas.map(a =>
+            StreamingOps.upkeepStoreStats(spark, a, statsCols).size).sum
+        } else {
+          if (layout != "corpus")
+            fail(s"UPKEEP … ATTRIBUTES: layout '$layout' has no document " +
+              "attribute sheet — it belongs to corpus document stores")
+          StreamingOps.upkeepAttributeSheet(spark, path,
+            threshold.getOrElse(0.44)).size
+        }
       Seq(Row(n))
     }
   }
 
   /** `DELETE FROM <graft target> WHERE col IN (…)` →
-    * [[graft.operators.Takedown.deleteFromStore]] — physical erasure,
-    * epoch included, sidecars invalidated (the takedown verb's proven
-    * semantics). Only statements whose target is a graft-store catalog
-    * table (or the graft.`/path` form) are intercepted; everything
-    * else keeps Spark's own DELETE path. */
+    * [[graft.operators.Takedown.deleteFromStore]] (corpus — physical
+    * erasure, epoch included, sidecars invalidated) or
+    * [[graft.operators.Takedown.deleteFromScd2Store]] (scd2 — the
+    * right-to-be-forgotten verb erases the key's WHOLE history, every
+    * closed version and the open row). Only statements whose target is
+    * a graft-store catalog table (or the graft.`/path` form) are
+    * intercepted; everything else keeps Spark's own DELETE path. */
   final case class GraftDeleteCommand(target: Target, idCol: String,
                                       ids: Seq[Any])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(attr("rows_deleted", LongType), attr("units_rewritten", IntegerType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val path = corpusPath(spark, target, "DELETE")
-      val report = graft.operators.Takedown.deleteFromStore(
-        spark, path, ids, idCol)
+      val (path, layout) = target.resolve(spark)
+      val report = layout match {
+        case "corpus" =>
+          graft.operators.Takedown.deleteFromStore(spark, path, ids, idCol)
+        case "scd2" =>
+          graft.operators.Takedown.deleteFromScd2Store(spark, path, ids, idCol)
+        case other =>
+          fail(s"DELETE: layout '$other' rows are derived aggregates — " +
+            "delete from the BASE table's CDC source (the view follows) " +
+            "or take down the corpus store feeding it")
+      }
       Seq(Row(report.deletedRows, report.rewrittenUnits.size))
     }
   }
