@@ -93,6 +93,24 @@ object Fs {
     ()
   }
 
+  /** EXCLUSIVE small-file create: succeeds only if `p` did not exist
+    * (`FileSystem.create(p, overwrite = false)` — atomic on HDFS and
+    * the local FS; the lease primitive). Returns false when the file
+    * already exists, throws on other IO failures. */
+  def createExclusive(p: Path, s: String): Boolean = {
+    val fs = fsOf(p)
+    Option(p.getParent).foreach(fs.mkdirs(_))
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(p) => return false
+      }
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
   /** Rename `from` → `to` (parents created). CAVEAT: when `to` is an
     * EXISTING DIRECTORY, both HDFS and the local filesystem move the
     * source INSIDE it (POSIX rename-into-dir semantics) and report

@@ -130,6 +130,7 @@ object Takedown {
                       idCol: String = "doc_id",
                       checkpoint: Option[String] = None): TakedownReport = {
     require(ids.nonEmpty, "deleteFromStore: empty id list")
+    StoreLease.withLease(path, "deleteFromStore") {
     recover(path)
     import graft.streaming.StreamingOps
     val batchCol = StreamingOps.IngestBatchCol
@@ -184,6 +185,7 @@ object Takedown {
       rewritten += unit
     }
     TakedownReport(touched.map(_._2).sum, rewritten.toSeq)
+    }
   }
 
   /** Aliases ORPHANED by a takedown (r15 — the propagation question a
@@ -258,6 +260,7 @@ object Takedown {
                           keys: Seq[Any], keyCol: String = "key",
                           checkpoint: Option[String] = None): TakedownReport = {
     require(keys.nonEmpty, "deleteFromScd2Store: empty key list")
+    StoreLease.withLease(storePath, "deleteFromScd2Store") {
     import graft.streaming.StreamingOps
     val bc = StreamingOps.IngestBatchCol
     val del = col(keyCol).isin(keys: _*)
@@ -295,5 +298,6 @@ object Takedown {
       }
     }
     TakedownReport(deleted, rewritten.toSeq)
+    }
   }
 }

@@ -507,12 +507,14 @@ object StreamingOps {
           s"committed batch $last — batches above it can be replayed after a " +
           "crash and must keep their own partitions to overwrite")
     }
-    val cur = readCorpusStore(spark, path).getOrElse(
-      throw new IllegalStateException(s"nothing to compact at $path"))
-    val (e, covers) = graft.operators.Manifests.compactView(
-      cur, path, IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Nil,
-      gc = checkpoint.isEmpty, clusterBy = clusterBy)
-    CompactionState(e, covers)
+    graft.operators.StoreLease.withLease(path, "compactStore") {
+      val cur = readCorpusStore(spark, path).getOrElse(
+        throw new IllegalStateException(s"nothing to compact at $path"))
+      val (e, covers) = graft.operators.Manifests.compactView(
+        cur, path, IngestBatchCol, uptoBatch, targetFileRows, partitionCols = Nil,
+        gc = checkpoint.isEmpty, clusterBy = clusterBy)
+      CompactionState(e, covers)
+    }
   }
 
   /** Retention / TTL — the last store-lifecycle verb (with ingest /
@@ -545,6 +547,7 @@ object StreamingOps {
           "would re-create its partition")
     }
     import graft.operators.{Fs, Manifests}
+    graft.operators.StoreLease.withLease(path, "expireBatches") {
     def dropLive(root: String): Int = {
       val dirs = Fs.list(Fs.path(root))
         .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$IngestBatchCol=") &&
@@ -575,6 +578,7 @@ object StreamingOps {
     val removed = dropLive(path) + dropLive(s"$path/$AttributesDir") +
       dropLive(s"$path/$AliasesDir")
     (removed, epochRewritten)
+    }
   }
 
   /** Name of the attribute-sheet sidecar beside a corpus store —
@@ -1053,7 +1057,9 @@ object StreamingOps {
     * boundary, or any quiet moment); readers built after the flip never
     * touch these files. Returns the number of directories removed. */
   def gcStore(path: String): Int =
-    graft.operators.Manifests.gcSuperseded(path, IngestBatchCol)
+    graft.operators.StoreLease.withLease(path, "gcStore") {
+      graft.operators.Manifests.gcSuperseded(path, IngestBatchCol)
+    }
 
   /** [[dedupedIngestSink]] with the survivor-persistence contract built
     * in (VERDICT r8 missing #5): the corpus store is a parquet

@@ -409,6 +409,61 @@ class GraftStoreSourceSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("write-path schema evolution: add/omit land; a type change is refused everywhere") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmp()
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.format("graft-store").save(p)
+    // ADD a column: allowed; older batches read it as typed NULL
+    Seq((2L, "b", 7L)).toDF("doc_id", "text", "extra")
+      .write.format("graft-store").mode("append").save(p)
+    // OMIT a column: allowed; this batch reads text/extra as NULL
+    Seq(Tuple1(3L)).toDF("doc_id")
+      .write.format("graft-store").mode("append").save(p)
+    val got = StreamingOps.readCorpusStore(spark, p).get
+      .select("doc_id", "text", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some("a"), None), (2L, Some("b"), Some(7L)),
+      (3L, None, None)))
+    // TYPE CHANGE: refused with a pointed error — batch write path
+    val e1 = intercept[IllegalArgumentException] {
+      Seq((4L, 99L)).toDF("doc_id", "text")
+        .write.format("graft-store").mode("append").save(p)
+    }
+    assert(e1.getMessage.contains("type changes are refused"))
+    // ... and the explicit-batch replay path
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((4L, 99L)).toDF("doc_id", "text")
+        .write.format("graft-store").option("batch", "0").save(p)
+    }
+    assert(e2.getMessage.contains("type changes are refused"))
+    // ... and the STREAMING sink (additive first — allowed; then a
+    // restarted stream carrying a changed type — stream fails loudly)
+    val cp = tmp()
+    val in = MemoryStream[(Long, String, Long, Double)]
+    val q = in.toDF().toDF("doc_id", "text", "extra", "score").writeStream
+      .format("graft-store").option("path", p)
+      .option("checkpointLocation", cp).start()
+    in.addData((5L, "e", 1L, 0.5))
+    q.processAllAvailable(); q.stop()
+    assert(StreamingOps.readCorpusStore(spark, p).get
+      .filter(col("doc_id") === 5L).select("score").head().getDouble(0) === 0.5)
+    val in2 = MemoryStream[(Long, Long)]
+    val q2 = in2.toDF().toDF("doc_id", "text").writeStream
+      .format("graft-store").option("path", p)
+      .option("checkpointLocation", tmp()).start()
+    in2.addData((6L, 42L))
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    assert(e3.getMessage.contains("type changes are refused") ||
+      Option(e3.getCause).exists(_.getMessage.contains("type changes are refused")))
+    Manifests.rmTree(p); Manifests.rmTree(cp)
+  }
+
   test("crash point: sidecar invalidation runs BEFORE the replay overwrite") {
     // VERDICT r17 wrong #1: a crash between the partition rewrite and
     // the invalidation would leave NEW data under STALE bounds — the
