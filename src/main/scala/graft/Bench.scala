@@ -87,14 +87,48 @@ object Bench {
     // the sweep for targeted iteration; the driver never sets it, so the
     // per-round artifact always covers the full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // STALL SELF-ANNOTATION (r18; VERDICT r17 wrong #3): each sweep has
+    // shown ~one random 10-20× box-noise stall on untouched code, and
+    // the committed artifact is what a future round diffs first — an
+    // unannotated stall reads as a regression until someone re-times it
+    // by hand. The previous artifact's medians are the reference: a
+    // query whose fresh median exceeds 5× its prior one is re-timed
+    // ONCE in-sweep and BOTH numbers ship in the JSON ("retimed"), so
+    // the artifact distinguishes noise (retry ≈ prior) from a real
+    // regression (retry ≈ first) by itself.
+    val priorMed: Map[String, Double] = {
+      val f = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val body = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      }
+    }
+    def medOf(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val results = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("_check"))
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1).map { case (name, fn) =>
-      val r: Either[String, Seq[(Double, Int, Long)]] = try {
+      val r: Either[String, (Seq[(Double, Int, Long)], Option[Double])] = try {
         timeOne(fn) // warmup (JIT + file listing + codegen caches)
         // median of 5, iteration order preserved for the artifact
-        Right(Seq.fill(5)(timeOne(fn)))
+        val runs = Seq.fill(5)(timeOne(fn))
+        // outlier vs the prior artifact (floor 50 ms — a 1→6 ms jitter
+        // is not a stall): one extra timed run, recorded alongside
+        val retry = priorMed.get(name)
+          .filter(p => medOf(runs.map(_._1)) > 5 * math.max(p, 0.05))
+          .map { p =>
+            val t = timeOne(fn)._1
+            System.err.println(f"[bench] OUTLIER $name: med=${medOf(runs.map(_._1))}%.2f " +
+              f"vs prior $p%.2f — in-sweep retry ${t}%.2f (both recorded)")
+            t
+          }
+        Right((runs, retry))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] QUERY FAILED: $name — $e")
@@ -122,8 +156,9 @@ object Bench {
     def j(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def med(r: Seq[(Double, Int, Long)]): Double = r.map(_._1).sorted.apply(2)
-    val qs = j(results.map { case (k, v) => k -> v.fold(_ => "-1", r => med(r).toString) })
-    val stats = j(results.collect { case (k, Right(r)) =>
+    val qs = j(results.map { case (k, v) =>
+      k -> v.fold(_ => "-1", r => med(r._1).toString) })
+    val stats = j(results.collect { case (k, Right((r, retry))) =>
       val ts = r.map(_._1)
       k -> j(Seq(
         "min" -> ts.min.toString, "med" -> med(r).toString, "max" -> ts.max.toString,
@@ -132,15 +167,23 @@ object Bench {
         // with a flat gauge is environmental, a rising gauge is a leak
         "iters" -> ts.mkString("[", ",", "]"),
         "rdds" -> r.map(_._2).mkString("[", ",", "]"),
-        "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]")))
+        "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]")) ++
+        retry.map(t => "retry" -> t.toString))
+    })
+    // >5×-prior outliers re-timed in-sweep: first median AND retry ship
+    // together, so the artifact self-identifies box-noise stalls
+    val retimed = j(results.collect { case (k, Right((r, Some(t)))) =>
+      k -> j(Seq("med" -> med(r).toString, "retry" -> t.toString,
+        "prior" -> priorMed.getOrElse(k, -1.0).toString))
     })
     val failed = j(results.collect { case (k, Left(msg)) => k -> ("\"" + msg + "\"") })
     val sites = j(udfSites.map { case (k, v) => k -> v.toString })
-    val total = results.collect { case (_, Right(r)) => med(r) }.sum
+    val total = results.collect { case (_, Right((r, _))) => med(r) }.sum
     val nFailed = results.count(_._2.isLeft)
+    val nRetimed = results.count(_._2.toOption.exists(_._2.isDefined))
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed QUERIES FAILED — total covers only the passing ones")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failed_count":$nFailed,"retimed":$retimed,"stats":$stats,"kernel_udf_sites":$sites,"sf":"$sfDir"}"""
     // stdout gets a COMPACT line (medians only, no per-iteration stats):
     // the driver's artifact keeps a bounded ~2000-char tail of stdout,
     // and the full line overflowed it in r8, r10 AND r11 (parsed: null
@@ -172,9 +215,9 @@ object Bench {
     }
     val shortKeys = results.map { case (k, _) => shortKey(k) }
     val qsCompact = j(results.map { case (k, v) =>
-      shortKey(k) -> v.fold(_ => "-1", r => fmt2(med(r))) })
+      shortKey(k) -> v.fold(_ => "-1", r => fmt2(med(r._1))) })
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val compact = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"sf":"$sfName"}"""
+    val compact = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"retimed_count":$nRetimed,"sf":"$sfName"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
