@@ -193,6 +193,7 @@ object SparkEntry {
     "q161_cluster_sql" -> (PipelineQueries.q161ClusterSql _),
     "q162_sql_optimize" -> (PipelineQueries.q162SqlOptimize _),
     "q165_check_ivm_tail" -> (PipelineQueries.q165CheckIvmTail _),
+    "q166_sql_clone" -> (PipelineQueries.q166SqlClone _),
     "q163_sql_delete" -> (PipelineQueries.q163SqlDelete _),
     "q164_sql_vacuum" -> (PipelineQueries.q164SqlVacuum _),
     "q137_drift_sheet" -> (PipelineQueries.q137DriftSheet _),

@@ -1886,6 +1886,39 @@ object PipelineQueries {
          |ORDER BY source""".stripMargin)
   }
 
+  /** q166: SNAPSHOT EXPORT through SQL `CLONE` (r18): the q150 store
+    * (batches 0–1 compacted, takedown %97) is cloned AT batch window
+    * ≤ 1 to a fresh path — the reproducible-training-snapshot HANDOFF
+    * (q160 reads the window in place; CLONE ships it as a standalone
+    * store with ids preserved). The query reads the CLONE through its
+    * own graft-store view; the oracle is the q160 window recomputed
+    * from raw documents — a clone must answer exactly what its source
+    * window answered. Setup memoized (clone once, query repeatedly). */
+  private val q166Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q166SqlClone(spark: SparkSession, dir: String): DataFrame = {
+    val path = q166Store.computeIfAbsent(sessionKey(spark, dir), { _ =>
+      q150StoreSql(spark, dir).collect() // ensure the memoized source store
+      val src = q150Store.get(sessionKey(spark, dir))
+      val dst = s"${java.nio.file.Files.createTempDirectory("q166-clone")}/snap"
+      sys.addShutdownHook { graft.operators.Manifests.rmTree(dst) }
+      spark.sql(s"CLONE graft.`$src` TO '$dst' UPTO BATCH 1").collect()
+      dst
+    })
+    val viewName = s"gs_q166_${math.abs(dir.hashCode).toString}"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName " +
+      s"USING `graft-store` OPTIONS (path '$path')")
+    spark.sql(
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM $viewName
+         |WHERE n_chars > 50
+         |GROUP BY source
+         |ORDER BY source""".stripMargin)
+  }
+
   /** q165 contract: the IVM view-snapshot log as a STREAMING SOURCE
     * (r18; VERDICT r17 next #2 — "notify me when the maintained view
     * changes" is the IVM family's natural push consumer): CDC-shaped
@@ -5647,6 +5680,17 @@ object PipelineQueries {
           |       min(doc_id) AS min_id, max(doc_id) AS max_id
           |FROM documents
           |WHERE doc_id % 3 <> 0
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
+      // q166's oracle: the q160 batch window recomputed from raw
+      // documents — a CLONE at window ≤ 1 must answer exactly what its
+      // source window answered (batch = doc_id % 3, takedown %97)
+      "q166_sql_clone" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents
+          |WHERE doc_id % 3 < 2 AND doc_id % 97 <> 0 AND n_chars > 50
           |GROUP BY source
           |ORDER BY source""".stripMargin,
       // q160's oracle: the batch window recomputed from raw documents

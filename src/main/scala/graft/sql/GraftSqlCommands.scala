@@ -26,6 +26,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructTyp
   *   UPKEEP <target> STATS (c1[, c2…])               -- upkeepStoreStats
   *   UPKEEP <target> ATTRIBUTES [THRESHOLD x]        -- upkeepAttributeSheet
   *   DELETE FROM <target> WHERE col IN (v1, v2…)     -- Takedown.deleteFromStore
+  *   CLONE <target> TO '<dst>' [UPTO BATCH n]        -- snapshot export
+  *   DESCRIBE HISTORY <target>                       -- the batch/epoch ledger
   * }}}
   *
   * `<target>` is a catalog table registered `USING graft-store`
@@ -235,6 +237,102 @@ object GraftSqlCommands {
     }
   }
 
+  /** `CLONE <src> TO '<dst>' [UPTO BATCH n]` — materialize a store (or
+    * its time-travel window) as a NEW store at `dst`: the reproducible
+    * training-snapshot HANDOFF (q160 reads a window in place; CLONE
+    * ships it). Batch ids are PRESERVED as partitions, so the clone
+    * answers the same as-of queries, accepts appends under the next
+    * free id, and tails from scratch (per-partition commit markers are
+    * written). A deep copy by design: the corpus layout is
+    * directory-addressed (no file-manifest indirection), so a
+    * Delta-style shallow clone would add a cross-store liveness
+    * dependency the lifecycle verbs (takedown! expiry!) could not
+    * honor — for a training snapshot, isolation from later takedowns
+    * on the SOURCE is exactly the point of cloning. Clones carry DATA
+    * only: stats/attribute sidecars are not copied (the clone starts
+    * must-read; run UPKEEP on it), and takedowns already applied to
+    * the source are inherited (retained-data semantics, the q160
+    * contract). Refuses a non-empty destination. */
+  final case class GraftCloneCommand(target: Target, dst: String,
+                                     upto: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("batches_cloned", IntegerType), attr("max_batch", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.operators.Fs
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.functions.col
+      val path = corpusPath(spark, target, "CLONE")
+      require(graft.sources.GraftStoreRelation.nextBatchId(dst) == 0L,
+        s"CLONE: destination $dst already holds a store — clones land only " +
+          "on empty ground (append to an existing store with " +
+          "df.write.format(\"graft-store\"))")
+      val bc = StreamingOps.IngestBatchCol
+      val view0 = StreamingOps.readCorpusStore(spark, path).getOrElse(
+        fail(s"CLONE: no corpus store at $path"))
+      val view = upto.foldLeft(
+        view0.withColumn(bc, col(bc).cast("long")))(
+        (v, n) => v.filter(col(bc) <= n))
+      view.write.partitionBy(bc).parquet(dst)
+      // the partitioned write commits ONE root _SUCCESS; the store
+      // contract (and the tail's landed() gate) wants one per batch
+      // dir — touch them (metadata-scale, one per cloned batch)
+      val dirs = Fs.list(Fs.path(dst))
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$bc="))
+      dirs.foreach(d => Fs.writeString(
+        new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS"), ""))
+      val maxId = dirs.flatMap(_.getPath.getName.stripPrefix(s"$bc=").toLongOption)
+        .maxOption.getOrElse(-1L)
+      Seq(Row(dirs.length, maxId))
+    }
+  }
+
+  /** `DESCRIBE HISTORY <graft target>` — the store's physical ledger,
+    * one row per unit (live batch partitions, the committed compaction
+    * epoch, the manifest watermark), metadata-only (file counts and
+    * bytes from the listing — no data read, no job). The Delta-
+    * familiar introspection verb; plain `DESCRIBE <table>` stays
+    * Spark's own (columns). */
+  final case class GraftDescribeHistoryCommand(target: Target)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("kind", org.apache.spark.sql.types.StringType),
+      attr("id", LongType), attr("files", IntegerType),
+      attr("bytes", LongType), attr("live", BooleanType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.operators.{Fs, Manifests}
+      import graft.streaming.StreamingOps
+      val (path, layout) = target.resolve(spark)
+      require(layout == "corpus",
+        s"DESCRIBE HISTORY: layout '$layout' — snapshot stores list their " +
+          "areas' __ingest_batch dirs directly; the batch ledger is the " +
+          "corpus layout's")
+      val bc = StreamingOps.IngestBatchCol
+      def sizeOf(p: org.apache.hadoop.fs.Path): (Int, Long) = {
+        val fs = Fs.list(p).filter(_.isFile)
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+        (fs.length, fs.map(_.getLen).sum)
+      }
+      val manifest = Manifests.read(path)
+      val covers = manifest.map(_._2).getOrElse(-1L)
+      val live = Fs.list(Fs.path(path))
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$bc="))
+        .flatMap(f => f.getPath.getName.stripPrefix(s"$bc=").toLongOption
+          .map(id => (id, f.getPath)))
+        .sortBy(_._1)
+        .map { case (id, dir) =>
+          val (n, b) = sizeOf(dir)
+          Row("batch", id, n, b, id > covers)
+        }
+      val epoch = manifest.toSeq.flatMap { case (e, c) =>
+        val (n, b) = sizeOf(Fs.path(Manifests.epochPath(path, e)))
+        Seq(Row("epoch", e, n, b, true), Row("covers_upto", c, 0, 0L, true))
+      }
+      live ++ epoch
+    }
+  }
+
   // ---------------------------------------------------------------- lexer
 
   private sealed trait Tok
@@ -302,7 +400,9 @@ object GraftSqlCommands {
       case Some(w: Word) if w.is("OPTIMIZE") => Some(parseOptimize(toks.tail))
       case Some(w: Word) if w.is("VACUUM") => Some(parseVacuum(toks.tail))
       case Some(w: Word) if w.is("UPKEEP") => Some(parseUpkeep(toks.tail))
+      case Some(w: Word) if w.is("CLONE") => Some(parseClone(toks.tail))
       case Some(w: Word) if w.is("DELETE") => parseDelete(toks.tail)
+      case Some(w: Word) if w.is("DESCRIBE") => parseDescribe(toks.tail)
       case Some(w: Word) if w.is("EXPLAIN") =>
         // EXPLAIN over OUR statements only (Spark's grammar cannot see
         // them); an optional leading mode word maps to its ExplainMode
@@ -316,7 +416,7 @@ object GraftSqlCommands {
           case _ => (SimpleMode, toks.tail)
         }
         val ours = rest.headOption.exists {
-          case w2: Word => Seq("OPTIMIZE", "VACUUM", "UPKEEP").exists(w2.is)
+          case w2: Word => Seq("OPTIMIZE", "VACUUM", "UPKEEP", "CLONE").exists(w2.is)
           case _ => false
         }
         if (!ours) None
@@ -361,6 +461,8 @@ object GraftSqlCommands {
       case "VACUUM" => "VACUUM <target> [EXPIRE UPTO BATCH n [CHECKPOINT 'cp']]"
       case "UPKEEP" => "UPKEEP <target> STATS (c1[, …]) | " +
         "UPKEEP <target> ATTRIBUTES [THRESHOLD x]"
+      case "CLONE" => "CLONE <target> TO '<dst>' [UPTO BATCH n]"
+      case "DESCRIBE" => "DESCRIBE HISTORY <graft target>"
       case _ => "DELETE FROM <target> WHERE col IN (v1[, …]) | col = v"
     }
   }
@@ -451,6 +553,44 @@ object GraftSqlCommands {
       endOf(c)
       GraftUpkeepCommand(target, Nil, th)
     } else fail(s"UPKEEP: expected STATS or ATTRIBUTES — grammar: ${c.grammarOf}")
+  }
+
+  private def parseClone(toks: Vector[Tok]): LogicalPlan = {
+    val c = new Cursor(toks, "CLONE")
+    val target = parseTarget(c)
+    c.expectKw("TO")
+    val dst = c.next() match {
+      case Str(p) => p
+      case other => fail(s"CLONE: TO expects a '<path>' literal for the new " +
+        s"store (register it afterwards with CREATE TABLE … USING " +
+        s"graft-store), found $other")
+    }
+    var upto: Option[Long] = None
+    if (c.takeKw("UPTO")) { c.expectKw("BATCH"); upto = Some(c.expectLong()) }
+    endOf(c)
+    GraftCloneCommand(target, dst, upto)
+  }
+
+  /** DESCRIBE is Spark's keyword — only `DESCRIBE HISTORY <target>`
+    * over a GRAFT target is claimed (Spark has no HISTORY form; plain
+    * DESCRIBE <table> keeps Spark's column listing). A non-graft
+    * HISTORY target delegates, surfacing Spark's own parse error. */
+  private def parseDescribe(toks: Vector[Tok]): Option[LogicalPlan] = {
+    val c = new Cursor(toks, "DESCRIBE")
+    if (!c.takeKw("HISTORY")) return None
+    val target =
+      try parseTarget(c)
+      catch { case _: IllegalArgumentException => return None }
+    val isGraft = target match {
+      case PathTarget(_) => true
+      case t: TableTarget =>
+        SparkSession.getActiveSession.exists { spark =>
+          scala.util.Try(t.resolve(spark)).isSuccess
+        }
+    }
+    if (!isGraft) return None
+    endOf(c)
+    Some(GraftDescribeHistoryCommand(target))
   }
 
   /** DELETE is claimed ONLY when the target is a graft store: the

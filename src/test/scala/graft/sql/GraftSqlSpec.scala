@@ -157,6 +157,49 @@ class GraftSqlSpec extends SparkSpec {
     Manifests.rmTree(p)
   }
 
+  test("CLONE exports a store (or a batch window) as a new store; DESCRIBE HISTORY ledgers it") {
+    val p = tmp(); mkStore(p)
+    spark.sql(s"OPTIMIZE graft.`$p` UPTO BATCH 1").collect()
+    spark.sql(s"DELETE FROM graft.`$p` WHERE doc_id = 3").collect()
+    // full clone: rows identical, batch ids preserved as partitions
+    val d1 = s"${tmp()}/clone-full"
+    val out = spark.sql(s"CLONE graft.`$p` TO '$d1'")
+    assert(out.columns.toSeq === Seq("batches_cloned", "max_batch"))
+    assert(out.as[(Int, Long)].head() === ((3, 2L)))
+    assert(storeRows(d1) === storeRows(p))
+    assert(StreamingOps.readCorpusStore(spark, d1).get
+      .select(col(bc).cast("long")).distinct().count() === 3L)
+    // window clone: only batches ≤ 0 (their takedown inherited)
+    val d2 = s"${tmp()}/clone-window"
+    spark.sql(s"CLONE graft.`$p` TO '$d2' UPTO BATCH 0").collect()
+    assert(storeRows(d2) === storeRows(p).filter(_ < 1000L))
+    // the clone is a REAL store: appends land under the next free id,
+    // and later takedowns on the SOURCE never reach it (isolation is
+    // the point of a snapshot handoff)
+    Seq((7777L, "x", "s9")).toDF("doc_id", "text", "source")
+      .write.format("graft-store").mode("append").save(d2)
+    spark.sql(s"DELETE FROM graft.`$p` WHERE doc_id = 6").collect()
+    assert(storeRows(d2).contains(6L) && storeRows(d2).contains(7777L))
+    assert(!storeRows(p).contains(6L))
+    // non-empty destination refused
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CLONE graft.`$p` TO '$d2'")
+    }
+    assert(e.getMessage.contains("empty ground"))
+    // DESCRIBE HISTORY: epoch + live batch ledger, metadata only
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$p`")
+      .as[(String, Long, Int, Long, Boolean)].collect().toSeq
+    assert(hist.exists(r => r._1 == "epoch" && r._2 == 0L && r._3 > 0))
+    assert(hist.exists(r => r._1 == "covers_upto" && r._2 == 1L))
+    assert(hist.count(_._1 == "batch") === 1) // batch 2 live (0-1 folded+gc'd)
+    // plain DESCRIBE on a non-graft name keeps Spark's own path
+    val eDesc = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY some_missing_table_xyz")
+    }
+    assert(!eDesc.getMessage.contains("graft lifecycle"), eDesc.getMessage)
+    Seq(p, d1, d2).foreach(Manifests.rmTree)
+  }
+
   test("safety rails surface through SQL: checkpoint bound, empty store, grammar") {
     val p = tmp(); mkStore(p)
     // a checkpoint whose last commit is 0 refuses UPTO BATCH 2 (the
