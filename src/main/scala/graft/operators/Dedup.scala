@@ -613,22 +613,27 @@ object Dedup {
                                numPlanes: Int = 16, dim: Int = 64,
                                seed: Long = 7L): DataFrame = {
     val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    // norm hoist (r18, see Similarity.knnJoinExact0): the per-vector
+    // norm is computed ONCE here — before the 17-way multiprobe explode
+    // and the bucket join — instead of per candidate pair
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n", graft.functions.VectorExpressions.vec_norm(col("e")))
       .withColumn("sig", Similarity.signature(col("e"), planes))
     // multiprobe: each vector posts its signature + every 1-bit flip;
     // matching on the exact signature of the OTHER side keeps the
     // candidate set symmetric without N x N probe expansion
-    val probes = v.select(col("vec_id"), col("e"),
+    val probes = v.select(col("vec_id"), col("e"), col("n"),
       explode(array(col("sig") +: (0 until numPlanes)
         .map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
-    val a = probes.select(col("bucket"), col("vec_id").as("va"), col("e").as("ea"))
-    val b = v.select(col("sig").as("bucket"), col("vec_id").as("vb"), col("e").as("eb"))
+    val a = probes.select(col("bucket"), col("vec_id").as("va"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("sig").as("bucket"), col("vec_id").as("vb"),
+      col("e").as("eb"), col("n").as("nb"))
     val dot = graft.functions.VectorExpressions.vec_dot(col("ea"), col("eb"))
-    val na = graft.functions.VectorExpressions.vec_norm(col("ea"))
-    val nb = graft.functions.VectorExpressions.vec_norm(col("eb"))
     a.join(b, "bucket")
       .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"), round(dot / (na * nb), 4).as("cos_sim"))
+      .select(col("va"), col("vb"),
+        round(dot / (col("na") * col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
       .orderBy("va", "vb")
@@ -1281,15 +1286,19 @@ object Dedup {
     }: _*))
     val q = increment
       .select(col("vec_id").as("inc_id"), col("embedding").cast("array<double>").as("qe"))
+      // norm hoist (r18, see Similarity.knnJoinExact0): once per
+      // increment row, before the per-probe explode
+      .withColumn("qn", vec_norm(col("qe")))
       .withColumn("list", explode(transform(slice(ranked, 1, nProbe), s => s.getField("i"))))
     val probedLists = q.select("list").distinct().collect().map(_.getInt(0)).toSeq
     val candidates =
       if (probedLists.isEmpty) index.assigned.filter(lit(false))
       else index.assigned.filter(col("list").isin(probedLists: _*))
-    candidates.join(broadcast(q), "list")
+    candidates.withColumn("cn", vec_norm(col("e")))
+      .join(broadcast(q), "list")
       .select(col("vec_id").as("corpus_id"), col("inc_id"),
         round(vec_dot(col("e"), col("qe")) /
-          (vec_norm(col("e")) * vec_norm(col("qe"))), 4).as("cos_sim"))
+          (col("cn") * col("qn")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("corpus_id", "inc_id")
   }

@@ -39,11 +39,15 @@ object Similarity {
     * global sort materialization. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val v = asDouble(emb)
-    val probe = broadcast(v.filter(col("vec_id") === probeId).select(col("e").as("pe")))
+    // probe norm hoisted into the broadcast row (once, not per corpus
+    // row — see knnJoinExact0); the corpus-side norm is inherently
+    // once-per-row here (single probe), so it stays inline
+    val probe = broadcast(v.filter(col("vec_id") === probeId)
+      .select(col("e").as("pe"), norm(col("e")).as("pn")))
     v.filter(col("vec_id") =!= probeId)
       .crossJoin(probe)
       .select(col("vec_id"),
-        round(dot(col("e"), col("pe")) / (norm(col("e")) * norm(col("pe"))), 4).as("cos_sim"))
+        round(dot(col("e"), col("pe")) / (norm(col("e")) * col("pn")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -708,17 +712,28 @@ object Similarity {
       .map(r => r.get(0).asInstanceOf[Number].intValue -> r.getLong(1)).toMap
     val total = listSizes.values.sum.toDouble
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
-    val qArr = typedLit(qRows.map { case (qid, qv) => (qid, qv.toSeq) }.toSeq)
+    // norm hoist (r18, see knnJoinExact0): query norms are computed on
+    // the driver in vec_norm's exact accumulation order (left-to-right
+    // sum of squares, then sqrt — bit-identical) and ride the literal;
+    // the corpus norm is computed once per row BEFORE the Q-way explode
+    val qArr = typedLit(qRows.map { case (qid, qv) =>
+      (qid, qv.toSeq, {
+        var s = 0.0; var i = 0
+        while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+        math.sqrt(s)
+      })
+    }.toSeq)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid", "list").orderBy(col("cos").desc, col("vec_id"))
     // corpus × Q scoring pass; per-(query, list) top-k keeps the
     // collected table at Q × nLists × k rows no matter the corpus size
     val perList = idx.assigned
-      .select(col("vec_id"), col("e"), col("list"), explode(qArr).as("q"))
+      .withColumn("en", vec_norm(col("e")))
+      .select(col("vec_id"), col("e"), col("en"), col("list"), explode(qArr).as("q"))
       .filter(col("vec_id") =!= col("q._1"))
       .select(col("q._1").as("qid"), col("vec_id"), col("list"),
         round(vec_dot(col("e"), col("q._2")) /
-          (vec_norm(col("e")) * vec_norm(col("q._2"))), 4).as("cos"))
+          (col("en") * col("q._3")), 4).as("cos"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("qid", "list", "vec_id", "cos").collect()
@@ -929,25 +944,30 @@ object Similarity {
     * map-side partial combine; only k rows per query per partition reach
     * the exchange, never the candidate set), then posexplode back to one
     * row per (qid, rank). */
-  private def finishTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def finishTopK(scored: DataFrame, k: Int,
+                         ordered: Boolean = true): DataFrame = {
     val topk = graft.functions.Aggregators.cosineTopK(k)
-    scored.groupBy("qid")
+    val rows = scored.groupBy("qid")
       .agg(topk(col("cos_sim"), col("vec_id")).as("h"))
       .select(col("qid"), col("h.sims").as("sims"), posexplode(col("h.ids")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col").as("vec_id"),
         element_at(col("sims"), (col("pos") + 1).cast("int")).as("cos_sim"))
-      .orderBy("qid", "rank")
+    // ordered=false: callers that aggregate or re-join the kNN table
+    // (marginPairs) skip the presentation range-exchange + sort — same
+    // rows, no ordering contract
+    if (ordered) rows.orderBy("qid", "rank") else rows
   }
 
   /** Exact batch kNN join: for EVERY query vector, the k nearest corpus
     * vectors by cosine (self-matches on vec_id excluded) — the shape a
     * training pipeline actually runs (dedup against a reference set,
     * retrieval labeling), vs the single-probe `cosineTopK`. The query
-    * side broadcasts (BroadcastNestedLoopJoin — no shuffle of the
-    * corpus); scoring is the codegen'd vec_dot kernel; ranking is the
-    * bounded-heap aggregation, so the M×N candidate stream is pipelined
-    * and pruned map-side, never materialized or shuffled. Cosine is
+    * side broadcasts as PACKED BLOCKS (BroadcastNestedLoopJoin over
+    * block rows — see [[knnJoinExact0]]); scoring is the fused
+    * primitive block kernel; ranking is the bounded-heap aggregation
+    * over k rows per query per corpus block, so the M×N candidate
+    * stream is never materialized or shuffled. Cosine is
     * rounded at 4 decimals BEFORE ranking (ties at the k boundary then
     * break by vec_id asc) — deterministic and oracle-matched. At 100 TB
     * this is one full corpus scan for the whole query batch; for query
@@ -956,17 +976,226 @@ object Similarity {
     * after the per-probe explode; IVF reduces each query's candidate
     * scan, never the broadcast size). `knnJoinAuto` dispatches. */
   def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int,
-                   excludeSelf: Boolean = true): DataFrame = {
-    val c = asDouble(corpus)
+                   excludeSelf: Boolean = true): DataFrame =
+    knnJoinExact0(corpus, queries, k, excludeSelf, ordered = true)
+
+  /** r18 blocked rewrite (guide §1.2 step 2 — fix the per-task work).
+    * The old form streamed the RAW M×N pair rows through
+    * BroadcastNestedLoopJoin → Project(vec_dot, 2×vec_norm, round) →
+    * ObjectHashAggregate: at 25M pairs the per-row machinery (join row
+    * copies, per-row codegen dispatch, one boxed aggregator update per
+    * pair) dwarfed the arithmetic — the same lesson the block-triangle
+    * near-dup kernel recorded ("declarative forms 10-30× slower than
+    * the primitive kernel"). Now both sides pack into bounded blocks
+    * (~4k vectors: sorted ids + vectors + norms precomputed once per
+    * row, the [[Dedup.embeddingNearDupPairs]] packing), the same
+    * broadcast/grid join forms block PAIRS instead of row pairs, and a
+    * fused primitive kernel scores one block pair per task, keeping a
+    * per-query bounded top-k buffer — only k rows PER QUERY PER CORPUS
+    * BLOCK (not per pair) ever leave the kernel for the final
+    * CosineTopK merge. Output is bit-identical: dot and norm accumulate
+    * left-to-right exactly like vec_dot/vec_norm, rounding is the same
+    * BigDecimal.valueOf(..).setScale(4, HALF_UP) Spark's round applies,
+    * the buffer comparator is CosineTopK's (cos desc, id asc), and
+    * top-k-of-block-top-ks equals global top-k (selection composes;
+    * CosineTopK's ScalaCheck'd merge-order invariance). `ordered=false`
+    * skips the presentation orderBy for callers that aggregate the kNN
+    * table (marginPairs) — a dead range-exchange + sort below an
+    * aggregate. */
+  private def knnJoinExact0(corpus: DataFrame, queries: DataFrame, k: Int,
+                            excludeSelf: Boolean, ordered: Boolean): DataFrame =
+    // tiny query sets (≤1024: a probe panel, not a batch) keep the
+    // row-form BNLJ — the pair stream is at most 1024 × corpus-block
+    // and the blocked tier's two packing exchanges + extra AQE stages
+    // are pure fixed overhead at that size (measured: q51's 100-query
+    // join 0.34 s row-form vs 0.63 s blocked). The probe is the same
+    // memoized bounded count SizeDispatch everywhere uses.
+    if (SizeDispatch.atMost(queries, 1024L))
+      knnJoinExactRows(corpus, queries, k, excludeSelf, ordered)
+    else knnJoinBlocked(corpus, queries, k, excludeSelf, ordered,
+      broadcastQueries = true)
+
+  /** Row-form broadcast tier (small query sets): BroadcastNestedLoopJoin
+    * over raw vector rows with both norms hoisted out of the pair loop
+    * (computed once per row below / inside the broadcast — r18). */
+  private def knnJoinExactRows(corpus: DataFrame, queries: DataFrame, k: Int,
+                               excludeSelf: Boolean, ordered: Boolean): DataFrame = {
+    val c = asDouble(corpus).withColumn("cn", norm(col("e")))
     val q = broadcast(asDouble(queries)
-      .select(col("vec_id").as("qid"), col("e").as("qe")))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), norm(col("e")).as("qn")))
     finishTopK(
       c.crossJoin(q)
         .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
         .select(col("qid"), col("vec_id"),
-          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
+          round(dot(col("e"), col("qe")) / (col("cn") * col("qn")), 4)
             .as("cos_sim")),
-      k)
+      k, ordered)
+  }
+
+  /** Packed vector blocks: ids + vectors + norms (precomputed in
+    * vec_norm's exact accumulation order), one row per block. Vectors
+    * hash into `defaultParallelism` groups and each group CHUNKS into
+    * ≤4096-row blocks inside flatMapGroups — so the packing needs NO
+    * count job, block memory stays bounded at any corpus size, and
+    * every core gets blocks. Packing layout is not load-bearing:
+    * per-query top-k over rounded scores is invariant to how
+    * candidates are blocked (CosineTopK merge-order invariance). */
+  private def packBlocks(v: DataFrame, blockRows: Int = 4096): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val nBlocks = math.max(spark.sparkContext.defaultParallelism, 1)
+    v.select(pmod(col("vec_id"), lit(nBlocks.toLong)).as("blk"),
+        col("vec_id"), col("e"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        rows.grouped(blockRows).map { chunk =>
+          val vs = chunk.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+          val norms = vs.map { case (_, e) =>
+            var s = 0.0; var i = 0
+            while (i < e.length) { s += e(i) * e(i); i += 1 }
+            math.sqrt(s)
+          }
+          (vs.map(_._1), vs.map(_._2), norms)
+        }
+      }
+      .toDF("ids", "vecs", "norms")
+  }
+
+  /** Fused block-pair scorer: for every query of the block, the top-k
+    * corpus rows of the block by (rounded cos desc, id asc), appended
+    * to `out` as (qid, vec_id, cos_sim). Primitive insertion buffers —
+    * zero allocation on the reject path. */
+  private def scoreBlockPair(qids: Array[Long], qvecs: Array[Array[Double]],
+                             qnorms: Array[Double], cids: Array[Long],
+                             cvecs: Array[Array[Double]], cnorms: Array[Double],
+                             k: Int, excludeSelf: Boolean,
+                             out: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row],
+                             emit: (Long, Long, Double) => org.apache.spark.sql.Row): Unit = {
+    val sims = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var qi = 0
+    while (qi < qids.length) {
+      val q = qvecs(qi); val qn = qnorms(qi); val qid = qids(qi)
+      var size = 0
+      var ci = 0
+      while (ci < cids.length) {
+        val cid = cids(ci)
+        if (!excludeSelf || cid != qid) {
+          val c = cvecs(ci)
+          var d = 0.0; var i = 0
+          while (i < c.length) { d += c(i) * q(i); i += 1 }
+          val cos = java.math.BigDecimal.valueOf(d / (cnorms(ci) * qn))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          // CosineTopK.better: (cos desc, id asc)
+          if (size < k || cos > sims(size - 1) ||
+              (cos == sims(size - 1) && cid < ids(size - 1))) {
+            var pos = if (size < k) size else k - 1
+            while (pos > 0 && (sims(pos - 1) < cos ||
+                (sims(pos - 1) == cos && ids(pos - 1) > cid))) {
+              sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+            }
+            sims(pos) = cos; ids(pos) = cid
+            if (size < k) size += 1
+          }
+        }
+        ci += 1
+      }
+      var r = 0
+      while (r < size) { out += emit(qid, ids(r), sims(r)); r += 1 }
+      qi += 1
+    }
+  }
+
+  /** [[scoreBlockPair]]'s dual-direction twin for [[marginPairs]]: ONE
+    * dot per (l, r) pair feeds BOTH sides' bounded top-k buffers —
+    * side 0 rows (per-l top-k over the r block) and side 1 rows
+    * (per-r top-k over the l block) — instead of scoring the block
+    * pair twice. Identical comparator and rounding. */
+  private def scoreBlockPairBoth(lids: Array[Long], lvecs: Array[Array[Double]],
+                                 lnorms: Array[Double], rids: Array[Long],
+                                 rvecs: Array[Array[Double]], rnorms: Array[Double],
+                                 k: Int,
+                                 out: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]): Unit = {
+    val ls = lids.length; val rs = rids.length
+    val lSims = Array.ofDim[Double](ls, k); val lIds = Array.ofDim[Long](ls, k)
+    val rSims = Array.ofDim[Double](rs, k); val rIds = Array.ofDim[Long](rs, k)
+    val lSize = new Array[Int](ls); val rSize = new Array[Int](rs)
+    def insert(sims: Array[Double], ids: Array[Long], size: Int,
+               cos: Double, cid: Long): Int = {
+      if (size == k && !(cos > sims(size - 1) ||
+          (cos == sims(size - 1) && cid < ids(size - 1)))) return size
+      var pos = if (size < k) size else k - 1
+      while (pos > 0 && (sims(pos - 1) < cos ||
+          (sims(pos - 1) == cos && ids(pos - 1) > cid))) {
+        sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      }
+      sims(pos) = cos; ids(pos) = cid
+      if (size < k) size + 1 else size
+    }
+    var li = 0
+    while (li < ls) {
+      val lv = lvecs(li); val ln = lnorms(li); val lid = lids(li)
+      var ri = 0
+      while (ri < rs) {
+        val rv = rvecs(ri)
+        var d = 0.0; var i = 0
+        while (i < lv.length) { d += lv(i) * rv(i); i += 1 }
+        val cos = java.math.BigDecimal.valueOf(d / (ln * rnorms(ri)))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        lSize(li) = insert(lSims(li), lIds(li), lSize(li), cos, rids(ri))
+        rSize(ri) = insert(rSims(ri), rIds(ri), rSize(ri), cos, lid)
+        ri += 1
+      }
+      li += 1
+    }
+    var i = 0
+    while (i < ls) {
+      var r = 0
+      while (r < lSize(i)) {
+        out += org.apache.spark.sql.Row(0, lids(i), lIds(i)(r), lSims(i)(r)); r += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < rs) {
+      var r = 0
+      while (r < rSize(i)) {
+        out += org.apache.spark.sql.Row(1, rids(i), rIds(i)(r), rSims(i)(r)); r += 1
+      }
+      i += 1
+    }
+  }
+
+  private def knnJoinBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
+                             excludeSelf: Boolean, ordered: Boolean,
+                             broadcastQueries: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cB = packBlocks(asDouble(corpus)).toDF("cids", "cvecs", "cnorms")
+    val qB = packBlocks(asDouble(queries)).toDF("qids", "qvecs", "qnorms")
+    val joined =
+      if (broadcastQueries) cB.crossJoin(broadcast(qB))
+      else cB.hint("shuffle_replicate_nl")
+        .crossJoin(qB.hint("shuffle_replicate_nl"))
+    val schema = Seq.empty[(Long, Long, Double)]
+      .toDF("qid", "vec_id", "cos_sim").schema
+    import org.apache.spark.sql.Row
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val scored = joined.flatMap { r =>
+      val cids = r.getSeq[Long](0).toArray
+      val cvecs = r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray
+      val cnorms = r.getSeq[Double](2).toArray
+      val qids = r.getSeq[Long](3).toArray
+      val qvecs = r.getSeq[scala.collection.Seq[Double]](4).map(_.toArray).toArray
+      val qnorms = r.getSeq[Double](5).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      scoreBlockPair(qids, qvecs, qnorms, cids, cvecs, cnorms, k, excludeSelf,
+        out, (qid, vid, cos) => Row(qid, vid, cos))
+      out
+    }
+    finishTopK(scored.toDF("qid", "vec_id", "cos_sim"), k, ordered)
   }
 
   /** Exact batch kNN join for query sets TOO LARGE TO BROADCAST: the
@@ -981,17 +1210,19 @@ object Similarity {
     * invariance (ScalaCheck'd) makes the ranking independent of which
     * tier's task grid produced the partials. */
   def knnJoinGrid(corpus: DataFrame, queries: DataFrame, k: Int,
-                  excludeSelf: Boolean = true): DataFrame = {
-    val c = asDouble(corpus)
-    val q = asDouble(queries).select(col("vec_id").as("qid"), col("e").as("qe"))
-    finishTopK(
-      c.hint("shuffle_replicate_nl").crossJoin(q.hint("shuffle_replicate_nl"))
-        .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
-        .select(col("qid"), col("vec_id"),
-          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
-            .as("cos_sim")),
-      k)
-  }
+                  excludeSelf: Boolean = true): DataFrame =
+    knnJoinGrid0(corpus, queries, k, excludeSelf, ordered = true)
+
+  /** Same blocked kernel as [[knnJoinExact0]], but the block tables
+    * join through the shuffle-replicate grid (neither side broadcast):
+    * what replicates across the other side's partitions is now a
+    * PACKED BLOCK (one row per ~4k vectors) instead of raw vector
+    * rows, and each grid task runs the fused kernel over one block
+    * pair. */
+  private def knnJoinGrid0(corpus: DataFrame, queries: DataFrame, k: Int,
+                           excludeSelf: Boolean, ordered: Boolean): DataFrame =
+    knnJoinBlocked(corpus, queries, k, excludeSelf, ordered,
+      broadcastQueries = false)
 
   /** Size-dispatched exact kNN join (the q51 registered path — mirrors
     * `Dedup.embeddingNearDupPairsAuto`): a cheap BOUNDED count
@@ -1002,10 +1233,16 @@ object Similarity {
     * choice, asserted by KnnJoinSpec's parity case. */
   def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   broadcastableQueries: Long = 100000L,
-                  excludeSelf: Boolean = true): DataFrame = {
+                  excludeSelf: Boolean = true): DataFrame =
+    knnJoinAuto0(corpus, queries, k, broadcastableQueries, excludeSelf,
+      ordered = true)
+
+  private def knnJoinAuto0(corpus: DataFrame, queries: DataFrame, k: Int,
+                           broadcastableQueries: Long, excludeSelf: Boolean,
+                           ordered: Boolean): DataFrame = {
     if (SizeDispatch.atMost(queries, broadcastableQueries))
-      knnJoinExact(corpus, queries, k, excludeSelf)
-    else knnJoinGrid(corpus, queries, k, excludeSelf)
+      knnJoinExact0(corpus, queries, k, excludeSelf, ordered)
+    else knnJoinGrid0(corpus, queries, k, excludeSelf, ordered)
   }
 
   /** IVF-batched kNN join: every query routes to its `nProbe` nearest
@@ -1030,7 +1267,10 @@ object Similarity {
         lit(i).as("i"))
     }: _*))
     val q = asDouble(queries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      // norm hoist (see knnJoinExact0): computed once per query row,
+      // BEFORE the per-probe explode — not per candidate pair
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        vec_norm(col("e")).as("qn"))
       .withColumn("list", explode(transform(slice(ranked, 1, nProbe), s => s.getField("i"))))
     // static partition pruning for disk-backed indexes: the union of
     // probed lists across the batch is bounded by nLists, so collect it
@@ -1044,10 +1284,11 @@ object Similarity {
       if (probedLists.isEmpty) index.assigned.filter(lit(false))
       else index.assigned.filter(col("list").isin(probedLists: _*))
     finishTopK(
-      candidates.join(broadcast(q), "list")
+      candidates.withColumn("cn", vec_norm(col("e")))
+        .join(broadcast(q), "list")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(vec_dot(col("e"), col("qe")) / (vec_norm(col("e")) * vec_norm(col("qe"))), 4)
+          round(vec_dot(col("e"), col("qe")) / (col("cn") * col("qn")), 4)
             .as("cos_sim")),
       k)
   }
@@ -1314,24 +1555,76 @@ object Similarity {
     * (vectors near everything) that raw cosine thresholds cannot. A
     * pair survives at margin ≥ threshold.
     *
-    * Scale shape: two [[knnJoinAuto]] passes (forward and backward),
-    * each already size-dispatched between the broadcast and
-    * shuffle-replicate grid tiers; everything after is arithmetic over
-    * the (id, rank≤k) kNN OUTPUT tables — per-side average-top-k aggs
-    * and two aggregated-table joins, never a third pass over vectors.
-    * Cosines round to 4 decimals BEFORE ranking (the kNN contract), so
-    * ranks, averages, and margins mirror engine-independently. */
+    * Scale shape (r18 single-pass rewrite — guide §8's "score once"):
+    * cosine is SYMMETRIC, so the forward kNN (each left vector's top-k
+    * over right) and the backward kNN (each right vector's top-k over
+    * left) rank the SAME M×N pair scores — yet the previous two
+    * [[knnJoinAuto]] passes each re-scanned and re-scored the full
+    * cross product (2×M×N dots). Now both sides pack into bounded
+    * blocks once ([[packBlocks]] — norms precomputed per row), ONE
+    * size-dispatched block-pair join runs the fused kernel, and each
+    * block pair emits BOTH directions' bounded top-k buffers (k rows
+    * per id per opposite-side block — the pair stream never exists);
+    * one CosineTopK aggregation keyed (side, qid) merges the block
+    * buffers. Scores round to 4 decimals BEFORE ranking (the kNN
+    * contract) so ranks, averages, and margins mirror
+    * engine-independently; a pair's k-list and within-qid rank order
+    * are identical to the two-pass form (CosineTopK's merge-order
+    * invariance), so every downstream double sums in the same order.
+    * Dispatch: either side broadcastable → one BroadcastNestedLoopJoin
+    * streaming the other side's blocks; both oversized → the
+    * shuffle_replicate_nl block grid. */
   def marginPairs(left: DataFrame, right: DataFrame, k: Int = 4,
                   threshold: Double = 1.05): DataFrame = {
-    // excludeSelf=false: the two corpora are INDEPENDENT id spaces — a
-    // left id equal to a right id is a different vector, and the default
-    // self-kNN exclusion would silently drop that candidate pair and
+    // no self-exclusion anywhere: the two corpora are INDEPENDENT id
+    // spaces — a left id equal to a right id is a different vector, and
+    // a self-kNN exclusion would silently drop that candidate pair and
     // shift both sides' top-k averages (review r11 finding)
-    val fwd = Storage.track(
-      knnJoinAuto(right, left, k, excludeSelf = false).localCheckpoint(true))
-    val bwd = knnJoinAuto(left, right, k, excludeSelf = false)
+    val spark = left.sparkSession
+    import spark.implicits._
+    val lSmall = SizeDispatch.atMost(left, 100000L)
+    val rSmall = lSmall || SizeDispatch.atMost(right, 100000L)
+    val lB = packBlocks(asDouble(left)).toDF("lids", "lvecs", "lnorms")
+    val rB = packBlocks(asDouble(right)).toDF("rids", "rvecs", "rnorms")
+    val paired =
+      if (lSmall) rB.crossJoin(broadcast(lB))
+      else if (rSmall) lB.crossJoin(broadcast(rB))
+      else lB.hint("shuffle_replicate_nl").crossJoin(rB.hint("shuffle_replicate_nl"))
+    val schema = Seq.empty[(Int, Long, Long, Double)]
+      .toDF("side", "qid", "vec_id", "cos_sim").schema
+    import org.apache.spark.sql.Row
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    // one fused kernel pass per block pair emits BOTH directions' k-row
+    // buffers: side 0 = forward (left queries over right candidates),
+    // side 1 = backward — k rows per id per opposite-side block, never
+    // the pair stream
+    val both = paired
+      .select("lids", "lvecs", "lnorms", "rids", "rvecs", "rnorms")
+      .flatMap { r =>
+      val lids = r.getSeq[Long](0).toArray
+      val lvecs = r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray
+      val lnorms = r.getSeq[Double](2).toArray
+      val rids = r.getSeq[Long](3).toArray
+      val rvecs = r.getSeq[scala.collection.Seq[Double]](4).map(_.toArray).toArray
+      val rnorms = r.getSeq[Double](5).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      scoreBlockPairBoth(lids, lvecs, lnorms, rids, rvecs, rnorms, k, out)
+      out
+    }.toDF("side", "qid", "vec_id", "cos_sim")
+    val topk = graft.functions.Aggregators.cosineTopK(k)
+    val ranked = Storage.track(both.groupBy("side", "qid")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("h"))
+      .select(col("side"), col("qid"), col("h.sims").as("sims"),
+        posexplode(col("h.ids")))
+      .select(col("side"), col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").as("vec_id"),
+        element_at(col("sims"), (col("pos") + 1).cast("int")).as("cos_sim"))
+      .localCheckpoint(true))
+    val fwd = ranked.filter(col("side") === 0).drop("side")
     val avgL = fwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_l"))
-    val avgR = bwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
+    val avgR = ranked.filter(col("side") === 1)
+      .groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
       .withColumnRenamed("qid", "vec_id")
     // margin is exact DECIMAL(14,4) internally (exact threshold) and
     // emitted as DOUBLE — the decimal's nearest double, identical in
