@@ -63,10 +63,23 @@ object Bench {
       * (not the query) produced the 6-20 s outliers that corrupted q49's
       * r6 median. Each call to `fn` builds a fresh kernel, so releasing
       * between iterations is safe per the Storage contract. */
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int, Long) = {
+    /** Process-CPU gauge (r19, VERDICT r18 wrong #1): the stall class's
+      * missing discriminator. A slow iteration whose process-CPU delta
+      * scales with its wall time really computed more; one whose CPU
+      * stays flat was STARVED (descheduled by the box — co-tenant load),
+      * which no amount of query optimization fixes. -1 if the platform
+      * bean is unavailable. */
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int, Long, Double) = {
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       fn(spark, sfDir).collect()
       val t = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
       // blocking: the gauge below must observe the post-drain state, not
       // race the async unpersist (drain runs after the clock stops)
       val drained = graft.operators.Storage.releaseAll(blocking = true)
@@ -77,7 +90,7 @@ object Bench {
       // spikes with clean storage gauges). Cheap queries never pay this.
       if (drained > 0) System.gc()
       val (rdds, used) = storageGauge()
-      (t, rdds, used)
+      (t, rdds, used, cpu)
     }
 
     // _check queries are correctness contracts that deliberately recompute
@@ -114,14 +127,16 @@ object Bench {
       .filterNot(_._1.contains("_check"))
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1).map { case (name, fn) =>
-      val r: Either[String, (Seq[(Double, Int, Long)], Option[Double])] = try {
+      val r: Either[String, (Seq[(Double, Int, Long, Double)], Option[Double])] = try {
         timeOne(fn) // warmup (JIT + file listing + codegen caches)
         // median of 5, iteration order preserved for the artifact
         val runs = Seq.fill(5)(timeOne(fn))
         // outlier vs the prior artifact (floor 50 ms — a 1→6 ms jitter
-        // is not a stall): one extra timed run, recorded alongside
+        // is not a stall): one extra timed run, recorded alongside.
+        // Trigger 2.5× (r19; was 5×, which let q105's 2.6× stall ship
+        // unannotated — VERDICT r18 wrong #2)
         val retry = priorMed.get(name)
-          .filter(p => medOf(runs.map(_._1)) > 5 * math.max(p, 0.05))
+          .filter(p => medOf(runs.map(_._1)) > 2.5 * math.max(p, 0.05))
           .map { p =>
             val t = timeOne(fn)._1
             System.err.println(f"[bench] OUTLIER $name: med=${medOf(runs.map(_._1))}%.2f " +
@@ -155,7 +170,7 @@ object Bench {
 
     def j(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def med(r: Seq[(Double, Int, Long)]): Double = r.map(_._1).sorted.apply(2)
+    def med(r: Seq[(Double, Int, Long, Double)]): Double = r.map(_._1).sorted.apply(2)
     val qs = j(results.map { case (k, v) =>
       k -> v.fold(_ => "-1", r => med(r._1).toString) })
     val stats = j(results.collect { case (k, Right((r, retry))) =>
@@ -164,10 +179,14 @@ object Bench {
         "min" -> ts.min.toString, "med" -> med(r).toString, "max" -> ts.max.toString,
         // per-iteration evidence: raw timings in arrival order plus the
         // post-drain storage gauges (tracked RDDs / BM bytes) — a stall
-        // with a flat gauge is environmental, a rising gauge is a leak
+        // with a flat gauge is environmental, a rising gauge is a leak —
+        // and the process-CPU seconds each iteration actually got: a
+        // stall whose cpu stays at the normal iterations' level was
+        // box starvation, not computation
         "iters" -> ts.mkString("[", ",", "]"),
         "rdds" -> r.map(_._2).mkString("[", ",", "]"),
-        "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]")) ++
+        "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]"),
+        "cpu" -> r.map(x => f"${x._4}%.2f").mkString("[", ",", "]")) ++
         retry.map(t => "retry" -> t.toString))
     })
     // >5×-prior outliers re-timed in-sweep: first median AND retry ship
@@ -217,7 +236,13 @@ object Bench {
     val qsCompact = j(results.map { case (k, v) =>
       shortKey(k) -> v.fold(_ => "-1", r => fmt2(med(r._1))) })
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val compact = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"retimed_count":$nRetimed,"sf":"$sfName"}"""
+    // the suspect list rides the parsed stdout line itself (short keys),
+    // so a consumer of the compact line sees WHICH medians carry an
+    // in-sweep stall without opening the artifact file
+    val suspects = results.collect {
+      case (k, Right((_, Some(_)))) => "\"" + shortKey(k) + "\""
+    }.mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qsCompact,"failed_count":$nFailed,"retimed_count":$nRetimed,"suspects":$suspects,"sf":"$sfName"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

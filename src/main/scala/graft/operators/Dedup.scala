@@ -613,7 +613,7 @@ object Dedup {
                                numPlanes: Int = 16, dim: Int = 64,
                                seed: Long = 7L): DataFrame = {
     val planes = Similarity.hyperplanes(numPlanes, dim, seed)
-    // norm hoist (r18, see Similarity.knnJoinExact0): the per-vector
+    // norm hoist (r18, see Similarity.knnJoinExact): the per-vector
     // norm is computed ONCE here — before the 17-way multiprobe explode
     // and the bucket join — instead of per candidate pair
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -1286,7 +1286,7 @@ object Dedup {
     }: _*))
     val q = increment
       .select(col("vec_id").as("inc_id"), col("embedding").cast("array<double>").as("qe"))
-      // norm hoist (r18, see Similarity.knnJoinExact0): once per
+      // norm hoist (r18, see Similarity.knnJoinExact): once per
       // increment row, before the per-probe explode
       .withColumn("qn", vec_norm(col("qe")))
       .withColumn("list", explode(transform(slice(ranked, 1, nProbe), s => s.getField("i"))))

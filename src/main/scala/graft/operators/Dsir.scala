@@ -72,17 +72,55 @@ object Dsir {
       lit(4294967296.0)
 
   /** Gumbel-top-fraction selection over the importance weights: score =
-    * lw + Gumbel(doc_id-seeded), keep the top `frac` by percent_rank —
-    * a deterministic draw from the softmax of the weights (the DSIR
-    * sampler with a hash in place of the RNG). Output adds (score,
-    * keep) to [[importanceWeights]]' columns. */
+    * lw + Gumbel(doc_id-seeded), keep the top `frac` by global percent
+    * rank — a deterministic draw from the softmax of the weights (the
+    * DSIR sampler with a hash in place of the RNG). Output adds (score,
+    * keep) to [[importanceWeights]]' columns.
+    *
+    * The rank is GLOBAL but never single-task (r19; was
+    * `percent_rank().over(Window.orderBy(...))`, which moves the whole
+    * scored corpus to one partition — the driver tail's "WindowExec: No
+    * Partition Defined" warning, and a non-starter at 100 TB): rows
+    * range-partition on the rank key (score desc, doc_id) so the sort
+    * parallelizes, and global positions come from broadcast
+    * per-partition prefix counts + a local running index — the
+    * [[Percentiles.exactRangePartitioned]] shape. (doc_id is unique, so
+    * the rank key has no ties and rank() == row position.) `keep`
+    * replicates percent_rank's exact arithmetic: (rank−1)/(n−1) < frac
+    * in double, 0.0 when n == 1. */
   def resample(weights: DataFrame, frac: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.BooleanType
+    val spark = weights.sparkSession
     val u = hashUniform(col("doc_id"))
     val g = -log(-log(u))
-    val scored = weights.withColumn("score", round(col("lw") + g, 4))
-    scored.withColumn("keep",
-      percent_rank().over(Window.orderBy(col("score").desc, col("doc_id"))) < frac)
+    // materialize once (doc-count-sized metadata: id, counts, score):
+    // the range partitioner's boundary-sampling job and the rank passes
+    // below must not each recompute the upstream model joins
+    val scored = Storage.track(
+      weights.withColumn("score", round(col("lw") + g, 4)).localCheckpoint(true))
+    val sorted = scored
+      .repartitionByRange(col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .rdd
+    // tiny count pass (one long per partition) → prefix offsets
+    val counts = sorted
+      .mapPartitionsWithIndex { (pid, it) => Iterator.single(pid -> it.size.toLong) }
+      .collect().toMap
+    val n = counts.values.sum
+    val offsets = counts.keys.map { pid =>
+      pid -> counts.filter(_._1 < pid).values.sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withKeep = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid)
+      it.map { r =>
+        rank += 1L
+        val pr = if (n > 1) (rank - 1).toDouble / (n - 1).toDouble else 0.0
+        Row.fromSeq(r.toSeq :+ (pr < frac))
+      }
+    }
+    spark.createDataFrame(withKeep, scored.schema.add("keep", BooleanType, nullable = false))
       .orderBy("doc_id")
   }
 

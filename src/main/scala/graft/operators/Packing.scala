@@ -437,8 +437,12 @@ object Packing {
       .withColumn("__h", md5(concat_ws(":", lit(salt), key.cast("string"))))
       .withColumn("__bkt", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
     // 256-row bucket-count table; the cumulative window below runs over
-    // THAT aggregate (one tiny SinglePartition exchange), never the corpus
-    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // THAT aggregate (one tiny single-group exchange), never the corpus —
+    // the constant-valued, non-foldable partition key (pmod(__bkt,1)==0;
+    // EliminateWindowPartitions would fold a literal away) marks the
+    // boundedness without WindowExec's "No Partition Defined" warning (r19)
+    val wOff = Window.partitionBy(pmod(col("__bkt"), lit(1))).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("__bkt").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
       .select("__bkt", "__off")

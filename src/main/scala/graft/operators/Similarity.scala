@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // vec_id casts to long so every tier (row-form BNLJ vs packed blocks,
+  // whose Dataset encoder pins BIGINT) emits the SAME output schema
+  // regardless of the size dispatch (ADVICE r18)
   private def asDouble(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
 
   /** Codegen'd native expressions (graft.functions.VectorExpressions):
     * same left-to-right accumulation as the HOF fold they replaced —
@@ -40,7 +44,7 @@ object Similarity {
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val v = asDouble(emb)
     // probe norm hoisted into the broadcast row (once, not per corpus
-    // row — see knnJoinExact0); the corpus-side norm is inherently
+    // row — see knnJoinExact); the corpus-side norm is inherently
     // once-per-row here (single probe), so it stays inline
     val probe = broadcast(v.filter(col("vec_id") === probeId)
       .select(col("e").as("pe"), norm(col("e")).as("pn")))
@@ -712,7 +716,7 @@ object Similarity {
       .map(r => r.get(0).asInstanceOf[Number].intValue -> r.getLong(1)).toMap
     val total = listSizes.values.sum.toDouble
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
-    // norm hoist (r18, see knnJoinExact0): query norms are computed on
+    // norm hoist (r18, see knnJoinExact): query norms are computed on
     // the driver in vec_norm's exact accumulation order (left-to-right
     // sum of squares, then sqrt — bit-identical) and ride the literal;
     // the corpus norm is computed once per row BEFORE the Q-way explode
@@ -944,19 +948,15 @@ object Similarity {
     * map-side partial combine; only k rows per query per partition reach
     * the exchange, never the candidate set), then posexplode back to one
     * row per (qid, rank). */
-  private def finishTopK(scored: DataFrame, k: Int,
-                         ordered: Boolean = true): DataFrame = {
+  private def finishTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.Aggregators.cosineTopK(k)
-    val rows = scored.groupBy("qid")
+    scored.groupBy("qid")
       .agg(topk(col("cos_sim"), col("vec_id")).as("h"))
       .select(col("qid"), col("h.sims").as("sims"), posexplode(col("h.ids")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col").as("vec_id"),
         element_at(col("sims"), (col("pos") + 1).cast("int")).as("cos_sim"))
-    // ordered=false: callers that aggregate or re-join the kNN table
-    // (marginPairs) skip the presentation range-exchange + sort — same
-    // rows, no ordering contract
-    if (ordered) rows.orderBy("qid", "rank") else rows
+      .orderBy("qid", "rank")
   }
 
   /** Exact batch kNN join: for EVERY query vector, the k nearest corpus
@@ -964,7 +964,7 @@ object Similarity {
     * training pipeline actually runs (dedup against a reference set,
     * retrieval labeling), vs the single-probe `cosineTopK`. The query
     * side broadcasts as PACKED BLOCKS (BroadcastNestedLoopJoin over
-    * block rows — see [[knnJoinExact0]]); scoring is the fused
+    * block rows); scoring is the fused
     * primitive block kernel; ranking is the bounded-heap aggregation
     * over k rows per query per corpus block, so the M×N candidate
     * stream is never materialized or shuffled. Cosine is
@@ -974,12 +974,9 @@ object Similarity {
     * sets too large to broadcast, route through `knnJoinGrid` (NOT
     * `knnJoinIvf`, which also broadcasts the query side — nProbe× of it
     * after the per-probe explode; IVF reduces each query's candidate
-    * scan, never the broadcast size). `knnJoinAuto` dispatches. */
-  def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int,
-                   excludeSelf: Boolean = true): DataFrame =
-    knnJoinExact0(corpus, queries, k, excludeSelf, ordered = true)
-
-  /** r18 blocked rewrite (guide §1.2 step 2 — fix the per-task work).
+    * scan, never the broadcast size). `knnJoinAuto` dispatches.
+    *
+    * r18 blocked rewrite (guide §1.2 step 2 — fix the per-task work).
     * The old form streamed the RAW M×N pair rows through
     * BroadcastNestedLoopJoin → Project(vec_dot, 2×vec_norm, round) →
     * ObjectHashAggregate: at 25M pairs the per-row machinery (join row
@@ -998,12 +995,9 @@ object Similarity {
     * BigDecimal.valueOf(..).setScale(4, HALF_UP) Spark's round applies,
     * the buffer comparator is CosineTopK's (cos desc, id asc), and
     * top-k-of-block-top-ks equals global top-k (selection composes;
-    * CosineTopK's ScalaCheck'd merge-order invariance). `ordered=false`
-    * skips the presentation orderBy for callers that aggregate the kNN
-    * table (marginPairs) — a dead range-exchange + sort below an
-    * aggregate. */
-  private def knnJoinExact0(corpus: DataFrame, queries: DataFrame, k: Int,
-                            excludeSelf: Boolean, ordered: Boolean): DataFrame =
+    * CosineTopK's ScalaCheck'd merge-order invariance). */
+  def knnJoinExact(corpus: DataFrame, queries: DataFrame, k: Int,
+                   excludeSelf: Boolean = true): DataFrame =
     // tiny query sets (≤1024: a probe panel, not a batch) keep the
     // row-form BNLJ — the pair stream is at most 1024 × corpus-block
     // and the blocked tier's two packing exchanges + extra AQE stages
@@ -1011,15 +1005,15 @@ object Similarity {
     // join 0.34 s row-form vs 0.63 s blocked). The probe is the same
     // memoized bounded count SizeDispatch everywhere uses.
     if (SizeDispatch.atMost(queries, 1024L))
-      knnJoinExactRows(corpus, queries, k, excludeSelf, ordered)
-    else knnJoinBlocked(corpus, queries, k, excludeSelf, ordered,
+      knnJoinExactRows(corpus, queries, k, excludeSelf)
+    else knnJoinBlocked(corpus, queries, k, excludeSelf,
       broadcastQueries = true)
 
   /** Row-form broadcast tier (small query sets): BroadcastNestedLoopJoin
     * over raw vector rows with both norms hoisted out of the pair loop
     * (computed once per row below / inside the broadcast — r18). */
   private def knnJoinExactRows(corpus: DataFrame, queries: DataFrame, k: Int,
-                               excludeSelf: Boolean, ordered: Boolean): DataFrame = {
+                               excludeSelf: Boolean): DataFrame = {
     val c = asDouble(corpus).withColumn("cn", norm(col("e")))
     val q = broadcast(asDouble(queries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), norm(col("e")).as("qn")))
@@ -1029,7 +1023,7 @@ object Similarity {
         .select(col("qid"), col("vec_id"),
           round(dot(col("e"), col("qe")) / (col("cn") * col("qn")), 4)
             .as("cos_sim")),
-      k, ordered)
+      k)
   }
 
   /** Packed vector blocks: ids + vectors + norms (precomputed in
@@ -1062,6 +1056,15 @@ object Similarity {
       .toDF("ids", "vecs", "norms")
   }
 
+  /** Exactly Spark's Round(_, 4) over DoubleType: NaN/Infinity pass
+    * THROUGH (BigDecimal.valueOf would throw NumberFormatException) —
+    * a zero-norm embedding's NaN cosine must behave identically in the
+    * blocked kernel and the declarative row tier (ADVICE r18). */
+  private def round4(raw: Double): Double =
+    if (raw.isNaN || raw.isInfinite) raw
+    else java.math.BigDecimal.valueOf(raw)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Fused block-pair scorer: for every query of the block, the top-k
     * corpus rows of the block by (rounded cos desc, id asc), appended
     * to `out` as (qid, vec_id, cos_sim). Primitive insertion buffers —
@@ -1085,8 +1088,7 @@ object Similarity {
           val c = cvecs(ci)
           var d = 0.0; var i = 0
           while (i < c.length) { d += c(i) * q(i); i += 1 }
-          val cos = java.math.BigDecimal.valueOf(d / (cnorms(ci) * qn))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          val cos = round4(d / (cnorms(ci) * qn))
           // CosineTopK.better: (cos desc, id asc)
           if (size < k || cos > sims(size - 1) ||
               (cos == sims(size - 1) && cid < ids(size - 1))) {
@@ -1141,8 +1143,7 @@ object Similarity {
         val rv = rvecs(ri)
         var d = 0.0; var i = 0
         while (i < lv.length) { d += lv(i) * rv(i); i += 1 }
-        val cos = java.math.BigDecimal.valueOf(d / (ln * rnorms(ri)))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        val cos = round4(d / (ln * rnorms(ri)))
         lSize(li) = insert(lSims(li), lIds(li), lSize(li), cos, rids(ri))
         rSize(ri) = insert(rSims(ri), rIds(ri), rSize(ri), cos, lid)
         ri += 1
@@ -1168,7 +1169,7 @@ object Similarity {
   }
 
   private def knnJoinBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
-                             excludeSelf: Boolean, ordered: Boolean,
+                             excludeSelf: Boolean,
                              broadcastQueries: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1195,7 +1196,7 @@ object Similarity {
         out, (qid, vid, cos) => Row(qid, vid, cos))
       out
     }
-    finishTopK(scored.toDF("qid", "vec_id", "cos_sim"), k, ordered)
+    finishTopK(scored.toDF("qid", "vec_id", "cos_sim"), k)
   }
 
   /** Exact batch kNN join for query sets TOO LARGE TO BROADCAST: the
@@ -1211,17 +1212,7 @@ object Similarity {
     * tier's task grid produced the partials. */
   def knnJoinGrid(corpus: DataFrame, queries: DataFrame, k: Int,
                   excludeSelf: Boolean = true): DataFrame =
-    knnJoinGrid0(corpus, queries, k, excludeSelf, ordered = true)
-
-  /** Same blocked kernel as [[knnJoinExact0]], but the block tables
-    * join through the shuffle-replicate grid (neither side broadcast):
-    * what replicates across the other side's partitions is now a
-    * PACKED BLOCK (one row per ~4k vectors) instead of raw vector
-    * rows, and each grid task runs the fused kernel over one block
-    * pair. */
-  private def knnJoinGrid0(corpus: DataFrame, queries: DataFrame, k: Int,
-                           excludeSelf: Boolean, ordered: Boolean): DataFrame =
-    knnJoinBlocked(corpus, queries, k, excludeSelf, ordered,
+    knnJoinBlocked(corpus, queries, k, excludeSelf,
       broadcastQueries = false)
 
   /** Size-dispatched exact kNN join (the q51 registered path — mirrors
@@ -1233,16 +1224,10 @@ object Similarity {
     * choice, asserted by KnnJoinSpec's parity case. */
   def knnJoinAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   broadcastableQueries: Long = 100000L,
-                  excludeSelf: Boolean = true): DataFrame =
-    knnJoinAuto0(corpus, queries, k, broadcastableQueries, excludeSelf,
-      ordered = true)
-
-  private def knnJoinAuto0(corpus: DataFrame, queries: DataFrame, k: Int,
-                           broadcastableQueries: Long, excludeSelf: Boolean,
-                           ordered: Boolean): DataFrame = {
+                  excludeSelf: Boolean = true): DataFrame = {
     if (SizeDispatch.atMost(queries, broadcastableQueries))
-      knnJoinExact0(corpus, queries, k, excludeSelf, ordered)
-    else knnJoinGrid0(corpus, queries, k, excludeSelf, ordered)
+      knnJoinExact(corpus, queries, k, excludeSelf)
+    else knnJoinGrid(corpus, queries, k, excludeSelf)
   }
 
   /** IVF-batched kNN join: every query routes to its `nProbe` nearest
@@ -1267,7 +1252,7 @@ object Similarity {
         lit(i).as("i"))
     }: _*))
     val q = asDouble(queries)
-      // norm hoist (see knnJoinExact0): computed once per query row,
+      // norm hoist (see knnJoinExact): computed once per query row,
       // BEFORE the per-probe explode — not per candidate pair
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         vec_norm(col("e")).as("qn"))

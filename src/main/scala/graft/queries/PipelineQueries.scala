@@ -545,15 +545,23 @@ object PipelineQueries {
     * oracle: the q87 and q26 CTE chains, ranked, unioned, fused. */
   def q119HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val k = 20
+    // both rank windows run over ALREADY top-k-bounded tables (k = 20
+    // rows out of bm25TopK / cosineTopK) — the constant-valued partition
+    // key (pmod(id, 1) == 0 for every row; non-foldable, so Spark 4's
+    // EliminateWindowPartitions keeps it) marks that boundedness: same
+    // single group, same rows, without WindowExec's "No Partition
+    // Defined" corpus-scale warning (r19)
     val lex = graft.operators.TextSearch.bm25TopK(
         t(spark, dir, "documents"), "spark vector query merge", k = k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc, col("doc_id"))))
       .select("doc_id", "rank")
     val sem = Similarity.cosineTopK(t(spark, dir, "embeddings"),
         probeId = 0L, k = k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+        Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("rank"))
     graft.operators.TextSearch.rrfFuse(Seq(lex, sem), topK = 10)
   }
