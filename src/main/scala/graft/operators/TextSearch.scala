@@ -193,21 +193,6 @@ object TextSearch {
     // one collect-with-cap doubles as the dispatch probe AND the term
     // set (two jobs folded into one)
     val capped = distinctTerms.limit(broadcastableTerms.toInt + 1).collect()
-    val perDoc =
-      if (capped.length <= broadcastableTerms) {
-        val ts = capped.map(_.getString(0)).toSet
-        val kern = udf((text: String) =>
-          if (text == null) null
-          else {
-            val parts = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-            (parts.length.toLong, parts.filter(ts.contains))
-          }).asNondeterministic()
-        docs.select(col("doc_id"), kern(col("text")).as("__k"))
-          .select(col("doc_id"), col("__k._1").as("dl"), col("__k._2").as("qs"))
-      } else
-        docs.select(col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("dl"),
-          filter(split(lower(col("text")), " "), t => t =!= "").as("qs"))
     // SPREAD BEFORE THE PIN: a compact parquet corpus reads as a
     // couple of input partitions, and since every downstream join
     // broadcasts its small side, the whole explode → join → aggregate
@@ -219,12 +204,45 @@ object TextSearch {
     // compact (doc, dl, matched-tokens) rows BEFORE the checkpoint
     // materializes 32-way blocks the local reads must follow.
     val sp = math.max(docs.sparkSession.sparkContext.defaultParallelism, 8)
-    val staged = Storage.track(
-      perDoc.repartition(sp, col("doc_id")).localCheckpoint(eager = false))
-    val postings = staged
-      .select(col("doc_id"), col("dl"), explode(col("qs")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val (staged, postings) =
+      if (capped.length <= broadcastableTerms) {
+        // r19 fusion (guide §2.3 "aggregate before you shuffle"): the
+        // kernel counts each doc's matched-term frequencies IN the
+        // per-doc pass, so the postings table is a row-local explode of
+        // (tok, tf) pairs — the corpus-scale groupBy(doc_id, tok)
+        // exchange the instance-array form paid is gone entirely (tf
+        // per doc is a row-local fact; only df and the per-query score
+        // aggregation fundamentally need a shuffle)
+        val ts = capped.map(_.getString(0)).toSet
+        val kern = udf((text: String) =>
+          if (text == null) null
+          else {
+            val parts = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+            parts.foreach(t => if (ts.contains(t)) m.update(t, m.getOrElse(t, 0L) + 1L))
+            (parts.length.toLong, m.toArray)
+          }).asNondeterministic()
+        val staged = Storage.track(
+          docs.select(col("doc_id"), kern(col("text")).as("__k"))
+            .select(col("doc_id"), col("__k._1").as("dl"), col("__k._2").as("qs"))
+            .repartition(sp, col("doc_id")).localCheckpoint(eager = false))
+        (staged, staged
+          .select(col("doc_id"), col("dl"), explode(col("qs")).as("kv"))
+          .select(col("doc_id"), col("kv._1").as("tok"), col("kv._2").as("tf"),
+            col("dl")))
+      } else {
+        // honest IR path above the vocab bound: full token postings via
+        // explode + aggregate (what a deployment persists)
+        val staged = Storage.track(
+          docs.select(col("doc_id"),
+              size(split(lower(col("text")), " ")).cast("long").as("dl"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("qs"))
+            .repartition(sp, col("doc_id")).localCheckpoint(eager = false))
+        (staged, staged
+          .select(col("doc_id"), col("dl"), explode(col("qs")).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
+      }
     val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = staged.agg(count(lit(1)).cast(DoubleType).as("n"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
@@ -242,8 +260,13 @@ object TextSearch {
     // legitimately matches everything, and that is its honest cost).
     // The oracle applies the same rule, so semantics stay engine-exact.
     val qdf = qTerms.join(df, "tok")
-    val mins = qdf.groupBy("query_id").agg(min("df").as("__mindf"))
-    val kept = qdf.join(mins, "query_id").crossJoin(broadcast(stats))
+    // per-query min df via a window over the query-vocab-sized table:
+    // one query_id exchange instead of the aggregate + join-back pair
+    // (r19; the group is a query's term count — bounded at any scale)
+    val kept = qdf.withColumn("__mindf",
+        min("df").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")))
+      .crossJoin(broadcast(stats))
       .filter(col("df").cast(DoubleType) <= lit(maxDfFrac) * col("n") ||
         col("df") === col("__mindf"))
       .select(col("query_id"), col("pos_id"), col("tok"),
