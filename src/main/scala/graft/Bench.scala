@@ -186,7 +186,8 @@ object Bench {
         "iters" -> ts.mkString("[", ",", "]"),
         "rdds" -> r.map(_._2).mkString("[", ",", "]"),
         "stor_mb" -> r.map(x => x._3 >> 20).mkString("[", ",", "]"),
-        "cpu" -> r.map(x => f"${x._4}%.2f").mkString("[", ",", "]")) ++
+        "cpu" -> r.map(x => String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(x._4))).mkString("[", ",", "]")) ++
         retry.map(t => "retry" -> t.toString))
     })
     // >5×-prior outliers re-timed in-sweep: first median AND retry ship

@@ -1565,6 +1565,24 @@ object Similarity {
     // spaces — a left id equal to a right id is a different vector, and
     // a self-kNN exclusion would silently drop that candidate pair and
     // shift both sides' top-k averages (review r11 finding)
+    //
+    // TINY inputs (both sides ≤1024 — the knnJoinExact row-form bound)
+    // keep the two row-form kNN passes: the blocked kernel's two packing
+    // exchanges are pure fixed overhead at that size (r18 measured the
+    // same dispatch for knnJoinExact: 0.34 s row-form vs 0.63 s blocked),
+    // and the dual-direction dot saving is noise against it. Identical
+    // output — r18's oracle gate proved both forms' parity.
+    if (SizeDispatch.atMost(left, 1024L) && SizeDispatch.atMost(right, 1024L))
+      marginPairsRows(left, right, k, threshold)
+    else marginPairsBlocked(left, right, k, threshold)
+  }
+
+  /** Blocked dual-direction tier of [[marginPairs]] (r18): one fused
+    * kernel pass per block pair scores each cross pair ONCE for both
+    * kNN directions. `private[operators]` so MarginPairsSpec can assert
+    * tier parity on a small fixture. */
+  private[operators] def marginPairsBlocked(left: DataFrame, right: DataFrame,
+                                            k: Int, threshold: Double): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val lSmall = SizeDispatch.atMost(left, 100000L)
@@ -1614,6 +1632,32 @@ object Similarity {
     // margin is exact DECIMAL(14,4) internally (exact threshold) and
     // emitted as DOUBLE — the decimal's nearest double, identical in
     // both engines (VERDICT r11 #1)
+    fwd.filter(col("rank") === 1)
+      .join(avgL, "qid")
+      .join(avgR, "vec_id")
+      .select(col("qid").as("left_id"), col("vec_id").as("right_id"),
+        col("cos_sim"),
+        TextAnalysis.dec4(col("cos_sim") / ((col("avg_l") + col("avg_r")) / 2))
+          .as("margin_dec"))
+      .filter(col("margin_dec") >= threshold)
+      .select(col("left_id"), col("right_id"), col("cos_sim"),
+        col("margin_dec").cast(org.apache.spark.sql.types.DoubleType).as("margin"))
+      .orderBy("left_id")
+  }
+
+  /** Tiny-input tier of [[marginPairs]]: the pre-r18 two-pass shape over
+    * the row-form kNN join (both sides ≤1024, so each pass IS the BNLJ
+    * row tier with hoisted norms — no packing exchanges). Same rounded
+    * scores, same rank tables, same aggregates — output identical to the
+    * blocked tier. */
+  private def marginPairsRows(left: DataFrame, right: DataFrame, k: Int,
+                              threshold: Double): DataFrame = {
+    val fwd = Storage.track(
+      knnJoinAuto(right, left, k, excludeSelf = false).localCheckpoint(true))
+    val bwd = knnJoinAuto(left, right, k, excludeSelf = false)
+    val avgL = fwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_l"))
+    val avgR = bwd.groupBy("qid").agg(avg(col("cos_sim")).as("avg_r"))
+      .withColumnRenamed("qid", "vec_id")
     fwd.filter(col("rank") === 1)
       .join(avgL, "qid")
       .join(avgR, "vec_id")
