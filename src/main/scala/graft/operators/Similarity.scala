@@ -1566,21 +1566,21 @@ object Similarity {
     // a self-kNN exclusion would silently drop that candidate pair and
     // shift both sides' top-k averages (review r11 finding)
     //
-    // TINY inputs (both sides ≤1024 — the knnJoinExact row-form bound)
-    // keep the two row-form kNN passes: the blocked kernel's two packing
-    // exchanges are pure fixed overhead at that size (r18 measured the
-    // same dispatch for knnJoinExact: 0.34 s row-form vs 0.63 s blocked),
-    // and the dual-direction dot saving is noise against it. Identical
-    // output — r18's oracle gate proved both forms' parity.
-    if (SizeDispatch.atMost(left, 1024L) && SizeDispatch.atMost(right, 1024L))
-      marginPairsRows(left, right, k, threshold)
-    else marginPairsBlocked(left, right, k, threshold)
+    // NO small-input row-form tier, deliberately (ADVICE r18 low,
+    // measured r19): unlike knnJoinExact's ≤1024-QUERY fast path (a
+    // handful of probes against a corpus — the packing exchanges
+    // dominate), a margin call scores |L|×|R| pairs in BOTH directions,
+    // so the two-pass row form pays the declarative BNLJ pair stream
+    // twice. The blocked dual-direction kernel won at every size the
+    // data offers: 250×250 sides 1.19 s vs 1.60 s row-form, 1000×1000
+    // 1.8 s vs 3.6 s (isolated medians, this box).
+    marginPairsBlocked(left, right, k, threshold)
   }
 
   /** Blocked dual-direction tier of [[marginPairs]] (r18): one fused
     * kernel pass per block pair scores each cross pair ONCE for both
     * kNN directions. `private[operators]` so MarginPairsSpec can assert
-    * tier parity on a small fixture. */
+    * the two-pass row form (its independent reference) agrees. */
   private[operators] def marginPairsBlocked(left: DataFrame, right: DataFrame,
                                             k: Int, threshold: Double): DataFrame = {
     val spark = left.sparkSession
@@ -1645,13 +1645,13 @@ object Similarity {
       .orderBy("left_id")
   }
 
-  /** Tiny-input tier of [[marginPairs]]: the pre-r18 two-pass shape over
-    * the row-form kNN join (both sides ≤1024, so each pass IS the BNLJ
-    * row tier with hoisted norms — no packing exchanges). Same rounded
-    * scores, same rank tables, same aggregates — output identical to the
-    * blocked tier. */
-  private def marginPairsRows(left: DataFrame, right: DataFrame, k: Int,
-                              threshold: Double): DataFrame = {
+  /** The pre-r18 two-pass reference form of [[marginPairs]]: two
+    * independent kNN joins, one per direction. NOT dispatched to (the
+    * blocked dual-direction kernel beats it at every measured size —
+    * see marginPairs); kept `private[operators]` as MarginPairsSpec's
+    * independent parity reference for the fused kernel. */
+  private[operators] def marginPairsRows(left: DataFrame, right: DataFrame,
+                                         k: Int, threshold: Double): DataFrame = {
     val fwd = Storage.track(
       knnJoinAuto(right, left, k, excludeSelf = false).localCheckpoint(true))
     val bwd = knnJoinAuto(left, right, k, excludeSelf = false)

@@ -70,17 +70,17 @@ class MarginPairsSpec extends SparkSpec {
       s"colliding ids must still pair by geometry: $got")
   }
 
-  test("tier parity: the blocked dual-direction kernel equals the row-form two-pass tier") {
-    // the size dispatch routes this tiny fixture through the row tier;
-    // the blocked tier (what the fixture exercised before the r19 fast
-    // path) must produce the identical rows — margins, order, schema
+  test("the fused dual-direction kernel equals the two-pass row-form reference") {
+    // marginPairs scores every (l, r) pair ONCE for both directions;
+    // the independent reference runs one kNN join per direction — the
+    // two must produce identical rows: margins, order, schema
     val d = df
     val l = d.filter($"vec_id" % 2 === 0)
     val r = d.filter($"vec_id" % 2 === 1)
-    val rows = Similarity.marginPairs(l, r, k = 2, threshold = 0.0).collect().toSeq
-    val blocked = Similarity.marginPairsBlocked(l, r, k = 2, threshold = 0.0)
+    val fused = Similarity.marginPairs(l, r, k = 2, threshold = 0.0).collect().toSeq
+    val twoPass = Similarity.marginPairsRows(l, r, k = 2, threshold = 0.0)
       .collect().toSeq
-    assert(rows === blocked)
+    assert(fused === twoPass)
   }
 
   test("threshold filters and determinism under repartition") {
