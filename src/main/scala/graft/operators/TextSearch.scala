@@ -274,7 +274,14 @@ object TextSearch {
         col("avgdl"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score_dec").desc, col("doc_id"))
-    postings.join(kept, "tok")
+    // kept is query-vocab-bounded BY CONSTRUCTION — pin it as the build
+    // side. Without the hint the planner sizes the postings side off the
+    // lazy checkpoint's LogicalRDD (no real statistics since the r19
+    // row-local postings removed the aggregate above it), BROADCAST the
+    // corpus-side postings at sf1, and collapsed the score aggregate +
+    // rank window onto kept's single partition (measured: one ~300 s
+    // task; 70× the r15 grade)
+    postings.join(broadcast(kept), "tok")
       .filter(col("doc_id") =!= col("pos_id"))
       .select(col("query_id"), col("doc_id"),
         (col("idf") * (col("tf") * (k1 + 1)) /
